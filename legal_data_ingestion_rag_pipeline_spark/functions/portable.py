@@ -1,0 +1,207 @@
+"""Portable SQL expression builders (Spark SQL + DuckDB dialects).
+
+The driver's correctness gate runs every declared query on Spark AND
+its oracle on DuckDB, comparing value hashes.  Hash-bearing operators
+(MinHash, SimHash, fingerprints) therefore need *bit-identical* hash
+arithmetic in both engines.  Neither engine exposes the other's native
+hash (Spark: Murmur3/xxhash64; DuckDB: its own), so we use a polynomial
+rolling hash over Unicode code points — pure int64 arithmetic both
+engines evaluate identically (verified: no intermediate exceeds 2^63).
+
+Every builder emits a SQL string for a given dialect; the Spark side
+wraps it in ``F.expr`` so it still runs fully codegen'd on the JVM.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+#: Modulus for all polynomial hashing: largest prime < 2^30 squared is
+#: safe; we use the classic 1e9+7.  a*h+b with a,h < P stays < ~1e18 < 2^63.
+P = 1_000_000_007
+POLY_INIT = 7
+POLY_MULT = 31
+
+
+def split_chars(expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"split({expr}, '')"
+    return f"string_split({expr}, '')"
+
+
+def transform(arr: str, lam: str, dialect: str) -> str:
+    fn = "transform" if dialect == SPARK else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def filter_(arr: str, lam: str, dialect: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def reduce_(arr: str, init: str, lam: str, dialect: str) -> str:
+    """Fold with an explicit initial value.
+
+    DuckDB's list_reduce has no init argument, so the init is prepended
+    to the list — same evaluation order, same result.
+    """
+    if dialect == SPARK:
+        return f"aggregate({arr}, {init}, {lam})"
+    return f"list_reduce(list_prepend({init}, {arr}), {lam})"
+
+
+def array_min(arr: str, dialect: str) -> str:
+    fn = "array_min" if dialect == SPARK else "list_min"
+    return f"{fn}({arr})"
+
+
+def sequence(lo: str, hi_inclusive: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"sequence({lo}, {hi_inclusive})"
+    return f"range({lo}, ({hi_inclusive}) + 1)"
+
+
+def array_join(arr: str, sep: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"concat_ws('{sep}', {arr})"
+    return f"array_to_string({arr}, '{sep}')"
+
+
+def slice_(arr: str, start_1based: str, length: int, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"slice({arr}, {start_1based}, {length})"
+    return f"list_slice({arr}, {start_1based}, ({start_1based}) + {length - 1})"
+
+
+def size_(arr: str, dialect: str) -> str:
+    fn = "size" if dialect == SPARK else "len"
+    return f"{fn}({arr})"
+
+
+def shiftright(expr: str, bits: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"shiftright({expr}, {bits})"
+    return f"(({expr}) >> ({bits}))"
+
+
+def shiftleft(expr: str, bits: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"shiftleft(CAST(1 AS BIGINT), {bits})"
+    return f"(CAST(1 AS BIGINT) << ({bits}))"
+
+
+# ---------------------------------------------------------------------------
+# Composite builders
+# ---------------------------------------------------------------------------
+
+def poly_hash(expr: str, dialect: str) -> str:
+    """Polynomial rolling hash of a string expression -> bigint in [0, P).
+
+    h = fold(chars, 7, (acc, c) -> (acc*31 + codepoint(c)) % P)
+    """
+    chars = split_chars(expr, dialect)
+    codes = transform(chars, "c -> CAST(ascii(c) AS BIGINT)", dialect)
+    return reduce_(
+        codes,
+        f"CAST({POLY_INIT} AS BIGINT)",
+        f"(acc, x) -> (acc * {POLY_MULT} + x) % {P}",
+        dialect,
+    )
+
+
+def tokens(expr: str, dialect: str) -> str:
+    """Lowercased whitespace tokens with empties removed."""
+    if dialect == SPARK:
+        arr = f"split(lower({expr}), '\\\\s+')"
+    else:
+        arr = f"string_split_regex(lower({expr}), '\\s+')"
+    return filter_(arr, "t -> t != ''", dialect)
+
+
+def word_ngrams(tokens_expr: str, n: int, dialect: str) -> str:
+    """Space-joined word n-grams of a token array expression."""
+    nt = size_(tokens_expr, dialect)
+    idx = sequence("1", f"greatest({nt} - {n - 1}, 0)", dialect)
+    gram = array_join(slice_("__t", "CAST(i AS INT)", n, dialect), " ", dialect)
+    # Bind the token array once via a lambda over a 1-element wrapper is
+    # clumsy in SQL; instead the caller should pass a column/CTE alias as
+    # tokens_expr.  Here we inline it (both engines fold it).
+    gram_inline = gram.replace("__t", tokens_expr)
+    return transform(idx, f"i -> {gram_inline}", dialect)
+
+
+def char_ngrams(expr: str, n: int, dialect: str) -> str:
+    """Character n-gram (shingle) array of a string expression."""
+    ln = f"length({expr})"
+    idx = sequence("1", f"greatest({ln} - {n - 1}, 0)", dialect)
+    if dialect == SPARK:
+        sub = f"substring({expr}, CAST(i AS INT), {n})"
+    else:
+        sub = f"substr({expr}, CAST(i AS INT), {n})"
+    return transform(idx, f"i -> {sub}", dialect)
+
+
+def _perm_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod P.  Constants are fixed (seeded by i),
+    identical on both sides by construction."""
+    out = []
+    for i in range(n_hashes):
+        a = (2_654_435_761 * (i + 1) + 1) % P
+        b = (40_503 * (i + 1) + 17) % P
+        out.append((a or 1, b))
+    return out
+
+
+def minhash_signature(grams_expr: str, n_hashes: int, dialect: str) -> str:
+    """MinHash signature array<bigint>[n_hashes] over a string-array expr.
+
+    base = poly_hash(gram); sig[i] = min over grams of (a_i*base+b_i)%P.
+    Empty gram arrays produce nulls in every slot (callers filter).
+    """
+    base = transform(grams_expr, f"g -> {poly_hash('g', dialect)}", dialect)
+    slots = []
+    for a, b in _perm_constants(n_hashes):
+        permuted = transform(base, f"h -> (h * {a} + {b}) % {P}", dialect)
+        slots.append(array_min(permuted, dialect))
+    if dialect == SPARK:
+        return "array(" + ", ".join(slots) + ")"
+    return "[" + ", ".join(slots) + "]"
+
+
+def simhash64(tokens_expr: str, bits: int, dialect: str) -> str:
+    """SimHash of a token-array expression using `bits` bits (<= 30 to
+    keep the per-bit vote sums comfortably in int64).
+
+    bit j set iff sum over tokens of (2*((h>>j)&1) - 1) > 0.
+    """
+    hashes = transform(tokens_expr, f"t -> {poly_hash('t', dialect)}", dialect)
+    terms = []
+    for j in range(bits):
+        vote = reduce_(
+            hashes,
+            "CAST(0 AS BIGINT)",
+            f"(acc, h) -> acc + (2 * ({shiftright('h', str(j), dialect)} & 1) - 1)",
+            dialect,
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {shiftleft('1', str(j), dialect)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def dot_double(a: str, b: str, dialect: str) -> str:
+    """Element-wise double-precision dot product of two float arrays.
+
+    DuckDB's list_dot_product computes in float32 — NOT used; both sides
+    cast each element to double and fold in array order, giving
+    bit-identical sums.
+    """
+    if dialect == SPARK:
+        prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    else:
+        prods = transform(
+            f"list_zip({a}, {b})",
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)",
+            dialect,
+        )
+    return reduce_(prods, "CAST(0.0 AS DOUBLE)", "(s, x) -> s + x", dialect)

@@ -1,0 +1,117 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure built-in Column expressions (whole-stage codegen; zero Python
+in the executor hot path):
+
+- token counting: whitespace tokens and a BPE-ish regex token count
+- quality scoring: length / punctuation ratio / stopword ratio /
+  mean word length combined into a [0,1] score
+- language ID: tiny stopword-evidence heuristic over a fixed lexicon
+- document fingerprint: min-of-rolling-polynomial-hash over character
+  shingles (winnowing-style), portable to the DuckDB oracle
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from . import portable
+
+#: Tiny per-language stopword evidence sets for the heuristic language
+#: classifier.  Deliberately small and fixed so the oracle SQL can
+#: reproduce them verbatim.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "in", "is", "a", "that", "it", "on",
+    "for", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+#: BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+#: symbols — a public GPT-2-style approximation without lookaheads so
+#: both regex engines (Java in Spark, RE2 in DuckDB) agree.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(c: str) -> Column:
+    return F.size(F.expr(portable.tokens(c, portable.SPARK)))
+
+
+def bpe_token_count(c: str) -> Column:
+    """Count of BPE-ish regex tokens via regexp_count (Spark >= 3.5)."""
+    return F.regexp_count(F.col(c), F.lit(BPE_TOKEN_RE))
+
+
+def punct_ratio(c: str) -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(c), r"[^.,;:!?'\"()\[\]-]", ""))
+    return n_punct / F.greatest(F.length(F.col(c)), F.lit(1))
+
+
+def stopword_ratio(c_tokens: str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (English) stopwords; expects a
+    pre-computed token-array column name."""
+    toks = F.col(c_tokens)
+    quoted = ", ".join("'" + w + "'" for w in stopwords)
+    hits = F.size(F.expr(f"filter({c_tokens}, t -> t in ({quoted}))"))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(c_tokens: str) -> Column:
+    total = F.expr(
+        f"aggregate({c_tokens}, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"
+    )
+    return total / F.greatest(F.size(F.col(c_tokens)), F.lit(1))
+
+
+def quality_score(text_col: str, tokens_col: str) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length,
+    word sizes and stopword presence; penalizes punctuation soup.
+    Deterministic arithmetic shared with the oracle."""
+    n_tok = F.size(F.col(tokens_col))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw = stopword_ratio(tokens_col)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    mwl = mean_word_len(tokens_col)
+    word_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
+    return F.round(
+        0.35 * len_score + 0.25 * sw_score + 0.2 * word_score + 0.2 * (1.0 - punct_pen),
+        6,
+    )
+
+
+def lang_scores(tokens_col: str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID evidence)."""
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        quoted = ", ".join("'" + w + "'" for w in words)
+        out[lang] = F.size(F.expr(f"filter({tokens_col}, t -> t in ({quoted}))"))
+    return out
+
+
+def lang_id(tokens_col: str) -> Column:
+    """argmax over lang_scores with deterministic tie-break (language
+    code ascending); 'und' when no evidence at all."""
+    scores = lang_scores(tokens_col)
+    # sort ascending by (-score, lang): element 0 is then the highest
+    # score with the lexicographically smallest language code on ties.
+    pairs = [
+        F.struct((-scores[lang]).alias("neg_score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ]
+    top = F.sort_array(F.array(*pairs))[0]
+    return F.when(top["neg_score"] < 0, top["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str, shingle: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min polynomial hash over
+    character shingles.  Portable with the DuckDB oracle."""
+    grams = portable.char_ngrams(text_col, shingle, portable.SPARK)
+    hashed = portable.transform(grams, f"g -> {portable.poly_hash('g', portable.SPARK)}", portable.SPARK)
+    return F.expr(portable.array_min(hashed, portable.SPARK))

@@ -1,0 +1,117 @@
+"""Driver-style correctness harness: run every registered query on
+Spark AND its DuckDB oracle, compare row count, schema shape, and an
+order-insensitive value hash — the same gate the driver applies.
+
+Usage:
+    python tools/oracle_check.py [--sf /root/testdata/sf0.01] [--only name[,name]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+
+from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries import registry  # noqa: E402
+from legal_data_ingestion_rag_pipeline_spark.session import TABLES, build_session  # noqa: E402
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    spark = build_session("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    names = args.only.split(",") if args.only else None
+    reg = registry()
+    failures = 0
+    for name, spec in reg.items():
+        if names and name not in names:
+            continue
+        try:
+            sdf = spec.spark(spark, args.sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle, rows-only check)")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+            if sh != dh:
+                problems.append("value hash mismatch")
+                # show first differing canonical line for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted("\x01".join(canon(r[i]) for i in so) for r in srows)
+                dset = sorted("\x01".join(canon(r[i]) for i in do) for r in drows)
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        problems.append(f"  spark: {a[:200]}")
+                        problems.append(f"  duck : {b[:200]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]) + "")
+            for p in problems[1:]:
+                print(p)
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
+          f"({len([n for n in reg if not names or n in names])} queries)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
