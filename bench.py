@@ -1,0 +1,49 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query
+seconds, as consumed by the driver (BENCH_r{N}.json).
+
+Execution is forced with the noop sink so timing covers the full plan
+(scan -> compute) without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry  # noqa: E402
+from legal_data_ingestion_rag_pipeline_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session("bench")
+    # rough scale factor from the directory name (sf0.1 -> 0.1)
+    tail = Path(sf_dir).name
+    sf = float(tail[2:]) if tail.startswith("sf") else None
+
+    specs = [s for s in registry().values() if s.bench]
+    timings: dict[str, float] = {}
+    for spec in specs:
+        df = spec.spark(spark, sf_dir)  # build plan (cheap)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,14 @@ def quality_score(text_col: str, tokens_col: str) -> Column:
     mwl = mean_word_len(tokens_col)
     word_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     punct_pen = F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
-    return F.round(
-        0.35 * len_score + 0.25 * sw_score + 0.2 * word_score + 0.2 * (1.0 - punct_pen),
-        6,
+    return round6(
+        0.35 * len_score + 0.25 * sw_score + 0.2 * word_score + 0.2 * (1.0 - punct_pen)
     )
+
+
+def round6(c: Column) -> Column:
+    """Engine-independent 6-decimal rounding (see portable.round6)."""
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
 
 
 def lang_scores(tokens_col: str) -> dict[str, Column]:

@@ -1,0 +1,11 @@
+"""Reusable DataFrame -> DataFrame operators.
+
+Each operator is a pure function over DataFrames, designed for the
+Spark execution model: broadcast where one side is dimension-sized,
+shuffle only on declared keys, partial aggregation everywhere, no
+driver-side loops over data.
+"""
+
+from . import ann, dedup, surrogate, topk, upsert, variations
+
+__all__ = ["ann", "dedup", "surrogate", "topk", "upsert", "variations"]

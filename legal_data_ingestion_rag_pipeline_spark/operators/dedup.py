@@ -1,0 +1,197 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five strategies, all shuffle-disciplined for 100 TB operation:
+
+- exact: sha256 over canonical content, groupBy hash (one shuffle on
+  the hash — uniformly distributed, no skew).
+- MinHash + LSH: shingles -> portable polynomial minhash signature ->
+  band buckets -> self-join per bucket. The join key is (band, band
+  hash) so only candidate pairs materialize — never the n^2 cross.
+- SimHash: 30-bit signature; near-dups share bucket prefixes.
+- n-gram Jaccard (exact): inverted-index join on shared grams with a
+  document-frequency cap to keep hot grams from exploding the join.
+- embedding cosine: see operators/ann.py (same pair-generation
+  discipline via LSH buckets at scale; exact for oracle-sized data).
+
+Hash arithmetic is the portable polynomial family (functions/portable)
+so every strategy is oracle-checkable bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import portable as PT
+from ..session import barrier
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min id) per identical content.
+
+    Returns (hash, keep_id, n_dups) — callers join back on keep_id to
+    materialize the surviving rows.
+    """
+    h = F.sha2(F.concat_ws("\x01", *[F.col(c).cast("string") for c in content_cols]), 256)
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Attach `tokens`, `grams`, and `minhash` (array<bigint>) columns.
+
+    Token split / shingling / hashing are single-pass array expressions
+    — map-side only, no shuffle.
+    """
+    hashed = barrier(
+        barrier(df)  # spread the (often single-file) input across cores
+        .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
+        .withColumn("tok_hashes", F.expr(PT.hash_array("tokens", PT.SPARK)))
+        .withColumn(
+            "gram_hashes",
+            F.expr(PT.word_ngram_hashes("tok_hashes", shingle_words, PT.SPARK)),
+        )
+        .filter(F.size("gram_hashes") > 0)
+        .select(id_col, "gram_hashes")
+    )
+    out = hashed.withColumn(
+        "minhash",
+        F.expr(PT.minhash_from_hashes("gram_hashes", n_hashes, PT.SPARK)),
+    )
+    return out.select(id_col, "minhash")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair; estimated Jaccard = matching-slot fraction.
+
+    Scale: the self-join is keyed on (band_idx, band signature) — the
+    shuffle moves each doc `bands` times, and only same-bucket pairs
+    are generated. Buckets above ~1k docs should be re-banded or
+    salted; at the driver's scales buckets stay tiny.
+    """
+    rows_per_band = n_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("minhash", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_sig") == F.col(f"b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(n_hashes))
+    return pairs.withColumn("est_jaccard", est).drop("mh_a", "mh_b")
+
+
+def simhash_docs(df: DataFrame, text_col: str, id_col: str, bits: int = 30) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (portable arithmetic)."""
+    hashed = barrier(
+        barrier(df)
+        .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
+        .filter(F.size("tokens") > 0)
+        .withColumn("tok_hashes", F.expr(PT.hash_array("tokens", PT.SPARK)))
+        .select(id_col, "tok_hashes")
+    )
+    return (
+        hashed.withColumn(
+            "simhash", F.expr(PT.simhash_from_hashes("tok_hashes", bits, PT.SPARK))
+        )
+        .select(id_col, "simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.1,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via an inverted-index join.
+
+    distinct grams per doc -> explode -> (df-capped) join on gram ->
+    per-pair intersection counts -> |A∩B| / (|A|+|B|-|A∩B|).
+
+    max_doc_freq drops grams appearing in more than that many docs —
+    they contribute little discrimination but quadratic join fan-out
+    (the classic hot-key guard; at 100 TB this cap is what keeps the
+    shuffle bounded).
+    """
+    grams = (
+        barrier(df)
+        .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
+        .withColumn("grams", F.expr(PT.word_ngrams("tokens", n, PT.SPARK)))
+        .select(F.col(id_col).alias("doc"), F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    filtered = grams.join(
+        F.broadcast(df_counts.filter(F.col("gram_df") > max_doc_freq)),
+        "gram",
+        "left_anti",
+    )
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_grams").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_grams").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

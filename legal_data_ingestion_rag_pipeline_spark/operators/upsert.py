@@ -1,0 +1,67 @@
+"""MERGE-style upsert on plain parquet (SURVEY S3, §4#2).
+
+Delta's MERGE INTO is the first choice on a real deployment; the v1
+image has no Delta jars, so this implements the documented fallback:
+key-join the batch against the target, classify insert/update, and
+produce the new table plus the reference's insert/update metrics
+(which Postgres derived from xmax=0, ingest.py:611-644).
+
+Last-writer-wins *within* a batch is resolved first via a sequence
+column (the reference processes file order row-by-row; duplicate
+case_number within one file ends as an update with the last payload).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+@dataclass
+class MergeResult:
+    merged: DataFrame
+    n_inserted: int
+    n_updated: int
+
+
+def last_wins(batch: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Collapse intra-batch duplicates: highest seq per key survives."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def batch_upsert_counts(batch: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Reference counting quirk: the FIRST occurrence of a key in the
+    file counts as insert, every later one as update (ingest.py:618-644).
+    Returns per-key (n_occurrences) so callers derive
+    inserted = #keys-new-to-target, updated = #rows - inserted."""
+    return batch.groupBy(*key_cols).agg(F.count(seq_col).alias("n_occurrences"))
+
+
+def merge_upsert(
+    target: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    touch_col: str | None = "updated_at",
+) -> MergeResult:
+    """Upsert batch into target; returns merged table + metrics.
+
+    Plan shape: one shuffle of each side on the key (sort-merge or
+    broadcast if the batch is small — Catalyst/AQE decide), no driver
+    loop. With Delta available the same call maps 1:1 onto MERGE INTO
+    whenMatchedUpdate/whenNotMatchedInsert and the metrics come from
+    operationMetrics instead of the two counts here.
+    """
+    deduped = last_wins(batch, key_cols, seq_col).drop(seq_col)
+    if touch_col and touch_col in deduped.columns:
+        deduped = deduped.withColumn(touch_col, F.current_timestamp())
+
+    existing_keys = target.select(*key_cols)
+    n_updated = deduped.join(existing_keys, key_cols, "left_semi").count()
+    n_inserted = deduped.count() - n_updated
+
+    kept = target.join(deduped.select(*key_cols), key_cols, "left_anti")
+    merged = kept.unionByName(deduped, allowMissingColumns=True)
+    return MergeResult(merged=merged, n_inserted=n_inserted, n_updated=n_updated)

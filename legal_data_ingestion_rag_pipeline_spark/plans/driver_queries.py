@@ -21,9 +21,6 @@ broadcasts, and why the plan survives 1000x data.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import portable as PT
@@ -34,30 +31,7 @@ from ..functions.normalize import (
     WS_COLLAPSE_RE,
 )
 from ..session import load_table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL over pre-registered table views
-    bench: bool = False  # part of bench.py's headline set
-    doc: str = ""
-
-
-_REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench, doc)
-        return fn
-
-    return deco
-
-
-def registry() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+from .registry import register, registry  # noqa: F401  (re-export)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

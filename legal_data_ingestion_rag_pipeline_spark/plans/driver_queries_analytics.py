@@ -1,0 +1,256 @@
+"""Driver queries: ingest-shaped operators (variation tracking,
+surrogate ids) and the analytic extensions beyond the reference's
+surface (set ops, rollup, pivot, running windows, sessionization) —
+all Spark built-ins, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.variations import batch_variation_stats
+from ..session import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "variation_tracking",
+    oracle="""
+    SELECT user_id AS entity_id, event_type AS raw_name,
+           count(*) AS seen_count,
+           min(CAST(ts AS DATE)) AS first_seen_day,
+           max(CAST(ts AS DATE)) AS last_seen_day
+    FROM events GROUP BY entity_id, raw_name ORDER BY entity_id, raw_name
+    """,
+    doc="name-variation tracking analog (ingest.py:405-416, S5/A11): the "
+    "per-row ON CONFLICT bump becomes one groupBy with count/min/max — "
+    "one shuffle, additive-mergeable into the standing table.",
+)
+def variation_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    stats = batch_variation_stats(ev, "user_id", "event_type", "day")
+    return stats.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("raw_name"),
+        "seen_count",
+        F.col("first_seen_at").alias("first_seen_day"),
+        F.col("last_seen_at").alias("last_seen_day"),
+    ).orderBy("entity_id", "raw_name")
+
+
+@register(
+    "surrogate_dim_ids",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name
+    FROM (SELECT DISTINCT c_mktsegment AS name FROM customer) t ORDER BY id
+    """,
+    doc="SERIAL surrogate-key emulation (SURVEY §4#1): distinct natural "
+    "keys + row_number over a deterministic order + max-offset. The "
+    "global window is safe because dims are dictionary-sized; facts "
+    "resolve ids via broadcast join afterwards.",
+)
+def surrogate_dim_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(F.col("c_mktsegment").alias("name")).distinct()
+    w = Window.orderBy("name")
+    return dim.withColumn("id", F.row_number().over(w).cast("bigint")).select(
+        "id", "name"
+    ).orderBy("id")
+
+
+@register(
+    "setops_nation_coverage",
+    oracle="""
+    SELECT 'both' AS tag, n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY tag, n_nationkey
+    """,
+    doc="set operations (SURVEY §2.6 extension): INTERSECT / EXCEPT on "
+    "nation coverage. Spark plans these as semi/anti joins over "
+    "aggregated inputs.",
+)
+def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    # subtract == EXCEPT (set semantics); exceptAll would be a multiset
+    # difference and leave every nation present (1500 - 100 rows).
+    conly = c.subtract(s).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(conly).select("tag", "n_nationkey").orderBy(
+        "tag", "n_nationkey"
+    )
+
+
+@register(
+    "rollup_acctbal",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+           count(*) AS n_customers,
+           CAST(grouping(r_name) AS BIGINT) AS g_region,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY g_region, g_nation, r_name NULLS LAST, n_name NULLS LAST
+    """,
+    doc="hierarchical rollup (SURVEY §2.4 extension): region -> nation "
+    "-> grand total in one pass (Catalyst expands grouping sets; "
+    "partial aggs keep the shuffle proportional to group count).",
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+            F.count("*").alias("n_customers"),
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+        )
+        .orderBy("g_region", "g_nation", F.asc_nulls_last("r_name"), F.asc_nulls_last("n_name"))
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="pivot (SURVEY §2.4 extension): status counts per segment with "
+    "an explicit value list so the plan is a single aggregation (no "
+    "distinct-values pre-pass).",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "running_total_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="running aggregate (W1 extension): per-user cumulative sum — "
+    "window over the partition key, linear scaling; DECIMAL prefix "
+    "sums keep every intermediate exact for the oracle.",
+)
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="sessionization (streaming-adjacent pattern): lag(ts) gap > 30min "
+    "starts a session; microsecond integer arithmetic so both engines "
+    "agree exactly. Maps to session_window(ts, gap) under Structured "
+    "Streaming.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "asof_prev_purchase",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+             AS prev_purchase_value
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="as-of lookup (SURVEY §2.3 note — absent in reference, standard "
+    "at scale): most recent prior purchase per user via last_value "
+    "IGNORE NULLS — the window form of an as-of join against self.",
+)
+def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        prev.cast("double").alias("prev_purchase_value"),
+    ).orderBy("user_id", "event_id")

@@ -1,0 +1,484 @@
+"""Driver queries: dedup family, similarity search, text analysis, and
+the end-to-end RAG search parity demo — the LLM-data-pipeline operator
+set, each oracle-checked via the portable hash/dot arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import portable as PT
+from ..functions import textstats as TS
+from ..functions.chunking import chunk_text
+from ..operators import ann, dedup
+from ..session import barrier, load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(concat_ws(chr(1), CAST(text AS VARCHAR))) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY content_hash ORDER BY keep_id
+    """,
+    doc="Exact dedup: sha256 content hash, one representative (min id) "
+    "per hash. One shuffle on a uniform key — skew-free at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").orderBy("keep_id")
+
+
+_MINHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t),
+    h AS (SELECT doc_id, {PT.word_ngram_hashes('tok_hashes', 3, D)} AS gram_hashes
+          FROM g WHERE len(tok_hashes) >= 3),
+    s AS (SELECT doc_id, {PT.minhash_from_hashes('gram_hashes', 32, D)} AS mh FROM h),
+    banded AS (
+      SELECT doc_id, mh, b AS band_idx, list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+      FROM s, unnest(range(16)) AS tt(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.mh AS mh_a, b.mh AS mh_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i])) / 32.0 AS est_jaccard
+    FROM pairs ORDER BY est_jaccard DESC, id_a, id_b LIMIT 20
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    bench=True,
+    doc="MinHash(32) + LSH(16 bands x 2 rows) near-dup candidates over "
+    "word 3-shingles; est Jaccard = matching-slot fraction. The banded "
+    "self-join only materializes same-bucket pairs — the n^2 cross "
+    "never exists. Portable polynomial hashing keeps it oracle-exact.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs.withColumnRenamed("doc_id", "doc_id"), "doc_id", n_hashes=32, bands=16
+    )
+    return (
+        pairs.select("id_a", "id_b", "est_jaccard")
+        .orderBy(F.desc("est_jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    h AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, {PT.simhash_from_hashes('tok_hashes', 30, D)} AS simhash
+    FROM h ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash(30-bit) per document over token hashes — near-dups "
+    "differ in few bits; bucketing by prefix finds them without "
+    "pairwise comparison. Map-side only, zero shuffle.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_docs(docs, "text", "doc_id", bits=30).orderBy("doc_id")
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram FROM t),
+    gd AS (SELECT DISTINCT doc_id AS doc, gram FROM g),
+    sizes AS (SELECT doc, count(*) AS n_grams FROM gd GROUP BY doc),
+    dfreq AS (SELECT gram, count(*) AS gram_df FROM gd GROUP BY gram),
+    filt AS (SELECT doc, gd.gram FROM gd JOIN dfreq USING (gram) WHERE gram_df <= 100),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+      FROM filt a JOIN filt b ON a.gram = b.gram AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE n_common / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.05
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc="Exact word-3-gram Jaccard via inverted-index join with a "
+    "document-frequency cap (hot-gram guard — the thing that keeps the "
+    "join fan-out bounded at 100 TB).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=0.05, max_doc_freq=100
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(100)
+
+
+_DOT = PT.dot_double("a.embedding", "b.embedding", D)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DOT} AS similarity
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY similarity DESC, id_a, id_b LIMIT 20
+    """,
+    doc="Embedding-cosine near-dup: top pairs by similarity (unit "
+    "vectors => dot). Exact pairwise here for the oracle; the scale "
+    "path buckets by IVF cell / LSH first (operators/ann.py).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_EDOT = PT.dot_double("e.embedding", "q.q_vec", D)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.q_id, e.vec_id, {_EDOT} AS similarity,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY {_EDOT} DESC, e.vec_id) AS rank
+      FROM embeddings e, q) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    bench=True,
+    doc="Exact cosine top-k (the reference's recall superset of IVFFLAT, "
+    "rag.py:199-201): broadcast query set, map-side dot, per-query "
+    "top-k window. Corpus is never shuffled.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.brute_force_topk(e, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate scale path; driver records rows-only
+    doc="IVF approximate top-k: deterministic coarse centroids (first 8 "
+    "corpus vectors), probes=2 — the pgvector ivfflat lists/probes "
+    "analog (rag.py:83-85,179-181). Scan touches ~probes/cells of the "
+    "corpus; at 100 TB the assigned corpus is written partitioned by "
+    "cell so probing prunes files.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    out = ann.ivf_topk(assigned, centroids, queries, k=10, probes=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _lang_filter_sql(words: tuple[str, ...]) -> str:
+    quoted = ", ".join("'" + w + "'" for w in words)
+    return f"len(list_filter(toks, t -> t in ({quoted})))"
+
+
+_LANG_STRUCTS = ", ".join(
+    f"struct_pack(neg := -{_lang_filter_sql(TS.LANG_STOPWORDS[lang])}, lang := '{lang}')"
+    for lang in sorted(TS.LANG_STOPWORDS)
+)
+
+_LANG_ORACLE = f"""
+    WITH t AS (SELECT doc_id, lang, {PT.tokens('text', D)} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             list_sort([{_LANG_STRUCTS}]) AS ranked
+      FROM t
+    ),
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN ranked[1].neg < 0 THEN ranked[1].lang ELSE 'und' END AS predicted
+      FROM p
+    )
+    SELECT lang, predicted, count(*) AS cnt
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+@register(
+    "textstats_lang_id",
+    oracle=_LANG_ORACLE,
+    doc="Heuristic language ID (stopword evidence, deterministic argmax) "
+    "vs the labeled lang column — output is the confusion matrix. "
+    "Pure map-side expression + tiny aggregation.",
+)
+def textstats_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.withColumn("tokens", F.expr(PT.tokens("text", S)))
+    pred = t.withColumn("predicted", TS.lang_id("tokens"))
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+_PUNCT_CLASS_SQL = "[^.,;:!?''\"()\\[\\]-]"  # '' = escaped quote inside SQL literal
+
+_QUALITY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{TS.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+             length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(toks, t -> t in ({', '.join("'" + w + "'" for w in TS.EN_STOPWORDS)})))
+               / greatest(len(toks), 1) AS stopword_ratio,
+             {PT.reduce_(PT.transform('toks', 't -> CAST(length(t) AS BIGINT)', D), 'CAST(0 AS BIGINT)', '(acc, x) -> acc + x', D)}
+               / greatest(len(toks), 1) AS mean_word_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens, bpe_tokens,
+           {PT.round6('punct_ratio', D)} AS punct_ratio,
+           {PT.round6('stopword_ratio', D)} AS stopword_ratio,
+           {PT.round6('mean_word_len', D)} AS mean_word_len,
+           {PT.round6('''0.35 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * least(stopword_ratio * 4.0, 1.0)
+                 + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))''', D)} AS quality
+    FROM m ORDER BY doc_id
+"""
+
+
+@register(
+    "textstats_quality",
+    oracle=_QUALITY_ORACLE,
+    bench=True,
+    doc="Quality scoring: token counts (whitespace + BPE-ish regex), "
+    "punctuation/stopword ratios, mean word length, composite score. "
+    "Single projection pass, fully codegen'd.",
+)
+def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = barrier(docs.withColumn("tokens", F.expr(PT.tokens("text", S))))
+    return t.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        TS.bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+        TS.round6(TS.punct_ratio("text")).alias("punct_ratio"),
+        TS.round6(TS.stopword_ratio("tokens")).alias("stopword_ratio"),
+        TS.round6(TS.mean_word_len("tokens")).alias("mean_word_len"),
+        TS.quality_score("text", "tokens").alias("quality"),
+    ).orderBy("doc_id")
+
+
+_FPRINT_ORACLE = f"""
+    WITH g AS (SELECT doc_id, {PT.char_ngrams('text', 8, D)} AS grams FROM documents)
+    SELECT doc_id,
+           {PT.array_min(PT.transform('grams', f"g -> {PT.poly_hash('g', D)}", D), D)} AS fingerprint
+    FROM g ORDER BY doc_id
+"""
+
+
+@register(
+    "textstats_fingerprint",
+    oracle=_FPRINT_ORACLE,
+    doc="Winnowing-style document fingerprint: min polynomial hash over "
+    "8-char shingles (rolling-hash family). Map-side only.",
+)
+def textstats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("grams8", F.expr(PT.char_ngrams("text", 8, S)))
+        .withColumn("gh", F.expr(PT.hash_array("grams8", S)))
+        .select("doc_id", F.expr(PT.array_min("gh", S)).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG end-to-end search parity (T12 chunk -> T13 embed -> O3 top-k pool ->
+# A9 per-doc argmax -> final top-k), with a deterministic hash embedder.
+# ---------------------------------------------------------------------------
+
+_RAG_QUERY_TEXT = "spark data merge join window query"
+_EMB_DIM = 16
+
+
+def _hash_embed_slots_sql(hashes_col: str, dialect: str) -> str:
+    """16-dim embedding: slot d = count of token hashes with h % 16 == d."""
+    slots = [
+        f"CAST(len({PT.filter_(hashes_col, f'h -> h % {_EMB_DIM} = {d}', dialect)}) AS DOUBLE)"
+        if dialect == D
+        else f"CAST(size({PT.filter_(hashes_col, f'h -> h % {_EMB_DIM} = {d}', dialect)}) AS DOUBLE)"
+        for d in range(_EMB_DIM)
+    ]
+    return ("[" if dialect == D else "array(") + ", ".join(slots) + ("]" if dialect == D else ")")
+
+
+_RAG_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    exploded AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             trim(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS chunk
+      FROM d, unnest(range(1 + CAST(greatest(ceil((n - 120) / 100.0), 0) AS BIGINT))) AS t(i)
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS chunk_id,
+             chunk AS chunk_text
+      FROM exploded WHERE chunk != ''
+    ),
+    tk AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             {PT.hash_array(PT.tokens('chunk_text', D), D)} AS th
+      FROM ch
+    ),
+    emb AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             {_hash_embed_slots_sql('th', D)} AS v
+      FROM tk WHERE len(th) > 0
+    ),
+    qt AS (
+      SELECT {PT.hash_array(PT.tokens(f"'{_RAG_QUERY_TEXT}'", D), D)} AS qh
+    ),
+    qe AS (SELECT {_hash_embed_slots_sql('qh', D)} AS qv FROM qt),
+    nemb AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             list_transform(v, x -> x / sqrt({PT.dot_double('v', 'v', D)})) AS nv
+      FROM emb
+    ),
+    nq AS (
+      SELECT list_transform(qv, x -> x / sqrt({PT.dot_double('qv', 'qv', D)})) AS nqv
+      FROM qe
+    ),
+    scored AS (
+      SELECT doc_id, chunk_id, chunk_text, {PT.dot_double('nv', 'nqv', D)} AS sim
+      FROM nemb, nq
+    ),
+    pool AS (
+      SELECT * FROM scored ORDER BY sim DESC, doc_id, chunk_id LIMIT 50
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, chunk_id) AS rn
+      FROM pool
+    )
+    SELECT doc_id, chunk_id, sim AS similarity, substr(chunk_text, 1, 64) AS snippet
+    FROM best WHERE rn = 1 ORDER BY similarity DESC, doc_id LIMIT 5
+"""
+
+
+@register(
+    "rag_semantic_search",
+    oracle=_RAG_ORACLE,
+    bench=True,
+    doc="search_dockets parity (rag.py:158-227): chunk(120/20) -> "
+    "deterministic hash embedder (CI stand-in for the pandas_udf "
+    "sentence-transformer, same interface) -> cosine -> candidate pool "
+    "LIMIT max(k*10,50) -> per-doc argmax -> top-k docs. One narrow "
+    "pass + TakeOrderedAndProject + one window on doc_id.",
+)
+def rag_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition the (single-file) input first so chunking/hashing use
+    # every core instead of the file's one partition.
+    docs = barrier(_t(spark, sf_dir, "documents"))
+    chunks = chunk_text(docs, size=120, overlap=20)
+    tk = barrier(
+        chunks.withColumn(
+            "th", F.expr(PT.hash_array(PT.tokens("chunk_text", S), S))
+        ).filter(F.size("th") > 0)
+    )
+    # second barrier: materialize v before normalization, else the
+    # per-element lambda re-inlines the 16-slot embedding expression
+    # (16x16 recompute; measured 8x slower).
+    emb = barrier(tk.withColumn("v", F.expr(_hash_embed_slots_sql("th", S))))
+    # NO vv>0 filter here: size(th)>0 already guarantees a positive norm,
+    # and a filter on the dot expression gets predicate-pushed below the
+    # barriers, re-inlining the whole hash pipeline (measured 13s vs 2s).
+    nemb = emb.withColumn(
+        "nv", F.expr(f"transform(v, x -> x / sqrt({PT.dot_double('v', 'v', S)}))")
+    )
+    q = (
+        spark.range(1)
+        .select(F.expr(PT.hash_array(PT.tokens(f"'{_RAG_QUERY_TEXT}'", S), S)).alias("qh"))
+        .select(F.expr(_hash_embed_slots_sql("qh", S)).alias("qv"))
+        .select(
+            F.expr(
+                f"transform(qv, x -> x / sqrt({PT.dot_double('qv', 'qv', S)}))"
+            ).alias("nqv")
+        )
+    )
+    scored = nemb.crossJoin(F.broadcast(q)).withColumn(
+        "sim", F.expr(PT.dot_double("nv", "nqv", S))
+    )
+    pool = scored.orderBy(F.desc("sim"), "doc_id", "chunk_id").limit(50)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), "chunk_id")
+    best = pool.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("sim").alias("similarity"),
+            F.substring("chunk_text", 1, 64).alias("snippet"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id")
+        .limit(5)
+    )

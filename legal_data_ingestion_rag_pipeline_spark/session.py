@@ -61,6 +61,17 @@ def build_session(
     return spark
 
 
+def barrier(df: DataFrame) -> DataFrame:
+    """Optimizer barrier: a round-robin repartition inserts an Exchange,
+    stopping CollapseProject from inlining an expensive column
+    expression into every downstream reference (e.g. 32 MinHash slots
+    each re-deriving the token-hash array — measured 10x blowups).
+    The exchanged data is small (ids + signature arrays); at scale the
+    CPU saved dwarfs the extra shuffle.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table, normalizing physical-type quirks.
 
