@@ -6,6 +6,6 @@ shuffle only on declared keys, partial aggregation everywhere, no
 driver-side loops over data.
 """
 
-from . import ann, dedup, surrogate, topk, upsert, variations
+from . import ann, dedup, multimodal, surrogate, topk, upsert, variations
 
-__all__ = ["ann", "dedup", "surrogate", "topk", "upsert", "variations"]
+__all__ = ["ann", "dedup", "multimodal", "surrogate", "topk", "upsert", "variations"]

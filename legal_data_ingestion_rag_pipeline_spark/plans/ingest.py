@@ -1,0 +1,329 @@
+"""Docket ingest pipeline — the reference's row-at-a-time loop
+(ingest.py:676-798) re-expressed as one set-at-a-time Spark job DAG.
+
+Validation parity (first failure wins, matching process_docket's
+statement order, ingest.py:582-674):
+
+1. case_number null            -> UNKNOWN   (NoneType .strip crash)
+2. case_number blank           -> MISSING_CASE_NUMBER
+3. filed_date unparseable/null -> BAD_DATE
+4. court null or ''            -> FK_COURT
+5. status null                 -> UNKNOWN   (NoneType .lower crash)
+6. lower(status) not in enum   -> STATUS_UNMAPPED
+
+Side-effect parity: court/judge/case_type dims (and their name
+variations) grow from every row that passes checks 1-4 — including
+rows that subsequently fail status validation, because the reference
+creates entities before validating status.  Party dims grow only from
+fully-good rows.
+
+Counting parity: inserted = case_numbers new to the target seen for
+the first time; every other good row (intra-file duplicate or existing
+key) counts as updated; re-ingesting a file yields inserted=0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.dates import parse_date_multi
+from ..functions.hashing import canonical_record_hash
+from ..functions.normalize import (
+    VALID_STATUSES,
+    normalize_case_type,
+    normalize_court,
+    normalize_judge,
+    normalize_party,
+)
+from ..functions.parties import explode_parties
+from ..operators.surrogate import assign_ids
+from ..sources.readers import RAW_FIELDS
+
+
+@dataclass
+class IngestResult:
+    run_id: int
+    counts: dict[str, int]
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    quarantine: DataFrame | None = None
+    errors: DataFrame | None = None
+
+
+def _empty_dim(spark: SparkSession, extra: str = "") -> DataFrame:
+    schema = "id long, name string, normalized_name string" + extra
+    return spark.createDataFrame([], schema)
+
+
+def validate(raw: DataFrame) -> DataFrame:
+    """Attach normalized columns + error_code/error_why (null = good)."""
+    df = raw.withColumn("record_hash", canonical_record_hash(list(RAW_FIELDS)))
+    df = (
+        df.withColumn("parsed_date", parse_date_multi("filed_date"))
+        .withColumn("norm_court", normalize_court("court"))
+        .withColumn("norm_judge", normalize_judge("judge"))
+        .withColumn("norm_type", normalize_case_type("case_type"))
+        .withColumn("lower_status", F.lower("status"))
+    )
+    cn = F.col("case_number")
+    status_ok = F.col("lower_status").isin(*VALID_STATUSES)
+    error = (
+        F.when(cn.isNull(), F.struct(F.lit("UNKNOWN").alias("code"),
+               F.lit("'NoneType' object has no attribute 'strip'").alias("why")))
+        .when(F.trim(cn) == "", F.struct(F.lit("MISSING_CASE_NUMBER").alias("code"),
+              F.lit("case_number is required and cannot be empty").alias("why")))
+        .when(F.col("parsed_date").isNull(), F.struct(F.lit("BAD_DATE").alias("code"),
+              F.concat(F.lit("filed_date parse failed: "),
+                       F.coalesce(F.col("filed_date"), F.lit("None"))).alias("why")))
+        .when(F.col("court").isNull() | (F.col("court") == ""),
+              F.struct(F.lit("FK_COURT").alias("code"),
+                       F.lit("Court name cannot be empty").alias("why")))
+        .when(F.col("status").isNull(), F.struct(F.lit("UNKNOWN").alias("code"),
+              F.lit("'NoneType' object has no attribute 'lower'").alias("why")))
+        .when(~status_ok, F.struct(F.lit("STATUS_UNMAPPED").alias("code"),
+              F.concat(F.lit("Invalid status '"), F.col("lower_status"),
+                       F.lit("'. Must be one of: active, closed, pending, dismissed")).alias("why")))
+    )
+    return df.withColumn("error_code", error["code"]).withColumn("error_why", error["why"])
+
+
+def _upsert_dim(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    spark: SparkSession,
+    name_expr: str = "name",
+) -> DataFrame:
+    """Get-or-create: new normalized names get ids in first-seen order
+    (min _seq), appended after the existing max id (SURVEY S4/§4#1)."""
+    firsts = (
+        batch.groupBy("normalized_name")
+        .agg(F.min("_seq").alias("_first_seq"), F.min_by(name_expr, "_seq").alias("name"))
+    )
+    if existing is None:
+        existing = _empty_dim(spark)
+    new = firsts.join(existing.select("normalized_name"), "normalized_name", "left_anti")
+    max_id = (existing.agg(F.max("id")).collect()[0][0]) or 0
+    assigned = assign_ids(new, "_first_seq", start_at=max_id + 1).select(
+        "id", "name", "normalized_name"
+    )
+    return existing.select("id", "name", "normalized_name").unionByName(assigned)
+
+
+def _variations(batch: DataFrame, dim: DataFrame, raw_col: str, ts: F.Column) -> DataFrame:
+    """(entity_id, raw_name) seen stats for this batch (SURVEY S5/A11)."""
+    return (
+        batch.join(dim, "normalized_name")
+        .groupBy(F.col("id").alias("entity_id"), F.col(raw_col).alias("raw_name"))
+        .agg(
+            F.count("*").alias("seen_count"),
+            F.min(ts).alias("first_seen_at"),
+            F.max(ts).alias("last_seen_at"),
+        )
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    raw: DataFrame,
+    existing: dict[str, DataFrame] | None = None,
+    run_id: int = 1,
+) -> IngestResult:
+    """One batch through the full pipeline; returns new table versions
+    plus reference-parity counters.  `existing` carries prior versions
+    of cases/courts/judges/case_types/parties (re-runs are idempotent:
+    ids never churn, second ingest of the same file counts all-updated).
+    """
+    existing = existing or {}
+    now = F.current_timestamp()
+    validated = validate(raw).cache()
+
+    total_read = validated.count()
+    bad = validated.filter(F.col("error_code").isNotNull())
+    good = validated.filter(F.col("error_code").isNull())
+
+    # --- dim source rows: pass checks 1-4 (court resolved), any status —
+    # the reference creates entities before validating status, so rows
+    # that later fail STATUS_UNMAPPED/UNKNOWN(status) still grow dims.
+    passes_1_4 = (
+        F.col("case_number").isNotNull()
+        & (F.trim("case_number") != "")
+        & F.col("parsed_date").isNotNull()
+        & F.col("court").isNotNull()
+        & (F.col("court") != "")
+    )
+    dim_src = validated.filter(passes_1_4).cache()
+
+    courts = _upsert_dim(
+        existing.get("courts"),
+        dim_src.select(F.col("court").alias("name"), F.col("norm_court").alias("normalized_name"), "_seq"),
+        spark,
+    )
+    judges_src = dim_src.filter(
+        F.col("judge").isNotNull() & (F.col("judge") != "") & (F.col("norm_judge") != "")
+    )
+    judges = _upsert_dim(
+        existing.get("judges"),
+        judges_src.select(F.col("judge").alias("name"), F.col("norm_judge").alias("normalized_name"), "_seq"),
+        spark,
+    )
+    case_types = _upsert_dim(
+        existing.get("case_types"),
+        dim_src.select(F.col("case_type").alias("name"), F.col("norm_type").alias("normalized_name"), "_seq"),
+        spark,
+    )
+
+    court_vars = _variations(
+        dim_src.select(F.col("norm_court").alias("normalized_name"), F.col("court")).withColumn("_ts", now),
+        courts, "court", F.col("_ts"),
+    )
+    judge_vars = _variations(
+        judges_src.select(F.col("norm_judge").alias("normalized_name"), F.col("judge")).withColumn("_ts", now),
+        judges, "judge", F.col("_ts"),
+    )
+
+    # --- cases: last-writer-wins per case_number by file order ---------
+    w = Window.partitionBy("case_number").orderBy(F.desc("_seq"))
+    final_rows = (
+        good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    existing_cases = existing.get("cases")
+    if existing_cases is not None:
+        existing_keys = existing_cases.select("case_number")
+        new_keys = final_rows.join(existing_keys, "case_number", "left_anti")
+    else:
+        new_keys = final_rows
+    n_good = good.count()
+    n_inserted = new_keys.count()
+    n_updated = n_good - n_inserted
+
+    # deterministic case ids: existing keep theirs; new ids by first-seen
+    first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
+    if existing_cases is not None:
+        max_case_id = (existing_cases.agg(F.max("id")).collect()[0][0]) or 0
+        keyed_existing = existing_cases.select("id", "case_number")
+        new_ids = assign_ids(
+            first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti"),
+            "_first_seq", start_at=max_case_id + 1,
+        ).select("id", "case_number")
+        case_ids = keyed_existing.unionByName(new_ids)
+    else:
+        case_ids = assign_ids(first_seen, "_first_seq").select("id", "case_number")
+
+    cases = (
+        final_rows.join(case_ids, "case_number")
+        .join(F.broadcast(courts.select(F.col("id").alias("court_id"), F.col("normalized_name").alias("norm_court"))), "norm_court")
+        .join(F.broadcast(judges.select(F.col("id").alias("judge_id"), F.col("normalized_name").alias("norm_judge"))), "norm_judge", "left")
+        .join(F.broadcast(case_types.select(F.col("id").alias("case_type_id"), F.col("normalized_name").alias("norm_type"))), "norm_type")
+        .select(
+            "id",
+            "case_number",
+            "court_id",
+            F.coalesce(F.col("title"), F.lit("")).alias("title"),
+            F.col("parsed_date").alias("filed_date"),
+            "case_type_id",
+            "judge_id",
+            F.coalesce(F.col("docket_text"), F.lit("")).alias("docket_text"),
+            F.col("lower_status").alias("status"),
+            now.alias("created_at"),
+            now.alias("updated_at"),
+        )
+    )
+    if existing_cases is not None:
+        untouched = existing_cases.join(cases.select("case_number"), "case_number", "left_anti")
+        cases = untouched.unionByName(cases)
+
+    # --- parties: from EVERY good row (reference inserts per processed
+    # row with ON CONFLICT DO NOTHING), dedup (case_id, party_id, role).
+    exploded = explode_parties(good.select("case_number", "parties", "_seq"))
+    exploded = exploded.withColumn("norm_party", normalize_party("party_name"))
+    parties_dim = _upsert_dim(
+        existing.get("parties"),
+        exploded.select(F.col("party_name").alias("name"), F.col("norm_party").alias("normalized_name"), "_seq"),
+        spark,
+    )
+    party_vars = _variations(
+        exploded.select(F.col("norm_party").alias("normalized_name"), F.col("party_name").alias("party")).withColumn("_ts", now),
+        parties_dim, "party", F.col("_ts"),
+    )
+    case_parties = (
+        exploded.join(case_ids.select(F.col("id").alias("case_id"), "case_number"), "case_number")
+        .join(F.broadcast(parties_dim.select(F.col("id").alias("party_id"), F.col("normalized_name").alias("norm_party"))), "norm_party")
+        .select("case_id", "party_id", "role")
+        .dropDuplicates(["case_id", "party_id", "role"])
+    )
+    prior_cp = existing.get("case_parties")
+    if prior_cp is not None:
+        case_parties = prior_cp.select("case_id", "party_id", "role").unionByName(
+            case_parties
+        ).dropDuplicates(["case_id", "party_id", "role"])
+
+    n_failed = bad.count()
+    n_no_parties = final_rows.join(
+        exploded.select("case_number").distinct(), "case_number", "left_anti"
+    ).count()
+
+    # --- errors table: keyed (run_id, record_hash); retry_count =
+    # occurrences - 1 (SURVEY S6).
+    errors = (
+        bad.groupBy("record_hash")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min_by(F.struct("error_code", "error_why", "case_number"), "_seq").alias("_f"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "record_hash",
+            F.col("_f.case_number").alias("case_number"),
+            F.col("_f.error_code").alias("error_code"),
+            F.col("_f.error_why").alias("error_message"),
+            now.alias("first_seen_at"),
+            now.alias("last_seen_at"),
+            (F.col("_n") - 1).cast("int").alias("retry_count"),
+            F.lit(False).alias("resolved"),
+        )
+    )
+
+    quarantine = bad.select(
+        F.lit(run_id).alias("run_id"),
+        "error_code",
+        F.col("error_why").alias("why"),
+        F.struct(*[F.col(c) for c in RAW_FIELDS]).alias("raw"),
+        F.date_format(now, "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        "record_hash",
+    )
+
+    counts = {
+        "read": total_read,
+        "inserted": n_inserted,
+        "updated": n_updated,
+        "failed": n_failed,
+        "warnings_no_parties": n_no_parties,
+    }
+    run_row = spark.createDataFrame(
+        [(run_id, total_read, n_inserted, n_updated, n_failed)],
+        "run_id long, total_read long, total_inserted long, total_updated long, total_failed long",
+    ).withColumn("started_at", now).withColumn("finished_at", now)
+
+    prior_runs = existing.get("ingest_runs")
+    runs = run_row if prior_runs is None else prior_runs.unionByName(run_row, allowMissingColumns=True)
+    prior_errors = existing.get("ingest_errors")
+    all_errors = errors if prior_errors is None else prior_errors.unionByName(errors, allowMissingColumns=True)
+
+    tables = {
+        "cases": cases,
+        "courts": courts,
+        "judges": judges,
+        "case_types": case_types,
+        "parties": parties_dim,
+        "case_parties": case_parties,
+        "court_name_variations": court_vars,
+        "judge_name_variations": judge_vars,
+        "party_name_variations": party_vars,
+        "ingest_runs": runs,
+        "ingest_errors": all_errors,
+    }
+    return IngestResult(
+        run_id=run_id, counts=counts, tables=tables, quarantine=quarantine, errors=errors
+    )

@@ -1,0 +1,50 @@
+"""Raw docket readers (SURVEY S1).
+
+The reference loads a whole JSON array of dirty dicts
+(ingest.py:693-694); Spark-first equivalent: multiLine JSON read with
+an explicit permissive 9-string schema (schema-on-read; no inference
+pass) plus a file-order sequence column for last-writer-wins
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+RAW_FIELDS = (
+    "case_number",
+    "court",
+    "title",
+    "filed_date",
+    "parties",
+    "case_type",
+    "judge",
+    "docket_text",
+    "status",
+)
+
+RAW_SCHEMA = T.StructType(
+    [T.StructField(f, T.StringType(), True) for f in RAW_FIELDS]
+)
+
+
+def read_raw_dockets(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSON array of docket records with `_seq` = file order.
+
+    monotonically_increasing_id is strictly increasing within a
+    partition and a multiLine JSON array is read as a single partition,
+    so `_seq` reproduces the reference's processing order exactly.  A
+    sharded (JSONL, many-file) input at scale would instead carry an
+    explicit sequence/timestamp column — last-wins needs a total order
+    either way.
+    """
+    df = spark.read.schema(RAW_SCHEMA).option("multiLine", True).json(path)
+    return df.withColumn("_seq", F.monotonically_increasing_id())
+
+
+def raw_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Test helper: the same shape from in-memory dicts (order = list
+    order)."""
+    data = [tuple(r.get(f) for f in RAW_FIELDS) for r in rows]
+    df = spark.createDataFrame(data, RAW_SCHEMA)
+    return df.coalesce(1).withColumn("_seq", F.monotonically_increasing_id())

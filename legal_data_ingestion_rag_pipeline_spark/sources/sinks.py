@@ -1,0 +1,70 @@
+"""Sinks: quarantine JSONL (SURVEY S2) and parquet table persistence.
+
+Quarantine rows mirror ingest.py:189-197's shape: one JSON object per
+failed record with run/error metadata plus the raw payload.  The
+parquet store is the plain-parquet stand-in for Delta tables — writes
+are staged then swapped so a table can be rebuilt from a plan that
+reads its previous version.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def quarantine_rows(bad: DataFrame, run_id: int, raw_cols: list[str]) -> DataFrame:
+    """Shape failed records as quarantine JSONL rows."""
+    return bad.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("error_code"),
+        F.col("error_why").alias("why"),
+        F.struct(*[F.col(c) for c in raw_cols]).alias("raw"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+        F.col("record_hash"),
+    )
+
+
+def write_quarantine(bad_rows: DataFrame, out_dir: str, run_id: int) -> str:
+    """Append quarantine rows as JSONL under ingest_run_<id>/ (the
+    reference appends to a single file; a distributed writer appends a
+    directory of part files with identical line shape)."""
+    path = str(Path(out_dir) / f"ingest_run_{run_id}")
+    bad_rows.select(F.to_json(F.struct("*")).alias("value")).write.mode(
+        "append"
+    ).text(path)
+    return path
+
+
+class ParquetStore:
+    """Minimal multi-table parquet store with staged overwrites.
+
+    write() stages to `<table>.__stage__` then swaps, so plans that
+    derive the new version of a table from its current version don't
+    clobber their own input mid-job (the classic parquet self-overwrite
+    trap; Delta solves this transactionally — same call shape here).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def path(self, table: str) -> Path:
+        return self.root / table
+
+    def exists(self, table: str) -> bool:
+        return self.path(table).exists()
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.path(table)))
+
+    def write(self, table: str, df: DataFrame) -> None:
+        stage = self.root / f"{table}.__stage__"
+        df.write.mode("overwrite").parquet(str(stage))
+        target = self.path(table)
+        if target.exists():
+            shutil.rmtree(target)
+        stage.rename(target)

@@ -1,0 +1,139 @@
+"""End-to-end ingest pipeline parity tests (SURVEY §5 invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.plans.ingest import ingest_batch
+from legal_data_ingestion_rag_pipeline_spark.sources.readers import raw_from_rows
+
+from fixtures import DOCKETS
+
+
+def run_fixture(spark, existing=None, run_id=1):
+    raw = raw_from_rows(spark, DOCKETS)
+    return ingest_batch(spark, raw, existing=existing, run_id=run_id)
+
+
+def test_counts_invariant(spark):
+    r = run_fixture(spark)
+    c = r.counts
+    # read = inserted + updated + failed (reference run-summary invariant)
+    assert c["read"] == 10
+    assert c["read"] == c["inserted"] + c["updated"] + c["failed"]
+    # 6 rows pass validation: #1,#2,#3,#4(dup of #1),#... -> good rows are
+    # indices 0,1,2,3 plus none others; failures: BAD_DATE, MISSING_CN,
+    # STATUS_UNMAPPED, FK_COURT, UNKNOWN(cn), UNKNOWN(status) = 6
+    assert c["failed"] == 6
+    assert c["inserted"] == 3  # 3 distinct new case_numbers
+    assert c["updated"] == 1  # intra-file duplicate counts as update
+
+
+def test_error_codes(spark):
+    r = run_fixture(spark)
+    codes = {
+        row.case_number: row.error_code
+        for row in r.errors.select("case_number", "error_code").collect()
+    }
+    by_code = sorted(r.errors.groupBy("error_code").count().collect())
+    got = {row.error_code: row["count"] for row in by_code}
+    assert got == {
+        "BAD_DATE": 1,
+        "MISSING_CASE_NUMBER": 1,
+        "STATUS_UNMAPPED": 1,
+        "FK_COURT": 1,
+        "UNKNOWN": 2,
+    }, codes
+
+
+def test_last_wins_dedup(spark):
+    r = run_fixture(spark)
+    row = (
+        r.tables["cases"].filter(F.col("case_number") == "1:23-cv-00001").collect()[0]
+    )
+    assert row.title == "Smith v. Acme Corp (amended)"
+    assert row.status == "pending"
+    assert row.judge_id is None  # last record had empty judge
+
+
+def test_dims_grow_from_status_failures(spark):
+    r = run_fixture(spark)
+    courts = {c.normalized_name for c in r.tables["courts"].collect()}
+    # DNJ comes only from the STATUS_UNMAPPED row; WDWASH only from the
+    # null-status UNKNOWN row — both must exist (reference creates
+    # entities before validating status).
+    assert "DNJ" in courts and "WDWASH" in courts
+    # EDVA appears via the BAD_DATE row? No — BAD_DATE fails before court.
+    # It also appears via MISSING_CASE_NUMBER row? Fails earlier too. But
+    # the FK_COURT row has empty court. EDVA must NOT be present: every
+    # EDVA row failed before court creation.
+    assert "EDVA" not in courts
+
+
+def test_judge_normalization_and_ids(spark):
+    r = run_fixture(spark)
+    judges = {j.normalized_name: j.id for j in r.tables["judges"].collect()}
+    # Hon. Maria Rodriguez and Judge Maria Rodriguez collapse to one row
+    assert "maria rodriguez" in judges
+    n_maria = [n for n in judges if "maria" in n]
+    assert len(n_maria) == 1
+    # ids are dense from 1 in first-seen order
+    ids = sorted(judges.values())
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_parties_from_all_good_rows(spark):
+    r = run_fixture(spark)
+    case_ids = {c.case_number: c.id for c in r.tables["cases"].collect()}
+    cid = case_ids["1:23-cv-00001"]
+    parties = r.tables["parties"]
+    cp = (
+        r.tables["case_parties"]
+        .filter(F.col("case_id") == cid)
+        .join(parties.select(F.col("id").alias("party_id"), "normalized_name"), "party_id")
+        .select("normalized_name", "role")
+        .collect()
+    )
+    got = {(p.normalized_name, p.role) for p in cp}
+    # first occurrence contributed jane doe (defendant); second (last-wins
+    # payload) lacks her, but junction rows accumulate ON CONFLICT DO NOTHING
+    assert ("jane doe", "defendant") in got
+    assert ("john smith", "plaintiff") in got
+
+
+def test_rerun_idempotent(spark):
+    r1 = run_fixture(spark)
+    tables = {k: v.localCheckpoint(eager=True) for k, v in r1.tables.items()}
+    r2 = run_fixture(spark, existing=tables, run_id=2)
+    assert r2.counts["inserted"] == 0
+    assert r2.counts["updated"] == r1.counts["inserted"] + r1.counts["updated"]
+    # ids stable across runs
+    ids1 = {c.case_number: c.id for c in r1.tables["cases"].collect()}
+    ids2 = {c.case_number: c.id for c in r2.tables["cases"].collect()}
+    assert ids1 == ids2
+    courts1 = {c.normalized_name: c.id for c in r1.tables["courts"].collect()}
+    courts2 = {c.normalized_name: c.id for c in r2.tables["courts"].collect()}
+    assert courts1 == courts2
+
+
+def test_variations_seen_counts(spark):
+    r = run_fixture(spark)
+    courts = {c.normalized_name: c.id for c in r.tables["courts"].collect()}
+    sdny = courts["SDNY"]
+    rows = {
+        v.raw_name: v.seen_count
+        for v in r.tables["court_name_variations"].filter(F.col("entity_id") == sdny).collect()
+    }
+    # three spellings of SDNY reach dim creation (the 4th, on the
+    # null-case_number row, fails validation before court creation)
+    assert rows == {"S.D.N.Y.": 1, "S D N Y": 1, "SDNY": 1}
+
+
+def test_quarantine_shape(spark):
+    r = run_fixture(spark)
+    rows = r.quarantine.collect()
+    assert len(rows) == 6
+    assert {c for c in r.quarantine.columns} == {
+        "run_id", "error_code", "why", "raw", "ts", "record_hash",
+    }
+    assert all(row.raw is not None for row in rows)

