@@ -148,16 +148,95 @@ def case_detail_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    ORDER BY c.c_custkey
     """,
     doc="embedding-backfill candidate scan analog (rag.py:97-104, J5): "
-    "LEFT ANTI join. At scale this is a broadcast-anti when the keys "
-    "side fits, else a shuffled anti — never a full outer + filter.",
+    "LEFT ANTI join (customers with no big order — the filter keeps the "
+    "result non-trivial at every SF). At scale this is a broadcast-anti "
+    "when the keys side fits, else a shuffled anti — never a full outer "
+    "+ filter.",
 )
 def backfill_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "junction_inner_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines, p.p_brand
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderstatus = 'O' AND p.p_size > 40
+    GROUP BY o.o_orderkey, o.o_orderdate, p.p_brand
+    ORDER BY revenue DESC, o_orderkey, p_brand LIMIT 100
+    """,
+    bench=True,
+    doc="junction inner joins (J3/J7, TPC-H Q3 shape): fact-to-fact join "
+    "on the shuffle key + broadcast part dim, aggregated revenue top-k. "
+    "AQE picks the join strategies; the part filter prunes before the "
+    "join.",
+)
+def junction_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_orderkey", "o_orderdate", "p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select("o_orderkey", "o_orderdate", "revenue", "n_lines", "p_brand")
+        .orderBy(F.desc("revenue"), "o_orderkey", "p_brand")
+        .limit(100)
+    )
+
+
+@register(
+    "record_canonical_hash",
+    oracle="""
+    SELECT event_id,
+           sha256(concat_ws(chr(1),
+             CAST(event_id AS VARCHAR), event_type,
+             CAST(user_id AS VARCHAR), props)) AS record_hash
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+    doc="T9 canonical record hash (ingest.py:42-49): deterministic "
+    "sha256 over ordered fields — the dedup/idempotency key. Pure "
+    "projection, codegen'd.",
+)
+def record_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = F.sha2(
+        F.concat_ws(
+            "\x01",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+            F.col("props"),
+        ),
+        256,
+    )
+    return (
+        ev.select("event_id", h.alias("record_hash")).orderBy("event_id").limit(1000)
+    )
 
 
 @register(
@@ -509,6 +588,84 @@ def status_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"), status.alias("status"))
         .agg(F.count("*").alias("cnt"))
         .orderBy("bucket", "status")
+    )
+
+
+@register(
+    "parties_grammar",
+    oracle=r"""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             CASE c_custkey % 3
+               WHEN 0 THEN concat(c_name, ' (Plaintiff); ', c_mktsegment,
+                                  ' Corp, Does 1-', CAST(c_nationkey AS VARCHAR),
+                                  ' (defendants)')
+               WHEN 1 THEN concat(c_name, ' (plaintiff) | ', c_mktsegment,
+                                  ' LLC (defendant)')
+               ELSE concat(c_name, ' plaintiff / ', c_mktsegment, ' defendant')
+             END AS parties
+      FROM customer
+    ),
+    secs AS (
+      SELECT id, trim(unnest(string_split_regex(parties, '[;/]'))) AS sec FROM base
+    ),
+    roled AS (
+      SELECT id, sec,
+             lower(regexp_extract(sec,
+               '(?i)\((plaintiff|defendant|plaintiffs|defendants|third_party|intervenor|other)\)', 1)) AS role_raw
+      FROM secs WHERE sec != ''
+    ),
+    cleaned AS (
+      SELECT id,
+             CASE WHEN role_raw != '' THEN regexp_replace(role_raw, 's$', '')
+                  ELSE 'other' END AS role,
+             CASE WHEN role_raw != '' THEN trim(regexp_replace(sec, '\([^)]+\)', '', 'g'))
+                  ELSE sec END AS rest
+      FROM roled
+    ),
+    names AS (
+      SELECT id, role, trim(unnest(string_split(rest, ','))) AS party_name FROM cleaned
+    )
+    SELECT id, party_name, role FROM names WHERE party_name != ''
+    ORDER BY id, party_name, role
+    """,
+    doc="T5 party-string grammar (ingest.py:352-403) on synthesized "
+    "strings covering all grammar families incl. the '|' quirk: "
+    "split/posexplode/regexp chain, zero UDFs, fully codegen'd.",
+)
+def parties_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.parties import explode_parties
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.col("c_name"), F.lit(" (Plaintiff); "), F.col("c_mktsegment"),
+                F.lit(" Corp, Does 1-"), F.col("c_nationkey").cast("string"),
+                F.lit(" (defendants)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.col("c_name"), F.lit(" (plaintiff) | "), F.col("c_mktsegment"),
+                F.lit(" LLC (defendant)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("c_name"), F.lit(" plaintiff / "), F.col("c_mktsegment"),
+                F.lit(" defendant"),
+            )
+        )
+        .alias("parties"),
+    )
+    return (
+        explode_parties(base)
+        .select("id", "party_name", "role")
+        .orderBy("id", "party_name", "role")
     )
 
 
