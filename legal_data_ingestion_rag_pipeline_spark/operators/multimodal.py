@@ -12,6 +12,7 @@ drops in without touching the plumbing.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -50,14 +51,40 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for decode + feature extraction: bucketed
     byte histogram, unit-normalized. Replace with a real decoder
     (PIL/torchaudio) — signature bytes -> list[float] is the only
-    contract."""
+    contract. math.sqrt (IEEE correctly-rounded, unlike pow(x, 0.5))
+    keeps the values bit-identical to a SQL oracle's sqrt()."""
     if not content:
         return [0.0] * dim
     counts = [0] * dim
     for b in content:
         counts[b % dim] += 1
-    norm = sum(c * c for c in counts) ** 0.5 or 1.0
+    norm = math.sqrt(sum(c * c for c in counts)) or 1.0
     return [c / norm for c in counts]
+
+
+def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA fixture from the driver `documents`
+    table (the testdata ships no binary column): text bytes stand in
+    for media payloads, kind cycles image/audio/video by id, and
+    duration_ms derives from n_chars. Lets the multimodal operators be
+    oracle-checked end-to-end; a real pipeline replaces this with a
+    binary-file / blob-store reader.
+    """
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 20).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def extract_features(

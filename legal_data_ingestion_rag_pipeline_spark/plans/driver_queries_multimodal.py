@@ -1,0 +1,92 @@
+"""Driver queries: multimodal-column operators (SURVEY north-star
+extension). Media travel as opaque binary columns + typed metadata;
+decode/feature extraction runs executor-side through Arrow-batched
+mapInPandas. The decode step itself is a deterministic byte-histogram
+stub (no codec libs in this image — see operators/multimodal.py), so
+the full pipeline, including the Python batch path, is DuckDB
+oracle-checkable byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media_from_documents,
+)
+from ..session import load_table
+from .registry import register
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+# documents.text is ASCII in the driver testdata, so DuckDB's per-char
+# codepoints equal the UTF-8 bytes the Spark side histograms.
+_FEATURES_ORACLE = """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             text
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(range(0, 16), j ->
+               len(list_filter(
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ascii(text[i:i]) % 16),
+                     v -> v = j))) AS counts
+      FROM m
+    ),
+    n AS (SELECT *, sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
+          FROM b)
+    SELECT media_id, kind, n_bytes,
+           list_transform(counts, c -> CAST(c AS DOUBLE) / nrm) AS features
+    FROM n ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=_FEATURES_ORACLE,
+    doc="binary-column decode + feature extraction via Arrow-batched "
+    "mapInPandas (stubbed decoder = unit-normalized byte histogram). "
+    "At scale: payload partitions sized by bytes, CPU-bound decode "
+    "parallel per core, small feature rows written separately so "
+    "downstream ANN/dedup never rescans payloads.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_media(spark, sf_dir), dim=16)
+    return feats.orderBy("media_id")
+
+
+_FRAMES_ORACLE = """
+    WITH v AS (
+      SELECT doc_id AS media_id, n_chars * 20 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, greatest(duration_ms, 1), 1000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM v ORDER BY media_id, frame_ts_ms
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAMES_ORACLE,
+    doc="video frame-sampling grid: pure-Spark explode of a "
+    "sequence() over meta.duration_ms — one row per sampled timestamp "
+    "feeding a per-frame decode (mapInPandas like extract_features). "
+    "No shuffle: filter + generate, fully pipelined with the scan.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media(spark, sf_dir), every_ms=1000)
+    return frames.select(
+        "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    ).orderBy("media_id", "frame_ts_ms")

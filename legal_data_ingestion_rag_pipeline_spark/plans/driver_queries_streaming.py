@@ -1,0 +1,61 @@
+"""Driver query: a real Structured Streaming run (SURVEY §2.7).
+
+The reference lists streaming only as future work; here the tumbling
+daily stats (A8) execute as an actual readStream -> watermarked window
+agg -> memory sink, trigger(availableNow), and the final table is
+compared to a plain GROUP BY oracle. Complete output mode makes the
+result independent of micro-batch splits, so the streaming path is
+held to the same hash gate as every batch operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.pipeline import windowed_daily_stats
+from .registry import register
+
+_SINK = "streaming_tumbling_counts_sink"
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS day_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY day_start, event_type
+    ORDER BY day_start, event_type
+    """,
+    doc="Structured Streaming tumbling 1-day window + 1-day watermark "
+    "over the events table (file source, availableNow trigger, memory "
+    "sink, complete mode). In production the same agg runs unbounded "
+    "with append mode + the watermark bounding state; complete mode "
+    "here makes the finite replay deterministic for the oracle.",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = sf_dir.rstrip("/")
+    # schema from a static read (ts surfaces as int64 nanos under
+    # nanosAsLong; convert exactly like session.load_table); the file
+    # stream source wants a directory, so glob-filter inside sf_dir
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
+        )
+    agg = windowed_daily_stats(stream, watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SINK).orderBy("day_start", "event_type")

@@ -30,6 +30,12 @@ def register(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 
 def registry() -> dict[str, QuerySpec]:
     """All registered queries (importing plans pulls in every module)."""
-    from . import driver_queries, driver_queries_similarity, driver_queries_analytics  # noqa: F401
+    from . import (  # noqa: F401
+        driver_queries,
+        driver_queries_analytics,
+        driver_queries_multimodal,
+        driver_queries_similarity,
+        driver_queries_streaming,
+    )
 
     return dict(_REGISTRY)

@@ -62,7 +62,14 @@ def windowed_daily_stats(events: DataFrame, watermark: str = "1 day") -> DataFra
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal partial sums make the result independent of the
+            # float-add order across partitions/micro-batches
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("day_start"),
             "event_type",
