@@ -248,8 +248,13 @@ def round6(expr: str, dialect: str) -> str:
 
     round() differs at exact halves (Spark HALF_UP vs DuckDB half-even);
     this formula is the same double arithmetic in both engines.
+
+    Spark floor(double) returns BIGINT and `1000000.0` parses as a
+    DECIMAL literal, so the division must be forced back to double or
+    the result comes out DECIMAL (different canonical form than the
+    oracle's double).
     """
-    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+    return f"(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
 
 
 def dot_double(a: str, b: str, dialect: str) -> str:

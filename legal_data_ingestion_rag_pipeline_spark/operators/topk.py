@@ -15,6 +15,40 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant inner equi-join: replicate the small/build side
+    ``salt`` times and spread the big side's hot keys across replicas
+    with a deterministic per-row salt, so one hot key occupies ``salt``
+    reducers instead of one.
+
+    Results are identical to ``big.join(small, big_key == small_key)``
+    — salting only changes the shuffle distribution. Use when AQE's
+    skew-join split can't help: streaming joins, skew on the FIRST
+    shuffle (AQE needs completed map stats), or aggregations keyed on
+    the join key downstream.
+
+    The salt on the big side is ``pmod(hash(key, monotonic_id), salt)``
+    — deterministic within a run, uniform across replicas.
+    """
+    exploded = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.hash(F.col(big_key), F.monotonically_increasing_id()), F.lit(salt)),
+    )
+    cond = (salted_big[big_key] == exploded[small_key]) & (
+        salted_big["_salt"] == exploded["_salt"]
+    )
+    return salted_big.join(exploded, cond).drop("_salt")
+
+
 def argmax_per_group(
     df: DataFrame,
     group_cols: list[str],

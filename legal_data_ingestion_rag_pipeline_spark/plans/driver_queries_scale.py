@@ -1,0 +1,324 @@
+"""Driver queries: scale-pattern operators beyond the reference's SQL
+surface — range join, skew-salted join, percentiles, cube, reproducible
+sampling, vocabulary building, approx-distinct guard, and a TPC-H
+Q3-style shuffle-heavy headline join. Each carries a DuckDB oracle; the
+salted join's oracle is the PLAIN join (salting must be invisible in
+results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import portable as PT
+from ..operators.topk import salted_join
+from ..session import load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           count(c.cts) AS n_clicks,
+           CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE)
+             AS click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+    doc="interval/range join: clicks within the hour before each "
+    "purchase, per user. Equi key (user_id) drives the shuffle; the "
+    "range predicate evaluates inside each matched group, so the plan "
+    "is a plain hash join, not a cartesian. At 100 TB the time axis "
+    "would additionally be bucketed (join on user AND hour-bucket) to "
+    "bound per-task fan-out.",
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts"), "value"
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.cts >= p.pts - F.expr("INTERVAL 1 HOUR"))
+        & (c.cts < p.pts),
+        "left",
+    )
+    return (
+        j.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("cts").alias("n_clicks"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                F.lit(0.0),
+            ).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="skew-salted join: the build side is exploded across SALT "
+    "replicas and the probe side picks a deterministic salt, spreading "
+    "one hot key over SALT reducers. The oracle is the PLAIN join — "
+    "salting must never change results. Complements AQE skew handling "
+    "(which only kicks in on sort-merge post-shuffle stats); explicit "
+    "salting also covers streaming joins and first-shuffle skew.",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "percentile_extendedprice",
+    oracle=f"""
+    SELECT l_returnflag,
+           {PT.round6("quantile_cont(l_extendedprice, 0.5)", D)} AS p50,
+           {PT.round6("quantile_cont(l_extendedprice, 0.9)", D)} AS p90,
+           {PT.round6("quantile_cont(l_extendedprice, 0.99)", D)} AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="exact linear-interpolation percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont). At 100 TB the exact sort-"
+    "based percentile gives way to approx_percentile (t-digest, "
+    "mergeable sketches) — exposed as the same API with a tolerance.",
+)
+def percentile_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("raw50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("raw90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("raw99"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.expr(PT.round6("raw50", S)).alias("p50"),
+        F.expr(PT.round6("raw90", S)).alias("p90"),
+        F.expr(PT.round6("raw99", S)).alias("p99"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus NULLS LAST,
+             o_orderpriority NULLS LAST
+    """,
+    doc="full cube over status x priority (all 4 grouping sets in one "
+    "pass — Catalyst expands then partial-aggregates, shuffle sized by "
+    "group count, not input).",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+_SAMPLE_ORACLE = f"""
+    SELECT doc_id, source, {PT.poly_hash("text", D)} % 100 AS bucket
+    FROM documents
+    WHERE {PT.poly_hash("text", D)} % 100 < 10
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "deterministic_sample",
+    oracle=_SAMPLE_ORACLE,
+    doc="reproducible content-hash sampling (poly-hash bucket < rate): "
+    "the 10%% sample is a pure function of the text, so re-runs, "
+    "retries, and different partitionings select the SAME documents — "
+    "the property training-data pipelines need that rand()-based "
+    "sample() can't give. Map-side only, no shuffle.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(PT.poly_hash("text", S)) % 100
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_ORACLE = f"""
+    WITH t AS (SELECT unnest({PT.tokens("text", D)}) AS token FROM documents)
+    SELECT token, count(*) AS freq
+    FROM t GROUP BY token
+    ORDER BY freq DESC, token LIMIT 50
+"""
+
+
+@register(
+    "vocab_topk",
+    oracle=_VOCAB_ORACLE,
+    doc="vocabulary build: explode tokens -> count -> top-50 with a "
+    "total order (freq desc, token asc). The explode+count is the "
+    "canonical word-count shuffle; top-k runs as TakeOrderedAndProject "
+    "(per-partition heaps, no global sort).",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(PT.tokens("text", S))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "approx_distinct_guard",
+    oracle="""
+    SELECT source, count(DISTINCT text) AS exact_ndv, TRUE AS approx_within_5pct
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="sketch guard: exact ndv next to approx_count_distinct "
+    "(HyperLogLog++, rsd 2%%), asserting the sketch lands within 5%% — "
+    "the check itself is part of the result so the oracle gate "
+    "verifies the sketch's accuracy contract. At 100 TB only the "
+    "sketch runs (mergeable, constant memory); the exact path is the "
+    "small-scale audit.",
+)
+def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.countDistinct("text").alias("exact_ndv"),
+            F.approx_count_distinct("text", rsd=0.02).alias("approx_ndv"),
+        )
+        .select(
+            "source",
+            "exact_ndv",
+            (
+                F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+                <= 0.05 * F.col("exact_ndv")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1996-03-15'
+      AND l_shipdate > DATE '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    bench=True,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter "
+    "broadcast into a two-level fact join, partial-agg before the "
+    "group shuffle, TakeOrderedAndProject top-10. The headline "
+    "shuffle-heavy join in the bench set.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -34,6 +34,7 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries,
         driver_queries_analytics,
         driver_queries_multimodal,
+        driver_queries_scale,
         driver_queries_similarity,
         driver_queries_streaming,
     )

@@ -1,0 +1,81 @@
+"""Scale-pattern operators: salted join equivalence, deterministic
+sampling stability, multimodal plumbing shapes, streaming parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media_from_documents,
+)
+from legal_data_ingestion_rag_pipeline_spark.operators.topk import salted_join
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_build_side(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    out = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
+    # build side replicated exactly salt times before the join
+    assert "_salt" not in out.columns
+    assert out.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+
+
+def test_deterministic_sample_stable_across_repartition(spark):
+    q = registry()["deterministic_sample"].spark
+    a = {r.doc_id for r in q(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").repartition(7)
+    docs.createOrReplaceTempView("_resampled")
+    b = {r.doc_id for r in q(spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_multimodal_feature_shape(spark):
+    media = synthetic_media_from_documents(load_table(spark, SF, "documents"))
+    feats = extract_features(media, dim=16).limit(5).collect()
+    assert all(len(r.features) == 16 for r in feats)
+    # unit-normalized histogram
+    for r in feats:
+        norm = sum(x * x for x in r.features) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+        assert r.n_bytes > 0
+
+
+def test_frame_sample_grid(spark):
+    media = synthetic_media_from_documents(load_table(spark, SF, "documents"))
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.groupBy("media_id").agg(F.max("frame_ts_ms").alias("mx")).collect()
+    durations = {
+        r.media_id: r["meta"]["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").select("media_id", "meta").collect()
+    }
+    for r in rows:
+        assert r.mx <= durations[r.media_id] - 1
+        assert r.mx % 1000 == 0
+
+
+def test_percentile_round6_is_double(spark):
+    df = registry()["percentile_extendedprice"].spark(spark, SF)
+    kinds = dict(df.dtypes)
+    assert kinds["p50"] == "double" and kinds["p99"] == "double"
