@@ -113,6 +113,75 @@ def lang_id(tokens_col: str) -> Column:
     return F.when(top["neg_score"] < 0, top["lang"]).otherwise(F.lit("und"))
 
 
+def quality_stats_arrow(df, text_col: str, id_col: str):
+    """Arrow-batched fast path for the full quality-stats projection
+    (n_tokens, bpe_tokens, punct_ratio, stopword_ratio, mean_word_len,
+    quality) producing BIT-IDENTICAL values to the Column-expression
+    path: same tokenization, same IEEE double ops in the same order,
+    same floor(x*1e6+0.5)/1e6 rounding. The expression path is the
+    spec (and what the DuckDB oracle mirrors); this one removes the
+    higher-order-function interpretation and its multi-second codegen
+    from the per-batch hot loop.
+    """
+    import math
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+")
+    bpe = re.compile(BPE_TOKEN_RE)
+    punct = set(".,;:!?'\"()[]-")
+    stops = set(EN_STOPWORDS)
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("bpe_tokens", T.LongType(), True),
+            T.StructField("punct_ratio", T.DoubleType(), True),
+            T.StructField("stopword_ratio", T.DoubleType(), True),
+            T.StructField("mean_word_len", T.DoubleType(), True),
+            T.StructField("quality", T.DoubleType(), True),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                toks = [w for w in ws.split(t.lower()) if w]
+                n_tok = len(toks)
+                n_bpe = len(bpe.findall(t))
+                pr = sum(1 for c in t if c in punct) / max(len(t), 1)
+                sw = sum(1 for w in toks if w in stops) / max(n_tok, 1)
+                mwl = sum(len(w) for w in toks) / max(n_tok, 1)
+                len_score = min(n_tok / 64.0, 1.0)
+                sw_score = min(sw * 4.0, 1.0)
+                word_score = 1.0 if 3 <= mwl <= 10 else 0.5
+                punct_pen = min(pr * 4.0, 1.0)
+                q = _r6(
+                    0.35 * len_score
+                    + 0.25 * sw_score
+                    + 0.2 * word_score
+                    + 0.2 * (1.0 - punct_pen)
+                )
+                rows.append((doc_id, n_tok, n_bpe, _r6(pr), _r6(sw), _r6(mwl), q))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_tokens", "bpe_tokens", "punct_ratio",
+                    "stopword_ratio", "mean_word_len", "quality",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
 def fingerprint(text_col: str, shingle: int = 8) -> Column:
     """Winnowing-style document fingerprint: min polynomial hash over
     character shingles.  Portable with the DuckDB oracle."""

@@ -48,12 +48,25 @@ def with_minhash(
     id_col: str,
     n_hashes: int = 32,
     shingle_words: int = 3,
+    engine: str = "arrow",
 ) -> DataFrame:
-    """Attach `tokens`, `grams`, and `minhash` (array<bigint>) columns.
+    """(id, minhash array<bigint>[n_hashes]) per document.
 
-    Token split / shingling / hashing are single-pass array expressions
-    — map-side only, no shuffle.
+    Two engines producing BIT-IDENTICAL signatures (same polynomial
+    arithmetic — tests assert equality, the DuckDB oracle gates both):
+
+    - "arrow": mapInPandas + numpy (default). The char/gram folds and
+      the 32 permutation-mins run vectorized per Arrow batch; ~5-10x
+      the SQL-expression path, and the per-query codegen cost (the
+      32-slot expression tree is expensive to compile) disappears.
+    - "sql": pure Catalyst higher-order-function expressions — zero
+      Python in the plan; the formulation the oracle SQL mirrors
+      1:1. Kept as the reference semantics and for pure-JVM deploys.
+
+    Map-side only either way: no shuffle until the caller's LSH join.
     """
+    if engine == "arrow":
+        return _minhash_arrow(df, text_col, id_col, n_hashes, shingle_words)
     hashed = barrier(
         barrier(df)  # spread the (often single-file) input across cores
         .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
@@ -72,11 +85,73 @@ def with_minhash(
     return out.select(id_col, "minhash")
 
 
+def _minhash_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    shingle_words: int,
+) -> DataFrame:
+    """Arrow-batched MinHash replicating functions/portable arithmetic
+    exactly: tok_hash = fold(codepoints, 7, acc*31+cp mod P);
+    gram_hash = fold(n tok_hashes, 7, acc*31+h mod P);
+    slot_k = min((a_k*g + b_k) mod P). All int64; a*g < P^2 ~ 1e18.
+    Docs with fewer than `shingle_words` tokens are dropped (same as
+    the SQL path's size(gram_hashes) > 0 filter)."""
+    import pyspark.sql.types as T
+
+    P = PT.P
+    consts = PT._perm_constants(n_hashes)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("minhash", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    def _batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+        B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+        k = shingle_words
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if len(toks) < k:
+                    continue
+                th = []
+                for t in toks:
+                    acc = 7
+                    for c in t:
+                        acc = (acc * 31 + ord(c)) % P
+                    th.append(acc)
+                h = np.asarray(th, dtype=np.int64)
+                m = len(h) - k + 1
+                g = np.full(m, 7, dtype=np.int64)
+                for j in range(k):
+                    g = (g * 31 + h[j : j + m]) % P
+                sig = ((A * g[None, :] + B) % P).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+    # spread the (often single-file) input before the Python stage so
+    # every core gets an Arrow batch
+    return barrier(df.select(id_col, text_col)).mapInPandas(_batches, out_schema)
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     n_hashes: int = 32,
     bands: int = 16,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair; estimated Jaccard = matching-slot fraction.
@@ -85,7 +160,15 @@ def lsh_candidate_pairs(
     shuffle moves each doc `bands` times, and only same-bucket pairs
     are generated. Buckets above ~1k docs should be re-banded or
     salted; at the driver's scales buckets stay tiny.
+
+    The signature input feeds BOTH sides of the self-join; without a
+    materialization barrier Spark recomputes the whole signature
+    lineage twice. In a deployment signatures are a written table;
+    here localCheckpoint plays that role (signatures are ids + 32
+    int64s — tiny next to the text they summarize).
     """
+    if materialize_input:
+        sig_df = sig_df.localCheckpoint(eager=True)
     rows_per_band = n_hashes // bands
     banded = sig_df.select(
         F.col(id_col),

@@ -311,9 +311,17 @@ _QUALITY_ORACLE = f"""
     bench=True,
     doc="Quality scoring: token counts (whitespace + BPE-ish regex), "
     "punctuation/stopword ratios, mean word length, composite score. "
-    "Single projection pass, fully codegen'd.",
+    "Arrow-batched single pass (bit-identical to the Column-expression "
+    "spec in textstats_quality_sql_path, which the oracle mirrors).",
 )
 def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.quality_stats_arrow(barrier(docs), "text", "doc_id").orderBy("doc_id")
+
+
+def textstats_quality_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure Column-expression formulation (the spec the Arrow fast
+    path must match bit-for-bit; parity asserted in tests)."""
     docs = _t(spark, sf_dir, "documents")
     t = barrier(docs.withColumn("tokens", F.expr(PT.tokens("text", S))))
     return t.select(
@@ -426,6 +434,97 @@ _RAG_ORACLE = f"""
 """
 
 
+def _rag_query_vec() -> list[float]:
+    """Driver-side query embedding with the portable arithmetic:
+    tokens -> char-fold poly hashes -> 16 mod-bucket counts -> unit
+    normalize (fold-left sum of squares, math.sqrt)."""
+    import math
+    import re
+
+    toks = [t for t in re.split(r"\s+", _RAG_QUERY_TEXT.lower()) if t]
+    hs = []
+    for t in toks:
+        acc = 7
+        for c in t:
+            acc = (acc * 31 + ord(c)) % PT.P
+        hs.append(acc)
+    v = [float(sum(1 for h in hs if h % _EMB_DIM == d)) for d in range(_EMB_DIM)]
+    s = 0.0
+    for x in v:
+        s = s + x * x
+    nrm = math.sqrt(s)
+    return [x / nrm for x in v]
+
+
+def _rag_scored_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow-batched chunk -> hash-embed -> normalize -> cosine score,
+    bit-identical to the Column-expression path (fold-left double
+    arithmetic everywhere; Spark/DuckDB trim() strips ' ' only, so
+    .strip(' ') not .strip()). One Python stage replaces three
+    expression barriers and their codegen cost."""
+    import math
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qv = _rag_query_vec()
+    size, overlap = 120, 20
+    stride = size - overlap
+    P = PT.P
+    dim = _EMB_DIM
+    ws = re.compile(r"\s+")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema["doc_id"].dataType, True),
+            T.StructField("chunk_id", T.LongType(), True),
+            T.StructField("chunk_text", T.StringType(), True),
+            T.StructField("sim", T.DoubleType(), True),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:
+                    continue
+                n = len(text)
+                k = 1 + max(math.ceil((n - size) / stride), 0)
+                cid = 0
+                for i in range(k):
+                    chunk = text[i * stride : i * stride + size].strip(" ")
+                    if chunk == "":
+                        continue
+                    toks = [t for t in ws.split(chunk.lower()) if t]
+                    hs = []
+                    for t in toks:
+                        acc = 7
+                        for c in t:
+                            acc = (acc * 31 + ord(c)) % P
+                        hs.append(acc)
+                    if hs:
+                        v = [
+                            float(sum(1 for h in hs if h % dim == d))
+                            for d in range(dim)
+                        ]
+                        s = 0.0
+                        for x in v:
+                            s = s + x * x
+                        nrm = math.sqrt(s)
+                        sim = 0.0
+                        for x, y in zip(v, qv):
+                            sim = sim + (x / nrm) * y
+                        out.append((doc_id, cid, chunk, sim))
+                    cid += 1
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_id", "chunk_text", "sim"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_batches, schema)
+
+
 @register(
     "rag_semantic_search",
     oracle=_RAG_ORACLE,
@@ -433,10 +532,30 @@ _RAG_ORACLE = f"""
     doc="search_dockets parity (rag.py:158-227): chunk(120/20) -> "
     "deterministic hash embedder (CI stand-in for the pandas_udf "
     "sentence-transformer, same interface) -> cosine -> candidate pool "
-    "LIMIT max(k*10,50) -> per-doc argmax -> top-k docs. One narrow "
-    "pass + TakeOrderedAndProject + one window on doc_id.",
+    "LIMIT max(k*10,50) -> per-doc argmax -> top-k docs. Chunk+embed+"
+    "score run as one Arrow stage (bit-identical to the expression "
+    "spec in rag_semantic_search_sql_path); pool/argmax/top-k stay "
+    "Catalyst (TakeOrderedAndProject + one window).",
 )
 def rag_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = barrier(_t(spark, sf_dir, "documents"))
+    scored = _rag_scored_arrow(docs)
+    pool = scored.orderBy(F.desc("sim"), "doc_id", "chunk_id").limit(50)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), "chunk_id")
+    best = pool.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("sim").alias("similarity"),
+            F.substring("chunk_text", 1, 64).alias("snippet"),
+        )
+        .orderBy(F.desc("similarity"), "doc_id")
+        .limit(5)
+    )
+
+
+def rag_semantic_search_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition the (single-file) input first so chunking/hashing use
     # every core instead of the file's one partition.
     docs = barrier(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,35 @@
+"""The Arrow fast paths must be BIT-IDENTICAL to their Column-
+expression specs (which the DuckDB oracles mirror): same polynomial
+hashes, same fold-left IEEE double arithmetic, same rounding."""
+
+from __future__ import annotations
+
+from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+from legal_data_ingestion_rag_pipeline_spark.plans import (
+    driver_queries_similarity as DQ,
+)
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_arrow_matches_sql(spark):
+    docs = load_table(spark, SF, "documents")
+    fast = dedup.with_minhash(docs, "text", "doc_id", engine="arrow")
+    slow = dedup.with_minhash(docs, "text", "doc_id", engine="sql")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_quality_arrow_matches_sql(spark):
+    fast = registry()["textstats_quality"].spark(spark, SF)
+    slow = DQ.textstats_quality_sql_path(spark, SF)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_rag_arrow_matches_sql(spark):
+    fast = [tuple(r) for r in registry()["rag_semantic_search"].spark(spark, SF).collect()]
+    slow = [tuple(r) for r in DQ.rag_semantic_search_sql_path(spark, SF).collect()]
+    assert fast == slow and len(fast) > 0
