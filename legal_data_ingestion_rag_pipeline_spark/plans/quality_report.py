@@ -26,10 +26,26 @@ def run_totals(runs: DataFrame) -> DataFrame:
     )
 
 
-def error_breakdown(errors: DataFrame) -> DataFrame:
-    """A2: top error codes with last-seen."""
+def error_breakdown(
+    errors: DataFrame,
+    runs: DataFrame | None = None,
+    run_id: int | None = None,
+    since: str | None = None,
+) -> DataFrame:
+    """A2: top error codes with last-seen; optionally scoped to one
+    run or to runs started since a date (J6: errors ⋈ runs on run_id —
+    runs is dictionary-sized, so the join broadcasts;
+    data_quality.py:117-119 parity)."""
+    scoped = errors
+    if run_id is not None:
+        scoped = scoped.filter(F.col("run_id") == run_id)
+    if since is not None and runs is not None:
+        recent = runs.filter(
+            F.col("started_at") >= F.lit(since).cast("timestamp")
+        ).select("run_id")
+        scoped = scoped.join(F.broadcast(recent), "run_id")
     return (
-        errors.groupBy("error_code")
+        scoped.groupBy("error_code")
         .agg(F.count("*").alias("cnt"), F.max("last_seen_at").alias("last_seen_at"))
         .orderBy(F.desc("cnt"), "error_code")
         .limit(10)
@@ -118,11 +134,18 @@ def daily_series(runs: DataFrame, days: int = 7) -> DataFrame:
     )
 
 
-def report(tables: dict[str, DataFrame]) -> dict:
-    """Full report + threshold verdict (reference exit-code logic)."""
+def report(
+    tables: dict[str, DataFrame],
+    run_id: int | None = None,
+    since: str | None = None,
+) -> dict:
+    """Full report + threshold verdict (reference exit-code logic;
+    run_id/since mirror data_quality.py's --run-id/--since scoping)."""
     sections = {
         "run_totals": run_totals(tables["ingest_runs"]),
-        "error_breakdown": error_breakdown(tables["ingest_errors"]),
+        "error_breakdown": error_breakdown(
+            tables["ingest_errors"], tables["ingest_runs"], run_id, since
+        ),
         "bad_date_errors": bad_date_errors(tables["ingest_errors"]),
         "completeness": completeness(tables["cases"]),
         "date_sanity": date_sanity(tables["cases"]),

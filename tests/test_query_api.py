@@ -100,3 +100,12 @@ def test_quality_report(spark, tables):
     assert rep["ok"] is False
     bad_dates = rep["sections"]["bad_date_errors"].collect()[0]
     assert bad_dates.bad_date_errors == 1
+
+
+def test_quality_report_since_scoping(spark, tables):
+    # since far in the future -> no runs qualify -> empty breakdown (J6)
+    rep = report(tables, since="2999-01-01")
+    assert rep["sections"]["error_breakdown"].count() == 0
+    # run_id scoping keeps this run's errors
+    rep2 = report(tables, run_id=1)
+    assert rep2["sections"]["error_breakdown"].count() > 0
