@@ -226,6 +226,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
 
 
+@register(
+    "ann_ivf_full_probe",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.q_id, e.vec_id, {_EDOT} AS similarity,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY {_EDOT} DESC, e.vec_id) AS rank
+      FROM embeddings e, q) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="IVF recall contract: with probes = n_cells the probed "
+    "candidate set is the whole corpus, so IVF must EQUAL brute force "
+    "— the oracle is the exact-top-k SQL, hash-gating the entire IVF "
+    "machinery (assignment, cell join, re-rank). The approximate "
+    "ann_ivf_topk then only varies the probes knob.",
+)
+def ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    out = ann.ivf_topk(assigned, centroids, queries, k=10, probes=8)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -56,6 +56,56 @@ def start_ingest_stream(
     )
 
 
+def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session counting with a `gap_minutes` inactivity split.
+
+    State per user = (last event epoch-us, sessions so far, events so
+    far); each micro-batch emits the cumulative totals, so the latest
+    emit per user equals the batch sessionization query over the same
+    events — the test feeds two time-ordered files as two micro-batches
+    and asserts exactly that (state survives across batches).
+
+    At scale: state is per-user O(1); with real unbounded streams add
+    a ProcessingTimeTimeout + state TTL for abandoned keys.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            return
+        # total order matching the batch oracle's (ts, event_id)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = -(10**18), 0, 0
+        for ts in pdf["ts"]:
+            us = ts.value // 1000  # pandas ns -> epoch us
+            if us - last_us > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_us = us
+        state.update((int(last_us), int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            [(key[0], n_sessions, n_events)],
+            columns=["user_id", "n_sessions", "n_events"],
+        )
+
+    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_sessions bigint, n_events bigint",
+        stateStructType="last_us bigint, n_sessions bigint, n_events bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_daily_stats(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """A8 as a streaming aggregation: tumbling 1-day windows with a
     watermark bounding state for late data."""

@@ -8,6 +8,7 @@ from legal_data_ingestion_rag_pipeline_spark.session import load_table
 from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
     read_docket_stream,
     start_ingest_stream,
+    stateful_sessionize,
     windowed_daily_stats,
 )
 
@@ -62,3 +63,71 @@ def test_multimodal_features(spark):
     assert [(f.media_id, f.frame_ts_ms) for f in frames] == [
         (3, 0), (3, 1000), (3, 2000), (3, 3000),
     ]
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Two time-ordered micro-batches through applyInPandasWithState;
+    the final cumulative emit per user must equal the batch
+    sessionization (30-min gap) over the same events."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id"
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0].m
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    # plain single files (write.parquet makes directories, which the
+    # file stream source does not list)
+    ev.filter(F.col("ts") <= cut).toPandas().to_parquet(
+        str(src / "a.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    time.sleep(1.2)  # file-source orders batches by modification time
+    ev.filter(F.col("ts") > cut).toPandas().to_parquet(
+        str(src / "b.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        r.user_id: (r.ns, r.ne)
+        for r in spark.table("sess_test")
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("ns"), F.max("n_events").alias("ne"))
+        .collect()
+    }
+
+    gap_us = 30 * 60 * 1_000_000
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | ((F.unix_micros("ts") - F.col("prev")) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("ns"), F.count("*").alias("ne"))
+    )
+    expected = {r.user_id: (r.ns, r.ne) for r in batch.collect()}
+    assert got == expected
