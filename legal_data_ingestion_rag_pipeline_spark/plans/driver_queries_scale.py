@@ -267,6 +267,54 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTROID_ORACLE = f"""
+    WITH e AS (SELECT label, unnest(embedding) AS val,
+                      unnest(range(0, len(embedding))) AS pos
+               FROM embeddings),
+    a AS (SELECT label, pos,
+                 CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10)))
+                      AS DOUBLE) AS s,
+                 count(*) AS c
+          FROM e GROUP BY label, pos)
+    SELECT label,
+           array_agg({PT.round6('s / c', D)} ORDER BY pos) AS centroid,
+           max(c) AS n_vectors
+    FROM a GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=_CENTROID_ORACLE,
+    doc="per-label centroid (mean vector): posexplode -> decimal "
+    "partial sums per (label, dim) -> re-assemble ordered array. The "
+    "k-means/summarization primitive for embedding tables; decimal "
+    "sums keep it order-independent, round6 absorbs the one-ulp "
+    "double->decimal rounding-mode gap between engines. Shuffle is "
+    "labels x dims cells, independent of corpus size.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    agg = pos.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(27,10)"))
+        .cast("double")
+        .alias("s"),
+        F.count("*").alias("c"),
+    )
+    agg = agg.withColumn("m", F.expr(PT.round6("s / c", S)))
+    return (
+        agg.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("centroid"),
+            F.max("c").alias("n_vectors"),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "shipping_priority_topk",
     oracle="""

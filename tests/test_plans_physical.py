@@ -61,3 +61,37 @@ def test_partial_aggregation_on_hot_path(spark):
 def test_pool_limit_in_rag(spark):
     plan = plan_of(spark, "rag_semantic_search")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_broadcasts_selective_dim(spark):
+    # the BUILDING-filtered customer dim must broadcast into the join
+    plan = plan_of(spark, "shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # segment filter pushed to the customer scan
+    assert "PushedFilters" in plan
+
+
+def test_range_join_is_hash_join_not_cartesian(spark):
+    # equi key (user_id) must drive the join; the time range is a
+    # post-join predicate, never a cartesian/BNLJ
+    plan = plan_of(spark, "range_join_clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_join_keyed_on_band(spark):
+    # the LSH self-join must key on (band_idx, band_sig), not explode
+    # into a cross product
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_source_not_in_batch_queries(spark):
+    # every registered non-streaming query must build a pure batch plan
+    for name, spec in registry().items():
+        if name.startswith("streaming_"):
+            continue
+        df = spec.spark(spark, SF)
+        assert not df.isStreaming, name
