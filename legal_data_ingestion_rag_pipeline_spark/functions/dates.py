@@ -43,3 +43,44 @@ def date_is_bad(c: Column | str) -> Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     return parse_date_multi(col).isNull()
+
+
+#: Golden cases ported verbatim from the reference's --selftest
+#: (ingest.py:879-977); tests/test_dates.py asserts them too.
+SELFTEST_VALID: tuple[tuple[str, str], ...] = (
+    ("2024-10-03", "2024-10-03"),
+    ("2024-1-3", "2024-01-03"),
+    ("10-3-2024", "2024-10-03"),
+    ("1-3-2024", "2024-01-03"),
+    ("10/3/2024", "2024-10-03"),
+    ("1/3/2024", "2024-01-03"),
+    ("8/8/2025", "2025-08-08"),
+    ("Oct 3, 2024", "2024-10-03"),
+    ("October 3, 2024", "2024-10-03"),
+    ("Jan 1, 2023", "2023-01-01"),
+    ("10/03/2024", "2024-10-03"),
+    ("10-03-2024", "2024-10-03"),
+)
+
+SELFTEST_INVALID: tuple[str | None, ...] = (
+    "13-40-2024", "", None, "2024-13-03", "not a date", "40/40/4040",
+)
+
+
+def selftest(spark) -> bool:
+    """Run the reference's selftest goldens through the Spark parser
+    (ingest.py --selftest parity)."""
+    rows = [(s, exp) for s, exp in SELFTEST_VALID] + [
+        (s, None) for s in SELFTEST_INVALID
+    ]
+    df = spark.createDataFrame(rows, "raw string, expected string")
+    out = df.withColumn(
+        "got", F.date_format(parse_date_multi("raw"), "yyyy-MM-dd")
+    )
+    bad = out.filter(
+        ~(
+            (F.col("got").isNull() & F.col("expected").isNull())
+            | (F.col("got") == F.col("expected"))
+        )
+    )
+    return bad.count() == 0

@@ -68,3 +68,23 @@ class ParquetStore:
         if target.exists():
             shutil.rmtree(target)
         stage.rename(target)
+
+    def write_all(self, tables: dict[str, DataFrame]) -> None:
+        """Stage EVERY table, then swap EVERY table.
+
+        Plans for one new table version routinely read OTHER tables'
+        current versions (e.g. the new parties junction reads current
+        cases); swapping per-table would delete files that a later
+        still-lazy plan needs. Two phases make the whole batch
+        all-stage-then-all-swap — the parquet analog of a Delta
+        multi-table transaction commit."""
+        staged: dict[str, Path] = {}
+        for name, df in tables.items():
+            stage = self.root / f"{name}.__stage__"
+            df.write.mode("overwrite").parquet(str(stage))
+            staged[name] = stage
+        for name, stage in staged.items():
+            target = self.path(name)
+            if target.exists():
+                shutil.rmtree(target)
+            stage.rename(target)

@@ -1,0 +1,49 @@
+"""End-to-end CLI parity: ingest -> rag backfill/search -> quality,
+with state persisted in the parquet store across invocations."""
+
+from __future__ import annotations
+
+import json
+
+from legal_data_ingestion_rag_pipeline_spark import cli
+
+from fixtures import DOCKETS
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    f = tmp_path / "dockets.json"
+    f.write_text(json.dumps(DOCKETS))
+    store = str(tmp_path / "warehouse")
+
+    assert cli.main(["ingest", "--file", str(f), "--store", store]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["run_id"] == 1
+    s = out1["summary"]
+    assert s["read"] == s["inserted"] + s["updated"] + s["failed"]
+    assert s["read"] == 10 and s["failed"] == 6
+
+    # re-ingest: idempotent — all-updated, run_id bumps
+    assert cli.main(["ingest", "--file", str(f), "--store", store]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["run_id"] == 2
+    assert out2["summary"]["inserted"] == 0
+
+    assert cli.main(["rag", "backfill", "--store", store]) == 0
+    chunks = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert chunks["chunks"] > 0
+
+    assert cli.main(["rag", "search", "--q", "contract dispute", "--store", store]) == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(hits) <= 5
+    assert "similarity" in hits[0]
+
+    # fixture failure rate is 60% -> threshold breach -> exit 1
+    assert cli.main(["quality", "--store", store]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] is False and rep["failed_pct"] == 60.0
+
+
+def test_cli_selftest(spark, capsys):
+    assert cli.main(["ingest", "--selftest"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["selftest"] == "ok"
