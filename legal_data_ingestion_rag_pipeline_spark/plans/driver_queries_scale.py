@@ -267,6 +267,43 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semistructured_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(*) AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="semi-structured column (the reference's JSONB details, "
+    "schema.sql:199 / SURVEY §1.1): from_json with an explicit "
+    "StructType parses once into a typed nested column, then plain "
+    "typed aggregation — integer sums stay exact, avg derived from "
+    "them. Schema-on-read at the edge, typed columns everywhere else.",
+)
+def semistructured_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    p = ev.withColumn("p", F.from_json("props", schema))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").alias("total_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            (F.sum("p.k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _CENTROID_ORACLE = f"""
     WITH e AS (SELECT label, unnest(embedding) AS val,
                       unnest(range(0, len(embedding))) AS pos

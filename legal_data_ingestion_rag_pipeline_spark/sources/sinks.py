@@ -38,6 +38,31 @@ def write_quarantine(bad_rows: DataFrame, out_dir: str, run_id: int) -> str:
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Bucketing is the 100 TB co-location tool: two tables bucketed by
+    the same key into the same bucket count join WITHOUT a shuffle —
+    every bucket pair meets on one task (the physical test asserts the
+    Exchange-free plan). Spark's native catalog handles this without
+    Hive; `path` keeps the data external.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 class ParquetStore:
     """Minimal multi-table parquet store with staged overwrites.
 
