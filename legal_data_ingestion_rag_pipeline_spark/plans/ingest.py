@@ -266,11 +266,39 @@ def ingest_batch(
 
     # --- errors table: keyed (run_id, record_hash); retry_count =
     # occurrences - 1 (SURVEY S6).
+    # details mirrors the reference's JSONB payload (ingest.py:218-224,
+    # schema.sql:199) as a TYPED nested struct — queryable columns, not
+    # an opaque string; to_json(details) reproduces the JSONB form.
+    suggestion = (
+        F.when(F.col("error_code") == "BAD_DATE",
+               F.lit("use ISO yyyy-MM-dd or M/d/yyyy"))
+        .when(F.col("error_code") == "MISSING_CASE_NUMBER",
+              F.lit("populate case_number"))
+        .when(F.col("error_code") == "STATUS_UNMAPPED",
+              F.lit("status must be one of active/closed/pending/dismissed"))
+        .when(F.col("error_code") == "FK_COURT", F.lit("populate court"))
+        .otherwise(F.lit("inspect raw record"))
+    )
+    details = F.struct(
+        F.struct(*[F.col(c) for c in RAW_FIELDS]).alias("raw"),
+        F.struct(
+            F.date_format("parsed_date", "yyyy-MM-dd").alias("parsed_date"),
+            F.col("lower_status").alias("status"),
+            F.col("norm_court").alias("court"),
+        ).alias("normalized_attempt"),
+        F.lit("process_docket").alias("context"),
+        F.col("error_why").alias("why"),
+        suggestion.alias("suggestion"),
+    )
     errors = (
-        bad.groupBy("record_hash")
+        bad.withColumn("details", details)
+        .groupBy("record_hash")
         .agg(
             F.count("*").alias("_n"),
-            F.min_by(F.struct("error_code", "error_why", "case_number"), "_seq").alias("_f"),
+            F.min_by(
+                F.struct("error_code", "error_why", "case_number", "details"),
+                "_seq",
+            ).alias("_f"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -278,6 +306,7 @@ def ingest_batch(
             F.col("_f.case_number").alias("case_number"),
             F.col("_f.error_code").alias("error_code"),
             F.col("_f.error_why").alias("error_message"),
+            F.col("_f.details").alias("details"),
             now.alias("first_seen_at"),
             now.alias("last_seen_at"),
             (F.col("_n") - 1).cast("int").alias("retry_count"),

@@ -148,7 +148,14 @@ def search_dockets(
     chunks -> candidate pool LIMIT max(k*10, 50) -> best-chunk-per-case
     argmax -> top-k cases joined to case/judge/court detail, snippet
     LEFT(chunk_text, 280).
+
+    Raises ValueError on the API's request bounds (api.py:64-74
+    Pydantic rules -> HTTP 400): query >= 2 chars, 1 <= top_k <= 50.
     """
+    if query is None or len(query.strip()) < 2:
+        raise ValueError("query must be at least 2 characters")
+    if not 1 <= top_k <= 50:
+        raise ValueError("limit must be between 1 and 50")
     if embedder is None:
         embedder = HashEmbedder()
     spark = embeddings.sparkSession

@@ -109,3 +109,23 @@ def test_quality_report_since_scoping(spark, tables):
     # run_id scoping keeps this run's errors
     rep2 = report(tables, run_id=1)
     assert rep2["sections"]["error_breakdown"].count() > 0
+
+
+def test_search_bounds_validation(spark, tables):
+    emb = backfill_chunk_embeddings(tables["cases"], None, HashEmbedder())
+    with pytest.raises(ValueError):
+        search_dockets(tables, emb, "x")  # < 2 chars -> 400
+    with pytest.raises(ValueError):
+        search_dockets(tables, emb, "contract", top_k=0)
+    with pytest.raises(ValueError):
+        search_dockets(tables, emb, "contract", top_k=51)
+
+
+def test_error_details_struct(spark, tables):
+    errs = tables["ingest_errors"]
+    assert "details" in errs.columns
+    row = errs.filter(errs.error_code == "BAD_DATE").select("details").collect()[0][0]
+    assert row["context"] == "process_docket"
+    assert row["why"].startswith("filed_date parse failed")
+    assert row["raw"]["case_number"] is not None
+    assert "ISO" in row["suggestion"]
