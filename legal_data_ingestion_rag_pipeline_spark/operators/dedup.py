@@ -208,8 +208,20 @@ def lsh_candidate_pairs(
     return pairs.withColumn("est_jaccard", est).drop("mh_a", "mh_b")
 
 
-def simhash_docs(df: DataFrame, text_col: str, id_col: str, bits: int = 30) -> DataFrame:
-    """Per-doc SimHash over whitespace tokens (portable arithmetic)."""
+def simhash_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 30,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (portable arithmetic).
+
+    engine="arrow" (default) computes the identical bit votes in a
+    numpy mapInPandas batch; engine="sql" is the pure-expression spec
+    the oracle mirrors (30 fold-votes — costly to interpret/compile)."""
+    if engine == "arrow":
+        return _simhash_arrow(df, text_col, id_col, bits)
     hashed = barrier(
         barrier(df)
         .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
@@ -223,6 +235,52 @@ def simhash_docs(df: DataFrame, text_col: str, id_col: str, bits: int = 30) -> D
         )
         .select(id_col, "simhash")
     )
+
+
+def _simhash_arrow(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """Arrow SimHash, bit-identical to portable.simhash_from_hashes:
+    bit j set iff sum over token hashes of (2*((h>>j)&1) - 1) > 0."""
+    import pyspark.sql.types as T
+
+    P = PT.P
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("simhash", T.LongType(), True),
+        ]
+    )
+
+    def _batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        shifts = np.arange(bits, dtype=np.int64)
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if not toks:
+                    continue
+                th = []
+                for t in toks:
+                    acc = 7
+                    for c in t:
+                        acc = (acc * 31 + ord(c)) % P
+                    th.append(acc)
+                h = np.asarray(th, dtype=np.int64)[:, None]
+                votes = (2 * ((h >> shifts) & 1) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.int64) << shifts).sum())
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return barrier(df.select(id_col, text_col)).mapInPandas(_batches, out_schema)
 
 
 def ngram_jaccard_pairs(

@@ -33,3 +33,11 @@ def test_rag_arrow_matches_sql(spark):
     fast = [tuple(r) for r in registry()["rag_semantic_search"].spark(spark, SF).collect()]
     slow = [tuple(r) for r in DQ.rag_semantic_search_sql_path(spark, SF).collect()]
     assert fast == slow and len(fast) > 0
+
+
+def test_simhash_arrow_matches_sql(spark):
+    docs = load_table(spark, SF, "documents")
+    fast = dedup.simhash_docs(docs, "text", "doc_id", engine="arrow")
+    slow = dedup.simhash_docs(docs, "text", "doc_id", engine="sql")
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
