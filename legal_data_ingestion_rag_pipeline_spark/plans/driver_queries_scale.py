@@ -268,6 +268,73 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exists_subquery_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+    doc="correlated EXISTS subquery: Catalyst decorrelates it into a "
+    "left-semi hash join (no per-row subquery execution — the plan the "
+    "reference's Postgres would also pick). Declared via spark.sql to "
+    "exercise the SQL front-end alongside the DataFrame API.",
+)
+def exists_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "fuzzy_nation_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+    FROM nation a JOIN nation b
+      ON a.n_name < b.n_name
+     AND abs(length(a.n_name) - length(b.n_name)) <= 1
+    WHERE levenshtein(a.n_name, b.n_name) <= 3
+    ORDER BY dist, name_a, name_b
+    """,
+    doc="fuzzy entity matching (the name-variation concern of the "
+    "reference's dims, done approximately): candidate pairs blocked by "
+    "length-difference <= 1 before the Levenshtein filter — at scale "
+    "the blocking key (length, first char, or a phonetic code) bounds "
+    "the join fan-out; edit distance only runs inside blocks.",
+)
+def fuzzy_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    pairs = a.join(
+        b,
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 1
+        ),
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+@register(
     "semistructured_props_stats",
     oracle="""
     SELECT event_type,
