@@ -126,6 +126,51 @@ def extract_features(
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: binary in -> binary out with updated meta, via
+    Arrow-batched mapInPandas. The real resizer (PIL/cv2) drops into
+    `resize_fn` (bytes, w, h) -> bytes; the default is a clearly-fake
+    deterministic stand-in (truncate/cycle the payload to w*h bytes)
+    that keeps schemas, batching, and meta rewriting real and testable
+    in this codec-free image.
+    """
+
+    def _fake_resize(content: bytes, w: int, h: int) -> bytes:
+        if not content:
+            return b"\x00" * (w * h)
+        reps = (w * h + len(content) - 1) // len(content)
+        return (content * reps)[: w * h]
+
+    fn = resize_fn or _fake_resize
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = pdf.copy()
+            out["content"] = [
+                fn(bytes(c) if c is not None else b"", width, height)
+                for c in pdf["content"]
+            ]
+            out["meta"] = [
+                {
+                    "mime": (m or {}).get("mime"),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(_batches, MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,

@@ -79,3 +79,16 @@ def test_percentile_round6_is_double(spark):
     df = registry()["percentile_extendedprice"].spark(spark, SF)
     kinds = dict(df.dtypes)
     assert kinds["p50"] == "double" and kinds["p99"] == "double"
+
+
+def test_resize_media_plumbing(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    media = synthetic_media_from_documents(load_table(spark, SF, "documents"))
+    out = resize_media(media, width=8, height=4).limit(5).collect()
+    for r in out:
+        assert len(r.content) == 32
+        assert r.meta.width == 8 and r.meta.height == 4
+        assert r.meta.mime == "application/octet-stream"
