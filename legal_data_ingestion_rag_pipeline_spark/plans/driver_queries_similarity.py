@@ -630,3 +630,81 @@ def rag_semantic_search_sql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "doc_id")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: the training-data story query — quality score +
+# language ID + exact dedup composed into one selection pass.
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, text, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(toks, t -> t in ({', '.join("'" + w + "'" for w in TS.EN_STOPWORDS)})))
+               / greatest(len(toks), 1) AS stopword_ratio,
+             {PT.reduce_(PT.transform('toks', 't -> CAST(length(t) AS BIGINT)', D), 'CAST(0 AS BIGINT)', '(acc, x) -> acc + x', D)}
+               / greatest(len(toks), 1) AS mean_word_len
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, toks,
+             {PT.round6('''0.35 * least(n_tokens / 64.0, 1.0)
+                 + 0.25 * least(stopword_ratio * 4.0, 1.0)
+                 + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))''', D)} AS quality
+      FROM m
+    ),
+    l AS (
+      SELECT doc_id, list_sort([{_LANG_STRUCTS}]) AS ranked FROM q
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN ranked[1].neg < 0 THEN ranked[1].lang ELSE 'und' END AS predicted
+      FROM l
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT q.doc_id, lang.predicted AS lang_pred, q.quality
+    FROM q
+    JOIN lang USING (doc_id)
+    JOIN keep USING (doc_id)
+    WHERE q.quality >= 0.5 AND lang.predicted = 'en'
+    ORDER BY q.doc_id
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    bench=True,
+    doc="end-to-end training-data curation: quality scoring (Arrow "
+    "fast path) + stopword language ID + exact dedup composed into one "
+    "selection — keep English docs with quality >= 0.5, one "
+    "representative per identical text. The composition is one join "
+    "tree over three map-side passes plus the dedup groupBy; at "
+    "100 TB each stage stays shuffle-disciplined (dedup on the "
+    "uniform content hash is the only wide op).",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = barrier(_t(spark, sf_dir, "documents"))
+    quality = TS.quality_stats_arrow(docs, "text", "doc_id").select(
+        "doc_id", "quality"
+    )
+    lang = docs.withColumn("tokens", F.expr(PT.tokens("text", S))).select(
+        "doc_id", TS.lang_id("tokens").alias("lang_pred")
+    )
+    keep = dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        quality.join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "lang_pred", "quality")
+        .orderBy("doc_id")
+    )
