@@ -182,6 +182,61 @@ def quality_stats_arrow(df, text_col: str, id_col: str):
     return df.select(id_col, text_col).mapInPandas(_batches, schema)
 
 
+def curation_stats_arrow(df, text_col: str, id_col: str):
+    """One Arrow pass emitting (id, quality, lang_pred) — the fused
+    form of quality_stats_arrow + lang_id for selection pipelines.
+    Bit-identical to the expression specs: same quality arithmetic,
+    same stopword-evidence argmax with (score desc, lang asc)
+    tie-break, 'und' when no evidence."""
+    import math
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"\s+")
+    punct = set(".,;:!?'\"()[]-")
+    stops = set(EN_STOPWORDS)
+    lang_sets = {lang: set(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = sorted(lang_sets)
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("quality", T.DoubleType(), True),
+            T.StructField("lang_pred", T.StringType(), True),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                toks = [w for w in ws.split(t.lower()) if w]
+                n_tok = len(toks)
+                pr = sum(1 for c in t if c in punct) / max(len(t), 1)
+                sw = sum(1 for w in toks if w in stops) / max(n_tok, 1)
+                mwl = sum(len(w) for w in toks) / max(n_tok, 1)
+                q = _r6(
+                    0.35 * min(n_tok / 64.0, 1.0)
+                    + 0.25 * min(sw * 4.0, 1.0)
+                    + 0.2 * (1.0 if 3 <= mwl <= 10 else 0.5)
+                    + 0.2 * (1.0 - min(pr * 4.0, 1.0))
+                )
+                neg, lang = min(
+                    (-sum(1 for w in toks if w in lang_sets[lg]), lg)
+                    for lg in langs
+                )
+                rows.append((doc_id, q, lang if neg < 0 else "und"))
+            yield pd.DataFrame(rows, columns=[id_col, "quality", "lang_pred"])
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
 def fingerprint(text_col: str, shingle: int = 8) -> Column:
     """Winnowing-style document fingerprint: min polynomial hash over
     character shingles.  Portable with the DuckDB oracle."""

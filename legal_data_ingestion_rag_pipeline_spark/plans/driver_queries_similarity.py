@@ -692,18 +692,12 @@ _CURATION_ORACLE = f"""
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = barrier(_t(spark, sf_dir, "documents"))
-    quality = TS.quality_stats_arrow(docs, "text", "doc_id").select(
-        "doc_id", "quality"
-    )
-    lang = docs.withColumn("tokens", F.expr(PT.tokens("text", S))).select(
-        "doc_id", TS.lang_id("tokens").alias("lang_pred")
-    )
+    stats = TS.curation_stats_arrow(docs, "text", "doc_id")
     keep = dedup.exact_dedup(docs, ["text"], "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
     return (
-        quality.join(lang, "doc_id")
-        .join(keep, "doc_id")
+        stats.join(keep, "doc_id")
         .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
         .select("doc_id", "lang_pred", "quality")
         .orderBy("doc_id")
