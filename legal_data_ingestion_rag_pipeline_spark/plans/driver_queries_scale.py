@@ -268,6 +268,64 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_state",
+    oracle="""
+    WITH batch AS (
+      -- updates: every 10th customer gets +100 balance; inserts: the
+      -- same keys shifted by 1,000,000
+      SELECT c_custkey, CAST(c_acctbal + 100 AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey,
+           coalesce(b.c_acctbal, CAST(c.c_acctbal AS DOUBLE)) AS c_acctbal,
+           (b.c_custkey IS NOT NULL AND c.c_custkey IS NULL) AS was_inserted
+    FROM customer c FULL OUTER JOIN batch b USING (c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="S3 fact upsert hash-gated end-to-end: merge_upsert (the Delta "
+    "MERGE fallback — anti-join keep + union) applied to a synthetic "
+    "batch of updates and inserts; the oracle is the equivalent FULL "
+    "OUTER merge. One key shuffle per side, metrics from two counts "
+    "(Delta operationMetrics in a real deployment).",
+)
+def merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    tenth = cust.filter(F.col("c_custkey") % 10 == 0)
+    batch = (
+        tenth.select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            tenth.select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("_seq", F.monotonically_increasing_id())
+    )
+    result = merge_upsert(cust, batch, ["c_custkey"], "_seq", touch_col=None)
+    inserted_keys = batch.join(cust.select("c_custkey"), "c_custkey", "left_anti")
+    return (
+        result.merged.join(
+            inserted_keys.select("c_custkey").withColumn("was_inserted", F.lit(True)),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce("was_inserted", F.lit(False)).alias("was_inserted"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "exists_subquery_big_spenders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
