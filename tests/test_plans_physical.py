@@ -123,3 +123,24 @@ def test_bucketed_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """SURVEY §4 / T14: a table written partitioned by day is pruned at
+    the source when filtered on the partition column (the fix for the
+    year(filed_date)=y anti-pattern)."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:120]
+    n_days = ev.select("day").distinct().count()
+    # pruned scan must read exactly the one partition's rows
+    assert back.count() == ev.filter(F.col("day") == "2024-01-05").count()
+    assert n_days > 1
