@@ -285,6 +285,7 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < DATE '1997-01-01'
     GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
+    bench=True,
     doc="TPC-H Q5 shape: six-table join with a same-nation "
     "customer/supplier equi-condition. region/nation/supplier/customer "
     "broadcast (each far under the threshold); the only big shuffle is "
