@@ -254,3 +254,35 @@ def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         prev.cast("double").alias("prev_purchase_value"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "moving_avg_3rows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                / count(*) OVER w AS DOUBLE) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="bounded sliding frame (W1 extension): 3-row moving average "
+    "per user — ROWS BETWEEN 2 PRECEDING AND CURRENT ROW. The frame "
+    "variant the unbounded running total doesn't cover; decimal frame "
+    "sums divided by frame counts keep the oracle exact.",
+)
+def moving_avg_3rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+    n = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (s / n).cast("double").alias("mov_avg"),
+    ).orderBy("user_id", "event_id")
