@@ -241,11 +241,12 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY source ORDER BY source
     """,
     doc="sketch guard: exact ndv next to approx_count_distinct "
-    "(HyperLogLog++, rsd 2%%), asserting the sketch lands within 5%% — "
-    "the check itself is part of the result so the oracle gate "
-    "verifies the sketch's accuracy contract. At 100 TB only the "
-    "sketch runs (mergeable, constant memory); the exact path is the "
-    "small-scale audit.",
+    "(HyperLogLog++, rsd 2%), asserting the sketch lands within "
+    "max(5%, ±2) — the absolute slack covers tiny cardinalities where "
+    "a single-unit HLL wobble exceeds 5%. The check itself is part of "
+    "the result, so the oracle gate verifies the sketch's accuracy "
+    "contract. At 100 TB only the sketch runs (mergeable, constant "
+    "memory); the exact path is the small-scale audit.",
 )
 def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -260,7 +261,7 @@ def approx_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_ndv",
             (
                 F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
-                <= 0.05 * F.col("exact_ndv")
+                <= F.greatest(0.05 * F.col("exact_ndv"), F.lit(2.0))
             ).alias("approx_within_5pct"),
         )
         .orderBy("source")
