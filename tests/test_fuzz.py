@@ -1,0 +1,129 @@
+"""Seeded-fuzz equivalence: the Spark expression operators vs tiny
+pure-Python reference implementations, batched through one DataFrame
+pass per operator (hundreds of random cases per run, fixed seed)."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.functions.chunking import chunk_text
+from legal_data_ingestion_rag_pipeline_spark.functions.dates import parse_date_multi
+
+SEED = 20260813
+
+
+def _py_chunks(text: str, size: int, overlap: int) -> list[tuple[int, str]]:
+    """Reference chunker semantics (rag.py:44-69): fixed windows at
+    stride = size-overlap, strip, skip empties, renumber."""
+    if not text:
+        return []
+    size = max(1, size)
+    overlap = max(0, min(overlap, size - 1))
+    stride = size - overlap
+    n = len(text)
+    k = 1 + max(math.ceil((n - size) / stride), 0)
+    out, cid = [], 0
+    for i in range(k):
+        c = text[i * stride : i * stride + size].strip(" ")
+        if c == "":
+            continue
+        out.append((cid, c))
+        cid += 1
+    return out
+
+
+def test_fuzz_chunker_matches_python_reference(spark):
+    rng = random.Random(SEED)
+    alphabet = "ab c  dé ."  # includes runs of spaces + non-ascii
+    cases = []
+    for i in range(300):
+        n = rng.randint(0, 80)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        cases.append((i, text))
+    size, overlap = 12, 5
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_text(df, size=size, overlap=overlap).collect()
+    }
+    expected = {}
+    for i, text in cases:
+        for cid, c in _py_chunks(text, size, overlap):
+            expected[(i, cid)] = c
+    assert got == expected
+
+
+def test_fuzz_date_parser_vs_python_strptime(spark):
+    """Random (y, m, d) incl. invalid combos across the 5 accepted
+    format families; Spark's strict parser must agree with Python's
+    datetime validity check."""
+    import datetime as dt
+
+    rng = random.Random(SEED)
+    fmts = [
+        lambda y, m, d: f"{y}-{m}-{d}",
+        lambda y, m, d: f"{m}-{d}-{y}",
+        lambda y, m, d: f"{m}/{d}/{y}",
+    ]
+    cases = []
+    for i in range(300):
+        y = rng.randint(1990, 2030)
+        m = rng.randint(0, 14)
+        d = rng.randint(0, 33)
+        raw = fmts[rng.randrange(len(fmts))](y, m, d)
+        try:
+            dt.date(y, m, d)
+            valid = True
+        except ValueError:
+            valid = False
+        cases.append((i, raw, valid, y, m, d))
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, *_ in cases], "i long, raw string"
+    )
+    got = {
+        r.i: r.parsed
+        for r in df.select("i", parse_date_multi("raw").alias("parsed")).collect()
+    }
+    for i, raw, valid, y, m, d in cases:
+        if valid:
+            assert got[i] is not None and (got[i].year, got[i].month, got[i].day) == (
+                y, m, d,
+            ), (raw, got[i])
+        else:
+            assert got[i] is None, (raw, got[i])
+
+
+def test_fuzz_poly_hash_spark_vs_duckdb(spark):
+    """The portable polynomial hash must be bit-identical across
+    engines on random unicode-ish strings (the assumption every
+    MinHash/SimHash/fingerprint oracle rests on)."""
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+
+    rng = random.Random(SEED)
+    alphabet = "abcXYZ019 .;éü"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r.i: r.h
+        for r in df.select(
+            "i", F.expr(PT.poly_hash("s", PT.SPARK)).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expected = dict(
+        con.execute(
+            f"SELECT i, {PT.poly_hash('s', PT.DUCKDB)} FROM t"
+        ).fetchall()
+    )
+    assert got == expected
