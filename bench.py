@@ -16,6 +16,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F  # noqa: E402
 from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry  # noqa: E402
 from legal_data_ingestion_rag_pipeline_spark.session import build_session  # noqa: E402
 
@@ -26,6 +27,17 @@ def main() -> None:
     # rough scale factor from the directory name (sf0.1 -> 0.1)
     tail = Path(sf_dir).name
     sf = float(tail[2:]) if tail.startswith("sf") else None
+
+    # Warm the session (scheduler, shuffle service, Python workers,
+    # Arrow) so the FIRST timed query doesn't absorb one-off session
+    # costs a long-lived cluster never re-pays. Per-query codegen is
+    # still paid inside each timing.
+    spark.range(100_000).repartition(8).groupBy((F.col("id") % 7).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.createDataFrame([(1, "warm")], "i long, s string").mapInPandas(
+        lambda it: it, "i long, s string"
+    ).write.format("noop").mode("overwrite").save()
 
     specs = [s for s in registry().values() if s.bench]
     timings: dict[str, float] = {}
