@@ -90,19 +90,27 @@ def cmd_rag(spark: SparkSession, args) -> int:
     if args.rag_cmd == "backfill":
         existing = store.read("case_chunk_embeddings") if store.exists("case_chunk_embeddings") else None
         chunks = backfill_chunk_embeddings(tables["cases"], existing, embedder)
+        # materialize before the swap: the lineage reads the files the
+        # swap is about to delete, so a post-write count would reread
+        # deleted parts (and re-run the whole embed pipeline anyway)
+        chunks = chunks.localCheckpoint(eager=True)
         store.write("case_chunk_embeddings", chunks)
         print(json.dumps({"chunks": chunks.count()}))
         return 0
     if not store.exists("case_chunk_embeddings"):
         print(json.dumps({"error": "no embeddings — run backfill first"}))
         return 1
-    hits = search_dockets(
-        tables,
-        store.read("case_chunk_embeddings"),
-        args.q,
-        top_k=args.k,
-        embedder=embedder,
-    )
+    try:
+        hits = search_dockets(
+            tables,
+            store.read("case_chunk_embeddings"),
+            args.q,
+            top_k=args.k,
+            embedder=embedder,
+        )
+    except ValueError as e:  # request-bound violations -> 400 contract
+        print(json.dumps({"error": str(e)}))
+        return 1
     for row in hits.collect():
         print(json.dumps(row.asDict(), default=str))
     return 0
@@ -133,7 +141,9 @@ def cmd_quality(spark: SparkSession, args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="legal_data_ingestion_rag_pipeline_spark")
-    p.add_argument("--store", default="./warehouse", help="parquet table store root")
+    # NOTE: --store lives on each subcommand only; a top-level --store
+    # would be silently clobbered by the subparser's default (argparse
+    # copies subparser defaults over parent-provided values).
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("ingest")

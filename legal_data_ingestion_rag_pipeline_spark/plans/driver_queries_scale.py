@@ -436,27 +436,37 @@ def exists_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY dist, name_a, name_b
     """,
     doc="fuzzy entity matching (the name-variation concern of the "
-    "reference's dims, done approximately): candidate pairs blocked by "
-    "length-difference <= 1 before the Levenshtein filter — at scale "
-    "the blocking key (length, first char, or a phonetic code) bounds "
-    "the join fan-out; edit distance only runs inside blocks.",
+    "reference's dims, done approximately): a true EQUI blocking key — "
+    "one side explodes to its length +-1 bucket, the other joins on "
+    "exact length — so the plan is a hash join whose fan-out is "
+    "bounded by block size; edit distance only runs inside blocks. "
+    "(An inequality-only 'block' would plan as a nested-loop over "
+    "n^2 pairs.)",
 )
 def fuzzy_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_name")
-    a = n.select(F.col("n_name").alias("name_a"))
-    b = n.select(F.col("n_name").alias("name_b"))
-    pairs = a.join(
-        b,
-        (F.col("name_a") < F.col("name_b"))
-        & (
-            F.abs(F.length("name_a") - F.length("name_b")) <= 1
+    a = n.select(
+        F.col("n_name").alias("name_a"), F.length("n_name").alias("blk")
+    )
+    # each b-name posts to blocks len-1, len, len+1; a matches on its
+    # exact length, so every |len diff|<=1 pair meets in EXACTLY one block
+    b = n.select(F.col("n_name").alias("name_b")).withColumn(
+        "blk",
+        F.explode(
+            F.array(
+                F.length("name_b") - 1,
+                F.length("name_b"),
+                F.length("name_b") + 1,
+            )
         ),
     )
+    pairs = a.join(b, "blk").filter(F.col("name_a") < F.col("name_b"))
     return (
         pairs.withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("bigint")
         )
         .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
         .orderBy("dist", "name_a", "name_b")
     )
 

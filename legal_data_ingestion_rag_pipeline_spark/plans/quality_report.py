@@ -140,20 +140,33 @@ def report(
     since: str | None = None,
 ) -> dict:
     """Full report + threshold verdict (reference exit-code logic;
-    run_id/since mirror data_quality.py's --run-id/--since scoping)."""
+    run_id/since mirror data_quality.py's --run-id/--since scoping).
+
+    Scoping applies to every RUN-derived section (totals, error
+    breakdowns, daily series) and therefore to the failed% verdict;
+    table-state sections (completeness, normalization, coverage) are
+    properties of the standing tables and stay global — a run filter
+    cannot attribute table rows to runs.
+    """
+    runs = tables["ingest_runs"]
+    errors = tables["ingest_errors"]
+    if run_id is not None:
+        runs = runs.filter(F.col("run_id") == run_id)
+        errors = errors.filter(F.col("run_id") == run_id)
+    if since is not None:
+        runs = runs.filter(F.col("started_at") >= F.lit(since).cast("timestamp"))
+        errors = errors.join(F.broadcast(runs.select("run_id")), "run_id")
     sections = {
-        "run_totals": run_totals(tables["ingest_runs"]),
-        "error_breakdown": error_breakdown(
-            tables["ingest_errors"], tables["ingest_runs"], run_id, since
-        ),
-        "bad_date_errors": bad_date_errors(tables["ingest_errors"]),
+        "run_totals": run_totals(runs),
+        "error_breakdown": error_breakdown(errors),
+        "bad_date_errors": bad_date_errors(errors),
         "completeness": completeness(tables["cases"]),
         "date_sanity": date_sanity(tables["cases"]),
         "courts_normalization": normalization_sanity(tables["courts"]),
         "judges_normalization": normalization_sanity(tables["judges"]),
         "parties_coverage": parties_coverage(tables["cases"], tables["case_parties"]),
         "role_histogram": role_histogram(tables["case_parties"]),
-        "daily_series": daily_series(tables["ingest_runs"]),
+        "daily_series": daily_series(runs),
     }
     totals = sections["run_totals"].collect()[0]
     comp = sections["completeness"].collect()[0]

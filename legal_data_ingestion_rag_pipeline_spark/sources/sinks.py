@@ -86,13 +86,19 @@ class ParquetStore:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(str(self.path(table)))
 
-    def write(self, table: str, df: DataFrame) -> None:
+    def _stage(self, table: str, df: DataFrame) -> Path:
         stage = self.root / f"{table}.__stage__"
         df.write.mode("overwrite").parquet(str(stage))
+        return stage
+
+    def _swap(self, table: str, stage: Path) -> None:
         target = self.path(table)
         if target.exists():
             shutil.rmtree(target)
         stage.rename(target)
+
+    def write(self, table: str, df: DataFrame) -> None:
+        self._swap(table, self._stage(table, df))
 
     def write_all(self, tables: dict[str, DataFrame]) -> None:
         """Stage EVERY table, then swap EVERY table.
@@ -102,14 +108,16 @@ class ParquetStore:
         cases); swapping per-table would delete files that a later
         still-lazy plan needs. Two phases make the whole batch
         all-stage-then-all-swap — the parquet analog of a Delta
-        multi-table transaction commit."""
+        multi-table transaction commit. If any stage write fails, the
+        already-staged directories are cleaned up and no swap happens.
+        """
         staged: dict[str, Path] = {}
-        for name, df in tables.items():
-            stage = self.root / f"{name}.__stage__"
-            df.write.mode("overwrite").parquet(str(stage))
-            staged[name] = stage
+        try:
+            for name, df in tables.items():
+                staged[name] = self._stage(name, df)
+        except BaseException:
+            for stage in staged.values():
+                shutil.rmtree(stage, ignore_errors=True)
+            raise
         for name, stage in staged.items():
-            target = self.path(name)
-            if target.exists():
-                shutil.rmtree(target)
-            stage.rename(target)
+            self._swap(name, stage)

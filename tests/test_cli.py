@@ -32,6 +32,17 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     chunks = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert chunks["chunks"] > 0
 
+    # second backfill: reads the table it rewrites — must not crash on
+    # the swapped files, and must not double-count
+    assert cli.main(["rag", "backfill", "--store", store]) == 0
+    chunks2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert chunks2["chunks"] == chunks["chunks"]
+
+    # out-of-bounds search -> JSON error + exit 1 (400 contract)
+    assert cli.main(["rag", "search", "--q", "x", "--store", store]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "error" in err
+
     assert cli.main(["rag", "search", "--q", "contract dispute", "--store", store]) == 0
     hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert 0 < len(hits) <= 5

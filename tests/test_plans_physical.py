@@ -80,6 +80,14 @@ def test_range_join_is_hash_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fuzzy_match_blocks_with_equi_key(spark):
+    # the blocked Levenshtein join must be a hash join on the length
+    # block, never a nested-loop over all pairs
+    plan = plan_of(spark, "fuzzy_nation_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_join_keyed_on_band(spark):
     # the LSH self-join must key on (band_idx, band_sig), not explode
     # into a cross product

@@ -43,11 +43,24 @@ def test_salted_join_spreads_build_side(spark):
 
 
 def test_deterministic_sample_stable_across_repartition(spark):
-    q = registry()["deterministic_sample"].spark
-    a = {r.doc_id for r in q(spark, SF).collect()}
-    docs = load_table(spark, SF, "documents").repartition(7)
-    docs.createOrReplaceTempView("_resampled")
-    b = {r.doc_id for r in q(spark, SF).collect()}
+    """The sample must be a pure function of the content: the SAME
+    bucket expression over a differently-partitioned input selects the
+    SAME documents (a rand()-based sample would not)."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+
+    bucket = F.expr(PT.poly_hash("text", PT.SPARK)) % 100
+    docs = load_table(spark, SF, "documents")
+    a = {
+        r.doc_id
+        for r in docs.withColumn("b", bucket).filter(F.col("b") < 10).collect()
+    }
+    b = {
+        r.doc_id
+        for r in docs.repartition(7)
+        .withColumn("b", bucket)
+        .filter(F.col("b") < 10)
+        .collect()
+    }
     assert a == b and len(a) > 0
 
 
