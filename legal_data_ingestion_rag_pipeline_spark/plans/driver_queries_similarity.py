@@ -702,3 +702,53 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "quality")
         .orderBy("doc_id")
     )
+
+
+_WINNOW_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, {PT.hash_array(PT.char_ngrams('text', 8, D), D)} AS gh
+      FROM documents WHERE length(text) >= 8
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(gh) - 4 + 2),
+                              i -> list_min(list_slice(gh, i, i + 4 - 1)))
+             )) AS fingerprints
+      FROM g WHERE len(gh) >= 4
+    )
+    SELECT doc_id, fingerprints,
+           CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
+    FROM w ORDER BY doc_id
+"""
+
+
+@register(
+    "fingerprint_winnowing",
+    oracle=_WINNOW_ORACLE,
+    doc="true winnowing (Schleimer et al.): min hash of every "
+    "sliding window (w=4) over char-8-gram hashes, deduplicated — "
+    "guarantees a shared fingerprint for any sufficiently long common "
+    "substring, unlike the single global min. Map-side only; the "
+    "fingerprint set (~2m/w values) is what a plagiarism/near-dup "
+    "index would shuffle, not the text.",
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = 4
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    g = barrier(
+        docs.withColumn(
+            "gh", F.expr(PT.hash_array(PT.char_ngrams("text", 8, S), S))
+        ).filter(F.size("gh") >= w)
+    )
+    mins = F.expr(
+        f"transform(sequence(1, size(gh) - {w} + 1), i -> array_min(slice(gh, i, {w})))"
+    )
+    return (
+        g.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+        )
+        .withColumn("n_fingerprints", F.size("fingerprints").cast("bigint"))
+        .orderBy("doc_id")
+    )
