@@ -611,3 +611,110 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative algorithm: 2 Lloyd iterations of k-means over embeddings,
+# deterministic init (first-k vectors), hash-gated via an unrolled oracle.
+# ---------------------------------------------------------------------------
+
+def _assign_sql(vec_table: str, cent_table: str) -> str:
+    """DuckDB: nearest centroid by max dot (unit-ish vectors), ties to
+    the lowest centroid_id."""
+    dot = PT.dot_double("e.embedding", "c.c_vec", D)
+    return f"""
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dot} DESC, c.centroid_id) AS rn
+        FROM {vec_table} e, {cent_table} c) t
+      WHERE rn = 1
+    """
+
+
+def _means_sql(assign: str) -> str:
+    """DuckDB: per-centroid mean vector, decimal sums + round6 (the
+    bit-stable recipe from embedding_label_centroids)."""
+    return f"""
+      SELECT centroid_id,
+             array_agg(m ORDER BY pos) AS c_vec
+      FROM (
+        SELECT centroid_id, pos,
+               {PT.round6('CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / count(*)', D)} AS m
+        FROM (
+          SELECT a.centroid_id, unnest(e.embedding) AS val,
+                 unnest(range(0, len(e.embedding))) AS pos
+          FROM ({assign}) a JOIN embeddings e USING (vec_id)
+        ) x GROUP BY centroid_id, pos
+      ) y GROUP BY centroid_id
+    """
+
+
+_KMEANS_ORACLE = f"""
+    WITH c0 AS (
+      SELECT vec_id AS centroid_id, embedding AS c_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    a1 AS ({_assign_sql('embeddings', 'c0')}),
+    c1 AS ({_means_sql('SELECT * FROM a1')}),
+    a2 AS ({_assign_sql('embeddings', 'c1')})
+    SELECT centroid_id, count(*) AS n_members
+    FROM a2 GROUP BY centroid_id ORDER BY centroid_id
+"""
+
+
+def _assign_spark(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    dot = F.expr(PT.dot_double("embedding", "c_vec", S))
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("_sim", dot)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def _means_spark(assign: DataFrame, vecs: DataFrame) -> DataFrame:
+    pos = assign.join(vecs, "vec_id").select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    agg = pos.groupBy("centroid_id", "pos").agg(
+        F.sum(F.col("val").cast("double").cast("decimal(27,10)"))
+        .cast("double")
+        .alias("s"),
+        F.count("*").alias("c"),
+    )
+    agg = agg.withColumn("m", F.expr(PT.round6("s / c", S)))
+    return agg.groupBy("centroid_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+            "c_vec"
+        )
+    )
+
+
+@register(
+    "kmeans_two_iterations",
+    oracle=_KMEANS_ORACLE,
+    doc="iterative algorithm (Lloyd's k-means, k=8, 2 iterations) as a "
+    "DataFrame loop: broadcast-centroid assignment (argmax dot) -> "
+    "decimal-exact mean recomputation -> re-assignment; deterministic "
+    "first-k init makes the whole trajectory hash-checkable against an "
+    "unrolled SQL oracle. The per-iteration plan is the IVF training "
+    "step: one narrow pass + a (k x dims)-sized shuffle, independent "
+    "of corpus size — at 100 TB, iterations cost scans, not state.",
+)
+def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    a1 = _assign_spark(e, c0)
+    c1 = _means_spark(a1, e)
+    a2 = _assign_spark(e, c1)
+    return (
+        a2.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("centroid_id")
+    )
