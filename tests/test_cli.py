@@ -53,6 +53,19 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] is False and rep["failed_pct"] == 60.0
 
+    # a clean third run (good records only): --run-id scoping must show
+    # THAT run's failed% = 0, not the global 60%
+    good = tmp_path / "good.json"
+    good.write_text(
+        json.dumps([d for d in DOCKETS if d.get("case_number") and d.get("court")][:3])
+    )
+    assert cli.main(["ingest", "--file", str(good), "--store", store]) in (0, 1)
+    run3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rid = run3["run_id"]
+    cli.main(["quality", "--run-id", str(rid), "--store", store])
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["failed_pct"] == run3["summary"]["failed"] * 100.0 / run3["summary"]["read"]
+
 
 def test_cli_selftest(spark, capsys):
     assert cli.main(["ingest", "--selftest"]) == 0
