@@ -752,3 +752,53 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_fingerprints", F.size("fingerprints").cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    h AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes
+          FROM t WHERE len(toks) > 0),
+    s AS (SELECT doc_id, {PT.simhash_from_hashes('tok_hashes', 30, D)} AS simhash
+          FROM h),
+    b AS (SELECT doc_id, simhash, simhash // 1048576 AS bucket FROM s)
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= 6
+    ORDER BY hamming, id_a, id_b LIMIT 100
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    doc="SimHash near-dup FIND step: bucket by the top-10-bit prefix "
+    "(signatures within small Hamming distance usually share it), "
+    "equi-join inside buckets only, then the exact bit_count(xor) "
+    "filter. The prefix join is the hash-join analog of LSH banding — "
+    "pair generation is bounded by bucket size, never n^2. (Multi-"
+    "rotation bucketing recovers the recall a single prefix misses.)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_docs(docs, "text", "doc_id", bits=30).withColumn(
+        "bucket", F.expr("simhash div 1048576")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(100)
+    )
