@@ -35,6 +35,25 @@ def test_rag_arrow_matches_sql(spark):
     assert fast == slow and len(fast) > 0
 
 
+def test_curation_arrow_matches_expression_specs(spark):
+    """Fused quality+lang pass == quality_stats_arrow + lang_id
+    expression, column by column."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.functions import textstats as TS
+
+    docs = load_table(spark, SF, "documents")
+    fused = TS.curation_stats_arrow(docs, "text", "doc_id")
+    q = TS.quality_stats_arrow(docs, "text", "doc_id").select("doc_id", "quality")
+    lang = docs.withColumn(
+        "tokens", F.expr(PT.tokens("text", PT.SPARK))
+    ).select("doc_id", TS.lang_id("tokens").alias("lang_pred"))
+    spec = q.join(lang, "doc_id").select("doc_id", "quality", "lang_pred")
+    assert fused.exceptAll(spec).count() == 0
+    assert spec.exceptAll(fused).count() == 0
+
+
 def test_simhash_arrow_matches_sql(spark):
     docs = load_table(spark, SF, "documents")
     fast = dedup.simhash_docs(docs, "text", "doc_id", engine="arrow")
