@@ -718,3 +718,50 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("centroid_id")
     )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: aggregate + HAVING over the order join, "
+    "top-20. Catalyst runs HAVING as a post-aggregation filter on the "
+    "already-shuffled groups — at 100 TB the partial aggregation and "
+    "the quantity threshold together shrink the data before any "
+    "further join or sort.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = (
+        j.groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q")
+        )
+        .filter(F.col("_q") > 250)
+    )
+    return (
+        agg.select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
