@@ -802,3 +802,85 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id_a", "id_b")
         .limit(100)
     )
+
+
+_DOT_EC = PT.dot_double("e.embedding", "c.c_vec", D)
+_DOT_QC = PT.dot_double("q.q_vec", "c.c_vec", D)
+_DOT_EQ = PT.dot_double("e.embedding", "qc.q_vec", D)
+
+_IVF_RECALL_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC} DESC, c.centroid_id) AS rn
+        FROM embeddings e, c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    qc AS (
+      SELECT q_id, q_vec, centroid_id FROM (
+        SELECT q.q_id, q.q_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_DOT_QC} DESC, c.centroid_id) AS rn
+        FROM q, c) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT qc.q_id, e.vec_id, {_DOT_EQ} AS sim
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN qc ON a.centroid_id = qc.centroid_id
+    ),
+    ivf AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS rn
+              FROM cand) t WHERE rn <= 10),
+    bf AS (SELECT q_id, vec_id FROM (
+             SELECT q.q_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.q_id
+                                       ORDER BY {PT.dot_double("e.embedding", "q.q_vec", D)} DESC, e.vec_id) AS rn
+             FROM embeddings e, q) t WHERE rn <= 10)
+    SELECT i.q_id,
+           CAST(count(b.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_10
+    FROM ivf i LEFT JOIN bf b ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+    GROUP BY i.q_id ORDER BY i.q_id
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_IVF_RECALL_ORACLE,
+    doc="IVF quality metric, hash-gated: recall@10 of the probes=2 "
+    "approximate search against exact brute force, per query. The "
+    "recall/latency trade the reference exposes as ivfflat probes "
+    "(rag.py:179-181) becomes a measured, oracle-checked number — the "
+    "monitoring query a production ANN deployment runs on a sample.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    ivf = ann.ivf_topk(assigned, centroids, queries, k=10, probes=2).select(
+        "q_id", "vec_id"
+    )
+    bf = ann.brute_force_topk(e, queries, k=10).select(
+        F.col("q_id").alias("b_q"), F.col("vec_id").alias("b_v")
+    )
+    j = ivf.join(
+        bf, (ivf.q_id == bf.b_q) & (ivf.vec_id == bf.b_v), "left"
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            (F.count("b_v").cast("double") / F.lit(10.0)).alias("recall_at_10")
+        )
+        .orderBy("q_id")
+    )
