@@ -106,6 +106,46 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def stream_stream_click_purchase(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks from the preceding hour (the streaming twin of the
+    batch range_join_clicks_before_purchase query).
+
+    Both sides carry watermarks and the join condition bounds click
+    time relative to purchase time, so Spark can expire buffered state:
+    a click older than (purchase watermark - 1h) can never match again.
+    On a finite replay the inner-join output equals the batch range
+    join — the test asserts exactly that.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 def windowed_daily_stats(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """A8 as a streaming aggregation: tumbling 1-day windows with a
     watermark bounding state for late data."""

@@ -131,3 +131,54 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     )
     expected = {r.user_id: (r.ns, r.ne) for r in batch.collect()}
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join over a finite replay must equal
+    the batch range join (inner pairs)."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stream_stream_click_purchase,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    ev.toPandas().to_parquet(
+        str(src / "all.parquet"), coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    out = stream_stream_click_purchase(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("ss_join").collect()
+    }
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    expected = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") < F.col("pts")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
