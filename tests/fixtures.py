@@ -114,3 +114,66 @@ DOCKETS = [
         "status": None,
     },
 ]
+
+
+def make_dirty_dockets(n: int = 500, seed: int = 20260813) -> list[dict]:
+    """Seeded generator of dirty dockets at the reference fixture's
+    scale (502 records): mixed date formats, status case-variants,
+    court spelling variants, duplicate case_numbers, empty judges, and
+    a controlled share of invalid rows."""
+    import random
+
+    rng = random.Random(seed)
+    courts = [
+        "S.D.N.Y.", "S D N Y", "SDNY", "N.D. Cal", "N.D.Cal.", "E.D. Tex",
+        "C.D. Cal", "D. Mass", "D.Mass.", "W.D. Wash",
+    ]
+    judges = ["Hon. Maria Rodriguez", "Judge Sarah Chen", "Justice Lee", ""]
+    statuses = ["Active", "ACTIVE", "active", "Closed", "pending", "Dismissed"]
+    bad_statuses = ["archived", "OPEN"]
+    fmt = [
+        lambda y, m, d: f"{y}-{m:02d}-{d:02d}",
+        lambda y, m, d: f"{m}/{d}/{y}",
+        lambda y, m, d: f"{m}-{d}-{y}",
+    ]
+    out = []
+    for i in range(n):
+        y, m, d = 2020 + rng.randrange(5), rng.randint(1, 12), rng.randint(1, 28)
+        r = rng.random()
+        case_number = f"{1 + i % 9}:{y % 100}-cv-{i:05d}"
+        if r < 0.04:
+            case_number = ""  # MISSING_CASE_NUMBER
+        elif r < 0.06:
+            case_number = None  # UNKNOWN (strip crash)
+        elif r < 0.12:
+            case_number = f"1:21-cv-{rng.randrange(20):05d}"  # dup key
+        filed = fmt[rng.randrange(3)](y, m, d)
+        if rng.random() < 0.05:
+            filed = rng.choice(["13-40-2024", "", "not a date"])  # BAD_DATE
+        status = rng.choice(statuses)
+        if rng.random() < 0.04:
+            status = rng.choice(bad_statuses)  # STATUS_UNMAPPED
+        court = rng.choice(courts)
+        if rng.random() < 0.03:
+            court = ""  # FK_COURT
+        out.append(
+            {
+                "case_number": case_number,
+                "court": court,
+                "title": f"Case {i} v. Corp {i % 37}",
+                "filed_date": filed,
+                "parties": rng.choice(
+                    [
+                        "P One (plaintiff); D One, D Two (defendants)",
+                        "Solo (third_party)",
+                        "A / B",
+                        "X (intervenor) | Y Group (defendant)",
+                    ]
+                ),
+                "case_type": rng.choice(["Civil", "civil", "Employment", None]),
+                "judge": rng.choice(judges),
+                "docket_text": "Filing text. " * rng.randrange(0, 40),
+                "status": status,
+            }
+        )
+    return out

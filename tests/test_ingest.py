@@ -137,3 +137,38 @@ def test_quarantine_shape(spark):
         "run_id", "error_code", "why", "raw", "ts", "record_hash",
     }
     assert all(row.raw is not None for row in rows)
+
+
+def test_ingest_500_dirty_records(spark):
+    """Reference-fixture-scale ingest (502-record analog): counting
+    invariants, idempotent re-run, dim/variation consistency."""
+    from fixtures import make_dirty_dockets
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.ingest import ingest_batch
+    from legal_data_ingestion_rag_pipeline_spark.sources.readers import raw_from_rows
+
+    rows = make_dirty_dockets(500)
+    raw = raw_from_rows(spark, rows)
+    r1 = ingest_batch(spark, raw)
+    c = r1.counts
+    assert c["read"] == 500
+    assert c["read"] == c["inserted"] + c["updated"] + c["failed"]
+    assert 0 < c["failed"] < 150  # dirty but mostly valid
+    tables = {k: v.localCheckpoint(eager=True) for k, v in r1.tables.items()}
+    assert tables["cases"].count() == c["inserted"]
+    # one canonical row per normalized name
+    courts = tables["courts"]
+    assert courts.count() == courts.select("normalized_name").distinct().count()
+    # variation seen_counts cover every row that created/touched a court
+    seen = tables["court_name_variations"].groupBy().sum("seen_count").collect()[0][0]
+    assert seen >= tables["cases"].count()
+
+    # re-run: nothing new, everything updated
+    r2 = ingest_batch(spark, raw_from_rows(spark, rows), existing=tables, run_id=2)
+    assert r2.counts["inserted"] == 0
+    assert r2.counts["updated"] == c["inserted"] + c["updated"]
+    assert r2.counts["failed"] == c["failed"]
+    # ids stable across runs
+    a = {(x.case_number, x.id) for x in tables["cases"].select("case_number", "id").collect()}
+    b = {(x.case_number, x.id) for x in r2.tables["cases"].select("case_number", "id").collect()}
+    assert a == b
