@@ -884,3 +884,49 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(concat_ws(chr(1), CAST(text AS VARCHAR))) AS h,
+             min(doc_id) AS canonical_id
+      FROM documents WHERE doc_id < 250 GROUP BY h
+    ),
+    batch AS (
+      SELECT doc_id, sha256(concat_ws(chr(1), CAST(text AS VARCHAR))) AS h
+      FROM documents WHERE doc_id >= 250
+    )
+    SELECT b.doc_id, c.canonical_id,
+           (c.canonical_id IS NOT NULL) AS is_duplicate
+    FROM batch b LEFT JOIN corpus c USING (h)
+    ORDER BY b.doc_id
+    """,
+    doc="incremental dedup — the production flow: a NEW batch joins "
+    "against the standing corpus's content-hash index instead of "
+    "re-deduping the world. The corpus side is (hash, canonical_id) — "
+    "tiny next to the text — and the join shuffles only the batch; at "
+    "100 TB the hash index is a bucketed table and the batch join is "
+    "shuffle-free on the bucket key.",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = dedup.exact_dedup(
+        docs.filter(F.col("doc_id") < 250), ["text"], "doc_id"
+    ).select(
+        F.col("content_hash").alias("h"), F.col("keep_id").alias("canonical_id")
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id",
+        F.sha2(F.concat_ws("\x01", F.col("text").cast("string")), 256).alias("h"),
+    )
+    return (
+        batch.join(corpus, "h", "left")
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.col("canonical_id").isNotNull().alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
