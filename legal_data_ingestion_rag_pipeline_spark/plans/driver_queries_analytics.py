@@ -311,3 +311,59 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="native session_window aggregation: per-session rows with "
+    "[min_ts, max_ts + gap) bounds — Spark merges events closer than "
+    "the gap into one window at the aggregation layer (no self-join, "
+    "no window-function pre-pass). Same operator runs under "
+    "Structured Streaming with a watermark; the oracle reproduces the "
+    "merge rule with the lag/cumsum construction.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
