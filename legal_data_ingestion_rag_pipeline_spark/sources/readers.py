@@ -48,3 +48,25 @@ def raw_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     data = [tuple(r.get(f) for f in RAW_FIELDS) for r in rows]
     df = spark.createDataFrame(data, RAW_SCHEMA)
     return df.coalesce(1).withColumn("_seq", F.monotonically_increasing_id())
+
+
+def read_raw_dockets_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL (one record per line) variant of the docket reader — the
+    shape a sharded/streaming export lands in. `_seq` is line order
+    within the (single-file) input; multi-file inputs need an explicit
+    sequence column for last-wins (see read_raw_dockets)."""
+    df = spark.read.schema(RAW_SCHEMA).json(path)
+    return df.coalesce(1).withColumn("_seq", F.monotonically_increasing_id())
+
+
+def read_raw_dockets_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV variant (header row; all columns read as strings so the
+    SAME validation/normalization pipeline applies unchanged —
+    schema-on-read stays permissive at the edge for every format)."""
+    df = (
+        spark.read.schema(RAW_SCHEMA)
+        .option("header", True)
+        .option("nullValue", "")
+        .csv(path)
+    )
+    return df.coalesce(1).withColumn("_seq", F.monotonically_increasing_id())

@@ -172,3 +172,46 @@ def test_ingest_500_dirty_records(spark):
     a = {(x.case_number, x.id) for x in tables["cases"].select("case_number", "id").collect()}
     b = {(x.case_number, x.id) for x in r2.tables["cases"].select("case_number", "id").collect()}
     assert a == b
+
+
+def test_format_agnostic_ingest(spark, tmp_path):
+    """JSON array, JSONL, and CSV inputs must produce identical ingest
+    results — the validation pipeline is format-agnostic."""
+    import csv
+    import json
+
+    from fixtures import DOCKETS
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.ingest import ingest_batch
+    from legal_data_ingestion_rag_pipeline_spark.sources.readers import (
+        RAW_FIELDS,
+        read_raw_dockets,
+        read_raw_dockets_csv,
+        read_raw_dockets_jsonl,
+    )
+
+    j = tmp_path / "d.json"
+    j.write_text(json.dumps(DOCKETS))
+    jl = tmp_path / "d.jsonl"
+    jl.write_text("\n".join(json.dumps(d) for d in DOCKETS))
+    cv = tmp_path / "d.csv"
+    with cv.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(RAW_FIELDS))
+        w.writeheader()
+        for d in DOCKETS:
+            w.writerow({k: ("" if d.get(k) is None else d[k]) for k in RAW_FIELDS})
+
+    results = {}
+    for name, df in [
+        ("json", read_raw_dockets(spark, str(j))),
+        ("jsonl", read_raw_dockets_jsonl(spark, str(jl))),
+        ("csv", read_raw_dockets_csv(spark, str(cv))),
+    ]:
+        r = ingest_batch(spark, df)
+        results[name] = (
+            r.counts,
+            sorted(
+                (x.case_number, x.status) for x in r.tables["cases"].collect()
+            ),
+        )
+    assert results["json"] == results["jsonl"] == results["csv"]
