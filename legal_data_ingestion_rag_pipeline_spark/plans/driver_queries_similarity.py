@@ -930,3 +930,72 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: sign-random-projection bucketing for embedding near-dup at
+# scale (the LSH-bucketed variant of dedup_embedding_cosine).
+# ---------------------------------------------------------------------------
+
+def _srp_plane(p: int, dialect: str) -> str:
+    """Deterministic pseudo-hyperplane p: component d is a fixed
+    rational in [-0.5, 0.5) from the portable constant family —
+    identical arithmetic in both engines."""
+    a, b = PT._perm_constants(16)[p]
+    val = f"(CAST(((({a} * (CAST(d AS BIGINT) + {p + 1})) + {b}) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
+    comp = f"CAST({PT.element_at_1based('embedding', 'd + 1', dialect)} AS DOUBLE) * {val}"
+    idx = PT.sequence("0", "63", dialect)
+    prods = PT.transform(idx, f"d -> {comp}", dialect)
+    return PT.reduce_(prods, "CAST(0.0 AS DOUBLE)", "(s, x) -> s + x", dialect)
+
+
+def _srp_bucket(dialect: str, planes: int = 8) -> str:
+    bits = [
+        f"(CASE WHEN ({_srp_plane(p, dialect)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+_SRP_ORACLE = f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_srp_bucket(D)} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket,
+           {PT.dot_double('a.embedding', 'b2.embedding', D)} AS similarity
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ORDER BY similarity DESC, id_a, id_b LIMIT 20
+"""
+
+
+@register(
+    "dedup_embedding_srp_lsh",
+    oracle=_SRP_ORACLE,
+    doc="embedding near-dup at scale: sign-random-projection LSH — 8 "
+    "deterministic hyperplanes give a 256-bucket code; cosine-close "
+    "vectors land in the same bucket with high probability, so exact "
+    "similarity only runs INSIDE buckets (the n^2 cross never exists, "
+    "same discipline as MinHash banding). Multi-table repetition "
+    "recovers recall; the exact dedup_embedding_cosine is the audit.",
+)
+def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    b = barrier(e.withColumn("bucket", F.expr(_srp_bucket(S))))
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    sim = F.expr(PT.dot_double("a.embedding", "b2.embedding", S))
+    return (
+        a.join(
+            b2,
+            (F.col("a.bucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b2.vec_id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            sim.alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), "id_a", "id_b")
+        .limit(20)
+    )
