@@ -367,3 +367,53 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS st
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ct
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s.st
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS pt
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.ct
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc="conversion funnel: first signup -> first later click -> first "
+    "later purchase, per user. Three staged min-aggregations, each "
+    "conditioned on the prior stage's timestamp — shuffles only on "
+    "user_id, and each stage shrinks the key set before the next.",
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )

@@ -999,3 +999,88 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("similarity"), "id_a", "id_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup candidate pairs — the clustering
+# step that turns pairwise dedup hits into keep/drop groups.
+# ---------------------------------------------------------------------------
+
+def _cc_oracle(iters: int) -> str:
+    """Min-label propagation unrolled `iters` times over the MinHash
+    LSH candidate pairs (both directions + self)."""
+    prev = "l0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""l{i} AS (
+      SELECT v.vertex,
+             least(v.label, coalesce(min(n.label), v.label)) AS label
+      FROM {prev} v
+      LEFT JOIN nbr ON nbr.src = v.vertex
+      LEFT JOIN {prev} n ON n.vertex = nbr.dst
+      GROUP BY v.vertex, v.label
+    )"""
+        )
+        prev = f"l{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS ({_MINHASH_ORACLE.replace("LIMIT 20", "")}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
+    nbr AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    verts AS (SELECT DISTINCT src AS vertex FROM nbr),
+    l0 AS (SELECT vertex, vertex AS label FROM verts),
+    {steps_sql}
+    SELECT label AS cluster_id, count(*) AS n_members,
+           min(vertex) AS min_doc, max(vertex) AS max_doc
+    FROM {prev} GROUP BY label ORDER BY cluster_id
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_cc_oracle(5),
+    doc="connected components over the MinHash-LSH candidate pairs "
+    "(min-label propagation, 5 rounds — diameter-bounded on dedup "
+    "graphs, which are near-cliques): pairwise hits become keep/drop "
+    "clusters keyed by the minimum member id. Each round is one "
+    "edge-join + min-aggregate; at 100 TB this is the standard "
+    "large-star/small-star map-reduce CC with the same shuffle shape.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=32, bands=16).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nbr = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nbr.select(F.col("src").alias("vertex")).distinct().withColumn(
+        "label", F.col("vertex")
+    )
+    for _ in range(5):
+        nbr_min = (
+            nbr.join(labels.select(F.col("vertex").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.vertex == nbr_min.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vertex").alias("min_doc"),
+            F.max("vertex").alias("max_doc"),
+        )
+        .select(F.col("label").alias("cluster_id"), "n_members", "min_doc", "max_doc")
+        .orderBy("cluster_id")
+    )
