@@ -121,3 +121,54 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )
+
+
+def mllib_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    threshold: float = 2.0,
+    num_hash_tables: int = 3,
+    bucket_length: float = 2.0,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate top-k — the
+    library-native ANN variant (SURVEY §4: the algorithmic substitute
+    for pgvector's IVFFLAT). approxSimilarityJoin buckets both sides,
+    joins only same-bucket pairs, and the per-query top-k runs on the
+    surviving candidates. Euclidean distance; on unit vectors it is
+    monotone with cosine, so rankings agree with the dot-product path.
+
+    Seeded -> deterministic buckets, but the hash family is MLlib's
+    own (not DuckDB-reproducible) — covered by behavior tests, while
+    the hash-gated IVF path remains the oracle-checked variant.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.withColumn("_v", array_to_vector(corpus_vec))
+    q = queries.withColumn("_v", array_to_vector(query_vec))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v",
+        outputCol="_h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(c)
+    joined = lsh.approxSimilarityJoin(c, q, threshold, distCol="dist")
+    w = Window.partitionBy(f"datasetB.{query_id}").orderBy(
+        F.asc("dist"), F.asc(f"datasetA.{corpus_id}")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(f"datasetB.{query_id}").alias(query_id),
+            F.col(f"datasetA.{corpus_id}").alias(corpus_id),
+            "dist",
+            "rank",
+        )
+    )

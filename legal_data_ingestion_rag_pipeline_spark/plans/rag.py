@@ -55,6 +55,38 @@ class HashEmbedder:
         )
 
 
+class MLlibTfidfEmbedder:
+    """MLlib pipeline embedder (Tokenizer -> HashingTF -> IDF ->
+    Normalizer), the SURVEY §7.3 CI-friendly alternative: JVM-side,
+    deterministic, no Python in the executor path. Same Embedder
+    interface as HashEmbedder/SentenceTransformerEmbedder; the IDF
+    model is fit on the embedded corpus (at scale: fit once on a
+    sample, broadcast, reuse across batches).
+
+    Not DuckDB-reproducible (MLlib's murmur hashing), so gate queries
+    use HashEmbedder; this one is covered by rows/behavior tests.
+    """
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def embed(self, df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
+        from pyspark.ml.feature import IDF, HashingTF, Normalizer, Tokenizer
+        from pyspark.ml.functions import vector_to_array
+
+        tok = Tokenizer(inputCol=text_col, outputCol="_words")
+        tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=self.dim)
+        words = tok.transform(df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+        tfd = tf.transform(words)
+        idf = IDF(inputCol="_tf", outputCol="_tfidf").fit(tfd)
+        vec = idf.transform(tfd)
+        norm = Normalizer(inputCol="_tfidf", outputCol="_nvec", p=2.0)
+        out = norm.transform(vec)
+        return out.withColumn(out_col, vector_to_array("_nvec")).drop(
+            "_words", "_tf", "_tfidf", "_nvec"
+        )
+
+
 class SentenceTransformerEmbedder:
     """all-MiniLM-L6-v2 (384-d, normalized) as a batched pandas_udf —
     the production path matching rag.py:26-42. Requires the

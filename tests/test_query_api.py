@@ -129,3 +129,17 @@ def test_error_details_struct(spark, tables):
     assert row["why"].startswith("filed_date parse failed")
     assert row["raw"]["case_number"] is not None
     assert "ISO" in row["suggestion"]
+
+
+def test_mllib_tfidf_embedder(spark, tables):
+    from legal_data_ingestion_rag_pipeline_spark.plans.rag import MLlibTfidfEmbedder
+
+    embedder = MLlibTfidfEmbedder(dim=32)
+    emb = backfill_chunk_embeddings(tables["cases"], None, embedder)
+    rows = emb.filter(F.length("chunk_text") > 0).limit(5).collect()
+    assert all(len(r.embedding) == 32 for r in rows)
+    for r in rows:  # unit-normalized
+        n = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(n - 1.0) < 1e-6 or n == 0.0
+    res = search_dockets(tables, emb, "motion to dismiss", top_k=2, embedder=embedder)
+    assert 1 <= res.count() <= 2

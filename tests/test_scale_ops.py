@@ -105,3 +105,24 @@ def test_resize_media_plumbing(spark):
         assert len(r.content) == 32
         assert r.meta.width == 8 and r.meta.height == 4
         assert r.meta.mime == "application/octet-stream"
+
+
+def test_mllib_lsh_topk_agrees_with_exact(spark):
+    """MLlib BRP-LSH candidates: the top-1 neighbor of each query
+    (itself, distance 0) must survive, and returned ranks must be
+    distance-sorted."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.ann import mllib_lsh_topk
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = mllib_lsh_topk(e, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.dist))
+    for q_id, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == q_id and rows[0][2] == 0.0  # self is top-1
+        dists = [d for _, _, d in rows]
+        assert dists == sorted(dists)
