@@ -417,3 +417,41 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY day, event_type ORDER BY day, event_type
+    """,
+    doc="materialized-rollup maintenance (the hypertable/continuous-"
+    "aggregate pattern): the standing daily rollup (events before day "
+    "20) merges ADDITIVELY with the new batch's partial rollup — "
+    "counts add, decimal sums add — and the result must equal a full "
+    "recompute (the oracle). At 100 TB the standing rollup is a table "
+    "and each batch touches only its own days.",
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cutoff = F.lit("2024-01-20").cast("date")
+
+    def _rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("_sum"),
+        )
+
+    standing = _rollup(ev.filter(F.col("day") < cutoff))
+    batch = _rollup(ev.filter(F.col("day") >= cutoff))
+    merged = (
+        standing.unionByName(batch)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum").cast("double").alias("total_value"),
+        )
+    )
+    return merged.orderBy("day", "event_type")
