@@ -455,3 +455,50 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return merged.orderBy("day", "event_type")
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    )
+    SELECT c_mktsegment, quartile,
+           count(*) AS n,
+           CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+           CAST(floor(max(pr) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS max_pct_rank
+    FROM r GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+    doc="ranking-window family (ntile + percent_rank) with a total "
+    "order (balance, custkey) so bucket boundaries are deterministic; "
+    "summarized per segment-quartile. Window partitions by segment — "
+    "scales by partition, no global sort.",
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    r = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        r.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            (F.floor(F.max("pr") * 1000000.0 + 0.5).cast("double") / 1000000.0).alias(
+                "max_pct_rank"
+            ),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
