@@ -204,9 +204,50 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
 
 
+_DOT_EC2 = PT.dot_double("e.embedding", "c.c_vec", D)
+_DOT_QC2 = PT.dot_double("q.q_vec", "c.c_vec", D)
+_DOT_EQ2 = PT.dot_double("e.embedding", "qc.q_vec", D)
+
+# the probes=2 IVF is APPROXIMATE relative to brute force but fully
+# deterministic (first-8 centroids), so even the approximate path is
+# hash-gated: the oracle unrolls assignment -> probe -> rank in SQL.
+_IVF_TOPK_ORACLE = f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC2} DESC, c.centroid_id) AS rn
+        FROM embeddings e, c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    qc AS (
+      SELECT q_id, q_vec, centroid_id FROM (
+        SELECT q.q_id, q.q_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_DOT_QC2} DESC, c.centroid_id) AS rn
+        FROM q, c) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT qc.q_id, e.vec_id, {_DOT_EQ2} AS similarity
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN qc ON a.centroid_id = qc.centroid_id
+    )
+    SELECT q_id, vec_id, similarity, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT q_id, vec_id, similarity,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY similarity DESC, vec_id) AS rn
+      FROM cand) t
+    WHERE rn <= 10 ORDER BY q_id, rank
+"""
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate scale path; driver records rows-only
+    oracle=_IVF_TOPK_ORACLE,
     doc="IVF approximate top-k: deterministic coarse centroids (first 8 "
     "corpus vectors), probes=2 — the pgvector ivfflat lists/probes "
     "analog (rag.py:83-85,179-181). Scan touches ~probes/cells of the "

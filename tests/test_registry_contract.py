@@ -14,8 +14,9 @@ def test_registry_contract():
         if spec.bench:
             assert spec.oracle is not None, f"bench query {name} must be oracled"
     rows_only = [n for n, s in reg.items() if s.oracle is None]
-    # ann_ivf_topk is approximate by design; everything else is gated
-    assert rows_only == ["ann_ivf_topk"]
+    # every query — including the approximate-but-deterministic IVF —
+    # carries a full value-hash oracle
+    assert rows_only == []
 
 
 def test_entry_contract():
@@ -26,5 +27,4 @@ def test_entry_contract():
 
     q = E.queries()
     o = E.oracle_sql()
-    assert set(o) <= set(q)
-    assert len(q) - len(o) == 1
+    assert set(o) == set(q)
