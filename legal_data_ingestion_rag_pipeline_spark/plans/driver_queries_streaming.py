@@ -38,7 +38,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sf_dir.rstrip("/")
     # schema from a static read (ts surfaces as int64 nanos under
     # nanosAsLong; convert exactly like session.load_table); the file
-    # stream source wants a directory, so glob-filter inside sf_dir
+    # stream source wants a directory, so glob-filter inside sf_dir.
+    # nanosAsLong is runtime-settable — set it so a vanilla session
+    # (the correctness driver's) can read TIMESTAMP_NANOS parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{base}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)

@@ -81,6 +81,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeping oracle comparisons bit-identical (double division would
     round and drift by 1us).
     """
+    # The caller may hand us a vanilla SparkSession (the correctness
+    # driver builds its own); nanosAsLong is runtime-settable, so set it
+    # here rather than relying on build_session having run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)")))

@@ -48,9 +48,26 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the correctness driver does "
+        "(no build_session confs) — catches conf-dependency bugs",
+    )
     args = ap.parse_args()
 
-    spark = build_session("oracle_check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = build_session("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
