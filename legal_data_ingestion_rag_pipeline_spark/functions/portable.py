@@ -257,6 +257,25 @@ def round6(expr: str, dialect: str) -> str:
     return f"(CAST(floor(({expr}) * 1000000.0 + 0.5) AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
 
 
+def vec_csv6(arr: str, dialect: str) -> str:
+    """Serialize a double array as comma-joined fixed '%.6f' strings.
+
+    Gate-facing queries must not return raw array columns (the driver's
+    pandas canonicalizer cannot sort/hash list values), so vectors are
+    emitted as a deterministic string.  Each element is first stabilized
+    with :func:`round6` (identical double arithmetic both engines), after
+    which the value is never an exact decimal half at 6 places, so Java's
+    HALF_UP ``format_string`` and C's round-to-nearest ``printf`` print
+    the same text.
+    """
+    item = round6("CAST(x AS DOUBLE)", dialect)
+    if dialect == SPARK:
+        strs = f"transform({arr}, x -> format_string('%.6f', {item}))"
+    else:
+        strs = f"list_transform({arr}, x -> printf('%.6f', {item}))"
+    return array_join(strs, ",", dialect)
+
+
 def dot_double(a: str, b: str, dialect: str) -> str:
     """Element-wise double-precision dot product of two float arrays.
 

@@ -378,6 +378,49 @@ def coverage_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_sanity_report",
+    oracle="""
+    SELECT * FROM
+      (SELECT count(*) AS total,
+              count(*) FILTER (WHERE c_acctbal < 0) AS negative_bal,
+              count(*) FILTER (WHERE c_acctbal IS NULL) AS null_bal,
+              count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS seg_building,
+              CAST(count(*) FILTER (WHERE c_acctbal < 0) AS DOUBLE) / count(*)
+                AS negative_ratio
+       FROM customer) comp,
+      (SELECT min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+              count(DISTINCT year(o_orderdate)) AS n_years
+       FROM orders) dates,
+      (SELECT count(DISTINCT c_name) AS distinct_raw,
+              count(DISTINCT lower(trim(regexp_replace(c_name, '\\s+', ' ', 'g'))))
+                AS distinct_normalized
+       FROM customer) norm,
+      (SELECT count(*) AS orders_with_lines,
+              count(*) FILTER (WHERE has_return) AS with_return,
+              count(*) FILTER (WHERE has_accept) AS with_accept,
+              count(*) FILTER (WHERE has_return AND has_accept) AS with_both
+       FROM (SELECT l_orderkey,
+                    bool_or(l_returnflag = 'R') AS has_return,
+                    bool_or(l_returnflag = 'A') AS has_accept
+             FROM lineitem GROUP BY l_orderkey) per_order) cov
+    """,
+    doc="fused quality report: the four 1-row sanity aggregates "
+    "(completeness A3, date min/max A4, normalized countDistinct A5, "
+    "bool_or coverage A6/J7) cross-joined into one gate row. Keeps all "
+    "four operator families inside the driver's gated-query budget; the "
+    "individual reports stay registered for the API surface. Each leg "
+    "is an independent scan-side partial agg; the cross join of four "
+    "single rows is free.",
+)
+def quality_sanity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = completeness_report(spark, sf_dir)
+    dates = date_sanity_minmax(spark, sf_dir)
+    norm = normalization_sanity(spark, sf_dir).drop("total")
+    cov = coverage_bool_or(spark, sf_dir)
+    return comp.crossJoin(dates).crossJoin(norm).crossJoin(cov)
+
+
+@register(
     "daily_series_last7",
     oracle="""
     WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events)

@@ -292,21 +292,25 @@ def moving_avg_3rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(array_agg(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(array_agg(event_type))), ',')
+             AS event_types,
            count(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     doc="array aggregation: per-user distinct event-type set, sorted "
     "for determinism (collect_set order is partition-dependent; "
-    "sort_array pins it). The set-per-key pattern behind feature "
-    "vocabularies and entity profiles.",
+    "sort_array pins it), serialized to CSV for the gate (the driver "
+    "canonicalizer cannot hash list cells). The set-per-key pattern "
+    "behind feature vocabularies and entity profiles.",
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("event_types"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("event_type"))
+            ).alias("event_types"),
             F.countDistinct("event_type").alias("n_types"),
         )
         .orderBy("user_id")

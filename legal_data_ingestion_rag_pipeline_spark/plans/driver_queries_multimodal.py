@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import portable as PT
 from ..operators.multimodal import (
     extract_features,
     sample_frames,
@@ -26,7 +27,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # documents.text is ASCII in the driver testdata, so DuckDB's per-char
 # codepoints equal the UTF-8 bytes the Spark side histograms.
-_FEATURES_ORACLE = """
+_FEATURES_ORACLE = f"""
     WITH m AS (
       SELECT doc_id AS media_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -46,7 +47,8 @@ _FEATURES_ORACLE = """
     n AS (SELECT *, sqrt(list_sum(list_transform(counts, x -> x * x))) AS nrm
           FROM b)
     SELECT media_id, kind, n_bytes,
-           list_transform(counts, c -> CAST(c AS DOUBLE) / nrm) AS features
+           {PT.vec_csv6('list_transform(counts, c -> CAST(c AS DOUBLE) / nrm)', PT.DUCKDB)}
+             AS features_csv
     FROM n ORDER BY media_id
 """
 
@@ -62,7 +64,14 @@ _FEATURES_ORACLE = """
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(_media(spark, sf_dir), dim=16)
-    return feats.orderBy("media_id")
+    # gate-facing select: the operator keeps the array column; the
+    # driver's canonicalizer cannot hash lists, so serialize here.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.expr(PT.vec_csv6("features", PT.SPARK)).alias("features_csv"),
+    ).orderBy("media_id")
 
 
 _FRAMES_ORACLE = """

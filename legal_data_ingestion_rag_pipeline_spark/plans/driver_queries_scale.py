@@ -518,7 +518,8 @@ _CENTROID_ORACLE = f"""
                  count(*) AS c
           FROM e GROUP BY label, pos)
     SELECT label,
-           array_agg({PT.round6('s / c', D)} ORDER BY pos) AS centroid,
+           {PT.vec_csv6(f"array_agg({PT.round6('s / c', D)} ORDER BY pos)", D)}
+             AS centroid_csv,
            max(c) AS n_vectors
     FROM a GROUP BY label ORDER BY label
 """
@@ -544,12 +545,18 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c"),
     )
     agg = agg.withColumn("m", F.expr(PT.round6("s / c", S)))
+    # gate-facing select: serialize the mean vector (the driver's
+    # canonicalizer cannot hash raw array columns).
     return (
         agg.groupBy("label")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
-            ).alias("centroid"),
+                PT.vec_csv6(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " x -> x.m)",
+                    S,
+                )
+            ).alias("centroid_csv"),
             F.max("c").alias("n_vectors"),
         )
         .orderBy("label")

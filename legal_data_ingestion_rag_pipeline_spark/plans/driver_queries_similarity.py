@@ -758,7 +758,7 @@ _WINNOW_ORACLE = f"""
              )) AS fingerprints
       FROM g WHERE len(gh) >= 4
     )
-    SELECT doc_id, fingerprints,
+    SELECT doc_id, array_to_string(fingerprints, ',') AS fingerprints,
            CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
     FROM w ORDER BY doc_id
 """
@@ -788,9 +788,16 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.select(
             "doc_id",
-            F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+            F.array_sort(F.array_distinct(mins)).alias("fp_arr"),
         )
-        .withColumn("n_fingerprints", F.size("fingerprints").cast("bigint"))
+        .withColumn("n_fingerprints", F.size("fp_arr").cast("bigint"))
+        # serialize for the gate: the driver canonicalizer cannot hash
+        # list cells; bigints stringify identically in both engines
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.col("fp_arr")).alias("fingerprints"),
+            "n_fingerprints",
+        )
         .orderBy("doc_id")
     )
 

