@@ -5,8 +5,8 @@ Two paths, mirroring the reference's exact-vs-IVFFLAT split
 
 - brute-force cosine top-k: the correctness baseline. One broadcast of
   the (small) query set, a map-side dot product over the corpus, and a
-  per-query top-k window. No corpus shuffle at all when k-per-query
-  fits TakeOrdered semantics.
+  two-phase top-k (map-side partial top-k, then a merge over the tiny
+  survivor set). No corpus shuffle at all.
 - IVF (inverted-file) top-k: the 100 TB path. A deterministic coarse
   quantizer assigns every corpus vector to its nearest of C centroids
   (one narrow pass, persisted); queries probe only their P nearest
@@ -19,6 +19,8 @@ brute-force path is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import portable as PT
@@ -26,6 +28,58 @@ from ..functions import portable as PT
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(PT.dot_double(a, b, PT.SPARK))
+
+
+def _two_phase_topk(
+    scored: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+) -> DataFrame:
+    """Per-query top-k without shuffling the scored corpus.
+
+    A plain ``Window.partitionBy(query_id)`` hashes every scored row
+    into n_queries reducer partitions — with a 100 TB corpus and 5
+    queries that is 5 tasks each receiving 1/5 of the corpus.  Instead:
+
+    phase 1 (map-side): an Arrow-batched ``mapInPandas`` keeps only the
+    top-k rows per query *within each partition* (bounded state:
+    n_queries x k rows), so the shuffle that follows carries at most
+    n_partitions x n_queries x k narrow rows.
+
+    phase 2 (merge): the exact ranking window runs on that tiny
+    survivor set.  Ordering (similarity DESC, corpus_id ASC) is
+    identical in both phases, so the result is bit-equal to the
+    single-window plan — the global top-k is always a subset of the
+    union of per-partition top-ks.
+    """
+    narrow = scored.select(query_id, corpus_id, "similarity")
+    schema = narrow.schema
+
+    def part_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat((best, pdf))
+            cur = cur.sort_values(
+                ["similarity", corpus_id],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby(query_id, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    reduced = narrow.mapInPandas(part_topk, schema)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("similarity"), F.asc(corpus_id)
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )
 
 
 def brute_force_topk(
@@ -40,19 +94,15 @@ def brute_force_topk(
     """Exact cosine top-k of every query against the corpus.
 
     Unit-normalized inputs assumed (cosine == dot), matching the
-    reference's normalize_embeddings=True contract.
+    reference's normalize_embeddings=True contract.  Scoring is a
+    map-side broadcast cross join; ranking is the two-phase top-k, so
+    the corpus is never shuffled and no reducer sees more than
+    n_partitions x n_queries x k candidate rows.
     """
     joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
         "similarity", _dot(corpus_vec, query_vec)
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("similarity"), F.asc(corpus_id)
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "similarity", "rank")
-    )
+    return _two_phase_topk(joined, k, query_id, corpus_id)
 
 
 def ivf_assign(
@@ -65,18 +115,41 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (argmax dot).
 
-    Centroids are broadcast; assignment is one narrow pass. In a real
-    deployment the assigned corpus is written partitioned by cell so
-    probes prune at the file level.
+    The centroid set is collected to the driver (bounded: the IVF list
+    count, the same small-side contract as a broadcast) and inlined as
+    an array-of-structs literal, so assignment is a pure map-side
+    expression over the corpus — no crossJoin row blowup and, unlike a
+    ``Window.partitionBy(corpus_id)``, NO shuffle of the fact-scale
+    corpus at all.  Ties break toward the smaller centroid id (struct
+    max on (c_sim, -centroid_id)), matching the previous window order
+    (c_sim DESC, centroid_id ASC).  In a real deployment the assigned
+    corpus is written partitioned by cell so probes prune at the file
+    level.
     """
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_sim", _dot(corpus_vec, centroid_vec)
+    cents = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[0],
     )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("c_sim"), F.asc(centroid_id))
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).cast("bigint").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+    dot = PT.dot_double("c.cv", corpus_vec, PT.SPARK)
+    best = F.expr(
+        f"array_max(transform(_cents, c -> "
+        f"struct({dot} AS c_sim, -c.cid AS neg_id)))"
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", centroid_vec)
+        corpus.withColumn("_cents", cent_arr)
+        .withColumn("_best", best)
+        .withColumn("c_sim", F.col("_best.c_sim"))
+        .withColumn(centroid_id, (-F.col("_best.neg_id")).cast("bigint"))
+        .drop("_cents", "_best")
     )
 
 
@@ -115,12 +188,7 @@ def ivf_topk(
     cands = assigned_corpus.join(F.broadcast(q_cells), centroid_id).withColumn(
         "similarity", _dot(corpus_vec, query_vec)
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "similarity", "rank")
-    )
+    return _two_phase_topk(cands, k, query_id, corpus_id)
 
 
 def mllib_lsh_topk(

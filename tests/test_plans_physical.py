@@ -96,6 +96,29 @@ def test_lsh_join_keyed_on_band(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_topk_is_two_phase(spark):
+    """The per-query ranking must NOT hash the full scored corpus into
+    n_queries reducers: a map-side partial top-k (MapInPandas) runs
+    below the final q_id exchange, so the exchange only carries
+    n_partitions x n_queries x k survivor rows."""
+    for name in ("ann_bruteforce_topk", "ann_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert "MapInPandas" in plan, name
+        # the first (outermost) q_id exchange sits above the partial
+        # top-k, i.e. it repartitions the reduced survivor set only
+        assert plan.index("hashpartitioning(q_id") < plan.index(
+            "MapInPandas"
+        ), name
+
+
+def test_ivf_assign_never_shuffles_corpus(spark):
+    """Centroid assignment is a map-side argmax over an inlined
+    centroid array — no Exchange keyed on the fact-scale corpus id."""
+    for name in ("ann_ivf_topk", "ann_ivf_full_probe"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning(vec_id" not in plan, name
+
+
 def test_streaming_source_not_in_batch_queries(spark):
     # every registered non-streaming query must build a pure batch plan
     for name, spec in registry().items():
