@@ -152,14 +152,23 @@ def lsh_candidate_pairs(
     n_hashes: int = 32,
     bands: int = 16,
     materialize_input: bool = True,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair; estimated Jaccard = matching-slot fraction.
 
     Scale: the self-join is keyed on (band_idx, band signature) — the
     shuffle moves each doc `bands` times, and only same-bucket pairs
-    are generated. Buckets above ~1k docs should be re-banded or
-    salted; at the driver's scales buckets stay tiny.
+    are generated.  A bucket of B docs still produces B^2/2 pairs in
+    ONE task, so `max_bucket_size` ENFORCES the hot-bucket guard: any
+    bucket larger than the cap (boilerplate/viral content) is dropped
+    from pair generation before the self-join — the same discipline as
+    ``ngram_jaccard_pairs``' `max_doc_freq`.  Docs in a dropped bucket
+    still pair through their other `bands - 1` bands, and truly
+    identical docs belong in the exact-dedup pass anyway.  Use
+    :func:`lsh_oversized_buckets` to log what was dropped.  The count
+    window partitions by the same key the join shuffles on, so the cap
+    adds no extra shuffle of the signatures.
 
     The signature input feeds BOTH sides of the self-join; without a
     materialization barrier Spark recomputes the whole signature
@@ -182,6 +191,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_sig"),
     )
+    if max_bucket_size is not None:
+        bucket_w = Window.partitionBy("band_idx", "band_sig")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(bucket_w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -206,6 +222,38 @@ def lsh_candidate_pairs(
         )
     ) / F.lit(float(n_hashes))
     return pairs.withColumn("est_jaccard", est).drop("mh_a", "mh_b")
+
+
+def lsh_oversized_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Accounting twin of the `max_bucket_size` guard: the buckets that
+    :func:`lsh_candidate_pairs` drops, with their sizes — callers log
+    or persist this next to the dedup output so coverage loss from hot
+    buckets is visible, never silent.
+    """
+    rows_per_band = n_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("minhash", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    return (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .orderBy(F.desc("bucket_n"), "band_idx")
+    )
 
 
 def simhash_docs(

@@ -51,9 +51,16 @@ _MINHASH_ORACLE = f"""
       SELECT doc_id, mh, b AS band_idx, list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
       FROM s, unnest(range(16)) AS tt(b)
     ),
+    capped AS (
+      SELECT doc_id, mh, band_idx, band_sig FROM (
+        SELECT banded.*, count(*) OVER (PARTITION BY band_idx, band_sig)
+                 AS bucket_n
+        FROM banded) t
+      WHERE bucket_n <= 1000
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.mh AS mh_a, b.mh AS mh_b
-      FROM banded a JOIN banded b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
@@ -69,13 +76,19 @@ _MINHASH_ORACLE = f"""
     doc="MinHash(32) + LSH(16 bands x 2 rows) near-dup candidates over "
     "word 3-shingles; est Jaccard = matching-slot fraction. The banded "
     "self-join only materializes same-bucket pairs — the n^2 cross "
-    "never exists. Portable polynomial hashing keeps it oracle-exact.",
+    "never exists — and buckets above 1000 docs are dropped (enforced "
+    "hot-bucket guard, mirrored in the oracle). Portable polynomial "
+    "hashing keeps it oracle-exact.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
     pairs = dedup.lsh_candidate_pairs(
-        sigs.withColumnRenamed("doc_id", "doc_id"), "doc_id", n_hashes=32, bands=16
+        sigs.withColumnRenamed("doc_id", "doc_id"),
+        "doc_id",
+        n_hashes=32,
+        bands=16,
+        max_bucket_size=1000,
     )
     return (
         pairs.select("id_a", "id_b", "est_jaccard")

@@ -42,6 +42,41 @@ def test_salted_join_spreads_build_side(spark):
     assert out.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
 
 
+def test_lsh_hot_bucket_cap_enforced(spark):
+    """One viral/boilerplate bucket must not quadratically explode pair
+    generation: buckets above max_bucket_size are DROPPED from the
+    banded self-join, and the accounting twin reports them."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    hot = [(i, "common boilerplate text repeated verbatim everywhere") for i in range(12)]
+    pair = [
+        (100, "a quite specific unique document about maritime law"),
+        (101, "a quite specific unique document about maritime law today"),
+    ]
+    docs = spark.createDataFrame(hot + pair, ["doc_id", "text"])
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+
+    uncapped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=None
+    )
+    capped = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=5
+    )
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # uncapped: the 12 identical docs produce all 66 pairs
+    assert sum(1 for a, b in unc if a < 100 and b < 100) == 66
+    # capped: the hot bucket (size 12 > 5) is dropped entirely...
+    assert not any(a < 100 and b < 100 for a, b in cap)
+    # ...but the small near-dup bucket still pairs
+    assert (100, 101) in cap
+
+    over = dedup.lsh_oversized_buckets(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=5
+    ).collect()
+    assert over and all(r.bucket_n == 12 for r in over)
+
+
 def test_deterministic_sample_stable_across_repartition(spark):
     """The sample must be a pure function of the content: the SAME
     bucket expression over a differently-partitioned input selects the
