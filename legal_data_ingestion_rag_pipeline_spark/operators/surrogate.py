@@ -26,9 +26,61 @@ def assign_ids(
     id_col: str = "id",
     start_at: int = 1,
 ) -> DataFrame:
-    """Deterministic dense ids start_at, start_at+1, ... by order_col."""
+    """Deterministic dense ids start_at, start_at+1, ... by order_col.
+
+    Single-partition global window — ONLY for dictionary-sized inputs
+    (dimension tables).  Fact-scale assignment must use
+    :func:`assign_ids_ranged`.
+    """
     w = Window.orderBy(order_col)
     return new_rows.withColumn(id_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("long"))
+
+
+def assign_ids_ranged(
+    new_rows: DataFrame,
+    order_col: str,
+    id_col: str = "id",
+    start_at: int = 1,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Dense deterministic ids in `order_col` order WITHOUT a
+    single-partition window — the fact-scale recipe.
+
+    `order_col` must be non-negative integral (the ingest `_seq` file
+    sequence).  Rows bucket by ``order_col DIV bucket_width`` — an
+    order-preserving, data-independent split — then per-bucket counts
+    (one tiny row per bucket, collected to the driver exactly like a
+    broadcast small side) become cumulative offsets, and the id is
+    ``offset + row_number within the bucket``.  The result is
+    bit-identical to ``row_number() OVER (ORDER BY order_col)`` but the
+    widest window any task evaluates is `bucket_width` rows: 10^10 new
+    keys at the default width is ~10^4 buckets, each an independent
+    task, instead of one task sorting everything.
+    """
+    bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
+    bucketed = new_rows.withColumn("_id_bucket", bucket)
+    counts = sorted(
+        bucketed.groupBy("_id_bucket").count().collect(), key=lambda r: r[0]
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((int(r[0]), acc))
+        acc += r[1]
+    spark = new_rows.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, schema="_id_bucket bigint, _id_offset bigint"
+    )
+    w = Window.partitionBy("_id_bucket").orderBy(order_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "_id_bucket")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.col("_id_offset") + F.lit(start_at - 1)).cast(
+                "long"
+            ),
+        )
+        .drop("_id_bucket", "_id_offset")
+    )
 
 
 def get_or_create(

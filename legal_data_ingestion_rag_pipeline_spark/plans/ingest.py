@@ -38,7 +38,7 @@ from ..functions.normalize import (
     normalize_party,
 )
 from ..functions.parties import explode_parties
-from ..operators.surrogate import assign_ids
+from ..operators.surrogate import assign_ids, assign_ids_ranged
 from ..sources.readers import RAW_FIELDS
 
 
@@ -198,18 +198,21 @@ def ingest_batch(
     n_inserted = new_keys.count()
     n_updated = n_good - n_inserted
 
-    # deterministic case ids: existing keep theirs; new ids by first-seen
+    # deterministic case ids: existing keep theirs; new ids by first-seen.
+    # Cases are FACT-scale, so the ranged assigner (per-bucket windows +
+    # cumulative offsets) replaces the global single-partition window —
+    # same ids, no one-task sort at 100x data (surrogate.py recipe).
     first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
     if existing_cases is not None:
         max_case_id = (existing_cases.agg(F.max("id")).collect()[0][0]) or 0
         keyed_existing = existing_cases.select("id", "case_number")
-        new_ids = assign_ids(
+        new_ids = assign_ids_ranged(
             first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti"),
             "_first_seq", start_at=max_case_id + 1,
         ).select("id", "case_number")
         case_ids = keyed_existing.unionByName(new_ids)
     else:
-        case_ids = assign_ids(first_seen, "_first_seq").select("id", "case_number")
+        case_ids = assign_ids_ranged(first_seen, "_first_seq").select("id", "case_number")
 
     cases = (
         final_rows.join(case_ids, "case_number")

@@ -215,3 +215,36 @@ def test_format_agnostic_ingest(spark, tmp_path):
             ),
         )
     assert results["json"] == results["jsonl"] == results["csv"]
+
+
+def test_assign_ids_ranged_matches_global_window(spark):
+    """The fact-scale id assigner must produce bit-identical ids to the
+    single-partition global window, across bucket boundaries, gaps, and
+    a non-trivial start_at."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.surrogate import (
+        assign_ids,
+        assign_ids_ranged,
+    )
+
+    rows = [(i * 7 % 1000, f"k{i}") for i in range(400)]  # shuffled, gappy seqs
+    df = spark.createDataFrame(rows, ["_first_seq", "case_number"]).repartition(8)
+    want = {
+        (r.case_number, r.id)
+        for r in assign_ids(df, "_first_seq", start_at=42).collect()
+    }
+    got = {
+        (r.case_number, r.id)
+        for r in assign_ids_ranged(
+            df, "_first_seq", start_at=42, bucket_width=64
+        ).collect()
+    }
+    assert got == want
+
+
+def test_assign_ids_ranged_empty_input(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.surrogate import (
+        assign_ids_ranged,
+    )
+
+    df = spark.createDataFrame([], "_first_seq bigint, case_number string")
+    assert assign_ids_ranged(df, "_first_seq").count() == 0
