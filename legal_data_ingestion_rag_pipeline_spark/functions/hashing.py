@@ -19,8 +19,19 @@ def canonical_record_hash(df_or_cols, cols: list[str] | None = None) -> Column:
 
     Key order is sorted to match Python ``json.dumps(sort_keys=True)``;
     ``ignoreNullFields=false`` keeps explicit nulls, matching the
-    reference's canonical form.  Spark's to_json uses compact
-    separators already.
+    reference's canonical form for null values.  Spark's to_json uses
+    compact separators already.
+
+    ENGINE-LOCAL, by design: the reference hashes only the keys present
+    in each raw dict (ingest.py:42-49), so a record *omitting* a key and
+    one carrying an explicit null hash differently there.  After
+    ``spark.read.json`` those two states are one and the same (missing
+    key == null column), so this hash fixes the full column set and
+    keeps explicit nulls.  Within this engine the hash is stable and
+    collision-behaviour matches the reference for records that carry
+    all keys; cross-system hash equality is NOT guaranteed for records
+    with omitted keys, and dedup/retry_count semantics here are defined
+    over this engine's hash only.
     """
     if cols is None:
         cols = list(df_or_cols.columns) if isinstance(df_or_cols, DataFrame) else list(df_or_cols)

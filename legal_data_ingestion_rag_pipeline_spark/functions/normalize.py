@@ -44,13 +44,21 @@ def normalize_party(c: Column | str) -> Column:
 
 
 def normalize_status(c: Column | str) -> Column:
-    """Lowercased status with reference default 'active' for null/empty."""
-    col = _col(c)
-    return F.lower(F.when(col.isNull() | (F.trim(col) == ""), F.lit("active")).otherwise(F.trim(col)))
+    """Plain lower(status) — the exact transform the reference applies
+    (ingest.py:607 ``.lower()``, no trim).  Null stays null: the
+    reference's 'active' default fires only on a *missing* dict key
+    (``data.get('status', 'active')``), which JSON ingestion cannot
+    distinguish from an explicit null; the ingest plan models null as
+    the reference's ``NoneType.lower`` crash (UNKNOWN), and this helper
+    stays consistent with that path.  '' and ' active' lower to
+    themselves and fail the enum check, exactly as in the reference."""
+    return F.lower(_col(c))
 
 
 def status_is_valid(c: Column | str) -> Column:
-    return normalize_status(c).isin(*VALID_STATUSES)
+    """Enum membership of lower(status); null and '' are invalid
+    (coalesced to false — IN on null is null under 3VL)."""
+    return F.coalesce(normalize_status(c).isin(*VALID_STATUSES), F.lit(False))
 
 
 def normalize_case_type(c: Column | str) -> Column:

@@ -48,20 +48,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, c.c_name, o.o_orderdate, CAST(o.o_totalprice AS DOUBLE) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE year(o.o_orderdate) = 1995 AND c.c_mktsegment = 'BUILDING'
+    WHERE o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+      AND c.c_mktsegment = 'BUILDING'
     ORDER BY o.o_orderdate DESC, o.o_orderkey LIMIT 200
     """,
     bench=True,
     doc="list_cases analog (api.py:154-199): filter + dim join + ORDER BY "
     "date DESC LIMIT 200. Catalyst plans TakeOrderedAndProject (true "
-    "top-k, no global sort) and broadcasts the dim side.",
+    "top-k, no global sort) and broadcasts the dim side. The year filter "
+    "is written as a half-open date range (queries.py:49-54 does the same "
+    "rewrite) so it reaches PushedFilters and prunes date-partitioned "
+    "layouts; year(col)=k is opaque to min/max pruning.",
 )
 def list_topk_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .filter((F.year("o_orderdate") == 1995) & (F.col("c_mktsegment") == "BUILDING"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("c_mktsegment") == "BUILDING")
+        )
         .select(
             "o_orderkey",
             "c_name",

@@ -79,6 +79,16 @@ def validate(raw: DataFrame) -> DataFrame:
         .when(F.col("court").isNull() | (F.col("court") == ""),
               F.struct(F.lit("FK_COURT").alias("code"),
                        F.lit("Court name cannot be empty").alias("why")))
+        # present-but-empty case_type is a hard error in the reference
+        # (ingest.py:506-507 raises before any insert; the message has no
+        # classifier keyword, so _determine_error_code:826 yields
+        # VALIDATION_ERROR).  A JSON null is indistinguishable from a
+        # missing key after spark.read.json, so null keeps the reference's
+        # missing-key default 'civil' (ingest.py:604) — the one residual
+        # ambiguity, by design.
+        .when(F.col("case_type") == "",
+              F.struct(F.lit("VALIDATION_ERROR").alias("code"),
+                       F.lit("Case type cannot be empty").alias("why")))
         .when(F.col("status").isNull(), F.struct(F.lit("UNKNOWN").alias("code"),
               F.lit("'NoneType' object has no attribute 'lower'").alias("why")))
         .when(~status_ok, F.struct(F.lit("STATUS_UNMAPPED").alias("code"),

@@ -156,6 +156,9 @@ def make_dirty_dockets(n: int = 500, seed: int = 20260813) -> list[dict]:
         court = rng.choice(courts)
         if rng.random() < 0.03:
             court = ""  # FK_COURT
+        case_type = rng.choice(["Civil", "civil", "Employment", None])
+        if rng.random() < 0.02:
+            case_type = ""  # VALIDATION_ERROR (present-but-empty)
         out.append(
             {
                 "case_number": case_number,
@@ -170,7 +173,7 @@ def make_dirty_dockets(n: int = 500, seed: int = 20260813) -> list[dict]:
                         "X (intervenor) | Y Group (defendant)",
                     ]
                 ),
-                "case_type": rng.choice(["Civil", "civil", "Employment", None]),
+                "case_type": case_type,
                 "judge": rng.choice(judges),
                 "docket_text": "Filing text. " * rng.randrange(0, 40),
                 "status": status,

@@ -248,3 +248,36 @@ def test_assign_ids_ranged_empty_input(spark):
 
     df = spark.createDataFrame([], "_first_seq bigint, case_number string")
     assert assign_ids_ranged(df, "_first_seq").count() == 0
+
+
+def test_empty_case_type_quarantined(spark):
+    """Reference ingest.py:506-507: present-but-empty case_type raises
+    'Case type cannot be empty' -> VALIDATION_ERROR quarantine; a JSON
+    null is indistinguishable from a missing key and keeps the 'civil'
+    default (ingest.py:604)."""
+    rows = [
+        {
+            "case_number": f"1:24-cv-{i:05d}",
+            "court": "SDNY",
+            "title": f"T{i}",
+            "filed_date": "2024-01-05",
+            "parties": "A (plaintiff)",
+            "case_type": ct,
+            "judge": "Judge Sarah Chen",
+            "docket_text": "x",
+            "status": "active",
+        }
+        for i, ct in enumerate(["", None, "criminal"])
+    ]
+    r = ingest_batch(spark, raw_from_rows(spark, rows))
+    errs = {
+        (e.case_number, e.error_code, e.error_message)
+        for e in r.errors.collect()
+    }
+    assert errs == {
+        ("1:24-cv-00000", "VALIDATION_ERROR", "Case type cannot be empty")
+    }
+    types = {
+        t.normalized_name for t in r.tables["case_types"].collect()
+    }
+    assert types == {"civil", "criminal"}

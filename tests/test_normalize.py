@@ -32,12 +32,15 @@ def test_status(spark):
     rows = df.select(
         N.normalize_status("s").alias("n"), N.status_is_valid("s").alias("ok")
     ).collect()
+    # Reference ingest.py:607 is a plain .lower(): null crashes there
+    # (modeled as invalid here) and '' fails the enum check — no trim,
+    # no 'active' default on present values.
     assert [(r.n, r.ok) for r in rows] == [
         ("active", True),
         ("closed", True),
         ("pending", True),
-        ("active", True),
-        ("active", True),
+        (None, False),
+        ("", False),
         ("open", False),
     ]
 
