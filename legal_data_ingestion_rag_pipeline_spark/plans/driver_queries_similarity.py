@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import portable as PT
 from ..functions import textstats as TS
 from ..functions.chunking import chunk_text
-from ..operators import ann, dedup
+from ..operators import ann, dedup, graph
 from ..session import barrier, load_table
 from .registry import register
 
@@ -1067,46 +1067,39 @@ def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # step that turns pairwise dedup hits into keep/drop groups.
 # ---------------------------------------------------------------------------
 
-def _cc_oracle(iters: int) -> str:
-    """Min-label propagation unrolled `iters` times over the MinHash
-    LSH candidate pairs (both directions + self)."""
-    prev = "l0"
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(
-            f"""l{i} AS (
-      SELECT v.vertex,
-             least(v.label, coalesce(min(n.label), v.label)) AS label
-      FROM {prev} v
-      LEFT JOIN nbr ON nbr.src = v.vertex
-      LEFT JOIN {prev} n ON n.vertex = nbr.dst
-      GROUP BY v.vertex, v.label
-    )"""
-        )
-        prev = f"l{i}"
-    steps_sql = ",\n    ".join(steps)
-    return f"""
-    WITH pairs AS ({_MINHASH_ORACLE.replace("LIMIT 20", "")}),
+#: Exact fixpoint oracle: transitive min-closure as a recursive CTE.
+#: UNION (distinct) bounds the state space, so recursion terminates,
+#: and min(label) over everything reachable IS the component minimum —
+#: no unrolled round count to keep in sync with the Spark loop, which
+#: now iterates to a MEASURED fixpoint (operators/graph.py).
+_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
     edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
     nbr AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-    verts AS (SELECT DISTINCT src AS vertex FROM nbr),
-    l0 AS (SELECT vertex, vertex AS label FROM verts),
-    {steps_sql}
+    reach(vertex, label) AS (
+      SELECT DISTINCT src AS vertex, src AS label FROM nbr
+      UNION
+      SELECT nbr.src, reach.label FROM nbr JOIN reach ON reach.vertex = nbr.dst
+    ),
+    labels AS (SELECT vertex, min(label) AS label FROM reach GROUP BY vertex)
     SELECT label AS cluster_id, count(*) AS n_members,
            min(vertex) AS min_doc, max(vertex) AS max_doc
-    FROM {prev} GROUP BY label ORDER BY cluster_id
+    FROM labels GROUP BY label ORDER BY cluster_id
     """
 
 
 @register(
     "dedup_cluster_components",
-    oracle=_cc_oracle(5),
+    oracle=_CC_ORACLE.format(pairs=_MINHASH_ORACLE.replace("LIMIT 20", "")),
     doc="connected components over the MinHash-LSH candidate pairs "
-    "(min-label propagation, 5 rounds — diameter-bounded on dedup "
-    "graphs, which are near-cliques): pairwise hits become keep/drop "
-    "clusters keyed by the minimum member id. Each round is one "
-    "edge-join + min-aggregate; at 100 TB this is the standard "
-    "large-star/small-star map-reduce CC with the same shuffle shape.",
+    "(min-label propagation iterated to a measured fixpoint, "
+    "operators/graph.py): pairwise hits become keep/drop clusters "
+    "keyed by the minimum member id. Each round is one edge-join + "
+    "min-aggregate over localCheckpointed frontiers; at 100 TB this "
+    "is the standard map-reduce CC with the same shuffle shape, and "
+    "the convergence check (count of changed labels == 0) replaces "
+    "the old fixed 5-round unroll that could silently under-propagate "
+    "on long chains. Oracle: exact recursive-CTE min-closure.",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1114,34 +1107,5 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=32, bands=16).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    nbr = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = nbr.select(F.col("src").alias("vertex")).distinct().withColumn(
-        "label", F.col("vertex")
-    )
-    for _ in range(5):
-        nbr_min = (
-            nbr.join(labels.select(F.col("vertex").alias("dst"), "label"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.vertex == nbr_min.src, "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-    return (
-        labels.groupBy("label")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.min("vertex").alias("min_doc"),
-            F.max("vertex").alias("max_doc"),
-        )
-        .select(F.col("label").alias("cluster_id"), "n_members", "min_doc", "max_doc")
-        .orderBy("cluster_id")
-    )
+    labels = graph.connected_components(pairs)
+    return graph.cluster_summary(labels).orderBy("cluster_id")

@@ -161,3 +161,36 @@ def test_mllib_lsh_topk_agrees_with_exact(spark):
         assert rows[0][1] == q_id and rows[0][2] == 0.0  # self is top-1
         dists = [d for _, _, d in rows]
         assert dists == sorted(dists)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-vertex path graph has diameter 11 — the old fixed-5-round
+    unroll would leave the far end mislabeled. The convergence-checked
+    loop must reach the true fixpoint (every vertex labeled 0) and the
+    safety valve must raise when max_rounds is too small."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src bigint, dst bigint"
+    )
+    labels = {
+        r.vertex: r.label for r in graph.connected_components(edges).collect()
+    }
+    assert labels == {v: 0 for v in range(12)}
+
+    with _pytest.raises(graph.ConvergenceError):
+        graph.connected_components(edges, max_rounds=2)
+
+
+def test_connected_components_multi_component(spark):
+    """Two components + labels keyed by each component's min id."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "src bigint, dst bigint"
+    )
+    out = graph.cluster_summary(graph.connected_components(edges)).collect()
+    got = {(r.cluster_id, r.n_members, r.min_doc, r.max_doc) for r in out}
+    assert got == {(3, 3, 3, 9), (20, 2, 20, 21)}
