@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import portable as PT
 from ..functions import textstats as TS
 from ..functions.chunking import chunk_text
-from ..operators import ann, dedup, graph
+from ..operators import ann, dedup, fts, graph
 from ..session import barrier, load_table
 from .registry import register
 
@@ -439,6 +439,63 @@ def textstats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gh", F.expr(PT.hash_array("grams8", S)))
         .select("doc_id", F.expr(PT.array_min("gh", S)).alias("fingerprint"))
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-text search (reference schema.sql:140-141 declares the GIN index
+# but never queries it — here it's a real queryable operator).
+# ---------------------------------------------------------------------------
+
+_FTS_TERMS = ("vector", "merge", "window")
+_FTS_K = 10
+
+_FTS_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_terms_hit,
+           CAST(sum(micro) AS DOUBLE) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_FTS_K}
+    """
+
+
+@register(
+    "fts_bm25_search",
+    oracle=_FTS_ORACLE,
+    doc="Okapi BM25 keyword search over documents (operators/fts.py): "
+    "postings are pruned to the query terms BEFORE any shuffle, "
+    "df/avgdl scalars broadcast back, per-(doc,term) partials "
+    "quantized to integer micro-units so the per-doc sum is "
+    "addition-order independent, final TakeOrderedAndProject top-k. "
+    "Covers the reference's declared-but-unqueried FTS surface "
+    "(schema.sql:140-141) as a real operator.",
+)
+def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.bm25_topk(
+        docs, "doc_id", "text", list(_FTS_TERMS), k=_FTS_K
     )
 
 

@@ -194,3 +194,24 @@ def test_connected_components_multi_component(spark):
     out = graph.cluster_summary(graph.connected_components(edges)).collect()
     got = {(r.cluster_id, r.n_members, r.min_doc, r.max_doc) for r in out}
     assert got == {(3, 3, 3, 9), (20, 2, 20, 21)}
+
+
+def test_bm25_ranks_term_density(spark):
+    """A doc saturated with a query term outranks one mentioning it
+    once; docs without any query term never appear; score is on the
+    1e-6 grid (order-independent integer-micro sum)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector search engine"),
+            (2, "a single vector mention in a much longer stream of filler words"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = fts.bm25_topk(docs, "doc_id", "text", ["vector"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score > out[1].score > 0
+    for r in out:
+        assert abs(r.score * 1e6 - round(r.score * 1e6)) < 1e-6
