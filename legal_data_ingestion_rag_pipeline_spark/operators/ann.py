@@ -191,6 +191,38 @@ def ivf_topk(
     return _two_phase_topk(cands, k, query_id, corpus_id)
 
 
+def write_cell_partitioned(
+    assigned_corpus: DataFrame,
+    path: str,
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Persist an ivf_assign'ed corpus partitioned by cell.
+
+    This is the durable form of the IVF index at 100 TB: one
+    directory per cell, so a probe-time read with a cell filter
+    prunes at the FILE level (Catalyst partition pruning) — the scan
+    never opens the ~(C - probes)/C of the data outside the probed
+    cells. Pair with read_probed_cells.
+    """
+    assigned_corpus.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
+
+
+def read_probed_cells(
+    spark,
+    path: str,
+    cells: list[int],
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Read only the probed cells of a cell-partitioned IVF index.
+
+    The isin filter lands in the scan's PartitionFilters (asserted in
+    tests/test_scale_ops.py), so unprobed cell directories are never
+    listed into tasks.
+    """
+    df = spark.read.parquet(path)
+    return df.filter(F.col(centroid_id).isin([int(c) for c in cells]))
+
+
 def mllib_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -167,3 +167,28 @@ def windowed_daily_stats(events: DataFrame, watermark: str = "1 day") -> DataFra
             "total_value",
         )
     )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per content hash wins.
+
+    The streaming face of operators/dedup.exact_dedup for a continuous
+    document feed (the standing-index batch variant is
+    dedup_incremental_exact). ``dropDuplicatesWithinWatermark`` keys
+    state on the sha256 content hash and EVICTS entries older than the
+    watermark — bounded state at 100 TB/day feeds, with the documented
+    contract that a duplicate arriving later than the watermark gap
+    re-admits the content (the batch standing-index pass is the
+    backstop for those).
+    """
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    return (
+        docs.withColumn("content_hash", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

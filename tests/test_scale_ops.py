@@ -215,3 +215,41 @@ def test_bm25_ranks_term_density(spark):
     assert out[0].score > out[1].score > 0
     for r in out:
         assert abs(r.score * 1e6 - round(r.score * 1e6)) < 1e-6
+
+
+def test_ivf_cell_partitioned_write_prunes(tmp_path, spark):
+    """The durable IVF index form: writing the assigned corpus
+    partitioned by cell means a probe-time read lists ONLY the probed
+    cell directories (file-level partition pruning), and the probed
+    rows round-trip exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    e = load_table(spark, SF, "embeddings").limit(64)
+    cents = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    assigned = ann.ivf_assign(e, cents)
+    path = str(tmp_path / "ivf_index")
+    ann.write_cell_partitioned(assigned, path)
+
+    probed = ann.read_probed_cells(spark, path, [0, 2])
+    # files actually opened by tasks: only the probed cell directories
+    # (inputFiles() lists the pre-pruning FileIndex, so go by
+    # input_file_name() of materialized rows + the scan's
+    # PartitionFilters instead)
+    read_files = {
+        r.f for r in probed.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert read_files, "probe read found no files"
+    assert all("centroid_id=0" in f or "centroid_id=2" in f for f in read_files)
+
+    expect = {r.vec_id for r in assigned.filter(F.col("centroid_id").isin(0, 2)).collect()}
+    assert {r.vec_id for r in probed.collect()} == expect
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]

@@ -182,3 +182,50 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
+    """Two-file replay with duplicates within and across micro-batches:
+    the surviving content hashes equal the batch exact-dedup groups,
+    and exactly one row survives per hash."""
+    import json
+
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        streaming_dedup_exact,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    batch1 = [
+        {"doc_id": 0, "ts": "2024-05-01T10:00:00", "text": "alpha beta"},
+        {"doc_id": 1, "ts": "2024-05-01T10:00:05", "text": "gamma"},
+        {"doc_id": 2, "ts": "2024-05-01T10:00:10", "text": "alpha beta"},
+    ]
+    batch2 = [
+        {"doc_id": 3, "ts": "2024-05-01T10:10:00", "text": "gamma"},
+        {"doc_id": 4, "ts": "2024-05-01T10:10:05", "text": "delta"},
+    ]
+    for i, rows in enumerate((batch1, batch2)):
+        (src / f"b{i}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+
+    # one survivor per distinct content, which one depends on the
+    # micro-batch replay order of the two files (both are valid
+    # first-occurrence outcomes)
+    assert sorted(r.doc_id for r in out) in ([0, 1, 4], [0, 3, 4])
+    assert len({r.content_hash for r in out}) == len(out) == 3
