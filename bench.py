@@ -35,8 +35,11 @@ def main() -> None:
     spark.range(100_000).repartition(8).groupBy((F.col("id") % 7).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
-    spark.createDataFrame([(1, "warm")], "i long, s string").mapInPandas(
-        lambda it: it, "i long, s string"
+    # fork the FULL Python worker pool (one per core), not a single
+    # worker: the first Arrow query otherwise pays ~30 process forks
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(
+        lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
     specs = [s for s in registry().values() if s.bench]
