@@ -823,3 +823,120 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: deterministic stratified split + PII redaction (round 2).
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+    WITH b AS (
+      SELECT source, doc_id, {PT.poly_hash('text', D)} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM s GROUP BY source, split ORDER BY source, split
+    """
+
+
+@register(
+    "stratified_split",
+    oracle=_SPLIT_ORACLE,
+    doc="deterministic train/val/test split (80/10/10) stratified per "
+    "source: the split is a pure function of the CONTENT hash, so "
+    "re-runs, retries, and any partitioning assign every document to "
+    "the same split — and a near-duplicate's split correlates with "
+    "its content, not its arrival order. Map-side bucket + one "
+    "grouped count; no fact-side shuffle beyond the rollup.",
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(PT.poly_hash("text", S)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+#: Synthetic PII is composed from customer rows (the driver corpus has
+#: none), same construction discipline as parties_grammar: build the
+#: dirty text deterministically in BOTH engines, then redact.
+_PII_EMAIL_RE = r"[a-z0-9#._-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+
+_PII_ORACLE = f"""
+    WITH base AS (
+      SELECT c_custkey AS id,
+             concat('contact ', lower(replace(c_name, ' ', '.')),
+                    '@example.com or (', CAST(100 + c_custkey % 900 AS VARCHAR),
+                    ') 555-', CAST(1000 + c_custkey % 9000 AS VARCHAR),
+                    ' re account ', c_mktsegment) AS text
+      FROM customer
+    ),
+    red AS (
+      SELECT id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT)
+             + CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT)
+               AS n_redacted,
+             regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                            '{_PII_PHONE_RE}', '[PHONE]', 'g') AS clean
+      FROM base
+    )
+    SELECT id, n_redacted, clean FROM red ORDER BY id LIMIT 100
+    """
+
+
+@register(
+    "pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="PII scrub for training corpora: regex redaction of emails and "
+    "phone numbers with per-row redaction counts (the audit metric a "
+    "compliance pass needs). Pure map-side regexp_replace — stays in "
+    "whole-stage codegen, no UDF, no shuffle; the synthetic dirty "
+    "text is composed deterministically from customer rows in both "
+    "engines.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com or ("),
+        (F.lit(100) + F.col("c_custkey") % 900).cast("string"),
+        F.lit(") 555-"),
+        (F.lit(1000) + F.col("c_custkey") % 9000).cast("string"),
+        F.lit(" re account "),
+        F.col("c_mktsegment"),
+    )
+    base = cust.select(F.col("c_custkey").alias("id"), text.alias("text"))
+    n_red = (
+        F.regexp_count("text", F.lit(_PII_EMAIL_RE))
+        + F.regexp_count("text", F.lit(_PII_PHONE_RE))
+    ).cast("bigint")
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        base.select("id", n_red.alias("n_redacted"), clean.alias("clean"))
+        .orderBy("id")
+        .limit(100)
+    )
