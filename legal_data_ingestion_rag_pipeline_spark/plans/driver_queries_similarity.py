@@ -500,6 +500,49 @@ def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding storage tier: per-vector affine int8 quantization (SQ8).
+# ---------------------------------------------------------------------------
+
+def _quant_oracle() -> str:
+    from ..operators import quantize as Q
+
+    parts = Q.quantize_int8_sql("embedding", D)
+    return f"""
+    SELECT vec_id,
+           {PT.round6(parts['vmin'], D)} AS vmin,
+           {PT.round6(parts['vmax'], D)} AS vmax,
+           {PT.array_join(parts['q'], ',', D)} AS q_csv,
+           {Q.dequantize_max_err_sql('embedding', D)} AS max_err
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=_quant_oracle(),
+    doc="SQ8 storage tier for the embedding column (operators/"
+    "quantize.py): per-vector affine int8 — (vmin, vmax, 64 bytes) "
+    "instead of 64 doubles, a 4-8x cut of the biggest column a "
+    "training lake stores, plus the realized max reconstruction "
+    "error per vector as the quality gate. Pure element-wise "
+    "whole-stage-codegen expressions, map-side, no shuffle; "
+    "floor-based rounding keeps both engines bit-identical.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quantize as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = Q.quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        cols["vmin"].alias("vmin"),
+        cols["vmax"].alias("vmax"),
+        cols["q_csv"].alias("q_csv"),
+        cols["max_err"].alias("max_err"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # RAG end-to-end search parity (T12 chunk -> T13 embed -> O3 top-k pool ->
 # A9 per-doc argmax -> final top-k), with a deterministic hash embedder.
 # ---------------------------------------------------------------------------

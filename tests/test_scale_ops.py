@@ -253,3 +253,33 @@ def test_ivf_cell_partitioned_write_prunes(tmp_path, spark):
 
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_quantize_int8_bound_and_constant_vector(spark):
+    """Reconstruction error is bounded by scale/2 and a constant
+    vector (scale 0) quantizes to all zeros with zero error."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import quantize as Q
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 10.0]), (2, [3.5, 3.5, 3.5, 3.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cols = Q.quantize_int8("embedding")
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            cols["vmin"].alias("vmin"),
+            cols["vmax"].alias("vmax"),
+            cols["q_csv"].alias("q_csv"),
+            cols["max_err"].alias("max_err"),
+        ).collect()
+    }
+    r1 = out[1]
+    scale = (r1.vmax - r1.vmin) / 255.0
+    assert r1.max_err <= scale / 2 + 1e-6  # max_err is round6-quantized
+    qs = [int(x) for x in r1.q_csv.split(",")]
+    assert qs[0] == 0 and qs[-1] == 255 and all(0 <= q <= 255 for q in qs)
+
+    r2 = out[2]
+    assert r2.q_csv == "0,0,0,0" and r2.max_err == 0.0
