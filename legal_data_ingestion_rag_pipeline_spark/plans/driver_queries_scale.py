@@ -671,16 +671,13 @@ _KMEANS_ORACLE = f"""
 
 
 def _assign_spark(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
+    # ann.ivf_assign inlines the k centroids as an array-of-structs
+    # literal (argmax via struct max), so assignment is pure map-side —
+    # no crossJoin row blowup and no per-vector window shuffle of the
+    # corpus. Same tie-break (smaller centroid id), same bits.
+    from ..operators.ann import ivf_assign
 
-    dot = F.expr(PT.dot_double("embedding", "c_vec", S))
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("_sim", dot)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    return ivf_assign(vecs, cents).select("vec_id", "centroid_id")
 
 
 def _means_spark(assign: DataFrame, vecs: DataFrame) -> DataFrame:

@@ -127,3 +127,35 @@ def test_fuzz_poly_hash_spark_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == expected
+
+
+def test_fuzz_quantize_int8_roundtrip_bound(spark):
+    """Property: for random vectors, every quantized byte is in
+    [0, 255] and the realized reconstruction error never exceeds
+    scale/2 (+ the 1e-6 round6 grid)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import quantize as Q
+
+    rng = random.Random(SEED)
+    cases = []
+    for i in range(200):
+        dim = rng.randint(1, 24)
+        lo, span = rng.uniform(-100, 100), rng.uniform(0, 50)
+        vec = [lo + rng.random() * span for _ in range(dim)]
+        if rng.random() < 0.05:
+            vec = [lo] * dim  # constant vector edge
+        cases.append((i, vec))
+    df = spark.createDataFrame(cases, "vec_id long, embedding array<double>")
+    cols = Q.quantize_int8("embedding")
+    rows = df.select(
+        "vec_id",
+        cols["vmin"].alias("vmin"),
+        cols["vmax"].alias("vmax"),
+        cols["q_csv"].alias("q_csv"),
+        cols["max_err"].alias("max_err"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        qs = [int(x) for x in r.q_csv.split(",")]
+        assert all(0 <= q <= 255 for q in qs)
+        scale = (r.vmax - r.vmin) / 255.0
+        assert r.max_err <= scale / 2 + 1e-6
