@@ -191,3 +191,58 @@ def sample_frames(
         media.filter(F.col("kind") == "video")
         .select("media_id", F.explode(grid).alias("frame_ts_ms"))
     )
+
+
+def audio_windows(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+) -> DataFrame:
+    """Overlapping-window segmentation for audio: one row per
+    (window_ms)-long window at hop_ms stride, with the REAL byte
+    slice of the payload for that window (proportional byte-range
+    mapping — the PCM-exact cut is what a torchaudio decode_fn would
+    refine; the Spark-side plumbing here is the deliverable).
+
+    Pure exploded expressions + Column.substr on the binary column —
+    map-side only, no shuffle, no UDF; the window grid mirrors
+    sample_frames and the slice arithmetic is exact integer division
+    (oracle-checkable).
+    """
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - window_ms, F.lit(0)), F.lit(hop_ms)
+    )
+    total = F.octet_length("content")
+    a = (
+        media.filter((F.col("kind") == "audio") & (dur > 0))
+        .select(
+            "media_id",
+            "content",
+            dur.alias("dur"),
+            total.alias("total_bytes"),
+            F.posexplode(starts).alias("window_idx", "start_ms"),
+        )
+        .withColumn("end_ms", F.least(F.col("start_ms") + window_ms, F.col("dur")))
+    )
+    start_byte = F.expr("(total_bytes * start_ms) DIV dur")
+    end_byte = F.expr("(total_bytes * end_ms) DIV dur")
+    return (
+        a.withColumn("start_byte", start_byte)
+        .withColumn("n_bytes", end_byte - start_byte)
+        .withColumn(
+            "window_content",
+            F.col("content").substr(
+                (F.col("start_byte") + 1).cast("int"), F.col("n_bytes").cast("int")
+            ),
+        )
+        .select(
+            "media_id",
+            "window_idx",
+            "start_ms",
+            "end_ms",
+            "start_byte",
+            "n_bytes",
+            "window_content",
+        )
+    )

@@ -99,3 +99,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
     ).orderBy("media_id", "frame_ts_ms")
+
+
+_AUDIO_ORACLE = """
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars * 20 AS BIGINT) AS dur,
+             CAST(length(text) AS BIGINT) AS total_bytes
+      FROM documents WHERE doc_id % 3 = 1 AND n_chars > 0
+    ),
+    w AS (
+      SELECT media_id, dur, total_bytes,
+             CAST(g.idx AS INT) AS window_idx,
+             CAST(g.s AS BIGINT) AS start_ms
+      FROM a,
+      LATERAL (
+        SELECT unnest(range(0, greatest(dur - 1000, 0) + 1, 500)) AS s,
+               generate_subscripts(range(0, greatest(dur - 1000, 0) + 1, 500), 1) - 1 AS idx
+      ) g
+    )
+    SELECT media_id, window_idx, start_ms,
+           least(start_ms + 1000, dur) AS end_ms,
+           (total_bytes * start_ms) // dur AS start_byte,
+           (total_bytes * least(start_ms + 1000, dur)) // dur
+             - (total_bytes * start_ms) // dur AS n_bytes
+    FROM w ORDER BY media_id, window_idx LIMIT 2000
+    """
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=_AUDIO_ORACLE,
+    doc="audio window segmentation (operators/multimodal.audio_windows): "
+    "1 s windows at 500 ms hop, each with its REAL payload byte slice "
+    "(Column.substr on the binary column; exact integer byte-range "
+    "arithmetic). Map-side explode, no shuffle, no UDF — the decode "
+    "refinement hook is a mapInPandas like extract_features. The gate "
+    "emits the offsets (binary itself isn't canonicalizer-hashable); "
+    "the slice length is asserted equal to the arithmetic in pytest.",
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_windows
+
+    w = audio_windows(_media(spark, sf_dir), window_ms=1000, hop_ms=500)
+    return (
+        w.select(
+            "media_id",
+            F.col("window_idx").cast("int").alias("window_idx"),
+            F.col("start_ms").cast("bigint").alias("start_ms"),
+            F.col("end_ms").cast("bigint").alias("end_ms"),
+            "start_byte",
+            "n_bytes",
+        )
+        .orderBy("media_id", "window_idx")
+        .limit(2000)
+    )

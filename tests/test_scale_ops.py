@@ -283,3 +283,23 @@ def test_quantize_int8_bound_and_constant_vector(spark):
 
     r2 = out[2]
     assert r2.q_csv == "0,0,0,0" and r2.max_err == 0.0
+
+
+def test_audio_windows_slice_matches_offsets(spark):
+    """The materialized binary slice of each audio window must have
+    exactly the byte length the offset arithmetic claims, windows must
+    tile the payload at the hop stride, and window 0 starts at byte 0."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    media = synthetic_media_from_documents(load_table(spark, SF, "documents"))
+    rows = audio_windows(media, window_ms=1000, hop_ms=500).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert len(r.window_content) == r.n_bytes
+        assert r.end_ms - r.start_ms <= 1000
+        if r.window_idx == 0:
+            assert r.start_ms == 0 and r.start_byte == 0
+        else:
+            assert r.start_ms == r.window_idx * 500
