@@ -175,3 +175,38 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     # pruned scan must read exactly the one partition's rows
     assert back.count() == ev.filter(F.col("day") == "2024-01-05").count()
     assert n_days > 1
+
+
+def test_fts_topk_and_term_prune_before_shuffle(spark):
+    """BM25: final ranking is TakeOrderedAndProject (never a global
+    sort), the df/avgdl scalars broadcast, and the query-term filter
+    sits below the first aggregation exchange (postings are pruned
+    before any shuffle)."""
+    plan = plan_of(spark, "fts_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    # toString prints root first, children after: a deeper node appears
+    # LATER in the text. The IN(term) filter must sit BELOW the
+    # top-level per-doc aggregation exchange (postings pruned before
+    # the score shuffle).
+    assert "IN (vector,merge,window)" in plan
+    assert plan.index("IN (vector,merge,window)") > plan.index("Exchange")
+
+
+def test_kmeans_assignment_has_no_pervector_window(spark):
+    """Lloyd assignment must be the inlined-centroid argmax (map-side),
+    not a crossJoin + per-vector rank window: no Window operator and no
+    per-vector Exchange in the assignment subplan."""
+    plan = plan_of(spark, "kmeans_two_iterations")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantize_is_mapside_only(spark):
+    """SQ8 quantization is pure element-wise projection: the plan's
+    only exchange may be the final orderBy sort — no aggregation or
+    join shuffles, no UDF (everything whole-stage codegen)."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
