@@ -384,3 +384,53 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    probe_id: str = "bench_id",
+    n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= min_common
+    word-n-grams with any eval-set item.
+
+    The scan every serious training pipeline runs before release:
+    probe items (eval benchmarks — SMALL, thousands of rows) are
+    broadcast as distinct grams; the corpus grams stream map-side into
+    the broadcast-hash join, so the 100 TB side is never shuffled for
+    the match itself — only the surviving (corpus_doc, bench_item)
+    hits aggregate. No doc-frequency cap is applied on the PROBE side
+    (dropping a common gram could hide real contamination); fan-out is
+    bounded by the probe set's size instead.
+
+    Output: (bench_id, doc_id, n_common, frac) with
+    frac = n_common / probe_n_grams (containment of the probe in the
+    corpus doc's gram set).
+    """
+    def grams_of(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        return (
+            df.withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
+            .withColumn("grams", F.expr(PT.word_ngrams("tokens", n, PT.SPARK)))
+            .select(F.col(id_col).alias(out_id), F.explode_outer("grams").alias("gram"))
+            .filter(F.col("gram").isNotNull())
+            .distinct()
+        )
+
+    pg = grams_of(probes, probe_id, probe_id)  # probes carry probe_id
+    cg = grams_of(corpus, corpus_id, "doc_id")
+    probe_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("probe_n_grams"))
+    hits = (
+        cg.join(F.broadcast(pg), "gram")
+        .filter(F.col("doc_id") != F.col(probe_id))
+        .groupBy(probe_id, "doc_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return hits.join(F.broadcast(probe_sizes), probe_id).withColumn(
+        "frac",
+        F.expr(PT.round6("n_common / CAST(probe_n_grams AS DOUBLE)", PT.SPARK)),
+    )

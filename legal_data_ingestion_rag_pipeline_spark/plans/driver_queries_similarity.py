@@ -1209,3 +1209,52 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = graph.connected_components(pairs)
     return graph.cluster_summary(labels).orderBy("cluster_id")
+
+
+_DECONTAM_ORACLE = f"""
+    WITH probes AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+    ),
+    pt AS (SELECT bench_id, {PT.tokens('text', D)} AS toks FROM probes),
+    pg AS (SELECT DISTINCT bench_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram FROM pt),
+    psz AS (SELECT bench_id, count(*) AS probe_n_grams FROM pg GROUP BY bench_id),
+    ct AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    cg AS (SELECT DISTINCT doc_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram FROM ct),
+    hits AS (
+      SELECT pg.bench_id, cg.doc_id, count(*) AS n_common
+      FROM cg JOIN pg USING (gram)
+      WHERE cg.doc_id != pg.bench_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT h.bench_id, h.doc_id, h.n_common,
+           {PT.round6('h.n_common / CAST(p.probe_n_grams AS DOUBLE)', D)} AS frac
+    FROM hits h JOIN psz p USING (bench_id)
+    ORDER BY frac DESC, bench_id, doc_id LIMIT 100
+    """
+
+
+@register(
+    "decontamination_overlap",
+    oracle=_DECONTAM_ORACLE,
+    doc="benchmark decontamination (operators/dedup.contamination_"
+    "overlap): corpus docs sharing >= 2 word-3-grams with any eval-set "
+    "item, with the containment fraction per hit. The probe set (small) "
+    "broadcasts as distinct grams; the corpus side streams map-side "
+    "into the broadcast join — the 100 TB side is never shuffled for "
+    "the match, only surviving hits aggregate. No probe-side DF cap: "
+    "dropping a common gram could hide real contamination.",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    hits = dedup.contamination_overlap(
+        docs, probes, text_col="text", corpus_id="doc_id",
+        probe_id="bench_id", n=3, min_common=2,
+    )
+    return (
+        hits.select("bench_id", "doc_id", "n_common", "frac")
+        .orderBy(F.desc("frac"), "bench_id", "doc_id")
+        .limit(100)
+    )

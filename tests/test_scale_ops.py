@@ -303,3 +303,26 @@ def test_audio_windows_slice_matches_offsets(spark):
             assert r.start_ms == 0 and r.start_byte == 0
         else:
             assert r.start_ms == r.window_idx * 500
+
+
+def test_contamination_overlap_catches_planted_leak(spark):
+    """A corpus doc embedding a benchmark item verbatim must surface
+    with full containment; unrelated docs must not."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    probes = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "bench_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over the lazy dog and more"),
+            (2, "completely unrelated content about databases and shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = dedup.contamination_overlap(
+        corpus, probes, n=3, min_common=2
+    ).collect()
+    assert [(r.bench_id, r.doc_id) for r in hits] == [(900, 1)]
+    assert hits[0].frac == 1.0  # every probe 3-gram contained verbatim
