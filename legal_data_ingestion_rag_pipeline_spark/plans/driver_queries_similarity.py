@@ -1258,3 +1258,151 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("frac"), "bench_id", "doc_id")
         .limit(100)
     )
+
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             {PT.word_ngrams('toks', 2, D)} AS grams2
+      FROM t WHERE len(toks) >= 2
+    ),
+    tok_counts AS (
+      SELECT doc_id, count(*) AS top_tok_n FROM (
+        SELECT doc_id, unnest(toks) AS tok FROM base
+      ) GROUP BY doc_id, tok
+    ),
+    top_tok AS (SELECT doc_id, max(top_tok_n) AS top_tok_n FROM tok_counts GROUP BY doc_id),
+    gr AS (
+      SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+      FROM (SELECT doc_id, unnest(grams2) AS gram FROM base)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           {PT.round6('t.top_tok_n / CAST(b.n_tokens AS DOUBLE)', D)} AS top_token_frac,
+           {PT.round6('1.0 - g.n_distinct / CAST(g.n_grams AS DOUBLE)', D)} AS dup_2gram_frac,
+           CASE WHEN t.top_tok_n / CAST(b.n_tokens AS DOUBLE) > 0.2
+                  OR 1.0 - g.n_distinct / CAST(g.n_grams AS DOUBLE) > 0.6
+                THEN 'repetitive' ELSE 'ok' END AS verdict
+    FROM base b JOIN top_tok t USING (doc_id) JOIN gr g USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "textstats_repetition",
+    oracle=_REPETITION_ORACLE,
+    doc="repetition quality filter (Gopher/C4-style rules): per-doc "
+    "top-token fraction and duplicate-2-gram fraction, with the "
+    "repetitive/ok verdict a curation pass gates on. Explode + "
+    "count shuffles keyed by (doc, token) — uniform, skew-free; "
+    "thresholds mirror the published heuristics (top token > 0.2, "
+    "dup 2-grams > 0.6).",
+)
+def textstats_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.withColumn("toks", F.expr(PT.tokens("text", S)))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") >= 2)
+        .withColumn("grams2", F.expr(PT.word_ngrams("toks", 2, S)))
+        .select("doc_id", "toks", "n_tokens", "grams2")
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    gr = (
+        base.select("doc_id", F.explode("grams2").alias("gram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+    )
+    j = (
+        base.select("doc_id", "n_tokens")
+        .join(top_tok, "doc_id")
+        .join(gr, "doc_id")
+    )
+    ttf = F.col("top_tok_n") / F.col("n_tokens").cast("double")
+    dgf = F.lit(1.0) - F.col("n_distinct") / F.col("n_grams").cast("double")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(PT.round6("top_tok_n / CAST(n_tokens AS DOUBLE)", S)).alias(
+            "top_token_frac"
+        ),
+        F.expr(PT.round6("1.0 - n_distinct / CAST(n_grams AS DOUBLE)", S)).alias(
+            "dup_2gram_frac"
+        ),
+        F.when((ttf > 0.2) | (dgf > 0.6), "repetitive")
+        .otherwise("ok")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+_PACKING_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({PT.tokens('text', D)}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS prefix_tokens
+      FROM t
+    ),
+    p AS (
+      SELECT source, doc_id, n_tokens, prefix_tokens // 2048 AS pack_id FROM c
+    )
+    SELECT source, pack_id, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+    """
+
+
+@register(
+    "sequence_packing",
+    oracle=_PACKING_ORACLE,
+    doc="training-sequence packing: documents are packed into ~2048-"
+    "token bins per source shard (pack_id = exclusive-prefix token "
+    "count DIV budget over doc_id order). The running sum windows by "
+    "SOURCE — the shard a packer owns — so no global single-partition "
+    "window exists at 100 TB; each shard packs independently, exactly "
+    "how distributed tokenizer-packer jobs shard.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.expr(PT.tokens("text", S))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("prefix_tokens")
+    p = t.select("source", "doc_id", "n_tokens", prefix).withColumn(
+        "pack_id", F.expr("prefix_tokens DIV 2048")
+    )
+    return (
+        p.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
