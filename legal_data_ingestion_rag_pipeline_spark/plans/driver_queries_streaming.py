@@ -62,3 +62,57 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SINK).orderBy("day_start", "event_type")
+
+
+_DEDUP_SINK = "streaming_dedup_docs_sink"
+
+
+@register(
+    "streaming_dedup_docs",
+    oracle="""
+    SELECT count(*) AS n_in,
+           count(DISTINCT text) AS n_survivors
+    FROM documents
+    """,
+    doc="streaming exact dedup held to the hash gate: the documents "
+    "table replayed as a file stream through streaming_dedup_exact "
+    "(dropDuplicatesWithinWatermark on the sha256 content hash, "
+    "availableNow). WHICH duplicate survives depends on partition "
+    "order, so the gated output is the deterministic aggregate — "
+    "input rows vs distinct-content survivors — while the replay "
+    "test in tests/test_streaming.py pins first-occurrence-wins "
+    "across micro-batches.",
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import streaming_dedup_exact
+
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(base)
+    )
+    # synthesize an event time (documents carry none): arrival order by
+    # doc id, microsecond spacing — all inside one watermark window.
+    # Offset well past epoch: the initial watermark is epoch 0 and a
+    # row whose event time EQUALS the watermark is dropped as late
+    # (cost one row at doc_id=0 before the offset).
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros(F.col("doc_id") + F.lit(1_600_000_000_000_000)),
+    )
+    deduped = streaming_dedup_exact(stream, text_col="text", ts_col="ts")
+    n_in = spark.read.parquet(f"{base}/documents.parquet").count()
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_DEDUP_SINK).agg(
+        F.lit(n_in).cast("bigint").alias("n_in"),
+        F.count("*").alias("n_survivors"),
+    )
