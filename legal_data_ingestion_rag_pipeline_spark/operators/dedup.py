@@ -411,23 +411,27 @@ def contamination_overlap(
     frac = n_common / probe_n_grams (containment of the probe in the
     corpus doc's gram set).
     """
-    def grams_of(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
-        return (
+    def grams_of(df: DataFrame, id_col: str, out_id: str, dedup_grams: bool) -> DataFrame:
+        g = (
             df.withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
             .withColumn("grams", F.expr(PT.word_ngrams("tokens", n, PT.SPARK)))
             .select(F.col(id_col).alias(out_id), F.explode_outer("grams").alias("gram"))
             .filter(F.col("gram").isNotNull())
-            .distinct()
         )
+        # distinct() is a shuffle — afford it only on the SMALL probe
+        # side; the corpus side stays raw and dedups inside the final
+        # aggregate (count(DISTINCT gram)), so the corpus is never
+        # shuffled before the broadcast match.
+        return g.distinct() if dedup_grams else g
 
-    pg = grams_of(probes, probe_id, probe_id)  # probes carry probe_id
-    cg = grams_of(corpus, corpus_id, "doc_id")
+    pg = grams_of(probes, probe_id, probe_id, dedup_grams=True)
+    cg = grams_of(corpus, corpus_id, "doc_id", dedup_grams=False)
     probe_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("probe_n_grams"))
     hits = (
         cg.join(F.broadcast(pg), "gram")
         .filter(F.col("doc_id") != F.col(probe_id))
         .groupBy(probe_id, "doc_id")
-        .agg(F.count("*").alias("n_common"))
+        .agg(F.countDistinct("gram").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
     return hits.join(F.broadcast(probe_sizes), probe_id).withColumn(

@@ -210,3 +210,17 @@ def test_quantize_is_mapside_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" not in plan
     assert "Join" not in plan
+
+
+def test_decontamination_corpus_unshuffled_before_match(spark):
+    """The eval-probe grams broadcast; the corpus side must reach the
+    match join with NO exchange below it (the only shuffle is the
+    per-(bench,doc) aggregate above the join)."""
+    plan = plan_of(spark, "decontamination_overlap")
+    # the match join keys on gram (the top join is the tiny
+    # probe-sizes join); between it and its BroadcastExchange lies the
+    # corpus scan subtree, which must contain no shuffle.
+    match_pos = plan.index("BroadcastHashJoin [gram")
+    corpus_side = plan[match_pos : match_pos + plan[match_pos:].index("BroadcastExchange")]
+    assert "FileScan parquet" in corpus_side
+    assert "Exchange hashpartitioning" not in corpus_side
