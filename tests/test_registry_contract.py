@@ -28,3 +28,21 @@ def test_entry_contract():
     q = E.queries()
     o = E.oracle_sql()
     assert set(o) == set(q)
+
+
+def test_gate_priority_spends_the_full_budget():
+    """The driver gates the FIRST 50 registered queries; GATE_PRIORITY
+    is that budget spent explicitly. Every listed name must exist (a
+    typo would silently shift the window) and registry order must
+    start with exactly the priority list."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import (
+        GATE_PRIORITY,
+        registry,
+    )
+
+    reg = registry()
+    assert len(GATE_PRIORITY) == 50
+    assert len(set(GATE_PRIORITY)) == 50
+    missing = [n for n in GATE_PRIORITY if n not in reg]
+    assert missing == []
+    assert list(reg)[:50] == list(GATE_PRIORITY)
