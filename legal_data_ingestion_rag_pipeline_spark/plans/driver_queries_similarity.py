@@ -1406,3 +1406,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+_CURATION_V2_ORACLE = f"""
+    SELECT s.doc_id, s.lang_pred, s.quality,
+           CASE WHEN b.bucket < 80 THEN 'train'
+                WHEN b.bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({_CURATION_ORACLE}) s
+    JOIN ({_REPETITION_ORACLE}) r
+      ON s.doc_id = r.doc_id AND r.verdict = 'ok'
+    JOIN (SELECT doc_id, {PT.poly_hash('text', D)} % 100 AS bucket
+          FROM documents) b
+      ON s.doc_id = b.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=_CURATION_V2_ORACLE,
+    doc="the full training-data curation flow in one plan: quality "
+    "scoring + language ID + exact dedup (curation_pipeline) "
+    "intersected with the repetition filter (Gopher/C4 rules) and "
+    "stamped with the content-hash train/val/test split — the "
+    "composition a release pipeline actually runs. Every stage is the "
+    "already-gated operator; composing them adds only broadcast-sized "
+    "joins on doc_id, no new wide shuffle.",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    surv = curation_pipeline(spark, sf_dir)
+    ok = textstats_repetition(spark, sf_dir).filter(
+        F.col("verdict") == "ok"
+    ).select("doc_id")
+    bucket = F.expr(PT.poly_hash("text", S)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    splits = _t(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    return (
+        surv.join(ok, "doc_id")
+        .join(splits, "doc_id")
+        .select("doc_id", "lang_pred", "quality", "split")
+        .orderBy("doc_id")
+    )
