@@ -159,3 +159,87 @@ def test_fuzz_quantize_int8_roundtrip_bound(spark):
         assert all(0 <= q <= 255 for q in qs)
         scale = (r.vmax - r.vmin) / 255.0
         assert r.max_err <= scale / 2 + 1e-6
+
+
+def test_fuzz_connected_components_vs_union_find(spark):
+    """One batched graph of many random components (disjoint vertex
+    ranges) vs a pure-Python union-find."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    rng = random.Random(SEED)
+    edges = []
+    base = 0
+    for _ in range(40):
+        n = rng.randint(2, 14)
+        verts = list(range(base, base + n))
+        for _ in range(rng.randint(1, n * 2)):
+            a, b = rng.sample(verts, 2)
+            edges.append((a, b))
+        base += n + rng.randint(1, 3)  # gap keeps components disjoint
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.vertex: r.label for r in graph.connected_components(df).collect()}
+    assert got == expect
+
+
+def test_fuzz_bm25_vs_python_reference(spark):
+    """Random small corpora: Spark BM25 vs a direct Python Okapi
+    implementation with the same micro-unit quantization."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    rng = random.Random(SEED)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(60)
+    ]
+    terms = ["alpha", "delta"]
+
+    toks = {i: t.split() for i, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df_t = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    scores = {}
+    for i, v in toks.items():
+        micro = 0
+        hit = 0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1 + (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            part = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+            micro += math.floor(part * 1e6 + 0.5)
+        if hit:
+            scores[i] = (hit, micro / 1e6)
+    expect = sorted(
+        ((s, i) for i, (h, s) in scores.items()),
+        key=lambda p: (-p[0], p[1]),
+    )[:10]
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = fts.bm25_topk(df, "doc_id", "text", terms, k=10).collect()
+    assert [(r.score, r.doc_id) for r in got] == expect
+    for r in got:
+        assert r.n_terms_hit == scores[r.doc_id][0]
