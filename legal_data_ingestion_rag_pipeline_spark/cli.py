@@ -116,6 +116,37 @@ def cmd_rag(spark: SparkSession, args) -> int:
     return 0
 
 
+def cmd_fts(spark: SparkSession, args) -> int:
+    """BM25 keyword search over docket text — the query surface the
+    reference's GIN FTS index (schema.sql:140-141) was declared for
+    but never received. Ranks over the persisted cases table."""
+    from .operators.fts import bm25_topk
+
+    store = _store(spark, args.store)
+    if not store.exists("cases"):
+        print(json.dumps({"error": "no cases table — run ingest first"}))
+        return 1
+    import re
+
+    terms = re.findall(r"[a-z0-9]+", args.q.lower())
+    if not terms:
+        print(json.dumps({"error": "query must contain at least one term"}))
+        return 1
+    cases = store.read("cases")
+    hits = bm25_topk(
+        cases, "id", "docket_text", terms, k=args.k, tokenizer="word"
+    )
+    meta = cases.select("id", "case_number", "title")
+    ranked = (
+        hits.join(meta, hits.doc_id == meta.id)
+        .select("doc_id", "case_number", "title", "n_terms_hit", "score")
+        .orderBy("score", ascending=False)
+    )
+    for row in ranked.collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_quality(spark: SparkSession, args) -> int:
     from .plans.quality_report import report
 
@@ -166,6 +197,11 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--since", default=None)
     pq.add_argument("--store", default="./warehouse")
 
+    pf = sub.add_parser("fts")
+    pf.add_argument("--q", required=True)
+    pf.add_argument("--k", type=int, default=10)
+    pf.add_argument("--store", default="./warehouse")
+
     args = p.parse_args(argv)
     from .session import build_session
 
@@ -176,6 +212,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_ingest(spark, args)
     if args.cmd == "rag":
         return cmd_rag(spark, args)
+    if args.cmd == "fts":
+        return cmd_fts(spark, args)
     return cmd_quality(spark, args)
 
 

@@ -56,6 +56,18 @@ def postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _tokens_expr(text_col: str, tokenizer: str) -> F.Column:
+    if tokenizer == "ws":
+        # whitespace tokens — the portable form mirrored by the gate
+        # oracle (keeps punctuation attached, like vocab_topk)
+        return F.expr(PT.tokens(text_col, PT.SPARK))
+    if tokenizer == "word":
+        # alnum word tokens — what an interactive keyword search wants
+        # ('complaint' must match 'complaint.')
+        return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (use 'ws' or 'word')")
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -64,6 +76,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Top-k docs for a bag-of-terms query under Okapi BM25.
 
@@ -73,7 +86,7 @@ def bm25_topk(
     Returns (doc_id, n_terms_hit, score) with score on the 1e-6 grid
     (see module docstring), ties broken by doc_id.
     """
-    toks = F.expr(PT.tokens(text_col, PT.SPARK))
+    toks = _tokens_expr(text_col, tokenizer)
     base = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .withColumn("dl", F.size("_toks"))

@@ -48,6 +48,15 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert 0 < len(hits) <= 5
     assert "similarity" in hits[0]
 
+    # BM25 keyword search over docket text (the GIN-index use case)
+    assert cli.main(["fts", "--q", "complaint text", "--store", store]) == 0
+    fhits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert fhits and all("score" in h and "case_number" in h for h in fhits)
+    scores = [h["score"] for h in fhits]
+    assert scores == sorted(scores, reverse=True)
+    assert cli.main(["fts", "--q", "   ", "--store", store]) == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
     # fixture failure rate is 60% -> threshold breach -> exit 1
     assert cli.main(["quality", "--store", store]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
