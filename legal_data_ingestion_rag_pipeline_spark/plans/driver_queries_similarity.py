@@ -1452,3 +1452,50 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "quality", "split")
         .orderBy("doc_id")
     )
+
+
+_FTS_WORD_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_terms_hit,
+           CAST(sum(micro) AS DOUBLE) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "fts_bm25_word_tokens",
+    oracle=_FTS_WORD_ORACLE,
+    doc="BM25 with the interactive 'word' tokenizer (alnum runs — "
+    "'complaint' matches 'complaint.'), the variant the CLI fts "
+    "command uses; same plan shape as fts_bm25_search, both "
+    "tokenizers oracle-gated.",
+)
+def fts_bm25_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.bm25_topk(
+        docs, "doc_id", "text", list(_FTS_TERMS), k=_FTS_K, tokenizer="word"
+    )
