@@ -23,6 +23,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "cases",
@@ -140,7 +141,9 @@ def cmd_fts(spark: SparkSession, args) -> int:
     ranked = (
         hits.join(meta, hits.doc_id == meta.id)
         .select("doc_id", "case_number", "title", "n_terms_hit", "score")
-        .orderBy("score", ascending=False)
+        # preserve bm25_topk's deterministic tie-break (score DESC,
+        # doc_id ASC) — score alone reorders equal-score docs randomly
+        .orderBy(F.desc("score"), "doc_id")
     )
     for row in ranked.collect():
         print(json.dumps(row.asDict(), default=str))

@@ -394,6 +394,7 @@ def contamination_overlap(
     probe_id: str = "bench_id",
     n: int = 3,
     min_common: int = 2,
+    exclude_self_ids: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing >= min_common
     word-n-grams with any eval-set item.
@@ -410,6 +411,12 @@ def contamination_overlap(
     Output: (bench_id, doc_id, n_common, frac) with
     frac = n_common / probe_n_grams (containment of the probe in the
     corpus doc's gram set).
+
+    ``exclude_self_ids`` drops hits where ``doc_id == bench_id``. It
+    is ONLY meaningful when probes are sampled from the corpus itself
+    (same id namespace) — corpus ids and benchmark ids are normally
+    unrelated namespaces, and an equality there is coincidence, not
+    identity, so the default keeps every hit.
     """
     def grams_of(df: DataFrame, id_col: str, out_id: str, dedup_grams: bool) -> DataFrame:
         g = (
@@ -427,10 +434,11 @@ def contamination_overlap(
     pg = grams_of(probes, probe_id, probe_id, dedup_grams=True)
     cg = grams_of(corpus, corpus_id, "doc_id", dedup_grams=False)
     probe_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("probe_n_grams"))
+    matched = cg.join(F.broadcast(pg), "gram")
+    if exclude_self_ids:
+        matched = matched.filter(F.col("doc_id") != F.col(probe_id))
     hits = (
-        cg.join(F.broadcast(pg), "gram")
-        .filter(F.col("doc_id") != F.col(probe_id))
-        .groupBy(probe_id, "doc_id")
+        matched.groupBy(probe_id, "doc_id")
         .agg(F.countDistinct("gram").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )

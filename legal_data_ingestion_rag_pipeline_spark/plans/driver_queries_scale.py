@@ -476,7 +476,8 @@ def fuzzy_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS total_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total_k,
            min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)

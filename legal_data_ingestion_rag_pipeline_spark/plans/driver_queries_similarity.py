@@ -1249,9 +1249,12 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
+    # probes are sampled FROM the corpus here, so self-pairs are real
+    # identities (same id namespace) and must be excluded; in a true
+    # decontamination run the namespaces differ and the flag stays off.
     hits = dedup.contamination_overlap(
         docs, probes, text_col="text", corpus_id="doc_id",
-        probe_id="bench_id", n=3, min_common=2,
+        probe_id="bench_id", n=3, min_common=2, exclude_self_ids=True,
     )
     return (
         hits.select("bench_id", "doc_id", "n_common", "frac")
@@ -1361,10 +1364,11 @@ _PACKING_ORACLE = f"""
       FROM t
     ),
     p AS (
-      SELECT source, doc_id, n_tokens, prefix_tokens // 2048 AS pack_id FROM c
+      SELECT source, doc_id, n_tokens,
+             CAST(prefix_tokens // 2048 AS BIGINT) AS pack_id FROM c
     )
     SELECT source, pack_id, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM p GROUP BY source, pack_id ORDER BY source, pack_id
     """

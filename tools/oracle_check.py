@@ -23,15 +23,39 @@ from legal_data_ingestion_rag_pipeline_spark.session import TABLES, build_sessio
 
 
 def canon(v) -> str:
-    if v is None:
+    import datetime as _dt
+
+    import numpy as _np
+    import pandas as _pd
+
+    if v is None or v is _pd.NaT:
         return "<null>"
+    if isinstance(v, _np.ndarray):
+        v = v.tolist()
+    if isinstance(v, _np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "<null>"
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    # normalize date-ish values: pandas Timestamp / datetime at midnight
+    # print as bare dates so Spark DateType and DuckDB DATE-as-datetime64
+    # canonicalize identically.
+    if isinstance(v, (_pd.Timestamp, _dt.datetime)):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
+        return str(v)
     return str(v)
+
+
+def df_rows(df):
+    """pandas DataFrame -> list of plain tuples (the driver compares
+    through pandas, so integer-typed DuckDB HUGEINT sums arrive as
+    float64 — fetching this way makes the harness catch that class of
+    mismatch instead of hiding it behind fetchall()'s Python ints)."""
+    return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def value_hash(rows, colnames) -> str:
@@ -82,8 +106,9 @@ def main() -> int:
             continue
         try:
             sdf = spec.spark(spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            srows = df_rows(spdf)
+            scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
@@ -92,9 +117,9 @@ def main() -> int:
             print(f"ROWS {name}: {len(srows)} rows (no oracle, rows-only check)")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            ddf = con.execute(spec.oracle).fetch_df()
+            dcols = list(ddf.columns)
+            drows = df_rows(ddf)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
