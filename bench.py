@@ -42,26 +42,32 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-two per query (methodology change, round 2 — see
-    # PERFORMANCE.md): run 1 pays one-off codegen/broadcast-build
-    # costs a long-lived cluster amortizes across its lifetime; run 2
-    # is the steady-state plan execution. Reporting the min measures
-    # the PLAN, not JIT noise, and cuts the ±25% run-to-run variance
-    # the shared box otherwise injects. Cold numbers stay visible in
-    # the per-query "cold" map.
+    # Cold + median-of-3 warm per query (methodology change, round 4 —
+    # see PERFORMANCE.md): run 1 pays one-off codegen/broadcast-build
+    # costs a long-lived cluster amortizes across its lifetime; the
+    # median of the next 3 runs is the steady-state plan execution.
+    # Median (not min) resists one lucky cache hit; 3 warm runs resist
+    # one unlucky load spike. BENCH_r03 showed why: a contended box
+    # produced warm==cold on half the queries and a 3.5x phantom
+    # regression. We also record os.getloadavg() before/after and set
+    # "load_suspect" when the 1-min load already exceeds the core count
+    # at start — the consumer can discount the run.
+    load_before = os.getloadavg()
     specs = [s for s in registry().values() if s.bench]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for spec in specs:
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             df = spec.spark(spark, sf_dir)  # build plan (cheap)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         cold[spec.name] = runs[0]
-        timings[spec.name] = min(runs)
+        timings[spec.name] = sorted(runs[1:])[1]  # median of 3 warm
 
+    load_after = os.getloadavg()
+    ncpu = os.cpu_count() or 1
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -69,6 +75,9 @@ def main() -> None:
         "queries": timings,
         "cold": cold,
         "sf": sf,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "load_suspect": load_before[0] > ncpu,
     }
     print(json.dumps(out))
 

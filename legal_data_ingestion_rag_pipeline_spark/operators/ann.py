@@ -105,6 +105,32 @@ def brute_force_topk(
     return _two_phase_topk(joined, k, query_id, corpus_id)
 
 
+#: Above this many literal terms (n_centroids x dim) the inlined
+#: array-of-structs expression tree risks blowing past codegen /
+#: plan-size limits (a realistic 4096 lists x 768 dims is ~3M
+#: literals); switch to the broadcast GEMM path instead.
+IVF_INLINE_MAX_TERMS = 65536
+
+
+def _collect_centroids(
+    centroids: DataFrame, centroid_id: str, centroid_vec: str
+) -> list[tuple[int, list[float]]]:
+    """Collect + validate the centroid table (bounded: the IVF list
+    count, the same small-side contract as a broadcast). Ids must be
+    integral — reject rather than silently truncate."""
+    out: list[tuple[int, list[float]]] = []
+    for r in centroids.select(centroid_id, centroid_vec).collect():
+        cid = r[0]
+        if cid is None or not float(cid).is_integer():
+            raise ValueError(
+                f"centroid id column {centroid_id!r} must hold integral "
+                f"values; got {cid!r}"
+            )
+        out.append((int(cid), [float(x) for x in r[1]]))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -112,31 +138,43 @@ def ivf_assign(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "c_vec",
+    max_inline_terms: int = IVF_INLINE_MAX_TERMS,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (argmax dot).
 
-    The centroid set is collected to the driver (bounded: the IVF list
-    count, the same small-side contract as a broadcast) and inlined as
-    an array-of-structs literal, so assignment is a pure map-side
-    expression over the corpus — no crossJoin row blowup and, unlike a
-    ``Window.partitionBy(corpus_id)``, NO shuffle of the fact-scale
-    corpus at all.  Ties break toward the smaller centroid id (struct
-    max on (c_sim, -centroid_id)), matching the previous window order
-    (c_sim DESC, centroid_id ASC).  In a real deployment the assigned
-    corpus is written partitioned by cell so probes prune at the file
-    level.
+    Two map-side strategies, both shuffle-free over the fact-scale
+    corpus (no crossJoin row blowup, no ``Window.partitionBy``):
+
+    * small C x dim (<= max_inline_terms): centroids inlined as an
+      array-of-structs literal; assignment is a pure codegen'd
+      expression using the portable double-fold dot, so the result is
+      oracle-reproducible bit-for-bit.
+    * large C x dim: centroids ship as a Spark broadcast and an
+      Arrow-batched ``mapInPandas`` computes one numpy GEMM per batch
+      (n x dim @ dim x C) — the realistic 100 TB path; a 4096x768
+      float64 centroid matrix is ~25 MB broadcast vs ~3M literal
+      expression nodes.
+
+    Ties break toward the smaller centroid id in BOTH paths (struct
+    max on (c_sim, -cid) / first-argmax over id-sorted centroids). The
+    GEMM path sums in numpy's pairwise order, so c_sim may differ from
+    the fold order in the last ulp — the gated queries use small
+    centroid sets and stay on the literal path.
+
+    In a real deployment the assigned corpus is written partitioned by
+    cell (write_cell_partitioned) so probes prune at the file level.
     """
-    cents = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(),
-        key=lambda r: r[0],
-    )
+    cents = _collect_centroids(centroids, centroid_id, centroid_vec)
+    n_terms = sum(len(cv) for _, cv in cents)
+    if n_terms > max_inline_terms:
+        return _ivf_assign_gemm(corpus, cents, corpus_vec, centroid_id)
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r[0])).cast("bigint").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cv"),
+                F.lit(cid).cast("bigint").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
             )
-            for r in cents
+            for cid, cv in cents
         ]
     )
     dot = PT.dot_double("c.cv", corpus_vec, PT.SPARK)
@@ -151,6 +189,46 @@ def ivf_assign(
         .withColumn(centroid_id, (-F.col("_best.neg_id")).cast("bigint"))
         .drop("_cents", "_best")
     )
+
+
+def _ivf_assign_gemm(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    corpus_vec: str,
+    centroid_id: str,
+) -> DataFrame:
+    """Broadcast-GEMM assignment: one numpy matmul per Arrow batch.
+
+    Centroids are sorted by id, so numpy's first-max argmax breaks
+    similarity ties toward the smaller centroid id — same contract as
+    the literal path.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructType
+
+    ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    mat = np.asarray([cv for _, cv in cents], dtype=np.float64)
+    b = corpus.sparkSession.sparkContext.broadcast((ids, mat))
+    out_schema = StructType(corpus.schema.fields[:]).add(
+        "c_sim", DoubleType()
+    ).add(centroid_id, LongType())
+
+    def assign(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415 — executor-side import
+
+        c_ids, c_mat = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(pdf[corpus_vec].tolist(), dtype=np.float64)
+            sims = vecs @ c_mat.T
+            best = sims.argmax(axis=1)
+            pdf = pdf.copy()
+            pdf["c_sim"] = sims[np.arange(len(pdf)), best]
+            pdf[centroid_id] = c_ids[best]
+            yield pdf
+
+    return corpus.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(

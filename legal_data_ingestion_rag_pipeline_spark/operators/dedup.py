@@ -152,7 +152,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 32,
     bands: int = 16,
     materialize_input: bool = True,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair; estimated Jaccard = matching-slot fraction.
@@ -160,8 +160,10 @@ def lsh_candidate_pairs(
     Scale: the self-join is keyed on (band_idx, band signature) — the
     shuffle moves each doc `bands` times, and only same-bucket pairs
     are generated.  A bucket of B docs still produces B^2/2 pairs in
-    ONE task, so `max_bucket_size` ENFORCES the hot-bucket guard: any
-    bucket larger than the cap (boilerplate/viral content) is dropped
+    ONE task, so at scale callers should OPT IN to the hot-bucket
+    guard via `max_bucket_size` (the default is None — full recall,
+    no silently dropped pairs): any bucket larger than the cap
+    (boilerplate/viral content) is dropped
     from pair generation before the self-join — the same discipline as
     ``ngram_jaccard_pairs``' `max_doc_freq`.  Docs in a dropped bucket
     still pair through their other `bands - 1` bands, and truly

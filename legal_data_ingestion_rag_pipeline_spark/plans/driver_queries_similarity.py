@@ -1204,7 +1204,9 @@ _CC_ORACLE = f"""
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
-    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=32, bands=16).select(
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+    ).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     labels = graph.connected_components(pairs)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..session import normalize_event_ts
 from ..streaming.pipeline import windowed_daily_stats
 from .registry import register
 
@@ -36,11 +37,11 @@ _SINK = "streaming_tumbling_counts_sink"
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sf_dir.rstrip("/")
-    # schema from a static read (ts surfaces as int64 nanos under
-    # nanosAsLong; convert exactly like session.load_table); the file
-    # stream source wants a directory, so glob-filter inside sf_dir.
-    # nanosAsLong is runtime-settable — set it so a vanilla session
-    # (the correctness driver's) can read TIMESTAMP_NANOS parquet.
+    # schema from a static read; the file stream source wants a
+    # directory, so glob-filter inside sf_dir. nanosAsLong is
+    # runtime-settable — set it so a vanilla session (the correctness
+    # driver's) can read TIMESTAMP_NANOS parquet generations; ts is
+    # normalized to plain TIMESTAMP either way (normalize_event_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{base}/events.parquet").schema
     stream = (
@@ -48,10 +49,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(base)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
-        )
+    stream = normalize_event_ts(stream)
     agg = windowed_daily_stats(stream, watermark="1 day")
     q = (
         agg.writeStream.format("memory")

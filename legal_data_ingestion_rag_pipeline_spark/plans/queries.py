@@ -97,7 +97,10 @@ def case_parties_of(tables: dict[str, DataFrame], case_id: int) -> DataFrame:
     parties = tables["parties"]
     return (
         cp.filter(F.col("case_id") == case_id)
-        .join(parties.select(F.col("id").alias("party_id"), "name"), "party_id")
-        .select("name", "role")
+        .join(
+            parties.select(F.col("id").alias("party_id"), "name", "normalized_name"),
+            "party_id",
+        )
+        .select("name", "normalized_name", "role")
         .orderBy("role", "name")
     )

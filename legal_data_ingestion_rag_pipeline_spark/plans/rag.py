@@ -212,9 +212,22 @@ def search_dockets(
     )
     cases = tables["cases"]
     detail = (
-        best.join(cases.select("case_number", "title", "judge_id", "court_id"), "case_number", "left")
+        best.join(
+            cases.select("case_number", "title", "filed_date", "judge_id", "court_id"),
+            "case_number",
+            "left",
+        )
         .join(F.broadcast(tables["judges"].select(F.col("id").alias("judge_id"), F.col("name").alias("judge"))), "judge_id", "left")
         .join(F.broadcast(tables["courts"].select(F.col("id").alias("court_id"), F.col("name").alias("court"))), "court_id", "left")
-        .select("case_number", "title", "judge", "court", "similarity", "snippet")
+        .select(
+            "case_number",
+            "title",
+            F.date_format("filed_date", "yyyy-MM-dd").alias("filed_date"),
+            "judge",
+            "court",
+            "similarity",
+            "chunk_id",
+            "snippet",
+        )
     )
     return detail.orderBy(F.desc("similarity"), "case_number").limit(top_k)

@@ -28,33 +28,42 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: API surface, pytest + tools/oracle_check coverage) but receives no
 #: driver CORRECTNESS row.
 GATE_PRIORITY: tuple[str, ...] = (
-    # LLM family: dedup
+    # LLM family: dedup (round-4 rotation: dedup_simhash_pairs /
+    # dedup_embedding_cosine rotated OUT — each keeps a gated family
+    # partner [dedup_simhash, dedup_embedding_srp_lsh] and full
+    # tools/oracle_check + pytest coverage — to spend their slots on
+    # previously ungated operators below)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_embedding_srp_lsh",
     "dedup_incremental_exact",
     "dedup_cluster_components",
-    # LLM family: similarity search / clustering
+    "last_wins_dedup",
+    "streaming_dedup_docs",
+    # LLM family: similarity search / clustering (ann_ivf_full_probe
+    # rotated out; ann_ivf_topk gates the same path)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_ivf_full_probe",
     "ann_ivf_recall",
     "kmeans_two_iterations",
     "embedding_label_centroids",
-    # LLM family: text analysis + RAG + streaming + multimodal
+    # LLM family: text analysis + RAG + curation + streaming +
+    # multimodal (textstats_fingerprint -> fingerprint_winnowing
+    # subsumes the rolling hash; multimodal_frame_sample ->
+    # multimodal_features gates the same plumbing)
     "textstats_lang_id",
     "textstats_quality",
-    "textstats_fingerprint",
     "fingerprint_winnowing",
     "rag_semantic_search",
     "curation_pipeline",
     "streaming_tumbling_counts",
     "multimodal_features",
-    "multimodal_frame_sample",
+    "fts_bm25_search",
+    "decontamination_overlap",
+    "sequence_packing",
+    "pii_redaction",
     # events-table family (timestamp/window/sessionization operators)
     "record_canonical_hash",
     "error_breakdown",
@@ -64,7 +73,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "running_total_per_user",
     "sessionization",
     "asof_prev_purchase",
-    "moving_avg_3rows",
+    # moving_avg_3rows rotated out (running_total_per_user gates the
+    # same window-frame machinery)
     "user_event_type_sets",
     "session_window_agg",
     "funnel_signup_click_purchase",

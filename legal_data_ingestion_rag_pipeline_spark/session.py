@@ -72,22 +72,45 @@ def barrier(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver parquet table, normalizing physical-type quirks.
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize ``events.ts`` to a plain TIMESTAMP across driver testdata
+    generations.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file; with nanosAsLong it
-    surfaces as int64 nanoseconds.  Integer ``DIV 1000`` truncates to
-    microseconds exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast,
-    keeping oracle comparisons bit-identical (double division would
-    round and drift by 1us).
+    The driver has shipped ``events.parquet`` with two physical types:
+
+    * TIMESTAMP(NANOS) — with ``nanosAsLong`` it surfaces as int64
+      nanoseconds; integer ``DIV 1000`` truncates to microseconds exactly
+      like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast, keeping oracle
+      comparisons bit-identical (double division would round and drift
+      by 1us).
+    * ``timestamp[us]`` with no zone — surfaces as TIMESTAMP_NTZ, which
+      ``withWatermark`` / ``unix_micros`` reject. The session time zone
+      is pinned UTC, so casting NTZ -> TIMESTAMP reinterprets the same
+      wall-clock value as the same instant and oracle hashes hold.
+
+    Works on both batch and streaming DataFrames (pure projection).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} DIV CAST(1000 AS BIGINT)"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table, normalizing physical-type quirks
+    (see :func:`normalize_event_ts` for the ``events.ts`` story).
     """
     # The caller may hand us a vanilla SparkSession (the correctness
     # driver builds its own); nanosAsLong is runtime-settable, so set it
     # here rather than relying on build_session having run.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -326,3 +326,47 @@ def test_contamination_overlap_catches_planted_leak(spark):
     ).collect()
     assert [(r.bench_id, r.doc_id) for r in hits] == [(900, 1)]
     assert hits[0].frac == 1.0  # every probe 3-gram contained verbatim
+
+
+def test_ivf_assign_gemm_fallback_matches_literal(spark):
+    """C=1024 centroids x dim=128 exceeds IVF_INLINE_MAX_TERMS, so
+    ivf_assign takes the broadcast-GEMM mapInPandas path; its
+    assignments must agree with the literal-expression path on the
+    same data (forced via max_inline_terms), and non-integral
+    centroid ids are rejected rather than truncated."""
+    import math
+
+    import pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    dim, n_cents, n_corpus = 128, 1024, 200
+    assert n_cents * dim > ann.IVF_INLINE_MAX_TERMS
+
+    def vec(seed: int) -> list[float]:
+        return [math.sin(0.1 * seed + 0.37 * j) for j in range(dim)]
+
+    cents = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n_cents)],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, vec(3 * i + 1)) for i in range(n_corpus)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    gemm = ann.ivf_assign(corpus, cents)  # auto: over threshold -> GEMM
+    lit = ann.ivf_assign(corpus, cents, max_inline_terms=1 << 30)
+    got = {r.vec_id: r for r in gemm.collect()}
+    want = {r.vec_id: r for r in lit.collect()}
+    assert set(got) == set(want) and len(got) == n_corpus
+    for vid, g in got.items():
+        w = want[vid]
+        assert g.centroid_id == w.centroid_id
+        assert abs(g.c_sim - w.c_sim) < 1e-9
+
+    bad = spark.createDataFrame(
+        [(0.5, vec(0))], "centroid_id double, c_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ann.ivf_assign(corpus, bad)

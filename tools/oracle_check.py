@@ -23,6 +23,16 @@ from legal_data_ingestion_rag_pipeline_spark.session import TABLES, build_sessio
 
 
 def canon(v) -> str:
+    """Canonical string for one cell.
+
+    INTENTIONAL conflation: float NaN canonicalizes to "<null>" — a
+    nullable float column fetched through pandas delivers NULL as NaN
+    on BOTH engines, so the two are indistinguishable at this layer;
+    the cost is that a genuine Spark-NaN vs oracle-NULL difference
+    would pass. Timezone-aware timestamps are normalized to UTC-naive
+    before formatting so the same instant canonicalizes identically
+    regardless of which engine attached a zone.
+    """
     import datetime as _dt
 
     import numpy as _np
@@ -44,6 +54,8 @@ def canon(v) -> str:
     # print as bare dates so Spark DateType and DuckDB DATE-as-datetime64
     # canonicalize identically.
     if isinstance(v, (_pd.Timestamp, _dt.datetime)):
+        if v.tzinfo is not None:  # same instant, zone-independent form
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
             return v.strftime("%Y-%m-%d")
         return str(v)
