@@ -24,17 +24,21 @@ from fixtures import DOCKETS
 
 
 @pytest.fixture(scope="module")
-def base_url(spark):
+def ctx(spark):
     raw = raw_from_rows(spark, DOCKETS)
     r = ingest_batch(spark, raw)
     tables = {k: v.localCheckpoint(eager=True) for k, v in r.tables.items()}
     embedder = HashEmbedder(dim=32)
     emb = backfill_chunk_embeddings(tables["cases"], None, embedder)
-    ctx = ApiContext(
+    return ApiContext(
         tables=tables,
         embeddings=emb.localCheckpoint(eager=True),
         embedder=embedder,
     )
+
+
+@pytest.fixture(scope="module")
+def base_url(ctx):
     srv = make_server(ctx)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -145,3 +149,22 @@ def test_search_validation_400(base_url):
     assert _post(f"{base_url}/cases/search", {"query": "contract", "limit": 0})[0] == 400
     assert _post(f"{base_url}/cases/search", {"query": "contract", "limit": 51})[0] == 400
     assert _post(f"{base_url}/cases/search", {"query": "contract", "limit": "5"})[0] == 400
+
+
+def test_context_from_store_roundtrip(spark, ctx, tmp_path):
+    """api's CLI entry loads its context from a ParquetStore warehouse:
+    a store missing core tables exits with a clear error; a populated
+    one round-trips tables + embeddings into a servable context."""
+    from legal_data_ingestion_rag_pipeline_spark.api import context_from_store
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import ParquetStore
+
+    with pytest.raises(SystemExit, match="run ingest first"):
+        context_from_store(spark, str(tmp_path / "empty"))
+
+    store = ParquetStore(spark, str(tmp_path / "wh"))
+    store.write_all(ctx.tables)
+    store.write("case_chunk_embeddings", ctx.embeddings)
+    loaded = context_from_store(spark, str(tmp_path / "wh"))
+    assert set(ctx.tables) <= set(loaded.tables)
+    assert loaded.embeddings is not None
+    assert loaded.embeddings.count() == ctx.embeddings.count()
