@@ -938,3 +938,66 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .limit(100)
     )
+
+
+_MIX_BUDGET = 12_000
+_MIX_HOT = ("src0", "src1", "src2", "src3", "src4")
+_MIX_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({{toks}}) AS BIGINT) AS n_tok,
+             {{ph}} % 1000000 AS bucket
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, SUM(n_tok) AS dom_tok,
+             CASE WHEN source IN {_MIX_HOT!r} THEN 5 ELSE 1 END AS w
+      FROM d GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             LEAST(1000000,
+                   (CAST(1000000 AS BIGINT) * {_MIX_BUDGET} * w)
+                     // (SUM(w) OVER () * dom_tok))
+               AS thr
+      FROM tot
+    )
+    SELECT d.doc_id, d.source, d.n_tok
+    FROM d JOIN thr USING (source)
+    WHERE d.bucket < thr.thr
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=_MIX_ORACLE.format(toks=PT.tokens("text", D), ph=PT.poly_hash("text", D)),
+    doc="domain-mixture sampling (operators/mixture.py): sample each "
+    "source toward a target token mix (src0-4 upweighted 5x, budget "
+    f"{_MIX_BUDGET} tokens) with content-hash membership — "
+    "deterministic under retries/repartitioning — and all-integer "
+    "threshold arithmetic so the oracle reproduces the sample "
+    "bit-for-bit. Upweighted domains cap at rate 1 (take-all), the "
+    "rest subsample: both branches exercised at the gate scale. "
+    "Only non-map-side work is the #domains-row token aggregate, "
+    "broadcast back; the fact table never shuffles.",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mixture import sample_to_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(PT.tokens("text", S))).cast("bigint").alias("n_tok"),
+        (F.expr(PT.poly_hash("text", S)) % 1_000_000).alias("bucket"),
+    )
+    sampled = sample_to_mixture(
+        d,
+        domain_col="source",
+        n_tokens_col="n_tok",
+        bucket_col="bucket",
+        budget=_MIX_BUDGET,
+        weights={s: 5 for s in _MIX_HOT},
+    )
+    return sampled.select("doc_id", "source", "n_tok").orderBy("doc_id")

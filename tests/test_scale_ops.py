@@ -370,3 +370,42 @@ def test_ivf_assign_gemm_fallback_matches_literal(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         ann.ivf_assign(corpus, bad)
+
+
+def test_mixture_sample_cap_subsample_and_determinism(spark):
+    """Upweighted domains whose target exceeds their token mass are
+    taken whole (threshold caps at scale); others subsample near their
+    target rate; and the selection is identical under repartitioning
+    (content-hash membership, not rand())."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import mixture
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.expr(PT.tokens("text", PT.SPARK))).cast("bigint").alias("n_tok"),
+        (F.expr(PT.poly_hash("text", PT.SPARK)) % mixture.SCALE).alias("bucket"),
+    )
+    weights = {"src0": 50}
+    budget = 3000
+    thr = {
+        r.source: r
+        for r in mixture.mixture_thresholds(
+            docs, "source", "n_tok", budget, weights
+        ).collect()
+    }
+    assert thr["src0"].thr == mixture.SCALE  # 50/69 share >> src0's mass
+    cold = [r for s, r in thr.items() if s != "src0"]
+    assert all(r.thr < mixture.SCALE for r in cold)
+
+    sampled = mixture.sample_to_mixture(
+        docs, "source", "n_tok", "bucket", budget, weights
+    )
+    got = {r.doc_id for r in sampled.collect()}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert sampled.filter(F.col("source") == "src0").count() == n_src0
+    # deterministic under a different partitioning
+    again = mixture.sample_to_mixture(
+        docs.repartition(7, "doc_id"), "source", "n_tok", "bucket", budget, weights
+    )
+    assert {r.doc_id for r in again.collect()} == got
