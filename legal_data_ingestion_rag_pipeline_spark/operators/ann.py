@@ -350,3 +350,78 @@ def mllib_lsh_topk(
             "rank",
         )
     )
+
+
+def sq8_adc_proxy_sql(corpus_vec: str, query_vec: str, dialect: str) -> str:
+    """SQL fragment for the stage-1 ADC score — identical structure in
+    both dialects so the double folds are bit-identical:
+
+        vmin_c * sum(q) + scale_c * dot(q, codes_c)
+    """
+    from .quantize import quantize_int8_sql
+
+    parts = quantize_int8_sql(corpus_vec, dialect)
+    vmin, vmax, codes = parts["vmin"], parts["vmax"], parts["q"]
+    scale = f"(({vmax}) - ({vmin})) / 255.0"
+    qsum = PT.reduce_(
+        PT.transform(query_vec, "x -> CAST(x AS DOUBLE)", dialect),
+        "CAST(0.0 AS DOUBLE)",
+        "(s, x) -> s + x",
+        dialect,
+    )
+    dot_q_codes = PT.dot_double(query_vec, codes, dialect)
+    return f"({vmin}) * ({qsum}) + ({scale}) * ({dot_q_codes})"
+
+
+def sq8_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Two-stage quantized retrieval (the faiss SQ8 search pattern):
+
+    stage 1 ranks by the ADC (asymmetric distance computation) score:
+    the FLOAT query against the DEQUANTIZED per-vector int8 codes —
+
+        proxy = vmin_c * sum(q) + scale_c * dot(q, codes_c)
+
+    which equals dot(q, dequant(codes_c)) exactly. Only the quantized
+    tier (vmin, scale, codes: operators/quantize.py) is read on the
+    corpus side — in production those are STORED, so this scan streams
+    1/4-1/8 the bytes of the float corpus, the win at 100 TB; here
+    they derive on the fly to keep the gate query self-contained.
+    (A symmetric code x code integer dot is NOT used: per-vector
+    affine scales distort cross-vector ranking — measured recall@10
+    dropped to ~0.3 on the driver embeddings.) The per-query top
+    ``pool`` survivors come from the shuffle-free two-phase top-k.
+
+    stage 2 rescores only the survivors with the exact double-fold
+    dot and returns the top ``k``. Both stages use total orders
+    (score DESC, id ASC) and identical fold-order double arithmetic on
+    both engines, so the result is deterministic and
+    DuckDB-reproducible end to end.
+    """
+    scored = corpus.select(corpus_id, corpus_vec).crossJoin(
+        F.broadcast(queries.select(query_id, query_vec))
+    ).withColumn(
+        "similarity", F.expr(sq8_adc_proxy_sql(corpus_vec, query_vec, PT.SPARK))
+    )
+    survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    rescored = (
+        corpus.join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("similarity", _dot(corpus_vec, query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

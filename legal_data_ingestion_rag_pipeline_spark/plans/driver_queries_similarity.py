@@ -1505,3 +1505,49 @@ def fts_bm25_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.bm25_topk(
         docs, "doc_id", "text", list(_FTS_TERMS), k=_FTS_K, tokenizer="word"
     )
+
+
+@register(
+    "ann_sq8_rescore_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    proxy AS (
+      SELECT q.q_id, e.vec_id,
+             {ann.sq8_adc_proxy_sql('e.embedding', 'q.q_vec', D)} AS p
+      FROM embeddings e, q
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY p DESC, vec_id) AS rn
+        FROM proxy) t
+      WHERE rn <= 50
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="two-stage SQ8 retrieval (operators/ann.sq8_rescore_topk): "
+    "stage 1 ranks by the ADC score — float query against the "
+    "dequantized per-vector int8 tier (vmin, scale, codes), the "
+    "4-8x-smaller stored representation at 100 TB — then stage 2 "
+    "exact-rescores the per-query top-50 pool and returns the "
+    "top-10. Identical double fold order on both engines makes the "
+    "approximate pipeline deterministic and DuckDB-reproducible "
+    "end to end.",
+)
+def ann_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.sq8_rescore_topk(e, queries, k=10, pool=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

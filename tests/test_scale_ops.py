@@ -409,3 +409,31 @@ def test_mixture_sample_cap_subsample_and_determinism(spark):
         docs.repartition(7, "doc_id"), "source", "n_tok", "bucket", budget, weights
     )
     assert {r.doc_id for r in again.collect()} == got
+
+
+def test_sq8_rescore_recall_vs_bruteforce(spark):
+    """The SQ8 two-stage search (integer code-dot pool -> exact
+    rescore) is approximate ONLY through pool membership: whatever
+    survives the proxy pool is ranked by the exact dot, and recall@10
+    against brute force stays high (int8 codes keep ~8 bits of
+    per-element resolution)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = ann.brute_force_topk(e, q, k=10)
+    sq8 = ann.sq8_rescore_topk(e, q, k=10, pool=50)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in sq8.collect():
+        ap.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(ex) == set(ap) == {0, 1, 2, 3, 4}
+    hits = sum(len(ex[qid] & ap[qid]) for qid in ex)
+    total = sum(len(ex[qid]) for qid in ex)
+    assert hits / total >= 0.8, f"recall@10 {hits}/{total}"
+    # each query's own vector is its top hit in both (unit vectors)
+    for qid in ex:
+        assert qid in ex[qid] and qid in ap[qid]
