@@ -1551,3 +1551,34 @@ def ann_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ann.sq8_rescore_topk(e, queries, k=10, pool=50)
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+from ..operators.negatives import hash_rank_expr as _neg_rank  # noqa: E402
+
+
+@register(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT a.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY a.q_id
+                                ORDER BY {_neg_rank('a.q_id', 'e.vec_id', 'duckdb')} DESC,
+                                         e.vec_id) AS rank
+      FROM embeddings e, a WHERE e.vec_id != a.q_id) t
+    WHERE rank <= 8 ORDER BY q_id, rank
+    """,
+    doc="deterministic contrastive negative sampling "
+    "(operators/negatives.py): 8 pseudo-random negatives per anchor "
+    "ranked by a portable content hash of (anchor, candidate) — the "
+    "same inputs always draw the same negatives across retries and "
+    "partitionings, unlike rand(). Broadcast anchors + shuffle-free "
+    "two-phase top-k; the corpus never shuffles.",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.negatives import sample_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"))
+    out = sample_negatives(anchors, e, k=8)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

@@ -437,3 +437,32 @@ def test_sq8_rescore_recall_vs_bruteforce(spark):
     # each query's own vector is its top hit in both (unit vectors)
     for qid in ex:
         assert qid in ex[qid] and qid in ap[qid]
+
+
+def test_negative_sampling_exclusion_and_determinism(spark):
+    """Negatives never include the anchor or its positives, exactly k
+    per anchor, and the draw is identical under repartitioning."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.negatives import (
+        sample_negatives,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id")
+    anchors = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"))
+    pos = spark.createDataFrame(
+        [(0, 7), (1, 11), (2, 13)], "q_id bigint, vec_id bigint"
+    )
+    neg = sample_negatives(anchors, e, k=5, positives=pos).collect()
+    by_anchor = {}
+    for r in neg:
+        by_anchor.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(by_anchor) == {0, 1, 2}
+    banned = {0: {0, 7}, 1: {1, 11}, 2: {2, 13}}
+    for qid, negs in by_anchor.items():
+        assert len(negs) == 5
+        assert not (negs & banned[qid])
+    again = sample_negatives(
+        anchors, e.repartition(13, "vec_id"), k=5, positives=pos
+    ).collect()
+    assert {(r.q_id, r.vec_id, r.rank) for r in again} == {
+        (r.q_id, r.vec_id, r.rank) for r in neg
+    }
