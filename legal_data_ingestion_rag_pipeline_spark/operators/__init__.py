@@ -6,6 +6,32 @@ shuffle only on declared keys, partial aggregation everywhere, no
 driver-side loops over data.
 """
 
-from . import ann, dedup, multimodal, surrogate, topk, upsert, variations
+from . import (
+    ann,
+    dedup,
+    fts,
+    graph,
+    mixture,
+    multimodal,
+    negatives,
+    quantize,
+    surrogate,
+    topk,
+    upsert,
+    variations,
+)
 
-__all__ = ["ann", "dedup", "multimodal", "surrogate", "topk", "upsert", "variations"]
+__all__ = [
+    "ann",
+    "dedup",
+    "fts",
+    "graph",
+    "mixture",
+    "multimodal",
+    "negatives",
+    "quantize",
+    "surrogate",
+    "topk",
+    "upsert",
+    "variations",
+]
