@@ -14,6 +14,7 @@ from . import (
     mixture,
     multimodal,
     negatives,
+    pq,
     quantize,
     surrogate,
     topk,
@@ -29,6 +30,7 @@ __all__ = [
     "mixture",
     "multimodal",
     "negatives",
+    "pq",
     "quantize",
     "surrogate",
     "topk",

@@ -1,0 +1,185 @@
+"""Product quantization (PQ) — the second production vector-storage
+tier next to SQ8 (operators/quantize.py), mirroring faiss PQ/IVF_PQ.
+
+The vector is split into ``m`` subspaces; each subspace is encoded as
+the id of its nearest codebook centroid, so a d-dim float64 vector
+stores as m small ints (e.g. 64 bytes -> 4 bytes at m=4, k=8). Search
+uses ADC (asymmetric distance computation): per query, an m x k table
+of query-subvector-to-centroid distances is built once, and each
+candidate's approximate distance is just m table lookups — no float
+vector is touched until the exact rescore stage.
+
+Determinism / oracle story: the codebook derives from the first
+``k_cb`` corpus vectors (the same deterministic convention as the
+IVF gate's first-8 centroids), encode/ADC are pure double-fold
+expressions in fixed array order, and ties break toward the smaller
+centroid id — so a DuckDB oracle reproduces encode + search
+bit-for-bit.
+
+Scale shape: the codebook is tiny (m x k_cb x d/m doubles) and is
+inlined as literals, so BOTH encode and ADC scoring are map-side
+codegen'd expressions over the corpus — no shuffle, no crossJoin row
+blowup. Candidate reduction is the shuffle-free two-phase top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import portable as PT
+from .ann import _two_phase_topk
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int,
+    k_cb: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebook: the first ``k_cb`` corpus vectors (by
+    id), each split into ``m`` equal sub-vectors.
+
+    Returns ``book[s][j] = centroid j of subspace s``. A trained
+    k-means codebook plugs into the same shape (the k-means operator
+    exists — driver_queries_scale.kmeans_two_iterations); first-k
+    keeps the gate oracle-reproducible.
+    """
+    rows = sorted(
+        corpus.select(corpus_id, corpus_vec).filter(F.col(corpus_id) < k_cb).collect(),
+        key=lambda r: r[0],
+    )
+    if not rows:
+        raise ValueError("empty codebook: no corpus rows under k_cb")
+    dim = len(rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r[1][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _l2_sq(a_expr: str, cents: list[float], offset: int, dialect: str) -> str:
+    """Squared L2 between ``a[offset+1 .. offset+len]`` and a literal
+    centroid, as an identical-order double fold on both engines.
+
+    Expressed as slice + array-literal + zip_with + fold — ONE codegen
+    loop — rather than dsub inlined ``(a_i - c_i)^2`` terms: the
+    inlined form at m x k_cb x dsub scale blew past janino's 64 KB
+    method limit and silently dropped the whole stage to interpreted
+    mode (measured here; same failure class as IVF literal inlining).
+    """
+    dsub = len(cents)
+    lits = ", ".join(repr(c) for c in cents)
+    if dialect == PT.SPARK:
+        sl = f"slice({a_expr}, {offset + 1}, {dsub})"
+        arr = f"CAST(array({lits}) AS ARRAY<DOUBLE>)"
+        prods = (
+            f"zip_with({sl}, {arr}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y))"
+        )
+    else:
+        sl = f"list_slice({a_expr}, {offset + 1}, {offset + dsub})"
+        arr = f"CAST([{lits}] AS DOUBLE[])"
+        diff = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        prods = f"list_transform(list_zip({sl}, {arr}), p -> {diff} * {diff})"
+    return PT.reduce_(prods, "CAST(0.0 AS DOUBLE)", "(acc, x) -> acc + x", dialect)
+
+
+def pq_code_sql(
+    vec_expr: str, book: list[list[list[float]]], s: int, dialect: str
+) -> str:
+    """Expression for subspace ``s``'s code: argmin squared-L2 over the
+    codebook, ties to the smaller centroid id (min on (dist, j))."""
+    dsub = len(book[s][0])
+    structs = ", ".join(
+        f"struct({_l2_sq(vec_expr, cj, s * dsub, dialect)} AS d, "
+        f"CAST({j} AS BIGINT) AS j)"
+        for j, cj in enumerate(book[s])
+    )
+    if dialect == PT.SPARK:
+        return f"array_min(array({structs})).j"
+    return f"list_min([{structs}]).j"
+
+
+def pq_adc_sql(
+    vec_expr: str,
+    codes_exprs: list[str],
+    book: list[list[list[float]]],
+    dialect: str,
+) -> str:
+    """ADC distance of a float query ``vec_expr`` to a candidate's
+    codes: sum over subspaces of ||q_s - centroid[s][code_s]||^2.
+    The per-subspace lookup is a CASE over the k_cb literal centroids
+    (in production a broadcast m x k table)."""
+    terms = []
+    for s, code in enumerate(codes_exprs):
+        dsub = len(book[s][0])
+        branches = " ".join(
+            f"WHEN ({code}) = {j} THEN {_l2_sq(vec_expr, cj, s * dsub, dialect)}"
+            for j, cj in enumerate(book[s])
+        )
+        terms.append(f"(CASE {branches} ELSE CAST('nan' AS DOUBLE) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    book: list[list[list[float]]],
+    corpus_vec: str = "embedding",
+    code_prefix: str = "pq_code_",
+) -> DataFrame:
+    """Append one code column per subspace (map-side, shuffle-free)."""
+    out = corpus
+    for s in range(len(book)):
+        out = out.withColumn(
+            f"{code_prefix}{s}",
+            F.expr(pq_code_sql(corpus_vec, book, s, PT.SPARK)),
+        )
+    return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    book: list[list[list[float]]],
+    k: int = 10,
+    pool: int = 50,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Two-stage PQ search: ADC-distance pool (ascending — smaller L2
+    is closer) then exact dot rescore of the survivors, identical
+    total orders on both engines."""
+    m = len(book)
+    encoded = pq_encode(corpus, book, corpus_vec)
+    codes = [f"pq_code_{s}" for s in range(m)]
+    scored = (
+        encoded.select(corpus_id, *codes)
+        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        # two-phase top-k ranks similarity DESC; negate the distance
+        .withColumn(
+            "similarity",
+            -F.expr(pq_adc_sql(query_vec, codes, book, PT.SPARK)),
+        )
+    )
+    survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    rescored = (
+        corpus.join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn(
+            "similarity", F.expr(PT.dot_double(corpus_vec, query_vec, PT.SPARK))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

@@ -1582,3 +1582,98 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"))
     out = sample_negatives(anchors, e, k=8)
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+def _pq_subdist_duck(a: str, c: str, s: int, dsub: int = 16) -> str:
+    """DuckDB squared-L2 between subspace s of two vectors, folded in
+    array order from 0.0 — bit-identical to the Spark side's literal
+    term chain (0.0 + t1 == t1 for the non-negative squared terms)."""
+    za = f"list_slice({a}, {s * dsub + 1}, {(s + 1) * dsub})"
+    zc = f"list_slice({c}, {s * dsub + 1}, {(s + 1) * dsub})"
+    diff = "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    prods = f"list_transform(list_zip({za}, {zc}), p -> {diff} * {diff})"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+_PQ_ADC_TERMS = " + ".join(
+    f"({_pq_subdist_duck('q.q_vec', f'b{s}.c_vec', s)})" for s in range(4)
+)
+_PQ_ENC_DIST = "\n".join(
+    f"         WHEN s.s = {s} THEN {_pq_subdist_duck('e.embedding', 'cb.c_vec', s)}"
+    for s in range(4)
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS j, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    enc_long AS (
+      SELECT e.vec_id, s.s, cb.j,
+             row_number() OVER (
+               PARTITION BY e.vec_id, s.s
+               ORDER BY CASE
+{_PQ_ENC_DIST}
+               END, cb.j) AS rn
+      FROM embeddings e, (SELECT unnest(range(4)) AS s) s, cb
+    ),
+    enc AS (
+      SELECT vec_id,
+             MAX(CASE WHEN s = 0 THEN j END) AS c0,
+             MAX(CASE WHEN s = 1 THEN j END) AS c1,
+             MAX(CASE WHEN s = 2 THEN j END) AS c2,
+             MAX(CASE WHEN s = 3 THEN j END) AS c3
+      FROM enc_long WHERE rn = 1 GROUP BY vec_id
+    ),
+    adc AS (
+      SELECT q.q_id, e.vec_id, ({_PQ_ADC_TERMS}) AS dist
+      FROM enc e
+      JOIN cb b0 ON b0.j = e.c0
+      JOIN cb b1 ON b1.j = e.c1
+      JOIN cb b2 ON b2.j = e.c2
+      JOIN cb b3 ON b3.j = e.c3
+      CROSS JOIN q
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+        FROM adc) t
+      WHERE rn <= 50
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="two-stage PQ search (operators/pq.py): vectors encode as m=4 "
+    "subspace codes against a deterministic 8-centroid codebook "
+    "(64 B -> 4 B per vector at scale); stage 1 ranks by the ADC "
+    "lookup distance over the codes alone, stage 2 exact-rescores the "
+    "per-query top-50 pool. Codebook inlined as literals on the Spark "
+    "side (map-side, shuffle-free) and derived via CTE in the oracle "
+    "— identical fold-order double arithmetic keeps encode AND search "
+    "hash-reproducible across engines.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    book = pq.pq_codebook(e, m=4, k_cb=8)
+    out = pq.pq_adc_topk(e, queries, book, k=10, pool=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

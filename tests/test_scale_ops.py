@@ -466,3 +466,38 @@ def test_negative_sampling_exclusion_and_determinism(spark):
     assert {(r.q_id, r.vec_id, r.rank) for r in again} == {
         (r.q_id, r.vec_id, r.rank) for r in neg
     }
+
+
+def test_pq_adc_recall_and_encode_shape(spark):
+    """PQ at m=4/k_cb=8 compresses 64 floats to 4 small codes; with the
+    deterministic first-8 codebook and a 50-pool, ADC search recovers
+    a majority of the exact top-10 (a trained k-means codebook raises
+    this; the operator takes any book[s][j] shape). The query's own
+    vector is always its top hit, and encode is shuffle-free (no
+    Exchange before the code projection)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann, pq
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    book = pq.pq_codebook(e, m=4, k_cb=8)
+    assert len(book) == 4 and len(book[0]) == 8 and len(book[0][0]) == 16
+
+    enc = pq.pq_encode(e, book)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    codes = enc.select("pq_code_0", "pq_code_1", "pq_code_2", "pq_code_3")
+    for r in codes.collect():
+        assert all(0 <= c <= 7 for c in r)
+
+    ex, ap = {}, {}
+    for r in ann.brute_force_topk(e, q, k=10).collect():
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in pq.pq_adc_topk(e, q, book, k=10, pool=50).collect():
+        ap.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(ex) == set(ap) == {0, 1, 2, 3, 4}
+    hits = sum(len(ex[qid] & ap[qid]) for qid in ex)
+    assert hits / 50 >= 0.5, f"recall@10 {hits}/50"
+    for qid in ap:
+        assert qid in ap[qid]  # self-hit survives the code pool
