@@ -183,3 +183,55 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int,
+    k_cb: int = 8,
+    sample_rows: int = 1024,
+    iters: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebook on a deterministic sample.
+
+    PQ codebooks are trained on a bounded corpus SAMPLE by design
+    (faiss trains on ~1e5 vectors regardless of corpus size), so the
+    driver-side numpy step is O(sample x dim x k x iters) independent
+    of the 100 TB corpus; the trained book broadcasts like any other.
+    Deterministic: sample = first ``sample_rows`` by id, init = first
+    ``k_cb`` sample rows, fixed iteration count; empty clusters keep
+    their previous centroid. Drop-in for :func:`pq_codebook` wherever
+    a ``book[s][j]`` is accepted (not SQL-oracle-able — iterative —
+    so the hash-gated query keeps the first-k book; recall comparison
+    is pytest-pinned).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(sample_rows)
+        .collect()
+    )
+    if len(rows) < k_cb:
+        raise ValueError(f"sample has {len(rows)} rows < k_cb={k_cb}")
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    book: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:k_cb].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_cb):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        book.append([[float(x) for x in c] for c in C])
+    return book

@@ -501,3 +501,32 @@ def test_pq_adc_recall_and_encode_shape(spark):
     assert hits / 50 >= 0.5, f"recall@10 {hits}/50"
     for qid in ap:
         assert qid in ap[qid]  # self-hit survives the code pool
+
+
+def test_pq_trained_codebook_deterministic_and_usable(spark):
+    """The sample-trained codebook is deterministic (fixed sample,
+    init, and iteration count), has the book[s][j] shape, and plugs
+    into ADC search with self-hits intact. (On this near-uniform
+    synthetic data trained recall matches first-k recall — there is
+    no cluster structure to learn; the value shows on clustered real
+    corpora, so the test pins determinism, not superiority.)"""
+    from legal_data_ingestion_rag_pipeline_spark.operators import pq
+
+    e = load_table(spark, SF, "embeddings")
+    b1 = pq.pq_train_codebook(e, m=4, k_cb=8, sample_rows=256, iters=3)
+    b2 = pq.pq_train_codebook(e, m=4, k_cb=8, sample_rows=256, iters=3)
+    assert b1 == b2
+    assert len(b1) == 4 and all(len(s) == 8 for s in b1)
+    assert all(len(c) == 16 for s in b1 for c in s)
+    assert b1 != pq.pq_codebook(e, m=4, k_cb=8)  # training moved centroids
+
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    hits = pq.pq_adc_topk(e, q, b1, k=5, pool=30).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.q_id, []).append(r.vec_id)
+    assert set(by_q) == {0, 1, 2}
+    for qid, ids in by_q.items():
+        assert len(ids) == 5 and qid in ids
