@@ -235,3 +235,71 @@ def pq_train_codebook(
                     C[j] = members.mean(axis=0)
         book.append([[float(x) for x in c] for c in C])
     return book
+
+
+def ivf_pq_topk(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    book: list[list[list[float]]],
+    k: int = 10,
+    pool: int = 50,
+    probes: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF_PQ: the faiss big-corpus index as a composition — coarse
+    cells prune the scan to ~probes/cells of the corpus
+    (operators/ann.ivf_topk's probe join; pair with
+    write_cell_partitioned for file-level pruning), PQ ADC ranks the
+    probed candidates from their codes alone, and the exact dot
+    rescores the per-query ``pool`` survivors. ``assigned_corpus``
+    must carry ``centroid_id`` (from ann.ivf_assign). Every stage is
+    deterministic (total orders throughout), so results are stable
+    across partitionings — pinned against pq_adc_topk on the probed
+    subset in tests.
+    """
+    q_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "q_c_sim", F.expr(PT.dot_double(query_vec, centroid_vec, PT.SPARK))
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("q_c_sim"), F.asc(centroid_id)
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= probes)
+        .select(query_id, query_vec, centroid_id)
+    )
+    m = len(book)
+    encoded = pq_encode(assigned_corpus, book, corpus_vec)
+    codes = [f"pq_code_{s}" for s in range(m)]
+    cands = encoded.select(corpus_id, centroid_id, *codes).join(
+        F.broadcast(q_cells), centroid_id
+    ).withColumn(
+        "similarity", -F.expr(pq_adc_sql(query_vec, codes, book, PT.SPARK))
+    )
+    survivors = _two_phase_topk(cands, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    rescored = (
+        assigned_corpus.join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn(
+            "similarity", F.expr(PT.dot_double(corpus_vec, query_vec, PT.SPARK))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

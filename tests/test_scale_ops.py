@@ -530,3 +530,47 @@ def test_pq_trained_codebook_deterministic_and_usable(spark):
     assert set(by_q) == {0, 1, 2}
     for qid, ids in by_q.items():
         assert len(ids) == 5 and qid in ids
+
+
+def test_ivf_pq_matches_pq_on_probed_cells(spark):
+    """IVF_PQ is exactly PQ search restricted to each query's probed
+    cells: running pq_adc_topk by hand on the probe-filtered corpus
+    must reproduce ivf_pq_topk's results row for row."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann, pq
+
+    e = load_table(spark, SF, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    assigned = ann.ivf_assign(e, cents)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    book = pq.pq_codebook(e, m=4, k_cb=8)
+    got = pq.ivf_pq_topk(assigned, cents, q, book, k=5, pool=25, probes=2)
+    got_rows = {(r.q_id, r.rank): (r.vec_id, r.similarity) for r in got.collect()}
+
+    # reference: per-query manual probe + plain PQ search on that subset
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT2
+
+    want_rows = {}
+    for qrow in q.collect():
+        one_q = spark.createDataFrame(
+            [(qrow.q_id, qrow.q_vec)], "q_id bigint, q_vec array<double>"
+        )
+        ranked = (
+            cents.withColumn(
+                "s",
+                F.expr(
+                    PT2.dot_double("c_vec", f"array({','.join(map(repr, qrow.q_vec))})", PT2.SPARK)
+                ),
+            )
+            .orderBy(F.desc("s"), "centroid_id")
+            .limit(2)
+            .collect()
+        )
+        cells = [r.centroid_id for r in ranked]
+        sub = assigned.filter(F.col("centroid_id").isin(cells))
+        for r in pq.pq_adc_topk(sub, one_q, book, k=5, pool=25).collect():
+            want_rows[(r.q_id, r.rank)] = (r.vec_id, r.similarity)
+    assert got_rows == want_rows and len(got_rows) == 15
