@@ -146,7 +146,9 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _get_case(self, case_number: str) -> None:
-        row = Q.get_case(self.ctx.tables, case_number)
+        # with_parties=False: the handler fetches parties itself below
+        # (it needs normalized_name), so don't run the join twice
+        row = Q.get_case(self.ctx.tables, case_number, with_parties=False)
         if row is None:
             self._error(404, f"Case {case_number} not found")
             return

@@ -201,11 +201,18 @@ def _ivf_assign_gemm(
 
     Centroids are sorted by id, so numpy's first-max argmax breaks
     similarity ties toward the smaller centroid id — same contract as
-    the literal path.
+    the literal path. Pre-existing c_sim/centroid_id columns (a
+    re-assignment after a centroid refresh) are dropped first — the
+    literal path overwrites them via withColumn; without the drop the
+    declared output schema would carry duplicate field names and the
+    Arrow stage would fail at runtime.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, LongType, StructType
 
+    stale = [c for c in ("c_sim", centroid_id) if c in corpus.columns]
+    if stale:
+        corpus = corpus.drop(*stale)
     ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
     mat = np.asarray([cv for _, cv in cents], dtype=np.float64)
     b = corpus.sparkSession.sparkContext.broadcast((ids, mat))
@@ -405,11 +412,42 @@ def sq8_rescore_topk(
     (score DESC, id ASC) and identical fold-order double arithmetic on
     both engines, so the result is deterministic and
     DuckDB-reproducible end to end.
+
+    The quantized tier (vmin, scale, codes) is projected ONCE per
+    corpus row behind a materialization barrier before the query
+    cross-join — without it, CollapseProject re-inlines the
+    quantization folds into the proxy and evaluates them once per
+    (row, query) pair, a n_queries-x blowup of the dominant stage-1
+    cost (the same re-inlining trapdoor as MinHash; see
+    session.barrier).
     """
-    scored = corpus.select(corpus_id, corpus_vec).crossJoin(
+    from ..session import barrier
+    from .quantize import quantize_int8_sql
+
+    parts = quantize_int8_sql(corpus_vec, PT.SPARK)
+    scale_sql = f"(({parts['vmax']}) - ({parts['vmin']})) / 255.0"
+    cq = barrier(
+        corpus.select(
+            corpus_id,
+            F.expr(parts["vmin"]).alias("_vmin"),
+            F.expr(scale_sql).alias("_scale"),
+            F.expr(parts["q"]).alias("_codes"),
+        )
+    )
+    qsum = PT.reduce_(
+        PT.transform(query_vec, "x -> CAST(x AS DOUBLE)", PT.SPARK),
+        "CAST(0.0 AS DOUBLE)",
+        "(s, x) -> s + x",
+        PT.SPARK,
+    )
+    scored = cq.crossJoin(
         F.broadcast(queries.select(query_id, query_vec))
     ).withColumn(
-        "similarity", F.expr(sq8_adc_proxy_sql(corpus_vec, query_vec, PT.SPARK))
+        "similarity",
+        F.expr(
+            f"(_vmin) * ({qsum}) + "
+            f"(_scale) * ({PT.dot_double(query_vec, '_codes', PT.SPARK)})"
+        ),
     )
     survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
         query_id, corpus_id

@@ -46,7 +46,21 @@ def mixture_thresholds(
     ``weights`` are integer mixture weights (share_d = w_d / sum(w));
     domains absent from the dict get ``default_weight``. Returns
     (domain, dom_tok, w, thr) — rows = #domains, safe to broadcast.
+
+    The threshold numerator ``scale * budget * w`` must fit in int64
+    (Spark's non-ANSI arithmetic would WRAP NEGATIVE and silently
+    sample a domain to zero rows; DuckDB would error, breaking oracle
+    parity) — rejected up front. At pretraining budgets (trillions of
+    tokens) pass a coarser ``scale``: 10_000 still gives 0.01%-rate
+    granularity with ~100x more budget headroom.
     """
+    max_w = max(weights.values(), default=default_weight) if weights else default_weight
+    max_num = scale * budget * max(int(max_w), default_weight)
+    if max_num >= 1 << 63:
+        raise ValueError(
+            f"scale*budget*w = {max_num} overflows int64; "
+            "use a smaller scale (granularity) or budget"
+        )
     totals = docs.groupBy(domain_col).agg(
         F.sum(n_tokens_col).cast("bigint").alias("dom_tok")
     )

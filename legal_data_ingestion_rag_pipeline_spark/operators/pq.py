@@ -92,16 +92,22 @@ def pq_code_sql(
     vec_expr: str, book: list[list[list[float]]], s: int, dialect: str
 ) -> str:
     """Expression for subspace ``s``'s code: argmin squared-L2 over the
-    codebook, ties to the smaller centroid id (min on (dist, j))."""
+    codebook, ties to the smaller centroid id (min on (dist, j) —
+    struct comparison is field-order lexicographic in both engines)."""
     dsub = len(book[s][0])
+    if dialect == PT.SPARK:
+        structs = ", ".join(
+            f"struct({_l2_sq(vec_expr, cj, s * dsub, dialect)} AS d, "
+            f"CAST({j} AS BIGINT) AS j)"
+            for j, cj in enumerate(book[s])
+        )
+        return f"array_min(array({structs})).j"
     structs = ", ".join(
-        f"struct({_l2_sq(vec_expr, cj, s * dsub, dialect)} AS d, "
-        f"CAST({j} AS BIGINT) AS j)"
+        f"{{'d': {_l2_sq(vec_expr, cj, s * dsub, dialect)}, "
+        f"'j': CAST({j} AS BIGINT)}}"
         for j, cj in enumerate(book[s])
     )
-    if dialect == PT.SPARK:
-        return f"array_min(array({structs})).j"
-    return f"list_min([{structs}]).j"
+    return f"list_sort([{structs}])[1].j"
 
 
 def pq_adc_sql(
@@ -280,7 +286,18 @@ def ivf_pq_topk(
         .select(query_id, query_vec, centroid_id)
     )
     m = len(book)
-    encoded = pq_encode(assigned_corpus, book, corpus_vec)
+    # prune FIRST (left-semi on the probed cell ids), encode ONLY the
+    # survivors: encoding before the join would evaluate the per-row
+    # argmin folds for the ~(cells - probes)/cells of the corpus the
+    # probe discards — exactly the scan the IVF layer exists to avoid.
+    # The semi-join keeps each row once, so codes are computed once per
+    # surviving row even when several queries probe the same cell.
+    probed = assigned_corpus.join(
+        F.broadcast(q_cells.select(centroid_id).distinct()),
+        centroid_id,
+        "left_semi",
+    )
+    encoded = pq_encode(probed, book, corpus_vec)
     codes = [f"pq_code_{s}" for s in range(m)]
     cands = encoded.select(corpus_id, centroid_id, *codes).join(
         F.broadcast(q_cells), centroid_id

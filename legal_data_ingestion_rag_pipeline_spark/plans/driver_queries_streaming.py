@@ -43,6 +43,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver's) can read TIMESTAMP_NANOS parquet generations; ts is
     # normalized to plain TIMESTAMP either way (normalize_event_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{base}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)

@@ -66,9 +66,19 @@ def list_cases(
     )
 
 
-def get_case(tables: dict[str, DataFrame], case_number: str) -> Row | None:
+def get_case(
+    tables: dict[str, DataFrame],
+    case_number: str,
+    with_parties: bool = True,
+) -> Row | None:
     """GET /cases/{case_number} (api.py:221-270): full detail + parties
-    ordered (role, name); None => the endpoint's 404."""
+    ordered (role, name); None => the endpoint's 404.
+
+    ``with_parties=False`` skips the parties join+collect for callers
+    that fetch parties themselves in a different shape (the HTTP
+    handler) — otherwise a serving request would run that Spark job
+    twice.
+    """
     cases = tables["cases"]
     detail = (
         cases.filter(F.col("case_number") == case_number)
@@ -85,6 +95,8 @@ def get_case(tables: dict[str, DataFrame], case_number: str) -> Row | None:
     if not rows:
         return None
     head = rows[0]
+    if not with_parties:
+        return head
     parties = case_parties_of(tables, head.id).collect()
     return Row(
         **{**head.asDict(), "parties": [(p.name, p.role) for p in parties]}

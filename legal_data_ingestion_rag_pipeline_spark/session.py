@@ -106,8 +106,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # The caller may hand us a vanilla SparkSession (the correctness
     # driver builds its own); nanosAsLong is runtime-settable, so set it
-    # here rather than relying on build_session having run.
+    # here rather than relying on build_session having run. Same for the
+    # session time zone: the NTZ->TIMESTAMP cast in normalize_event_ts
+    # reinterprets wall-clock in the SESSION zone, so a vanilla session
+    # on a non-UTC box would silently shift every event timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

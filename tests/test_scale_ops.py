@@ -574,3 +574,77 @@ def test_ivf_pq_matches_pq_on_probed_cells(spark):
         for r in pq.pq_adc_topk(sub, one_q, book, k=5, pool=25).collect():
             want_rows[(r.q_id, r.rank)] = (r.vec_id, r.similarity)
     assert got_rows == want_rows and len(got_rows) == 15
+
+
+def test_pq_sql_dialects_agree(spark):
+    """pq_code_sql / pq_adc_sql emit both Spark and DuckDB dialects;
+    on the same data with the same literal codebook, codes match
+    exactly and ADC distances are bit-equal (identical fold order) —
+    keeps the duckdb branches honest even though the gate oracle
+    derives its codebook from a CTE instead."""
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import pq
+
+    book = [[[0.0, 0.0], [1.0, 1.0]], [[0.5, 0.5], [2.0, 2.25]]]
+    vecs = [
+        (1, [0.1, 0.2, 0.6, 0.4]),
+        (2, [1.1, 0.9, 1.9, 2.2]),
+        (3, [0.0, 1.0, 0.5, 0.5]),
+    ]
+    sdf = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    s_out = {
+        r.vec_id: (r.c0, r.c1, r.adc)
+        for r in sdf.select(
+            "vec_id",
+            "embedding",
+            F.expr(pq.pq_code_sql("embedding", book, 0, PT.SPARK)).alias("c0"),
+            F.expr(pq.pq_code_sql("embedding", book, 1, PT.SPARK)).alias("c1"),
+        )
+        .withColumn(
+            "adc", F.expr(pq.pq_adc_sql("embedding", ["c0", "c1"], book, PT.SPARK))
+        )
+        .collect()
+    }
+
+    rows_sql = ", ".join(
+        f"({i}, {v}::DOUBLE[])" for i, v in ((r[0], r[1]) for r in vecs)
+    )
+    con = duckdb.connect()
+    inner = (
+        f"SELECT vec_id, embedding, "
+        f"{pq.pq_code_sql('embedding', book, 0, PT.DUCKDB)} AS c0, "
+        f"{pq.pq_code_sql('embedding', book, 1, PT.DUCKDB)} AS c1 "
+        f"FROM (VALUES {rows_sql}) v(vec_id, embedding)"
+    )
+    d_out = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT vec_id, c0, c1, "
+            f"{pq.pq_adc_sql('embedding', ['c0', 'c1'], book, PT.DUCKDB)} AS adc "
+            f"FROM ({inner}) t"
+        ).fetchall()
+    }
+    assert s_out == d_out  # codes AND double ADC bit-equal
+
+
+def test_mixture_budget_overflow_rejected(spark):
+    """A threshold numerator that would exceed int64 (where Spark's
+    non-ANSI arithmetic wraps negative and silently samples a domain
+    to zero) is rejected up front with the scale-reduction hint."""
+    import pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import mixture
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10, 5), (2, "b", 20, 9)],
+        "doc_id bigint, source string, n_tok bigint, bucket bigint",
+    )
+    with pytest.raises(ValueError, match="overflows int64"):
+        mixture.mixture_thresholds(
+            docs, "source", "n_tok", budget=10**16, weights={"a": 5000}
+        )
+    # in-range budgets still work
+    thr = mixture.mixture_thresholds(docs, "source", "n_tok", budget=15)
+    assert {r.source: r.thr for r in thr.collect()}
