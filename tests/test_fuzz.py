@@ -243,3 +243,50 @@ def test_fuzz_bm25_vs_python_reference(spark):
     assert [(r.score, r.doc_id) for r in got] == expect
     for r in got:
         assert r.n_terms_hit == scores[r.doc_id][0]
+
+
+def test_fuzz_mixture_sampling_matches_python_reference(spark):
+    """Seeded fuzz: the all-integer mixture thresholds and the sampled
+    id set (operators/mixture.py) vs a pure-Python reference — floor
+    division, weight defaults, the cap at scale, and W summed over
+    OBSERVED domains must all agree for random corpora/budgets."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import mixture
+
+    rng = random.Random(SEED)
+    scale = 10_000
+    for trial in range(6):
+        n_domains = rng.randint(1, 5)
+        domains = [f"d{j}" for j in range(n_domains)]
+        rows = []
+        for i in range(rng.randint(n_domains, 60)):
+            rows.append(
+                (
+                    i,
+                    rng.choice(domains),
+                    rng.randint(1, 50),  # n_tok
+                    rng.randrange(scale),  # bucket
+                )
+            )
+        weights = {d: rng.randint(1, 9) for d in domains if rng.random() < 0.5}
+        budget = rng.randint(1, 2000)
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tok bigint, bucket bigint"
+        )
+        got = {
+            r.doc_id
+            for r in mixture.sample_to_mixture(
+                docs, "source", "n_tok", "bucket", budget, weights, scale=scale
+            ).collect()
+        }
+
+        dom_tok: dict[str, int] = {}
+        for _, d, t, _b in rows:
+            dom_tok[d] = dom_tok.get(d, 0) + t
+        w = {d: weights.get(d, 1) for d in dom_tok}
+        W = sum(w.values())
+        thr = {
+            d: min(scale, scale * budget * w[d] // (W * dom_tok[d]))
+            for d in dom_tok
+        }
+        want = {i for i, d, _t, b in rows if b < thr[d]}
+        assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
