@@ -229,3 +229,69 @@ def test_streaming_dedup_exact_matches_batch(spark, tmp_path):
     # first-occurrence outcomes)
     assert sorted(r.doc_id for r in out) in ([0, 1, 4], [0, 3, 4])
     assert len({r.content_hash for r in out}) == len(out) == 3
+
+
+def test_streaming_neardup_minhash(spark, tmp_path):
+    """Near-identical docs (same shingle set -> same full MinHash
+    signature) collapse to the first arrival across micro-batches;
+    genuinely different docs and short-doc exact duplicates are
+    handled too. Survivors must match the batch rule: first doc per
+    (signature or short-text hash) key."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.dedup import with_minhash
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        streaming_neardup_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [
+        (0, "2024-05-01T10:00:00", base),
+        (1, "2024-05-01T10:00:05", "completely different words here entirely"),
+        (2, "2024-05-01T10:00:10", base),  # near-dup of 0 (identical shingles)
+        (3, "2024-05-01T10:00:15", "hi"),  # short doc -> exact-hash path
+    ]
+    rows2 = [
+        (4, "2024-05-01T10:10:00", base),  # still within watermark -> dropped
+        (5, "2024-05-01T10:10:05", "hi"),  # exact short dup -> dropped
+        (6, "2024-05-01T10:10:10", "fresh unseen content stream token run"),
+    ]
+    import pandas as pd
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        pdf = pd.DataFrame(
+            [
+                {"doc_id": i, "ts": pd.Timestamp(ts), "text": t}
+                for i, ts, t in rows
+            ]
+        )
+        # write us-precision timestamps: pandas' default ns parquet
+        # would surface as int64 under the session's nanosAsLong
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / f"{name}.parquet")
+    stream = spark.readStream.schema("doc_id bigint, ts timestamp, text string").parquet(
+        str(d)
+    )
+    out = streaming_neardup_minhash(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = {r.doc_id for r in spark.table("neardup_sink").collect()}
+    # one of {0,2,4} (same signature), one of {3,5} (same text), plus 1 and 6
+    assert len(survivors & {0, 2, 4}) == 1
+    assert len(survivors & {3, 5}) == 1
+    assert {1, 6} <= survivors and len(survivors) == 4
+
+    # the signature key agrees with the batch kernel: 0 and 2 share a
+    # signature, 1 differs
+    batch = spark.createDataFrame(
+        [(i, t) for i, _ts, t in rows1 if len(t.split()) >= 3],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: tuple(r.minhash) for r in with_minhash(batch, "text", "doc_id").collect()}
+    assert sigs[0] == sigs[2] != sigs[1]
