@@ -28,14 +28,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: API surface, pytest + tools/oracle_check coverage) but receives no
 #: driver CORRECTNESS row.
 GATE_PRIORITY: tuple[str, ...] = (
-    # LLM family: dedup (round-4 rotation: dedup_simhash_pairs /
-    # dedup_embedding_cosine rotated OUT — each keeps a gated family
-    # partner [dedup_simhash, dedup_embedding_srp_lsh] and full
-    # tools/oracle_check + pytest coverage — to spend their slots on
-    # previously ungated operators below)
+    # LLM family: dedup (round-5 rotation: dedup_simhash rotated OUT —
+    # dedup_simhash_pairs' oracle + pytest cover the same signature
+    # path — to spend slots on the four round-4 operators that had no
+    # driver CORRECTNESS row: ann_sq8_rescore_topk, ann_pq_adc_topk,
+    # contrastive_negatives, domain_mixture_sample.  Also out this
+    # round: ann_ivf_recall [family partner ann_ivf_topk stays],
+    # user_event_type_sets, incremental_rollup_maintenance — all keep
+    # tools/oracle_check + pytest coverage.)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_srp_lsh",
     "dedup_incremental_exact",
@@ -46,7 +48,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # rotated out; ann_ivf_topk gates the same path)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_ivf_recall",
+    "ann_sq8_rescore_topk",
+    "ann_pq_adc_topk",
+    "contrastive_negatives",
+    "domain_mixture_sample",
     "kmeans_two_iterations",
     "embedding_label_centroids",
     # LLM family: text analysis + RAG + curation + streaming +
@@ -75,10 +80,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "asof_prev_purchase",
     # moving_avg_3rows rotated out (running_total_per_user gates the
     # same window-frame machinery)
-    "user_event_type_sets",
     "session_window_agg",
     "funnel_signup_click_purchase",
-    "incremental_rollup_maintenance",
     "range_join_clicks_before_purchase",
     "semistructured_props_stats",
     # flagship + reference-parity core (highest §2 coverage per slot)
