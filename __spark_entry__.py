@@ -22,6 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+# the driver runs the correctness gate (Spark vs oracle SQL) at sf0.01;
+# callable oracles (data-derived literals) are rendered against it.
+GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,8 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle
-        for name, spec in registry().items()
-        if spec.oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name, spec in registry().items():
+        sql = spec.oracle_sql(GATE_SF_DIR)
+        if sql is not None:
+            out[name] = sql
+    return out

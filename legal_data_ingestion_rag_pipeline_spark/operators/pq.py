@@ -45,12 +45,17 @@ def pq_codebook(
     exists — driver_queries_scale.kmeans_two_iterations); first-k
     keeps the gate oracle-reproducible.
     """
-    rows = sorted(
-        corpus.select(corpus_id, corpus_vec).filter(F.col(corpus_id) < k_cb).collect(),
-        key=lambda r: r[0],
+    # orderBy + limit, NOT filter(id < k_cb): ids need not start at 0
+    # or be contiguous, and the predicate form silently yielded a
+    # tiny/empty book on sparse id spaces. Bounded + deterministic.
+    rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(k_cb)
+        .collect()
     )
-    if not rows:
-        raise ValueError("empty codebook: no corpus rows under k_cb")
+    if len(rows) < k_cb:
+        raise ValueError(f"codebook needs {k_cb} corpus rows, found {len(rows)}")
     dim = len(rows[0][1])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -221,9 +226,20 @@ def pq_train_codebook(
         .limit(sample_rows)
         .collect()
     )
-    if len(rows) < k_cb:
-        raise ValueError(f"sample has {len(rows)} rows < k_cb={k_cb}")
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return _lloyd_book(X, m, k_cb, iters)
+
+
+def _lloyd_book(X, m: int, k_cb: int, iters: int) -> list[list[list[float]]]:
+    """Shared numpy Lloyd core for the Spark-sample and parquet-file
+    trainers.  Both feed it the SAME float64 sample matrix (first
+    ``sample_rows`` rows by id), so the two paths produce bit-identical
+    books — the invariant the dynamic trained-PQ oracle relies on
+    (pinned in tests/test_scale_ops.py)."""
+    import numpy as np
+
+    if len(X) < k_cb:
+        raise ValueError(f"sample has {len(X)} rows < k_cb={k_cb}")
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -241,6 +257,36 @@ def pq_train_codebook(
                     C[j] = members.mean(axis=0)
         book.append([[float(x) for x in c] for c in C])
     return book
+
+
+def train_book_from_parquet(
+    parquet_path: str,
+    m: int,
+    k_cb: int = 8,
+    sample_rows: int = 1024,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Sparkless twin of :func:`pq_train_codebook`: read the embeddings
+    parquet directly (pyarrow), take the same deterministic sample
+    (first ``sample_rows`` by id), run the same numpy core.
+
+    Exists so a DuckDB oracle can reproduce the trained codebook
+    without a SparkSession — the registry's callable-oracle hook calls
+    this at oracle-build time and inlines the resulting centroids as
+    literals, which makes trained (iterative, otherwise
+    non-SQL-expressible) retrieval hash-gateable end to end.
+    """
+    import numpy as np
+    import pyarrow.parquet as pa_pq
+
+    tbl = pa_pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = tbl.column(id_col).to_numpy()
+    order = np.argsort(ids, kind="stable")[:sample_rows]
+    vecs = tbl.column(vec_col).to_pylist()
+    X = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    return _lloyd_book(X, m, k_cb, iters)
 
 
 def ivf_pq_topk(

@@ -1677,3 +1677,152 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = pq.pq_codebook(e, m=4, k_cb=8)
     out = pq.pq_adc_topk(e, queries, book, k=10, pool=50)
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Trained (k-means) PQ codebook / IVF centroids — the faiss/pgvector
+# convention (reference rag.py:83-85 trains IVFFLAT lists). Training is
+# iterative and therefore not SQL-expressible, but it IS deterministic
+# (fixed sample = first N by id, fixed init = first k sample rows,
+# fixed iteration count), so the oracle is built DYNAMICALLY: a
+# callable oracle trains the bit-identical book from the parquet via
+# the shared numpy core (operators/pq.train_book_from_parquet) and
+# inlines the centroids as literals — full hash gate, not rows-only.
+# ---------------------------------------------------------------------------
+
+_TRAIN = {"k_cb": 8, "sample_rows": 1024, "iters": 5}
+
+
+def _pq_trained_oracle(sf_dir: str) -> str:
+    from ..operators import pq
+
+    book = pq.train_book_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=4, **_TRAIN
+    )
+    enc_cols = ",\n             ".join(
+        f"({pq.pq_code_sql('e.embedding', book, s, D)}) AS c{s}" for s in range(4)
+    )
+    adc = pq.pq_adc_sql("q.q_vec", [f"e.c{s}" for s in range(4)], book, D)
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    enc AS (
+      SELECT e.vec_id,
+             {enc_cols}
+      FROM embeddings e
+    ),
+    adc AS (
+      SELECT q.q_id, e.vec_id, ({adc}) AS dist
+      FROM enc e CROSS JOIN q
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+        FROM adc) t
+      WHERE rn <= 50
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_pq_trained",
+    oracle=_pq_trained_oracle,
+    doc="PQ two-stage search with a k-means-TRAINED codebook (per-"
+    "subspace Lloyd on a deterministic 256-row sample, 3 iterations) "
+    "instead of the first-k convention — the faiss-style production "
+    "default. The oracle trains the bit-identical book from the same "
+    "parquet through the shared numpy core and inlines it as "
+    "literals, so even the trained (iterative) index is hash-gated. "
+    "Recall vs the first-k book is pytest-pinned (>=) in "
+    "tests/test_scale_ops.py.",
+)
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    book = pq.pq_train_codebook(e, m=4, **_TRAIN)
+    out = pq.pq_adc_topk(e, queries, book, k=10, pool=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+def _ivf_trained_oracle(sf_dir: str) -> str:
+    from ..operators import pq
+
+    cents = pq.train_book_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=1, **_TRAIN
+    )[0]
+    values = ",\n               ".join(
+        f"({j}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+    WITH c AS (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC2} DESC, c.centroid_id) AS rn
+        FROM embeddings e, c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    qc AS (
+      SELECT q_id, q_vec, centroid_id FROM (
+        SELECT q.q_id, q.q_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_DOT_QC2} DESC, c.centroid_id) AS rn
+        FROM q, c) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT qc.q_id, e.vec_id, {_DOT_EQ2} AS similarity
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN qc ON a.centroid_id = qc.centroid_id
+    )
+    SELECT q_id, vec_id, similarity, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT q_id, vec_id, similarity,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY similarity DESC, vec_id) AS rn
+      FROM cand) t
+    WHERE rn <= 10 ORDER BY q_id, rank
+    """
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_oracle,
+    doc="IVF top-k with k-means-TRAINED coarse centroids (full-vector "
+    "Lloyd = the m=1 degenerate of the PQ trainer) instead of the "
+    "first-8 convention — matching pgvector's trained IVFFLAT lists "
+    "(reference rag.py:83-85). Same probe plan as ann_ivf_topk; the "
+    "callable oracle inlines the trained centroids as VALUES literals.",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pq.pq_train_codebook(e, m=1, **_TRAIN)[0]
+    centroids = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    out = ann.ivf_topk(assigned, centroids, queries, k=10, probes=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

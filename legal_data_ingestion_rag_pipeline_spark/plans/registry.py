@@ -12,9 +12,16 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL over pre-registered table views
+    # DuckDB SQL over pre-registered table views.  A callable takes the
+    # sf_dir and returns the SQL — used when the oracle must embed
+    # data-derived literals (e.g. a k-means-trained codebook) that are
+    # deterministic given the tables but not expressible in SQL.
+    oracle: str | Callable[[str], str] | None
     bench: bool = False  # part of bench.py's headline set
     doc: str = ""
+
+    def oracle_sql(self, sf_dir: str) -> str | None:
+        return self.oracle(sf_dir) if callable(self.oracle) else self.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}

@@ -648,3 +648,94 @@ def test_mixture_budget_overflow_rejected(spark):
     # in-range budgets still work
     thr = mixture.mixture_thresholds(docs, "source", "n_tok", budget=15)
     assert {r.source: r.thr for r in thr.collect()}
+
+
+def test_pq_codebook_sparse_ids_and_underflow(spark):
+    """pq_codebook takes the first k_cb rows BY ORDER, not by the
+    id < k_cb predicate — sparse/offset id spaces (ids starting at
+    100) still yield a full book, and a corpus smaller than k_cb
+    raises instead of silently training a tiny book."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import pq
+
+    base = load_table(spark, SF, "embeddings").limit(10)
+    shifted = base.withColumn("vec_id", F.col("vec_id") + F.lit(100))
+    book = pq.pq_codebook(shifted, m=4, k_cb=8)
+    assert len(book) == 4 and all(len(s) == 8 for s in book)
+    # same vectors as the unshifted first-8 book: offset ids don't
+    # change WHICH rows train the book
+    assert book == pq.pq_codebook(base, m=4, k_cb=8)
+    with _pytest.raises(ValueError, match="rows"):
+        pq.pq_codebook(base.limit(3), m=4, k_cb=8)
+
+
+def test_pq_parquet_trainer_matches_spark_trainer():
+    """The Sparkless parquet trainer (what the dynamic trained-PQ
+    oracle calls) and the Spark-sample trainer produce bit-identical
+    books — the invariant that makes ann_pq_trained hash-gateable."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import pq
+    from legal_data_ingestion_rag_pipeline_spark.session import build_session
+
+    spark = build_session("pq_parity")
+    e = load_table(spark, SF, "embeddings")
+    via_spark = pq.pq_train_codebook(e, m=4, k_cb=8, sample_rows=256, iters=3)
+    via_file = pq.train_book_from_parquet(
+        f"{SF}/embeddings.parquet", m=4, k_cb=8, sample_rows=256, iters=3
+    )
+    assert via_spark == via_file
+    # m=1 degenerate = full-vector k-means (the IVF centroid trainer)
+    assert pq.pq_train_codebook(
+        e, m=1, k_cb=8, sample_rows=256, iters=3
+    ) == pq.train_book_from_parquet(
+        f"{SF}/embeddings.parquet", m=1, k_cb=8, sample_rows=256, iters=3
+    )
+
+
+def test_pq_trained_recall_at_least_first_k(spark):
+    """The k-means-trained codebook beats the first-k convention on the
+    driver embeddings, measured through the REAL Spark operator:
+    recall@10 over 50 queries (5 queries is coin-flip noise — measured
+    both ways at +/-0.06; 50 separates them cleanly: ~0.50 trained vs
+    ~0.40 first-k) and corpus quantization MSE, which Lloyd-from-
+    first-k-init provably never increases when the training sample
+    covers the corpus (sample_rows=1024 > n=500 here)."""
+    import numpy as np
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann, pq
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact: dict[int, set] = {}
+    for r in ann.brute_force_topk(e, q, k=10).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+
+    def recall(book) -> float:
+        got: dict[int, set] = {}
+        for r in pq.pq_adc_topk(e, q, book, k=10, pool=50).collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(len(exact[i] & got[i]) for i in exact) / (10 * len(exact))
+
+    book_fk = pq.pq_codebook(e, m=4, k_cb=8)
+    book_tr = pq.pq_train_codebook(e, m=4, k_cb=8, sample_rows=1024, iters=5)
+
+    X = np.asarray(
+        [r[0] for r in e.orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    dsub = X.shape[1] // 4
+
+    def mse(book) -> float:
+        tot = 0.0
+        for s in range(4):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = np.asarray(book[s])
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            tot += d2.min(axis=1).sum()
+        return tot / len(X)
+
+    assert mse(book_tr) <= mse(book_fk)
+    r_fk, r_tr = recall(book_fk), recall(book_tr)
+    assert r_tr >= r_fk, f"trained {r_tr} < first-k {r_fk}"

@@ -125,11 +125,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        if spec.oracle is None:
+        osql = spec.oracle_sql(args.sf)
+        if osql is None:
             print(f"ROWS {name}: {len(srows)} rows (no oracle, rows-only check)")
             continue
         try:
-            ddf = con.execute(spec.oracle).fetch_df()
+            ddf = con.execute(osql).fetch_df()
             dcols = list(ddf.columns)
             drows = df_rows(ddf)
         except Exception as e:
