@@ -222,17 +222,34 @@ def _ivf_assign_gemm(
 
     def assign(batches: Iterator) -> Iterator:
         import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415 — executor-side import
 
         c_ids, c_mat = b.value
+        dim = c_mat.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.asarray(pdf[corpus_vec].tolist(), dtype=np.float64)
-            sims = vecs @ c_mat.T
-            best = sims.argmax(axis=1)
+            vals = pdf[corpus_vec].tolist()
+            # NULL / wrong-length vectors: the literal path yields
+            # c_sim NULL with the smallest centroid id (NULL dot
+            # against every centroid, struct-max ties to -min id) —
+            # match it instead of letting np.asarray raise on the
+            # ragged batch.
+            valid = np.asarray(
+                [v is not None and len(v) == dim for v in vals], dtype=bool
+            )
+            sim_col = pd.array([pd.NA] * len(vals), dtype="Float64")
+            ids_out = np.full(len(vals), c_ids[0], dtype=np.int64)
+            if valid.any():
+                idx = np.flatnonzero(valid)
+                vecs = np.asarray([vals[i] for i in idx], dtype=np.float64)
+                sims = vecs @ c_mat.T
+                best = sims.argmax(axis=1)
+                sim_col[idx] = sims[np.arange(len(idx)), best]
+                ids_out[idx] = c_ids[best]
             pdf = pdf.copy()
-            pdf["c_sim"] = sims[np.arange(len(pdf)), best]
-            pdf[centroid_id] = c_ids[best]
+            pdf["c_sim"] = sim_col
+            pdf[centroid_id] = ids_out
             yield pdf
 
     return corpus.mapInPandas(assign, out_schema)

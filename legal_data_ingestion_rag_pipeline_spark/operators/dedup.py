@@ -178,6 +178,18 @@ def lsh_candidate_pairs(
     here localCheckpoint plays that role (signatures are ids + 32
     int64s — tiny next to the text they summarize).
     """
+    if max_bucket_size is None:
+        import warnings
+
+        # recall-first default, but never SILENT: one boilerplate
+        # bucket of B docs produces B^2/2 pairs in a single task.
+        warnings.warn(
+            "lsh_candidate_pairs called without max_bucket_size: a single "
+            "hot bucket of B docs generates B^2/2 candidate pairs in one "
+            "task. At scale pass max_bucket_size (e.g. 1000) and audit "
+            "dropped buckets with lsh_oversized_buckets.",
+            stacklevel=2,
+        )
     if materialize_input:
         sig_df = sig_df.localCheckpoint(eager=True)
     rows_per_band = n_hashes // bands

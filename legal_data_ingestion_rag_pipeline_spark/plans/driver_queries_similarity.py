@@ -166,11 +166,25 @@ _DOT = PT.dot_double("a.embedding", "b.embedding", D)
     ORDER BY similarity DESC, id_a, id_b LIMIT 20
     """,
     doc="Embedding-cosine near-dup: top pairs by similarity (unit "
-    "vectors => dot). Exact pairwise here for the oracle; the scale "
-    "path buckets by IVF cell / LSH first (operators/ann.py).",
+    "vectors => dot). Exact pairwise AUDIT query — O(n^2); refuses "
+    "corpora above max_rows. The scale path is dedup_embedding_srp_lsh "
+    "(bucketed, never all-pairs).",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
+) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
+    # O(n^2) self-join: a deliberate exact audit twin of the gated
+    # dedup_embedding_srp_lsh. Refuse rather than melt on a big corpus
+    # (100k rows ~ 5e9 pairs is already the outer edge of sane).
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is an exact O(n^2) audit query; corpus "
+            f"has {n} rows > max_rows={max_rows}. Use dedup_embedding_srp_lsh "
+            f"(SRP-LSH bucketed) for large corpora, or raise max_rows "
+            f"explicitly if you really mean it."
+        )
     a = e.alias("a")
     b = e.alias("b")
     sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))

@@ -12,9 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import portable as PT
 from ..session import normalize_event_ts
 from ..streaming.pipeline import windowed_daily_stats
 from .registry import register
+
+D = PT.DUCKDB
 
 _SINK = "streaming_tumbling_counts_sink"
 
@@ -112,6 +115,76 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_DEDUP_SINK).agg(
+        F.lit(n_in).cast("bigint").alias("n_in"),
+        F.count("*").alias("n_survivors"),
+    )
+
+
+_NEARDUP_SINK = "streaming_neardup_docs_sink"
+
+# the oracle recomputes the stream's dedup key per document in DuckDB:
+# full MinHash signature (same portable polynomial family as the batch
+# MinHash gate) for shingleable text, sha256 fallback for short text,
+# per-row unique key for NULL text (passes through undeduplicated).
+_NEARDUP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, text, {PT.hash_array('toks', D)} AS th FROM t),
+    h AS (SELECT doc_id, text, {PT.word_ngram_hashes('th', 3, D)} AS gh FROM g),
+    k AS (
+      SELECT doc_id,
+             CASE
+               WHEN text IS NULL THEN '__null:' || CAST(doc_id AS VARCHAR)
+               WHEN len(gh) > 0 THEN array_to_string(
+                 list_transform({PT.minhash_from_hashes('gh', 32, D)},
+                                x -> CAST(x AS VARCHAR)), ',')
+               ELSE sha256(text)
+             END AS key
+      FROM h)
+    SELECT count(*) AS n_in, count(DISTINCT key) AS n_survivors FROM k
+"""
+
+
+@register(
+    "streaming_neardup_docs",
+    oracle=_NEARDUP_ORACLE,
+    doc="streaming MinHash near-dup suppression held to the hash gate, "
+    "mirroring streaming_dedup_docs: documents replayed as a file "
+    "stream through streaming_neardup_minhash (state keyed on the "
+    "FULL 32-slot signature, availableNow). WHICH near-dup survives "
+    "depends on partition order, so the gated output is the "
+    "deterministic aggregate — input rows vs distinct-key survivors — "
+    "while tests/test_streaming.py pins first-occurrence-wins and the "
+    "null-text pass-through across micro-batches.",
+)
+def streaming_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import streaming_neardup_minhash
+
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(base)
+    )
+    # same synthesized event time as streaming_dedup_docs: arrival order
+    # by doc id, offset past the epoch-0 initial watermark.
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros(F.col("doc_id") + F.lit(1_600_000_000_000_000)),
+    )
+    deduped = streaming_neardup_minhash(
+        stream, text_col="text", ts_col="ts", id_col="doc_id"
+    )
+    n_in = spark.read.parquet(f"{base}/documents.parquet").count()
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(_NEARDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_NEARDUP_SINK).agg(
         F.lit(n_in).cast("bigint").alias("n_in"),
         F.count("*").alias("n_survivors"),
     )

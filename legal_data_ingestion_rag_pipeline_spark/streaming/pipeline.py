@@ -201,6 +201,7 @@ def streaming_neardup_minhash(
     watermark: str = "1 hour",
     n_hashes: int = 32,
     shingle_words: int = 3,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup suppression: first doc per full MinHash
     signature wins.
@@ -219,10 +220,15 @@ def streaming_neardup_minhash(
     and need a second stateful stage.
 
     Documents too short to shingle (< shingle_words tokens) fall back
-    to exact content-hash dedup. The repartition barriers mirror the
-    batch with_minhash: without them CollapseProject re-derives the
-    gram-hash array once per signature slot (the measured 10x
-    blowup); both are plain Exchanges, legal in streaming plans.
+    to exact content-hash dedup. NULL text gets a per-row UNIQUE key
+    (``'__null:' + id_col``, or a uuid when no id column is given) and
+    passes through undeduplicated — sha2(NULL) is NULL, and
+    dropDuplicatesWithinWatermark treats NULL keys as equal, which
+    would silently swallow every null-text document after the first.
+    The repartition barriers mirror the batch with_minhash: without
+    them CollapseProject re-derives the gram-hash array once per
+    signature slot (the measured 10x blowup); both are plain
+    Exchanges, legal in streaming plans.
     """
     from ..functions import portable as PT
     from ..session import barrier
@@ -241,8 +247,15 @@ def streaming_neardup_minhash(
         + PT.minhash_from_hashes("_gram_hashes", n_hashes, PT.SPARK)
         + ", x -> CAST(x AS STRING)), ',')"
     )
-    key = F.when(F.size("_gram_hashes") > 0, sig_csv).otherwise(
-        F.sha2(F.col(text_col).cast("string"), 256)
+    null_key = (
+        F.concat(F.lit("__null:"), F.col(id_col).cast("string"))
+        if id_col is not None
+        else F.concat(F.lit("__null:"), F.expr("uuid()"))
+    )
+    key = (
+        F.when(F.col(text_col).isNull(), null_key)
+        .when(F.size("_gram_hashes") > 0, sig_csv)
+        .otherwise(F.sha2(F.col(text_col).cast("string"), 256))
     )
     return (
         staged.withColumn("_dedup_key", key)

@@ -739,3 +739,58 @@ def test_pq_trained_recall_at_least_first_k(spark):
     assert mse(book_tr) <= mse(book_fk)
     r_fk, r_tr = recall(book_fk), recall(book_tr)
     assert r_tr >= r_fk, f"trained {r_tr} < first-k {r_fk}"
+
+
+def test_dedup_embedding_cosine_refuses_large_corpus(spark):
+    """The exact O(n^2) audit query refuses corpora above max_rows with
+    a pointer to the SRP-LSH scale path; a permissive max_rows still
+    runs (gated queries use the default, far above the driver SFs)."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        dedup_embedding_cosine,
+    )
+
+    with _pytest.raises(ValueError, match="srp_lsh"):
+        dedup_embedding_cosine(spark, SF, max_rows=10)
+    out = dedup_embedding_cosine(spark, SF)  # 500 rows << default cap
+    assert out.columns == ["id_a", "id_b", "similarity"]
+
+
+def test_ivf_assign_gemm_null_and_ragged_match_literal(spark):
+    """NULL or wrong-length embeddings must not crash the GEMM path and
+    must yield the SAME (c_sim, centroid_id) the literal path yields:
+    NULL similarity, smallest centroid id."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.5, 0.5, 0.7]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    lit = {r.vec_id: (r.c_sim, r.centroid_id)
+           for r in ann.ivf_assign(corpus, cents).collect()}
+    gemm = {r.vec_id: (r.c_sim, r.centroid_id)
+            for r in ann.ivf_assign(corpus, cents, max_inline_terms=0).collect()}
+    assert lit == gemm and len(gemm) == 4
+    assert gemm[1] == (None, 0) and gemm[2] == (None, 0)
+    assert gemm[0] == (1.0, 0) and gemm[3] == (1.0, 1)
+
+
+def test_lsh_uncapped_warns(spark):
+    """Disabling the hot-bucket cap is allowed (recall-first) but never
+    silent: a UserWarning names the blowup and the audit twin."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "some document text for the lsh warning test three words")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+    with _pytest.warns(UserWarning, match="max_bucket_size"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None)

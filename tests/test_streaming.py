@@ -253,6 +253,8 @@ def test_streaming_neardup_minhash(spark, tmp_path):
         (4, "2024-05-01T10:10:00", base),  # still within watermark -> dropped
         (5, "2024-05-01T10:10:05", "hi"),  # exact short dup -> dropped
         (6, "2024-05-01T10:10:10", "fresh unseen content stream token run"),
+        (7, "2024-05-01T10:10:15", None),  # null text -> pass through
+        (8, "2024-05-01T10:10:20", None),  # null text -> NOT a dup of 7
     ]
     import pandas as pd
 
@@ -272,7 +274,7 @@ def test_streaming_neardup_minhash(spark, tmp_path):
     stream = spark.readStream.schema("doc_id bigint, ts timestamp, text string").parquet(
         str(d)
     )
-    out = streaming_neardup_minhash(stream, watermark="1 hour")
+    out = streaming_neardup_minhash(stream, watermark="1 hour", id_col="doc_id")
     q = (
         out.writeStream.format("memory")
         .queryName("neardup_sink")
@@ -282,10 +284,13 @@ def test_streaming_neardup_minhash(spark, tmp_path):
     )
     q.awaitTermination()
     survivors = {r.doc_id for r in spark.table("neardup_sink").collect()}
-    # one of {0,2,4} (same signature), one of {3,5} (same text), plus 1 and 6
+    # one of {0,2,4} (same signature), one of {3,5} (same text), plus 1
+    # and 6 — and BOTH null-text docs pass through (sha2(NULL) is NULL;
+    # without the per-row surrogate key, 8 would be swallowed as a
+    # "duplicate" of 7)
     assert len(survivors & {0, 2, 4}) == 1
     assert len(survivors & {3, 5}) == 1
-    assert {1, 6} <= survivors and len(survivors) == 4
+    assert {1, 6, 7, 8} <= survivors and len(survivors) == 6
 
     # the signature key agrees with the batch kernel: 0 and 2 share a
     # signature, 1 differs
