@@ -15,17 +15,26 @@ tests/test_http_api.py):
   to plans.rag.search_dockets; 400 when query < 2 chars or limit
   outside 1..50 (api.py:64-74 Pydantic bounds).
 
-Every error body is ``{"error": "..."}`` exactly like the reference's
-exception handlers (api.py:137-150).
+Every error body is ``{"error": "..."}`` like the reference's
+exception handlers (api.py:137-150). One documented status-code
+deviation: request-validation failures (query < 2 chars, limit outside
+1..50, non-integer limit, bad year) return **400** here, where the
+reference's FastAPI surfaces Pydantic bound violations as **422** via
+the default RequestValidationError handler (its custom handlers cover
+only HTTPException and generic Exception). 400 is kept deliberately —
+it matches the reference's own documented intent (api.py:64-74
+comments) — and tests/test_http_api.py pins the 400s.
 
 The reference runs FastAPI + uvicorn + a psycopg pool; none of those
 exist in this image, and none are needed: the stdlib
 ``ThreadingHTTPServer`` fronts a shared SparkSession, whose scheduler
 is already thread-safe — concurrent requests become concurrent Spark
 jobs (FAIR-schedulable on a cluster). Serving-path note for scale:
-each request triggers a Spark job over the warehouse tables; a real
-deployment fronts the hot endpoints with cached/materialized views,
-but the query semantics live in plans/queries.py either way.
+``context_from_store`` persists the dim/fact tables (MEMORY_AND_DISK),
+so requests re-run bounded query plans over cached partitions instead
+of rescanning parquet; a real deployment additionally fronts the hot
+endpoints with materialized views, but the query semantics live in
+plans/queries.py either way.
 """
 
 from __future__ import annotations
@@ -204,8 +213,19 @@ def make_server(
     return ThreadingHTTPServer((host, port), Bound)
 
 
-def context_from_store(spark: SparkSession, store_root: str) -> ApiContext:
-    """Load an ApiContext from a CLI-built ParquetStore warehouse."""
+def context_from_store(
+    spark: SparkSession, store_root: str, persist: bool = True
+) -> ApiContext:
+    """Load an ApiContext from a CLI-built ParquetStore warehouse.
+
+    ``persist=True`` (the serving default) caches every table and the
+    embeddings at MEMORY_AND_DISK: a serving process answers many
+    requests over the same warehouse snapshot, so paying one
+    materialization beats rescanning parquet per request. Pass False
+    for one-shot/embedded use where caching would just hold memory.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     from .cli import TABLES, _load_tables, _store
 
     store = _store(spark, store_root)
@@ -218,6 +238,12 @@ def context_from_store(spark: SparkSession, store_root: str) -> ApiContext:
         if store.exists("case_chunk_embeddings")
         else None
     )
+    if persist:
+        tables = {
+            k: v.persist(StorageLevel.MEMORY_AND_DISK) for k, v in tables.items()
+        }
+        if emb is not None:
+            emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     return ApiContext(tables=tables, embeddings=emb, embedder=HashEmbedder())
 
 

@@ -21,7 +21,10 @@ def list_cases(
     """GET /cases?judge=&year= (api.py:154-199).
 
     - >=1 filter required, else ValueError (the endpoint's 400);
-    - judge matched on judges.normalized_name == lower(judge);
+    - judge FILTERED on judges.normalized_name == lower(judge), but the
+      output 'judge' field carries the display name (judges.name),
+      matching the reference's j.full_name (api.py:186) and the
+      /cases/{id} detail endpoint;
     - year via year(filed_date) == year PLUS a filed_date range bound —
       the range predicate is what lets Catalyst prune a date-partitioned
       table at scale (SURVEY §3.3's idiomatic fix);
@@ -34,7 +37,13 @@ def list_cases(
     courts = tables["courts"]
     df = (
         cases.join(
-            F.broadcast(judges.select(F.col("id").alias("judge_id"), F.col("normalized_name").alias("judge_name"))),
+            F.broadcast(
+                judges.select(
+                    F.col("id").alias("judge_id"),
+                    F.col("normalized_name").alias("judge_name"),
+                    F.col("name").alias("judge_display"),
+                )
+            ),
             "judge_id",
             "left",
         )
@@ -57,7 +66,7 @@ def list_cases(
             "case_number",
             "title",
             F.col("court_name").alias("court"),
-            F.col("judge_name").alias("judge"),
+            F.col("judge_display").alias("judge"),
             F.date_format("filed_date", "yyyy-MM-dd").alias("filed_date"),
             "status",
         )

@@ -168,3 +168,44 @@ def test_context_from_store_roundtrip(spark, ctx, tmp_path):
     assert set(ctx.tables) <= set(loaded.tables)
     assert loaded.embeddings is not None
     assert loaded.embeddings.count() == ctx.embeddings.count()
+
+
+def test_context_from_store_persists_tables(spark, tmp_path, capsys):
+    """The serving context caches dims/facts (and embeddings) so each
+    request re-runs a bounded plan over cached partitions instead of
+    rescanning parquet; persist=False opts out for embedded use."""
+    import json as _json
+
+    from legal_data_ingestion_rag_pipeline_spark import cli
+    from legal_data_ingestion_rag_pipeline_spark.api import context_from_store
+
+    f = tmp_path / "dockets.json"
+    f.write_text(_json.dumps(DOCKETS))
+    store = str(tmp_path / "warehouse")
+    assert cli.main(["ingest", "--file", str(f), "--store", store]) == 0
+    assert cli.main(["rag", "backfill", "--store", store]) == 0
+    capsys.readouterr()
+
+    ctx = context_from_store(spark, store)
+    try:
+        for name, df in ctx.tables.items():
+            assert df.storageLevel.useMemory or df.storageLevel.useDisk, name
+        assert ctx.embeddings is not None
+        assert (
+            ctx.embeddings.storageLevel.useMemory
+            or ctx.embeddings.storageLevel.useDisk
+        )
+        # cached context still answers the list query
+        import legal_data_ingestion_rag_pipeline_spark.plans.queries as Q
+
+        assert Q.list_cases(ctx.tables, year=2023).count() > 0
+    finally:
+        for df in ctx.tables.values():
+            df.unpersist()
+        ctx.embeddings.unpersist()
+
+    cold = context_from_store(spark, store, persist=False)
+    assert not any(
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+        for df in cold.tables.values()
+    )

@@ -35,7 +35,9 @@ def test_list_by_judge(spark, tables):
     rows = list_cases(tables, judge="Maria Rodriguez").collect()
     # case 00001's final version has no judge; only 00002 keeps Maria
     assert [r.case_number for r in rows] == ["1:23-cv-00002"]
-    assert rows[0].judge == "maria rodriguez"
+    # filter matches on normalized_name; the output field is the
+    # DISPLAY name (reference j.full_name, same as the detail endpoint)
+    assert rows[0].judge == "Hon. Maria Rodriguez"
 
 
 def test_list_by_year_ordering(spark, tables):
