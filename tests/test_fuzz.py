@@ -290,3 +290,76 @@ def test_fuzz_mixture_sampling_matches_python_reference(spark):
         }
         want = {i for i, d, _t, b in rows if b < thr[d]}
         assert got == want, f"trial {trial}: {sorted(got)} != {sorted(want)}"
+
+
+def test_fuzz_quantized_retrieval_recall_floor(spark):
+    """Seeded property fuzz over the quantized retrieval stack
+    (operators/ann.sq8_rescore_topk, operators/pq.pq_adc_topk):
+    across random dims and both uniform and clustered corpora,
+
+    - SQ8 two-stage recall@10 vs an exact numpy brute force >= 0.9
+      (int8 codes keep ~8 bits/element; the only approximation is
+      pool membership),
+    - PQ ADC with a k-means-trained codebook >= 0.4 (lossy by
+      construction at m subspaces x k_cb codes), and
+    - both searches return identical (q_id, vec_id, rank) sets under
+      a different corpus partitioning (total order, no RNG).
+    """
+    import numpy as np
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann, pq
+
+    rng = np.random.default_rng(SEED)
+    for trial, (dim, m, clustered) in enumerate(
+        [(8, 2, False), (16, 4, True), (32, 4, True)]
+    ):
+        n = 200
+        if clustered:
+            centers = rng.normal(size=(6, dim))
+            X = centers[rng.integers(0, 6, n)] + 0.15 * rng.normal(size=(n, dim))
+        else:
+            X = rng.normal(size=(n, dim))
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X[:5] @ X.T  # exact float64 reference
+        exact = {
+            qid: set(
+                sorted(range(n), key=lambda j: (-sims[qid][j], j))[:10]
+            )
+            for qid in range(5)
+        }
+
+        corpus = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(5)],
+            "q_id bigint, q_vec array<double>",
+        )
+
+        sq8_rows = ann.sq8_rescore_topk(corpus, queries, k=10, pool=50).collect()
+        sq8 = {}
+        for r in sq8_rows:
+            sq8.setdefault(r.q_id, set()).add(r.vec_id)
+        hits = sum(len(exact[q] & sq8[q]) for q in exact)
+        assert hits / 50 >= 0.9, f"trial {trial}: SQ8 recall {hits}/50"
+
+        book = pq.pq_train_codebook(corpus, m=m, k_cb=16, sample_rows=n, iters=3)
+        pq_rows = pq.pq_adc_topk(corpus, queries, book, k=10, pool=50).collect()
+        pqr = {}
+        for r in pq_rows:
+            pqr.setdefault(r.q_id, set()).add(r.vec_id)
+        hits = sum(len(exact[q] & pqr[q]) for q in exact)
+        assert hits / 50 >= 0.4, f"trial {trial}: PQ recall {hits}/50"
+        for q in range(5):  # self-hit survives both pools (unit vectors)
+            assert q in sq8[q] and q in pqr[q]
+
+        repart = corpus.repartition(7, "vec_id")
+        again = ann.sq8_rescore_topk(repart, queries, k=10, pool=50).collect()
+        assert {(r.q_id, r.vec_id, r.rank) for r in again} == {
+            (r.q_id, r.vec_id, r.rank) for r in sq8_rows
+        }
+        again = pq.pq_adc_topk(repart, queries, book, k=10, pool=50).collect()
+        assert {(r.q_id, r.vec_id, r.rank) for r in again} == {
+            (r.q_id, r.vec_id, r.rank) for r in pq_rows
+        }
