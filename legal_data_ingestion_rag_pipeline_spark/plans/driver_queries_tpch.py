@@ -1,0 +1,516 @@
+"""Driver queries: TPC-H-shape analytics expansion pack.
+
+The reference's query surface (list/search/detail/quality,
+api.py:154-276) exercises only a few relational shapes; a 100 TB
+warehouse engine needs the full decision-support repertoire.  This
+module rounds out the TPC-H family beyond the Q1/Q3/Q5/Q10/Q18 shapes
+already registered (driver_queries.py, driver_queries_scale.py):
+
+- Q4  semi-join existence count            (order_priority_exists)
+- Q6  single-table predicate revenue       (forecast_revenue_filter)
+- Q7  two-nation volume shipping           (volume_shipping_nations)
+- Q8  market share within a region         (market_share_by_year)
+- Q13 outer-join count distribution        (customer_order_distribution)
+- Q14 conditional revenue share            (promo_revenue_share)
+- Q17 correlated-avg small-quantity scan   (small_quantity_avg_subquery)
+- Q19 OR-of-conjuncts pushdown             (ored_predicates_revenue)
+- Q22 scalar-subquery + anti-join          (inactive_customers_by_segment)
+
+The synthetic tables lack l_commitdate / l_receiptdate / l_shipmode /
+c_phone, so Q4 tests existence of a RETURNED lineitem and Q22 groups by
+market segment — the join/subquery shapes (the part Catalyst must get
+right) are preserved exactly.
+
+Hash-gate conventions (see driver_queries.py module docstring): money
+sums go through DECIMAL(18,4) then CAST AS DOUBLE; averages are exact
+decimal sums divided by counts in double; every computed column is
+aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_revenue() -> F.Column:
+    """Per-row extended revenue in DOUBLE (bit-identical across
+    engines), then exact DECIMAL for the order-independent sum."""
+    return (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+@register(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-07-01'
+      AND o.o_orderdate < DATE '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (priority checking): EXISTS rendered as a "
+    "LEFT SEMI join — the fact side streams once, never duplicates "
+    "rows on multi-match, and the quarter filter prunes the orders "
+    "scan before the shuffle. Returned-lineitem existence stands in "
+    "for the commit<receipt predicate (column absent in this data).",
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("date"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "forecast_revenue_filter",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue): pure scan-side predicate "
+    "work — every conjunct reaches PushedFilters on the parquet scan, "
+    "the projection is 3 columns of 11, and the single global agg is "
+    "a map-side partial + one-row exchange. The canonical pushdown "
+    "probe: if this query shuffles anything but partial sums, the "
+    "scan is misconfigured.",
+)
+def forecast_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "volume_shipping_nations",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape (volume shipping): five-table join where BOTH "
+    "nation legs broadcast and the OR-of-nation-pairs predicate "
+    "evaluates after them; supplier and customer also broadcast at "
+    "dim scale, so the only real shuffle is lineitem⋈orders. The "
+    "year() group key is tiny (2 nations x 2 years).",
+)
+def volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_dec_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): seven-table join, "
+    "every dim leg broadcast (part/customer/supplier/nation x2/"
+    "region), conditional numerator over the same decimal-sum "
+    "denominator so the share is exact and order-independent. The "
+    "region filter prunes via the broadcast nation⋈region chain "
+    "before the fact rows fan in.",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec_revenue()
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer distribution): outer join with a "
+    "non-key predicate folded INTO the join condition (not a post-"
+    "filter — that would drop the zero-order customers), then a "
+    "two-level aggregation. First agg shuffles on c_custkey; the "
+    "second group key (c_count) is tiny.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0
+           * CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): month-pruned fact scan "
+    "broadcast-joined to part, conditional/unconditional decimal sums "
+    "in ONE aggregation pass (no second scan for the denominator), "
+    "ratio taken in double at the end.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _dec_revenue()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "small_quantity_avg_subquery",
+    oracle="""
+    WITH thresh AS (
+        SELECT l_partkey AS t_partkey,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*)) AS t_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresh ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#13' AND l_quantity < t_avg
+    """,
+    doc="TPC-H Q17 shape (small-quantity order revenue): the "
+    "correlated AVG subquery decorrelates to a per-part aggregate "
+    "joined back on l_partkey — one extra shuffle of (partkey, sum, "
+    "count) pairs instead of a per-row rescan. The threshold is an "
+    "exact decimal sum / count in double, so the comparison is "
+    "bit-identical on both engines.",
+)
+def small_quantity_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("t_avg")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("t_avg"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "ored_predicates_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue, OR of conjunct groups): "
+    "Catalyst factors the common p_partkey equi-key out of the OR so "
+    "the plan is a broadcast hash join with a residual disjunction — "
+    "not the naive cartesian a literal reading implies. CNF "
+    "conversion also pushes the per-side prunable conjuncts "
+    "(quantity bounds to lineitem, brand/size to part) below the "
+    "join.",
+)
+def ored_predicates_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.sum(_dec_revenue()).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "inactive_customers_by_segment",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): scalar aggregate "
+    "subquery broadcast as a one-row cross join, NOT EXISTS as a LEFT "
+    "ANTI join on the order keys. The anti join's build side is just "
+    "o_custkey after the date prune (column-pruned before the "
+    "exchange). Segment stands in for the phone-prefix group and "
+    "'no RECENT order' for 'no order' (every synthetic customer has "
+    "at least one) — the shapes are identical. The exact-decimal "
+    "average makes the > threshold comparison engine-stable.",
+)
+def inactive_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("a")
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

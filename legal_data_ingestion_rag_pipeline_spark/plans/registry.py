@@ -120,9 +120,11 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries,
         driver_queries_analytics,
         driver_queries_multimodal,
+        driver_queries_pretrain,
         driver_queries_scale,
         driver_queries_similarity,
         driver_queries_streaming,
+        driver_queries_tpch,
     )
 
     ordered: dict[str, QuerySpec] = {}
