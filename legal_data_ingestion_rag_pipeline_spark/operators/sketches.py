@@ -1,0 +1,80 @@
+"""Count-min sketch: fixed-size frequency summaries for heavy-hitter
+mining over unbounded token streams.
+
+At 100 TB a full token->count table is itself huge (the long tail of a
+web corpus is billions of distinct tokens); a CMS compresses it to
+d x width counters with a one-sided error guarantee:
+
+    true_count <= estimate <= true_count + eps * total_tokens
+
+with eps = e/width at failure probability e^-d.  The sketch is built
+with ONE aggregation whose key space is exactly d*width rows — the
+shuffle volume is capped by the sketch size, not the corpus — and it
+merges across partitions/days by plain counter addition, which is why
+this is the standard streaming-frequency structure.
+
+Hashing uses the portable universal family (functions/portable.py:
+h_i(x) = (a_i * poly_hash(x) + b_i) mod P, bucket = h_i mod width), so
+a DuckDB oracle reproduces the sketch bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as PT
+
+
+def _bucket_cols(base_hash: F.Column, d: int, width: int) -> list[F.Column]:
+    consts = PT._perm_constants(d)
+    return [
+        (((base_hash * a + b) % PT.P) % width).cast("bigint")
+        for (a, b) in consts[:d]
+    ]
+
+
+def cms_build(
+    items: DataFrame, key_col: str, d: int = 3, width: int = 256
+) -> DataFrame:
+    """Build the sketch: (h_idx, bucket, cnt), one row per non-empty
+    counter.  One map-side explode (d rows per item) and one shuffle
+    on (h_idx, bucket) — at most d*width groups regardless of corpus
+    size, so the reduce side is constant-bounded."""
+    base = F.expr(PT.poly_hash(key_col, PT.SPARK))
+    buckets = F.array(*_bucket_cols(base, d, width))
+    return (
+        items.select(F.posexplode(buckets).alias("h_idx", "bucket"))
+        .groupBy("h_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 3, width: int = 256
+) -> DataFrame:
+    """Point-estimate each key: min over the d counters it hashes to.
+    The sketch side is at most d*width rows — always broadcast — so
+    estimation never shuffles the key set.  Buckets the sketch never
+    saw count as 0 (the true CMS semantics: absent counter = 0)."""
+    base = F.expr(PT.poly_hash(key_col, PT.SPARK))
+    buckets = F.array(*_bucket_cols(base, d, width))
+    exploded = keys.select(
+        key_col, F.posexplode(buckets).alias("h_idx", "bucket")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["h_idx", "bucket"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def bucket_exprs_sql(
+    hash_expr: str, d: int, width: int
+) -> list[str]:
+    """The d bucket expressions over a precomputed base-hash SQL
+    expression — shared by the Spark plan and the DuckDB oracle so the
+    sketch layout is identical on both engines."""
+    return [
+        f"((({hash_expr}) * {a} + {b}) % {PT.P}) % {width}"
+        for (a, b) in PT._perm_constants(d)[:d]
+    ]

@@ -1,0 +1,140 @@
+"""Driver queries: pretraining-corpus curation additions (round 5).
+
+- boilerplate_segment_removal — cross-document segment dedup
+  (operators/linededup.py), the CCNet/RefinedWeb line-level recipe on
+  the driver's documents table.  The synthetic corpus has no newline
+  structure, so the gated query uses the deterministic 4-token-window
+  segmentation (segment_token_windows); production crawls use
+  segment_lines with identical downstream semantics.
+
+- cms_heavy_hitters — count-min sketch build + point estimates
+  (operators/sketches.py) over the document token stream, reporting
+  the top-20 estimated-frequency tokens next to their true counts (the
+  one-sided estimate >= truth error is visible and oracle-checked).
+
+Both oracles are built from the same portable hash/array builders as
+the Spark plans, so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import portable as PT
+from ..operators import linededup, sketches
+from ..session import load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+_SEG_W = 4
+_SEG_MIN_DOCS = 3
+
+_BOILERPLATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS seg_pos,
+         array_to_string(
+           list_slice(toks, CAST(g.i * {_SEG_W} + 1 AS BIGINT),
+                      CAST(g.i * {_SEG_W} + {_SEG_W} AS BIGINT)), ' ') AS seg
+  FROM t, unnest(range(CAST(ceil(len(toks) / {_SEG_W}.0) AS BIGINT))) AS g(i)
+),
+bp AS (
+  SELECT seg FROM segs WHERE seg <> ''
+  GROUP BY seg HAVING count(DISTINCT doc_id) >= {_SEG_MIN_DOCS}
+)
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                           ' ' ORDER BY s.seg_pos), '') AS clean_text,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "boilerplate_segment_removal",
+    oracle=_BOILERPLATE_ORACLE,
+    doc="Cross-document segment (line) deduplication, the CCNet/"
+    "RefinedWeb boilerplate recipe: segments shared verbatim by >= "
+    f"{_SEG_MIN_DOCS} documents are stripped from every document, "
+    "order preserved, with per-doc removal accounting. Scale: "
+    "map-side explode, ONE df shuffle on the uniform segment key, "
+    "small-set removal join, one doc_id reassembly shuffle — no "
+    "windows, no UDFs (operators/linededup.py).",
+)
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return linededup.boilerplate_strip(
+        docs, min_docs=_SEG_MIN_DOCS, w=_SEG_W
+    ).orderBy("doc_id")
+
+
+_CMS_D = 3
+_CMS_WIDTH = 64
+
+
+def _cms_oracle() -> str:
+    toks = PT.tokens("text", D)
+    ph = PT.poly_hash("tok", D)
+    buckets = sketches.bucket_exprs_sql("h", _CMS_D, _CMS_WIDTH)
+    rows_arms = " UNION ALL ".join(
+        f"SELECT {i} AS h_idx, {b} AS bucket FROM base"
+        for i, b in enumerate(buckets)
+    )
+    key_arms = " UNION ALL ".join(
+        f"SELECT tok, true_cnt, {i} AS h_idx, {b} AS bucket FROM keys"
+        for i, b in enumerate(buckets)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({toks}) AS tok FROM documents),
+    base AS (SELECT tok, {ph} AS h FROM toks),
+    rows_ AS ({rows_arms}),
+    cms AS (SELECT h_idx, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+    keys AS (SELECT tok, min(h) AS h, count(*) AS true_cnt
+             FROM base GROUP BY tok),
+    kb AS ({key_arms}),
+    est AS (
+      SELECT kb.tok, min(coalesce(cms.cnt, 0)) AS est,
+             min(kb.true_cnt) AS true_cnt
+      FROM kb LEFT JOIN cms USING (h_idx, bucket)
+      GROUP BY kb.tok
+    )
+    SELECT tok, CAST(est AS BIGINT) AS est, CAST(true_cnt AS BIGINT) AS true_cnt
+    FROM est ORDER BY est DESC, tok LIMIT 20
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch heavy hitters: d=3 x width=64 counter "
+    "matrix built in one bounded-key shuffle (<= d*width groups "
+    "regardless of corpus size), broadcast to point-estimate every "
+    "candidate token, top-20 by estimate with the true count beside "
+    "it — the overestimate-only CMS guarantee is part of the gated "
+    "values (operators/sketches.py).",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(F.expr(PT.tokens("text", S))).alias("tok")
+    )
+    sketch = sketches.cms_build(items, "tok", d=_CMS_D, width=_CMS_WIDTH)
+    truth = items.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    est = sketches.cms_estimate(
+        sketch, truth.select("tok"), "tok", d=_CMS_D, width=_CMS_WIDTH
+    )
+    return (
+        est.join(truth, "tok")
+        .select("tok", F.col("est").cast("bigint").alias("est"),
+                F.col("true_cnt").cast("bigint").alias("true_cnt"))
+        .orderBy(F.desc("est"), "tok")
+        .limit(20)
+    )

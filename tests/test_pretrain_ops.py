@@ -1,0 +1,149 @@
+"""Segment-level boilerplate removal (operators/linededup.py) and the
+count-min sketch (operators/sketches.py): semantics on hand-built
+corpora plus the structural guarantees each operator exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import linededup, sketches
+
+
+def test_boilerplate_lines_stripped_order_preserved(spark):
+    # 'cookie banner' appears in all 3 docs -> boilerplate at min_docs=3;
+    # 'unique aside' appears in 2 -> kept at min_docs=3
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nalpha text\nunique aside\nomega text"),
+            (2, "beta text\ncookie banner\nunique aside"),
+            (3, "cookie banner\ngamma text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in linededup.boilerplate_strip(docs, min_docs=3).collect()
+    }
+    assert out[1].clean_text == "alpha text\nunique aside\nomega text"
+    assert out[2].clean_text == "beta text\nunique aside"
+    assert out[3].clean_text == "gamma text"
+    assert (out[1].n_segments, out[1].n_removed) == (4, 1)
+    assert (out[3].n_segments, out[3].n_removed) == (2, 1)
+
+
+def test_boilerplate_all_removed_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line\nextra")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in linededup.boilerplate_strip(docs, min_docs=2).collect()
+    }
+    # doc 1 is 100% boilerplate: present, empty, accounted — not dropped
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+    assert out[3].clean_text == "extra"
+
+
+def test_boilerplate_empty_lines_never_count(spark):
+    # blank lines are in every doc but must not become 'boilerplate'
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.clean_text for r in
+           linededup.boilerplate_strip(docs, min_docs=2).collect()}
+    assert out[1] == "a\n\nb"  # blanks preserved in reassembly
+
+
+def test_token_window_segmentation_covers_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], "doc_id bigint, text string"
+    )
+    segs = linededup.segment_token_windows(docs, w=3).collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append((r.seg_pos, r.seg))
+    assert sorted(by_doc[1]) == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    assert sorted(by_doc[2]) == [(0, "x y")]
+
+
+def test_boilerplate_plan_has_no_window_or_udf(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id bigint, text string"
+    )
+    plan = (
+        linededup.boilerplate_strip(docs, min_docs=2, w=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_overestimates_never_under(spark):
+    rows = [(f"tok{i % 7}",) for i in range(100)] + [("rare",)]
+    items = spark.createDataFrame(rows, "tok string")
+    truth = {
+        r.tok: r.cnt
+        for r in items.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    sketch = sketches.cms_build(items, "tok", d=3, width=16)
+    est = {
+        r.tok: r.est
+        for r in sketches.cms_estimate(
+            sketch, items.select("tok").distinct(), "tok", d=3, width=16
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    for tok, t in truth.items():
+        assert est[tok] >= t, f"{tok}: est {est[tok]} < true {t}"
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # 4 keys into width=512, d=3: collision probability ~0 under the
+    # fixed hash family — estimates are exact
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)],
+        "tok string",
+    )
+    sketch = sketches.cms_build(items, "tok", d=3, width=512)
+    est = {
+        r.tok: r.est
+        for r in sketches.cms_estimate(
+            sketch, items.select("tok").distinct(), "tok", d=3, width=512
+        ).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 2, "d": 1}
+
+
+def test_cms_mergeable_by_counter_addition(spark):
+    # the property that makes CMS the streaming structure: sketch(A u B)
+    # == sketch(A) + sketch(B), counter-wise
+    rows = [(f"t{i % 11}",) for i in range(60)]
+    a = spark.createDataFrame(rows[:25], "tok string")
+    b = spark.createDataFrame(rows[25:], "tok string")
+    whole = spark.createDataFrame(rows, "tok string")
+    d, w = 3, 32
+    merged = (
+        sketches.cms_build(a, "tok", d, w)
+        .unionAll(sketches.cms_build(b, "tok", d, w))
+        .groupBy("h_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.h_idx, r.bucket): r.cnt for r in merged.collect()}
+    want = {
+        (r.h_idx, r.bucket): r.cnt
+        for r in sketches.cms_build(whole, "tok", d, w).collect()
+    }
+    assert got == want
+
+
+def test_cms_sketch_size_bounded(spark):
+    # 10k items cannot produce more than d*width counter rows
+    items = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10_000)], "tok string"
+    )
+    assert sketches.cms_build(items, "tok", d=3, width=64).count() <= 3 * 64
