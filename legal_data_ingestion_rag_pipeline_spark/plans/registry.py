@@ -43,24 +43,32 @@ GATE_PRIORITY: tuple[str, ...] = (
     # round: ann_ivf_recall [family partner ann_ivf_topk stays],
     # user_event_type_sets, incremental_rollup_maintenance — all keep
     # tools/oracle_check + pytest coverage.)
+    # (round-5 rotation: dedup_incremental_exact out — its anti-join
+    # machinery stays gated via backfill_anti_join — for
+    # boilerplate_segment_removal, the new line-level dedup family.)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_srp_lsh",
-    "dedup_incremental_exact",
+    "boilerplate_segment_removal",
     "dedup_cluster_components",
     "last_wins_dedup",
     "streaming_dedup_docs",
+    "streaming_neardup_docs",
     # LLM family: similarity search / clustering (ann_ivf_full_probe
     # rotated out; ann_ivf_topk gates the same path)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    # (round-5 rotation: embedding_label_centroids out — the centroid
+    # decimal-sum math stays gated via kmeans_two_iterations — for
+    # ann_pq_trained, the k-means-trained codebook path.)
     "ann_sq8_rescore_topk",
     "ann_pq_adc_topk",
+    "ann_pq_trained",
     "contrastive_negatives",
     "domain_mixture_sample",
     "kmeans_two_iterations",
-    "embedding_label_centroids",
+    "cms_heavy_hitters",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
@@ -82,12 +90,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "daily_series_last7",
     "window_argmax_per_user",
     "variation_tracking",
-    "running_total_per_user",
+    # (round-5 rotation: running_total_per_user and session_window_agg
+    # out — window_argmax_per_user and sessionization gate the same
+    # window-frame / gap-session machinery; moving_avg_3rows was
+    # already out on the same grounds.)
     "sessionization",
     "asof_prev_purchase",
-    # moving_avg_3rows rotated out (running_total_per_user gates the
-    # same window-frame machinery)
-    "session_window_agg",
     "funnel_signup_click_purchase",
     "range_join_clicks_before_purchase",
     "semistructured_props_stats",
