@@ -11,11 +11,13 @@ from . import (
     dedup,
     fts,
     graph,
+    linededup,
     mixture,
     multimodal,
     negatives,
     pq,
     quantize,
+    sketches,
     surrogate,
     topk,
     upsert,
@@ -27,11 +29,13 @@ __all__ = [
     "dedup",
     "fts",
     "graph",
+    "linededup",
     "mixture",
     "multimodal",
     "negatives",
     "pq",
     "quantize",
+    "sketches",
     "surrogate",
     "topk",
     "upsert",
