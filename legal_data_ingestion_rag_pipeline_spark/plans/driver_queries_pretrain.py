@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import portable as PT
-from ..operators import linededup, sketches
+from ..operators import classifier, linededup, sketches
 from ..session import load_table
 from .registry import register
 
@@ -137,4 +137,36 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("true_cnt").cast("bigint").alias("true_cnt"))
         .orderBy(F.desc("est"), "tok")
         .limit(20)
+    )
+
+
+_CLS_DIM = 256
+_CLS_BIAS = 0.05
+_CLS_WEIGHTS = classifier.demo_weights(_CLS_DIM)
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {classifier.oracle_score_sql('text', _CLS_WEIGHTS, _CLS_BIAS)}
+             AS score,
+           {classifier.oracle_score_sql('text', _CLS_WEIGHTS, _CLS_BIAS)} >= 0.0
+             AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Hashing-trick linear classifier scoring (fastText-style "
+    "quality filter, the DCLM/FineWeb curation step): score = bias + "
+    "sum of W[poly_hash(token) % dim] via a sequential fold, so the "
+    "double sum is bit-identical across engines. Pure map-side "
+    "codegen projection — the KB-scale model is a folded literal, "
+    "nothing shuffles (operators/classifier.py).",
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        classifier.score_documents(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
+        .select("doc_id", "score", "keep")
+        .orderBy("doc_id")
     )

@@ -147,3 +147,51 @@ def test_cms_sketch_size_bounded(spark):
         [(f"k{i}",) for i in range(10_000)], "tok string"
     )
     assert sketches.cms_build(items, "tok", d=3, width=64).count() <= 3 * 64
+
+
+def test_classifier_matches_python_reference(spark):
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import classifier
+
+    dim = 32
+    w = classifier.demo_weights(dim)
+
+    def py_score(text: str, bias: float) -> float:
+        s = bias
+        for t in text.lower().split():
+            if not t:
+                continue
+            h = 7
+            for ch in t:
+                h = (h * 31 + ord(ch)) % PT.P
+            s += w[h % dim]
+        return s
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA"), (2, "one"), (3, ""), (4, "x  y   z")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.score, r.keep)
+        for r in classifier.score_documents(docs, w, bias=0.1).collect()
+    }
+    for i, text in [(1, "Alpha beta GAMMA"), (2, "one"), (3, ""), (4, "x  y   z")]:
+        want = py_score(text, 0.1)
+        assert abs(out[i][0] - want) < 1e-12, (i, out[i][0], want)
+        assert out[i][1] == (want >= 0.0)
+
+
+def test_classifier_scoring_is_shuffle_free(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import classifier
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id bigint, text string"
+    )
+    plan = (
+        classifier.score_documents(docs, classifier.demo_weights(64))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
