@@ -8,6 +8,8 @@ driver-side loops over data.
 
 from . import (
     ann,
+    bpe,
+    classifier,
     dedup,
     fts,
     graph,
@@ -26,6 +28,8 @@ from . import (
 
 __all__ = [
     "ann",
+    "bpe",
+    "classifier",
     "dedup",
     "fts",
     "graph",

@@ -170,3 +170,47 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "keep")
         .orderBy("doc_id")
     )
+
+
+_BPE_N = 8
+
+
+def _bpe_oracle(sf_dir: str) -> str:
+    from ..operators import bpe
+
+    merges = bpe.train_merges_from_parquet(
+        f"{sf_dir}/documents.parquet", _BPE_N
+    )
+    values = ",\n           ".join(
+        f"({i}, '{l}', '{r}', {c})" for i, (l, r, c) in enumerate(merges)
+    )
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES {values}) t(rank, lhs, rhs, pair_count)
+    ORDER BY rank
+    """
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle,
+    doc="BPE merge-table training (Sennrich subword vocab, the "
+    "tokenizer-training step): per round one vocabulary-scale pair "
+    "aggregation + a 1-row argmax collect, greedy left-to-right "
+    "codegen'd merge folds, corpus touched exactly once for word "
+    "frequencies. Deterministic tie-break (count DESC, pair ASC); "
+    "the oracle re-trains the identical table through the "
+    "pure-Python twin from the same parquet and inlines it as "
+    "literals — the kmeans/PQ dynamic-oracle convention for "
+    "iterative algorithms (operators/bpe.py).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_merges(docs, _BPE_N)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank bigint, lhs string, rhs string, pair_count bigint",
+    ).orderBy("rank")

@@ -195,3 +195,61 @@ def test_classifier_scoring_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_learns_classic_merges(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    # the Sennrich toy: 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    merges = bpe.train_merges(docs, 4)
+    # first merge must be the most frequent pair: (e, s) count 9
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    # all ranks strictly ordered by the (count desc, pair asc) rule
+    assert all(isinstance(c, int) and c > 0 for _, _, c in merges)
+
+
+def test_bpe_spark_matches_python_twin_fuzz(spark):
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        vocab = ["ab", "aab", "abb", "ba", "bab", "aa", "bb", "abab"]
+        words = [rng.choice(vocab) for _ in range(60)]
+        text = " ".join(words)
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(2)], "doc_id bigint, text string"
+        )
+        counts: dict[str, int] = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 2  # two identical docs
+        got = bpe.train_merges(docs, 6)
+        want = bpe.train_merges_py(counts, 6)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_bpe_apply_merges_encodes(spark):
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab abab")], "doc_id bigint, text string"
+    )
+    merges = bpe.train_merges(docs, 2)
+    words = bpe.word_frequencies(docs).withColumn(
+        "syms", F.expr("split(word, '')")
+    )
+    enc = {r.word: r.syms for r in bpe.apply_merges(words, merges).collect()}
+    # every learned merge shrinks the sequences it applies to, and
+    # encoding matches the python twin applied in rank order
+    for w, syms in enc.items():
+        ref = list(w)
+        for p1, p2, _ in merges:
+            ref = bpe._merge_word_py(ref, p1, p2)
+        assert syms == ref, (w, syms, ref)
+        assert len(syms) < len(w)
