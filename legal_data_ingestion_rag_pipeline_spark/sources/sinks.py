@@ -121,3 +121,38 @@ class ParquetStore:
             raise
         for name, stage in staged.items():
             self._swap(name, stage)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    near ``target_file_mb`` and return the output file count.
+
+    Streaming ingests and fine-grained partition writes accumulate
+    thousands of KB-scale files; at 100 TB the resulting per-file scan
+    tasks and NameNode/listing pressure dominate query latency, so
+    periodic compaction is part of the table lifecycle (what Delta's
+    OPTIMIZE does).  File count is computed from the ACTUAL on-disk
+    bytes (not a row-count heuristic), coalesce() avoids a shuffle
+    when shrinking, and an optional sortWithinPartitions clusters rows
+    for min/max page skipping (the poor man's Z-order; output stats
+    then prune like the partitioned-write test asserts).
+    """
+    src = Path(in_path)
+    total_bytes = sum(
+        f.stat().st_size for f in src.rglob("*.parquet") if f.is_file()
+    )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if sort_within_by:
+        # repartition first so the in-file sort sees the final layout
+        df = df.repartition(int(n_files)).sortWithinPartitions(*sort_within_by)
+    else:
+        df = df.coalesce(int(n_files))
+    df.write.mode("overwrite").parquet(out_path)
+    return int(n_files)

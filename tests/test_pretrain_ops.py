@@ -253,3 +253,33 @@ def test_bpe_apply_merges_encodes(spark):
             ref = bpe._merge_word_py(ref, p1, p2)
         assert syms == ref, (w, syms, ref)
         assert len(syms) < len(w)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 7)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_before >= 32
+    n_planned = compact_parquet(spark, src, dst, target_file_mb=256)
+    out_files = list((tmp_path / "compact").glob("*.parquet"))
+    assert len(out_files) == n_planned == 1  # tiny data -> one file
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_compact_parquet_sorted_layout_for_skipping(spark, tmp_path):
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "sorted")
+    spark.range(0, 5_000).withColumn("k", (F.col("id") * 37) % 100).repartition(
+        16
+    ).write.parquet(src)
+    compact_parquet(spark, src, dst, target_file_mb=256, sort_within_by=["k"])
+    rows = spark.read.parquet(dst).select("k").collect()
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks)  # single file, fully clustered
+    assert len(ks) == 5_000
