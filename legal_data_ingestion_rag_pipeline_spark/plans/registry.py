@@ -75,6 +75,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # multimodal_features gates the same plumbing)
     "textstats_lang_id",
     "textstats_quality",
+    "quality_classifier_filter",
+    "bpe_train_merges",
     "fingerprint_winnowing",
     "rag_semantic_search",
     "curation_pipeline",
@@ -104,9 +106,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "quality_sanity_report",
     "normalize_entities",
     "status_validation_split",
-    "multiformat_date_parse",
+    # (round-5 rotation: multiformat_date_parse and chunk_documents
+    # out for quality_classifier_filter and bpe_train_merges — T4
+    # keeps the reference's 15 ported selftest cases in
+    # tests/test_dates.py + oracle_check; T12 keeps its boundary
+    # goldens + seeded fuzz, and the chunker feeds the still-gated
+    # rag_semantic_search.)
     "parties_grammar",
-    "chunk_documents",
     "surrogate_dim_ids",
     "merge_upsert_state",
     "case_detail_joins",
