@@ -13,6 +13,7 @@ from . import (
     dedup,
     fts,
     graph,
+    layout,
     linededup,
     mixture,
     multimodal,
@@ -33,6 +34,7 @@ __all__ = [
     "dedup",
     "fts",
     "graph",
+    "layout",
     "linededup",
     "mixture",
     "multimodal",

@@ -1,0 +1,101 @@
+"""Z-order (Morton) clustered data layout for multi-dimensional skip.
+
+A single-column sort gives file-level min/max skipping on that column
+only; queries filtering on a SECOND column still scan every file.
+Interleaving the bits of two rank-normalized columns (the Morton
+curve) clusters rows so that every file covers a small rectangle of
+(c1, c2) space — both predicates prune files.  This is Delta/Iceberg
+OPTIMIZE ZORDER BY; at 100 TB layout is routinely the difference
+between scanning 100 TB and 100 GB.
+
+Implementation is pure column expressions:
+
+- each column is min/max-normalized to ``bits`` integer levels using
+  bounds computed in ONE tiny aggregate (two scalar literals folded
+  into the plan — no per-row rank window, which would be a global
+  sort of its own);
+- the Morton key is a fold of shifted bit tests (2*bits terms,
+  whole-stage codegen);
+- the write is repartitionByRange(zkey) + sortWithinPartitions(zkey):
+  range partitioning bounds each output file to a contiguous Morton
+  segment, i.e. a small spatial rectangle.
+
+Ties/degenerate ranges (constant column) collapse to level 0 safely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _levels(col: str, lo: float, hi: float, bits: int) -> Column:
+    """Min/max-normalize a numeric column to [0, 2^bits - 1] integer
+    levels with literal bounds."""
+    n = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("bigint")
+    scaled = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(
+        float(hi - lo)
+    )
+    return F.least(
+        F.lit(n).cast("bigint"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.floor(scaled * F.lit(float(n + 1))).cast("bigint"),
+        ),
+    )
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two level columns:
+    bit i of x lands at 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_by(
+    df: DataFrame, c1: str, c2: str, bits: int = 16
+) -> DataFrame:
+    """Append a ``_zkey`` Morton column over (c1, c2).  One scalar
+    min/max aggregate; everything else is map-side codegen."""
+    row = df.agg(
+        F.min(F.col(c1).cast("double")),
+        F.max(F.col(c1).cast("double")),
+        F.min(F.col(c2).cast("double")),
+        F.max(F.col(c2).cast("double")),
+    ).first()
+    lo1, hi1, lo2, hi2 = (float(v) if v is not None else 0.0 for v in row)
+    key = morton_key(
+        _levels(c1, lo1, hi1, bits), _levels(c2, lo2, hi2, bits), bits
+    )
+    return df.withColumn("_zkey", key)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered along the Morton curve of (c1, c2):
+    each output file covers a contiguous curve segment, so min/max
+    footer stats on BOTH columns are narrow and both predicates skip
+    files."""
+    (
+        zorder_by(df, c1, c2, bits)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -263,3 +263,45 @@ def streaming_neardup_minhash(
         .dropDuplicatesWithinWatermark(["_dedup_key"])
         .drop("_tokens", "_tok_hashes", "_gram_hashes", "_dedup_key")
     )
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    text_stream: DataFrame,
+    state: dict,
+    checkpoint_dir: str,
+    d: int = 3,
+    width: int = 256,
+    text_col: str = "text",
+):
+    """Streaming count-min sketch maintenance: each micro-batch builds
+    its own bounded d x width sketch (operators/sketches.cms_build)
+    and merges it into the standing sketch by plain counter addition —
+    the CMS mergeability law (pinned in tests/test_pretrain_ops.py),
+    which is exactly why this is THE streaming frequency structure.
+    State stays <= d*width rows forever, regardless of stream volume;
+    in a deployment the standing sketch is a Delta table and the merge
+    is an idempotent MERGE keyed on (h_idx, bucket).
+    """
+    from ..functions import portable as PT
+    from ..operators.sketches import cms_build
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        items = batch_df.select(
+            F.explode(F.expr(PT.tokens(text_col, PT.SPARK))).alias("tok")
+        )
+        delta = cms_build(items, "tok", d=d, width=width)
+        prev = state.get("sketch")
+        merged = delta if prev is None else (
+            prev.unionAll(delta)
+            .groupBy("h_idx", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        state["sketch"] = merged.localCheckpoint(eager=True)
+
+    return (
+        text_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

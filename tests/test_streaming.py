@@ -300,3 +300,51 @@ def test_streaming_neardup_minhash(spark, tmp_path):
     )
     sigs = {r.doc_id: tuple(r.minhash) for r in with_minhash(batch, "text", "doc_id").collect()}
     assert sigs[0] == sigs[2] != sigs[1]
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """Two micro-batches of documents merged through start_cms_stream
+    equal the batch sketch over the union — streaming maintenance is
+    exactly counter addition, so estimates are identical too."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        start_cms_stream,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    texts1 = ["the quick brown fox", "the lazy dog", "the the the"]
+    texts2 = ["quick quick", "fox and dog and fox"]
+    (src / "b1.jsonl").write_text(
+        "\n".join(json.dumps({"text": t}) for t in texts1)
+    )
+    stream = spark.readStream.schema("text string").json(str(src))
+    state: dict = {}
+    q = start_cms_stream(spark, stream, state, str(tmp_path / "cms_ckpt"), d=3, width=64)
+    q.awaitTermination(120)
+    (src / "b2.jsonl").write_text(
+        "\n".join(json.dumps({"text": t}) for t in texts2)
+    )
+    q = start_cms_stream(spark, stream, state, str(tmp_path / "cms_ckpt"), d=3, width=64)
+    q.awaitTermination(120)
+
+    whole = spark.createDataFrame(
+        [(t,) for t in texts1 + texts2], "text string"
+    ).select(F.explode(F.expr(PT.tokens("text", PT.SPARK))).alias("tok"))
+    want = {
+        (r.h_idx, r.bucket): r.cnt
+        for r in sketches.cms_build(whole, "tok", d=3, width=64).collect()
+    }
+    got = {(r.h_idx, r.bucket): r.cnt for r in state["sketch"].collect()}
+    assert got == want
+    # and the standing sketch answers point queries correctly
+    est = {
+        r.tok: r.est
+        for r in sketches.cms_estimate(
+            state["sketch"], whole.select("tok").distinct(), "tok", d=3, width=64
+        ).collect()
+    }
+    assert est["the"] >= 5 and est["fox"] >= 3
