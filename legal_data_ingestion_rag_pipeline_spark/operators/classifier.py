@@ -46,7 +46,9 @@ def _score_sql(text_expr: str, weights: list[float], dialect: str) -> str:
     dim = len(weights)
     w_lit = ", ".join(repr(w) for w in weights)
     arr = f"array({w_lit})" if dialect == PT.SPARK else f"[{w_lit}]"
-    toks = PT.tokens(text_expr, dialect)
+    # NULL text scores as bias (empty token list), not NULL — a NULL
+    # score would silently fail every keep-threshold downstream
+    toks = PT.tokens(f"coalesce({text_expr}, '')", dialect)
     ph = PT.poly_hash("t", dialect)
     idx = f"(({ph}) % {dim}) + 1"
     if dialect == PT.SPARK:

@@ -30,10 +30,14 @@ def segment_lines(
     docs: DataFrame, text_col: str = "text", doc_id: str = "doc_id"
 ) -> DataFrame:
     """Natural-line segmentation: one row per (doc, line), positions
-    preserved.  The production path for crawled text."""
+    preserved.  The production path for crawled text.  NULL text is
+    treated as '' — explode of a NULL array would silently DROP the
+    document, and removal must never delete documents."""
     return docs.select(
         doc_id,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("seg_pos", "seg"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("seg_pos", "seg"),
     )
 
 
@@ -43,8 +47,8 @@ def segment_token_windows(
     """Fixed ``w``-token window segmentation: the deterministic
     re-lining used when a corpus has no newline structure (the driver's
     synthetic documents are single-line).  Same output contract as
-    segment_lines."""
-    toks = F.split(F.col(text_col), " ")
+    segment_lines, including NULL text -> '' survival."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
     return (
         docs.select(

@@ -43,7 +43,11 @@ def cms_build(
     base = F.expr(PT.poly_hash(key_col, PT.SPARK))
     buckets = F.array(*_bucket_cols(base, d, width))
     return (
-        items.select(F.posexplode(buckets).alias("h_idx", "bucket"))
+        # NULL keys hash to NULL buckets and would accumulate phantom
+        # (h_idx, NULL) counters — exclude them, matching the exact
+        # count semantics where COUNT(col) skips NULLs
+        items.filter(F.col(key_col).isNotNull())
+        .select(F.posexplode(buckets).alias("h_idx", "bucket"))
         .groupBy("h_idx", "bucket")
         .agg(F.count("*").alias("cnt"))
     )

@@ -283,3 +283,37 @@ def test_compact_parquet_sorted_layout_for_skipping(spark, tmp_path):
     ks = [r.k for r in rows]
     assert ks == sorted(ks)  # single file, fully clustered
     assert len(ks) == 5_000
+
+
+def test_null_text_documents_survive_everywhere(spark):
+    """NULL text must never silently delete a document (the round-4
+    streaming-key lesson): segmentation treats it as '', the
+    classifier scores it as bias, and cms_build skips NULL keys
+    instead of accumulating phantom counters."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import classifier
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, "real text")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           linededup.boilerplate_strip(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].clean_text == "" and out[1].n_removed == 0
+
+    out_w = {r.doc_id: r for r in
+             linededup.boilerplate_strip(docs, min_docs=2, w=2).collect()}
+    assert set(out_w) == {1, 2, 3}
+
+    scored = {r.doc_id: (r.score, r.keep) for r in
+              classifier.score_documents(
+                  docs, classifier.demo_weights(16), bias=0.25
+              ).collect()}
+    assert scored[1] == (0.25, True)
+
+    items = spark.createDataFrame(
+        [("a",), (None,), ("a",)], "tok string"
+    )
+    sk = sketches.cms_build(items, "tok", d=2, width=8).collect()
+    assert all(r.bucket is not None for r in sk)
+    assert sum(r.cnt for r in sk) == 2 * 2  # two non-null items x d
