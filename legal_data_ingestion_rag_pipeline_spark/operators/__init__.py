@@ -20,6 +20,7 @@ from . import (
     negatives,
     pq,
     quantize,
+    rerank,
     sketches,
     surrogate,
     topk,
@@ -41,6 +42,7 @@ __all__ = [
     "negatives",
     "pq",
     "quantize",
+    "rerank",
     "sketches",
     "surrogate",
     "topk",

@@ -214,3 +214,82 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank bigint, lhs string, rhs string, pair_count bigint",
     ).orderBy("rank")
+
+
+_RR_TERMS = ("vector", "merge", "window")
+
+_RERANK_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+    ),
+    pool AS (
+      SELECT doc_id, CAST(sum(micro) AS DOUBLE) / 1000000.0 AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    rr AS (
+      SELECT p.doc_id, p.bm25,
+             CAST(len(list_filter(list_distinct(b.toks),
+                                  t -> t IN ('merge', 'vector', 'window')))
+                  AS DOUBLE)
+             / CAST(greatest(len(list_distinct(b.toks)) + 3
+                    - len(list_filter(list_distinct(b.toks),
+                                      t -> t IN ('merge', 'vector', 'window'))),
+                    1) AS DOUBLE) AS rerank_score
+      FROM pool p JOIN base b ON p.doc_id = b.doc_id
+    )
+    SELECT doc_id, bm25, rerank_score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT doc_id, bm25, rerank_score,
+             row_number() OVER (ORDER BY rerank_score DESC, bm25 DESC, doc_id)
+               AS rn
+      FROM rr) t
+    WHERE rn <= 5 ORDER BY rank
+"""
+
+
+@register(
+    "rag_rerank_bm25",
+    oracle=_RERANK_ORACLE,
+    doc="Two-stage retrieve->rerank (the production RAG shape, "
+    "operators/rerank.py): BM25 pools 20 candidates (term-pruned "
+    "postings, corpus-scale stage), then the reranker scores ONLY "
+    "the pool — Jaccard token overlap here (bit-identical integer "
+    "division on both engines); the cross-encoder pandas_udf swaps "
+    "in via CrossEncoderReranker with the identical pool-bounded "
+    "plan. Reranking cost is independent of corpus size.",
+)
+def rag_rerank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import fts, rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = (
+        fts.bm25_topk(docs, "doc_id", "text", list(_RR_TERMS), k=20)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    cands = pool.join(docs.select("doc_id", "text"), "doc_id")
+    out = rerank.jaccard_rerank(
+        cands, list(_RR_TERMS), stage1_col="bm25", k=5
+    )
+    return out.select(
+        "doc_id", "bm25", "rerank_score", F.col("rank").cast("bigint").alias("rank")
+    ).orderBy("rank")

@@ -317,3 +317,37 @@ def test_null_text_documents_survive_everywhere(spark):
     sk = sketches.cms_build(items, "tok", d=2, width=8).collect()
     assert all(r.bucket is not None for r in sk)
     assert sum(r.cnt for r in sk) == 2 * 2  # two non-null items x d
+
+
+def test_jaccard_rerank_reorders_pool(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    # doc 2 has lower stage-1 score but perfect term overlap -> rank 1
+    cands = spark.createDataFrame(
+        [
+            (1, 9.0, "alpha beta gamma delta epsilon zeta"),
+            (2, 5.0, "vector merge"),
+            (3, 7.0, "vector alpha beta gamma"),
+        ],
+        "doc_id bigint, score double, text string",
+    )
+    out = rerank.jaccard_rerank(cands, ["vector", "merge"], k=3).collect()
+    assert [r.doc_id for r in out] == [2, 3, 1]
+    assert out[0].rerank_score == 1.0
+    assert out[2].rerank_score == 0.0
+    assert "text" not in out[0].asDict()
+    # per-query windowed variant
+    multi = cands.withColumn("q_id", F.lit(7))
+    got = rerank.jaccard_rerank(
+        multi, ["vector", "merge"], k=2, q_id="q_id"
+    ).collect()
+    assert [r.doc_id for r in got] == [2, 3]
+
+
+def test_cross_encoder_reranker_import_gated(spark):
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    with _pytest.raises(NotImplementedError, match="jaccard_rerank"):
+        rerank.CrossEncoderReranker()
