@@ -293,3 +293,77 @@ def rag_rerank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "bm25", "rerank_score", F.col("rank").cast("bigint").alias("rank")
     ).orderBy("rank")
+
+
+_V3_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             {classifier.oracle_score_sql('text', _CLS_WEIGHTS, _CLS_BIAS)}
+               AS score
+      FROM documents
+    ),
+    kept AS (SELECT doc_id, text, score FROM scored WHERE score >= 0.0),
+    t AS (SELECT doc_id, score, string_split(text, ' ') AS toks FROM kept),
+    segs AS (
+      SELECT doc_id, score, CAST(g.i AS BIGINT) AS seg_pos,
+             array_to_string(
+               list_slice(toks, CAST(g.i * {_SEG_W} + 1 AS BIGINT),
+                          CAST(g.i * {_SEG_W} + {_SEG_W} AS BIGINT)), ' ') AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks) / {_SEG_W}.0) AS BIGINT))) AS g(i)
+    ),
+    bp AS (
+      SELECT seg FROM segs WHERE seg <> ''
+      GROUP BY seg HAVING count(DISTINCT doc_id) >= {_SEG_MIN_DOCS}
+    ),
+    cleaned AS (
+      SELECT s.doc_id, min(s.score) AS score,
+             coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+                                 ' ' ORDER BY s.seg_pos), '') AS clean_text,
+             CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM segs s LEFT JOIN bp b ON s.seg = b.seg
+      GROUP BY s.doc_id
+    ),
+    keeper AS (
+      SELECT clean_text, min(doc_id) AS keep_id FROM cleaned GROUP BY clean_text
+    )
+    SELECT c.doc_id, c.score, c.clean_text, c.n_removed
+    FROM cleaned c JOIN keeper k
+      ON c.clean_text = k.clean_text AND c.doc_id = k.keep_id
+    ORDER BY c.doc_id
+"""
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=_V3_ORACLE,
+    doc="End-to-end FineWeb/DCLM-style curation composed from the "
+    "round-5 operators: (1) hashing-trick classifier filter "
+    "(map-side, zero shuffle), (2) cross-document boilerplate "
+    "segment removal on the survivors (df shuffle on the segment "
+    "key), (3) first-occurrence exact dedup of the CLEANED text "
+    "(min-doc_id per content group, no window over the corpus). "
+    "Demonstrates that the stages compose into one lazy plan — "
+    "Catalyst pipelines the classifier predicate into the "
+    "segmentation scan, so filtered docs never reach the shuffle.",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        classifier.score_documents(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "score")
+    )
+    segs = linededup.segment_token_windows(kept, w=_SEG_W)
+    bp = linededup.common_segments(segs, _SEG_MIN_DOCS)
+    cleaned = linededup.remove_common_segments(segs, bp).join(
+        kept.select("doc_id", "score"), "doc_id"
+    )
+    keeper = cleaned.groupBy("clean_text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        cleaned.join(keeper, ["clean_text", "doc_id"], "left_semi")
+        .select("doc_id", "score", "clean_text", "n_removed")
+        .orderBy("doc_id")
+    )
