@@ -514,3 +514,152 @@ def inactive_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "priority_class_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping modes / order priority): fact-fact "
+    "join with the year prune pushed to the lineitem scan, then a "
+    "conditional CASE-sum pivot in one aggregation pass over a "
+    "2-value group key. (l_shipmode/commit/receipt columns are absent "
+    "in this data; linestatus carries the grouping, priority the "
+    "pivot — the join + conditional-count shape is Q12's.)",
+)
+def priority_class_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): the revenue 'view' is a "
+    "quarter-pruned per-supplier aggregate; the scalar MAX subquery "
+    "broadcasts as a one-row literal and the equality filter runs "
+    "over the aggregate, not the fact. The exact-decimal revenue "
+    "makes the double equality engine-stable (identical sums on both "
+    "sides).",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "sole_clean_supplier_orders",
+    oracle="""
+    SELECT s.s_name, count(*) AS n_orders
+    FROM (
+      SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+      FROM lineitem l1
+      WHERE l1.l_returnflag = 'N'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'N')
+    ) t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY n_orders DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS/NOT-EXISTS pair over correlated self-joins becomes a "
+    "LEFT SEMI + LEFT ANTI chain, each an equi hash join on "
+    "l_orderkey with the supplier-inequality as a residual join "
+    "condition — never a per-row rescan. Returned-vs-clean flags "
+    "stand in for the receipt-delay predicate (columns absent); the "
+    "double-correlated-subquery decorrelation is Q21's exact "
+    "machinery.",
+)
+def sole_clean_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "N").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "s_name")
+        .limit(10)
+    )

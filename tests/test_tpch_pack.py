@@ -96,3 +96,28 @@ def test_q22_anti_join_and_pruned_build_side(spark):
     # the anti join's build side reads only o_custkey + the date prune
     idx = plan.index("ReadSchema: struct<o_custkey")
     assert "o_totalprice" not in plan[idx : idx + 120]
+
+
+def test_q12_single_pass_pivot(spark):
+    plan = plan_of(spark, "priority_class_by_linestatus")
+    assert plan.count("HashAggregate") >= 2  # partial + final, one pass
+    rows = run(spark, "priority_class_by_linestatus").collect()
+    assert rows and all(
+        r.high_line_count + r.low_line_count > 0 for r in rows
+    )
+
+
+def test_q15_scalar_max_broadcast(spark):
+    plan = plan_of(spark, "top_revenue_suppliers")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = run(spark, "top_revenue_suppliers").collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1  # all tie at max
+
+
+def test_q21_semi_anti_chain(spark):
+    plan = plan_of(spark, "sole_clean_supplier_orders")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    rows = run(spark, "sole_clean_supplier_orders").collect()
+    assert rows and all(r.n_orders > 0 for r in rows)
