@@ -10,16 +10,21 @@ already registered (driver_queries.py, driver_queries_scale.py):
 - Q6  single-table predicate revenue       (forecast_revenue_filter)
 - Q7  two-nation volume shipping           (volume_shipping_nations)
 - Q8  market share within a region         (market_share_by_year)
+- Q12 conditional CASE-sum pivot           (priority_class_by_linestatus)
 - Q13 outer-join count distribution        (customer_order_distribution)
 - Q14 conditional revenue share            (promo_revenue_share)
+- Q15 scalar-MAX view argmax               (top_revenue_suppliers)
 - Q17 correlated-avg small-quantity scan   (small_quantity_avg_subquery)
 - Q19 OR-of-conjuncts pushdown             (ored_predicates_revenue)
+- Q21 EXISTS/NOT-EXISTS self-join chain    (sole_clean_supplier_orders)
 - Q22 scalar-subquery + anti-join          (inactive_customers_by_segment)
 
-The synthetic tables lack l_commitdate / l_receiptdate / l_shipmode /
-c_phone, so Q4 tests existence of a RETURNED lineitem and Q22 groups by
-market segment — the join/subquery shapes (the part Catalyst must get
-right) are preserved exactly.
+With these, every TPC-H query expressible without the partsupp table
+(the driver data has none) is implemented and hash-oracled; only
+Q2/Q9/Q11/Q16/Q20 are out of reach.  The synthetic tables also lack
+l_commitdate / l_receiptdate / l_shipmode / c_phone, so Q4/Q12/Q21/Q22
+use shape-preserving predicate substitutions — the join/subquery
+shapes (the part Catalyst must get right) are preserved exactly.
 
 Hash-gate conventions (see driver_queries.py module docstring): money
 sums go through DECIMAL(18,4) then CAST AS DOUBLE; averages are exact
