@@ -20,7 +20,9 @@ Implementation is pure column expressions:
   range partitioning bounds each output file to a contiguous Morton
   segment, i.e. a small spatial rectangle.
 
-Ties/degenerate ranges (constant column) collapse to level 0 safely.
+Ties/degenerate ranges (constant column) collapse to level 0 safely;
+NULL values also land at level 0 (they cluster together at the curve
+origin rather than erroring or scattering).
 """
 
 from __future__ import annotations

@@ -85,8 +85,13 @@ def test_zorder_write_narrows_both_columns(spark, tmp_path):
     assert sum(z_b) / len(z_b) < 0.5 * n
 
 
-def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
-    df = spark.range(0, 100).withColumn("c", F.lit(5))
+def test_zorder_constant_and_null_degrade_gracefully(spark, tmp_path):
+    df = spark.range(0, 100).withColumn(
+        "c", F.when(F.col("id") < 90, F.lit(5)).otherwise(F.lit(None))
+    )
+    # constant column -> level 0; NULLs -> level 0 (curve origin), no
+    # rows lost, no error
     layout.write_zordered(df, str(tmp_path / "z"), "id", "c", n_files=2, bits=8)
     got = spark.read.parquet(str(tmp_path / "z"))
     assert got.count() == 100
+    assert got.filter(F.col("c").isNull()).count() == 10
