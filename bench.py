@@ -50,8 +50,13 @@ def main() -> None:
     # one unlucky load spike. BENCH_r03 showed why: a contended box
     # produced warm==cold on half the queries and a 3.5x phantom
     # regression. We also record os.getloadavg() before/after and set
-    # "load_suspect" when the 1-min load already exceeds the core count
-    # at start — the consumer can discount the run.
+    # "load_suspect" when the 1- or 5-minute load at start exceeds a
+    # QUARTER of the core count (round-5 tightening: the round-4
+    # artifact started at load 3.5 with the old >ncpu rule, stayed
+    # unflagged, and still recorded ~60% slower than the idle-box
+    # rerun) — the consumer can discount the run.  load_after is NOT
+    # part of the sentinel: the bench's own sf0.1 work raises the
+    # 1-min load by ~4 even on an idle box.
     load_before = os.getloadavg()
     specs = [s for s in registry().values() if s.bench]
     timings: dict[str, float] = {}
@@ -77,7 +82,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
-        "load_suspect": load_before[0] > ncpu,
+        "load_suspect": load_before[0] > ncpu / 4 or load_before[1] > ncpu / 4,
     }
     print(json.dumps(out))
 
