@@ -363,3 +363,92 @@ def test_fuzz_quantized_retrieval_recall_floor(spark):
         assert {(r.q_id, r.vec_id, r.rank) for r in again} == {
             (r.q_id, r.vec_id, r.rank) for r in pq_rows
         }
+
+
+def test_fuzz_boilerplate_removal_vs_python_reference(spark):
+    """Seeded fuzz: cross-doc segment dedup (operators/linededup.py)
+    vs a pure-Python reference — df counting over distinct docs,
+    empty-segment exclusion, order-preserving reassembly, and per-doc
+    accounting must agree on random corpora with planted boilerplate."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import linededup
+
+    rng = random.Random(SEED)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(4):
+        banner = " ".join(rng.choices(vocab, k=3))
+        docs = []
+        for i in range(rng.randint(4, 12)):
+            lines = []
+            for _ in range(rng.randint(0, 5)):
+                lines.append(" ".join(rng.choices(vocab, k=rng.randint(1, 4))))
+            if rng.random() < 0.6:
+                lines.insert(rng.randint(0, len(lines)), banner)
+            docs.append((i, "\n".join(lines)))
+        min_docs = rng.randint(2, 3)
+
+        seg_df = {}
+        for _i, text in docs:
+            for ln in set(text.split("\n")):
+                if ln != "":
+                    seg_df[ln] = seg_df.get(ln, 0) + 1
+        bp = {ln for ln, c in seg_df.items() if c >= min_docs}
+        want = {}
+        for i, text in docs:
+            segs = text.split("\n")
+            kept = [s for s in segs if s not in bp]
+            want[i] = ("\n".join(kept), len(segs),
+                       sum(1 for s in segs if s in bp))
+
+        sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+            for r in linededup.boilerplate_strip(sdf, min_docs=min_docs).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_fuzz_cms_vs_python_reference(spark):
+    """Seeded fuzz: the count-min sketch layout and point estimates
+    (operators/sketches.py) vs a pure-Python twin using the same
+    universal hash family — counter placement, collision sums, and
+    the min-over-d estimate must agree exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    def py_hash(s: str) -> int:
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % PT.P
+        return h
+
+    rng = random.Random(SEED)
+    for trial in range(3):
+        d, width = rng.choice([(2, 8), (3, 16), (4, 32)])
+        consts = PT._perm_constants(d)
+        keys = [f"k{rng.randint(0, 9)}" for _ in range(rng.randint(5, 80))]
+
+        sketch_py: dict[tuple[int, int], int] = {}
+        for k in keys:
+            h = py_hash(k)
+            for i, (a, b) in enumerate(consts):
+                bkt = ((h * a + b) % PT.P) % width
+                sketch_py[(i, bkt)] = sketch_py.get((i, bkt), 0) + 1
+
+        items = spark.createDataFrame([(k,) for k in keys], "tok string")
+        sk = sketches.cms_build(items, "tok", d=d, width=width)
+        got = {(r.h_idx, r.bucket): r.cnt for r in sk.collect()}
+        assert got == sketch_py, f"trial {trial}: sketch layout"
+
+        est = {
+            r.tok: r.est
+            for r in sketches.cms_estimate(
+                sk, items.select("tok").distinct(), "tok", d=d, width=width
+            ).collect()
+        }
+        for k in set(keys):
+            h = py_hash(k)
+            want = min(
+                sketch_py.get((i, ((h * a + b) % PT.P) % width), 0)
+                for i, (a, b) in enumerate(consts)
+            )
+            assert est[k] == want, f"trial {trial}: {k}"
