@@ -20,7 +20,7 @@ a DuckDB oracle reproduces the sketch bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import portable as PT
 
@@ -82,3 +82,67 @@ def bucket_exprs_sql(
         f"((({hash_expr}) * {a} + {b}) % {PT.P}) % {width}"
         for (a, b) in PT._perm_constants(d)[:d]
     ]
+
+
+def histogram_build(
+    items: DataFrame, col: str, lo: Column | float, hi: Column | float, n_bins: int = 256
+) -> DataFrame:
+    """Equi-width histogram sketch: (bin, cnt), at most ``n_bins``
+    rows regardless of input size.  Like the CMS it merges across
+    partitions/days by plain counter addition, and the quantile
+    estimates it yields carry a hard error bound of one bin width —
+    a DETERMINISTIC alternative to t-digest/GK sketches, whose
+    merge-order-dependent centroids cannot be hash-checked across
+    engines.  ``lo``/``hi`` may be literals or 1-row aggregate
+    columns (cross-joined broadcast upstream)."""
+    lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+    hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    x = F.col(col).cast("double")
+    raw = F.floor((x - lo_c) / (hi_c - lo_c) * n_bins).cast("bigint")
+    bin_ = F.coalesce(
+        F.least(F.lit(n_bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        items.filter(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: Column | float, hi: Column | float, n_bins: int = 256
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the upper
+    edge of the first bin whose cumulative count reaches q * total.
+    The window/cumsum runs over <= n_bins rows (never the data), so
+    this is driver-cheap at any corpus size.  Output (q, estimate,
+    max_err) where max_err is the one-bin-width guarantee."""
+    from pyspark.sql import Window
+
+    lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+    hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    q_rows = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    crossed = cum.select("*", q_rows).filter(
+        F.col("cum") >= F.col("q") * F.col("total")
+    )
+    width = (hi_c - lo_c) / n_bins
+    return (
+        crossed.groupBy("q")
+        .agg(F.min("bin").alias("_bin"))
+        .select(
+            "q",
+            (lo_c + (F.col("_bin") + 1) * width).cast("double").alias("estimate"),
+            width.cast("double").alias("max_err"),
+        )
+        .orderBy("q")
+    )

@@ -367,3 +367,62 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "clean_text", "n_removed")
         .orderBy("doc_id")
     )
+
+
+_HQ_BINS = 256
+_HQ_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             max(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    ),
+    h AS (
+      SELECT least(CAST({_HQ_BINS - 1} AS BIGINT),
+                   greatest(CAST(0 AS BIGINT),
+                     CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                                / (b.hi - b.lo) * {_HQ_BINS}) AS BIGINT)))
+               AS bin,
+             count(*) AS cnt
+      FROM lineitem, b GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total
+      FROM h
+    ),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in _HQ_QS)}]) AS q),
+    sel AS (
+      SELECT q, min(bin) AS b_
+      FROM c, qs WHERE cum >= q * total GROUP BY q
+    )
+    SELECT q,
+           CAST(b.lo + (b_ + 1) * ((b.hi - b.lo) / {_HQ_BINS}) AS DOUBLE)
+             AS estimate,
+           CAST((b.hi - b.lo) / {_HQ_BINS} AS DOUBLE) AS max_err
+    FROM sel, b ORDER BY q
+    """,
+    doc="Deterministic mergeable quantile sketch: a 256-bin equi-width "
+    "histogram (bounded-key shuffle, counters merge by addition like "
+    "the CMS) answers any quantile with a hard one-bin-width error "
+    "bound. Chosen over t-digest/GK precisely because those sketches' "
+    "merge-order-dependent centroids cannot be hash-checked across "
+    "engines; this one is bit-reproducible (operators/sketches.py). "
+    "The cumsum window runs over <= 256 rows, never the data.",
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    lo, hi = li.agg(F.min(x), F.max(x)).first()
+    hist = sketches.histogram_build(
+        li, "l_extendedprice", float(lo), float(hi), _HQ_BINS
+    )
+    return sketches.histogram_quantiles(
+        hist, list(_HQ_QS), float(lo), float(hi), _HQ_BINS
+    )

@@ -351,3 +351,37 @@ def test_cross_encoder_reranker_import_gated(spark):
 
     with _pytest.raises(NotImplementedError, match="jaccard_rerank"):
         rerank.CrossEncoderReranker()
+
+
+def test_histogram_quantiles_within_error_bound_and_mergeable(spark):
+    """Every histogram quantile estimate lands within its own
+    max_err of the exact percentile, and two half-corpus histograms
+    merged by counter addition equal the whole-corpus histogram."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260814)
+    vals = [float(v) for v in rng.gamma(2.0, 50.0, 4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi = min(vals), max(vals)
+    qs = [0.25, 0.5, 0.75, 0.95]
+    hist = sketches.histogram_build(df, "x", lo, hi, n_bins=128)
+    out = {r.q: r for r in
+           sketches.histogram_quantiles(hist, qs, lo, hi, n_bins=128).collect()}
+    exact = {q: float(np.quantile(vals, q)) for q in qs}
+    for q in qs:
+        r = out[q]
+        assert abs(r.estimate - exact[q]) <= r.max_err + 1e-9, (
+            q, r.estimate, exact[q], r.max_err
+        )
+
+    a = spark.createDataFrame([(v,) for v in vals[:2000]], "x double")
+    b = spark.createDataFrame([(v,) for v in vals[2000:]], "x double")
+    merged = (
+        sketches.histogram_build(a, "x", lo, hi, 128)
+        .unionAll(sketches.histogram_build(b, "x", lo, hi, 128))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = {(r.bin): r.cnt for r in merged.collect()}
+    want = {(r.bin): r.cnt for r in hist.collect()}
+    assert got == want
