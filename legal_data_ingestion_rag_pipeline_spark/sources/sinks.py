@@ -72,9 +72,17 @@ class ParquetStore:
     trap; Delta solves this transactionally — same call shape here).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 0):
+        """``keep_versions`` > 0 opts into time travel: each overwrite
+        retires the previous table directory as `<table>.__v{N}__`
+        instead of deleting it, keeping the most recent N snapshots —
+        the parquet analog of Delta's `VERSION AS OF` (reproducing a
+        training run against the exact corpus snapshot it saw is a
+        routine data-pipeline ask). Default 0 preserves the original
+        delete-on-overwrite behavior."""
         self.spark = spark
         self.root = Path(root)
+        self.keep_versions = keep_versions
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
@@ -83,8 +91,24 @@ class ParquetStore:
     def exists(self, table: str) -> bool:
         return self.path(table).exists()
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.path(table)))
+    def versions(self, table: str) -> list[int]:
+        """Retired snapshot numbers, oldest first (current excluded)."""
+        out = []
+        for p in self.root.glob(f"{table}.__v*__"):
+            try:
+                out.append(int(p.name[len(table) + 4 : -2]))
+            except ValueError:
+                continue
+        return sorted(out)
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current table, or a retired snapshot by number
+        (from versions()) when time travel is enabled."""
+        if version is None:
+            return self.spark.read.parquet(str(self.path(table)))
+        return self.spark.read.parquet(
+            str(self.root / f"{table}.__v{version}__")
+        )
 
     def _stage(self, table: str, df: DataFrame) -> Path:
         stage = self.root / f"{table}.__stage__"
@@ -94,7 +118,15 @@ class ParquetStore:
     def _swap(self, table: str, stage: Path) -> None:
         target = self.path(table)
         if target.exists():
-            shutil.rmtree(target)
+            if self.keep_versions > 0:
+                vs = self.versions(table)
+                target.rename(
+                    self.root / f"{table}.__v{(vs[-1] + 1) if vs else 1}__"
+                )
+                for old in self.versions(table)[: -self.keep_versions]:
+                    shutil.rmtree(self.root / f"{table}.__v{old}__")
+            else:
+                shutil.rmtree(target)
         stage.rename(target)
 
     def write(self, table: str, df: DataFrame) -> None:

@@ -385,3 +385,27 @@ def test_histogram_quantiles_within_error_bound_and_mergeable(spark):
     got = {(r.bin): r.cnt for r in merged.collect()}
     want = {(r.bin): r.cnt for r in hist.collect()}
     assert got == want
+
+
+def test_parquet_store_time_travel(spark, tmp_path):
+    """keep_versions retires overwritten snapshots as readable
+    versions with bounded retention; default behavior (0) unchanged."""
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "wh"), keep_versions=2)
+    for gen in range(4):
+        df = spark.range(0, 10).withColumn("gen", F.lit(gen))
+        store.write("t", df)
+    # current = gen 3; two retired snapshots kept (gen 1 and 2),
+    # gen 0 pruned
+    assert store.read("t").first().gen == 3
+    vs = store.versions("t")
+    assert len(vs) == 2
+    assert store.read("t", version=vs[-1]).first().gen == 2
+    assert store.read("t", version=vs[0]).first().gen == 1
+
+    plain = ParquetStore(spark, str(tmp_path / "wh0"))
+    plain.write("t", spark.range(3))
+    plain.write("t", spark.range(4))
+    assert plain.versions("t") == []
+    assert plain.read("t").count() == 4
