@@ -70,3 +70,20 @@ def read_raw_dockets_csv(spark: SparkSession, path: str) -> DataFrame:
         .csv(path)
     )
     return df.coalesce(1).withColumn("_seq", F.monotonically_increasing_id())
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet directories whose schemas have EVOLVED (columns
+    added over time) as one DataFrame: the union schema, with NULLs
+    where an older file predates a column.
+
+    At 100 TB a table's files span months of schema history; Spark's
+    default takes the schema from one footer and silently DROPS the
+    columns that footer lacks, which is how 'the new column is all
+    null' incidents happen.  mergeSchema reads every footer (a
+    metadata operation, not a data scan) and is the correct default
+    for evolving tables; column ORDER follows the union, and removed
+    columns simply stay NULL for new files — both directions of
+    evolution are additive-safe.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

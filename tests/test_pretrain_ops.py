@@ -409,3 +409,19 @@ def test_parquet_store_time_travel(spark, tmp_path):
     plain.write("t", spark.range(4))
     assert plain.versions("t") == []
     assert plain.read("t").count() == 4
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from legal_data_ingestion_rag_pipeline_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    old = str(tmp_path / "m1")
+    new = str(tmp_path / "m2")
+    spark.range(0, 5).write.parquet(old)  # schema: (id)
+    spark.range(5, 8).withColumn("lang", F.lit("en")).write.parquet(new)
+    df = read_parquet_evolving(spark, old, new)
+    assert set(df.columns) == {"id", "lang"}
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows[0] is None and rows[6] == "en"
+    assert len(rows) == 8
