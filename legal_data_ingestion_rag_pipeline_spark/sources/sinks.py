@@ -188,3 +188,22 @@ def compact_parquet(
         df = df.coalesce(int(n_files))
     df.write.mode("overwrite").parquet(out_path)
     return int(n_files)
+
+
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> dict:
+    """Collect CBO statistics for a catalog table (the ANALYZE TABLE
+    step a 100 TB deployment runs after large writes): row count +
+    size always; per-column ndv/min/max/null-count when ``columns``
+    given.  Cost-based join reordering and broadcast decisions are
+    only as good as these stats — an unanalyzed table falls back to
+    file-size heuristics, which misestimate filtered cardinalities by
+    orders of magnitude.  Returns the collected table-level stats."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats = next(
+        (r.data_type for r in rows if r.col_name == "Statistics"), ""
+    )
+    return {"table": table, "statistics": stats}

@@ -425,3 +425,23 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     rows = {r.id: r.lang for r in df.collect()}
     assert rows[0] is None and rows[6] == "en"
     assert len(rows) == 8
+
+
+def test_analyze_table_collects_cbo_stats(spark, tmp_path):
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import (
+        analyze_table,
+        write_bucketed,
+    )
+
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 10)
+    write_bucketed(df, "stats_t", "k", 4, str(tmp_path / "stats_t"))
+    try:
+        out = analyze_table(spark, "stats_t", columns=["k"])
+        assert "1000 rows" in out["statistics"]
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED stats_t k").collect()
+        }
+        assert desc.get("distinct_count") == "10"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_t")
