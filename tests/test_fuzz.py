@@ -452,3 +452,40 @@ def test_fuzz_cms_vs_python_reference(spark):
                 for i, (a, b) in enumerate(consts)
             )
             assert est[k] == want, f"trial {trial}: {k}"
+
+
+def test_fuzz_jaccard_rerank_vs_python_reference(spark):
+    """Seeded fuzz: pool reranking (operators/rerank.py) vs a
+    pure-Python Jaccard + total-order reference — distinct-token
+    sets, the (rerank DESC, stage1 DESC, id ASC) order, and top-k
+    truncation must agree for random pools and query term sets."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    rng = random.Random(SEED)
+    vocab = ["red", "blue", "green", "gold", "iron", "clay"]
+    for trial in range(4):
+        cands = []
+        for i in range(rng.randint(3, 12)):
+            text = " ".join(rng.choices(vocab, k=rng.randint(1, 8)))
+            cands.append((i, round(rng.uniform(0, 10), 3), text))
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        k = rng.randint(1, 5)
+
+        qset = set(t.lower() for t in terms)
+        scored = []
+        for i, s1, text in cands:
+            toks = {t for t in text.lower().split() if t}
+            inter = len(toks & qset)
+            union = max(len(toks) + len(qset) - inter, 1)
+            scored.append((inter / union, s1, i))
+        scored.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        want = [(i, rs) for rs, _s1, i in scored[:k]]
+
+        df = spark.createDataFrame(
+            cands, "doc_id bigint, score double, text string"
+        )
+        got = [
+            (r.doc_id, r.rerank_score)
+            for r in rerank.jaccard_rerank(df, terms, k=k).collect()
+        ]
+        assert got == want, f"trial {trial}: {got} != {want}"

@@ -445,3 +445,26 @@ def test_analyze_table_collects_cbo_stats(spark, tmp_path):
         assert desc.get("distinct_count") == "10"
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_t")
+
+
+def test_curation_v3_classifier_predicate_pipelines(spark):
+    """The v3 composition must stay one lazy plan: the classifier
+    keep-predicate appears as a Filter feeding the segmentation
+    explode (docs rejected by the classifier never reach the segment
+    shuffle), and no Python stages exist anywhere."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    df = registry()["curation_pipeline_v3"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "explode" in plan  # segmentation stage present
+    # the classifier fold (SQL `aggregate(...)`) evaluates inside a
+    # Filter predicate, not as a post-hoc pass over segmented rows
+    assert any(
+        "aggregate(" in line
+        for line in plan.splitlines()
+        if line.lstrip().startswith(("Filter", "+- Filter", ": +- Filter"))
+        or "Filter (" in line
+    ), "classifier predicate not found in any Filter node"
