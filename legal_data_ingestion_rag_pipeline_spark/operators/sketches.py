@@ -98,7 +98,12 @@ def histogram_build(
     lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
     hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
     x = F.col(col).cast("double")
-    raw = F.floor((x - lo_c) / (hi_c - lo_c) * n_bins).cast("bigint")
+    span = hi_c - lo_c
+    # span == 0 (constant column) would raise under ANSI division —
+    # every value belongs to bin 0 in that case
+    raw = F.when(
+        span > 0, F.floor((x - lo_c) / span * n_bins).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
     bin_ = F.coalesce(
         F.least(F.lit(n_bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)),
         F.lit(0).cast("bigint"),

@@ -468,3 +468,26 @@ def test_curation_v3_classifier_predicate_pipelines(spark):
         if line.lstrip().startswith(("Filter", "+- Filter", ": +- Filter"))
         or "Filter (" in line
     ), "classifier predicate not found in any Filter node"
+
+
+def test_histogram_degenerate_constant_data(spark):
+    # lo == hi: bin math divides by zero -> NULL -> coalesced to bin 0;
+    # every quantile answers the constant with zero error width
+    df = spark.createDataFrame([(5.0,)] * 50, "x double")
+    hist = sketches.histogram_build(df, "x", 5.0, 5.0, n_bins=16)
+    rows = hist.collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].cnt == 50
+    out = sketches.histogram_quantiles(hist, [0.5], 5.0, 5.0, 16).collect()
+    assert out[0].estimate == 5.0 and out[0].max_err == 0.0
+
+
+def test_rerank_terms_with_quotes_escaped(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    cands = spark.createDataFrame(
+        [(1, 2.0, "o'reilly writes books"), (2, 3.0, "nothing relevant")],
+        "doc_id bigint, score double, text string",
+    )
+    out = rerank.jaccard_rerank(cands, ["o'reilly"], k=2).collect()
+    assert out[0].doc_id == 1 and out[0].rerank_score > 0
+    assert out[1].rerank_score == 0.0
