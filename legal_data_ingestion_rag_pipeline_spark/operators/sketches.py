@@ -59,9 +59,14 @@ def cms_estimate(
     """Point-estimate each key: min over the d counters it hashes to.
     The sketch side is at most d*width rows — always broadcast — so
     estimation never shuffles the key set.  Buckets the sketch never
-    saw count as 0 (the true CMS semantics: absent counter = 0)."""
+    saw count as 0 (the true CMS semantics: absent counter = 0).
+    NULL keys are excluded, mirroring cms_build — they hash to NULL
+    buckets, which posexplode would silently drop; filtering keeps the
+    two halves of the API symmetric (a key the build ignored is a key
+    estimation refuses rather than answering est=0 for)."""
     base = F.expr(PT.poly_hash(key_col, PT.SPARK))
     buckets = F.array(*_bucket_cols(base, d, width))
+    keys = keys.filter(F.col(key_col).isNotNull())
     exploded = keys.select(
         key_col, F.posexplode(buckets).alias("h_idx", "bucket")
     )

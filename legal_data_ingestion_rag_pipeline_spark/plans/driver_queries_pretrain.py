@@ -33,7 +33,9 @@ _SEG_MIN_DOCS = 3
 
 _BOILERPLATE_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- coalesce mirrors segment_token_windows' NULL-text -> '' survival:
+  -- removal must never delete documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
 ),
 segs AS (
   SELECT doc_id, CAST(g.i AS BIGINT) AS seg_pos,
@@ -181,8 +183,12 @@ def _bpe_oracle(sf_dir: str) -> str:
     merges = bpe.train_merges_from_parquet(
         f"{sf_dir}/documents.parquet", _BPE_N
     )
+    # q_duck: learned symbols are corpus-derived strings — escape them
+    # for the VALUES literals or any apostrophe-bearing token breaks
+    # the oracle SQL
     values = ",\n           ".join(
-        f"({i}, '{l}', '{r}', {c})" for i, (l, r, c) in enumerate(merges)
+        f"({i}, '{bpe.q_duck(l)}', '{bpe.q_duck(r)}', {c})"
+        for i, (l, r, c) in enumerate(merges)
     )
     return f"""
     SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs,
@@ -214,6 +220,65 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank bigint, lhs string, rhs string, pair_count bigint",
     ).orderBy("rank")
+
+
+_ENC_N_MERGES = 150  # > bpe.FOLD_MAX_MERGES: exercises the Arrow path
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    from ..operators import bpe
+
+    path = f"{sf_dir}/documents.parquet"
+    merges = bpe.train_merges_from_parquet(path, _ENC_N_MERGES)
+    stats = bpe.encode_stats_from_parquet(path, merges)
+    values = ",\n           ".join(
+        f"({d}, {nw}, {ns})" for d, (nw, ns) in sorted(stats.items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syms AS BIGINT) AS n_syms
+    FROM (VALUES {values}) t(doc_id, n_words, n_syms)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle,
+    doc="BPE ENCODE at production merge-table size: train "
+    f"{_ENC_N_MERGES} merges (the deterministic twin, pinned to the "
+    "Spark trainer by bpe_train_merges), then tokenize every document "
+    "and apply the full table via the Arrow pandas_udf encoder — the "
+    "chained-fold path's plan size is linear in the table and cliffs "
+    "at real vocabularies, so above FOLD_MAX_MERGES=100 the encoder "
+    "is ONE vectorized UDF whose plan is constant-size "
+    "(operators/bpe.py). Output is per-doc (n_words, n_syms); the "
+    "oracle re-encodes through the SEQUENTIAL fold-order twin, "
+    "cross-checking the rank-dict/fold equivalence, not just the "
+    "plumbing. Scale: tokenize+encode is map-side; the shuffle "
+    "carries (doc_id, int) partials only.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe
+
+    merges = bpe.train_merges_from_parquet(
+        f"{sf_dir}/documents.parquet", _ENC_N_MERGES
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    ).withColumn("syms", F.expr("split(word, '')"))
+    enc = bpe.apply_merges(words, merges, "syms")
+    return (
+        enc.select("doc_id", F.size("syms").alias("_n"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n").cast("bigint").alias("n_syms"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _RR_TERMS = ("vector", "merge", "window")
@@ -303,7 +368,8 @@ _V3_ORACLE = f"""
       FROM documents
     ),
     kept AS (SELECT doc_id, text, score FROM scored WHERE score >= 0.0),
-    t AS (SELECT doc_id, score, string_split(text, ' ') AS toks FROM kept),
+    t AS (SELECT doc_id, score, string_split(coalesce(text, ''), ' ') AS toks
+          FROM kept),
     segs AS (
       SELECT doc_id, score, CAST(g.i AS BIGINT) AS seg_pos,
              array_to_string(
@@ -359,11 +425,15 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = linededup.remove_common_segments(segs, bp).join(
         kept.select("doc_id", "score"), "doc_id"
     )
-    keeper = cleaned.groupBy("clean_text").agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # dedup keys on sha2(clean_text) — the operators/dedup.py
+    # convention — so the keeper shuffle carries 64-hex-char keys, not
+    # multi-KB document bodies; hash equality == text equality for the
+    # oracle's purposes (collision odds are negligible at any corpus
+    # size we'd run)
+    hashed = cleaned.withColumn("_key", F.sha2(F.col("clean_text"), 256))
+    keeper = hashed.groupBy("_key").agg(F.min("doc_id").alias("doc_id"))
     return (
-        cleaned.join(keeper, ["clean_text", "doc_id"], "left_semi")
+        hashed.join(keeper, ["_key", "doc_id"], "left_semi")
         .select("doc_id", "score", "clean_text", "n_removed")
         .orderBy("doc_id")
     )

@@ -174,6 +174,12 @@ def compact_parquet(
     when shrinking, and an optional sortWithinPartitions clusters rows
     for min/max page skipping (the poor man's Z-order; output stats
     then prune like the partitioned-write test asserts).
+
+    The sorted path uses repartitionByRange on the sort keys — a
+    round-robin repartition would give every output file the FULL key
+    range, so per-file min/max stats could never prune; range
+    partitioning makes the per-file key ranges disjoint, which is the
+    whole point of sorting during compaction.
     """
     src = Path(in_path)
     total_bytes = sum(
@@ -182,8 +188,9 @@ def compact_parquet(
     n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(in_path)
     if sort_within_by:
-        # repartition first so the in-file sort sees the final layout
-        df = df.repartition(int(n_files)).sortWithinPartitions(*sort_within_by)
+        df = df.repartitionByRange(
+            int(n_files), *sort_within_by
+        ).sortWithinPartitions(*sort_within_by)
     else:
         df = df.coalesce(int(n_files))
     df.write.mode("overwrite").parquet(out_path)

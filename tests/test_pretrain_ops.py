@@ -255,6 +255,72 @@ def test_bpe_apply_merges_encodes(spark):
         assert len(syms) < len(w)
 
 
+def _trained_table(n_words: int, word_len: int, n_merges: int):
+    """A deterministic trained merge table over a synthetic hex-digest
+    vocabulary (no Date/random: content-addressed words)."""
+    import hashlib
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    words = [
+        hashlib.sha256(str(i).encode()).hexdigest()[:word_len]
+        for i in range(n_words)
+    ]
+    counts = {w: (i % 7) + 1 for i, w in enumerate(words)}
+    return words, bpe.train_merges_py(counts, n_merges)
+
+
+def test_apply_merges_arrow_matches_fold_above_threshold(spark):
+    """The Arrow encoder must be bit-equal to the chained-fold path on
+    a trained table just past FOLD_MAX_MERGES — the IVF GEMM-fallback
+    parity convention (both paths forced explicitly)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    words, merges = _trained_table(160, 16, bpe.FOLD_MAX_MERGES + 12)
+    assert len(merges) == bpe.FOLD_MAX_MERGES + 12
+    df = spark.createDataFrame(
+        [(w,) for w in words] + [(None,)], "word string"
+    ).withColumn("syms", F.expr("split(word, '')"))
+    fold = {
+        r.word: r.syms
+        for r in bpe.apply_merges(df, merges, mode="fold").collect()
+    }
+    arrow = {
+        r.word: r.syms
+        for r in bpe.apply_merges(df, merges, mode="arrow").collect()
+    }
+    assert set(fold) == set(arrow) and len(fold) == 161
+    for w in fold:
+        assert fold[w] == arrow[w], (w, fold[w], arrow[w])
+    assert fold[None] is None  # NULL syms stay NULL on both paths
+
+
+def test_rank_encode_matches_sequential_at_1k_merges(spark):
+    """The rank-dict shortcut == sequential rank-order application for
+    trained tables, at production scale (>= 1000 merges) — pure-Python
+    equivalence check, then the Spark Arrow path at the same table
+    size to prove the plan does NOT cliff where the fold would."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import bpe
+
+    words, merges = _trained_table(400, 20, 1200)
+    assert len(merges) >= 1000, len(merges)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    pairs = [(l, r) for l, r, _ in merges]
+    expected = {}
+    for w in words:
+        seq = list(w)
+        for p1, p2, _ in merges:
+            seq = bpe._merge_word_py(seq, p1, p2)
+        assert bpe._rank_encode_py(list(w), ranks, pairs) == seq, w
+        expected[w] = seq
+
+    df = spark.createDataFrame(
+        [(w,) for w in words[:50]], "word string"
+    ).withColumn("syms", F.expr("split(word, '')"))
+    got = {r.word: r.syms for r in bpe.apply_merges(df, merges).collect()}
+    assert got == {w: expected[w] for w in words[:50]}
+
+
 def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     from legal_data_ingestion_rag_pipeline_spark.sources.sinks import compact_parquet
 
@@ -283,6 +349,50 @@ def test_compact_parquet_sorted_layout_for_skipping(spark, tmp_path):
     ks = [r.k for r in rows]
     assert ks == sorted(ks)  # single file, fully clustered
     assert len(ks) == 5_000
+
+
+def test_compact_parquet_multifile_ranges_disjoint(spark, tmp_path):
+    """Multi-file sorted compaction must produce files whose key
+    ranges are DISJOINT (repartitionByRange), or file-level min/max
+    stats can never prune — the round-5 advisory finding where
+    round-robin repartition gave every file the full key range."""
+    import pyarrow.parquet as pq
+
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag3"), str(tmp_path / "ranged")
+    (
+        spark.range(0, 200_000)
+        .withColumn("k", (F.col("id") * 37) % 10_000)
+        .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+        .repartition(16)
+        .write.parquet(src)
+    )
+    n = compact_parquet(spark, src, dst, target_file_mb=1, sort_within_by=["k"])
+    files = sorted((tmp_path / "ranged").glob("*.parquet"))
+    assert n >= 3 and len(files) == n
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "k" and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            ranges.append((min(los), max(his)))
+    assert len(ranges) >= 3
+    # no file's range may overlap another's interior: sort by min and
+    # require each min >= previous max (range boundaries may touch)
+    ranges.sort()
+    for (lo_prev, hi_prev), (lo, hi) in zip(ranges, ranges[1:]):
+        assert lo >= hi_prev, (ranges,)
+    # and rows survive intact
+    got = spark.read.parquet(dst)
+    assert got.count() == 200_000
 
 
 def test_null_text_documents_survive_everywhere(spark):
