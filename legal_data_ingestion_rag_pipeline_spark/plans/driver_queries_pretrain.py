@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import portable as PT
-from ..operators import classifier, linededup, sketches
+from ..operators import classifier, domains, linededup, sketches
 from ..session import load_table
 from .registry import register
 
@@ -360,12 +360,15 @@ def rag_rerank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-_V3_ORACLE = f"""
-    WITH scored AS (
+def _v3_oracle(src: str = "documents", prelude: str = "") -> str:
+    """The curation-v3 oracle, parameterized on the source relation so
+    v4 can prepend its domain-filter CTEs."""
+    return f"""
+    WITH {prelude}scored AS (
       SELECT doc_id, text,
              {classifier.oracle_score_sql('text', _CLS_WEIGHTS, _CLS_BIAS)}
                AS score
-      FROM documents
+      FROM {src}
     ),
     kept AS (SELECT doc_id, text, score FROM scored WHERE score >= 0.0),
     t AS (SELECT doc_id, score, string_split(coalesce(text, ''), ' ') AS toks
@@ -400,21 +403,10 @@ _V3_ORACLE = f"""
 """
 
 
-@register(
-    "curation_pipeline_v3",
-    oracle=_V3_ORACLE,
-    doc="End-to-end FineWeb/DCLM-style curation composed from the "
-    "round-5 operators: (1) hashing-trick classifier filter "
-    "(map-side, zero shuffle), (2) cross-document boilerplate "
-    "segment removal on the survivors (df shuffle on the segment "
-    "key), (3) first-occurrence exact dedup of the CLEANED text "
-    "(min-doc_id per content group, no window over the corpus). "
-    "Demonstrates that the stages compose into one lazy plan — "
-    "Catalyst pipelines the classifier predicate into the "
-    "segmentation scan, so filtered docs never reach the shuffle.",
-)
-def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _v3_stages(docs: DataFrame) -> DataFrame:
+    """classifier filter -> boilerplate segment removal -> exact dedup
+    of the cleaned text, as one lazy plan.  ``docs`` needs (doc_id,
+    text).  Shared by curation_pipeline_v3 and _v4."""
     kept = (
         classifier.score_documents(docs, _CLS_WEIGHTS, bias=_CLS_BIAS)
         .filter(F.col("keep"))
@@ -437,6 +429,94 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "clean_text", "n_removed")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=_v3_oracle(),
+    doc="End-to-end FineWeb/DCLM-style curation composed from the "
+    "round-5 operators: (1) hashing-trick classifier filter "
+    "(map-side, zero shuffle), (2) cross-document boilerplate "
+    "segment removal on the survivors (df shuffle on the segment "
+    "key), (3) first-occurrence exact dedup of the CLEANED text "
+    "(min-doc_id per content group, no window over the corpus). "
+    "Demonstrates that the stages compose into one lazy plan — "
+    "Catalyst pipelines the classifier predicate into the "
+    "segmentation scan, so filtered docs never reach the shuffle.",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _v3_stages(docs)
+
+
+_DOM_BLOCKED = ("src7", "src13")
+_DOM_QUOTA = 15
+
+
+def _domain_prelude() -> tuple[str, str]:
+    """(prelude_ctes, src_rel) for the domain-filtered oracles."""
+    rank = domains.rank_expr("source", "doc_id", D)
+    blocked = ", ".join(f"'{b}'" for b in _DOM_BLOCKED)
+    prelude = f"""ranked AS (
+      SELECT doc_id, text, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {rank}, doc_id) AS slot
+      FROM documents WHERE source NOT IN ({blocked})
+    ),
+    dom AS (SELECT doc_id, text FROM ranked WHERE slot <= {_DOM_QUOTA}),
+    """
+    return prelude, "dom"
+
+
+@register(
+    "url_domain_filter",
+    oracle=f"""
+    SELECT doc_id, source, CAST(slot AS BIGINT) AS slot FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {domains.rank_expr('source', 'doc_id', D)},
+                                         doc_id) AS slot
+      FROM documents WHERE source NOT IN ('src7', 'src13')
+    ) WHERE slot <= {_DOM_QUOTA} ORDER BY doc_id
+    """,
+    doc="URL/domain-level curation front door (the C4/RefinedWeb "
+    "step): broadcast left-anti blocklist join, then a deterministic "
+    f"per-domain quota of {_DOM_QUOTA} documents chosen by content-"
+    "hash rank — retries and repartitioning select the SAME documents "
+    "(DataFrame.sample cannot promise that). Scale: the quota is a "
+    "two-phase top-k (Arrow map-side per-partition cap, then a window "
+    "over n_partitions x quota survivors per domain), so a giant "
+    "domain never lands on one reducer (operators/domains.py).",
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = domains.filter_blocklist(docs, _DOM_BLOCKED)
+    return (
+        domains.quota_sample(survivors, _DOM_QUOTA)
+        .select("doc_id", "source", "slot")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_pipeline_v4",
+    oracle=_v3_oracle(src=_domain_prelude()[1], prelude=_domain_prelude()[0]),
+    doc="curation_pipeline_v3 with the domain front door composed in: "
+    "blocklist anti-join -> per-domain quota sample -> classifier "
+    "filter -> boilerplate segment removal -> exact dedup of cleaned "
+    "text, all one lazy plan. The quota survivor set (n_domains x "
+    "quota narrow rows) semi-joins back onto the payload broadcast-"
+    "style, so the fact table is filtered map-side before the first "
+    "shuffle (operators/domains.py + the _v3_stages composition).",
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = domains.filter_blocklist(docs, _DOM_BLOCKED)
+    picked = domains.quota_sample(survivors, _DOM_QUOTA).select("doc_id")
+    base = survivors.join(F.broadcast(picked), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    return _v3_stages(base)
 
 
 _HQ_BINS = 256

@@ -395,6 +395,97 @@ def test_compact_parquet_multifile_ranges_disjoint(spark, tmp_path):
     assert got.count() == 200_000
 
 
+def _domain_docs(spark, n=120, n_dom=6):
+    return spark.createDataFrame(
+        [(i, f"dom{i % n_dom}", f"text {i}") for i in range(n)],
+        "doc_id bigint, source string, text string",
+    )
+
+
+def test_blocklist_and_allowlist_filters(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import domains
+
+    docs = _domain_docs(spark)
+    blocked = domains.filter_blocklist(docs, ["dom1", "dom4"])
+    assert blocked.count() == 80
+    assert set(r.source for r in blocked.select("source").distinct().collect()) == {
+        "dom0", "dom2", "dom3", "dom5"
+    }
+    allowed = domains.filter_allowlist(docs, ["dom1"])
+    assert allowed.count() == 20
+    # DataFrame-typed lists behave the same as iterables
+    bl_df = spark.createDataFrame([("dom1",), ("dom4",)], "source string")
+    assert domains.filter_blocklist(docs, bl_df).count() == 80
+
+
+def test_quota_sample_bounded_and_repartition_invariant(spark):
+    """Quota holds per domain, slots are 1..quota, and the selection
+    is a pure function of the data — identical under different
+    physical partitionings (the determinism DataFrame.sample lacks)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import domains
+
+    docs = _domain_docs(spark)
+    a = sorted(
+        (r.source, r.doc_id, r.slot)
+        for r in domains.quota_sample(docs.repartition(7), 5).collect()
+    )
+    b = sorted(
+        (r.source, r.doc_id, r.slot)
+        for r in domains.quota_sample(docs.repartition(3), 5).collect()
+    )
+    assert a == b and len(a) == 30  # 6 domains x quota 5
+    per_dom: dict[str, list[int]] = {}
+    for src, _, slot in a:
+        per_dom.setdefault(src, []).append(slot)
+    for src, slots in per_dom.items():
+        assert sorted(slots) == [1, 2, 3, 4, 5], (src, slots)
+
+
+def test_quota_sample_matches_plain_window(spark):
+    """The two-phase plan is bit-equal to the naive single-window
+    top-k it replaces (the _two_phase_topk equivalence argument)."""
+    from pyspark.sql import Window
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import domains
+
+    docs = _domain_docs(spark, n=90, n_dom=4)
+    got = sorted(
+        (r.source, r.doc_id, r.slot)
+        for r in domains.quota_sample(docs, 7).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc(F.expr(domains.rank_expr("source", "doc_id", PT.SPARK))),
+        F.asc("doc_id"),
+    )
+    want = sorted(
+        (r.source, r.doc_id, r.slot)
+        for r in docs.withColumn(
+            "slot", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("slot") <= 7)
+        .select("source", "doc_id", "slot")
+        .collect()
+    )
+    assert got == want
+
+
+def test_quota_sample_small_domain_kept_whole(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import domains
+
+    docs = spark.createDataFrame(
+        [(1, "tiny", "a"), (2, "tiny", "b")]
+        + [(10 + i, "big", f"t{i}") for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    out = domains.quota_sample(docs, 10)
+    by_dom = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom == {"tiny": 2, "big": 10}
+
+
 def test_null_text_documents_survive_everywhere(spark):
     """NULL text must never silently delete a document (the round-4
     streaming-key lesson): segmentation treats it as '', the
