@@ -1001,3 +1001,62 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={s: 5 for s in _MIX_HOT},
     )
     return sampled.select("doc_id", "source", "n_tok").orderBy("doc_id")
+
+
+_Z_QTY = (5.0, 15.0)
+_Z_PRICE = (20_000.0, 40_000.0)
+
+
+@register(
+    "layout_zordered_scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN {_Z_QTY[0]} AND {_Z_QTY[1]}
+      AND l_extendedprice BETWEEN {_Z_PRICE[0]} AND {_Z_PRICE[1]}
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Layout-infrastructure verification: rewrite lineitem through "
+    "write_zordered (Morton-clustered on (l_quantity, "
+    "l_extendedprice), range-partitioned files) and answer a "
+    "two-predicate aggregate THROUGH the store; the oracle runs on "
+    "the plain table, so a green row proves the Z-ordered rewrite is "
+    "faithful. The payoff — per-file min/max stats narrow on BOTH "
+    "columns, so the scan prunes files a single-column sort cannot — "
+    "is asserted from parquet footers in tests/test_layout.py. Sums "
+    "go through DECIMAL(18,4) per row so both engines add exactly "
+    "(operators/layout.py).",
+)
+def layout_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zstore_{tag}", "lineitem_z"
+    )
+    layout.write_zordered(
+        li, store, "l_quantity", "l_extendedprice", n_files=8, bits=10
+    )
+    z = spark.read.parquet(store)
+    return (
+        z.filter(
+            F.col("l_quantity").between(*_Z_QTY)
+            & F.col("l_extendedprice").between(*_Z_PRICE)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -95,3 +95,66 @@ def test_zorder_constant_and_null_degrade_gracefully(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "z"))
     assert got.count() == 100
     assert got.filter(F.col("c").isNull()).count() == 10
+
+
+def test_layout_zordered_scan_prunes_and_matches(spark):
+    """The registered layout_zordered_scan query must (a) return the
+    same aggregate as the plain table and (b) leave a store whose
+    footer stats let the two-predicate box skip most files — the
+    whole point of Z-ordering during compaction."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_scale import (
+        _Z_PRICE,
+        _Z_QTY,
+        layout_zordered_scan,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.l_returnflag: (r.n_rows, round(r.sum_price, 2))
+        for r in layout_zordered_scan(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    want = {
+        r.l_returnflag: (r.n_rows, round(r.sum_price, 2))
+        for r in li.filter(
+            F.col("l_quantity").between(*_Z_QTY)
+            & F.col("l_extendedprice").between(*_Z_PRICE)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+    tag = hashlib.sha256(sf.encode()).hexdigest()[:12]
+    store = Path(tempfile.gettempdir()) / f"spark_graft_zstore_{tag}" / "lineitem_z"
+    files = sorted(store.glob("*.parquet"))
+    assert len(files) == 8
+    candidates = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema in ("l_quantity", "l_extendedprice") and c.statistics:
+                    lo, hi = stats.get(c.path_in_schema, (float("inf"), float("-inf")))
+                    stats[c.path_in_schema] = (
+                        min(lo, c.statistics.min), max(hi, c.statistics.max)
+                    )
+        q, p = stats["l_quantity"], stats["l_extendedprice"]
+        if q[0] <= _Z_QTY[1] and q[1] >= _Z_QTY[0] and p[0] <= _Z_PRICE[1] and p[1] >= _Z_PRICE[0]:
+            candidates += 1
+    # the predicate box covers ~6% of (qty, price) space; Morton
+    # clustering must let footer stats rule out at least half the files
+    assert candidates <= 4, candidates
