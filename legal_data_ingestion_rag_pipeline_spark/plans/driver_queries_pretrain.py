@@ -62,6 +62,7 @@ ORDER BY s.doc_id
 
 @register(
     "boilerplate_segment_removal",
+    bench=True,
     oracle=_BOILERPLATE_ORACLE,
     doc="Cross-document segment (line) deduplication, the CCNet/"
     "RefinedWeb boilerplate recipe: segments shared verbatim by >= "
@@ -115,6 +116,7 @@ def _cms_oracle() -> str:
 
 @register(
     "cms_heavy_hitters",
+    bench=True,
     oracle=_cms_oracle(),
     doc="Count-min sketch heavy hitters: d=3 x width=64 counter "
     "matrix built in one bounded-key shuffle (<= d*width groups "
@@ -200,6 +202,7 @@ def _bpe_oracle(sf_dir: str) -> str:
 
 @register(
     "bpe_train_merges",
+    bench=True,
     oracle=_bpe_oracle,
     doc="BPE merge-table training (Sennrich subword vocab, the "
     "tokenizer-training step): per round one vocabulary-scale pair "
@@ -433,6 +436,7 @@ def _v3_stages(docs: DataFrame) -> DataFrame:
 
 @register(
     "curation_pipeline_v3",
+    bench=True,
     oracle=_v3_oracle(),
     doc="End-to-end FineWeb/DCLM-style curation composed from the "
     "round-5 operators: (1) hashing-trick classifier filter "

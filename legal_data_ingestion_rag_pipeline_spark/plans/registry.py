@@ -34,18 +34,43 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: queries.  Everything after position 50 is still registered (full
 #: API surface, pytest + tools/oracle_check coverage) but receives no
 #: driver CORRECTNESS row.
+#: Round-6 rotation (each rotated-out slot keeps a gated family
+#: partner + tools/oracle_check and pytest coverage):
+#:   IN : rag_rerank_bm25, curation_pipeline_v3,
+#:        histogram_quantile_sketch (the three round-5 families with
+#:        no driver row), bpe_encode_corpus and url_domain_filter
+#:        (new round-6 operator families).
+#:   OUT: ann_pq_adc_topk         -> ann_pq_trained gates the same
+#:        ADC codegen + rescore machinery with trained codebooks (a
+#:        strict superset); adc keeps recall-floor fuzz in pytest.
+#:        streaming_dedup_docs    -> streaming_neardup_docs gates the
+#:        same dropDuplicatesWithinWatermark bounded-state path plus
+#:        minhash bucketing on top; exact keeps the streaming pytest
+#:        suite.
+#:        daily_series_last7      -> streaming_tumbling_counts gates
+#:        time-bucketed counting; error_breakdown +
+#:        quality_sanity_report keep the report family gated.
+#:        asof_prev_purchase      -> last(ignorenulls) over a user
+#:        frame; sessionization (lag+cumsum) and window_argmax
+#:        (row_number) keep the window-frame machinery gated.
+#:        funnel_signup_click_purchase -> min-ts aggregates + ordered
+#:        joins, machinery gated by a dozen join/agg slots.
+#:
+#: Dead-slot audit of KEPT near-pairs (one line each, per round-5
+#: verdict ask):
+#:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
+#:     LSH self-join vs EXACT Jaccard via df-capped inverted index:
+#:     different algorithms, different failure modes, both north-star.
+#:   contrastive_negatives vs domain_mixture_sample — crossjoin +
+#:     two-phase top-k draw vs map-side integer-threshold rate
+#:     sampling: no shared machinery beyond the portable hash.
+#:   curation_pipeline vs curation_pipeline_v3 — v1 composes
+#:     textstats-quality + lang-id + exact dedup; v3 composes
+#:     classifier + boilerplate-segment removal + hashed dedup:
+#:     disjoint stage sets, both compositions worth a driver row
+#:     (v4 = v3 + domain front door stays oracle_check-only for now).
 GATE_PRIORITY: tuple[str, ...] = (
-    # LLM family: dedup (round-5 rotation: dedup_simhash rotated OUT —
-    # dedup_simhash_pairs' oracle + pytest cover the same signature
-    # path — to spend slots on the four round-4 operators that had no
-    # driver CORRECTNESS row: ann_sq8_rescore_topk, ann_pq_adc_topk,
-    # contrastive_negatives, domain_mixture_sample.  Also out this
-    # round: ann_ivf_recall [family partner ann_ivf_topk stays],
-    # user_event_type_sets, incremental_rollup_maintenance — all keep
-    # tools/oracle_check + pytest coverage.)
-    # (round-5 rotation: dedup_incremental_exact out — its anti-join
-    # machinery stays gated via backfill_anti_join — for
-    # boilerplate_segment_removal, the new line-level dedup family.)
+    # LLM family: dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -53,22 +78,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "boilerplate_segment_removal",
     "dedup_cluster_components",
     "last_wins_dedup",
-    "streaming_dedup_docs",
     "streaming_neardup_docs",
-    # LLM family: similarity search / clustering (ann_ivf_full_probe
-    # rotated out; ann_ivf_topk gates the same path)
+    # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    # (round-5 rotation: embedding_label_centroids out — the centroid
-    # decimal-sum math stays gated via kmeans_two_iterations — for
-    # ann_pq_trained, the k-means-trained codebook path.)
     "ann_sq8_rescore_topk",
-    "ann_pq_adc_topk",
     "ann_pq_trained",
     "contrastive_negatives",
     "domain_mixture_sample",
     "kmeans_two_iterations",
     "cms_heavy_hitters",
+    "histogram_quantile_sketch",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
@@ -77,9 +97,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "textstats_quality",
     "quality_classifier_filter",
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "fingerprint_winnowing",
     "rag_semantic_search",
+    "rag_rerank_bm25",
     "curation_pipeline",
+    "curation_pipeline_v3",
+    "url_domain_filter",
     "streaming_tumbling_counts",
     "multimodal_features",
     "fts_bm25_search",
@@ -89,16 +113,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events-table family (timestamp/window/sessionization operators)
     "record_canonical_hash",
     "error_breakdown",
-    "daily_series_last7",
     "window_argmax_per_user",
     "variation_tracking",
-    # (round-5 rotation: running_total_per_user and session_window_agg
-    # out — window_argmax_per_user and sessionization gate the same
-    # window-frame / gap-session machinery; moving_avg_3rows was
-    # already out on the same grounds.)
     "sessionization",
-    "asof_prev_purchase",
-    "funnel_signup_click_purchase",
     "range_join_clicks_before_purchase",
     "semistructured_props_stats",
     # flagship + reference-parity core (highest §2 coverage per slot)
