@@ -225,7 +225,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-_ENC_N_MERGES = 150  # > bpe.FOLD_MAX_MERGES: exercises the Arrow path
+# Ask for a production-leaning table; the synthetic corpus's template
+# vocabulary saturates at 89 learnable merges — under FOLD_MAX_MERGES —
+# so the query pins mode="arrow" explicitly: the point is to drive the
+# constant-plan-size encoder a real 30k-merge vocab would auto-select.
+_ENC_N_MERGES = 150
 
 
 def _bpe_encode_oracle(sf_dir: str) -> str:
@@ -272,7 +276,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("word")
     ).withColumn("syms", F.expr("split(word, '')"))
-    enc = bpe.apply_merges(words, merges, "syms")
+    enc = bpe.apply_merges(words, merges, "syms", mode="arrow")
     return (
         enc.select("doc_id", F.size("syms").alias("_n"))
         .groupBy("doc_id")
