@@ -270,6 +270,85 @@ def lsh_oversized_buckets(
     )
 
 
+def lsh_band_index(
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The STANDING near-dup index a production deployment
+    materializes: (band_idx, band_sig, id, minhash), one row per
+    (doc, band).  At 100 TB this is a bucketed table keyed on
+    (band_idx, band_sig) so incremental probes join shuffle-free on
+    the index side; the full signature rides along for the verify
+    step (32 int64s — tiny next to the text it summarizes)."""
+    rows_per_band = n_hashes // bands
+    return sig_df.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("minhash", b * rows_per_band + 1, rows_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+
+
+def lsh_probe_index(
+    batch_sigs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup: match a new batch against the standing
+    band index without re-deduping the world (the minhash complement
+    of the exact-dedup incremental flow).
+
+    The batch's bands inner-join the index on (band_idx, band_sig);
+    per batch doc the BEST corpus match survives (max estimated
+    Jaccard, min match_id tie-break — a groupBy struct-max, no window
+    over the candidates).  Only the batch is banded at query time —
+    the corpus side is the pre-materialized index.  Returns
+    (id_col, match_id, est_jaccard) for batch docs whose best match
+    reaches ``threshold``."""
+    banded = lsh_band_index(batch_sigs, id_col, n_hashes, bands)
+    ix = index.select(
+        "band_idx",
+        "band_sig",
+        F.col(id_col).alias("match_id"),
+        F.col("minhash").alias("_mh_ix"),
+    )
+    cand = banded.join(ix, ["band_idx", "band_sig"]).dropDuplicates(
+        [id_col, "match_id"]
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("minhash", "_mh_ix", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(n_hashes))
+    scored = cand.withColumn("est_jaccard", est).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    best = F.max(
+        F.struct(F.col("est_jaccard"), (-F.col("match_id")).alias("_neg"))
+    ).alias("_best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            (-F.col("_best._neg")).alias("match_id"),
+            F.col("_best.est_jaccard").alias("est_jaccard"),
+        )
+    )
+
+
 def simhash_docs(
     df: DataFrame,
     text_col: str,

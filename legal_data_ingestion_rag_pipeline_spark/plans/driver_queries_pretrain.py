@@ -584,3 +584,43 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.histogram_quantiles(
         hist, list(_HQ_QS), float(lo), float(hi), _HQ_BINS
     )
+
+
+@register(
+    "corpus_token_accounting",
+    oracle=f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len({PT.tokens('text', D)})) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    ORDER BY source NULLS FIRST, lang NULLS FIRST
+    """,
+    doc="Corpus accounting: the token-budget report every mixture "
+    "plan starts from — docs/tokens/chars per (domain, language) with "
+    "ROLLUP subtotals per domain and a grand total, produced in ONE "
+    "aggregation pass (rollup partials combine map-side; output rows "
+    "= #domains x #languages, trivially collectable at any corpus "
+    "size). Token counting is the portable whitespace tokenizer, so "
+    "both engines count identically.",
+)
+def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.size(F.expr(PT.tokens("text", S))).cast("bigint").alias("_nt"),
+            F.col("n_chars").cast("bigint").alias("_nc"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum("_nc").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )

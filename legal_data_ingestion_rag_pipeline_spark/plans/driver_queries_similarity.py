@@ -1107,6 +1107,63 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_MH_THRESHOLD = 0.5
+
+_INC_MINHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t),
+    h AS (SELECT doc_id, {PT.word_ngram_hashes('tok_hashes', 3, D)} AS gram_hashes
+          FROM g WHERE len(tok_hashes) >= 3),
+    s AS (SELECT doc_id, {PT.minhash_from_hashes('gram_hashes', 32, D)} AS mh FROM h),
+    bix AS (SELECT doc_id AS match_id, mh,
+                   b AS band_idx, list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+            FROM s, unnest(range(16)) tt(b) WHERE doc_id < 250),
+    bb AS (SELECT doc_id, mh,
+                  b AS band_idx, list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+           FROM s, unnest(range(16)) tt(b) WHERE doc_id >= 250),
+    cand AS (SELECT DISTINCT bb.doc_id, bix.match_id,
+                    bb.mh AS mh_b, bix.mh AS mh_c
+             FROM bb JOIN bix USING (band_idx, band_sig)),
+    scored AS (SELECT doc_id, match_id,
+                 len(list_filter(range(1, 33), i -> mh_b[i] = mh_c[i])) / 32.0
+                   AS est_jaccard
+               FROM cand
+               WHERE len(list_filter(range(1, 33), i -> mh_b[i] = mh_c[i]))
+                     / 32.0 >= {_INC_MH_THRESHOLD})
+    SELECT doc_id, match_id, est_jaccard FROM (
+      SELECT doc_id, match_id, est_jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY est_jaccard DESC, match_id) AS rn
+      FROM scored) WHERE rn = 1
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_INC_MINHASH_ORACLE,
+    doc="incremental NEAR-dup — the minhash complement of "
+    "dedup_incremental_exact: the standing corpus's banded signature "
+    "index (lsh_band_index — in production a bucketed table on "
+    "(band_idx, band_sig)) is probed by the new batch's bands; per "
+    "batch doc the best corpus match above est-Jaccard 0.5 survives "
+    "via a groupBy struct-max (no window over candidates). Only the "
+    "batch is signed and banded at probe time — the corpus is never "
+    "re-scanned, which is what makes daily crawls affordable "
+    "(operators/dedup.py lsh_probe_index).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, "text", "doc_id")
+    index = dedup.lsh_band_index(
+        sigs.filter(F.col("doc_id") < 250), "doc_id"
+    )
+    batch = sigs.filter(F.col("doc_id") >= 250)
+    return dedup.lsh_probe_index(
+        batch, index, "doc_id", threshold=_INC_MH_THRESHOLD
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH: sign-random-projection bucketing for embedding near-dup at
 # scale (the LSH-bucketed variant of dedup_embedding_cosine).

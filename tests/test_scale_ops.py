@@ -794,3 +794,32 @@ def test_lsh_uncapped_warns(spark):
     sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
     with _pytest.warns(UserWarning, match="max_bucket_size"):
         dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=None)
+
+
+def test_lsh_probe_index_incremental_neardup(spark):
+    """lsh_probe_index finds a new doc's standing-corpus twin with
+    est 1.0, ignores unrelated docs, and tie-breaks equal-estimate
+    matches on min match_id."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and joins here"
+    docs = spark.createDataFrame(
+        [
+            (1, dup_text),
+            (2, dup_text),          # equal-est twin: tie-break target
+            (3, other),
+            (10, dup_text),         # batch: near-dup of 1 and 2
+            (11, "nothing like anything in the corpus at all truly novel"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sigs = dedup.with_minhash(docs, "text", "doc_id")
+    index = dedup.lsh_band_index(sigs.filter(F.col("doc_id") < 10), "doc_id")
+    batch = sigs.filter(F.col("doc_id") >= 10)
+    out = {
+        r.doc_id: (r.match_id, r.est_jaccard)
+        for r in dedup.lsh_probe_index(batch, index, "doc_id", threshold=0.5).collect()
+    }
+    assert set(out) == {10}
+    assert out[10] == (1, 1.0)  # min match_id among the equal twins
