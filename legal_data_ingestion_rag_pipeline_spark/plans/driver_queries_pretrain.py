@@ -624,3 +624,58 @@ def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
         )
     )
+
+
+_LM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    uni AS (SELECT word, count(*) AS c1
+            FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+           FROM t),
+    bi AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln((coalesce(b.c2, 0) + 1)
+                            / CAST(u.c1 + v.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp
+      FROM bg g
+      LEFT JOIN bi b USING (bigram)
+      JOIN uni u ON u.word = string_split(g.bigram, chr(1))[1]
+      CROSS JOIN v
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nlp) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           CAST(coalesce(a.s, 0) AS BIGINT) AS sum_nlp_micro,
+           CAST(coalesce(a.s, 0) // greatest(coalesce(a.n_bigrams, 0), 1)
+                AS BIGINT) AS avg_nlp_micro
+    FROM (SELECT doc_id FROM t) d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "lm_perplexity_score",
+    oracle=_LM_ORACLE,
+    doc="N-gram LM perplexity scoring (the CCNet/Gopher quality "
+    "signal): every document's bigram cross-entropy under an add-one "
+    "bigram LM trained in one pass over the corpus (vocabulary-scale "
+    "model tables, never corpus-scale). Per-bigram -ln p snaps to "
+    "integer micro-units (the BM25 fixed-point convention) so the "
+    "per-doc sums are order-independent BIGINTs and the average is "
+    "exact integer division — hash-identical across engines. Scale: "
+    "one uniform bigram-key shuffle join + a unigram fallback join + "
+    "one per-doc agg; <2-token documents survive with n_bigrams=0 "
+    "(operators/lm.py).",
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi, v = lm.train_bigram_lm(docs)
+    return lm.perplexity_score(docs, uni, bi, v).orderBy("doc_id")

@@ -692,3 +692,24 @@ def test_rerank_terms_with_quotes_escaped(spark):
     out = rerank.jaccard_rerank(cands, ["o'reilly"], k=2).collect()
     assert out[0].doc_id == 1 and out[0].rerank_score > 0
     assert out[1].rerank_score == 0.0
+
+
+def test_lm_perplexity_orders_common_vs_rare(spark):
+    """A doc made of the corpus's dominant bigram must score LOWER
+    (less surprising) than a doc of one-off bigrams; tiny docs
+    survive with n_bigrams=0."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(1, 9)]
+        + [(9, "zebra quantum flies purple"), (10, "solo")],
+        "doc_id bigint, text string",
+    )
+    uni, bi, v = lm.train_bigram_lm(docs)
+    out = {r.doc_id: r for r in lm.perplexity_score(docs, uni, bi, v).collect()}
+    assert set(out) == set(range(1, 11))
+    assert out[1].avg_nlp_micro < out[9].avg_nlp_micro
+    assert out[10].n_bigrams == 0 and out[10].sum_nlp_micro == 0
+    assert out[10].avg_nlp_micro == 0
+    # identical docs score identically (pure function of content)
+    assert out[1].sum_nlp_micro == out[8].sum_nlp_micro
