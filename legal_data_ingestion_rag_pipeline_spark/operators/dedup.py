@@ -349,6 +349,65 @@ def lsh_probe_index(
     )
 
 
+def semdedup_flags(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup bounded by k-means
+    clusters.  Within each cluster, a point whose cosine to ANY
+    lower-id clustermate reaches ``threshold`` is a semantic
+    duplicate; the lowest id per near-identical group survives.
+
+    ``assigned`` is (id, vec, cluster) — the output of
+    ``ann.ivf_assign`` over trained centroids, so assignment is the
+    same shuffle-free broadcast argmax the IVF family gates.  The
+    pairwise stage self-joins ONLY within a cluster: cost is
+    sum(c_i^2), and the SemDeDup contract is that k grows with the
+    corpus so E[c] = n/k stays bounded (the paper runs k=50k on
+    LAION) — never all-pairs on the corpus.  max() over the pair
+    cosines is exactly order-independent, so the output is
+    hash-stable.  Returns every input point:
+    (id, cluster, max_prior_cos, is_dup) — scoring never drops rows.
+    """
+    from .ann import _dot
+
+    a = assigned.select(
+        cluster_col,
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        cluster_col,
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = a.join(b, cluster_col).filter(F.col("_idb") < F.col("_ida"))
+    per = (
+        pairs.select(
+            cluster_col,
+            F.col("_ida").alias(id_col),
+            _dot("_va", "_vb").alias("_cos"),
+        )
+        .groupBy(cluster_col, id_col)
+        .agg(F.max("_cos").alias("max_prior_cos"))
+    )
+    return (
+        assigned.select(id_col, cluster_col)
+        .join(per, [cluster_col, id_col], "left")
+        .select(
+            id_col,
+            cluster_col,
+            "max_prior_cos",
+            F.coalesce(
+                F.col("max_prior_cos") >= threshold, F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
 def simhash_docs(
     df: DataFrame,
     text_col: str,

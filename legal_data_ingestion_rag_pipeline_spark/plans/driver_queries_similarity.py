@@ -1897,3 +1897,69 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ann.ivf_assign(e, centroids)
     out = ann.ivf_topk(assigned, centroids, queries, k=10, probes=2)
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+_SEM_TAU = 0.42
+
+
+def _semdedup_oracle(sf_dir: str) -> str:
+    from ..operators import pq
+
+    cents = pq.train_book_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=1, **_TRAIN
+    )[0]
+    values = ",\n               ".join(
+        f"(CAST({j} AS BIGINT), CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for j, c in enumerate(cents)
+    )
+    dot_xy = PT.dot_double("ex.embedding", "ey.embedding", D)
+    return f"""
+    WITH c AS (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC2} DESC, c.centroid_id) AS rn
+        FROM embeddings e, c) t WHERE rn = 1
+    ),
+    per AS (
+      SELECT ax.vec_id, ax.centroid_id, max({dot_xy}) AS max_prior_cos
+      FROM assign ax
+      JOIN assign ay ON ax.centroid_id = ay.centroid_id
+                    AND ay.vec_id < ax.vec_id
+      JOIN embeddings ex ON ex.vec_id = ax.vec_id
+      JOIN embeddings ey ON ey.vec_id = ay.vec_id
+      GROUP BY ax.vec_id, ax.centroid_id
+    )
+    SELECT a.vec_id, a.centroid_id, p.max_prior_cos,
+           coalesce(p.max_prior_cos >= {_SEM_TAU}, false) AS is_dup
+    FROM assign a LEFT JOIN per p ON a.vec_id = p.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semdedup_oracle,
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup bounded by "
+    "k-means clusters — assign every embedding to its trained "
+    "centroid (the shuffle-free broadcast argmax the IVF family "
+    "gates), then flag points whose cosine to any lower-id "
+    "clustermate reaches the threshold. The pairwise stage exists "
+    "only WITHIN clusters (sum c_i^2, never corpus all-pairs; the "
+    "paper's contract is k grows with n so clusters stay bounded). "
+    "max() over pair cosines is exactly order-independent, so even "
+    "the trained + iterative pipeline is value-hash-gated end to end "
+    "(operators/dedup.py semdedup_flags).",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pq.pq_train_codebook(e, m=1, **_TRAIN)[0]
+    centroids = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    return dedup.semdedup_flags(assigned, _SEM_TAU).orderBy("vec_id")

@@ -823,3 +823,28 @@ def test_lsh_probe_index_incremental_neardup(spark):
     }
     assert set(out) == {10}
     assert out[10] == (1, 1.0)  # min match_id among the equal twins
+
+
+def test_semdedup_flags_lowest_id_survives(spark):
+    """Within a cluster, near-identical vectors: every member except
+    the lowest id is flagged; cross-cluster twins are NOT compared."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    assigned = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.0447], 0),   # cos ~0.999 to vec 1
+            (3, [0.0, 1.0], 0),        # orthogonal: kept
+            (4, [1.0, 0.0], 1),        # identical to 1 but other cluster
+        ],
+        "vec_id bigint, embedding array<double>, centroid_id bigint",
+    )
+    out = {
+        r.vec_id: (r.is_dup, r.max_prior_cos)
+        for r in dedup.semdedup_flags(assigned, 0.95).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (False, None)          # no prior in cluster
+    assert out[2][0] is True and out[2][1] > 0.99
+    assert out[3][0] is False
+    assert out[4] == (False, None)          # cluster isolation
