@@ -56,6 +56,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        funnel_signup_click_purchase -> min-ts aggregates + ordered
 #:        joins, machinery gated by a dozen join/agg slots.
 #:
+#: Round-6 second rotation (the three operator families BUILT this
+#: round get driver rows while they are newest):
+#:   IN : dedup_incremental_minhash, lm_perplexity_score,
+#:        dedup_semantic_clusters.
+#:   OUT: record_canonical_hash   -> sha2 canonical hashing gated via
+#:        dedup_exact + merge_upsert_state; T9 keeps its oracle_check
+#:        row + ingest pytest.
+#:        variation_tracking      -> a two-column groupBy-agg over the
+#:        variations sink; the agg machinery is gated by a dozen
+#:        slots; S5/A11 keep oracle_check + test_ingest.
+#:        decontamination_overlap -> its n-gram build is gated via
+#:        dedup_ngram_jaccard and its broadcast-probe semi-join via
+#:        backfill_anti_join; keeps oracle_check + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -77,6 +91,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_srp_lsh",
     "boilerplate_segment_removal",
     "dedup_cluster_components",
+    "dedup_incremental_minhash",
+    "dedup_semantic_clusters",
     "last_wins_dedup",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
@@ -96,6 +112,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "textstats_lang_id",
     "textstats_quality",
     "quality_classifier_filter",
+    "lm_perplexity_score",
     "bpe_train_merges",
     "bpe_encode_corpus",
     "fingerprint_winnowing",
@@ -107,14 +124,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_counts",
     "multimodal_features",
     "fts_bm25_search",
-    "decontamination_overlap",
     "sequence_packing",
     "pii_redaction",
     # events-table family (timestamp/window/sessionization operators)
-    "record_canonical_hash",
     "error_breakdown",
     "window_argmax_per_user",
-    "variation_tracking",
     "sessionization",
     "range_join_clicks_before_purchase",
     "semistructured_props_stats",
