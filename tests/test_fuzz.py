@@ -489,3 +489,103 @@ def test_fuzz_jaccard_rerank_vs_python_reference(spark):
             for r in rerank.jaccard_rerank(df, terms, k=k).collect()
         ]
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_fuzz_semdedup_vs_python_reference(spark):
+    """semdedup_flags vs a pure-Python twin on random clustered unit
+    vectors: same in-order double-fold dot, same lowest-id-survives
+    semantics, across random thresholds."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    rng = random.Random(SEED + 601)
+    rows, want_rows = [], {}
+    for trial in range(6):
+        n = rng.randint(15, 40)
+        dim = 6
+        base = trial * 1000
+        pts = []
+        for i in range(n):
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+            v = [x / nrm for x in v]
+            # occasional exact twin of an earlier point
+            if pts and rng.random() < 0.25:
+                v = list(pts[rng.randrange(len(pts))][1])
+            cl = rng.randrange(3)
+            pts.append((base + i, v, cl))
+        tau = rng.choice((0.4, 0.7, 0.95))
+        rows += [(i, v, base + cl, tau) for (i, v, cl) in pts]
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y  # fold order == dot_double
+            return acc
+
+        by_cluster: dict[int, list] = {}
+        for i, v, cl in pts:
+            by_cluster.setdefault(cl, []).append((i, v))
+        for cl, members in by_cluster.items():
+            members.sort()
+            for r, (i, v) in enumerate(members):
+                if r == 0:
+                    want_rows[i] = (None, False)
+                else:
+                    mx = max(dot(v, w) for _, w in members[:r])
+                    want_rows[i] = (mx, mx >= tau)
+
+    # one Spark pass per distinct tau (threshold is an operator param)
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, centroid_id bigint, tau double"
+    )
+    for tau in (0.4, 0.7, 0.95):
+        sub = df.filter(F.col("tau") == tau).drop("tau")
+        if not sub.head(1):
+            continue
+        got = {
+            r.vec_id: (r.max_prior_cos, r.is_dup)
+            for r in dedup.semdedup_flags(sub, tau).collect()
+        }
+        for i, (mx, isd) in got.items():
+            wm, wd = want_rows[i]
+            if wm is None:
+                assert mx is None, i
+            else:
+                assert abs(mx - wm) < 1e-12, (i, mx, wm)
+            assert isd == wd, (i, isd, wd)
+
+
+def test_fuzz_lm_perplexity_vs_python_reference(spark):
+    """perplexity_score vs a pure-Python twin: random tiny corpora,
+    identical add-one probabilities and micro-unit snapping."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import lm
+
+    rng = random.Random(SEED + 602)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    docs = []
+    for i in range(40):
+        k = rng.randint(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    uni, bi, v = lm.train_bigram_lm(df)
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_nlp_micro, r.avg_nlp_micro)
+        for r in lm.perplexity_score(df, uni, bi, v).collect()
+    }
+
+    c1: dict[str, int] = {}
+    c2: dict[tuple[str, str], int] = {}
+    toks = {i: [w for w in t.split() if w] for i, t in docs}
+    for ws in toks.values():
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    V = len(c1)
+    for i, ws in toks.items():
+        s, n = 0, 0
+        for a, b in zip(ws, ws[1:]):
+            p = (c2.get((a, b), 0) + 1) / float(c1[a] + V)
+            s += int(math.floor(-math.log(p) * 1_000_000.0 + 0.5))
+            n += 1
+        assert got[i] == (n, s, s // max(n, 1)), (i, got[i], (n, s))
