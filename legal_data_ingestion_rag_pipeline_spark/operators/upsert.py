@@ -65,3 +65,53 @@ def merge_upsert(
     kept = target.join(deduped.select(*key_cols), key_cols, "left_anti")
     merged = kept.unionByName(deduped, allowMissingColumns=True)
     return MergeResult(merged=merged, n_inserted=n_inserted, n_updated=n_updated)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-version diff (the CDC feed a lakehouse derives between
+    two snapshots — what Delta's CHANGE DATA FEED materializes):
+    returns (key_cols..., change) with change in
+    ('insert', 'delete', 'update'); unchanged rows are dropped.
+
+    Row identity on the keys, row content on
+    sha2(concat_ws(0x01, compare_cols)) computed MAP-SIDE on each
+    snapshot, so the full outer join shuffles (key, 64-char hash) —
+    never the payload (the operators/dedup.py hashed-key
+    convention).  One key shuffle per side; at 100 TB both snapshots
+    of the same table share layout, so bucketed/partitioned stores
+    make the join co-located.  NULL-safe: concat_ws SKIPS null slots
+    (("a", NULL, "b") and ("a", "b", NULL) would collide), so each
+    compare column coalesces to an out-of-band sentinel first — NULL
+    vs NULL is unchanged, NULL vs '' is an update.
+    """
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        h = F.sha2(
+            F.concat_ws(
+                "\x01",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+                    for c in compare_cols
+                ],
+            ),
+            256,
+        )
+        return df.select(*key_cols, h.alias(tag))
+
+    o = hashed(old, "_h_old")
+    n = hashed(new, "_h_new")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("insert"))
+        .when(F.col("_h_new").isNull(), F.lit("delete"))
+        .when(~F.col("_h_old").eqNullSafe(F.col("_h_new")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -1060,3 +1060,54 @@ def layout_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "snapshot_table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id < 400
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id >= 100
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'insert'
+                WHEN v2.doc_id IS NULL THEN 'delete'
+                WHEN (v1.text IS DISTINCT FROM v2.text)
+                  OR (v1.source IS DISTINCT FROM v2.source) THEN 'update'
+           END AS change
+    FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+       OR (v1.text IS DISTINCT FROM v2.text)
+       OR (v1.source IS DISTINCT FROM v2.source)
+    ORDER BY doc_id
+    """,
+    doc="Snapshot diff / CDC between two table versions (what Delta's "
+    "CHANGE DATA FEED materializes; pairs with the staged store's "
+    "time travel): row identity on the key, row content on a map-side "
+    "sha2 over the compare columns with NULL sentinels, so the full "
+    "outer join shuffles (key, 64-char hash) — never the payload. "
+    "Here v1/v2 are deterministic slices of documents (deletes "
+    "<100, inserts >=400, every 7th doc text-rewritten); the oracle "
+    "reproduces the same diff with IS DISTINCT FROM — logic-level "
+    "equivalence of the hash shortcut (operators/upsert.py "
+    "snapshot_diff).",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    v1 = docs.filter(F.col("doc_id") < 400)
+    v2 = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(v1, v2, ["doc_id"], ["text", "source"]).orderBy(
+        "doc_id"
+    )

@@ -848,3 +848,33 @@ def test_semdedup_flags_lowest_id_survives(spark):
     assert out[2][0] is True and out[2][1] > 0.99
     assert out[3][0] is False
     assert out[4] == (False, None)          # cluster isolation
+
+
+def test_snapshot_diff_change_classes_and_null_safety(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", None, "b"),   # NULL-slot pattern A
+            (2, "x", "y", "z"),    # unchanged
+            (3, "q", "q", "q"),    # deleted
+            (4, None, None, None), # NULL vs NULL -> unchanged
+            (6, "", "e", "f"),     # '' vs NULL -> update
+        ],
+        "k bigint, c1 string, c2 string, c3 string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "b", None),   # NULL-slot pattern B: MUST be update
+            (2, "x", "y", "z"),
+            (4, None, None, None),
+            (5, "new", "row", "!"),
+            (6, None, "e", "f"),
+        ],
+        "k bigint, c1 string, c2 string, c3 string",
+    )
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, ["k"], ["c1", "c2", "c3"]).collect()
+    }
+    assert got == {1: "update", 3: "delete", 5: "insert", 6: "update"}
