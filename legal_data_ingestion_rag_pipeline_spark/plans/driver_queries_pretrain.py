@@ -679,3 +679,96 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     uni, bi, v = lm.train_bigram_lm(docs)
     return lm.perplexity_score(docs, uni, bi, v).orderBy("doc_id")
+
+
+_PACK_BUDGET = 2048
+
+
+def _prep_oracle(sf_dir: str) -> str:
+    from ..operators import bpe
+
+    path = f"{sf_dir}/documents.parquet"
+    merges = bpe.train_merges_from_parquet(path, _ENC_N_MERGES)
+    stats = bpe.encode_stats_from_parquet(path, merges)
+    values = ",\n             ".join(
+        f"({d}, {ns})" for d, (_, ns) in sorted(stats.items())
+    )
+    return f"""
+    WITH enc AS (SELECT * FROM (VALUES {values}) t(doc_id, n_syms)),
+    kept AS (
+      SELECT d.doc_id, d.source, e.n_syms
+      FROM documents d JOIN enc e USING (doc_id)
+      WHERE {classifier.oracle_score_sql('d.text', _CLS_WEIGHTS, _CLS_BIAS)}
+            >= 0.0
+    ),
+    p AS (
+      SELECT source, doc_id, n_syms,
+             sum(n_syms) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n_syms AS prefix
+      FROM kept
+    )
+    SELECT source, CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_syms) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+    """
+
+
+@register(
+    "pretrain_prep_pipeline",
+    oracle=_prep_oracle,
+    doc="The training-prep capstone: classifier quality filter -> "
+    "whitespace tokenize -> BPE subword ENCODE (Arrow encoder, "
+    "trained merge table) -> per-source sequence packing into "
+    f"~{_PACK_BUDGET}-token bins — i.e. packing REAL subword counts, "
+    "not whitespace counts, which is what the trainer's data loader "
+    "sees. Every stage is an already-gated operator; composition adds "
+    "one (doc_id, int) partial-agg shuffle and the per-shard packing "
+    "window (partitioned by source — no global window). Oracle "
+    "re-encodes through the sequential Python twin and packs in SQL.",
+)
+def pretrain_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import bpe
+
+    merges = bpe.train_merges_from_parquet(
+        f"{sf_dir}/documents.parquet", _ENC_N_MERGES
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    kept = classifier.score_documents(
+        docs, _CLS_WEIGHTS, bias=_CLS_BIAS
+    ).filter(F.col("keep"))
+    words = kept.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(PT.tokens("text", S))).alias("word"),
+    ).withColumn("syms", F.expr("split(word, '')"))
+    enc = bpe.apply_merges(words, merges, "syms", mode="arrow")
+    per_doc = (
+        enc.select("doc_id", "source", F.size("syms").alias("_n"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("_n").cast("bigint").alias("n_syms"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = per_doc.withColumn(
+        "prefix", F.sum("n_syms").over(w) - F.col("n_syms")
+    ).withColumn("pack_id", F.expr(f"prefix DIV {_PACK_BUDGET}"))
+    return (
+        p.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_syms").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
