@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import portable as PT
+from ..functions import htmltext, portable as PT
 from ..operators import classifier, domains, linededup, sketches
 from ..session import load_table
 from .registry import register
@@ -772,3 +772,58 @@ def pretrain_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+def _html_wrap_sql(dialect: str) -> str:
+    """Deterministic HTML page around each doc (the corpus has no raw
+    HTML, so the query manufactures the same page on both engines):
+    head noise that must vanish, body content that must survive.
+    DuckDB-dialect string (the Spark side builds the identical page
+    with F.concat)."""
+    assert dialect == D
+    return (
+        "'<html><head><title>T&amp;C</title><script type=\"text/javascript\">"
+        "var x = 1 < 2;</script><style>p { color: red; }</style></head>"
+        "<body><h1>' || source || '</h1><!-- nav --><p>' || text ||"
+        " '</p>&nbsp;<em>fin</em></body></html>'"
+    )
+
+
+@register(
+    "html_text_extraction",
+    oracle=f"""
+    SELECT doc_id,
+           {htmltext.html_to_text_sql(_html_wrap_sql(D), D)} AS extracted,
+           CAST(length({htmltext.html_to_text_sql(_html_wrap_sql(D), D)})
+                AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    doc="HTML -> text extraction (the WET step of a web-corpus "
+    "pipeline): strip script/style/comment blocks and tags, decode "
+    "entities, collapse whitespace — a pure regexp_replace codegen "
+    "chain, zero shuffles, with every pattern chosen to mean the same "
+    "thing in Java regex and RE2 so the oracle is exact "
+    "(functions/htmltext.py). The corpus has no raw HTML, so the "
+    "query wraps each document in a deterministic page (script + "
+    "style + comment + entities) and must recover exactly the "
+    "heading, body text and decoded entities.",
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><title>T&amp;C</title><script type="text/javascript">'
+            "var x = 1 < 2;</script><style>p { color: red; }</style></head>"
+            "<body><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1><!-- nav --><p>"),
+        F.col("text"),
+        F.lit("</p>&nbsp;<em>fin</em></body></html>"),
+    )
+    extracted = htmltext.html_to_text(page)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")

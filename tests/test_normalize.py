@@ -49,3 +49,33 @@ def test_case_type_default(spark):
     df = spark.createDataFrame([("Civil ",), (None,), ("",)], "t string")
     rows = df.select(N.normalize_case_type("t").alias("n")).collect()
     assert [r.n for r in rows] == ["civil", "civil", "civil"]
+
+
+def test_html_to_text_strips_blocks_decodes_entities(spark):
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import htmltext
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "<script>if (a < b) { x(); }</script>text"),
+            (3, "<style>a { b: c; }</style>A &amp;lt; B &nbsp;&#39;q&#39;"),
+            (4, "<!-- secret -->visible<br/>line"),
+            (5, None),
+            (6, "no markup at   all"),
+        ],
+        "id bigint, html string",
+    )
+    got = {
+        r.id: r.t
+        for r in df.select(
+            "id", htmltext.html_to_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "Hello world"
+    assert got[2] == "text"              # script body gone, incl. its '<'
+    assert got[3] == "A &lt; B 'q'"      # &amp; decodes LAST: no double-decode
+    assert got[4] == "visible line"
+    assert got[5] is None
+    assert got[6] == "no markup at all"
