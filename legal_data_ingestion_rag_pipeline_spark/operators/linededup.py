@@ -121,6 +121,51 @@ def remove_common_segments(
     )
 
 
+def dedup_segments_within_doc(
+    segments: DataFrame, doc_id: str = "doc_id", sep: str = " "
+) -> DataFrame:
+    """INTRA-document segment dedup — the complement of the cross-doc
+    boilerplate pass: a segment repeated inside one document keeps its
+    FIRST occurrence, later copies are stripped (the Gopher repetition
+    rules as removal rather than scoring).  Empty segments are never
+    treated as repeats (blank lines survive).
+
+    One groupBy on (doc, segment) to find each segment's first
+    position, then the same order-restoring array_sort reassembly as
+    remove_common_segments — no window wider than a document, no UDFs.
+    Returns (doc_id, clean_text, n_segments, n_removed).
+    """
+    firsts = (
+        segments.groupBy(doc_id, "seg")
+        .agg(F.min("seg_pos").alias("_first_pos"))
+    )
+    flagged = segments.join(firsts, [doc_id, "seg"]).select(
+        doc_id,
+        "seg_pos",
+        "seg",
+        (
+            (F.col("seg_pos") != F.col("_first_pos")) & (F.col("seg") != "")
+        ).alias("_is_bp"),
+    )
+    kept_sorted: Column = F.filter(
+        F.array_sort(F.collect_list(F.struct("seg_pos", "seg", "_is_bp"))),
+        lambda s: ~s["_is_bp"],
+    )
+    return (
+        flagged.groupBy(doc_id)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("_is_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(kept_sorted, lambda s: s["seg"]), sep
+            ).alias("clean_text"),
+        )
+        .select(doc_id, "clean_text", "n_segments", "n_removed")
+    )
+
+
 def boilerplate_strip(
     docs: DataFrame,
     min_docs: int,

@@ -827,3 +827,44 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted"),
         F.length(extracted).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "intradoc_segment_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS seg_pos,
+             array_to_string(
+               list_slice(toks, CAST(g.i * {_SEG_W} + 1 AS BIGINT),
+                          CAST(g.i * {_SEG_W} + {_SEG_W} AS BIGINT)), ' ')
+               AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks) / {_SEG_W}.0) AS BIGINT))) AS g(i)
+    ),
+    f AS (SELECT doc_id, seg, min(seg_pos) AS fp
+          FROM segs GROUP BY doc_id, seg)
+    SELECT s.doc_id,
+           coalesce(string_agg(
+             CASE WHEN s.seg_pos = f.fp OR s.seg = '' THEN s.seg END,
+             ' ' ORDER BY s.seg_pos), '') AS clean_text,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN s.seg_pos <> f.fp AND s.seg <> '' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_removed
+    FROM segs s JOIN f ON s.doc_id = f.doc_id AND s.seg = f.seg
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    doc="INTRA-document segment dedup — the Gopher repetition rules "
+    "as removal rather than scoring: a segment repeated inside one "
+    "document keeps its first occurrence, later copies are stripped, "
+    "order preserved, blank segments survive. One (doc, segment) "
+    "groupBy + the order-restoring array_sort reassembly — no window "
+    "wider than a document, no UDFs "
+    "(operators/linededup.py dedup_segments_within_doc).",
+)
+def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    segs = linededup.segment_token_windows(docs, w=_SEG_W)
+    return linededup.dedup_segments_within_doc(segs).orderBy("doc_id")

@@ -713,3 +713,24 @@ def test_lm_perplexity_orders_common_vs_rare(spark):
     assert out[10].avg_nlp_micro == 0
     # identical docs score identically (pure function of content)
     assert out[1].sum_nlp_micro == out[8].sum_nlp_micro
+
+
+def test_intradoc_segment_dedup_first_kept_blanks_survive(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import linededup
+
+    segs = spark.createDataFrame(
+        [
+            (1, 0, "hello"), (1, 1, "again"), (1, 2, "hello"), (1, 3, "end"),
+            (2, 0, ""), (2, 1, "x"), (2, 2, ""), (2, 3, "x"),
+        ],
+        "doc_id bigint, seg_pos bigint, seg string",
+    )
+    out = {
+        r.doc_id: r
+        for r in linededup.dedup_segments_within_doc(segs).collect()
+    }
+    assert out[1].clean_text == "hello again end"
+    assert (out[1].n_segments, out[1].n_removed) == (4, 1)
+    # blank segments are never repeats; repeated 'x' is
+    assert out[2].clean_text == " x "
+    assert (out[2].n_segments, out[2].n_removed) == (4, 1)
