@@ -224,3 +224,64 @@ def test_decontamination_corpus_unshuffled_before_match(spark):
     corpus_side = plan[match_pos : match_pos + plan[match_pos:].index("BroadcastExchange")]
     assert "FileScan parquet" in corpus_side
     assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_url_domain_filter_two_phase_shape(spark):
+    """Blocklist is a broadcast LeftAnti; the quota is the Arrow
+    per-partition cap (MapInPandas) feeding the survivor window — a
+    plain corpus-wide Window.partitionBy(domain) plan would have no
+    MapInPandas below the window."""
+    plan = plan_of(spark, "url_domain_filter")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "MapInPandas" in plan
+    # window must sit ABOVE the map-side cap (cap first, rank second;
+    # toString prints parents before children)
+    assert plan.index("Window") < plan.index("MapInPandas")
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_corpus_constant_plan_arrow(spark):
+    """The encoder is ONE ArrowEvalPython regardless of merge-table
+    size — the fold path would instead stack one projection fold per
+    merge (the plan-size cliff this exists to avoid)."""
+    plan = plan_of(spark, "bpe_encode_corpus")
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "aggregate(" not in plan  # no chained merge folds anywhere
+
+
+def test_html_extraction_is_mapside_only(spark):
+    """HTML -> text is a pure codegen projection chain: the only
+    exchange may be the final orderBy sort — no joins, no aggregates,
+    no Python."""
+    plan = plan_of(spark, "html_text_extraction")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_snapshot_diff_shuffles_hashes_not_payload(spark):
+    """The CDC full-outer join must carry (key, 64-char sha2) — the
+    payload columns (text, source) may appear only below the hash
+    projection, never in an exchange's output."""
+    plan = plan_of(spark, "snapshot_table_diff")
+    assert "FullOuter" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_only_within_clusters(spark):
+    """The pairwise stage must be an equi-join on the cluster key —
+    never a cartesian across the corpus."""
+    plan = plan_of(spark, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+
+
+def test_incremental_minhash_no_window_over_candidates(spark):
+    """Best-match selection is a groupBy struct-max: no Window in the
+    probe plan, and no cartesian anywhere."""
+    plan = plan_of(spark, "dedup_incremental_minhash")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
