@@ -70,6 +70,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        dedup_ngram_jaccard and its broadcast-probe semi-join via
 #:        backfill_anti_join; keeps oracle_check + pytest.
 #:
+#: Round-6 third rotation (late-round new machinery):
+#:   IN : snapshot_table_diff (CDC full-outer hash diff — new operator
+#:        machinery), html_text_extraction (WET-step regex chain — new
+#:        function family).
+#:   OUT: last_wins_dedup      -> merge_upsert_state gates the same
+#:        last-wins ordering inside the MERGE path; keeps oracle_check
+#:        + ingest pytest.
+#:        fingerprint_winnowing -> the rolling-hash gram machinery is
+#:        gated via dedup_ngram_jaccard; winnowing keeps its
+#:        oracle_check row + textstats parity pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -93,7 +104,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_incremental_minhash",
     "dedup_semantic_clusters",
-    "last_wins_dedup",
+    "snapshot_table_diff",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
@@ -115,7 +126,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "lm_perplexity_score",
     "bpe_train_merges",
     "bpe_encode_corpus",
-    "fingerprint_winnowing",
+    "html_text_extraction",
     "rag_semantic_search",
     "rag_rerank_bm25",
     "curation_pipeline",
