@@ -34,22 +34,37 @@ def _bucket_cols(base_hash: F.Column, d: int, width: int) -> list[F.Column]:
 
 
 def cms_build(
-    items: DataFrame, key_col: str, d: int = 3, width: int = 256
+    items: DataFrame,
+    key_col: str,
+    d: int = 3,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (h_idx, bucket, cnt), one row per non-empty
     counter.  One map-side explode (d rows per item) and one shuffle
     on (h_idx, bucket) — at most d*width groups regardless of corpus
-    size, so the reduce side is constant-bounded."""
+    size, so the reduce side is constant-bounded.
+
+    ``weight_col``: build from PRE-AGGREGATED (key, count) rows
+    instead of raw items — counters are identical (sum of per-key
+    counts == row count), but the build input is vocabulary-scale.
+    Use it whenever an exact key aggregate already exists in the
+    plan; raw streams keep the unweighted path."""
     base = F.expr(PT.poly_hash(key_col, PT.SPARK))
     buckets = F.array(*_bucket_cols(base, d, width))
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
     return (
         # NULL keys hash to NULL buckets and would accumulate phantom
         # (h_idx, NULL) counters — exclude them, matching the exact
         # count semantics where COUNT(col) skips NULLs
         items.filter(F.col(key_col).isNotNull())
-        .select(F.posexplode(buckets).alias("h_idx", "bucket"))
+        .select(w.alias("_w"), F.posexplode(buckets).alias("h_idx", "bucket"))
         .groupBy("h_idx", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

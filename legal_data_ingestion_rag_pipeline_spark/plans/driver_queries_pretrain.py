@@ -130,8 +130,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = docs.select(
         F.explode(F.expr(PT.tokens("text", S))).alias("tok")
     )
-    sketch = sketches.cms_build(items, "tok", d=_CMS_D, width=_CMS_WIDTH)
     truth = items.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    # this query materializes the exact per-token aggregate anyway (the
+    # truth column), so the sketch builds from it WEIGHTED — identical
+    # counters, one corpus pass instead of two, vocabulary-scale build
+    sketch = sketches.cms_build(
+        truth, "tok", d=_CMS_D, width=_CMS_WIDTH, weight_col="true_cnt"
+    )
     est = sketches.cms_estimate(
         sketch, truth.select("tok"), "tok", d=_CMS_D, width=_CMS_WIDTH
     )

@@ -734,3 +734,22 @@ def test_intradoc_segment_dedup_first_kept_blanks_survive(spark):
     # blank segments are never repeats; repeated 'x' is
     assert out[2].clean_text == " x "
     assert (out[2].n_segments, out[2].n_removed) == (4, 1)
+
+
+def test_cms_weighted_build_equals_unweighted(spark):
+    """cms_build from a pre-aggregated (key, count) table must produce
+    bit-identical counters to the raw-item build."""
+    rows = [(f"t{i % 9}",) for i in range(70)]
+    items = spark.createDataFrame(rows, "tok string")
+    agg = items.groupBy("tok").agg(F.count("*").alias("c"))
+    raw = {
+        (r.h_idx, r.bucket): r.cnt
+        for r in sketches.cms_build(items, "tok", d=3, width=32).collect()
+    }
+    weighted = {
+        (r.h_idx, r.bucket): r.cnt
+        for r in sketches.cms_build(
+            agg, "tok", d=3, width=32, weight_col="c"
+        ).collect()
+    }
+    assert raw == weighted
