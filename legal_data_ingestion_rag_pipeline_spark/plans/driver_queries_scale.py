@@ -1038,7 +1038,9 @@ def layout_zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import layout
 
     li = _t(spark, sf_dir, "lineitem")
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # pid-suffixed so concurrent processes (driver + a local
+    # oracle_check, say) can never interleave overwrite and scan
+    tag = f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     store = os.path.join(
         tempfile.gettempdir(), f"spark_graft_zstore_{tag}", "lineitem_z"
     )

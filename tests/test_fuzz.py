@@ -589,3 +589,51 @@ def test_fuzz_lm_perplexity_vs_python_reference(spark):
             s += int(math.floor(-math.log(p) * 1_000_000.0 + 0.5))
             n += 1
         assert got[i] == (n, s, s // max(n, 1)), (i, got[i], (n, s))
+
+
+def test_fuzz_snapshot_diff_vs_python_reference(spark):
+    """snapshot_diff vs a dict-based twin on random tables with NULL
+    patterns, updates, inserts and deletes."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.upsert import snapshot_diff
+
+    rng = random.Random(SEED + 603)
+    vals = ["a", "b", "", None]
+    for trial in range(4):
+        old_rows = {
+            k: (rng.choice(vals), rng.choice(vals))
+            for k in rng.sample(range(100), rng.randint(10, 30))
+        }
+        new_rows = {}
+        for k, v in old_rows.items():
+            r = rng.random()
+            if r < 0.25:
+                continue  # delete
+            if r < 0.6:
+                new_rows[k] = (rng.choice(vals), rng.choice(vals))  # maybe update
+            else:
+                new_rows[k] = v  # unchanged
+        for k in rng.sample(range(100, 140), rng.randint(0, 8)):
+            new_rows[k] = (rng.choice(vals), rng.choice(vals))  # insert
+
+        want = {}
+        for k in set(old_rows) | set(new_rows):
+            if k not in new_rows:
+                want[k] = "delete"
+            elif k not in old_rows:
+                want[k] = "insert"
+            elif old_rows[k] != new_rows[k]:
+                want[k] = "update"
+
+        old_df = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in old_rows.items()],
+            "k bigint, c1 string, c2 string",
+        )
+        new_df = spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in new_rows.items()],
+            "k bigint, c1 string, c2 string",
+        ) if new_rows else spark.createDataFrame([], "k bigint, c1 string, c2 string")
+        got = {
+            r.k: r.change
+            for r in snapshot_diff(old_df, new_df, ["k"], ["c1", "c2"]).collect()
+        }
+        assert got == want, (trial, got, want)

@@ -136,7 +136,9 @@ def test_layout_zordered_scan_prunes_and_matches(spark):
     }
     assert got == want and got
 
-    tag = hashlib.sha256(sf.encode()).hexdigest()[:12]
+    import os
+
+    tag = f"{hashlib.sha256(sf.encode()).hexdigest()[:12]}_{os.getpid()}"
     store = Path(tempfile.gettempdir()) / f"spark_graft_zstore_{tag}" / "lineitem_z"
     files = sorted(store.glob("*.parquet"))
     assert len(files) == 8
