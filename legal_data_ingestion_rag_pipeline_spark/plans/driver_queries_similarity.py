@@ -1624,6 +1624,69 @@ def ann_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
 
 
+def _bin_words(vec: str) -> list[str]:
+    return ann.binary_code_words_sql(vec, 64, D)
+
+
+_BIN_HAM = ann.binary_hamming_sql(
+    [f"c.w{i}" for i in range(2)], [f"qc.w{i}" for i in range(2)], PT.DUCKDB
+)
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id,
+                 {_bin_words('embedding')[0]} AS w0,
+                 {_bin_words('embedding')[1]} AS w1
+          FROM embeddings),
+    qc AS (SELECT q_id,
+                  {_bin_words('q_vec')[0]} AS w0,
+                  {_bin_words('q_vec')[1]} AS w1
+           FROM q),
+    proxy AS (
+      SELECT qc.q_id, c.vec_id, {_BIN_HAM} AS ham
+      FROM c, qc
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rn
+        FROM proxy) t
+      WHERE rn <= 50
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="two-stage binary (1-bit) retrieval "
+    "(operators/ann.binary_hamming_topk): stage 1 ranks by symmetric "
+    "Hamming distance between packed sign codes — XOR+popcount over "
+    "BIGINT words, no float math, over an index 32x smaller than the "
+    "float corpus (the faiss IndexBinaryFlat+refine / binary-MRL "
+    "recipe) — stage 2 exact-rescores the per-query top-50 pool. "
+    "Completes the quantized-retrieval ladder (binary 1-bit / SQ8 / "
+    "PQ). Integer stage-1 scores and identical bit packing on both "
+    "engines make the whole pipeline hash-gateable.",
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.binary_hamming_topk(e, queries, dim=64, k=10, pool=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
 from ..operators.negatives import hash_rank_expr as _neg_rank  # noqa: E402
 
 

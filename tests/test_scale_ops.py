@@ -878,3 +878,70 @@ def test_snapshot_diff_change_classes_and_null_safety(spark):
         for r in snapshot_diff(old, new, ["k"], ["c1", "c2", "c3"]).collect()
     }
     assert got == {1: "update", 3: "delete", 5: "insert", 6: "update"}
+
+
+def test_binary_code_packing_matches_signs(spark):
+    """The packed BIGINT words hold exactly the sign bits: popcount
+    sums to the positive-component count, every word stays positive
+    (the 62-bit packing keeps DuckDB's checked shift happy), and
+    unpacking bit j of word w recovers (vec[w*62+j] > 0) exactly —
+    including a component that is exactly 0.0 (counts as not-set)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    vecs = [
+        (0, [0.5] * 64),
+        (1, [-0.5] * 64),
+        (2, [(1.0 if i % 3 == 0 else -1.0) for i in range(64)]),
+        (3, [0.0] * 32 + [1e-9] * 32),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    words = ann.binary_code_words_sql("embedding", 64, "spark")
+    assert len(words) == 2  # 64 dims at 62 bits/word
+    out = df.selectExpr(
+        "vec_id", *[f"{w} AS w{i}" for i, w in enumerate(words)]
+    ).collect()
+    by_id = {r.vec_id: (r.w0, r.w1) for r in out}
+    for vid, vec in vecs:
+        w0, w1 = by_id[vid]
+        assert w0 >= 0 and w1 >= 0
+        got_bits = [(w0 >> j) & 1 for j in range(62)] + [(w1 >> j) & 1 for j in range(2)]
+        want_bits = [1 if x > 0 else 0 for x in vec]
+        assert got_bits == want_bits, f"vec {vid}"
+        assert bin(w0).count("1") + bin(w1).count("1") == sum(want_bits)
+
+
+def test_binary_hamming_recall_and_determinism(spark):
+    """Binary two-stage search: 1-bit sign codes keep enough of the
+    angle structure that recall@10 vs brute force stays >= 0.6 with a
+    50-pool on the driver embeddings; the self-vector (Hamming 0 to
+    itself) is always recalled at rank 1; and the result is identical
+    under a different corpus partitioning (integer proxy scores +
+    total orders, no RNG)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = ann.brute_force_topk(e, q, k=10)
+    binh = ann.binary_hamming_topk(e, q, dim=64, k=10, pool=50)
+    ex, ap, rank1 = {}, {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    rows = binh.collect()
+    for r in rows:
+        ap.setdefault(r.q_id, set()).add(r.vec_id)
+        if r.rank == 1:
+            rank1[r.q_id] = r.vec_id
+    assert set(ex) == set(ap) == {0, 1, 2, 3, 4}
+    hits = sum(len(ex[qid] & ap[qid]) for qid in ex)
+    total = sum(len(ex[qid]) for qid in ex)
+    assert hits / total >= 0.6, f"recall@10 {hits}/{total}"
+    for qid in ap:  # unit vectors: self is Hamming-0, then exact-top
+        assert rank1[qid] == qid
+    again = ann.binary_hamming_topk(
+        e.repartition(7), q, dim=64, k=10, pool=50
+    ).collect()
+    assert sorted((r.q_id, r.vec_id, r.rank) for r in rows) == sorted(
+        (r.q_id, r.vec_id, r.rank) for r in again
+    )
