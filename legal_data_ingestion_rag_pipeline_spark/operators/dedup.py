@@ -598,3 +598,92 @@ def contamination_overlap(
         "frac",
         F.expr(PT.round6("n_common / CAST(probe_n_grams AS DOUBLE)", PT.SPARK)),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span accounting — the Spark-first form
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): every k-token window that
+    occurs ``min_occurrences``+ times anywhere in the corpus
+    (including twice in the SAME document) marks its [pos, pos+k)
+    token span as duplicated; overlapping spans are merged and each
+    document reports its covered-token count and fraction — the
+    signal the ExactSubstr pipeline thresholds on.
+
+    The suffix-array construction of the paper is replaced by rolling
+    window hashes, which distribute: gram hashing is map-side
+    (functions/portable.word_ngram_hashes — position-indexed), the
+    occurrence count is ONE shuffle on the uniform 8-byte gram key,
+    the mark-back join reuses that same key, and the interval merge is
+    a per-document window (bounded by document length) using the
+    prev-max-end gaps-and-islands increment — so only (id, pos, hash)
+    rows ever shuffle, never text. Every document survives to the
+    output (NULL/short texts report 0 coverage); fraction rounds to
+    micro-units for cross-engine hashing.
+    """
+    toks = PT.tokens(f"coalesce({text_col}, '')", PT.SPARK)
+    th = PT.hash_array("_toks", PT.SPARK)
+    grams_expr = PT.word_ngram_hashes("_th", k, PT.SPARK)
+    base = barrier(
+        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(
+            id_col,
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.expr(th).alias("_th"),
+        )
+        .select(id_col, "n_tokens", F.expr(grams_expr).alias("_grams"))
+    )
+    g = base.select(
+        id_col, F.posexplode("_grams").alias("pos", "gram_hash")
+    )
+    dup = (
+        g.groupBy("gram_hash")
+        .count()
+        .filter(F.col("count") >= min_occurrences)
+        .select("gram_hash")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = (
+        g.join(dup, "gram_hash")
+        .withColumn("_prev_end", F.max(F.col("pos") + F.lit(k)).over(w))
+        .withColumn(
+            "_inc",
+            F.greatest(
+                F.lit(0),
+                F.col("pos")
+                + F.lit(k)
+                - F.greatest(F.coalesce("_prev_end", "pos"), F.col("pos")),
+            ).cast("bigint"),
+        )
+    )
+    per_doc = contrib.groupBy(id_col).agg(
+        F.count("*").alias("_n_dup"),
+        F.sum("_inc").alias("_covered"),
+    )
+    frac = PT.round6(
+        "CAST(covered_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", PT.SPARK
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("_n_dup", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce("_covered", F.lit(0)).cast("bigint").alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.expr(frac)),
+        )
+    )

@@ -2026,3 +2026,56 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = ann.ivf_assign(e, centroids)
     return dedup.semdedup_flags(assigned, _SEM_TAU).orderBy("vec_id")
+
+
+_SPAN_K = 8
+_SPAN_TOKS = PT.tokens("coalesce(text, '')", D)
+_SPAN_FRAC = PT.round6(
+    "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)", D
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 {PT.hash_array('toks', D)} AS th FROM t),
+    gr AS (SELECT doc_id, n_tokens,
+                  {PT.word_ngram_hashes('th', _SPAN_K, D)} AS grams FROM h),
+    g AS (SELECT doc_id, i AS pos, grams[i + 1] AS gram_hash
+          FROM gr, unnest(range(len(grams))) AS u(i)),
+    dup AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+    contrib AS (
+      SELECT doc_id, pos,
+             max(pos + {_SPAN_K}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g JOIN dup USING (gram_hash)),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(greatest(0, pos + {_SPAN_K}
+                               - greatest(coalesce(prev_end, pos), pos)))
+                  AS BIGINT) AS covered_tokens
+      FROM contrib GROUP BY doc_id)
+    SELECT gr.doc_id, gr.n_tokens,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           CASE WHEN gr.n_tokens = 0 THEN 0.0
+                ELSE {_SPAN_FRAC} END AS dup_fraction
+    FROM gr LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id
+    """,
+    doc="duplicated-span accounting, the exact-substring dedup signal "
+    "of Lee et al. 2022 (dedup.duplicate_spans): every 8-token window "
+    "occurring 2+ times anywhere in the corpus marks its span; "
+    "overlapping spans merge via the prev-max-end island increment "
+    "inside a per-document window; each doc reports covered tokens "
+    "and fraction. The suffix array of the paper becomes rolling "
+    "gram hashes: one shuffle on the uniform 8-byte gram key, text "
+    "never shuffles, every document survives to the output.",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).orderBy(
+        "doc_id"
+    )

@@ -753,3 +753,62 @@ def test_cms_weighted_build_equals_unweighted(spark):
         ).collect()
     }
     assert raw == weighted
+
+
+def test_duplicate_spans_planted_and_merged(spark):
+    """dedup.duplicate_spans on a hand-built corpus: a shared 8-token
+    span between two docs covers exactly 8 tokens in each (single
+    window -> k tokens); a 9-token shared run yields 2 overlapping
+    windows whose merged interval covers 9 tokens, not 16; unique
+    text, short (<k tokens) docs, and NULL text all report zero with
+    the doc still present."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    shared8 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    shared9 = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared8} v1 v2"),
+            (2, f"w1 {shared8} w2 w3"),
+            (3, f"{shared9} x1"),
+            (4, f"y1 y2 {shared9}"),
+            (5, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+            (6, "tiny doc"),
+            (7, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_spans(docs, k=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    for d in (1, 2):  # one duplicated window, covers exactly k=8
+        assert out[d].n_dup_windows == 1
+        assert out[d].covered_tokens == 8
+    for d in (3, 4):  # two overlapping windows merge to 9, not 16
+        assert out[d].n_dup_windows == 2
+        assert out[d].covered_tokens == 9
+    assert abs(out[3].dup_fraction - 9 / 10) < 1e-6
+    for d in (5, 6, 7):
+        assert out[d].n_dup_windows == 0
+        assert out[d].covered_tokens == 0
+        assert out[d].dup_fraction == 0.0
+    assert out[7].n_tokens == 0
+
+
+def test_duplicate_spans_intra_document_repeat(spark):
+    """A k-gram repeated twice WITHIN one document counts as
+    duplicated (Lee et al. count occurrences, not documents): both
+    occurrences mark their spans."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} gap1 gap2 {rep}"), (2, "other text entirely here")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_spans(docs, k=8).collect()}
+    assert out[1].n_dup_windows == 2
+    assert out[1].covered_tokens == 16  # two disjoint 8-token spans
+    assert out[2].covered_tokens == 0
