@@ -1113,3 +1113,74 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, ["doc_id"], ["text", "source"]).orderBy(
         "doc_id"
     )
+
+
+_PR_SCALE = 1_000_000_000_000
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    r0 AS (SELECT node, ({_PR_SCALE} // n) AS rank_units FROM nodes, nn),
+    c1 AS (SELECT e.dst AS node, sum(r.rank_units // d.out_deg) AS cin
+           FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    d1 AS (SELECT coalesce(sum(r.rank_units), 0) AS dang
+           FROM r0 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    r1 AS (SELECT nodes.node,
+                  ((15 * ({_PR_SCALE} // n)) // 100)
+                  + ((85 * (coalesce(c1.cin, 0) + (d1.dang // n))) // 100)
+                    AS rank_units
+           FROM nodes CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN c1 ON c1.node = nodes.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank_units // d.out_deg) AS cin
+           FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    d2 AS (SELECT coalesce(sum(r.rank_units), 0) AS dang
+           FROM r1 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    r2 AS (SELECT nodes.node,
+                  ((15 * ({_PR_SCALE} // n)) // 100)
+                  + ((85 * (coalesce(c2.cin, 0) + (d2.dang // n))) // 100)
+                    AS rank_units
+           FROM nodes CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN c2 ON c2.node = nodes.node)
+    SELECT node, CAST(rank_units AS BIGINT) AS rank_units
+    FROM r2 ORDER BY rank_units DESC, node LIMIT 20
+    """,
+    doc="fixed-point PageRank, 2 iterations, over the bidirectional "
+    "customer<->supplier trade graph (operators/graph.pagerank): rank "
+    "lives in exact BIGINT units of 1e-12 total mass, contributions "
+    "are integer DIV, and sums are exact — so the iterative algorithm "
+    "is bit-identical across engines and partitionings (PageRank as a "
+    "deterministic quality feature, the CommonCrawl harmonic-rank "
+    "role). Each iteration: one src join + one dst shuffle-agg + a "
+    "1-row dangling broadcast; the rank frontier localCheckpoints so "
+    "lineage stays O(1) per round. Oracle unrolls the identical two "
+    "iterations in SQL.",
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = graph.pagerank(edges, iterations=2)
+    return out.orderBy(F.desc("rank_units"), "node").limit(20)

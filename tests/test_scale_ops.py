@@ -945,3 +945,68 @@ def test_binary_hamming_recall_and_determinism(spark):
     assert sorted((r.q_id, r.vec_id, r.rank) for r in rows) == sorted(
         (r.q_id, r.vec_id, r.rank) for r in again
     )
+
+
+def _pagerank_python_twin(edges, iterations=2, damping_pct=85):
+    """Pure-Python fixed-point PageRank with the identical integer
+    arithmetic (DIV truncation, exact sums) as operators/graph.pagerank."""
+    SCALE = 1_000_000_000_000
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    base = (100 - damping_pct) * (SCALE // n) // 100
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        dang = sum(rank[v] for v in nodes if v not in deg)
+        incoming = {v: 0 for v in nodes}
+        for u, v in e:
+            incoming[v] += rank[u] // deg[u]
+        rank = {
+            v: base + damping_pct * (incoming[v] + dang // n) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_python_twin_with_dangling(spark):
+    """graph.pagerank on a graph WITH a dangling sink (d has no
+    out-edges): bit-equal to the integer-arithmetic Python twin, sink
+    accumulates more rank than its feeders, and the result is
+    identical under a different edge partitioning."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+        ("b", "d"), ("c", "d"),  # d: sink, no out-edges
+    ]
+    want = _pagerank_python_twin(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_units for r in graph.pagerank(df, iterations=2).collect()}
+    assert got == want
+    assert got["d"] > got["b"] and got["d"] > got["c"]
+    again = {
+        r.node: r.rank_units
+        for r in graph.pagerank(df.repartition(5), iterations=2).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Star graph (spokes -> hub and back): the hub's rank exceeds
+    every spoke's, spokes are all exactly equal (integer arithmetic:
+    bit-equal, not approximately), and total mass stays within the
+    documented truncation leak of SCALE."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    spokes = [f"s{i}" for i in range(6)]
+    edges = [("hub", s) for s in spokes] + [(s, "hub") for s in spokes]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_units for r in graph.pagerank(df, iterations=3).collect()}
+    hub = got.pop("hub")
+    assert all(v < hub for v in got.values())
+    assert len(set(got.values())) == 1
+    total = hub + sum(got.values())
+    assert 0 <= 1_000_000_000_000 - total < 1_000  # truncation leak only
