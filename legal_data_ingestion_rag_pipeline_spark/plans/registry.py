@@ -81,6 +81,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        gated via dedup_ngram_jaccard; winnowing keeps its
 #:        oracle_check row + textstats parity pytest.
 #:
+#: Round-6 fourth rotation (post-crash session: the three newest
+#: operator families in while newest):
+#:   IN : ann_binary_hamming_topk (1-bit packed-sign Hamming tier —
+#:        new quantized-retrieval machinery: XOR+popcount stage 1),
+#:        dedup_duplicate_spans (exact-substring dedup signal — new
+#:        rolling-gram + island-merge machinery),
+#:        pagerank_trade_network (fixed-point iterative PageRank —
+#:        new integer-exact iteration machinery).
+#:   OUT: ann_sq8_rescore_topk -> the two-stage pool->exact-rescore
+#:        machinery stays gated THREE ways (ann_pq_trained trained
+#:        ADC, ann_binary_hamming_topk Hamming tier, both ending in
+#:        the same exact-rescore + two-phase top-k); SQ8 keeps its
+#:        recall-floor fuzz + dedicated pytest + oracle_check row.
+#:        dedup_exact -> the sha2-keyed groupBy dedup machinery is
+#:        gated via curation_pipeline (exact-dedup stage) AND
+#:        curation_pipeline_v3 (hashed keeper); keeps oracle_check +
+#:        pytest.
+#:        kmeans_two_iterations -> Lloyd training machinery is gated
+#:        via ann_pq_trained and dedup_semantic_clusters (both train
+#:        codebooks/centroids in-query); keeps oracle_check + trainer
+#:        parity pytest; pagerank keeps the iterative-algorithm slot
+#:        pointed at the newest iterative operator.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -96,7 +119,6 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:     (v4 = v3 + domain front door stays oracle_check-only for now).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_srp_lsh",
@@ -104,16 +126,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_incremental_minhash",
     "dedup_semantic_clusters",
+    "dedup_duplicate_spans",
     "snapshot_table_diff",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
     "ann_ivf_topk",
-    "ann_sq8_rescore_topk",
+    "ann_binary_hamming_topk",
     "ann_pq_trained",
     "contrastive_negatives",
     "domain_mixture_sample",
-    "kmeans_two_iterations",
+    "pagerank_trade_network",
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
     # LLM family: text analysis + RAG + curation + streaming +
