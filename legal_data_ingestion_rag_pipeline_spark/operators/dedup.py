@@ -626,18 +626,25 @@ def duplicate_spans(
     rows ever shuffle, never text. Every document survives to the
     output (NULL/short texts report 0 coverage); fraction rounds to
     micro-units for cross-engine hashing.
+
+    The gram table feeds THREE consumers (occurrence count, mark-back
+    join, final per-doc n_tokens), so it localCheckpoints — the
+    lsh_candidate_pairs convention: in production the (id, n_tokens,
+    grams) table is a written artifact; recomputing the text scan +
+    hash folds once per consumer would triple the dominant cost.
     """
     toks = PT.tokens(f"coalesce({text_col}, '')", PT.SPARK)
     th = PT.hash_array("_toks", PT.SPARK)
     grams_expr = PT.word_ngram_hashes("_th", k, PT.SPARK)
-    base = barrier(
-        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+    base = (
+        barrier(df.select(F.col(id_col), F.expr(toks).alias("_toks")))
         .select(
             id_col,
             F.size("_toks").cast("bigint").alias("n_tokens"),
             F.expr(th).alias("_th"),
         )
         .select(id_col, "n_tokens", F.expr(grams_expr).alias("_grams"))
+        .localCheckpoint(eager=True)
     )
     g = base.select(
         id_col, F.posexplode("_grams").alias("pos", "gram_hash")

@@ -285,3 +285,35 @@ def test_incremental_minhash_no_window_over_candidates(spark):
     plan = plan_of(spark, "dedup_incremental_minhash")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binary_hamming_stage1_no_python_scoring(spark):
+    """Stage 1 of the binary retrieval must be pure codegen XOR +
+    popcount (bit_count) — the ONLY Python in the plan is the
+    two-phase top-k reducer (MapInPandas), and the corpus side joins
+    the broadcast query codes without a corpus shuffle."""
+    plan = plan_of(spark, "ann_binary_hamming_topk")
+    assert "bit_count" in plan
+    assert plan.count("MapInPandas") == 1  # part_topk only
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark):
+    """After the gram explode, every exchange carries (id, pos, hash)
+    — text never shuffles; the interval merge window partitions by
+    doc_id only (per-document bounded state)."""
+    plan = plan_of(spark, "dedup_duplicate_spans")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert "windowspecdefinition(doc_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_no_cartesian_and_scalar_broadcast(spark):
+    """Each PageRank iteration joins on vertex keys; the only
+    nested-loop join allowed is the 1-row dangling-mass broadcast."""
+    plan = plan_of(spark, "pagerank_trade_network")
+    assert "CartesianProduct" not in plan
+    assert "rank_units" in plan
