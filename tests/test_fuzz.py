@@ -637,3 +637,74 @@ def test_fuzz_snapshot_diff_vs_python_reference(spark):
             for r in snapshot_diff(old_df, new_df, ["k"], ["c1", "c2"]).collect()
         }
         assert got == want, (trial, got, want)
+
+
+def test_fuzz_duplicate_spans_vs_python_reference(spark):
+    """Seeded fuzz for dedup.duplicate_spans: random corpora over a
+    SMALL token alphabet (forcing genuine shared and self-repeated
+    k-gram windows) checked row-for-row against a pure-Python twin
+    that replicates the portable polynomial gram hashing and the
+    prev-max-end island merge. Catches off-by-ones in window
+    positions, interval merging, and the every-doc-survives contract."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+
+    P, INIT, MULT = 1_000_000_007, 7, 31
+    K = 4
+
+    def tok_hash(t):
+        acc = INIT
+        for ch in t:
+            acc = (acc * MULT + ord(ch)) % P
+        return acc
+
+    def twin(docs):
+        grams = {}  # doc_id -> [(pos, gram_hash)]
+        n_toks = {}
+        for did, text in docs:
+            toks = [t for t in (text or "").lower().split() if t]
+            n_toks[did] = len(toks)
+            th = [tok_hash(t) for t in toks]
+            g = []
+            for i in range(max(len(th) - K + 1, 0)):
+                acc = INIT
+                for h in th[i : i + K]:
+                    acc = (acc * MULT + h) % P
+                g.append((i, acc))
+            grams[did] = g
+        counts = {}
+        for g in grams.values():
+            for _, h in g:
+                counts[h] = counts.get(h, 0) + 1
+        out = {}
+        for did, _ in docs:
+            dup = sorted(p for p, h in grams[did] if counts[h] >= 2)
+            covered, prev_end = 0, None
+            for p in dup:
+                lo = max(prev_end if prev_end is not None else p, p)
+                covered += max(0, p + K - lo)
+                prev_end = max(prev_end, p + K) if prev_end is not None else p + K
+            frac = (
+                0.0
+                if n_toks[did] == 0
+                else math.floor(covered / n_toks[did] * 1e6 + 0.5) / 1e6
+            )
+            out[did] = (n_toks[did], len(dup), covered, frac)
+        return out
+
+    rng = random.Random(SEED)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(6 + trial * 4)]
+        docs = []
+        for did in range(20):
+            n = rng.randint(0, 30)
+            docs.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+        docs.append((97, None))
+        docs.append((98, ""))
+        docs.append((99, "xyzzy plugh"))  # < K tokens
+        want = twin(docs)
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_windows, r.covered_tokens, r.dup_fraction)
+            for r in dedup.duplicate_spans(df, k=K).collect()
+        }
+        assert got == want, f"trial {trial}"
