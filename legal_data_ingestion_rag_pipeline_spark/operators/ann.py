@@ -604,3 +604,64 @@ def binary_hamming_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )
+
+
+def matryoshka_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 10,
+    pool: int = 50,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (MRL, Kusupati et al. 2022 — the
+    adaptive-retrieval recipe shipped by OpenAI/Nomic embedding APIs):
+    stage 1 ranks by the exact double-fold dot over only the FIRST
+    ``prefix_dim`` components — with MRL-trained embeddings the prefix
+    carries most of the signal, and at 100 TB the stored prefix tier
+    streams prefix_dim/dim of the float bytes (combine with SQ8/binary
+    on the prefix for a multiplied saving) — stage 2 exact-rescores
+    the per-query top ``pool`` on full vectors.
+
+    The corpus prefix is projected once per row behind an optimizer
+    barrier (the SQ8 convention — without it the slice re-evaluates
+    per query), queries broadcast, and the pool comes from the
+    shuffle-free two-phase top-k. Deterministic end to end: both
+    stages are fixed-fold-order double arithmetic with total orders.
+    """
+    from ..session import barrier
+
+    if prefix_dim < 1:
+        raise ValueError("prefix_dim must be >= 1")
+    cq = barrier(
+        corpus.select(
+            corpus_id,
+            F.expr(
+                PT.slice_(corpus_vec, "1", prefix_dim, PT.SPARK)
+            ).alias("_pref"),
+        )
+    )
+    qcoded = queries.select(
+        query_id,
+        F.expr(PT.slice_(query_vec, "1", prefix_dim, PT.SPARK)).alias("_qpref"),
+    )
+    scored = cq.crossJoin(F.broadcast(qcoded)).withColumn(
+        "similarity", _dot("_pref", "_qpref")
+    )
+    survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    rescored = (
+        corpus.join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("similarity", _dot(corpus_vec, query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

@@ -2079,3 +2079,52 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).orderBy(
         "doc_id"
     )
+
+
+_MRL_P = 16
+
+
+@register(
+    "ann_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    proxy AS (
+      SELECT q.q_id, e.vec_id,
+             {PT.dot_double(PT.slice_('e.embedding', '1', _MRL_P, D), PT.slice_('q.q_vec', '1', _MRL_P, D), D)} AS p
+      FROM embeddings e, q
+    ),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY p DESC, vec_id) AS rn
+        FROM proxy) t
+      WHERE rn <= 50
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="two-stage Matryoshka retrieval "
+    "(operators/ann.matryoshka_rescore_topk): stage 1 ranks by the "
+    "exact dot over only the first 16 of 64 dims (the MRL "
+    "adaptive-retrieval recipe — the stored prefix tier is 1/4 the "
+    "float bytes), stage 2 exact-rescores the per-query top-50 pool "
+    "on full vectors. Fourth rung of the quantized/truncated "
+    "retrieval ladder (matryoshka / binary / SQ8 / PQ), all ending "
+    "in the same deterministic rescore.",
+)
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ann.matryoshka_rescore_topk(e, queries, prefix_dim=_MRL_P, k=10, pool=50)
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
