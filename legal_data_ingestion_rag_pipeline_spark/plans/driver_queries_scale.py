@@ -1184,3 +1184,46 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = graph.pagerank(edges, iterations=2)
     return out.orderBy(F.desc("rank_units"), "node").limit(20)
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Format-interchange verification: rewrite orders through ORC "
+    "(sources/readers.write_read_orc — the Hive/Trino estate format) "
+    "and aggregate THROUGH the ORC scan with a pushed filter; the "
+    "oracle runs on the plain parquet table, so a green row proves "
+    "the round-trip is faithful. The scan keeps parquet-class "
+    "machinery — vectorized batches, column pruning, stripe-level "
+    "predicate pushdown — asserted from the plan in "
+    "tests/test_plans_physical.py. Decimal-exact sums.",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.readers import write_read_orc
+
+    o = _t(spark, sf_dir, "orders")
+    tag = f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}", "orders")
+    back = write_read_orc(o, path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

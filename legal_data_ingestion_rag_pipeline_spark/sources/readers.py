@@ -87,3 +87,18 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     evolution are additive-safe.
     """
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def write_read_orc(df: DataFrame, path: str) -> DataFrame:
+    """ORC round-trip: write ``df`` as ORC and return the re-read
+    DataFrame.
+
+    ORC is the remaining columnar format a warehouse migration
+    actually encounters (Hive/Trino estates); Spark's reader gives
+    the same scan machinery as parquet — vectorized batches, column
+    pruning, predicate pushdown into stripe/row-group min/max — which
+    tests/test_plans_physical.py asserts from the plan. Parquet stays
+    the native store; this is the interchange seam.
+    """
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

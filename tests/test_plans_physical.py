@@ -317,3 +317,14 @@ def test_pagerank_iteration_no_cartesian_and_scalar_broadcast(spark):
     plan = plan_of(spark, "pagerank_trade_network")
     assert "CartesianProduct" not in plan
     assert "rank_units" in plan
+
+
+def test_orc_scan_pushdown_and_pruning(spark):
+    """The ORC interchange scan must keep parquet-class machinery:
+    vectorized batches, the status filter pushed into the scan, and a
+    read schema pruned to the 3 referenced columns."""
+    plan = plan_of(spark, "orc_roundtrip_scan")
+    scan = next(l for l in plan.splitlines() if "FileScan orc" in l)
+    assert "Batched: true" in scan
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in scan
+    assert "o_orderdate" not in scan.split("ReadSchema")[1]
