@@ -115,3 +115,58 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def scd2_history(
+    obs: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an observation
+    log: collapse consecutive equal values per key into versioned
+    intervals (key..., version, value, valid_from, valid_to,
+    n_events, is_current) — the standard warehouse dimension-history
+    build (Kimball SCD2), and the batch form of the reference's
+    updated_at versioning.
+
+    Runs-of-equal detection is lag + null-safe inequality, version
+    ids are a running sum, interval closing is lead(valid_from) — all
+    inside windows partitioned by the dimension key, so state is
+    bounded per key and the only shuffle is the key hash partition.
+    The (ts, tiebreak...) chain must be total per key for
+    deterministic output; pass tiebreak_cols when ts alone can tie
+    (the l_linenumber lesson). NULL values are versions too: NULL ->
+    NULL is unchanged, NULL -> 'x' opens a new version (eqNullSafe,
+    IS DISTINCT FROM in the oracle).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    changed = (
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(~F.col(value_col).eqNullSafe(prev), 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    versioned = obs.withColumn("_chg", changed).withColumn(
+        "version", F.sum("_chg").over(run).cast("bigint")
+    )
+    grp = versioned.groupBy(*key_cols, "version").agg(
+        F.min(value_col).alias(value_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("version")
+    return grp.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
+        *key_cols,
+        "version",
+        value_col,
+        "valid_from",
+        "valid_to",
+        "n_events",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -506,3 +506,58 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    seq AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM obs),
+    ver AS (
+      SELECT *,
+             CAST(sum(CASE WHEN rn = 1 THEN 1
+                           WHEN event_type IS DISTINCT FROM prev THEN 1
+                           ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM seq),
+    grp AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, version)
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM grp ORDER BY user_id, version
+    """,
+    doc="Kimball type-2 dimension history (operators/upsert."
+    "scd2_history): collapse each user's consecutive equal "
+    "event_type observations into versioned validity intervals "
+    "(valid_from, valid_to half-open, NULL = current) with run "
+    "lengths — the batch form of the reference's updated_at "
+    "versioning and the versioned-dim complement to the CDC snapshot "
+    "diff. lag + running-sum + lead inside key-partitioned windows; "
+    "state bounded per key, one key shuffle; (ts, event_id) total "
+    "chain for determinism.",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    out = scd2_history(
+        ev, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
+    )
+    return out.orderBy("user_id", "version")

@@ -1042,3 +1042,38 @@ def test_matryoshka_recall_and_determinism(spark):
     assert sorted((r.q_id, r.vec_id, r.rank) for r in rows) == sorted(
         (r.q_id, r.vec_id, r.rank) for r in again
     )
+
+
+def test_scd2_history_runs_nulls_and_intervals(spark):
+    """scd2_history on a hand-built log: consecutive equal values
+    collapse into one version, NULL->NULL is unchanged while
+    NULL->value opens a version, intervals chain (valid_to of version
+    v == valid_from of v+1), exactly one current version per key, and
+    n_events counts the run length."""
+    from datetime import datetime
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.upsert import (
+        scd2_history,
+    )
+
+    t = lambda s: datetime(2026, 1, s)
+    rows = [
+        ("u1", 1, "a", t(1)), ("u1", 2, "a", t(2)), ("u1", 3, "b", t(3)),
+        ("u1", 4, "a", t(4)),
+        ("u2", 5, None, t(1)), ("u2", 6, None, t(2)), ("u2", 7, "x", t(3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id bigint, event_type string, ts timestamp"
+    )
+    out = scd2_history(df, ["user_id"], "ts", "event_type", ["event_id"])
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_key["u1"], key=lambda r: r.version)
+    assert [(r.event_type, r.n_events) for r in u1] == [("a", 2), ("b", 1), ("a", 1)]
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to == b.valid_from
+    assert [r.is_current for r in u1] == [False, False, True]
+    u2 = sorted(by_key["u2"], key=lambda r: r.version)
+    assert [(r.event_type, r.n_events) for r in u2] == [(None, 2), ("x", 1)]
+    assert sum(1 for r in u2 if r.is_current) == 1
