@@ -67,3 +67,39 @@ def argmax_per_group(
     if keep_rank_col:
         return out.withColumnRenamed("_rn", keep_rank_col)
     return out.drop("_rn")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top: int = 10, salt_threshold_ppm: int = 31250
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — the decision input for
+    :func:`salted_join`: the ``top`` heaviest keys with row counts and
+    integer parts-per-million share, plus a ``recommend_salt`` flag
+    per key (share above ``salt_threshold_ppm``; the default is
+    1/32 of the data ≈ one full shuffle partition at the session's 32
+    partitions — a single key owning a whole reducer is exactly the
+    straggler salting exists for).
+
+    One aggregation on the key (uniformly shuffled regardless of the
+    data's own skew — the count, not the rows, moves), then a global
+    top-k over the tiny count table. Shares are exact integer
+    arithmetic (ppm = cnt * 1e6 DIV total) so the report hash-gates.
+    NULL keys are profiled too — they hash to one reducer like any
+    hot key, which is precisely when you want to see them.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("key_rows"))
+    total = counts.agg(F.sum("key_rows").cast("bigint").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "key_rows",
+            F.expr("(key_rows * 1000000) DIV _total").alias("share_ppm"),
+            F.col("_total").alias("total_rows"),
+        )
+        .withColumn(
+            "recommend_salt", F.col("share_ppm") > F.lit(salt_threshold_ppm)
+        )
+        .orderBy(F.desc("key_rows"), F.asc_nulls_first(key_col))
+        .limit(top)
+    )

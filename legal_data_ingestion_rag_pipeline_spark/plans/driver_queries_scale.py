@@ -1227,3 +1227,33 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS key_rows
+      FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(key_rows) AS BIGINT) AS total_rows FROM counts)
+    SELECT user_id, key_rows,
+           CAST((key_rows * 1000000) // total_rows AS BIGINT) AS share_ppm,
+           total_rows,
+           ((key_rows * 1000000) // total_rows) > 31250 AS recommend_salt
+    FROM counts, tot
+    ORDER BY key_rows DESC, user_id ASC NULLS FIRST LIMIT 10
+    """,
+    doc="join-key skew diagnostic (operators/topk.key_skew_profile): "
+    "top-10 heaviest events.user_id keys with exact integer ppm "
+    "share and a recommend_salt flag (share > 1/32 = one full "
+    "shuffle partition at session parallelism) — the measurement you "
+    "run BEFORE choosing salted_join over a plain join. One count "
+    "aggregation (counts shuffle uniformly even when the rows are "
+    "skewed) + a broadcast scalar + TakeOrdered over the tiny count "
+    "table.",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top=10)

@@ -1077,3 +1077,24 @@ def test_scd2_history_runs_nulls_and_intervals(spark):
     u2 = sorted(by_key["u2"], key=lambda r: r.version)
     assert [(r.event_type, r.n_events) for r in u2] == [(None, 2), ("x", 1)]
     assert sum(1 for r in u2 if r.is_current) == 1
+
+
+def test_key_skew_profile_flags_planted_hot_key(spark):
+    """A planted 60%-share key must surface at rank 1 with
+    recommend_salt=true; uniform keys stay below the 1/32 threshold
+    flag when small; shares are exact integer ppm; NULL keys are
+    profiled rather than dropped."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.topk import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(30)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top=5)
+    got = out.collect()
+    assert got[0].k == "hot" and got[0].key_rows == 60
+    assert got[0].share_ppm == 600000 and got[0].recommend_salt
+    assert got[0].total_rows == 100
+    nulls = [r for r in got if r.k is None]
+    assert nulls and nulls[0].key_rows == 10 and nulls[0].recommend_salt
+    assert all(not r.recommend_salt for r in got if r.k not in (None, "hot"))
