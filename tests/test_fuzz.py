@@ -708,3 +708,58 @@ def test_fuzz_duplicate_spans_vs_python_reference(spark):
             for r in dedup.duplicate_spans(df, k=K).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_fuzz_scd2_vs_python_reference(spark):
+    """Seeded fuzz for upsert.scd2_history: random observation logs
+    (few keys, few values, NULLs mixed in, duplicate timestamps forced
+    so the tiebreak chain matters) checked row-for-row against a
+    pure-Python twin. Catches run-collapse, NULL-transition, and
+    interval-chaining bugs."""
+    from datetime import datetime, timedelta
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.upsert import (
+        scd2_history,
+    )
+
+    def twin(rows):
+        by_key = {}
+        for uid, eid, val, ts in rows:
+            by_key.setdefault(uid, []).append((ts, eid, val))
+        out = []
+        for uid, obs in by_key.items():
+            obs.sort(key=lambda t: (t[0], t[1]))
+            runs = []  # [value, valid_from, n]
+            for ts, _, val in obs:
+                if runs and runs[-1][0] == val:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([val, ts, 1])
+            for v, (val, vf, n) in enumerate(runs, 1):
+                vt = runs[v][1] if v < len(runs) else None
+                out.append((uid, v, val, vf, vt, n, vt is None))
+        return sorted(out, key=lambda t: (t[0], t[1]))
+
+    rng = random.Random(SEED)
+    base = datetime(2026, 3, 1)
+    for trial in range(3):
+        rows = []
+        for eid in range(120):
+            uid = f"u{rng.randint(0, 4)}"
+            val = rng.choice(["a", "b", "c", None])
+            ts = base + timedelta(hours=rng.randint(0, 20))  # ties likely
+            rows.append((uid, eid, val, ts))
+        df = spark.createDataFrame(
+            rows, "user_id string, event_id bigint, event_type string, ts timestamp"
+        )
+        got = sorted(
+            (
+                (r.user_id, r.version, r.event_type, r.valid_from,
+                 r.valid_to, r.n_events, r.is_current)
+                for r in scd2_history(
+                    df, ["user_id"], "ts", "event_type", ["event_id"]
+                ).collect()
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert got == twin(rows), f"trial {trial}"

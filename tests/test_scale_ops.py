@@ -1098,3 +1098,29 @@ def test_key_skew_profile_flags_planted_hot_key(spark):
     nulls = [r for r in got if r.k is None]
     assert nulls and nulls[0].key_rows == 10 and nulls[0].recommend_salt
     assert all(not r.recommend_salt for r in got if r.k not in (None, "hot"))
+
+
+def test_binary_code_packing_odd_dims(spark):
+    """Packing generalizes beyond 64 dims: a 30-dim vector fits one
+    word (partial), a 130-dim vector takes 3 words (62+62+6), and
+    popcounts still sum to the positive-component count."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    for dim in (30, 130):
+        vec = [(1.0 if i % 5 in (0, 2) else -1.0) for i in range(dim)]
+        df = spark.createDataFrame(
+            [(0, vec)], "vec_id bigint, embedding array<double>"
+        )
+        words = ann.binary_code_words_sql("embedding", dim, "spark")
+        assert len(words) == (dim + 61) // 62
+        row = df.selectExpr(
+            *[f"{w} AS w{i}" for i, w in enumerate(words)]
+        ).collect()[0]
+        pop = sum(bin(getattr(row, f"w{i}")).count("1") for i in range(len(words)))
+        assert pop == sum(1 for x in vec if x > 0)
+        got = []
+        for i in range(len(words)):
+            wv = getattr(row, f"w{i}")
+            nb = min(62, dim - i * 62)
+            got += [(wv >> j) & 1 for j in range(nb)]
+        assert got == [1 if x > 0 else 0 for x in vec]
