@@ -243,3 +243,56 @@ def fingerprint(text_col: str, shingle: int = 8) -> Column:
     grams = portable.char_ngrams(text_col, shingle, portable.SPARK)
     hashed = portable.transform(grams, f"g -> {portable.poly_hash('g', portable.SPARK)}", portable.SPARK)
     return F.expr(portable.array_min(hashed, portable.SPARK))
+
+
+def compression_ratio_arrow(df, text_col: str, id_col: str, level: int = 6):
+    """Per-document zlib compression ratio — the Gopher/CCNet
+    "compressibility" quality proxy: highly compressible text
+    (ratio << 1) is boilerplate/repetition; near-incompressible text
+    (ratio ~ 1) is often binary junk or gibberish. The middle band is
+    natural language.
+
+    Arrow-batched mapInPandas; each batch compresses its documents
+    with a FIXED zlib level, so the output is deterministic for a
+    given zlib build — the oracle twin (plans/driver_queries_pretrain)
+    runs the identical compression in the same interpreter, making
+    even this non-SQL signal value-hash-gateable. NULL text reports 0
+    bytes and ratio 0.0 (the every-doc-survives contract). Ratio is
+    floor(x*1e6+0.5)/1e6 micro-rounded, the textstats convention.
+    Map-side only: no shuffle at all.
+    """
+    import math as _math
+    import zlib as _zlib
+
+    schema = (
+        f"{id_col} bigint, raw_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double"
+    )
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, raws, comps, ratios = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                b = (text or "").encode("utf-8")
+                c = len(_zlib.compress(b, level)) if b else 0
+                r = (
+                    0.0
+                    if not b
+                    else _math.floor(c / len(b) * 1e6 + 0.5) / 1e6
+                )
+                ids.append(did)
+                raws.append(len(b))
+                comps.append(c)
+                ratios.append(r)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_bytes": raws,
+                    "compressed_bytes": comps,
+                    "compression_ratio": ratios,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)

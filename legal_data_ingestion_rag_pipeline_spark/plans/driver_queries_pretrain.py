@@ -873,3 +873,50 @@ def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     segs = linededup.segment_token_windows(docs, w=_SEG_W)
     return linededup.dedup_segments_within_doc(segs).orderBy("doc_id")
+
+
+def _compression_oracle(sf_dir: str) -> str:
+    """Python-twin dynamic oracle (the bpe_train_merges convention):
+    re-compress every document with the IDENTICAL zlib call in this
+    interpreter and inline the expected rows as VALUES — proving the
+    Spark plan's batching/NULL plumbing, with byte counts exact and
+    ratios micro-rounded by the same formula."""
+    import math
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = (text or "").encode("utf-8")
+        c = len(zlib.compress(b, 6)) if b else 0
+        r = 0.0 if not b else math.floor(c / len(b) * 1e6 + 0.5) / 1e6
+        rows.append(f"({did}, {len(b)}, {c}, {r!r})")
+    values = ",\n           ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(raw_bytes AS BIGINT) AS raw_bytes,
+           CAST(compressed_bytes AS BIGINT) AS compressed_bytes,
+           CAST(compression_ratio AS DOUBLE) AS compression_ratio
+    FROM (VALUES {values})
+      t(doc_id, raw_bytes, compressed_bytes, compression_ratio)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "textstats_compression_ratio",
+    oracle=_compression_oracle,
+    doc="zlib compressibility quality proxy (functions/textstats."
+    "compression_ratio_arrow): per-doc raw/compressed byte counts and "
+    "micro-rounded ratio — the Gopher repetition/junk signal that "
+    "n-gram rules miss. Map-side Arrow pass, no shuffle; "
+    "deterministic for a fixed zlib level, so the Python-twin VALUES "
+    "oracle hash-gates a signal SQL cannot express.",
+)
+def textstats_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import compression_ratio_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio_arrow(docs, "text", "doc_id").orderBy("doc_id")

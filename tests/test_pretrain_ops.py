@@ -812,3 +812,34 @@ def test_duplicate_spans_intra_document_repeat(spark):
     assert out[1].n_dup_windows == 2
     assert out[1].covered_tokens == 16  # two disjoint 8-token spans
     assert out[2].covered_tokens == 0
+
+
+def test_compression_ratio_bands(spark):
+    """The zlib signal separates the three curation bands: pure
+    repetition compresses far below varied natural text, random-ish
+    hex junk sits near/above natural text, NULL/empty report 0 with
+    the doc kept."""
+    from legal_data_ingestion_rag_pipeline_spark.functions.textstats import (
+        compression_ratio_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "The quick brown fox jumps over the lazy dog. "
+                "Judges rarely agree on procedural nuance, and every "
+                "filing tells a slightly different story about venue."),
+            (3, "9f8a7b6c5d4e3f2a1b0c" * 20),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio_arrow(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].compression_ratio < 0.05          # repetition collapses
+    assert 0.3 < out[2].compression_ratio < 1.0     # natural language
+    assert out[3].compression_ratio > out[1].compression_ratio
+    for d in (4, 5):
+        assert out[d].raw_bytes == 0 and out[d].compression_ratio == 0.0
+    assert out[2].raw_bytes > out[2].compressed_bytes > 0
