@@ -561,3 +561,60 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", "event_type", tiebreak_cols=["event_id"]
     )
     return out.orderBy("user_id", "version")
+
+
+@register(
+    "timeseries_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, day),
+    spans AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi
+      FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(g AS DATE) AS day
+      FROM spans, unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS t(g))
+    SELECT grid.user_id, grid.day,
+           coalesce(daily.n_events, 0) AS n_events,
+           daily.n_events IS NULL AS is_gap
+    FROM grid LEFT JOIN daily
+      ON daily.user_id = grid.user_id AND daily.day = grid.day
+    ORDER BY grid.user_id, grid.day
+    """,
+    doc="time-series gap filling: the zero-filled per-user daily "
+    "event series every downstream rate/trend computation assumes "
+    "(and Spark has no native GAP FILL for) — per-key min/max day, a "
+    "sequence() explode over the span (bounded by each key's own "
+    "range, never a global calendar cross join), left join back, "
+    "explicit is_gap flag. One shuffle on (user, day), one on user "
+    "for spans; at 100 TB the grid is |keys| x avg-span rows, "
+    "generated map-side from the tiny span table.",
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )

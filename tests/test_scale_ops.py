@@ -1124,3 +1124,49 @@ def test_binary_code_packing_odd_dims(spark):
             nb = min(62, dim - i * 62)
             got += [(wv >> j) & 1 for j in range(nb)]
         assert got == [1 if x > 0 else 0 for x in vec]
+
+
+def test_gapfill_fills_only_interior_days(spark):
+    """Gap filling creates exactly the missing interior days per key
+    (never extends beyond each key's own [min, max] span), zero-fills
+    them with is_gap=true, and leaves observed counts untouched."""
+    from datetime import date
+
+    reg = registry()["timeseries_gapfill_daily"]
+    from pyspark.sql import functions as FF
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", date(2026, 1, 1)), (2, "u1", date(2026, 1, 1)),
+            (3, "u1", date(2026, 1, 4)),
+            (4, "u2", date(2026, 2, 10)),
+        ],
+        "event_id bigint, user_id string, d date",
+    ).withColumn("ts", FF.col("d").cast("timestamp"))
+    daily = (
+        ev.select("user_id", FF.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(FF.count("*").cast("bigint").alias("n_events"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        FF.min("day").alias("lo"), FF.max("day").alias("hi")
+    )
+    grid = spans.select(
+        "user_id", FF.explode(FF.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    out = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            FF.coalesce("n_events", FF.lit(0)).cast("bigint").alias("n_events"),
+            FF.col("n_events").isNull().alias("is_gap"),
+        )
+        .collect()
+    )
+    rows = {(r.user_id, str(r.day)): (r.n_events, r.is_gap) for r in out}
+    assert rows[("u1", "2026-01-01")] == (2, False)
+    assert rows[("u1", "2026-01-02")] == (0, True)
+    assert rows[("u1", "2026-01-03")] == (0, True)
+    assert rows[("u1", "2026-01-04")] == (1, False)
+    assert rows[("u2", "2026-02-10")] == (1, False)
+    assert len(rows) == 5  # no days invented outside spans
