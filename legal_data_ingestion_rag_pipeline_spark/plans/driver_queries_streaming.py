@@ -188,3 +188,54 @@ def streaming_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_in).cast("bigint").alias("n_in"),
         F.count("*").alias("n_survivors"),
     )
+
+
+_SLIDE_SINK = "streaming_sliding_counts_sink"
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                FROM events),
+    exp AS (
+      SELECT date_trunc('day', ts) - (o * INTERVAL 1 DAY) AS win_start,
+             event_type, value
+      FROM ev, unnest([0, 1]) AS t(o))
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM exp GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+    doc="Structured Streaming SLIDING windows (2-day window, 1-day "
+    "slide) — the hopping-window shape tumbling cannot express; each "
+    "event lands in exactly 2 epoch-aligned windows. Real stream "
+    "(file source, availableNow, complete mode on the finite "
+    "replay); the oracle derives the same windows in batch SQL by "
+    "exploding each event into its two window starts. Watermark "
+    "bounds state in the unbounded deployment.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import windowed_sliding_stats
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    agg = windowed_sliding_stats(stream, window="2 days", slide="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SLIDE_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SLIDE_SINK).orderBy("win_start", "event_type")

@@ -169,6 +169,38 @@ def windowed_daily_stats(events: DataFrame, watermark: str = "1 day") -> DataFra
     )
 
 
+def windowed_sliding_stats(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding (hopping) windows — the overlapping-window shape
+    tumbling cannot express: every event lands in window/slide
+    windows (2 here), the rolling-rate view dashboards actually
+    want. Same bounded-state contract as the tumbling agg: the
+    watermark closes windows whose end has passed; state is
+    (windows-per-event x groups), still bounded. Decimal partial sums
+    keep totals order-independent across micro-batches.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup_exact(
     docs: DataFrame,
     text_col: str = "text",

@@ -348,3 +348,43 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert est["the"] >= 5 and est["fox"] >= 3
+
+
+def test_sliding_windows_each_event_in_two(spark, tmp_path):
+    """windowed_sliding_stats (2d window / 1d slide): the total of
+    n_events across windows is exactly 2x the event count (every
+    event belongs to two epoch-aligned windows), and each event's day
+    window and the preceding day's window both contain it."""
+    from datetime import datetime
+
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        windowed_sliding_stats,
+    )
+
+    rows = [
+        (1, datetime(2026, 1, 5, 3), "click", 1.0),
+        (2, datetime(2026, 1, 5, 20), "click", 2.0),
+        (3, datetime(2026, 1, 7, 1), "view", 4.0),
+    ]
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        windowed_sliding_stats(stream)
+        .writeStream.format("memory")
+        .queryName("slide_test_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("slide_test_sink").collect()
+    assert sum(r.n_events for r in out) == 2 * len(rows)
+    starts = {(str(r.win_start), r.event_type): r.n_events for r in out}
+    assert starts[("2026-01-05 00:00:00", "click")] == 2
+    assert starts[("2026-01-04 00:00:00", "click")] == 2
+    assert starts[("2026-01-07 00:00:00", "view")] == 1
+    assert starts[("2026-01-06 00:00:00", "view")] == 1
