@@ -104,6 +104,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        parity pytest; pagerank keeps the iterative-algorithm slot
 #:        pointed at the newest iterative operator.
 #:
+#: Round-6 fifth rotation (late additions, same partner rule):
+#:   IN : textstats_compression_ratio (zlib quality proxy — the one
+#:        non-SQL-expressible signal, gated through its Python-twin
+#:        VALUES oracle; worth a driver row precisely because the
+#:        gate must prove the dynamic-oracle path too),
+#:        ann_matryoshka_topk (prefix-truncation tier — fourth rung
+#:        of the retrieval ladder, new slice-projection machinery).
+#:   OUT: pii_redaction -> codegen regex-chain machinery is gated via
+#:        html_text_extraction (same regexp_replace pipeline shape);
+#:        keeps oracle_check + pytest.
+#:        fts_bm25_search -> the BM25 scoring path (postings, df/avgdl
+#:        broadcast, micro-unit quantization) runs INSIDE the gated
+#:        rag_rerank_bm25 stage 1; keeps oracle_check + rank pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -157,9 +171,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "url_domain_filter",
     "streaming_tumbling_counts",
     "multimodal_features",
-    "fts_bm25_search",
     "sequence_packing",
-    "pii_redaction",
+    "textstats_compression_ratio",
+    "ann_matryoshka_topk",
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
     "window_argmax_per_user",
