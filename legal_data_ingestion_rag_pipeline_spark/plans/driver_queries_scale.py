@@ -1120,6 +1120,7 @@ _PR_SCALE = 1_000_000_000_000
 
 @register(
     "pagerank_trade_network",
+    bench=True,
     oracle=f"""
     WITH raw AS (
       SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

@@ -2037,6 +2037,7 @@ _SPAN_FRAC = PT.round6(
 
 @register(
     "dedup_duplicate_spans",
+    bench=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM documents),
     h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
