@@ -875,12 +875,10 @@ def intradoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linededup.dedup_segments_within_doc(segs).orderBy("doc_id")
 
 
-def _compression_oracle(sf_dir: str) -> str:
-    """Python-twin dynamic oracle (the bpe_train_merges convention):
-    re-compress every document with the IDENTICAL zlib call in this
-    interpreter and inline the expected rows as VALUES — proving the
-    Spark plan's batching/NULL plumbing, with byte counts exact and
-    ratios micro-rounded by the same formula."""
+def _compression_values(sf_dir: str) -> str:
+    """VALUES rows (doc_id, raw, comp, ratio) from the zlib Python
+    twin — shared by the compression-ratio oracle and the v5 curation
+    oracle."""
     import math
     import zlib
 
@@ -893,7 +891,16 @@ def _compression_oracle(sf_dir: str) -> str:
         c = len(zlib.compress(b, 6)) if b else 0
         r = 0.0 if not b else math.floor(c / len(b) * 1e6 + 0.5) / 1e6
         rows.append(f"({did}, {len(b)}, {c}, {r!r})")
-    values = ",\n           ".join(rows)
+    return ",\n           ".join(rows)
+
+
+def _compression_oracle(sf_dir: str) -> str:
+    """Python-twin dynamic oracle (the bpe_train_merges convention):
+    re-compress every document with the IDENTICAL zlib call in this
+    interpreter and inline the expected rows as VALUES — proving the
+    Spark plan's batching/NULL plumbing, with byte counts exact and
+    ratios micro-rounded by the same formula."""
+    values = _compression_values(sf_dir)
     return f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(raw_bytes AS BIGINT) AS raw_bytes,
@@ -920,3 +927,92 @@ def textstats_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio_arrow(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_V5_MAX_DUP = 0.5
+_V5_CR_LO, _V5_CR_HI = 0.43, 0.95
+
+
+def _v5_oracle(sf_dir: str) -> str:
+    """v5 oracle: the duplicate-span CTE chain (SQL, from the gated
+    dedup_duplicate_spans oracle pieces) joined to the zlib
+    Python-twin VALUES, with the same keep thresholds."""
+    from .driver_queries_similarity import _SPAN_FRAC, _SPAN_K, _SPAN_TOKS
+
+    values = _compression_values(sf_dir)
+    return f"""
+    WITH t AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 {PT.hash_array('toks', PT.DUCKDB)} AS th FROM t),
+    gr AS (SELECT doc_id, n_tokens,
+                  {PT.word_ngram_hashes('th', _SPAN_K, PT.DUCKDB)} AS grams
+           FROM h),
+    g AS (SELECT doc_id, i AS pos, grams[i + 1] AS gram_hash
+          FROM gr, unnest(range(len(grams))) AS u(i)),
+    dup AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+    contrib AS (
+      SELECT doc_id, pos,
+             max(pos + {_SPAN_K}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g JOIN dup USING (gram_hash)),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, pos + {_SPAN_K}
+                               - greatest(coalesce(prev_end, pos), pos)))
+                  AS BIGINT) AS covered_tokens
+      FROM contrib GROUP BY doc_id),
+    spans AS (
+      SELECT gr.doc_id, gr.n_tokens,
+             CASE WHEN gr.n_tokens = 0 THEN 0.0
+                  ELSE {_SPAN_FRAC} END AS dup_fraction
+      FROM gr LEFT JOIN per_doc USING (doc_id)),
+    comp AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(compression_ratio AS DOUBLE) AS compression_ratio
+      FROM (VALUES {values})
+        t(doc_id, raw_bytes, compressed_bytes, compression_ratio))
+    SELECT spans.doc_id, spans.n_tokens, spans.dup_fraction,
+           comp.compression_ratio
+    FROM spans JOIN comp ON comp.doc_id = spans.doc_id
+    WHERE spans.dup_fraction <= {_V5_MAX_DUP}
+      AND comp.compression_ratio BETWEEN {_V5_CR_LO} AND {_V5_CR_HI}
+    ORDER BY spans.doc_id
+    """
+
+
+@register(
+    "curation_pipeline_v5",
+    oracle=_v5_oracle,
+    doc="fifth curation composition — the two NEWEST signals fused "
+    "into one selection: keep documents whose duplicated-span "
+    "fraction (dedup.duplicate_spans, the Lee et al. exact-substring "
+    "signal) stays <= 0.5 AND whose zlib compression ratio "
+    "(textstats.compression_ratio_arrow, the Gopher "
+    "compressibility band) sits in [0.43, 0.95] — dropping "
+    "boilerplate-heavy, repetition-collapsed, and junk-incompressible "
+    "documents in one pass. One lazy plan: the span branch's only "
+    "wide ops are its gram-key and doc-key shuffles, the compression "
+    "branch is a map-side Arrow pass, and the final join keys on "
+    "doc_id. Oracle = span SQL chain x zlib Python-twin VALUES.",
+)
+def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import compression_ratio_arrow
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=8).select(
+        "doc_id", "n_tokens", "dup_fraction"
+    )
+    comp = compression_ratio_arrow(docs, "text", "doc_id").select(
+        "doc_id", "compression_ratio"
+    )
+    return (
+        spans.join(comp, "doc_id")
+        .filter(
+            (F.col("dup_fraction") <= _V5_MAX_DUP)
+            & F.col("compression_ratio").between(_V5_CR_LO, _V5_CR_HI)
+        )
+        .select("doc_id", "n_tokens", "dup_fraction", "compression_ratio")
+        .orderBy("doc_id")
+    )
