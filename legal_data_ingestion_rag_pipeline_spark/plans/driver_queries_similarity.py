@@ -2129,3 +2129,46 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ann.matryoshka_rescore_topk(e, queries, prefix_dim=_MRL_P, k=10, pool=50)
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 5)
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.q_id, e.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         e.vec_id) AS rank
+      FROM embeddings e, q
+      WHERE e.label IS DISTINCT FROM q.q_label) t
+    WHERE rank <= 8 ORDER BY q_id, rank
+    """,
+    doc="hard-negative mining, the contrastive-training staple "
+    "(SimCSE/DPR recipes): for each anchor, the MOST SIMILAR corpus "
+    "vectors with a DIFFERENT label — the negatives that actually "
+    "move the loss, vs contrastive_negatives' uniform draws. "
+    "Broadcast anchors carry (vec, label); the label inequality is a "
+    "map-side filter before scoring (null-safe: unlabeled rows count "
+    "as different), then the shuffle-free two-phase top-k. The "
+    "corpus never shuffles.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(~F.col("label").eqNullSafe(F.col("q_label")))
+        .withColumn(
+            "similarity",
+            F.expr(PT.dot_double("embedding", "q_vec", S)),
+        )
+    )
+    out = ann._two_phase_topk(scored, 8, "q_id", "vec_id")
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

@@ -1170,3 +1170,28 @@ def test_gapfill_fills_only_interior_days(spark):
     assert rows[("u1", "2026-01-04")] == (1, False)
     assert rows[("u2", "2026-02-10")] == (1, False)
     assert len(rows) == 5  # no days invented outside spans
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Mined negatives never share the anchor's label (null-safe:
+    NULL-labeled corpus rows are valid negatives for a labeled
+    anchor), are similarity-ranked, and the anchor itself (same
+    label) can never appear."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import (
+        registry as _reg,
+    )
+
+    out = _reg()["hard_negative_mining"].spark(spark, SF).collect()
+    e = load_table(spark, SF, "embeddings").select("vec_id", "label").collect()
+    labels = {r.vec_id: r.label for r in e}
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        assert len(rows) == 8
+        assert all(r.vec_id != qid for r in rows)
+        for r in rows:
+            assert labels[r.vec_id] != labels[qid]
+        sims = [r.similarity for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
