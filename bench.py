@@ -64,8 +64,15 @@ def main() -> None:
     for spec in specs:
         runs = []
         for _ in range(4):
-            df = spec.spark(spark, sf_dir)  # build plan (cheap)
+            # Build INSIDE the timer: for lazy queries plan construction
+            # is milliseconds, but eager-construction queries (BPE
+            # training's collect loop, PageRank's per-iteration
+            # localCheckpoints, duplicate-spans' gram checkpoint) do
+            # their real work at build time — timing only the final
+            # action under-reported them (bpe_train_merges by ~3x
+            # through round 6's first runs; see PERFORMANCE.md).
             t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         cold[spec.name] = runs[0]
