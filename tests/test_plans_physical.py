@@ -328,3 +328,25 @@ def test_orc_scan_pushdown_and_pruning(spark):
     assert "Batched: true" in scan
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in scan
     assert "o_orderdate" not in scan.split("ReadSchema")[1]
+
+
+def test_v5_exchanges_carry_no_text(spark):
+    """curation_pipeline_v5: after the gram/score stages, every hash
+    exchange carries ids + hashes + small numerics — document bodies
+    never shuffle; exactly one Arrow stage (the zlib pass)."""
+    plan = plan_of(spark, "curation_pipeline_v5")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+    assert plan.count("MapInPandas") == 1  # compression pass only
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_corpus_never_shuffled_before_pool(spark):
+    """hard_negative_mining: anchors broadcast (nested-loop over the
+    tiny anchor set is the intended shape), label filter and scoring
+    map-side, the only Python the two-phase pool reducer."""
+    plan = plan_of(spark, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
