@@ -110,6 +110,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in EXACT
     integer fixed-point arithmetic.
@@ -142,12 +143,17 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    if not assume_distinct:
+        # multi-edges would double-count contributions; dedup unless
+        # the caller certifies distinctness (skips a full edge-list
+        # shuffle — at 1e9 edges the single biggest avoidable cost
+        # here, since everything after moves only vertex-scale rows
+        # plus one contribution row per edge)
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))

@@ -1183,7 +1183,11 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    out = graph.pagerank(edges, iterations=2)
+    # pairs is distinct and the reversed half is disjoint from the
+    # forward half (the 'c'/'s' prefixes make src != dst), so the
+    # union is certifiably multi-edge-free: skip the operator's dedup
+    # shuffle over the full edge list
+    out = graph.pagerank(edges, iterations=2, assume_distinct=True)
     return out.orderBy(F.desc("rank_units"), "node").limit(20)
 
 

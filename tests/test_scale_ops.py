@@ -1195,3 +1195,22 @@ def test_hard_negative_mining_excludes_same_label(spark):
             assert labels[r.vec_id] != labels[qid]
         sims = [r.similarity for r in sorted(rows, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pagerank_assume_distinct_equals_dedup_path(spark):
+    """assume_distinct=True on an actually-distinct edge list is
+    bit-equal to the dedup path; with a multi-edge present the flags
+    legitimately diverge (the contract the caller certifies)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = {r.node: r.rank_units for r in graph.pagerank(df, iterations=2).collect()}
+    fast = {
+        r.node: r.rank_units
+        for r in graph.pagerank(df, iterations=2, assume_distinct=True).collect()
+    }
+    assert base == fast
+    dup = spark.createDataFrame(edges + [("a", "b")], "src string, dst string")
+    deduped = {r.node: r.rank_units for r in graph.pagerank(dup, iterations=2).collect()}
+    assert deduped == base  # dedup path collapses the multi-edge
