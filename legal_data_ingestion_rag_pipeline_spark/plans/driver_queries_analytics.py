@@ -618,3 +618,91 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+#: Moment sums for OLS: the x/y values here (quantity <= 50, price <
+#: ~110k with 2 decimals) make every per-row double product EXACTLY
+#: representable (< 2^53 in 1e-4 units), so CAST(product AS
+#: DECIMAL(18,4)) is lossless and the decimal SUM is order-independent
+#: — the decimal-overflow gotcha's documented per-row-double recipe.
+#: (DuckDB multiplies DECIMAL(18)s in int64 and overflows otherwise.)
+_REG_SUMS = """
+  count(*) AS n,
+  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+  sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+           AS DECIMAL(18,4))) AS sxx,
+  sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+           AS DECIMAL(18,4))) AS sxy,
+  sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+           AS DECIMAL(18,4))) AS syy
+"""
+
+
+@register(
+    "regression_price_vs_quantity",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                      AS DECIMAL(18,4))) AS sxx,
+             sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                      AS DECIMAL(18,4))) AS sxy,
+             sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                      AS DECIMAL(18,4))) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0) + 0.5) AS DOUBLE) / 1000000.0 AS slope,
+           CAST(FLOOR((((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0) + 0.5) AS DOUBLE) / 1000000.0 AS intercept,
+           CAST(FLOOR(((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000000.0) + 0.5) AS DOUBLE) / 1000000000.0 AS r2
+    FROM sums ORDER BY l_returnflag
+    """,
+    doc="per-group OLS regression (slope/intercept/r2 of extended "
+    "price on quantity per return flag) computed from DECIMAL-EXACT "
+    "moment sums — the five sufficient statistics aggregate exactly "
+    "(order-independent integer-decimal addition, one partial-agg "
+    "shuffle of 6 narrow rows per group), and only the FINAL "
+    "slope/intercept/r2 divisions run in double, evaluated once on "
+    "identical scalars on both engines. The built-in float regr_* "
+    "aggregates are order-dependent and can never hash-gate; this "
+    "formulation is the scalable AND reproducible form of in-engine "
+    "ML statistics.",
+)
+def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_reg_lineitem")
+    sums = spark.sql(
+        f"SELECT l_returnflag, {_REG_SUMS} "
+        "FROM _reg_lineitem GROUP BY l_returnflag"
+    )
+    return _final_reg_projection(sums)
+
+
+def _final_reg_projection(sums: DataFrame) -> DataFrame:
+    """slope/intercept/r2 from the moment-sum table — split out so
+    tests can drive it with constructed sums."""
+    nd = "CAST(n AS DOUBLE)"
+    sx, sy = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxx, sxy, syy = (
+        "CAST(sxx AS DOUBLE)",
+        "CAST(sxy AS DOUBLE)",
+        "CAST(syy AS DOUBLE)",
+    )
+    num = f"({nd} * {sxy} - {sx} * {sy})"
+    den = f"({nd} * {sxx} - {sx} * {sx})"
+    deny = f"({nd} * {syy} - {sy} * {sy})"
+    def _r6(expr: str, digits: float = 1e6) -> str:
+        # micro-rounding (round6 convention): decimal->double casts
+        # differ by 1 ULP between engines, so final scalars quantize
+        return f"CAST(FLOOR((({expr}) * {digits:.1f}) + 0.5) AS DOUBLE) / {digits:.1f}"
+
+    return sums.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n",
+        f"{_r6(f'{num} / {den}')} AS slope",
+        f"{_r6(f'({sy} - ({num} / {den}) * {sx}) / {nd}')} AS intercept",
+        f"{_r6(f'({num} * {num}) / ({den} * {deny})', 1e9)} AS r2",
+    ).orderBy("l_returnflag")

@@ -1214,3 +1214,42 @@ def test_pagerank_assume_distinct_equals_dedup_path(spark):
     dup = spark.createDataFrame(edges + [("a", "b")], "src string, dst string")
     deduped = {r.node: r.rank_units for r in graph.pagerank(dup, iterations=2).collect()}
     assert deduped == base  # dedup path collapses the multi-edge
+
+
+def test_regression_decimal_sums_match_closed_form(spark):
+    """The decimal-exact OLS query on constructed data with a KNOWN
+    line (y = 3x + 7 exactly): slope/intercept recover exactly (r2 =
+    1.0), and a noisy group matches numpy's polyfit to 6 decimals."""
+    import numpy as np
+
+    rows = []
+    for i in range(1, 41):
+        rows.append((1000 + i, "P", float(i), 3.0 * i + 7.0))
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(1, 50, 60)
+    ys = 2.5 * xs + 11 + rng.normal(0, 5, 60)
+    for j, (x, y) in enumerate(zip(xs, ys)):
+        rows.append((2000 + j, "Q", round(float(x), 2), round(float(y), 2)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_returnflag string, l_quantity double, "
+        "l_extendedprice double",
+    )
+    df.createOrReplaceTempView("_reg_lineitem")
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_analytics import (
+        _REG_SUMS,
+        _final_reg_projection,
+    )
+
+    sums = spark.sql(
+        f"SELECT l_returnflag, {_REG_SUMS} FROM _reg_lineitem GROUP BY l_returnflag"
+    )
+    out = {r.l_returnflag: r for r in _final_reg_projection(sums).collect()}
+    assert abs(out["P"].slope - 3.0) < 1e-6
+    assert abs(out["P"].intercept - 7.0) < 1e-6
+    assert abs(out["P"].r2 - 1.0) < 1e-9
+    want_sl, want_ic = np.polyfit(
+        [r[2] for r in rows if r[1] == "Q"], [r[3] for r in rows if r[1] == "Q"], 1
+    )
+    assert abs(out["Q"].slope - want_sl) < 1e-5
+    assert abs(out["Q"].intercept - want_ic) < 1e-4
