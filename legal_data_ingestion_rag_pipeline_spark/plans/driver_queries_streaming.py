@@ -239,3 +239,61 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SLIDE_SINK).orderBy("win_start", "event_type")
+
+
+_ENRICH_SINK = "streaming_enriched_counts_sink"
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY mktsegment, e.event_type
+    ORDER BY mktsegment, e.event_type
+    """,
+    doc="Structured Streaming STREAM-STATIC join — the enrichment "
+    "pattern: the event stream joins the static customer dimension "
+    "(re-read per micro-batch, broadcastable, no state needed — "
+    "unlike stream-stream joins) and aggregates per (segment, type). "
+    "Completes the streaming shape matrix: tumbling, sliding, "
+    "stateful sessionize, stream-stream, dedup/near-dup, CMS "
+    "maintenance, and now dimension enrichment — all held to the "
+    "same batch-oracle hash gate on a finite replay.",
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    from ..session import load_table as _lt
+
+    customers = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    enriched = stream.join(
+        F.broadcast(customers), stream.user_id == customers.c_custkey
+    )
+    agg = enriched.groupBy("mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_ENRICH_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_ENRICH_SINK).orderBy("mktsegment", "event_type")
