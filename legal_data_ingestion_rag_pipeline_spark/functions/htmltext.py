@@ -66,3 +66,26 @@ def html_to_text_sql(expr: str, dialect: str) -> str:
     if dialect == PT.SPARK:
         return f"trim(regexp_replace({out}, '\\\\s+', ' '))"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+#: href harvest: one capture group, no backrefs/lookarounds — the
+#: same pattern compiles identically under Java regex and RE2 (and
+#: DuckDB's RE2 engine), the htmltext portability rule.
+LINK_PATTERN = '<a\\s+[^>]*href="([^"]*)"'
+
+
+def extract_links_sql(expr: str, dialect: str) -> str:
+    """Array of href values from anchor tags of an HTML string
+    expression, in document order — the link-graph feed (the
+    CommonCrawl WAT step next to html_to_text's WET step): explode
+    the result, build (src_page, href) edges, and operators/graph.
+    pagerank ranks the crawl."""
+    if dialect == "spark":
+        return f"regexp_extract_all({expr}, '{LINK_PATTERN}', 1)"
+    return f"regexp_extract_all({expr}, '{LINK_PATTERN}', 1)"
+
+
+def extract_links(col: Column) -> Column:
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(col, F.lit(LINK_PATTERN), 1)

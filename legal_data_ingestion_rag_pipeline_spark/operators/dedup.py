@@ -694,3 +694,44 @@ def duplicate_spans(
             F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.expr(frac)),
         )
     )
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keeper-policy selection over near-dup clusters: one survivor
+    per cluster, the HIGHEST-scoring member (ties -> min id) — real
+    curation keeps the most complete/highest-quality duplicate, not
+    the arbitrarily-first one (min-id keeping discards the better
+    copy whenever it arrived later).
+
+    ``labels`` is (vertex, label) from connected_components over the
+    candidate pairs; ``docs`` must carry ``score_col``. The argmax is
+    a struct-max aggregate (max score, then max(-id) = min id) — one
+    shuffle on the cluster label, no window, deterministic under any
+    partitioning. Documents outside every cluster are implicitly kept
+    (they are their own best version); the output lists only
+    clustered docs with keep/drop resolved.
+    """
+    joined = labels.join(
+        docs.select(F.col(id_col).alias("vertex"), F.col(score_col)),
+        "vertex",
+    )
+    best = joined.groupBy("label").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col("vertex")).alias("negid"),
+            )
+        ).alias("_best"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select(
+        F.col("label").alias("cluster_id"),
+        (-F.col("_best.negid")).cast("long").alias("keep_id"),
+        F.col("_best.s").alias("keep_score"),
+        "n_members",
+    )

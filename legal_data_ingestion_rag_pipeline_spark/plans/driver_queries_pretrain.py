@@ -1016,3 +1016,56 @@ def curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "dup_fraction", "compression_ratio")
         .orderBy("doc_id")
     )
+
+
+def _linked_page_spark() -> F.Column:
+    return F.concat(
+        F.lit('<html><body><h1>doc</h1><a href="https://'),
+        F.col("source"),
+        F.lit('.example.com/doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">self</a><p>body</p><a class="nav" href="/doc/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">next</a><area href="#skip"></body></html>'),
+    )
+
+
+_LINK_PAGE_DUCK = (
+    "'<html><body><h1>doc</h1><a href=\"https://' || source || "
+    "'.example.com/doc/' || CAST(doc_id AS VARCHAR) || "
+    "'\">self</a><p>body</p><a class=\"nav\" href=\"/doc/' || "
+    "CAST(doc_id % 50 AS VARCHAR) || "
+    "'\">next</a><area href=\"#skip\"></body></html>'"
+)
+
+
+@register(
+    "html_link_extraction",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, {_LINK_PAGE_DUCK} AS page FROM documents),
+    links AS (SELECT doc_id,
+                     {htmltext.extract_links_sql('page', 'duckdb')} AS hrefs
+              FROM pages)
+    SELECT doc_id, i AS pos, hrefs[i + 1] AS href
+    FROM links, unnest(range(len(hrefs))) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+    doc="HTML link harvest (the WAT step beside html_text_extraction's "
+    "WET step): every anchor href in document order via ONE "
+    "regexp_extract_all capture — a pattern chosen to compile "
+    "identically under Java regex and RE2, zero shuffles before the "
+    "explode. The corpus has no raw HTML, so each doc wraps in a "
+    "deterministic page with an absolute link, a relative link, and "
+    "an <area> decoy that must NOT match. Exploded (doc, pos, href) "
+    "edges are exactly what feeds operators/graph.pagerank for "
+    "link-graph ranking.",
+)
+def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _linked_page_spark().alias("page"))
+    links = pages.select(
+        "doc_id", htmltext.extract_links(F.col("page")).alias("hrefs")
+    )
+    return links.select(
+        "doc_id", F.posexplode("hrefs").alias("pos", "href")
+    ).orderBy("doc_id", "pos")

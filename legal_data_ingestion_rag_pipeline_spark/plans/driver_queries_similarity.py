@@ -2172,3 +2172,48 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ann._two_phase_topk(scored, 8, "q_id", "vec_id")
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=_CC_ORACLE.format(pairs=_MINHASH_ORACLE.replace("LIMIT 20", "")).replace(
+        """    labels AS (SELECT vertex, min(label) AS label FROM reach GROUP BY vertex)
+    SELECT label AS cluster_id, count(*) AS n_members,
+           min(vertex) AS min_doc, max(vertex) AS max_doc
+    FROM labels GROUP BY label ORDER BY cluster_id
+    """,
+        """    labels AS (SELECT vertex, min(label) AS label FROM reach GROUP BY vertex),
+    scored AS (
+      SELECT l.vertex, l.label,
+             CAST(length(coalesce(d.text, '')) AS BIGINT) AS score
+      FROM labels l JOIN documents d ON d.doc_id = l.vertex)
+    SELECT label AS cluster_id,
+           CAST(max(struct_pack(s := score, negid := -vertex)).negid * -1
+                AS BIGINT) AS keep_id,
+           max(struct_pack(s := score, negid := -vertex)).s AS keep_score,
+           count(*) AS n_members
+    FROM scored GROUP BY label ORDER BY cluster_id
+    """,
+    ),
+    doc="keeper-policy dedup (dedup.cluster_keep_best): the same "
+    "MinHash-LSH -> connected-components clusters as "
+    "dedup_cluster_components, but each cluster keeps its "
+    "LONGEST member (the most complete version, ties -> min id) "
+    "instead of the arbitrary min-id — the policy real curation "
+    "wants. Selection is a struct-max aggregate: one shuffle on the "
+    "cluster label, no window, deterministic under any partitioning.",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = graph.connected_components(pairs)
+    scored = docs.select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("bigint").alias("score"),
+    )
+    return dedup.cluster_keep_best(scored, labels, "doc_id", "score").orderBy(
+        "cluster_id"
+    )

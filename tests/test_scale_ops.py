@@ -1253,3 +1253,25 @@ def test_regression_decimal_sums_match_closed_form(spark):
     )
     assert abs(out["Q"].slope - want_sl) < 1e-5
     assert abs(out["Q"].intercept - want_ic) < 1e-4
+
+
+def test_cluster_keep_best_prefers_score_then_min_id(spark):
+    """cluster_keep_best: the longest member wins its cluster; on a
+    score tie the minimum id wins; n_members counts the cluster."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup, graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    labels = graph.connected_components(edges)
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id bigint, score bigint",
+    )
+    out = {
+        r.cluster_id: r
+        for r in dedup.cluster_keep_best(scored, labels, "doc_id", "score").collect()
+    }
+    assert out[1].keep_id == 2 and out[1].keep_score == 9  # max score, tie->min id
+    assert out[1].n_members == 3
+    assert out[10].keep_id == 10 and out[10].n_members == 2  # tie -> min id
