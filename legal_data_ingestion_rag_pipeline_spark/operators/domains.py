@@ -119,3 +119,36 @@ def quota_sample(
         .filter(F.col("slot") <= quota)
         .select(domain_col, id_col, "slot")
     )
+
+
+def canonical_url_sql(expr: str, dialect: str) -> str:
+    """Canonical form of a URL expression — the crawl-frontier dedup
+    prerequisite (two fetches of nominally-different URLs are the
+    same page): lowercase scheme+host, strip the fragment, strip ALL
+    utm_* tracking params (consecutive ones too), strip one trailing
+    slash. A regexp chain whose patterns mean the same thing under
+    Java regex and RE2 (no lookarounds — RE2 has none). Dialect traps
+    handled explicitly: DuckDB regexp_replace is single-match without
+    'g' (Java is always global) — so '?' normalizes to '&' first and
+    every utm param then starts with its own '&' (consecutive
+    matches need no lookahead); Spark's SQL parser consumes one level
+    of backslash escapes in string literals (DuckDB does not);
+    replacement backrefs are $1 in Java, backslash-1 in RE2.
+
+    Deliberately NOT full RFC 3986 normalization (no percent-decode,
+    no path-segment resolution): those need stateful parsing; this is
+    the high-yield 95% that crawl pipelines actually apply.
+    """
+    spark = dialect == "spark"
+    g = "" if spark else ", 'g'"
+    backref = "$1" if spark else "\\1"
+    qmark = "\\\\?" if spark else "\\?"
+    x = f"regexp_replace({expr}, '#.*$', ''{g})"
+    x = f"regexp_replace({x}, '{qmark}', '&'{g})"
+    x = f"regexp_replace({x}, '&utm_[^&]*', ''{g})"
+    x = f"regexp_replace({x}, '^([^&]*)&', '{backref}?'{g})"
+    x = f"regexp_replace({x}, '[?&]+$', ''{g})"
+    host = f"lower(regexp_extract({x}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)', 1))"
+    rest = f"regexp_replace({x}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+', ''{g})"
+    y = f"concat({host}, {rest})" if spark else f"({host} || {rest})"
+    return f"regexp_replace({y}, '/$', ''{g})"

@@ -1069,3 +1069,73 @@ def html_link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.select(
         "doc_id", F.posexplode("hrefs").alias("pos", "href")
     ).orderBy("doc_id", "pos")
+
+
+_URLV_SPARK = """
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN concat('https://', source, '.example.com/doc/',
+                       CAST(doc_id % 25 AS STRING))
+    WHEN 1 THEN concat('HTTPS://', upper(source), '.EXAMPLE.COM/doc/',
+                       CAST(doc_id % 25 AS STRING))
+    WHEN 2 THEN concat('https://', source, '.example.com/doc/',
+                       CAST(doc_id % 25 AS STRING), '?utm_source=feed&utm_medium=rss')
+    ELSE concat('https://', source, '.example.com/doc/',
+                CAST(doc_id % 25 AS STRING), '/#section-2')
+  END
+"""
+
+_URLV_DUCK = """
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'https://' || source || '.example.com/doc/' ||
+                CAST(doc_id % 25 AS VARCHAR)
+    WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/doc/' ||
+                CAST(doc_id % 25 AS VARCHAR)
+    WHEN 2 THEN 'https://' || source || '.example.com/doc/' ||
+                CAST(doc_id % 25 AS VARCHAR) || '?utm_source=feed&utm_medium=rss'
+    ELSE 'https://' || source || '.example.com/doc/' ||
+         CAST(doc_id % 25 AS VARCHAR) || '/#section-2'
+  END
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, ({_URLV_DUCK}) AS url FROM documents),
+    canon AS (SELECT doc_id, url,
+                     {domains.canonical_url_sql('url', 'duckdb')} AS canonical
+              FROM urls)
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY canonical ORDER BY canonical
+    """,
+    doc="URL canonicalization + frontier dedup (operators/domains."
+    "canonical_url_sql): uppercase hosts, utm tracking params, "
+    "fragments and trailing slashes all collapse to one canonical "
+    "form — the crawl stage that keeps the SAME page from entering "
+    "the corpus four times. The corpus has no URL column, so each "
+    "doc synthesizes one of four deterministic variants of a shared "
+    "target; the gate proves every variant lands on the same "
+    "canonical. Pure codegen regexp chain (dialect-exact: RE2 'g' "
+    "flag, backref and escaping differences handled), then one "
+    "uniform-key groupBy.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"({_URLV_SPARK}) AS url")
+    canon = urls.selectExpr(
+        "doc_id",
+        "url",
+        f"{domains.canonical_url_sql('url', 'spark')} AS canonical",
+    )
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("url").cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical")
+    )

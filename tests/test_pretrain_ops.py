@@ -843,3 +843,41 @@ def test_compression_ratio_bands(spark):
     for d in (4, 5):
         assert out[d].raw_bytes == 0 and out[d].compression_ratio == 0.0
     assert out[2].raw_bytes > out[2].compressed_bytes > 0
+
+
+def test_canonical_url_collapses_variants_cross_engine(spark):
+    """canonical_url_sql: host case, fragments, utm params (also
+    consecutive), dangling separators, and trailing slashes all
+    collapse; non-utm params and path case survive; Spark and DuckDB
+    produce IDENTICAL strings (escaping / 'g'-flag / backref dialect
+    traps are exactly what this pins)."""
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.domains import (
+        canonical_url_sql,
+    )
+
+    cases = {
+        "HTTPS://Example.COM/Path/?utm_source=x&a=1#frag":
+            "https://example.com/Path/?a=1",
+        "https://example.com/Path?a=1&utm_campaign=z":
+            "https://example.com/Path?a=1",
+        "https://example.com/Path/": "https://example.com/Path",
+        "https://example.com/Path?utm_source=only":
+            "https://example.com/Path",
+        "http://EX.com/A/b?utm_a=1&utm_b=2&c=3": "http://ex.com/A/b?c=3",
+        "https://ex.com/plain": "https://ex.com/plain",
+    }
+    con = duckdb.connect()
+    dsql = canonical_url_sql("u", "duckdb")
+    ssql = canonical_url_sql("u", "spark")
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got_spark = {
+        r.u: r.c for r in df.selectExpr("u", f"{ssql} AS c").collect()
+    }
+    for url, want in cases.items():
+        got_duck = con.sql(
+            f"SELECT {dsql} FROM (VALUES ('{url}')) t(u)"
+        ).fetchall()[0][0]
+        assert got_spark[url] == want, (url, got_spark[url])
+        assert got_duck == want, (url, got_duck)
