@@ -1139,3 +1139,95 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+def _ensemble_oracle(sf_dir: str) -> str:
+    from .driver_queries_similarity import _QUALITY_ORACLE
+
+    values = _compression_values(sf_dir)
+    return f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(compression_ratio AS DOUBLE) AS cr
+          FROM (VALUES {values}) t(doc_id, raw_bytes, compressed_bytes,
+                                   compression_ratio)),
+    sig AS (SELECT q.doc_id,
+                   CAST(FLOOR(q.quality * 1000000.0 + 0.5) AS BIGINT) AS qa,
+                   CAST(FLOOR(c.cr * 1000000.0 + 0.5) AS BIGINT) AS qb
+            FROM q JOIN c ON c.doc_id = q.doc_id),
+    mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(qa) AS DECIMAL(38,0)) AS s1a,
+                   CAST(sum(CAST(qa AS DECIMAL(38,0)) * qa) AS DECIMAL(38,0)) AS s2a,
+                   CAST(sum(qb) AS DECIMAL(38,0)) AS s1b,
+                   CAST(sum(CAST(qb AS DECIMAL(38,0)) * qb) AS DECIMAL(38,0)) AS s2b
+            FROM sig),
+    z AS (SELECT sig.doc_id,
+                 (CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
+                   / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                          - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) AS za,
+                 (CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
+                   / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                          - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) AS zb
+          FROM sig, mom)
+    SELECT doc_id,
+           CAST(FLOOR(((za + zb) * 1000000.0) + 0.5) AS DOUBLE) / 1000000.0
+             AS ensemble_z
+    FROM z ORDER BY ensemble_z DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "quality_ensemble_topk",
+    oracle=_ensemble_oracle,
+    doc="multi-signal quality ensemble (the FineWeb-style blended "
+    "filter): the textstats composite score and the zlib compression "
+    "ratio are z-normalized against CORPUS moments and summed; top-20 "
+    "by the blended score. Scale-safe rank-free normalization: "
+    "signals snap to exact integer micro-units, the five moment sums "
+    "aggregate exactly in DECIMAL(38,0) (one 1-row broadcast — no "
+    "global sort, no percent_rank over the corpus), and only the "
+    "final z arithmetic runs in double, micro-rounded so the "
+    "decimal->double ULP divergence between engines collapses.",
+)
+def quality_ensemble_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import compression_ratio_arrow, quality_stats_arrow
+    from ..session import barrier as _barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    # FLOOR(x*1e6 + 0.5), not a bare cast: DuckDB CAST(double AS
+    # BIGINT) rounds to nearest while Spark truncates, and the
+    # micro-rounded signals sit exactly on x.999... doubles
+    qa = quality_stats_arrow(_barrier(docs), "text", "doc_id").selectExpr(
+        "doc_id", "CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT) AS qa"
+    )
+    qb = compression_ratio_arrow(docs, "text", "doc_id").selectExpr(
+        "doc_id",
+        "CAST(FLOOR(compression_ratio * 1000000.0 + 0.5) AS BIGINT) AS qb",
+    )
+    sig = qa.join(qb, "doc_id").localCheckpoint(eager=True)
+    mom = sig.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qa").cast("decimal(38,0)").alias("s1a"),
+        F.sum(F.col("qa").cast("decimal(38,0)") * F.col("qa")).cast(
+            "decimal(38,0)"
+        ).alias("s2a"),
+        F.sum("qb").cast("decimal(38,0)").alias("s1b"),
+        F.sum(F.col("qb").cast("decimal(38,0)") * F.col("qb")).cast(
+            "decimal(38,0)"
+        ).alias("s2b"),
+    )
+    z = sig.crossJoin(F.broadcast(mom)).selectExpr(
+        "doc_id",
+        """(CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                  - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) AS za""",
+        """(CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                  - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) AS zb""",
+    )
+    out = z.selectExpr(
+        "doc_id",
+        "CAST(FLOOR(((za + zb) * 1000000.0) + 0.5) AS DOUBLE) / 1000000.0"
+        " AS ensemble_z",
+    )
+    return out.orderBy(F.desc("ensemble_z"), "doc_id").limit(20)
