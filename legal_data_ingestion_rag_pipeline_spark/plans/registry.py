@@ -118,6 +118,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        broadcast, micro-unit quantization) runs INSIDE the gated
 #:        rag_rerank_bm25 stage 1; keeps oracle_check + rank pytest.
 #:
+#: Round-6 sixth rotation (session tail — newest machinery in):
+#:   IN : url_canonical_dedup (dialect-exact regexp canonicalization —
+#:        the RE2-vs-Java 'g'-flag/backref/escaping traps are NEW
+#:        machinery worth a driver row),
+#:        quality_ensemble_topk (multi-signal z-blend over exact
+#:        integer moments; also gates the FLOOR-vs-CAST double->int
+#:        dialect convention),
+#:        streaming_sliding_counts (hopping windows — a strict
+#:        superset of the tumbling shape).
+#:   OUT: bpe_train_merges -> the training loop + bit-exact Python
+#:        twin run INSIDE the still-gated bpe_encode_corpus (its
+#:        oracle re-trains and re-encodes); keeps oracle_check +
+#:        classic-merges pytest.
+#:        curation_pipeline (v1) -> every v1 stage is gated on its
+#:        own (textstats_quality, textstats_lang_id) or via
+#:        curation_pipeline_v3's hashed exact-dedup keeper; keeps
+#:        bench row + oracle_check.
+#:        streaming_tumbling_counts -> sliding gates the same
+#:        watermarked window-agg machinery with slide<window on top;
+#:        tumbling keeps pytest + oracle_check.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -161,15 +182,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "textstats_quality",
     "quality_classifier_filter",
     "lm_perplexity_score",
-    "bpe_train_merges",
     "bpe_encode_corpus",
     "html_text_extraction",
     "rag_semantic_search",
     "rag_rerank_bm25",
-    "curation_pipeline",
     "curation_pipeline_v3",
     "url_domain_filter",
-    "streaming_tumbling_counts",
+    "url_canonical_dedup",
+    "quality_ensemble_topk",
+    "streaming_sliding_counts",
     "multimodal_features",
     "sequence_packing",
     "textstats_compression_ratio",
