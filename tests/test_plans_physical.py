@@ -350,3 +350,22 @@ def test_hard_negative_corpus_never_shuffled_before_pool(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_pure_codegen_before_agg(spark):
+    """URL canonicalization is a map-side codegen regex chain: no
+    Python anywhere, and the only exchanges are the groupBy's own."""
+    plan = plan_of(spark, "url_canonical_dedup")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ensemble_moments_broadcast_no_global_sort(spark):
+    """The ensemble's corpus moments join back as a broadcast (1-row
+    nested loop is the intended shape) and the top-k is TakeOrdered —
+    no percent_rank-style global Window over the corpus."""
+    plan = plan_of(spark, "quality_ensemble_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
