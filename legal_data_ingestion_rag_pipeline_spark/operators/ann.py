@@ -665,3 +665,80 @@ def matryoshka_rescore_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )
+
+
+def ivf_binary_topk(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    probes: int = 2,
+    pool: int = 30,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF coarse cells x binary fine scan — the production faiss
+    IndexIVF+binary/refine composition, and the cheapest full hybrid
+    here: the query probes its ``probes`` nearest cells (touching
+    ~probes/C of the corpus), candidates inside the probed cells rank
+    by XOR+popcount Hamming over packed sign words (no float math on
+    the fine scan — at 100 TB the cells store ONLY the binary tier,
+    dim/8 bytes/vector), and the per-query top ``pool`` get the exact
+    double-fold rescore. Every stage keeps a total order and integer
+    stage-2 scores, so the three-stage approximate pipeline is
+    hash-gateable end to end.
+    """
+    q_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("q_c_sim", _dot(query_vec, centroid_vec))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.desc("q_c_sim"), F.asc(centroid_id)
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= probes)
+        .select(query_id, query_vec, centroid_id)
+    )
+    q_words = binary_code_words_sql(query_vec, dim, PT.SPARK)
+    qb = q_cells.select(
+        query_id,
+        centroid_id,
+        *[F.expr(w).alias(f"_qw{i}") for i, w in enumerate(q_words)],
+    )
+    c_words = binary_code_words_sql(corpus_vec, dim, PT.SPARK)
+    cb = assigned_corpus.select(
+        corpus_id,
+        centroid_id,
+        *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)],
+    )
+    ham = binary_hamming_sql(
+        [f"_cw{i}" for i in range(len(c_words))],
+        [f"_qw{i}" for i in range(len(q_words))],
+        PT.SPARK,
+    )
+    scored = cb.join(F.broadcast(qb), centroid_id).withColumn(
+        "similarity", F.expr(f"CAST(-({ham}) AS DOUBLE)")
+    )
+    survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    corpus_vecs = assigned_corpus.select(corpus_id, corpus_vec)
+    rescored = (
+        corpus_vecs.join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("similarity", _dot(corpus_vec, query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )

@@ -2217,3 +2217,80 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_keep_best(scored, labels, "doc_id", "score").orderBy(
         "cluster_id"
     )
+
+
+_IVFB_HAM = ann.binary_hamming_sql(
+    [f"eb.w{i}" for i in range(2)], [f"qb.w{i}" for i in range(2)], PT.DUCKDB
+)
+
+
+@register(
+    "ann_ivf_binary_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_DOT_EC2} DESC, c.centroid_id) AS rn
+        FROM embeddings e, c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    qc AS (
+      SELECT q_id, q_vec, centroid_id FROM (
+        SELECT q.q_id, q.q_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_DOT_QC2} DESC, c.centroid_id) AS rn
+        FROM q, c) t WHERE rn <= 2
+    ),
+    eb AS (SELECT e.vec_id, a.centroid_id,
+                  {_bin_words('e.embedding')[0]} AS w0,
+                  {_bin_words('e.embedding')[1]} AS w1
+           FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+    qb AS (SELECT q_id, centroid_id,
+                  {_bin_words('q_vec')[0]} AS w0,
+                  {_bin_words('q_vec')[1]} AS w1
+           FROM qc),
+    pool AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qb.q_id, eb.vec_id,
+               row_number() OVER (PARTITION BY qb.q_id
+                                  ORDER BY {_IVFB_HAM}, eb.vec_id) AS rn
+        FROM eb JOIN qb ON eb.centroid_id = qb.centroid_id) t
+      WHERE rn <= 30
+    )
+    SELECT q_id, vec_id, similarity, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pool.q_id, pool.vec_id,
+             {PT.dot_double('e.embedding', 'q.q_vec', D)} AS similarity,
+             row_number() OVER (PARTITION BY pool.q_id
+                                ORDER BY {PT.dot_double('e.embedding', 'q.q_vec', D)} DESC,
+                                         pool.vec_id) AS rank
+      FROM pool
+      JOIN embeddings e ON pool.vec_id = e.vec_id
+      JOIN q ON pool.q_id = q.q_id) t
+    WHERE rank <= 10 ORDER BY q_id, rank
+    """,
+    doc="three-stage hybrid retrieval (ann.ivf_binary_topk), the "
+    "production faiss IndexIVF+binary/refine composition: coarse "
+    "quantizer probes 2 of 8 cells (touching ~1/4 of the corpus), "
+    "the fine scan inside probed cells is XOR+popcount Hamming over "
+    "the packed sign tier (dim/8 bytes stored per vector — no float "
+    "reads until the last stage), the per-query top-30 pool gets the "
+    "exact rescore. Deterministic at every stage, so even the doubly "
+    "approximate pipeline is value-hash-gated.",
+)
+def ann_ivf_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    out = ann.ivf_binary_topk(
+        assigned, centroids, queries, dim=64, k=10, probes=2, pool=30
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

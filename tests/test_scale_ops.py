@@ -1275,3 +1275,59 @@ def test_cluster_keep_best_prefers_score_then_min_id(spark):
     assert out[1].keep_id == 2 and out[1].keep_score == 9  # max score, tie->min id
     assert out[1].n_members == 3
     assert out[10].keep_id == 10 and out[10].n_members == 2  # tie -> min id
+
+
+def test_ivf_binary_hybrid_recall_and_cell_bound(spark):
+    """The three-stage hybrid: recall@10 vs brute force stays above
+    the plain-IVF-probes=2 information limit's floor (>= 0.3 on the
+    driver embeddings — binary Hamming inside only 2/8 cells is
+    doubly approximate, honestly so), every returned candidate lives
+    in one of its query's 2 probed cells, self is always recalled,
+    and repartitioning changes nothing."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+
+    e = load_table(spark, SF, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    out = ann.ivf_binary_topk(assigned, centroids, q, dim=64, k=10, probes=2, pool=30)
+    rows = out.collect()
+    ex, ap, rank1 = {}, {}, {}
+    for r in ann.brute_force_topk(e, q, k=10).collect():
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    for r in rows:
+        ap.setdefault(r.q_id, set()).add(r.vec_id)
+        if r.rank == 1:
+            rank1[r.q_id] = r.vec_id
+    hits = sum(len(ex[qid] & ap[qid]) for qid in ex)
+    assert hits / 50 >= 0.3, f"recall {hits}/50"
+    for qid in ap:
+        assert rank1[qid] == qid  # self: same cell, Hamming 0
+    # cell containment: every hit is in a probed cell of its query
+    cell_of = {r.vec_id: r.centroid_id for r in assigned.select("vec_id", "centroid_id").collect()}
+    from pyspark.sql import Window as W
+
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("s", F.expr(
+            "aggregate(zip_with(q_vec, c_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, b) -> a + b)"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.desc("s"), F.asc("centroid_id"))))
+        .filter("rn <= 2").select("q_id", "centroid_id").collect()
+    )
+    allowed = {}
+    for r in probed:
+        allowed.setdefault(r.q_id, set()).add(r.centroid_id)
+    for r in rows:
+        assert cell_of[r.vec_id] in allowed[r.q_id]
+    again = ann.ivf_binary_topk(
+        ann.ivf_assign(e.repartition(7), centroids), centroids, q,
+        dim=64, k=10, probes=2, pool=30,
+    ).collect()
+    assert sorted((r.q_id, r.vec_id, r.rank) for r in rows) == sorted(
+        (r.q_id, r.vec_id, r.rank) for r in again
+    )
