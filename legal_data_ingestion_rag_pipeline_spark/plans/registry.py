@@ -139,6 +139,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        watermarked window-agg machinery with slide<window on top;
 #:        tumbling keeps pytest + oracle_check.
 #:
+#: Round-6 seventh rotation (last): IN ann_ivf_binary_topk — the
+#: 3-stage IVF x binary-Hamming x refine hybrid CONTAINS the plain
+#: probes=2 candidate generation as its stage 1, so OUT ann_ivf_topk
+#: (keeps its oracle_check row, the trained/recall/full-probe oracle
+#: family, and the IVF pytest suite).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -166,7 +172,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
-    "ann_ivf_topk",
+    "ann_ivf_binary_topk",
     "ann_binary_hamming_topk",
     "ann_pq_trained",
     "contrastive_negatives",
