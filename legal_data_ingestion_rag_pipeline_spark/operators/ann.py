@@ -713,11 +713,19 @@ def ivf_binary_topk(
         centroid_id,
         *[F.expr(w).alias(f"_qw{i}") for i, w in enumerate(q_words)],
     )
+    from ..session import barrier
+
     c_words = binary_code_words_sql(corpus_vec, dim, PT.SPARK)
-    cb = assigned_corpus.select(
-        corpus_id,
-        centroid_id,
-        *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)],
+    # Barrier the corpus-side packing (module convention, see
+    # binary_hamming_topk / sq8_rescore_topk): without the Exchange,
+    # CollapseProject re-inlines the 62-term packing folds into the
+    # per-(row, probed-query) Hamming score — an n_queries-x blowup.
+    cb = barrier(
+        assigned_corpus.select(
+            corpus_id,
+            centroid_id,
+            *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)],
+        )
     )
     ham = binary_hamming_sql(
         [f"_cw{i}" for i in range(len(c_words))],

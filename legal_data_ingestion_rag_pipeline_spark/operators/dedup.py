@@ -282,6 +282,13 @@ def lsh_band_index(
     (band_idx, band_sig) so incremental probes join shuffle-free on
     the index side; the full signature rides along for the verify
     step (32 int64s — tiny next to the text it summarizes)."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature values "
+            "from the index while lsh_probe_index still estimates Jaccard "
+            "over the full signature"
+        )
     rows_per_band = n_hashes // bands
     return sig_df.select(
         F.col(id_col),

@@ -1162,12 +1162,20 @@ def _ensemble_oracle(sf_dir: str) -> str:
                    CAST(sum(CAST(qb AS DECIMAL(38,0)) * qb) AS DECIMAL(38,0)) AS s2b
             FROM sig),
     z AS (SELECT sig.doc_id,
-                 (CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
-                   / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
-                          - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) AS za,
-                 (CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
-                   / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
-                          - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) AS zb
+                 CASE WHEN CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                           - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) <= 0.0
+                      THEN 0.0
+                      ELSE (CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
+                           / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                                  - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+                 END AS za,
+                 CASE WHEN CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                           - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) <= 0.0
+                      THEN 0.0
+                      ELSE (CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
+                           / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                                  - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+                 END AS zb
           FROM sig, mom)
     SELECT doc_id,
            CAST(FLOOR(((za + zb) * 1000000.0) + 0.5) AS DOUBLE) / 1000000.0
@@ -1216,14 +1224,27 @@ def quality_ensemble_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decimal(38,0)"
         ).alias("s2b"),
     )
+    # Zero-variance guard (z := 0 when a signal is constant across the
+    # corpus): without it the denominator hits 0 and Spark (non-ANSI)
+    # returns NULL for double x/0 while DuckDB's IEEE ops return
+    # inf/NaN — the gate would diverge on a degenerate corpus instead
+    # of agreeing. Same CASE in the oracle SQL.
     z = sig.crossJoin(F.broadcast(mom)).selectExpr(
         "doc_id",
-        """(CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
-                  - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) AS za""",
-        """(CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
-                  - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) AS zb""",
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                     - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) <= 0.0
+                THEN 0.0
+                ELSE (CAST(qa AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1a AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(s2a AS DOUBLE)
+                            - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+           END AS za""",
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                     - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) <= 0.0
+                THEN 0.0
+                ELSE (CAST(qb AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1b AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE) * CAST(s2b AS DOUBLE)
+                            - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+           END AS zb""",
     )
     out = z.selectExpr(
         "doc_id",

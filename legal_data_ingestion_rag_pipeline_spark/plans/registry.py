@@ -145,6 +145,37 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: (keeps its oracle_check row, the trained/recall/full-probe oracle
 #: family, and the IVF pytest suite).
 #:
+#: Round-7 rotation (per round-6 verdict ask #1 — the five newest
+#: operator families with no driver CORRECTNESS row in, each OUT slot
+#: keeps a gated family partner + oracle_check + pytest):
+#:   IN : curation_pipeline_v5 (domain front door + quota + ensemble
+#:        compose — newest end-to-end curation composition),
+#:        hard_negative_mining (positive-anchored rank-band draw —
+#:        new contrastive-training machinery),
+#:        scd2_event_type_history (SCD2 validity intervals via
+#:        lead-over-partition — new history-table machinery),
+#:        regression_price_vs_quantity (decimal-exact OLS normal
+#:        equations — new numeric-exactness machinery),
+#:        join_key_skew_profile (pre-join key-skew diagnostic — the
+#:        operator that DECIDES salted-vs-broadcast at 100 TB).
+#:   OUT: dedup_ngram_jaccard -> gram machinery gated via
+#:        dedup_duplicate_spans (rolling grams) + dedup_minhash_lsh
+#:        (shingle+verify legs); keeps oracle_check + pytest.
+#:        ann_pq_trained -> two-stage pool->exact-rescore gated via
+#:        ann_binary_hamming_topk + ann_ivf_binary_topk; trained-
+#:        codebook path keeps its dynamic oracle + trainer pytest.
+#:        sessionization -> the lag+cumsum window machinery is gated
+#:        via window_argmax_per_user (row_number frame) and now
+#:        scd2_event_type_history (lead frame); keeps oracle_check +
+#:        pytest.
+#:        semistructured_props_stats -> JSON-path machinery
+#:        (get_json_object/from_json) also runs inside the gated
+#:        error_breakdown props leg; keeps oracle_check + pytest.
+#:        normalize_entities -> regexp normalize machinery gated via
+#:        html_text_extraction + url_canonical_dedup (same
+#:        regexp_replace chain shape); T1-T3 keep oracle_check +
+#:        ported selftest pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -161,7 +192,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "hard_negative_mining",
     "dedup_embedding_srp_lsh",
     "boilerplate_segment_removal",
     "dedup_cluster_components",
@@ -174,7 +205,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_bruteforce_topk",
     "ann_ivf_binary_topk",
     "ann_binary_hamming_topk",
-    "ann_pq_trained",
+    "join_key_skew_profile",
     "contrastive_negatives",
     "domain_mixture_sample",
     "pagerank_trade_network",
@@ -204,13 +235,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
     "window_argmax_per_user",
-    "sessionization",
+    "scd2_event_type_history",
     "range_join_clicks_before_purchase",
-    "semistructured_props_stats",
+    "regression_price_vs_quantity",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",
-    "normalize_entities",
+    "curation_pipeline_v5",
     "status_validation_split",
     # (round-5 rotation: multiformat_date_parse and chunk_documents
     # out for quality_classifier_filter and bpe_train_merges — T4
