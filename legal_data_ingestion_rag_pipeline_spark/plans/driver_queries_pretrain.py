@@ -667,6 +667,7 @@ _LM_ORACLE = f"""
 @register(
     "lm_perplexity_score",
     oracle=_LM_ORACLE,
+    bench=True,
     doc="N-gram LM perplexity scoring (the CCNet/Gopher quality "
     "signal): every document's bigram cross-entropy under an add-one "
     "bigram LM trained in one pass over the corpus (vocabulary-scale "
@@ -1187,6 +1188,7 @@ def _ensemble_oracle(sf_dir: str) -> str:
 @register(
     "quality_ensemble_topk",
     oracle=_ensemble_oracle,
+    bench=True,
     doc="multi-signal quality ensemble (the FineWeb-style blended "
     "filter): the textstats composite score and the zlib compression "
     "ratio are z-normalized against CORPUS moments and summed; top-20 "

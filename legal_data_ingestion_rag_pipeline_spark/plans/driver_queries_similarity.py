@@ -1142,6 +1142,7 @@ _INC_MINHASH_ORACLE = f"""
 @register(
     "dedup_incremental_minhash",
     oracle=_INC_MINHASH_ORACLE,
+    bench=True,
     doc="incremental NEAR-dup — the minhash complement of "
     "dedup_incremental_exact: the standing corpus's banded signature "
     "index (lsh_band_index — in production a bucketed table on "
@@ -2226,6 +2227,7 @@ _IVFB_HAM = ann.binary_hamming_sql(
 
 @register(
     "ann_ivf_binary_topk",
+    bench=True,
     oracle=f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_vec
                FROM embeddings WHERE vec_id < 8),
