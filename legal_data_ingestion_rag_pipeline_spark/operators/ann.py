@@ -693,6 +693,67 @@ def ivf_binary_topk(
     stage-2 scores, so the three-stage approximate pipeline is
     hash-gateable end to end.
     """
+    from ..session import barrier
+
+    c_words = binary_code_words_sql(corpus_vec, dim, PT.SPARK)
+    # Barrier the corpus-side packing (module convention, see
+    # binary_hamming_topk / sq8_rescore_topk): without the Exchange,
+    # CollapseProject re-inlines the 62-term packing folds into the
+    # per-(row, probed-query) Hamming score — an n_queries-x blowup.
+    # (A STORED tier — write_binary_tier — needs no barrier: parquet
+    # materializes the words physically.)
+    tier = barrier(
+        assigned_corpus.select(
+            corpus_id,
+            centroid_id,
+            *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)],
+        )
+    )
+    return ivf_binary_topk_from_tier(
+        tier,
+        assigned_corpus.select(corpus_id, corpus_vec),
+        centroids,
+        queries,
+        dim,
+        k=k,
+        probes=probes,
+        pool=pool,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        corpus_vec=corpus_vec,
+        query_vec=query_vec,
+        centroid_id=centroid_id,
+        centroid_vec=centroid_vec,
+    )
+
+
+def ivf_binary_topk_from_tier(
+    tier: DataFrame,
+    corpus_vecs: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    probes: int = 2,
+    pool: int = 30,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "c_vec",
+) -> DataFrame:
+    """``ivf_binary_topk`` over a PRE-PACKED sign tier — the stored-
+    index read path.  ``tier`` carries (corpus_id, centroid_id,
+    _cw0.._cwN) — at 100 TB this is the parquet table
+    ``write_binary_tier`` wrote, cell-partitioned, dim/8 bytes per
+    vector; ``corpus_vecs`` is the float table, touched ONLY by the
+    final rescore join over pool*n_queries survivor rows.  Stages 1-2
+    never read a float corpus column (asserted from the physical plan
+    in tests/test_ann_tier.py); the probed-cell equi-join on the
+    partition column prunes unprobed cell directories (broadcast-side
+    dynamic partition pruning on a real cluster).
+    """
     q_cells = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("q_c_sim", _dot(query_vec, centroid_vec))
@@ -713,34 +774,137 @@ def ivf_binary_topk(
         centroid_id,
         *[F.expr(w).alias(f"_qw{i}") for i, w in enumerate(q_words)],
     )
-    from ..session import barrier
-
-    c_words = binary_code_words_sql(corpus_vec, dim, PT.SPARK)
-    # Barrier the corpus-side packing (module convention, see
-    # binary_hamming_topk / sq8_rescore_topk): without the Exchange,
-    # CollapseProject re-inlines the 62-term packing folds into the
-    # per-(row, probed-query) Hamming score — an n_queries-x blowup.
-    cb = barrier(
-        assigned_corpus.select(
-            corpus_id,
-            centroid_id,
-            *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)],
-        )
-    )
+    n_words = len(q_words)
     ham = binary_hamming_sql(
-        [f"_cw{i}" for i in range(len(c_words))],
-        [f"_qw{i}" for i in range(len(q_words))],
+        [f"_cw{i}" for i in range(n_words)],
+        [f"_qw{i}" for i in range(n_words)],
         PT.SPARK,
     )
-    scored = cb.join(F.broadcast(qb), centroid_id).withColumn(
+    scored = tier.join(F.broadcast(qb), centroid_id).withColumn(
         "similarity", F.expr(f"CAST(-({ham}) AS DOUBLE)")
     )
     survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
         query_id, corpus_id
     )
-    corpus_vecs = assigned_corpus.select(corpus_id, corpus_vec)
     rescored = (
-        corpus_vecs.join(F.broadcast(survivors), corpus_id)
+        corpus_vecs.select(corpus_id, corpus_vec)
+        .join(F.broadcast(survivors), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("similarity", _dot(corpus_vec, query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )
+
+
+def write_binary_tier(
+    assigned_corpus: DataFrame,
+    path: str,
+    dim: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str | None = "centroid_id",
+) -> None:
+    """Persist the packed 1-bit sign tier as a standing table — the
+    durable form of the quantized index the in-plan queries derive on
+    the fly.  Stored: (corpus_id, _cw0.._cwN) at dim/8 bytes of code
+    per vector (32x smaller than float32), cell-partitioned by
+    ``centroid_id`` when given so a probe-time read prunes unprobed
+    cell directories at the FILE level; pass ``centroid_id=None`` for
+    the flat (IndexBinaryFlat) layout used by binary_hamming_topk.
+    Floats are NOT stored in the tier: the rescore stage reads them
+    from the primary table, which the fine scan never opens.
+    """
+    c_words = binary_code_words_sql(corpus_vec, dim, PT.SPARK)
+    cols = [F.col(corpus_id)]
+    if centroid_id is not None:
+        cols.append(F.col(centroid_id))
+    tier = assigned_corpus.select(
+        *cols, *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)]
+    )
+    writer = tier.write.mode("overwrite")
+    if centroid_id is not None:
+        writer = writer.partitionBy(centroid_id)
+    writer.parquet(path)
+
+
+def read_binary_tier(spark, path: str) -> DataFrame:
+    """Read a ``write_binary_tier`` table (schema: corpus_id,
+    [centroid_id], _cw0.._cwN).  The scan's ReadSchema contains only
+    id + word columns — there is no float column in the tier to
+    mis-read (tests/test_ann_tier.py asserts this from the plan)."""
+    return spark.read.parquet(path)
+
+
+def write_pq_codes(
+    corpus: DataFrame,
+    book: list[list[list[float]]],
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str | None = None,
+) -> None:
+    """Persist PQ codes as a standing table: (corpus_id, pq_code_0..
+    pq_code_{m-1}), m bytes of code per vector, optionally
+    cell-partitioned (the faiss IVFADC layout).  Read back with
+    ``read_pq_codes`` and search with ``pq_adc_topk_from_codes`` —
+    the ADC scan then touches ONLY the stored codes until rescore."""
+    from .pq import pq_encode
+
+    encoded = pq_encode(corpus, book, corpus_vec)
+    m = len(book)
+    cols = [F.col(corpus_id)]
+    if centroid_id is not None:
+        cols.append(F.col(centroid_id))
+    codes = encoded.select(*cols, *[F.col(f"pq_code_{s}") for s in range(m)])
+    writer = codes.write.mode("overwrite")
+    if centroid_id is not None:
+        writer = writer.partitionBy(centroid_id)
+    writer.parquet(path)
+
+
+def read_pq_codes(spark, path: str) -> DataFrame:
+    """Read a ``write_pq_codes`` table."""
+    return spark.read.parquet(path)
+
+
+def pq_adc_topk_from_codes(
+    codes_df: DataFrame,
+    corpus_vecs: DataFrame,
+    queries: DataFrame,
+    book: list[list[list[float]]],
+    k: int = 10,
+    pool: int = 50,
+    corpus_id: str = "vec_id",
+    query_id: str = "q_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """``pq_adc_topk`` over a STORED code table: stage 1 ranks by ADC
+    distance computed from ``codes_df`` alone (m bytes/vector read —
+    no float corpus column until rescore), stage 2 exact-rescores the
+    per-query top ``pool`` from the float table."""
+    from .pq import pq_adc_sql
+
+    m = len(book)
+    codes = [f"pq_code_{s}" for s in range(m)]
+    scored = (
+        codes_df.select(corpus_id, *codes)
+        .crossJoin(F.broadcast(queries.select(query_id, query_vec)))
+        .withColumn(
+            "similarity",
+            -F.expr(pq_adc_sql(query_vec, codes, book, PT.SPARK)),
+        )
+    )
+    survivors = _two_phase_topk(scored, pool, query_id, corpus_id).select(
+        query_id, corpus_id
+    )
+    rescored = (
+        corpus_vecs.select(corpus_id, corpus_vec)
+        .join(F.broadcast(survivors), corpus_id)
         .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
         .withColumn("similarity", _dot(corpus_vec, query_vec))
     )

@@ -2225,10 +2225,7 @@ _IVFB_HAM = ann.binary_hamming_sql(
 )
 
 
-@register(
-    "ann_ivf_binary_topk",
-    bench=True,
-    oracle=f"""
+_IVFB_ORACLE = f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_vec
                FROM embeddings WHERE vec_id < 8),
     assign AS (
@@ -2273,7 +2270,13 @@ _IVFB_HAM = ann.binary_hamming_sql(
       JOIN embeddings e ON pool.vec_id = e.vec_id
       JOIN q ON pool.q_id = q.q_id) t
     WHERE rank <= 10 ORDER BY q_id, rank
-    """,
+    """
+
+
+@register(
+    "ann_ivf_binary_topk",
+    bench=True,
+    oracle=_IVFB_ORACLE,
     doc="three-stage hybrid retrieval (ann.ivf_binary_topk), the "
     "production faiss IndexIVF+binary/refine composition: coarse "
     "quantizer probes 2 of 8 cells (touching ~1/4 of the corpus), "
@@ -2294,5 +2297,54 @@ def ann_ivf_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ann.ivf_assign(e, centroids)
     out = ann.ivf_binary_topk(
         assigned, centroids, queries, dim=64, k=10, probes=2, pool=30
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+@register(
+    "ann_ivf_binary_stored",
+    oracle=_IVFB_ORACLE,
+    doc="stored-tier verification for the IVF x binary hybrid "
+    "(faithful-rewrite convention of layout_zordered_scan): the "
+    "packed sign tier is WRITTEN cell-partitioned "
+    "(ann.write_binary_tier — vec_id + two BIGINT words per vector, "
+    "dim/8 bytes, NO float column in the table), read back, and "
+    "searched through ann.ivf_binary_topk_from_tier; the oracle is "
+    "the in-plan ann_ivf_binary_topk SQL, so a green row proves the "
+    "persisted tier is bit-faithful to the on-the-fly packing. The "
+    "fine scan physically cannot read floats (the tier stores none); "
+    "tests/test_ann_tier.py asserts the tier scan's ReadSchema and "
+    "the unprobed-cell partition pruning from the plan.",
+)
+def ann_ivf_binary_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned = ann.ivf_assign(e, centroids)
+    # pid-suffixed store path (layout_zordered_scan convention) so a
+    # concurrent driver + oracle_check never interleave overwrite/scan
+    tag = f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_btier_{tag}", "embeddings_b64"
+    )
+    ann.write_binary_tier(assigned, store, dim=64)
+    tier = ann.read_binary_tier(spark, store)
+    out = ann.ivf_binary_topk_from_tier(
+        tier,
+        e.select("vec_id", "embedding"),
+        centroids,
+        queries,
+        dim=64,
+        k=10,
+        probes=2,
+        pool=30,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")

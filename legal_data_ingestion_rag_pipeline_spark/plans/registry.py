@@ -176,6 +176,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        regexp_replace chain shape); T1-T3 keep oracle_check +
 #:        ported selftest pytest.
 #:
+#: Round-7 second rotation: IN ann_ivf_binary_stored — the stored-
+#: tier form (write_binary_tier -> read_binary_tier ->
+#: ivf_binary_topk_from_tier) is a strict superset of
+#: ann_ivf_binary_topk: the in-plan query now DELEGATES to the same
+#: from_tier search, so gating the stored form gates the search
+#: machinery AND the persistence round-trip (the verdict's
+#: what's-missing #1). OUT ann_ivf_binary_topk (keeps bench row,
+#: oracle_check, and the tier pytest suite in test_ann_tier.py).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -203,7 +212,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
-    "ann_ivf_binary_topk",
+    "ann_ivf_binary_stored",
     "ann_binary_hamming_topk",
     "join_key_skew_profile",
     "contrastive_negatives",
