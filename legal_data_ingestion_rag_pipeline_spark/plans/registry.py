@@ -185,6 +185,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: what's-missing #1). OUT ann_ivf_binary_topk (keeps bench row,
 #: oracle_check, and the tier pytest suite in test_ann_tier.py).
 #:
+#: Round-7 third rotation: IN quality_classifier_trained — in-Spark
+#: distillation training (exact integer Gram + driver ridge solve,
+#: bit-exact Python-twin oracle; what's-missing #2) CONTAINS the
+#: fixed-literal scoring fold as its teacher stage, so OUT
+#: quality_classifier_filter (keeps oracle_check + the
+#: teacher-reproduction parity pytest in test_pretrain_ops.py).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -226,7 +233,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # multimodal_features gates the same plumbing)
     "textstats_lang_id",
     "textstats_quality",
-    "quality_classifier_filter",
+    "quality_classifier_trained",
     "lm_perplexity_score",
     "bpe_encode_corpus",
     "html_text_extraction",

@@ -881,3 +881,39 @@ def test_canonical_url_collapses_variants_cross_engine(spark):
         ).fetchall()[0][0]
         assert got_spark[url] == want, (url, got_spark[url])
         assert got_duck == want, (url, got_duck)
+
+
+def test_classifier_training_twin_parity_and_teacher_reproduction(spark):
+    """In-Spark distillation training (classifier.train_distilled_
+    weights): (a) the Spark-trained micro-unit weight vector equals
+    the pure-Python twin's bit-for-bit (exact integer Gram/moments ->
+    identical driver solve), and (b) scoring with the trained weights
+    reproduces the fixed-literal teacher's keep decision on every
+    training document — the distillation target is exactly
+    representable because student and teacher share the feature map."""
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import classifier
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    dim, bias = 256, 0.05
+    teacher_w = classifier.demo_weights(dim)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    w_spark = classifier.train_distilled_weights(docs, teacher_w, bias, dim)
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    w_twin = classifier.train_distilled_weights_py(rows, teacher_w, bias, dim)
+    assert w_spark == w_twin
+
+    teacher = {
+        r.doc_id: r.keep
+        for r in classifier.score_documents(docs, teacher_w, bias=bias).collect()
+    }
+    student = {
+        r.doc_id: r.keep
+        for r in classifier.score_documents_micro(docs, w_spark).collect()
+    }
+    assert student == teacher
