@@ -2348,3 +2348,73 @@ def ann_ivf_binary_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool=30,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+_SPANS_INC_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "dedup_spans_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SPAN_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 {PT.hash_array('toks', D)} AS th FROM t),
+    gr AS (SELECT doc_id, n_tokens,
+                  {PT.word_ngram_hashes('th', _SPAN_K, D)} AS grams FROM h),
+    g AS (SELECT doc_id, i AS pos, grams[i + 1] AS gram_hash
+          FROM gr, unnest(range(len(grams))) AS u(i)),
+    dup AS (SELECT gram_hash FROM g GROUP BY gram_hash HAVING count(*) >= 2),
+    contrib AS (
+      SELECT doc_id, pos,
+             max(pos + {_SPAN_K}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g JOIN dup USING (gram_hash) WHERE doc_id >= 250),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(greatest(0, pos + {_SPAN_K}
+                               - greatest(coalesce(prev_end, pos), pos)))
+                  AS BIGINT) AS covered_tokens
+      FROM contrib GROUP BY doc_id)
+    SELECT gr.doc_id, gr.n_tokens,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           CASE WHEN gr.n_tokens = 0 THEN 0.0
+                ELSE {_SPAN_FRAC} END AS dup_fraction
+    FROM gr LEFT JOIN per_doc USING (doc_id)
+    WHERE gr.doc_id >= 250 ORDER BY gr.doc_id
+    """,
+    doc="incremental exact-substring dedup through the STANDING gram "
+    "artifact (dedup.write_gram_artifact — the written table "
+    "duplicate_spans' docstring promises): the standing corpus "
+    "(doc_id < 250) is appended to the artifact once, the new batch "
+    "(doc_id >= 250) is appended as its own increment, and the probe "
+    "(dedup.duplicate_spans_from_artifact) computes whole-corpus "
+    "window occurrence counts and batch-doc span accounting reading "
+    "ONLY parquet gram hashes — no text is rescanned, no gram "
+    "recomputed, appending IS the update (the lsh_band_index "
+    "convention). The oracle recomputes from raw text, so a green "
+    "row proves the artifact round-trip is faithful; "
+    "tests/test_pretrain_ops.py asserts the probe plan scans nothing "
+    "but the artifact.",
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_SPANS_INC_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_grams_{tag}")
+    dedup.write_gram_artifact(
+        docs.filter(F.col("doc_id") < 250), store, k=_SPAN_K, mode="overwrite"
+    )
+    dedup.write_gram_artifact(
+        docs.filter(F.col("doc_id") >= 250), store, k=_SPAN_K, mode="append"
+    )
+    return dedup.duplicate_spans_from_artifact(
+        spark, store, k=_SPAN_K, probe_ids=F.col("doc_id") >= 250
+    ).orderBy("doc_id")

@@ -192,6 +192,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: quality_classifier_filter (keeps oracle_check + the
 #: teacher-reproduction parity pytest in test_pretrain_ops.py).
 #:
+#: Round-7 fourth rotation: IN dedup_spans_incremental — the standing
+#: gram-artifact probe (write_gram_artifact append-only update +
+#: duplicate_spans_from_artifact) runs the SAME occurrence-count and
+#: island-merge machinery as dedup_duplicate_spans, read through the
+#: persisted table, plus the incremental-update contract on top, so
+#: OUT dedup_duplicate_spans (keeps bench row, oracle_check, and the
+#: artifact-vs-inplan parity pytest in test_pretrain_ops.py).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -214,7 +222,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_incremental_minhash",
     "dedup_semantic_clusters",
-    "dedup_duplicate_spans",
+    "dedup_spans_incremental",
     "snapshot_table_diff",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches

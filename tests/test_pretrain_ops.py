@@ -917,3 +917,46 @@ def test_classifier_training_twin_parity_and_teacher_reproduction(spark):
         for r in classifier.score_documents_micro(docs, w_spark).collect()
     }
     assert student == teacher
+
+
+def test_gram_artifact_probe_reads_only_parquet(spark, tmp_path):
+    """The standing gram artifact (dedup.write_gram_artifact): the
+    probe plan's FileScans all point at the artifact — no text scan,
+    no gram recomputation (the 'standing table never rebuilt on
+    probe' contract); appending a batch IS the incremental update;
+    and the artifact-driven span accounting is row-identical to the
+    in-plan duplicate_spans over the same corpus."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import dedup
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    store = str(tmp_path / "grams")
+    dedup.write_gram_artifact(
+        docs.filter(F.col("doc_id") < 250), store, k=8, mode="overwrite"
+    )
+    dedup.write_gram_artifact(
+        docs.filter(F.col("doc_id") >= 250), store, k=8, mode="append"
+    )
+
+    probe = dedup.duplicate_spans_from_artifact(spark, store, k=8)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [seg.split("\n")[0] for seg in plan.split("FileScan")[1:]]
+    assert scans, "no FileScan in probe plan"
+    for head in scans:
+        # every scan projects artifact columns only — recomputing a
+        # gram would require reading the text column
+        assert "text" not in head, head
+        assert "gram_hash" in head or "n_tokens" in head, head
+
+    inplan = dedup.duplicate_spans(docs, "doc_id", "text", k=8)
+    key = lambda r: r.doc_id  # noqa: E731
+    got = {
+        key(r): (r.n_tokens, r.n_dup_windows, r.covered_tokens, r.dup_fraction)
+        for r in probe.collect()
+    }
+    want = {
+        key(r): (r.n_tokens, r.n_dup_windows, r.covered_tokens, r.dup_fraction)
+        for r in inplan.collect()
+    }
+    assert got == want
