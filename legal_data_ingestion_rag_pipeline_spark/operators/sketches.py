@@ -171,3 +171,103 @@ def histogram_quantiles(
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set-membership summaries for map-side decontamination
+# ---------------------------------------------------------------------------
+#
+# The set-membership complement of the CMS: at 100 TB the benchmark
+# n-gram blacklist (decontamination, Brown et al. 2020 App. C) is
+# millions of grams, but its Bloom bitmap is a few KB-MB of BIGINT
+# words — always broadcastable, so the corpus-side probe is pure
+# map-side codegen (no shuffle of the fact table, ever).  One-sided
+# error: present grams ALWAYS hit (no false negatives — the property
+# decontamination requires); false positives occur at a deterministic,
+# oracle-reproducible set of positions since the hash family is the
+# portable polynomial one.  Bitmaps merge across batches/days by
+# plain bit_or, like CMS counters merge by addition.
+#
+# Words carry 63 usable bits, not 64: DuckDB raises on CAST(1 AS
+# BIGINT) << 63 (signed overflow) while Spark wraps, so the portable
+# mask family stops at bit 62.
+
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_pos_cols(hash_col: str, k: int, m_words: int) -> list[F.Column]:
+    m = m_words * BLOOM_BITS_PER_WORD
+    consts = PT._perm_constants(k)
+    base = F.col(hash_col)
+    return [(((base * a + b) % PT.P) % m).cast("bigint") for (a, b) in consts[:k]]
+
+
+def bloom_build(
+    items: DataFrame, hash_col: str, k: int = 4, m_words: int = 64
+) -> DataFrame:
+    """Build the bitmap: (word_idx, word) rows, word = bit_or of
+    1 << (pos % 63) for every key's k positions.  One shuffle bounded
+    by ``m_words`` groups regardless of input size; NULL hashes are
+    excluded (cms_build convention)."""
+    positions = F.array(*_bloom_pos_cols(hash_col, k, m_words))
+    return (
+        items.filter(F.col(hash_col).isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("bigint").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    hash_col: str,
+    k: int = 4,
+    m_words: int = 64,
+) -> DataFrame:
+    """Append ``might_contain`` to ``keys``: true iff all k bits are
+    set.  The bitmap (<= m_words rows) broadcasts; the probe is an
+    explode to k rows, a broadcast left join on word_idx (absent word
+    = all zeros), and a bool_and — the key set never shuffles beyond
+    its own k-row explode."""
+    positions = F.array(*_bloom_pos_cols(hash_col, k, m_words))
+    exploded = keys.filter(F.col(hash_col).isNotNull()).select(
+        "*", F.explode(positions).alias("pos")
+    )
+    checked = (
+        exploded.withColumn(
+            "word_idx",
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("bigint"),
+        )
+        .withColumn(
+            "bit",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))"
+            ),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "_hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) == F.col("bit")),
+        )
+    )
+    group_cols = [c for c in keys.columns]
+    return checked.groupBy(*group_cols).agg(
+        F.expr("bool_and(_hit)").alias("might_contain")
+    )
+
+
+def bloom_pos_exprs_sql(hash_expr: str, k: int, m_words: int) -> list[str]:
+    """Dialect-neutral position expressions for the oracle: arm i is
+    ((hash * a_i + b_i) % P) % (m_words * 63)."""
+    m = m_words * BLOOM_BITS_PER_WORD
+    consts = PT._perm_constants(k)
+    return [
+        f"((({hash_expr}) * {a} + {b}) % {PT.P}) % {m}" for (a, b) in consts[:k]
+    ]

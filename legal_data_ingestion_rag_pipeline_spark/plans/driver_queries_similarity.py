@@ -2418,3 +2418,96 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans_from_artifact(
         spark, store, k=_SPAN_K, probe_ids=F.col("doc_id") >= 250
     ).orderBy("doc_id")
+
+
+_BLOOM_K = 4
+_BLOOM_WORDS = 64
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sketches import BLOOM_BITS_PER_WORD, bloom_pos_exprs_sql
+
+    bpw = BLOOM_BITS_PER_WORD
+    toks = PT.tokens("coalesce(text, '')", D)
+    arms = bloom_pos_exprs_sql("gh", _BLOOM_K, _BLOOM_WORDS)
+    build_arms = " UNION ALL ".join(
+        f"SELECT ({a}) AS pos FROM bg" for a in arms
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT doc_id, gh, ({a}) AS pos FROM cg" for a in arms
+    )
+    mask = f"(CAST(1 AS BIGINT) << CAST(pos % {bpw} AS INT))"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    h AS (SELECT doc_id, {PT.hash_array('toks', D)} AS th FROM t),
+    cg AS (SELECT DISTINCT doc_id, unnest({PT.word_ngram_hashes('th', 3, D)}) AS gh
+           FROM h),
+    bg AS (SELECT DISTINCT gh FROM cg WHERE doc_id % 97 = 0),
+    bpos AS ({build_arms}),
+    bloom AS (SELECT pos // {bpw} AS word_idx,
+                     bit_or({mask}) AS word
+              FROM bpos GROUP BY 1),
+    ppos AS ({probe_arms}),
+    chk AS (
+      SELECT doc_id, gh,
+             bool_and((coalesce(word, 0) & {mask}) = {mask}) AS hit
+      FROM ppos LEFT JOIN bloom ON (pos // {bpw}) = word_idx
+      GROUP BY doc_id, gh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           {PT.round6('sum(CASE WHEN hit THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', D)}
+             AS flagged_fraction
+    FROM chk GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "decontamination_bloom",
+    oracle=_bloom_oracle(),
+    doc="Bloom-filter decontamination probe (sketches.bloom_build/"
+    "bloom_probe), the broadcastable complement of "
+    "decontamination_overlap's exact gram join: the benchmark set's "
+    "distinct 3-gram hashes compress to a k=4 x 4032-bit bitmap "
+    "(merge across benchmark batches = bit_or), and every corpus "
+    "document counts how many of its grams the bitmap flags — "
+    "map-side probe, the 100 TB side never shuffles for the match. "
+    "No false negatives (every true benchmark gram hits); false "
+    "positives land at deterministic portable-hash positions, so "
+    "even the error is value-hash-gated. 63 usable bits per word "
+    "(DuckDB raises on 1<<63; the portable mask family stops at 62).",
+)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = PT.tokens("coalesce(text, '')", S)
+    th = PT.hash_array("_toks", S)
+    gr = PT.word_ngram_hashes("_th", 3, S)
+    cg = (
+        docs.select("doc_id", F.expr(toks).alias("_toks"))
+        .select("doc_id", F.expr(th).alias("_th"))
+        .select("doc_id", F.explode(F.expr(gr)).alias("gh"))
+        .distinct()
+    )
+    bench = cg.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    bloom = sketches.bloom_build(bench, "gh", k=_BLOOM_K, m_words=_BLOOM_WORDS)
+    flagged = sketches.bloom_probe(
+        bloom, cg, "gh", k=_BLOOM_K, m_words=_BLOOM_WORDS
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.col("might_contain").cast("bigint"))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.expr(
+                PT.round6(
+                    "sum(CAST(might_contain AS BIGINT)) / CAST(count(*) AS DOUBLE)",
+                    S,
+                )
+            ).alias("flagged_fraction"),
+        )
+        .orderBy("doc_id")
+    )

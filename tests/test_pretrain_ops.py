@@ -960,3 +960,33 @@ def test_gram_artifact_probe_reads_only_parquet(spark, tmp_path):
         for r in inplan.collect()
     }
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Bloom set-membership (sketches.bloom_build/bloom_probe): every
+    inserted key must hit (the one-sided guarantee decontamination
+    relies on), absent keys mostly miss at this fill ratio, and two
+    batch bitmaps merged by bit_or equal the single-pass bitmap."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    inserted = spark.range(0, 200).select((F.col("id") * 7 + 3).alias("gh"))
+    absent = spark.range(0, 200).select((F.col("id") * 7 + 100003).alias("gh"))
+    bloom = sketches.bloom_build(inserted, "gh", k=4, m_words=64)
+
+    hits = sketches.bloom_probe(bloom, inserted, "gh", k=4, m_words=64)
+    assert all(r.might_contain for r in hits.collect())
+
+    miss = sketches.bloom_probe(bloom, absent, "gh", k=4, m_words=64)
+    fp = sum(1 for r in miss.collect() if r.might_contain)
+    assert fp < 40  # deterministic, and far below saturation
+
+    b1 = sketches.bloom_build(inserted.filter("gh < 700"), "gh", k=4, m_words=64)
+    b2 = sketches.bloom_build(inserted.filter("gh >= 700"), "gh", k=4, m_words=64)
+    merged = (
+        b1.unionByName(b2)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    one = {(r.word_idx, r.word) for r in bloom.collect()}
+    two = {(r.word_idx, r.word) for r in merged.collect()}
+    assert one == two
