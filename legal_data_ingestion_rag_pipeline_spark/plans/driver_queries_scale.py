@@ -1262,3 +1262,65 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return key_skew_profile(ev, "user_id", top=10)
+
+
+_HLL_B = 8
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketches import hll_sql_parts
+
+    from ..operators.sketches import hll_coefficient
+
+    p = hll_sql_parts("k", _HLL_B, D)
+    m, shift = int(p["m"]), int(p["shift"])
+    est = f"{hll_coefficient(_HLL_B)!r} / CAST(s_scaled AS DOUBLE)"
+    return f"""
+    WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+                  WHERE l_partkey IS NOT NULL),
+    r AS (SELECT ({p['bucket']}) AS bucket, max({p['rank']}) AS max_rank
+          FROM keys GROUP BY 1),
+    allb AS (SELECT CAST(unnest(range({m})) AS BIGINT) AS bucket),
+    f AS (SELECT allb.bucket, coalesce(max_rank, 0) AS mr
+          FROM allb LEFT JOIN r USING (bucket)),
+    agg AS (SELECT CAST(count(CASE WHEN mr > 0 THEN 1 END) AS BIGINT)
+                     AS n_buckets_used,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST({shift} - mr AS INT))
+                        AS BIGINT) AS s_scaled
+            FROM f),
+    truth AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS true_distinct
+              FROM lineitem WHERE l_partkey IS NOT NULL)
+    SELECT CAST({m} AS BIGINT) AS m, n_buckets_used, s_scaled,
+           {PT.round6(est, D)} AS est_hll, true_distinct
+    FROM agg, truth
+    """
+
+
+@register(
+    "hll_distinct_parts",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog distinct-count of lineitem part keys "
+    "(sketches.hll_register/hll_estimate) — the cardinality member "
+    "of the sketch triad (CMS frequency, Bloom membership, HLL "
+    "distinct): 2^8 registers built in one bounded-key aggregation "
+    "(register table size is constant at ANY corpus size, merges "
+    "across batches by register-wise max), folded into ONE exact "
+    "BIGINT harmonic sum so the only float step is a single literal "
+    "division — bit-reproducible, no libm. Raw Flajolet estimator "
+    "with the exact distinct reported beside it, so the sketch error "
+    "is value-hash-gated rather than hidden (the cms_heavy_hitters "
+    "convention).",
+)
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_partkey").isNotNull()).selectExpr(
+        "CAST(l_partkey AS STRING) AS k"
+    )
+    regs = sketches.hll_register(keys, "k", b=_HLL_B)
+    est = sketches.hll_estimate(regs, b=_HLL_B)
+    truth = li.filter(F.col("l_partkey").isNotNull()).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
+    )
+    return est.crossJoin(F.broadcast(truth))

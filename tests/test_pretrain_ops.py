@@ -990,3 +990,35 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     one = {(r.word_idx, r.word) for r in bloom.collect()}
     two = {(r.word_idx, r.word) for r in merged.collect()}
     assert one == two
+
+
+def test_hll_registers_bounded_mergeable_and_estimate_sane(spark):
+    """HyperLogLog (sketches.hll_register/hll_estimate): the register
+    table never exceeds 2^b rows, two batch register tables merged by
+    register-wise max equal the single-pass table (the property that
+    makes HLL the partitioned-cardinality structure), and the raw
+    estimate lands within the expected ~1.04/sqrt(m) relative error
+    of the true distinct count."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    n = 5000
+    items = spark.range(n).selectExpr("CAST(id * 2654435761 % 1000003 AS STRING) AS k")
+    b = 8
+    regs = sketches.hll_register(items, "k", b=b)
+    assert regs.count() <= (1 << b)
+
+    r1 = sketches.hll_register(items.filter("CAST(k AS BIGINT) % 2 = 0"), "k", b=b)
+    r2 = sketches.hll_register(items.filter("CAST(k AS BIGINT) % 2 = 1"), "k", b=b)
+    merged = (
+        r1.unionByName(r2)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    one = {(r.bucket, r.max_rank) for r in regs.collect()}
+    two = {(r.bucket, r.max_rank) for r in merged.collect()}
+    assert one == two
+
+    true_distinct = items.distinct().count()
+    est = sketches.hll_estimate(regs, b=b).collect()[0].est_hll
+    rel = abs(est - true_distinct) / true_distinct
+    assert rel < 0.25, (est, true_distinct, rel)  # ~3.8x the 6.5% std error
