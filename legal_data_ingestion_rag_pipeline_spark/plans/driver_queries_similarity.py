@@ -2511,3 +2511,48 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PQ_STORED_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "ann_pq_stored",
+    oracle=_pq_trained_oracle,
+    doc="stored-code verification for the trained-PQ search (the "
+    "write_pq_codes side of the stored-tier pair, same faithful-"
+    "rewrite convention as ann_ivf_binary_stored): the trained "
+    "codebook encodes the corpus ONCE, the m-byte code table is "
+    "written to parquet (no float column stored), and the ADC stage "
+    "of pq_adc_topk_from_codes scans only the stored codes until the "
+    "exact rescore joins back to the float table. Oracle = the "
+    "in-plan ann_pq_trained SQL, so a green row proves the persisted "
+    "codes reproduce the on-the-fly encoding bit-for-bit; "
+    "tests/test_ann_tier.py asserts the code table stores no floats "
+    "and the stored search equals the in-plan search.",
+)
+def ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann as _ann, pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    book = pq.pq_train_codebook(e, m=4, **_TRAIN)
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_PQ_STORED_SEQ)}"
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pqcodes_{tag}", "embeddings_pq"
+    )
+    _ann.write_pq_codes(e, book, store)
+    codes = _ann.read_pq_codes(spark, store)
+    out = _ann.pq_adc_topk_from_codes(
+        codes, e.select("vec_id", "embedding"), queries, book, k=10, pool=50
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
