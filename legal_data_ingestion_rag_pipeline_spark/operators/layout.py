@@ -101,3 +101,54 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def small_file_report(spark, path: str) -> dict:
+    """File-size diagnostic for a parquet table: the small-file
+    problem is THE steady-state killer of big tables (every file is a
+    task + a footer fetch + an open; 100k x 1 MB files make a scan
+    scheduler-bound, not IO-bound).  Returns counts/bytes from the
+    file listing — driver-side metadata only, no data read."""
+    import os
+
+    files = [
+        f[len("file:"):] if f.startswith("file:") else f
+        for f in spark.read.parquet(path).inputFiles()
+    ]
+    sizes = [os.path.getsize(f) for f in files]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+    }
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a fragmented parquet table into ~target-sized files —
+    the OPTIMIZE/rewriteDataFiles maintenance operation.  File count
+    is sized from the source listing; with ``sort_col`` the rewrite
+    goes through repartitionByRange + sortWithinPartitions so the
+    compacted files keep narrow min/max footer stats on the sort key
+    (compaction should never destroy clustering — a plain
+    repartition() would).  Returns the file count written.  One full
+    shuffle of the table by construction; at 100 TB this runs
+    per-partition (compact yesterday's directory), never whole-table.
+    """
+    import math
+
+    rep = small_file_report(spark, src)
+    n = max(1, math.ceil(rep["total_bytes"] / float(target_file_bytes)))
+    df = spark.read.parquet(src)
+    if sort_col is not None:
+        df = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst)
+    return n

@@ -1324,3 +1324,60 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
     )
     return est.crossJoin(F.broadcast(truth))
+
+
+_COMPACT_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "compaction_roundtrip_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="small-file compaction verification (layout.compact_files — "
+    "the OPTIMIZE/rewriteDataFiles maintenance op): lineitem is "
+    "deliberately fragmented into 64 splinter files, compacted back "
+    "through the size-targeted range rewrite (sorted on l_orderkey "
+    "so footer stats survive compaction), and a grouped aggregate "
+    "runs THROUGH the compacted store; the oracle reads the plain "
+    "table, so a green row proves the rewrite is faithful. File-"
+    "count collapse and stats preservation are asserted in "
+    "tests/test_layout.py.",
+)
+def compaction_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_COMPACT_SEQ)}"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_compact_{tag}")
+    frag, tidy = os.path.join(base, "frag"), os.path.join(base, "tidy")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    layout.compact_files(
+        spark, frag, tidy, target_file_bytes=64 << 20, sort_col="l_orderkey"
+    )
+    z = spark.read.parquet(tidy)
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("l_orderkey").cast("bigint").alias("min_key"),
+            F.max("l_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -160,3 +160,47 @@ def test_layout_zordered_scan_prunes_and_matches(spark):
     # the predicate box covers ~6% of (qty, price) space; Morton
     # clustering must let footer stats rule out at least half the files
     assert candidates <= 4, candidates
+
+
+def test_compaction_collapses_files_and_keeps_stats(spark, tmp_path):
+    """layout.compact_files: 64 splinter files collapse to the
+    size-targeted count, rows round-trip exactly, and the sorted
+    rewrite keeps narrow per-file min/max stats on the sort key
+    (compaction must not destroy clustering)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.layout import (
+        compact_files,
+        small_file_report,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    frag, tidy = str(tmp_path / "frag"), str(tmp_path / "tidy")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    before = small_file_report(spark, frag)
+    assert before["n_files"] == 64
+
+    n = compact_files(spark, frag, tidy, target_file_bytes=1 << 20,
+                      sort_col="l_orderkey")
+    after = small_file_report(spark, tidy)
+    assert after["n_files"] == n < 64
+    assert spark.read.parquet(tidy).count() == li.count()
+
+    # range-sorted rewrite: per-file key ranges must not all span the
+    # whole table (the signature of preserved clustering)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted((tmp_path / "tidy").glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "l_orderkey" and c.statistics:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            ranges.append((min(los), max(his)))
+    if len(ranges) > 1:
+        full = max(h for _, h in ranges) - min(l for l, _ in ranges)
+        assert all((h - l) < full for l, h in sorted(ranges))
