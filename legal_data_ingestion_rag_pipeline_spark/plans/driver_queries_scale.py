@@ -1381,3 +1381,120 @@ def compaction_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_BUCKET_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "bucketed_join_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="bucketed co-located join (the pre-shuffled layout that makes "
+    "repeated fact-fact joins shuffle-FREE at 100 TB): orders and "
+    "lineitem are written as bucketed+sorted tables on the join key "
+    "(8 buckets, saveAsTable), and the orderkey equi-join then reads "
+    "bucket i against bucket i with NO Exchange on either side — the "
+    "shuffle was paid once at write time and amortizes over every "
+    "future join on the key. The aggregate runs through the bucketed "
+    "join against a plain-join oracle (faithful rewrite); "
+    "tests/test_layout.py asserts the join plan has zero shuffle "
+    "exchanges under the bucketed scan.",
+)
+def bucketed_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    seq = next(_BUCKET_SEQ)
+    import hashlib as _hl
+
+    tag = f"{_hl.sha256(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}_{seq}"
+    t_ord, t_li = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    _t(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(t_ord)
+    _t(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable(t_li)
+    o = spark.table(t_ord).filter(F.col("o_orderstatus") == "F")
+    li = spark.table(t_li)
+    joined = o.join(li, li.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_EVO_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, source, CAST(NULL AS BIGINT) AS quality_tier
+      FROM documents WHERE doc_id < 250
+    ),
+    v2 AS (
+      SELECT doc_id, source, CAST(doc_id % 5 AS BIGINT) AS quality_tier
+      FROM documents WHERE doc_id >= 250
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(quality_tier) AS BIGINT) AS n_with_tier,
+           CAST(sum(coalesce(quality_tier, -1)) AS BIGINT) AS tier_sum
+    FROM u GROUP BY source ORDER BY source
+    """,
+    doc="schema-evolution read (mergeSchema): a landed table gains a "
+    "column mid-stream — batch 1 is written WITHOUT quality_tier, "
+    "batch 2 WITH it — and a single mergeSchema read reconciles both "
+    "generations (old files surface NULL for the new column), "
+    "aggregated per source with the NULL/coalesce semantics the "
+    "oracle mirrors via an explicit UNION. The additive-column path "
+    "is the only evolution a 100 TB append-only table should use: "
+    "renames/retypes force rewrites; adds are free at read time.",
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:10]}"
+        f"_{os.getpid()}_{next(_EVO_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{tag}")
+    docs.filter(F.col("doc_id") < 250).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(store)
+    docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 5).cast("bigint").alias("quality_tier"),
+    ).write.mode("append").parquet(store)
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("quality_tier").cast("bigint").alias("n_with_tier"),
+            F.sum(F.coalesce(F.col("quality_tier"), F.lit(-1)))
+            .cast("bigint")
+            .alias("tier_sum"),
+        )
+        .orderBy("source")
+    )

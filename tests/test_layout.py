@@ -204,3 +204,54 @@ def test_compaction_collapses_files_and_keeps_stats(spark, tmp_path):
     if len(ranges) > 1:
         full = max(h for _, h in ranges) - min(l for l, _ in ranges)
         assert all((h - l) < full for l, h in sorted(ranges))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed co-located join: two tables bucketed+sorted on the
+    join key join with ZERO shuffle exchanges — the pre-shuffled
+    layout whose write-once cost amortizes over every future join.
+    (Bucket scans are per-session tables; names are test-unique.)"""
+    import os
+
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    tag = f"t{os.getpid()}"
+    t_ord, t_li = f"tb_orders_{tag}", f"tb_lineitem_{tag}"
+    load_table(spark, sf, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(t_ord)
+    load_table(spark, sf, "lineitem").write.bucketBy(4, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable(t_li)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: at test scale AQE would broadcast
+        # the tiny tables, hiding exactly the Exchange this test checks
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(t_ord)
+        li = spark.table(t_li)
+        joined = o.join(li, li.l_orderkey == o.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in join_part, join_part[:500]
+        # row parity with the plain join
+        plain = (
+            load_table(spark, sf, "orders")
+            .join(
+                load_table(spark, sf, "lineitem"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .count()
+        )
+        got = {r.l_returnflag: r["count"] for r in joined.collect()}
+        want = {r.l_returnflag: r["count"] for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
