@@ -706,3 +706,145 @@ def _final_reg_projection(sums: DataFrame) -> DataFrame:
         f"{_r6(f'({sy} - ({num} / {den}) * {sx}) / {nd}')} AS intercept",
         f"{_r6(f'({num} * {num}) / ({den} * {deny})', 1e9)} AS r2",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_rollup_report",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE))
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    ORDER BY gid, event_type, day
+    """,
+    doc="hierarchical ROLLUP report (the OLAP subtotal shape): "
+    "per-(type, day) counts and value sums, per-type subtotals, and "
+    "the grand total from ONE aggregation pass — Spark expands the "
+    "grouping sets map-side, so the shuffle carries each row once "
+    "per grouping level with partial aggregation, never re-scanning "
+    "the fact table per level (the reason ROLLUP beats three "
+    "self-UNIONed GROUP BYs at 100 TB). grouping() bits disambiguate "
+    "real values from subtotal rows; value sums go through "
+    "DECIMAL(18,2) so both engines add exactly.",
+)
+def events_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("bigint")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+             AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+             AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS view
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="long-to-wide pivot: daily counts per event type as columns. "
+    "The pivot VALUES are passed explicitly — with them Spark "
+    "compiles the pivot into one conditional-aggregate pass (exactly "
+    "the CASE aggregation the oracle spells out); without them it "
+    "must first run a distinct scan over the 100 TB column to "
+    "discover the columns, so explicit values are the scale "
+    "contract, not a convenience.",
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    out = (
+        ev.groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+        for t in _PIVOT_TYPES
+    ]
+    return out.select(*cols).orderBy("day")
+
+
+@register(
+    "events_gapfill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY event_type
+    ),
+    cal AS (
+      SELECT event_type, CAST(g AS DATE) AS day
+      FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) t(g)
+    ),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cal.event_type, CAST(cal.day AS VARCHAR) AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN daily USING (event_type, day)
+    ORDER BY event_type, day
+    """,
+    doc="time-series gap fill: each event type's daily series is "
+    "densified over its own [min, max] day span via sequence() + "
+    "explode, absent days surfacing as explicit zeros — the resample "
+    "step every downstream rate/anomaly computation needs (a gap "
+    "read as 'no row' silently vanishes from averages; a gap read "
+    "as 0 is data). The calendar explode is bounded by "
+    "types x span-days, never corpus-scale, and joins the daily "
+    "aggregate on (type, day) — both sides pre-shrunk by "
+    "aggregation before any join.",
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
