@@ -389,3 +389,96 @@ def hll_sql_parts(key_expr: str, b: int, dialect: str) -> dict[str, str]:
         f"ELSE {rank_bits + 1} - length(bin({w})) END"
     )
     return {"m": str(m), "bucket": bucket, "rank": rank, "shift": str(rank_bits + 1)}
+
+
+def hll_register_grouped(
+    items: DataFrame, group_cols: list[str], key_col: str, b: int = 8
+) -> DataFrame:
+    """Group-wise HLL registers: (group..., bucket, max_rank) — at
+    most 2^b rows PER GROUP whatever the group's size, so per-group
+    distinct counts shuffle sketch-sized state, not keys (the
+    approx_count_distinct shape, but portable and mergeable across
+    batches by max like the global form)."""
+    parts = hll_sql_parts(key_col, b, PT.SPARK)
+    return (
+        items.filter(F.col(key_col).isNotNull())
+        .selectExpr(
+            *group_cols,
+            f"CAST({parts['bucket']} AS BIGINT) AS bucket",
+            f"CAST({parts['rank']} AS BIGINT) AS rank",
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], b: int = 8
+) -> DataFrame:
+    """Per-group estimates from grouped registers: (group...,
+    n_buckets_used, s_scaled, est_hll).  Empty buckets contribute
+    2^shift to the harmonic sum, accounted arithmetically (m minus
+    the group's bucket count) instead of materializing a calendar of
+    empty registers per group."""
+    m = 1 << b
+    shift = (HLL_HASH_BITS - b) + 1
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        (
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({shift} - max_rank AS INT))")
+            )
+            + (F.lit(m) - F.count("*")) * F.lit(1 << shift)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    est = f"{hll_coefficient(b)!r} / CAST(s_scaled AS DOUBLE)"
+    return agg.select(
+        *group_cols,
+        "n_buckets_used",
+        "s_scaled",
+        F.expr(PT.round6(est, PT.SPARK)).alias("est_hll"),
+    )
+
+
+def bloom_bits_literal(bloom: DataFrame, m_words: int) -> list[int]:
+    """Collect a built bitmap into a dense word list (driver-side —
+    the bitmap is m_words BIGINTs, KB-scale by construction)."""
+    got = {int(r.word_idx): int(r.word) for r in bloom.collect()}
+    return [got.get(i, 0) for i in range(m_words)]
+
+
+def bloom_might_contain_sql(
+    hash_expr: str, bits: list[int], k: int, dialect: str
+) -> str:
+    """Pure map-side membership expression over a LITERAL bitmap (the
+    folded-model convention of operators/classifier.py): the k bit
+    checks AND together in one codegen projection, so a Bloom
+    PREFILTER costs zero shuffles on the probed side — bloom_probe's
+    DataFrame form, by contrast, reshapes the key set through an
+    explode + groupBy and is for producing a membership COLUMN, not
+    for prefiltering a fact table."""
+    m_words = len(bits)
+    m = m_words * BLOOM_BITS_PER_WORD
+    consts = PT._perm_constants(k)
+    w_lit = ", ".join(f"CAST({w} AS BIGINT)" for w in bits)
+    arr = f"array({w_lit})" if dialect == PT.SPARK else f"[{w_lit}]"
+    checks = []
+    for (a, c) in consts[:k]:
+        pos = f"((({hash_expr}) * {a} + {c}) % {PT.P}) % {m}"
+        widx = f"CAST(({pos}) / {BLOOM_BITS_PER_WORD} AS BIGINT)"
+        if dialect != PT.SPARK:
+            widx = f"(({pos}) // {BLOOM_BITS_PER_WORD})"
+        mask = (
+            f"shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % {BLOOM_BITS_PER_WORD} AS INT))"
+            if dialect == PT.SPARK
+            else f"(CAST(1 AS BIGINT) << CAST(({pos}) % {BLOOM_BITS_PER_WORD} AS INT))"
+        )
+        word = (
+            PT.element_at_1based(arr, f"({widx}) + 1", dialect)
+            if dialect == PT.SPARK
+            else f"list_extract({arr}, ({widx}) + 1)"
+        )
+        checks.append(f"((({word}) & ({mask})) = ({mask}))")
+    return "(" + " AND ".join(checks) + ")"

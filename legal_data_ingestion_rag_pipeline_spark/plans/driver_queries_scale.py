@@ -1498,3 +1498,112 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _hll_grouped_oracle() -> str:
+    from ..operators.sketches import hll_coefficient, hll_sql_parts
+
+    p = hll_sql_parts("k", _HLL_B, D)
+    m, shift = int(p["m"]), int(p["shift"])
+    est = f"{hll_coefficient(_HLL_B)!r} / CAST(s_scaled AS DOUBLE)"
+    return f"""
+    WITH keys AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k
+                  FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, ({p['bucket']}) AS bucket,
+                 max({p['rank']}) AS max_rank
+          FROM keys GROUP BY 1, 2),
+    agg AS (SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets_used,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST({shift} - max_rank AS INT))
+                        + ({m} - count(*)) * (CAST(1 AS BIGINT) << {shift})
+                        AS BIGINT) AS s_scaled
+            FROM r GROUP BY 1),
+    truth AS (SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT agg.event_type, n_buckets_used, s_scaled,
+           {PT.round6(est, D)} AS est_hll, true_distinct
+    FROM agg JOIN truth USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register(
+    "hll_distinct_users_by_type",
+    oracle=_hll_grouped_oracle(),
+    doc="group-wise HLL (sketches.hll_register_grouped): distinct "
+    "users per event type with 2^8 registers of state per group — "
+    "the approx_count_distinct shape, but portable, mergeable across "
+    "batches by register-wise max, and value-hash-gated with the "
+    "exact distinct beside each estimate. Empty registers are "
+    "accounted arithmetically per group (m - bucket_count), never "
+    "materialized.",
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+    from ..session import normalize_event_ts
+
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    keys = ev.filter(F.col("user_id").isNotNull()).selectExpr(
+        "event_type", "CAST(user_id AS STRING) AS k"
+    )
+    regs = sketches.hll_register_grouped(keys, ["event_type"], "k", b=_HLL_B)
+    est = sketches.hll_estimate_grouped(regs, ["event_type"], b=_HLL_B)
+    truth = ev.filter(F.col("user_id").isNotNull()).groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return est.join(truth, "event_type").orderBy("event_type")
+
+
+@register(
+    "bloom_prefiltered_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 200000.0
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    doc="Bloom-prefiltered join (the runtime-filter pattern Spark's "
+    "own bloom-filter join injects, spelled explicitly with the "
+    "portable bitmap): the selective side's join keys compress to a "
+    "broadcast Bloom, the 100 TB side drops non-matching rows "
+    "MAP-SIDE before the shuffle, and the exact join then runs on "
+    "the survivors — false positives pass the prefilter and are "
+    "eliminated by the join itself, so the result is exactly the "
+    "plain join (which is the oracle) while the shuffle carries only "
+    "~matching + epsilon rows. The correctness-free speedup is the "
+    "point: the bitmap can be arbitrarily under-sized and only "
+    "performance degrades.",
+)
+def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    okeys = o.selectExpr(
+        f"{PT.poly_hash('CAST(o_orderkey AS STRING)', S)} AS kh"
+    )
+    bloom = sketches.bloom_build(okeys, "kh", k=4, m_words=256)
+    # fold the KB-scale bitmap into the plan as a literal so the
+    # prefilter is a pure map-side projection — zero shuffles on the
+    # fact side before the join (asserted in tests/test_pretrain_ops)
+    bits = sketches.bloom_bits_literal(bloom, m_words=256)
+    pred = sketches.bloom_might_contain_sql(
+        PT.poly_hash("CAST(l_orderkey AS STRING)", S), bits, k=4, dialect=S
+    )
+    survivors = li.filter(F.expr(pred))
+    joined = survivors.join(o, survivors.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1022,3 +1022,45 @@ def test_hll_registers_bounded_mergeable_and_estimate_sane(spark):
     est = sketches.hll_estimate(regs, b=b).collect()[0].est_hll
     rel = abs(est - true_distinct) / true_distinct
     assert rel < 0.25, (est, true_distinct, rel)  # ~3.8x the 6.5% std error
+
+
+def test_bloom_prefilter_is_mapside_and_lossless(spark):
+    """The literal-bitmap Bloom prefilter (bloom_might_contain_sql):
+    (a) the probe predicate is a pure projection — the probed side's
+    plan has no Exchange before the filter; (b) every true match
+    survives (no false negatives), so prefilter + exact join == plain
+    join exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 200000.0)
+    okeys = o.selectExpr(
+        f"{PT.poly_hash('CAST(o_orderkey AS STRING)', PT.SPARK)} AS kh"
+    )
+    bloom = sketches.bloom_build(okeys, "kh", k=4, m_words=256)
+    bits = sketches.bloom_bits_literal(bloom, m_words=256)
+    pred = sketches.bloom_might_contain_sql(
+        PT.poly_hash("CAST(l_orderkey AS STRING)", PT.SPARK), bits, k=4,
+        dialect=PT.SPARK,
+    )
+    survivors = li.filter(F.expr(pred))
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    match_keys = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    li_match = {
+        r.l_linenumber_key
+        for r in li.filter(F.col("l_orderkey").isin(list(match_keys)))
+        .selectExpr("concat(l_orderkey, '-', l_linenumber) AS l_linenumber_key")
+        .collect()
+    }
+    surv_keys = {
+        r.l_linenumber_key
+        for r in survivors.selectExpr(
+            "concat(l_orderkey, '-', l_linenumber) AS l_linenumber_key"
+        ).collect()
+    }
+    assert li_match <= surv_keys  # no false negatives
