@@ -297,3 +297,57 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_ENRICH_SINK).orderBy("mktsegment", "event_type")
+
+
+_SSJOIN_SINK = "streaming_interval_join_sink"
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id AS purchase_id,
+                      CAST(ts AS TIMESTAMP) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id,
+                      CAST(ts AS TIMESTAMP) AS cts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="stream-stream interval join (streaming/pipeline.stream_"
+    "stream_click_purchase): purchases and clicks are two watermarked "
+    "streams joined on user with the click bounded to the hour before "
+    "the purchase — the interval condition is what lets Spark EXPIRE "
+    "buffered join state (a click older than watermark minus the "
+    "interval can never match again), which is the difference between "
+    "bounded state and an unbounded buffer at 100 TB/day. File "
+    "source, availableNow trigger, append mode; on the finite replay "
+    "the inner-join output equals the batch range join, which is the "
+    "oracle.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_stream_click_purchase
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    out = stream_stream_click_purchase(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SSJOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SSJOIN_SINK).orderBy("purchase_id", "click_id")
