@@ -200,6 +200,30 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: OUT dedup_duplicate_spans (keeps bench row, oracle_check, and the
 #: artifact-vs-inplan parity pytest in test_pretrain_ops.py).
 #:
+#: Round-7 fifth rotation (session tail — the four newest operator
+#: families in, same partner rule):
+#:   IN : decontamination_bloom (portable Bloom bitmap — new sketch
+#:        family; even the false positives are hash-gated),
+#:        hll_distinct_parts (HyperLogLog — new sketch family:
+#:        mid-square finalizer + exact integer harmonic fold),
+#:        streaming_interval_join (stream-stream watermarked interval
+#:        join — the one stateful-streaming shape with no gate row),
+#:        bucketed_join_scan (bucketed+sorted co-located join — the
+#:        layout family's first gate row; zero-Exchange join plan).
+#:   OUT: url_domain_filter -> domain machinery runs INSIDE the gated
+#:        curation_pipeline_v5 front door + url_canonical_dedup;
+#:        keeps oracle_check + pytest.
+#:        histogram_quantile_sketch -> the bounded-key sketch-build
+#:        shuffle shape is gated via cms_heavy_hitters (and now two
+#:        more sketches); keeps oracle_check + pytest.
+#:        window_argmax_per_user -> row_number-over-partition frames
+#:        run inside EVERY gated two-phase top-k (ann family) and
+#:        scd2_event_type_history gates the lead frame; keeps
+#:        oracle_check + pytest.
+#:        contrastive_negatives -> the crossjoin + two-phase draw is
+#:        gated via hard_negative_mining (rank-band superset); keeps
+#:        oracle_check + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -230,11 +254,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_ivf_binary_stored",
     "ann_binary_hamming_topk",
     "join_key_skew_profile",
-    "contrastive_negatives",
+    "bucketed_join_scan",
     "domain_mixture_sample",
     "pagerank_trade_network",
     "cms_heavy_hitters",
-    "histogram_quantile_sketch",
+    "hll_distinct_parts",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
@@ -248,7 +272,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "rag_semantic_search",
     "rag_rerank_bm25",
     "curation_pipeline_v3",
-    "url_domain_filter",
+    "decontamination_bloom",
     "url_canonical_dedup",
     "quality_ensemble_topk",
     "streaming_sliding_counts",
@@ -258,7 +282,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_matryoshka_topk",
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
-    "window_argmax_per_user",
+    "streaming_interval_join",
     "scd2_event_type_history",
     "range_join_clicks_before_purchase",
     "regression_price_vs_quantity",
