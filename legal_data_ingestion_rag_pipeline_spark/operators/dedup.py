@@ -881,3 +881,101 @@ def duplicate_spans_from_artifact(
             F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.expr(frac)),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin /
+    AllPairs family, Xiao et al. 2008; Bayardo et al. 2007) — the
+    third pair-generation discipline beside LSH banding (approximate)
+    and the df-capped inverted index (exact but joins EVERY shared
+    gram):
+
+    order every document's distinct gram set by GLOBAL rarity
+    (df ASC, gram ASC) and keep only the first
+    floor((1-t)*|d|) + 1 grams as its prefix — two sets with
+    Jaccard >= t MUST share a prefix gram (pigeonhole on the
+    (1-t)|d| grams a t-similar set may miss), so joining on prefix
+    grams alone generates a complete candidate set while the shuffle
+    carries ~(1-t) of the index volume, concentrated on RARE grams
+    (low fan-out by construction — rare-first ordering is what makes
+    the filter effective, not just correct).  Candidates verify with
+    exact array intersection per pair; no df cap needed, no recall
+    loss.
+
+    Determinism: per-doc gram order is sort_array over (df, gram)
+    structs; jaccard micro-rounds; ties ordered by (id_a, id_b).
+    """
+    t = float(min_jaccard)
+    grams = (
+        barrier(df)
+        .withColumn("tokens", F.expr(PT.tokens(text_col, PT.SPARK)))
+        .withColumn("grams", F.expr(PT.word_ngrams("tokens", n, PT.SPARK)))
+        .select(F.col(id_col).alias("doc"), F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    dfc = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    per_doc = (
+        grams.join(dfc, "gram")
+        .groupBy("doc")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("gram_df", "gram"))
+            ).alias("_sorted"),
+        )
+        .select(
+            "doc",
+            F.expr("transform(_sorted, s -> s.gram)").alias("glist"),
+            F.size("_sorted").cast("bigint").alias("n_grams"),
+        )
+        .localCheckpoint(eager=True)  # feeds prefix explode AND both verify legs
+    )
+    prefix = per_doc.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"slice(glist, 1, CAST(floor((1.0 - {t}) * n_grams) + 1 AS INT))"
+            )
+        ).alias("gram"),
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "gram")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    a = per_doc.select(
+        F.col("doc").alias("id_a"),
+        F.col("glist").alias("ga"),
+        F.col("n_grams").alias("na"),
+    )
+    b = per_doc.select(
+        F.col("doc").alias("id_b"),
+        F.col("glist").alias("gb"),
+        F.col("n_grams").alias("nb"),
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("ga", "gb")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.expr(
+                PT.round6(
+                    "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)",
+                    PT.SPARK,
+                )
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+    return verified.select("id_a", "id_b", "inter", "jaccard")

@@ -208,3 +208,70 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def triangle_counts(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED distinct edge
+    list — the clustering/community signal (and the classic test of
+    join discipline at scale).
+
+    The naive triangle join explodes on hub vertices (fan-out =
+    deg^2 on the wedge pivot).  The standard fix (Chiba-Nishizeki /
+    Suri-Vassilvitskii): orient every edge from the (degree, id)-
+    smaller endpoint to the larger, so every wedge pivots on its
+    LOWEST-degree vertex — per-vertex fan-out is bounded by
+    arboricity^2, not degree^2, and each triangle is generated
+    exactly once (its orientation under a total order is unique).
+    Three shuffles total: degree agg, wedge self-join on the pivot,
+    closing-edge semi-join.  Orientation changes WHICH joins run,
+    never the result — an id-ordered brute force (the oracle) yields
+    the identical triangle set.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation key: (degree, id) as one comparable BIGINT
+    keyed = (
+        und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
+        .select(
+            "lo",
+            "hi",
+            (F.col("dlo") * F.lit(1_000_000_000) + F.col("lo")).alias("klo"),
+            (F.col("dhi") * F.lit(1_000_000_000) + F.col("hi")).alias("khi"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("klo") < F.col("khi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.least("klo", "khi").alias("ku"),
+        F.greatest("klo", "khi").alias("kv"),
+    ).localCheckpoint(eager=True)  # feeds the wedge join twice + closure
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("kx") < F.col("ky"))
+        .select("u", "x", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    per_vertex = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return per_vertex

@@ -1607,3 +1607,54 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                      greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    pv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v
+    )
+    SELECT CAST(v AS BIGINT) AS v, n_triangles
+    FROM pv ORDER BY n_triangles DESC, v LIMIT 20
+    """,
+    doc="per-vertex triangle counting (graph.triangle_counts) over "
+    "the co-purchase graph (parts sharing an order): the clustering "
+    "signal, computed with degree-based edge orientation so every "
+    "wedge pivots on its lowest-degree endpoint — fan-out bounded by "
+    "arboricity^2 instead of hub-degree^2, each triangle generated "
+    "exactly once. The oracle is the id-ordered brute force: "
+    "orientation changes which joins run, never the triangle set.",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    pv = graph.triangle_counts(edges, a="pa", b="pb")
+    return (
+        pv.select(F.col("v").cast("bigint").alias("v"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "v")
+        .limit(20)
+    )

@@ -2556,3 +2556,47 @@ def ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, e.select("vec_id", "embedding"), queries, book, k=10, pool=50
     )
     return out.withColumn("rank", F.col("rank").cast("bigint")).orderBy("q_id", "rank")
+
+
+_PPJ_T = 0.4
+
+
+@register(
+    "dedup_prefix_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram
+          FROM t),
+    s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           {PT.round6('CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)', D)}
+             AS jaccard
+    FROM inter
+    JOIN s sa ON sa.doc_id = id_a
+    JOIN s sb ON sb.doc_id = id_b
+    WHERE {PT.round6('CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)', D)}
+            >= {_PPJ_T}
+    ORDER BY jaccard DESC, id_a, id_b
+    """,
+    doc="EXACT set-similarity self-join via prefix filtering "
+    "(dedup.prefix_filtered_jaccard_pairs — the PPJoin/AllPairs "
+    "discipline, the third pair-generation strategy beside LSH "
+    "banding and the df-capped inverted index): documents' gram sets "
+    "sort by global rarity and only the first (1-t)|d|+1 grams join "
+    "— complete candidate recall by pigeonhole, with the shuffle "
+    "carrying ~(1-t) of the index volume concentrated on RARE grams; "
+    "candidates verify by exact array intersection. The oracle is "
+    "the brute-force exact join, so any recall loss in the filter "
+    "fails the hash gate outright.",
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", n=3, min_jaccard=_PPJ_T
+    )
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b")
