@@ -848,3 +848,56 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "winsorized_value_stats",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, q.p05, q.p95,
+           CAST(count(CASE WHEN e.value < q.p05 THEN 1 END) AS BIGINT)
+             AS n_below,
+           CAST(count(CASE WHEN e.value > q.p95 THEN 1 END) AS BIGINT)
+             AS n_above,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.p05, q.p95
+    ORDER BY e.event_type
+    """,
+    doc="winsorization bounds via EXACT percentiles: per event type "
+    "the p05/p95 linear-interpolated quantiles (Spark percentile() "
+    "and DuckDB quantile_cont share the (n-1)*q interpolation "
+    "formula — measured bit-identical, so the exact-percentile "
+    "machinery is hash-gateable) and the clip counts each tail would "
+    "absorb. Exact percentile is a per-group sort — the gate-scale "
+    "form; at 100 TB the histogram sketch's bounded-error quantile "
+    "(histogram_quantile_sketch) replaces it, which is why both "
+    "formulations exist in the registry. Counts, not clipped means: "
+    "a double mean is addition-order-dependent and would break the "
+    "hash gate.",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p05"), 1))
+            .cast("bigint")
+            .alias("n_below"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1))
+            .cast("bigint")
+            .alias("n_above"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
