@@ -901,3 +901,72 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "session_peak_concurrency",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sn AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g
+    ), iv AS (
+      SELECT user_id, session_no, min(ts) AS s, max(ts) AS e
+      FROM sn GROUP BY user_id, session_no
+    ), deltas AS (
+      SELECT s AS ts, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS ts, -1 AS d FROM iv
+    ), per_ts AS (
+      SELECT ts, SUM(d) AS delta FROM deltas GROUP BY ts
+    ), rt AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(delta) OVER (ORDER BY ts) AS concur
+      FROM per_ts
+    ), daily AS (
+      SELECT day, CAST(max(concur) AS BIGINT) AS peak_concurrent
+      FROM rt GROUP BY day
+    ), dd AS (
+      SELECT CAST(ts AS DATE) AS day, SUM(delta) AS day_delta
+      FROM per_ts GROUP BY 1
+    ), off AS (
+      SELECT day,
+             CAST(coalesce(SUM(day_delta) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS carry_in
+      FROM dd
+    ), st AS (
+      SELECT CAST(s AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_starts
+      FROM iv GROUP BY 1
+    )
+    SELECT d.day, o.carry_in, d.peak_concurrent,
+           CAST(coalesce(st.n_starts, 0) AS BIGINT) AS n_starts
+    FROM daily d JOIN off o USING (day) LEFT JOIN st USING (day)
+    ORDER BY day
+    """,
+    doc="sweep-line peak concurrency (operators/sweep.py): gap-rule "
+    "sessions become half-open intervals, intervals become +1/-1 "
+    "change points, and the running counter is computed as a "
+    "DISTRIBUTED two-phase prefix sum — per-timestamp delta "
+    "aggregation (kills tie-order ambiguity), a per-day window "
+    "(parallel across days), and a calendar-bounded day-carry window "
+    "broadcast back. The oracle is the textbook single-sort global "
+    "sweep; the two formulations are algebraically identical, which "
+    "is exactly what the hash gate proves. At 100 TB the global-sort "
+    "form is a one-reducer scale-killer; the two-phase form never "
+    "sorts more than one day's change points in one place.",
+)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sweep
+
+    ev = _t(spark, sf_dir, "events")
+    iv = sweep.sessions_from_events(ev)
+    return sweep.concurrency_by_day(iv, "s", "e").orderBy("day")
