@@ -970,3 +970,73 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     iv = sweep.sessions_from_events(ev)
     return sweep.concurrency_by_day(iv, "s", "e").orderBy("day")
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    firstseen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM p GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) // 7
+               AS weeks_since
+      FROM p e JOIN firstseen f USING (user_id)
+    ), sz AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firstseen GROUP BY 1
+    )
+    SELECT a.cohort_week, CAST(a.weeks_since AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active, s.cohort_size
+    FROM act a JOIN sz s USING (cohort_week)
+    GROUP BY 1, 2, s.cohort_size ORDER BY 1, 2
+    """,
+    doc="weekly cohort retention matrix: users keyed by the ISO week "
+    "of their first purchase, counted distinct per (cohort_week, "
+    "weeks_since). Monday-start date_trunc('week') agrees between "
+    "engines; weeks_since is integer day arithmetic (exact multiples "
+    "of 7, no float drift). Scale shape: first-seen is one groupBy on "
+    "user_id, the activity join reuses the same key (AQE co-locates), "
+    "the distinct and final agg shuffle on (cohort, week) -- cohort "
+    "cardinality is calendar x cohort bounded, never fact-bounded. "
+    "n_active at weeks_since=0 equals cohort_size by construction -- "
+    "a free self-check the hash gate pins.",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    firstseen = p.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = (
+        p.join(firstseen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    sz = firstseen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("weeks_since").cast("bigint").alias("weeks_since"),
+            "n_active",
+            "cohort_size",
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
