@@ -1040,3 +1040,66 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "mad_outlier_counts",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type, m.med, m.mad,
+           CAST(count(CASE WHEN abs(d.value - m.med) > 3 * m.mad THEN 1 END)
+             AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type
+    """,
+    doc="robust outlier detection via median absolute deviation: "
+    "per-type median, MAD (median of absolute deviations), and the "
+    "count beyond median +- 3*MAD. Both medians use the shared "
+    "(n-1)*q linear-interpolation percentile (measured bit-identical "
+    "between engines, the winsorized_value_stats precedent); the "
+    "deviation |x - med| is a single IEEE subtraction, deterministic "
+    "on both sides. Exact per-group medians are sorts -- the "
+    "gate-scale form; at 100 TB the histogram sketch supplies the "
+    "bounded-error median and this plan's shape (two broadcast "
+    "scalar-per-group joins, counts only in the final agg) is "
+    "unchanged.",
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.select("event_type", "value")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
