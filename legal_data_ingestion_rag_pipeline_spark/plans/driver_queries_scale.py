@@ -1658,3 +1658,71 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "v")
         .limit(20)
     )
+
+
+@register(
+    "frequent_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), marg AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_orders FROM ob GROUP BY b
+    )
+    SELECT a.b AS brand_a, bb.b AS brand_b,
+           CAST(count(*) AS BIGINT) AS support,
+           any_value(ma.n_orders) AS n_orders_a,
+           any_value(mb.n_orders) AS n_orders_b
+    FROM ob a
+    JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+    JOIN marg ma ON ma.b = a.b
+    JOIN marg mb ON mb.b = bb.b
+    GROUP BY 1, 2 HAVING count(*) >= 400
+    ORDER BY support DESC, brand_a, brand_b
+    """,
+    doc="market-basket frequent-pair mining (the A-priori support "
+    "count): baskets are orders, items are part brands; distinct "
+    "(order, brand) pairs self-join on the basket key to emit "
+    "co-occurrences, counted and support-filtered, with per-brand "
+    "marginals attached so lift/confidence are one division away. "
+    "Scale shape: the self-join is co-partitioned on the basket key "
+    "(both sides arrive from the same shuffle), per-basket fan-out is "
+    "k(k-1)/2 bounded by basket size (TPC-H <= 7 items; a heavy-basket "
+    "cap -- filter baskets above a length bound before pairing -- is "
+    "the standard guard at 100 TB), and the marginals table is "
+    "dictionary-sized, broadcast. No all-pairs over the catalog, "
+    "ever: only brands that actually co-occur in a basket are paired.",
+)
+def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    marg = ob.groupBy("b").agg(F.count("*").cast("bigint").alias("n_orders"))
+    a = ob.alias("a")
+    bb = ob.alias("bb")
+    pairs = (
+        a.join(bb, "o")
+        .filter(F.col("a.b") < F.col("bb.b"))
+        .select(F.col("a.b").alias("brand_a"), F.col("bb.b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 400)
+    )
+    ma = marg.select(
+        F.col("b").alias("brand_a"), F.col("n_orders").alias("n_orders_a")
+    )
+    mb = marg.select(
+        F.col("b").alias("brand_b"), F.col("n_orders").alias("n_orders_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .select(
+            "brand_a", "brand_b", "support", "n_orders_a", "n_orders_b"
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+    )
