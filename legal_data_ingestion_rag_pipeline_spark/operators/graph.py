@@ -210,6 +210,120 @@ def pagerank(
     return rank
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex keeps degree >= k, found by iterative peeling —
+    repeatedly drop sub-k vertices until a measured fixpoint.
+
+    Returns (v, core_degree) with degree counted INSIDE the core.
+
+    Scale notes: each peel round is one degree aggregate plus two
+    semi-joins on vertex keys (the surviving-edge filter) — O(E) rows
+    per round, uniform keys.  Rounds needed = peel depth (the
+    degeneracy ordering's layer count), which is small for the
+    power-law graphs this targets; the edge frontier localCheckpoints
+    per round so lineage stays O(1) (the connected_components
+    discipline), and the loop exits only when a round drops zero
+    vertices.  ``max_rounds`` raises rather than silently returning a
+    partially peeled graph.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    nbr = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_live = nbr.select("src").distinct().count()
+    for _ in range(max_rounds):
+        deg = nbr.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src").localCheckpoint(
+            eager=True
+        )
+        n_keep = keep.count()
+        if n_keep == n_live:
+            return (
+                nbr.groupBy("src")
+                .agg(F.count("*").cast("bigint").alias("core_degree"))
+                .select(F.col("src").alias("v"), "core_degree")
+            )
+        nbr = (
+            nbr.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_live = n_keep
+        if n_live == 0:
+            return nbr.select(
+                F.col("src").alias("v"),
+                F.lit(0).cast("bigint").alias("core_degree"),
+            )
+    raise ConvergenceError(
+        f"k_core: no fixpoint after {max_rounds} peel rounds"
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    a: str = "a",
+    b: str = "b",
+    max_depth: int = 12,
+) -> DataFrame:
+    """Unweighted BFS hop distances from ``source`` over an undirected
+    edge list, up to ``max_depth`` hops.  Returns (v, dist).
+
+    The frontier-expansion form: each round joins the current frontier
+    against the adjacency list (one shuffle on the frontier key),
+    dedups the discovered vertices, and anti-joins the settled set so
+    every vertex is labeled with its FIRST (minimum) hop count — the
+    classic BSP BFS, O(E) work per level, frontier materialized with
+    localCheckpoint so lineage is O(1) across levels.  ``max_depth``
+    is a semantic cap (n-hop reachability), not a convergence valve:
+    the loop also exits early the moment a frontier comes back empty.
+    """
+    nbr = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(source, 0)], "v: bigint, dist: int"
+    ).localCheckpoint(eager=True)
+    frontier = settled.select(F.col("v").alias("src"))
+    for depth in range(1, max_depth + 1):
+        discovered = (
+            nbr.join(frontier, "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(settled.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if discovered.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(discovered).localCheckpoint(eager=True)
+        frontier = discovered.select(F.col("v").alias("src"))
+    return settled
+
+
 def triangle_counts(
     edges: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:

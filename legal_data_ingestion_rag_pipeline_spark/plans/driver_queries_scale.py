@@ -1726,3 +1726,134 @@ def frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "brand_a", "brand_b")
     )
+
+
+_SUPPORT2_EDGES_SQL = """
+  SELECT least(a.l_partkey, b.l_partkey) AS lo,
+         greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph at support >= 2: parts sharing >= 2 orders.
+    The support filter is what keeps the graph sparse — the raw
+    co-purchase graph is near-complete on dense catalogs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("lo", "hi")
+    )
+
+
+def _kcore_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: peel the support-2 co-purchase graph in
+    pure Python (deterministic set arithmetic) and emit the core as a
+    VALUES table — the bpe_train_merges / textstats convention for
+    iterative algorithms no single SQL statement expresses."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for lo, hi in con.execute(_SUPPORT2_EDGES_SQL).fetchall():
+        adj[int(lo)].add(int(hi))
+        adj[int(hi)].add(int(lo))
+    con.close()
+    k = 3
+    deg = {v: len(n) for v, n in adj.items()}
+    live = set(adj)
+    while True:
+        drop = {v for v in live if deg[v] < k}
+        if not drop:
+            break
+        for v in drop:
+            live.discard(v)
+            for u in adj[v]:
+                if u in live:
+                    deg[u] -= 1
+    if not live:
+        return "SELECT CAST(NULL AS BIGINT) AS part, CAST(NULL AS BIGINT) AS core_degree WHERE FALSE"
+    rows = ", ".join(f"({v}, {deg[v]})" for v in sorted(live))
+    return (
+        f"SELECT CAST(part AS BIGINT) AS part, "
+        f"CAST(core_degree AS BIGINT) AS core_degree "
+        f"FROM (VALUES {rows}) AS t(part, core_degree) ORDER BY part"
+    )
+
+
+@register(
+    "kcore_copurchase",
+    oracle=_kcore_oracle,
+    doc="3-core of the support-2 co-purchase graph (graph.k_core): "
+    "iterative peeling — drop sub-k vertices, re-count, repeat to a "
+    "measured fixpoint (10 rounds at sf0.01). Each round is one "
+    "degree aggregate + two vertex-key semi-joins, O(E) rows, "
+    "localCheckpoint keeping lineage O(1); max_rounds raises rather "
+    "than returning a half-peeled graph. The oracle is a pure-Python "
+    "peeling twin emitted as VALUES (the bpe_train_merges convention "
+    "for iterative fixpoints). Core membership AND in-core degree are "
+    "both pinned by the hash.",
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    edges = _support2_edges(spark, sf_dir)
+    core = graph.k_core(edges, k=3, a="lo", b="hi")
+    return core.select(
+        F.col("v").cast("bigint").alias("part"), "core_degree"
+    ).orderBy("part")
+
+
+@register(
+    "bfs_copurchase_distances",
+    oracle=f"""
+    WITH RECURSIVE
+    e0 AS ({_SUPPORT2_EDGES_SQL}),
+    e AS (SELECT lo AS s, hi AS d FROM e0 UNION ALL SELECT hi, lo FROM e0),
+    bfs AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS dist
+      UNION
+      SELECT e.d AS v, bfs.dist + 1 AS dist
+      FROM bfs JOIN e ON e.s = bfs.v
+      WHERE bfs.dist < 12
+    )
+    SELECT CAST(v AS BIGINT) AS part, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY v ORDER BY dist, part
+    """,
+    doc="BFS hop distances from part 0 over the support-2 co-purchase "
+    "graph (graph.bfs_distances): BSP frontier expansion — join the "
+    "frontier against the adjacency list, dedup, anti-join the "
+    "settled set, so each vertex is labeled with its minimum hop "
+    "count; O(E) per level, localCheckpoint per level, early exit on "
+    "an empty frontier with max_depth=12 as the n-hop semantic cap. "
+    "The oracle is genuinely independent: DuckDB's recursive CTE "
+    "explores (vertex, depth) pairs bounded by the same cap and takes "
+    "min(dist) — a different algorithm arriving at the same frontier "
+    "labeling, which is exactly what the hash gate proves.",
+)
+def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    edges = _support2_edges(spark, sf_dir)
+    d = graph.bfs_distances(edges, source=0, a="lo", b="hi", max_depth=12)
+    return d.select(
+        F.col("v").cast("bigint").alias("part"),
+        F.col("dist").cast("bigint").alias("dist"),
+    ).orderBy("dist", "part")
