@@ -1,0 +1,113 @@
+"""Unit tests for the round-7 session-tail operators: k-core peeling,
+BSP BFS, and the sweep-line concurrency prefix sum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import graph, sweep
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a: bigint, b: bigint")
+
+
+def test_k_core_peels_tree_and_keeps_clique(spark):
+    # a 4-clique with a pendant path hanging off it: the 3-core is
+    # exactly the clique, found only after the path peels layer by
+    # layer (2 rounds), which exercises the iterative re-count.
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6)]
+    core = graph.k_core(_edges(spark, clique + path), k=3).collect()
+    assert {r.v for r in core} == {1, 2, 3, 4}
+    assert all(r.core_degree == 3 for r in core)
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    core = graph.k_core(_edges(spark, [(1, 2), (2, 3)]), k=5).collect()
+    assert core == []
+
+
+def test_k_core_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        graph.k_core(_edges(spark, [(1, 2)]), k=0)
+
+
+def test_bfs_distances_chain_and_cap(spark):
+    chain = [(i, i + 1) for i in range(6)]  # 0-1-2-3-4-5-6
+    d = {
+        r.v: r.dist
+        for r in graph.bfs_distances(
+            _edges(spark, chain), source=0, max_depth=12
+        ).collect()
+    }
+    assert d == {i: i for i in range(7)}
+    # the depth cap truncates the frontier, it doesn't mislabel
+    d3 = {
+        r.v: r.dist
+        for r in graph.bfs_distances(
+            _edges(spark, chain), source=0, max_depth=3
+        ).collect()
+    }
+    assert d3 == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_unreachable_absent(spark):
+    d = {
+        r.v: r.dist
+        for r in graph.bfs_distances(
+            _edges(spark, [(1, 2), (10, 11)]), source=1
+        ).collect()
+    }
+    assert d == {1: 0, 2: 1}
+
+
+def test_concurrency_two_phase_matches_global_sweep(spark):
+    # intervals engineered to cross day boundaries so the day-carry
+    # path is actually exercised: the global single-sort sweep is the
+    # oracle the operator must reproduce exactly.
+    iv = spark.createDataFrame(
+        [
+            ("2024-01-01 08:00:00", "2024-01-01 12:00:00"),
+            ("2024-01-01 09:00:00", "2024-01-02 10:00:00"),  # crosses midnight
+            ("2024-01-01 11:00:00", "2024-01-01 11:00:00"),  # empty [s,s)
+            ("2024-01-02 09:30:00", "2024-01-03 01:00:00"),  # crosses again
+            ("2024-01-02 09:30:00", "2024-01-02 09:45:00"),  # tied start
+        ],
+        "s_raw: string, e_raw: string",
+    ).select(
+        F.to_timestamp("s_raw").alias("s"), F.to_timestamp("e_raw").alias("e")
+    )
+    rows = {
+        str(r.day): (r.carry_in, r.peak_concurrent, r.n_starts)
+        for r in sweep.concurrency_by_day(iv, "s", "e").collect()
+    }
+    # day 1: +1@8, +1@9, (+1-1)@11 cancels, -1@12 -> peak 2, carry 0
+    assert rows["2024-01-01"] == (0, 2, 3)
+    # day 2 enters with 1 open (the midnight-crosser): +2@9:30(tied),
+    # -1@9:45, -1@10 -> peak 3
+    assert rows["2024-01-02"] == (1, 3, 2)
+    # day 3 enters with 1 open, closes it at 01:00 -> peak 0 after the
+    # change point (post-change convention), carry 1
+    assert rows["2024-01-03"] == (1, 0, 0)
+
+
+def test_sessions_from_events_gap_rule(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10),
+            (1, "2024-01-01 00:29:00", 11),  # same session (29 min)
+            (1, "2024-01-01 01:00:00", 12),  # 31 min gap -> new session
+            (2, "2024-01-01 00:00:00", 13),
+        ],
+        "user_id: bigint, ts_raw: string, event_id: bigint",
+    ).select("user_id", F.to_timestamp("ts_raw").alias("ts"), "event_id")
+    iv = sweep.sessions_from_events(ev).collect()
+    per_user = {}
+    for r in iv:
+        per_user.setdefault(r.user_id, []).append((str(r.s), str(r.e)))
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    assert ("2024-01-01 00:00:00", "2024-01-01 00:29:00") in per_user[1]
+    assert ("2024-01-01 01:00:00", "2024-01-01 01:00:00") in per_user[1]
