@@ -1103,3 +1103,133 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT)
+             AS n_from
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="first-order Markov transition counts over per-user event "
+    "sequences: lead() inside the user partition pairs each event "
+    "with its successor, one count per (from, to) edge plus the "
+    "row-marginal so transition probabilities are one division away "
+    "-- kept as exact integers because a normalized double matrix "
+    "would be addition-order-dependent. Scale: the sequence window "
+    "partitions on user_id (the natural key, no global sort), the "
+    "transition agg shuffles |event-type|^2 groups -- dictionary^2, "
+    "corpus-independent; the marginal window runs over that tiny "
+    "aggregate, not the facts. The LM-adjacent shape: this is "
+    "exactly the bigram-count pass of lm_perplexity_score lifted "
+    "from tokens to behavioral sequences.",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n_transitions"))
+    w_marg = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(w_marg).cast("bigint").alias("n_from"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'customer.c_nationkey->nation' AS relationship,
+           (SELECT count(*) FROM customer) AS n_child,
+           (SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    ORDER BY relationship
+    """,
+    doc="referential-integrity audit across the star schema: per FK "
+    "edge, total child rows and orphan count (children whose key has "
+    "no parent) -- the warehouse-health report every ingest pipeline "
+    "runs before publishing a snapshot (generalizes the reference's "
+    "per-row FK resolution during ingest, ingest.py get-or-create). "
+    "Each leg is a left-anti join on the key plus a count -- "
+    "broadcast when the parent is dictionary-sized, shuffle-hash on "
+    "the co-partitioned key otherwise; nothing but 1-row aggregates "
+    "ever leaves the executors, and the legs are independent so "
+    "Spark schedules them concurrently under one union.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg(label: str, child: DataFrame, fk: str, parent: DataFrame, pk: str):
+        n_child = child.agg(F.count("*").alias("n_child"))
+        orphans = (
+            child.select(F.col(fk).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(label).alias("relationship"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            )
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    legs = [
+        leg("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        leg("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        leg("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        leg("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        leg("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+    ]
+    out = legs[0]
+    for more in legs[1:]:
+        out = out.unionByName(more)
+    return out.orderBy("relationship")
