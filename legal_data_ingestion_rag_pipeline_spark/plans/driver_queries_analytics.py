@@ -1233,3 +1233,91 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for more in legs[1:]:
         out = out.unionByName(more)
     return out.orderBy("relationship")
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    seq AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM obs),
+    ver AS (
+      SELECT *,
+             CAST(sum(CASE WHEN rn = 1 THEN 1
+                           WHEN event_type IS DISTINCT FROM prev THEN 1
+                           ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM seq),
+    grp AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, version),
+    hist AS (
+      SELECT user_id, version, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM grp),
+    probes AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, h.version,
+           h.event_type AS type_at_purchase, h.valid_from
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    ORDER BY p.event_id
+    """,
+    doc="point-in-time (temporal) join against the SCD2 dimension "
+    "history: each purchase probe recovers the version valid at its "
+    "instant via valid_from <= ts < valid_to over half-open "
+    "intervals -- the time-travel lookup every versioned warehouse "
+    "dimension exists to serve, composing scd2_event_type_history "
+    "with the range-join family. Exactly one version matches per "
+    "probe (the intervals partition each key's timeline), which the "
+    "row-count gate pins. Scale: equi-join on the dimension key with "
+    "the interval predicate as a residual filter -- both sides "
+    "arrive from the same user_id shuffle; per-key version chains "
+    "are run-length-bounded so the residual scan is short. The "
+    "window-form alternative (as-of last_value) is asof_prev_" 
+    "purchase; this form is the one that works when history and "
+    "probes are SEPARATE tables.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        "ts",
+        "event_type",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "version", "event_type", "valid_from", "valid_to")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        probes.join(
+            hist,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("p_ts"))
+            & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            F.col("p_user").alias("user_id"),
+            "version",
+            F.col("event_type").alias("type_at_purchase"),
+            "valid_from",
+        )
+        .orderBy("event_id")
+    )
