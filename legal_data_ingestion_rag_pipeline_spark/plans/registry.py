@@ -224,6 +224,41 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        gated via hard_negative_mining (rank-band superset); keeps
 #:        oracle_check + pytest.
 #:
+#: Round-7 sixth rotation (session tail — the five newest operator
+#: families in, same partner rule):
+#:   IN : dedup_prefix_jaccard (PPJoin prefix-filtered EXACT Jaccard
+#:        join — new candidate-generation machinery: df-ordered token
+#:        prefixes bound the self-join without LSH approximation),
+#:        triangle_count_copurchase (degree-oriented wedge join —
+#:        arboricity-bounded triangle enumeration, new machinery),
+#:        kcore_copurchase (iterative peeling to a measured fixpoint
+#:        with a pure-Python VALUES twin — new machinery),
+#:        bfs_copurchase_distances (BSP frontier expansion gated
+#:        against a genuinely INDEPENDENT DuckDB recursive-CTE
+#:        formulation — the strongest oracle form in the registry),
+#:        session_peak_concurrency (sweep-line concurrency as a
+#:        distributed two-phase prefix sum — new operators/sweep.py).
+#:   OUT: dedup_embedding_srp_lsh -> LSH banding machinery gated via
+#:        dedup_minhash_lsh + dedup_incremental_minhash; SRP keeps
+#:        oracle_check + pytest.
+#:        pagerank_trade_network -> the iterative-fixpoint +
+#:        localCheckpoint discipline is now gated via kcore_copurchase
+#:        AND bfs_copurchase_distances (the rotation convention:
+#:        point the iterative slot at the newest iterative operator);
+#:        pagerank keeps its bench row, integer-exact oracle_check
+#:        row, and pytest.
+#:        cms_heavy_hitters -> the bounded-key sketch-build shuffle
+#:        is gated via decontamination_bloom + hll_distinct_parts;
+#:        CMS keeps bench + oracle_check + pytest.
+#:        range_join_clicks_before_purchase -> interval-predicate
+#:        join machinery gated via streaming_interval_join (same
+#:        residual shape under watermarks); the batch form keeps
+#:        oracle_check + pytest, and scd2_point_in_time_join adds a
+#:        third oracle_check-verified instance.
+#:        domain_mixture_sample -> the integer-threshold rate sampler
+#:        runs INSIDE the gated curation_pipeline_v5 quota front
+#:        door; keeps oracle_check + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -241,7 +276,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup
     "dedup_minhash_lsh",
     "hard_negative_mining",
-    "dedup_embedding_srp_lsh",
+    "dedup_prefix_jaccard",
     "boilerplate_segment_removal",
     "dedup_cluster_components",
     "dedup_incremental_minhash",
@@ -255,9 +290,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_binary_hamming_topk",
     "join_key_skew_profile",
     "bucketed_join_scan",
-    "domain_mixture_sample",
-    "pagerank_trade_network",
-    "cms_heavy_hitters",
+    "kcore_copurchase",
+    "bfs_copurchase_distances",
+    "triangle_count_copurchase",
     "hll_distinct_parts",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
@@ -284,7 +319,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "error_breakdown",
     "streaming_interval_join",
     "scd2_event_type_history",
-    "range_join_clicks_before_purchase",
+    "session_peak_concurrency",
     "regression_price_vs_quantity",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
