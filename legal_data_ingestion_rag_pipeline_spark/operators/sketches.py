@@ -482,3 +482,35 @@ def bloom_might_contain_sql(
         )
         checks.append(f"((({word}) & ({mask})) = ({mask}))")
     return "(" + " AND ".join(checks) + ")"
+
+
+def write_hll_registers(
+    items: DataFrame,
+    key_col: str,
+    path: str,
+    b: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Append-only HLL register STORE: each batch writes its own
+    register table (bucket, max_rank) to ``path``; merging is a
+    register-wise max at read time.  Because max is associative and
+    commutative, appending a batch IS the sketch update — no standing
+    state is read, locked, or rewritten (the write_gram_artifact /
+    lsh_band_index discipline applied to the cardinality sketch), and
+    any subset of batches can be estimated after the fact.  Each
+    batch's file is at most m = 2^b rows regardless of batch size.
+    """
+    hll_register(items, key_col, b=b).write.mode(mode).parquet(path)
+
+
+def hll_estimate_from_store(spark, path: str, b: int = 8) -> DataFrame:
+    """Fold ALL appended register batches into one estimate: a
+    register-wise max (the sketch-merge operation), then the standard
+    exact-integer harmonic fold.  Scan cost is (n_batches x m) rows —
+    sketch-scale, never corpus-scale."""
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    return hll_estimate(merged, b=b)

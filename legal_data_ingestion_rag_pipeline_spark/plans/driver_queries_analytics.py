@@ -905,6 +905,7 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_peak_concurrency",
+    bench=True,
     oracle="""
     WITH g AS (
       SELECT user_id, ts, event_id,

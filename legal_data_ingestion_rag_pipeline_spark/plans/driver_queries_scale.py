@@ -1611,6 +1611,7 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "triangle_count_copurchase",
+    bench=True,
     oracle="""
     WITH e AS (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
@@ -1800,6 +1801,7 @@ def _kcore_oracle(sf_dir: str) -> str:
 
 @register(
     "kcore_copurchase",
+    bench=True,
     oracle=_kcore_oracle,
     doc="3-core of the support-2 co-purchase graph (graph.k_core): "
     "iterative peeling — drop sub-k vertices, re-count, repeat to a "
@@ -1823,6 +1825,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bfs_copurchase_distances",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE
     e0 AS ({_SUPPORT2_EDGES_SQL}),
@@ -1857,3 +1860,53 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("part"),
         F.col("dist").cast("bigint").alias("dist"),
     ).orderBy("dist", "part")
+
+
+_HLL_STORE_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "hll_incremental_store",
+    oracle=_hll_oracle(),
+    doc="incremental cardinality through the STANDING register store "
+    "(sketches.write_hll_registers / hll_estimate_from_store): the "
+    "historical corpus (l_shipdate < 1996-01-01) writes its register "
+    "batch once, the new batch appends its own, and the estimate "
+    "folds ALL batches by register-wise max at read time -- the "
+    "sketch-merge property (max is associative+commutative) is "
+    "exactly why HLL exists at 100 TB: per-batch state is <= 2^b "
+    "rows, appending IS the update, and the merged estimate must "
+    "equal the single-pass full-corpus build, which is what gating "
+    "it against the full-recompute oracle (the same SQL that gates "
+    "hll_distinct_parts) proves.",
+)
+def hll_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_partkey").isNotNull()).select(
+        F.expr("CAST(l_partkey AS STRING)").alias("k"), "l_shipdate"
+    )
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_HLL_STORE_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_hll_{tag}")
+    cut = "1996-01-01"
+    sketches.write_hll_registers(
+        keys.filter(F.col("l_shipdate") < cut), "k", store, b=_HLL_B,
+        mode="overwrite",
+    )
+    sketches.write_hll_registers(
+        keys.filter(F.col("l_shipdate") >= cut), "k", store, b=_HLL_B,
+        mode="append",
+    )
+    est = sketches.hll_estimate_from_store(spark, store, b=_HLL_B)
+    truth = li.filter(F.col("l_partkey").isNotNull()).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
+    )
+    return est.crossJoin(F.broadcast(truth))

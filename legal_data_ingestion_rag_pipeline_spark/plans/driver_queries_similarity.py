@@ -2563,6 +2563,7 @@ _PPJ_T = 0.4
 
 @register(
     "dedup_prefix_jaccard",
+    bench=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
     g AS (SELECT DISTINCT doc_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram
