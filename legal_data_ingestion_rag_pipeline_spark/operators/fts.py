@@ -136,3 +136,46 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def conjunctive_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 50,
+) -> DataFrame:
+    """Boolean-AND keyword search: documents containing ALL query
+    terms, ranked by total term frequency — the posting-list
+    INTERSECTION access path beside bm25_topk's ranked union.
+
+    The intersection is computed as count-of-matched-terms == n_terms
+    after a map-side IN prune, never as an n-way self-join of posting
+    lists: one filter that drops every non-query token before any
+    shuffle, one (doc, term) aggregation, one per-doc count — shuffle
+    volume is (matching docs x query terms) rows regardless of corpus
+    size, and adding a term tightens rather than widens the plan.
+    Ties rank by doc id for determinism.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = F.expr(PT.tokens(text_col, PT.SPARK))
+    hits = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .filter(F.col("_n_terms") == len(terms))
+        .select("doc_id", "total_tf")
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -2601,3 +2601,36 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, min_jaccard=_PPJ_T
     )
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b")
+
+
+@register(
+    "fts_conjunctive_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM base
+      ) WHERE term IN ('merge', 'vector', 'window')
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM hits GROUP BY doc_id HAVING count(*) = 3
+    ORDER BY total_tf DESC, doc_id LIMIT 50
+    """,
+    doc="boolean-AND keyword search (fts.conjunctive_search): "
+    "documents containing ALL query terms, ranked by total tf — the "
+    "posting-intersection access path beside BM25's ranked union "
+    "(reference analog: the AND semantics of Postgres "
+    "to_tsquery('a & b'), rag.py FTS note). The intersection is "
+    "count-of-matched-terms == n_terms after a map-side IN prune — "
+    "never an n-way posting self-join — so shuffle volume is "
+    "(matching docs x query terms) regardless of corpus size and "
+    "every added term makes the plan STRICTLY cheaper.",
+)
+def fts_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.conjunctive_search(
+        docs, "doc_id", "text", ["vector", "merge", "window"], k=50
+    )
