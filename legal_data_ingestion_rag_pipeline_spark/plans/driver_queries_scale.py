@@ -1826,36 +1826,55 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bfs_copurchase_distances",
     bench=True,
-    oracle=f"""
+    oracle="""
     WITH RECURSIVE
-    e0 AS ({_SUPPORT2_EDGES_SQL}),
+    e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                      greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
     e AS (SELECT lo AS s, hi AS d FROM e0 UNION ALL SELECT hi, lo FROM e0),
     bfs AS (
       SELECT CAST(0 AS BIGINT) AS v, 0 AS dist
       UNION
       SELECT e.d AS v, bfs.dist + 1 AS dist
       FROM bfs JOIN e ON e.s = bfs.v
-      WHERE bfs.dist < 12
+      WHERE bfs.dist < 3
     )
     SELECT CAST(v AS BIGINT) AS part, CAST(min(dist) AS BIGINT) AS dist
     FROM bfs GROUP BY v ORDER BY dist, part
     """,
-    doc="BFS hop distances from part 0 over the support-2 co-purchase "
+    doc="3-hop BFS reachability from part 0 over the RAW co-purchase "
     "graph (graph.bfs_distances): BSP frontier expansion — join the "
     "frontier against the adjacency list, dedup, anti-join the "
     "settled set, so each vertex is labeled with its minimum hop "
     "count; O(E) per level, localCheckpoint per level, early exit on "
-    "an empty frontier with max_depth=12 as the n-hop semantic cap. "
-    "The oracle is genuinely independent: DuckDB's recursive CTE "
-    "explores (vertex, depth) pairs bounded by the same cap and takes "
+    "an empty frontier. The raw (support-1) graph keeps the frontier "
+    "non-degenerate at EVERY scale factor — its density grows with "
+    "the catalog, unlike the support-2 graph k-core peels (which "
+    "thins as the catalog outgrows repeat co-purchases) — and "
+    "max_depth=3 is the n-hop semantic cap that bounds the recursive "
+    "oracle. The oracle is genuinely independent: DuckDB's recursive "
+    "CTE explores (vertex, depth) pairs under the same cap and takes "
     "min(dist) — a different algorithm arriving at the same frontier "
     "labeling, which is exactly what the hash gate proves.",
 )
 def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    edges = _support2_edges(spark, sf_dir)
-    d = graph.bfs_distances(edges, source=0, a="lo", b="hi", max_depth=12)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    d = graph.bfs_distances(edges, source=0, a="lo", b="hi", max_depth=3)
     return d.select(
         F.col("v").cast("bigint").alias("part"),
         F.col("dist").cast("bigint").alias("dist"),
