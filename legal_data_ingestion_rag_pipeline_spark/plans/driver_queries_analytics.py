@@ -1322,3 +1322,60 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS s_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS p_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id, (p_us - s_us) // 1000000 AS latency_s
+      FROM f WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.5) AS p50_s,
+           quantile_cont(CAST(latency_s AS DOUBLE), 0.9) AS p90_s,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+    doc="funnel conversion-latency distribution: per user, first "
+    "signup to first purchase (microsecond integer arithmetic, "
+    "truncated to whole seconds identically in both engines), then "
+    "exact p50/p90 over the latencies — the metric the funnel count "
+    "(funnel_signup_click_purchase) doesn't tell you. One user_id "
+    "groupBy with conditional min aggregates (no joins, no windows), "
+    "then a percentile over the converted-user rows — cohort-sized, "
+    "never event-sized; the shared (n-1)*q interpolation keeps the "
+    "doubles hash-stable (winsorized_value_stats precedent).",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("s_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    conv = f.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("s_us"))
+    ).select(
+        F.expr("(p_us - s_us) DIV 1000000").alias("latency_s")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.expr("percentile(CAST(latency_s AS DOUBLE), 0.5)").alias("p50_s"),
+        F.expr("percentile(CAST(latency_s AS DOUBLE), 0.9)").alias("p90_s"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
