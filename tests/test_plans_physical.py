@@ -369,3 +369,55 @@ def test_ensemble_moments_broadcast_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_sweep_windows_partition_by_day(spark):
+    # the fact-scale running sum must be partitioned by day (parallel
+    # across days); a global single-partition window over the change
+    # points would be the scale-killer the operator exists to avoid.
+    plan = plan_of(spark, "session_peak_concurrency")
+    assert "Window [sum(delta" in plan
+    fact_windows = [
+        seg for seg in plan.split("Window [")[1:] if seg.startswith("sum(delta")
+    ]
+    assert any("[day" in seg[:300] for seg in fact_windows), (
+        "per-day partition spec missing from the change-point window"
+    )
+
+
+def test_markov_window_partitioned_by_user(spark):
+    plan = plan_of(spark, "markov_event_transitions")
+    assert "lead(event_type" in plan
+    seg = plan.split("lead(event_type")[1][:300]
+    assert "user_id" in seg
+
+
+def test_frequent_pairs_marginals_broadcast(spark):
+    plan = plan_of(spark, "frequent_brand_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ri_audit_anti_joins_no_cartesian(spark):
+    plan = plan_of(spark, "referential_integrity_audit")
+    assert plan.count("LeftAnti") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_equi_join_on_key(spark):
+    # the interval predicate must ride as a residual on a key equi-join,
+    # not degrade to a nested-loop over all (probe, version) pairs
+    plan = plan_of(spark, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_conjunctive_prunes_terms_before_shuffle(spark):
+    # the IN filter must sit below the first aggregation: only query
+    # terms enter the exchange
+    plan = plan_of(spark, "fts_conjunctive_search")
+    assert "term#" in plan
+    filter_pos = plan.index("merge")  # the IN-list literal
+    agg_pos = plan.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+    assert filter_pos > 0 and agg_pos > 0
