@@ -1929,3 +1929,76 @@ def hll_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
     )
     return est.crossJoin(F.broadcast(truth))
+
+
+_TLOG_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "timetravel_snapshot_read",
+    oracle="""
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY version
+    """,
+    doc="time-travel reads through the transaction-log table format "
+    "(operators/tlog.py — the lakehouse commit protocol in "
+    "miniature): version 0 appends the pre-1996 orders, version 1 "
+    "appends the rest, version 2 OVERWRITES with the 'F'-status "
+    "subset; the query reads all three versions back through "
+    "manifest replay and aggregates each. Gated against recomputing "
+    "the same three snapshots from the raw table, which proves "
+    "append accumulation, overwrite replacement, and historical "
+    "readability in one hash. The scale point is the read protocol: "
+    "a reader resolves a version to an EXPLICIT file list from one "
+    "KB-scale manifest read — no O(files) directory LIST on object "
+    "storage, no torn reads of half-committed data (files land "
+    "before the manifest line commits them).",
+)
+def timetravel_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import tlog
+
+    o = _t(spark, sf_dir, "orders")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_tlog_{tag}")
+    cut = "1996-01-01"
+    tlog.commit(o.filter(F.col("o_orderdate") < cut), store, "append")
+    tlog.commit(o.filter(F.col("o_orderdate") >= cut), store, "append")
+    tlog.commit(o.filter(F.col("o_orderstatus") == "F"), store, "overwrite")
+
+    def snap(version: int) -> DataFrame:
+        return (
+            tlog.read_version(spark, store, version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(version).cast("bigint").alias("version"),
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    return (
+        snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
+    )

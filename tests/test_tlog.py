@@ -1,0 +1,54 @@
+"""Transaction-log table format: commit protocol, manifest replay,
+time travel, orphan invisibility."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import tlog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").cast("bigint"))
+
+
+def test_append_overwrite_replay(tmp_path, spark):
+    path = str(tmp_path / "t")
+    assert tlog.current_version(path) == -1
+    v0 = tlog.commit(_df(spark, 0, 10), path, "append")
+    v1 = tlog.commit(_df(spark, 10, 30), path, "append")
+    v2 = tlog.commit(_df(spark, 100, 105), path, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert tlog.read_version(spark, path, 0).count() == 10
+    assert tlog.read_version(spark, path, 1).count() == 30
+    assert tlog.read_version(spark, path, 2).count() == 5
+    # latest == v2 after the overwrite
+    assert tlog.read_version(spark, path).count() == 5
+
+
+def test_orphan_files_invisible(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10), path, "append")
+    # simulate a crashed writer: data files exist, no manifest line
+    orphan_dir = os.path.join(path, "data", "v999999")
+    _df(spark, 0, 1000).write.parquet(orphan_dir)
+    assert tlog.read_version(spark, path).count() == 10
+
+
+def test_uncommitted_version_rejected(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10), path, "append")
+    with pytest.raises(ValueError):
+        tlog.read_version(spark, path, 7)
+
+
+def test_scan_reads_only_live_files(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10), path, "append")
+    tlog.commit(_df(spark, 10, 20), path, "overwrite")
+    files = tlog.read_version(spark, path).inputFiles()
+    # the overwritten v0 directory must not appear in the scan inputs
+    assert files and all("v000001" in f for f in files)
