@@ -52,3 +52,38 @@ def test_scan_reads_only_live_files(tmp_path, spark):
     files = tlog.read_version(spark, path).inputFiles()
     # the overwritten v0 directory must not appear in the scan inputs
     assert files and all("v000001" in f for f in files)
+
+
+def test_streaming_microbatches_commit_as_versions(tmp_path, spark):
+    """foreachBatch -> tlog.commit: every micro-batch becomes one
+    committed version, giving a streaming sink exactly-once-per-batch
+    append semantics plus time travel over the ingest history."""
+    import time
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import tlog as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    _df(spark, 0, 50).toPandas().to_parquet(str(src / "a.parquet"))
+    time.sleep(1.2)  # file-source orders batches by modification time
+    _df(spark, 50, 80).toPandas().to_parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: T.commit(batch_df, table, "append")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert T.current_version(table) == 1
+    assert T.read_version(spark, table, 0).count() == 50
+    assert T.read_version(spark, table).count() == 80
