@@ -63,7 +63,11 @@ def current_version(path: str) -> int:
 
 
 def commit(
-    df: DataFrame, path: str, action: str = "append"
+    df: DataFrame,
+    path: str,
+    action: str = "append",
+    stats_col: str | None = None,
+    epoch: int | None = None,
 ) -> int:
     """Write ``df`` as a new version of the table at ``path``.
 
@@ -72,10 +76,27 @@ def commit(
     the committed version number.  The data write happens BEFORE the
     manifest append — a crash in between leaves orphan files that no
     reader resolves, never a torn table.
+
+    ``stats_col``: record per-file [min, max] of this column in the
+    manifest (read once from each written file's parquet footer —
+    metadata-only, no data scan), enabling manifest-level file
+    skipping in :func:`read_version` — the Iceberg manifest-stats
+    half of the format, beside Delta-style log replay.
+
+    ``epoch``: idempotence token for streaming writers.  If the log
+    already holds a commit with this epoch, the call is a no-op
+    returning that version — a retried foreachBatch epoch never
+    double-appends, which is the exactly-once contract micro-batch
+    sinks need.
     """
     if action not in ("append", "overwrite"):
         raise ValueError(f"unknown action {action!r}")
-    version = current_version(path) + 1
+    entries = _read_manifest(path)
+    if epoch is not None:
+        for e in entries:
+            if e.get("epoch") == epoch:
+                return e["version"]
+    version = (entries[-1]["version"] if entries else -1) + 1
     vdir = os.path.join(path, "data", f"v{version:06d}")
     df.write.mode("error").parquet(vdir)
     files = sorted(
@@ -83,26 +104,48 @@ def commit(
         for f in os.listdir(vdir)
         if f.endswith(".parquet")
     )
+    record: dict = {"version": version, "action": action, "files": files}
+    if epoch is not None:
+        record["epoch"] = epoch
+    if stats_col is not None:
+        import pyarrow.parquet as pq
+
+        stats = {}
+        for fp in files:
+            md = pq.read_metadata(fp)
+            names = md.schema.names
+            ci = names.index(stats_col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                stats[fp] = [lo, hi]
+        record["stats_col"] = stats_col
+        record["stats"] = stats
     os.makedirs(path, exist_ok=True)
     with open(_manifest_path(path), "a", encoding="utf-8") as f:
-        f.write(
-            json.dumps(
-                {"version": version, "action": action, "files": files}
-            )
-            + "\n"
-        )
+        f.write(json.dumps(record) + "\n")
     return version
 
 
-def live_files(path: str, version: int | None = None) -> list[str]:
+def live_files(
+    path: str, version: int | None = None, with_stats: bool = False
+):
     """Replay the manifest up to ``version`` (default: latest) and
-    return the live data-file list."""
+    return the live data-file list (optionally with each file's
+    recorded [min, max] stats, None when absent)."""
     entries = _read_manifest(path)
     if not entries:
         return []
     if version is None:
         version = entries[-1]["version"]
     live: list[str] = []
+    stats: dict[str, list] = {}
     seen = False
     for e in entries:
         if e["version"] > version:
@@ -110,26 +153,54 @@ def live_files(path: str, version: int | None = None) -> list[str]:
         seen = seen or e["version"] == version
         if e["action"] == "overwrite":
             live = list(e["files"])
+            stats = dict(e.get("stats", {}))
         else:
             live.extend(e["files"])
+            stats.update(e.get("stats", {}))
     if not seen:
         committed = [e["version"] for e in entries]
         raise ValueError(
             f"version {version} was never committed (log has {committed})"
         )
+    if with_stats:
+        return [(f, stats.get(f)) for f in live]
     return live
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Time-travel read: the table exactly as of ``version``.
 
     The scan receives the EXPLICIT file list resolved from the
     manifest — no directory listing, so uncommitted/orphan files are
     invisible and the plan's FileScan enumerates only live files.
+
+    ``prune=(lo, hi)``: manifest-level file skipping — drop every
+    file whose committed [min, max] range on the table's stats_col
+    does not intersect [lo, hi], BEFORE Spark ever sees the file
+    list.  Files committed without stats are conservatively kept.
+    This is pruning from ONE KB-scale manifest read; parquet footer
+    stats then prune row groups within the surviving files as usual
+    (two independent skipping layers, the Iceberg + parquet stack).
+    The caller still applies the row-level filter: pruning is a
+    superset guarantee, not a predicate.
     """
-    files = live_files(path, version)
+    if prune is None:
+        files = live_files(path, version)
+    else:
+        lo, hi = prune
+        files = [
+            f
+            for f, st in live_files(path, version, with_stats=True)
+            if st is None or not (st[1] < lo or st[0] > hi)
+        ]
     if not files:
-        raise ValueError(f"tlog table at {path} is empty")
+        raise ValueError(
+            f"tlog table at {path} has no files"
+            + (" in the pruned range" if prune is not None else "")
+        )
     return spark.read.parquet(*files)

@@ -2002,3 +2002,63 @@ def timetravel_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
     )
+
+
+@register(
+    "timetravel_pruned_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 200
+    """,
+    doc="manifest-stats file skipping through the transaction log "
+    "(operators/tlog.py, stats_col + prune — the Iceberg half of the "
+    "format beside Delta-style replay): orders commit in three "
+    "key-range batches whose per-file [min, max] o_orderkey lands in "
+    "the manifest from the parquet FOOTERS (metadata-only, no data "
+    "scan); the key-range read then drops non-overlapping files from "
+    "ONE KB-scale manifest read before Spark ever sees the list, and "
+    "parquet row-group stats prune within survivors — two "
+    "independent skipping layers. Pruning is a superset guarantee "
+    "(the row filter still applies), so gating the pruned read "
+    "against the raw-table recomputation proves no file that "
+    "mattered was skipped; tests/test_tlog.py asserts the skipping "
+    "itself (inputFiles count).",
+)
+def timetravel_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import tlog
+
+    o = _t(spark, sf_dir, "orders")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogp_{tag}")
+    tlog.commit(
+        o.filter(F.col("o_orderkey") < 500).coalesce(1),
+        store, "append", stats_col="o_orderkey",
+    )
+    tlog.commit(
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 5000))
+        .coalesce(1),
+        store, "append", stats_col="o_orderkey",
+    )
+    tlog.commit(
+        o.filter(F.col("o_orderkey") >= 5000).coalesce(1),
+        store, "append", stats_col="o_orderkey",
+    )
+    return (
+        tlog.read_version(spark, store, prune=(100, 200))
+        .filter(F.col("o_orderkey").between(100, 200))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

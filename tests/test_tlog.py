@@ -87,3 +87,42 @@ def test_streaming_microbatches_commit_as_versions(tmp_path, spark):
     assert T.current_version(table) == 1
     assert T.read_version(spark, table, 0).count() == 50
     assert T.read_version(spark, table).count() == 80
+
+
+def test_manifest_stats_prune_skips_files(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 100).coalesce(1), path, "append", stats_col="id")
+    tlog.commit(
+        _df(spark, 1000, 1100).coalesce(1), path, "append", stats_col="id"
+    )
+    tlog.commit(
+        _df(spark, 5000, 5100).coalesce(1), path, "append", stats_col="id"
+    )
+    pruned = tlog.read_version(spark, path, prune=(1050, 1060))
+    assert len(pruned.inputFiles()) == 1
+    # pruning is a superset guarantee: the row filter still applies
+    assert pruned.filter("id BETWEEN 1050 AND 1060").count() == 11
+    # unpruned read sees all three files
+    assert len(tlog.read_version(spark, path).inputFiles()) == 3
+
+
+def test_prune_keeps_statless_files(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10).coalesce(1), path, "append")  # no stats
+    tlog.commit(
+        _df(spark, 1000, 1010).coalesce(1), path, "append", stats_col="id"
+    )
+    pruned = tlog.read_version(spark, path, prune=(5, 7))
+    # the statless file is conservatively kept; the out-of-range one drops
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 10
+
+
+def test_epoch_commit_idempotent(tmp_path, spark):
+    path = str(tmp_path / "t")
+    v0 = tlog.commit(_df(spark, 0, 10), path, "append", epoch=7)
+    v_retry = tlog.commit(_df(spark, 0, 10), path, "append", epoch=7)
+    assert v0 == v_retry == 0
+    assert tlog.read_version(spark, path).count() == 10  # no double append
+    v1 = tlog.commit(_df(spark, 10, 20), path, "append", epoch=8)
+    assert v1 == 1
