@@ -259,6 +259,40 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        runs INSIDE the gated curation_pipeline_v5 quota front
 #:        door; keeps oracle_check + pytest.
 #:
+#: Round-7 seventh rotation (the transaction-log format + the other
+#: newest machinery in, same partner rule):
+#:   IN : timetravel_snapshot_read (tlog commit protocol — append
+#:        accumulation, overwrite replacement, historical reads
+#:        through manifest replay),
+#:        timetravel_pruned_scan (manifest-stats file skipping —
+#:        footer [min,max] into the manifest, prune before Spark
+#:        sees the file list),
+#:        hll_incremental_store (append-only register batches folded
+#:        by register-wise max — the sketch-merge contract),
+#:        fts_conjunctive_search (posting-intersection access path —
+#:        count-of-matched-terms, never an n-way posting self-join),
+#:        scd2_point_in_time_join (temporal dimension lookup —
+#:        interval residual on the key equi-join).
+#:   OUT: hll_distinct_parts -> hll_incremental_store CONTAINS the
+#:        register build + harmonic fold, read through the store (a
+#:        strict superset); keeps oracle_check + sketch pytest.
+#:        snapshot_table_diff -> the versioned-dimension family is
+#:        gated via scd2_point_in_time_join (+ scd2_event_type_
+#:        history); the CDC hash-diff keeps oracle_check + pytest.
+#:        curation_pipeline_v3 -> every v3 stage is gated on its own:
+#:        quality_classifier_trained contains the classifier fold,
+#:        boilerplate_segment_removal is gated, and the hashed keeper
+#:        dedup is gated via curation_pipeline_v5; v3 keeps its bench
+#:        row + oracle_check.
+#:        join_key_skew_profile -> a two-level key-count aggregation,
+#:        machinery gated by a dozen agg slots; the skew DECISION it
+#:        feeds (salted vs broadcast) keeps salted_join oracle_check
+#:        + pytest.
+#:        ann_matryoshka_topk -> the retrieval ladder keeps three
+#:        gated rungs (bruteforce, binary Hamming, IVF x binary
+#:        stored); the prefix-slice tier keeps its recall-floor fuzz
+#:        pytest + oracle_check.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -282,18 +316,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_semantic_clusters",
     "dedup_spans_incremental",
-    "snapshot_table_diff",
+    "scd2_point_in_time_join",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
     "ann_ivf_binary_stored",
     "ann_binary_hamming_topk",
-    "join_key_skew_profile",
+    "fts_conjunctive_search",
     "bucketed_join_scan",
     "kcore_copurchase",
     "bfs_copurchase_distances",
     "triangle_count_copurchase",
-    "hll_distinct_parts",
+    "hll_incremental_store",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
@@ -306,7 +340,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "html_text_extraction",
     "rag_semantic_search",
     "rag_rerank_bm25",
-    "curation_pipeline_v3",
+    "timetravel_snapshot_read",
+    "timetravel_pruned_scan",
     "decontamination_bloom",
     "url_canonical_dedup",
     "quality_ensemble_topk",
@@ -314,7 +349,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "sequence_packing",
     "textstats_compression_ratio",
-    "ann_matryoshka_topk",
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
     "streaming_interval_join",
