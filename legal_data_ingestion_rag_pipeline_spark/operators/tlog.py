@@ -25,8 +25,10 @@ be Delta:
   supplied unique name, so concurrent versions never collide and an
   uncommitted write (files present, no manifest line) is simply
   invisible — atomicity rides on the manifest append.
-- no vacuum / retention / schema evolution here: out of scope, and
-  Spark's own mergeSchema covers the read-side evolution story
+- retention is explicit: :func:`vacuum` deletes files referenced only
+  by pre-retention versions and compacts the log so replay cost stops
+  growing with table age.  No schema evolution here — Spark's own
+  mergeSchema covers the read-side evolution story
   (schema_evolution_scan).
 
 Single-writer by design (the driver is the committer); multi-writer
@@ -204,3 +206,66 @@ def read_version(
             + (" in the pruned range" if prune is not None else "")
         )
     return spark.read.parquet(*files)
+
+
+def vacuum(path: str, keep_from_version: int) -> list[str]:
+    """Retention: delete data files referenced ONLY by versions older
+    than ``keep_from_version``, and truncate their history from the
+    log.  Time travel keeps working for every version >=
+    ``keep_from_version``; older versions become unreadable — the
+    explicit, irreversible trade every retention policy makes.
+
+    Rewrites the manifest so the oldest kept version becomes a
+    self-contained ``overwrite`` of its live set (log compaction —
+    replay cost stops growing with table age), appending-writer
+    protocol preserved: the new manifest is written to a temp file
+    and atomically renamed over the old one.  Returns the deleted
+    file paths.
+    """
+    entries = _read_manifest(path)
+    if not entries:
+        return []
+    latest = entries[-1]["version"]
+    if not 0 <= keep_from_version <= latest:
+        raise ValueError(
+            f"keep_from_version {keep_from_version} outside 0..{latest}"
+        )
+    keep_sets: set[str] = set()
+    rewritten: list[dict] = []
+    for e in entries:
+        if e["version"] < keep_from_version:
+            continue
+        if e["version"] == keep_from_version:
+            base = live_files(path, keep_from_version, with_stats=True)
+            rec = {
+                "version": keep_from_version,
+                "action": "overwrite",
+                "files": [f for f, _ in base],
+            }
+            stats = {f: st for f, st in base if st is not None}
+            if stats:
+                rec["stats"] = stats
+                sc = next(
+                    (x.get("stats_col") for x in entries if x.get("stats_col")),
+                    None,
+                )
+                if sc:
+                    rec["stats_col"] = sc
+            if "epoch" in e:
+                rec["epoch"] = e["epoch"]
+            rewritten.append(rec)
+        else:
+            rewritten.append(e)
+    for v in range(keep_from_version, latest + 1):
+        keep_sets.update(live_files(path, v))
+    all_files = {f for e in entries for f in e["files"]}
+    doomed = sorted(all_files - keep_sets)
+    for f in doomed:
+        if os.path.exists(f):
+            os.remove(f)
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for rec in rewritten:
+            fh.write(json.dumps(rec) + "\n")
+    os.replace(tmp, _manifest_path(path))
+    return doomed

@@ -126,3 +126,32 @@ def test_epoch_commit_idempotent(tmp_path, spark):
     assert tlog.read_version(spark, path).count() == 10  # no double append
     v1 = tlog.commit(_df(spark, 10, 20), path, "append", epoch=8)
     assert v1 == 1
+
+
+def test_vacuum_drops_old_versions_keeps_new(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10).coalesce(1), path, "append")
+    tlog.commit(_df(spark, 10, 20).coalesce(1), path, "append")
+    tlog.commit(_df(spark, 100, 120).coalesce(1), path, "overwrite")
+    tlog.commit(_df(spark, 120, 130).coalesce(1), path, "append")
+    deleted = tlog.vacuum(path, keep_from_version=2)
+    # v0/v1 files referenced by no kept version are physically gone
+    assert len(deleted) == 2 and all(os.path.exists(f) is False for f in deleted)
+    # kept versions still read exactly
+    assert tlog.read_version(spark, path, 2).count() == 20
+    assert tlog.read_version(spark, path, 3).count() == 30
+    # pre-retention versions are unreadable now
+    with pytest.raises(ValueError):
+        tlog.read_version(spark, path, 1)
+
+
+def test_vacuum_preserves_stats_pruning(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10).coalesce(1), path, "append", stats_col="id")
+    tlog.commit(
+        _df(spark, 1000, 1010).coalesce(1), path, "append", stats_col="id"
+    )
+    tlog.vacuum(path, keep_from_version=1)
+    pruned = tlog.read_version(spark, path, prune=(1005, 1006))
+    assert len(pruned.inputFiles()) == 1
+    assert tlog.read_version(spark, path).count() == 20
