@@ -155,3 +155,46 @@ def test_vacuum_preserves_stats_pruning(tmp_path, spark):
     pruned = tlog.read_version(spark, path, prune=(1005, 1006))
     assert len(pruned.inputFiles()) == 1
     assert tlog.read_version(spark, path).count() == 20
+
+
+def test_seeded_fuzz_commit_sequences_match_model(tmp_path, spark):
+    """Model-based seeded fuzz: random append/overwrite/epoch-retry
+    sequences replayed against a pure-Python set model; every
+    committed version's row set must match the model at every point
+    (the test_fuzz.py convention applied to the table format)."""
+    import random
+
+    rng = random.Random(20260814)
+    for seq_no in range(4):
+        path = str(tmp_path / f"t{seq_no}")
+        model: list[set[int]] = []  # live id-set per version
+        used_epochs: set[int] = set()
+        for _ in range(6):
+            lo = rng.randrange(0, 1000)
+            n = rng.randrange(1, 40)
+            ids = set(range(lo, lo + n))
+            action = rng.choice(["append", "append", "overwrite"])
+            retry = model and rng.random() < 0.3
+            if retry:
+                # replay an already-committed epoch: must be a no-op
+                epoch = rng.choice(sorted(used_epochs))
+                v = tlog.commit(
+                    _df(spark, lo, lo + n), path, action, epoch=epoch
+                )
+                assert v < len(model)
+            else:
+                epoch = len(used_epochs)
+                used_epochs.add(epoch)
+                v = tlog.commit(
+                    _df(spark, lo, lo + n), path, action, epoch=epoch
+                )
+                prev = model[-1] if model else set()
+                model.append(
+                    ids if action == "overwrite" else (prev | ids)
+                )
+                assert v == len(model) - 1
+        for v, expect in enumerate(model):
+            got = {
+                r.id for r in tlog.read_version(spark, path, v).collect()
+            }
+            assert got == expect, f"seq {seq_no} version {v}"
