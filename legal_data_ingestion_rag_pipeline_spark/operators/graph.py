@@ -389,3 +389,59 @@ def triangle_counts(
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     return per_vertex
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Cheapest-path costs from ``source`` within ``rounds`` hops by
+    synchronous min-plus relaxation (distributed Bellman-Ford) over a
+    DIRECTED edge list with non-negative BIGINT weights.  Returns
+    (v, dist) for every vertex reachable in <= rounds hops.
+
+    Integer weights make every min() exact — no float path-sum ties
+    to diverge between engines or partitionings (the pagerank
+    fixed-point discipline applied to shortest paths).  Each round is
+    one frontier-edge join + one min-aggregate on the vertex key:
+    O(E) rows moved, localCheckpoint keeps lineage O(1).  ``rounds``
+    is semantic (cheapest path USING AT MOST k hops — run V-1 rounds
+    for the unrestricted answer); BFS (bfs_distances) is this
+    operator with unit weights, kept separate because its
+    settled-set anti-join prunes work that weighted relaxation must
+    redo when a cheaper longer path arrives late.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(w).cast("bigint").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(source, 0)], schema=e.select("src").schema.add("dist", "long")
+    ).withColumnsRenamed({"src": "v"}).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cand = (
+            dist.join(e, dist.v == e.src)
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("v")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

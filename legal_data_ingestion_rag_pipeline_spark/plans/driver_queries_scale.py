@@ -2062,3 +2062,66 @@ def timetravel_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "cheapest_trade_routes",
+    oracle="""
+    WITH RECURSIVE
+    lanes AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             count(*) AS cnt
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, 1000000 // cnt AS w FROM lanes
+          WHERE src <> dst),
+    p AS (
+      SELECT CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS cost, 0 AS hops
+      UNION ALL
+      SELECT e.dst, p.cost + e.w, p.hops + 1
+      FROM p JOIN e ON e.src = p.v WHERE p.hops < 3
+    )
+    SELECT CAST(v AS BIGINT) AS nation, CAST(min(cost) AS BIGINT) AS cost
+    FROM p GROUP BY v ORDER BY nation
+    """,
+    doc="weighted shortest paths within 3 hops (graph.bellman_ford): "
+    "the supplier-nation -> customer-nation lane graph weighted by "
+    "inverse shipment volume (1e6 DIV lane count — busy lanes are "
+    "cheap, all-BIGINT so every path sum and min is exact), relaxed "
+    "by synchronous min-plus rounds: one frontier-edge join + one "
+    "vertex-key min-aggregate per round, O(E) rows, localCheckpoint "
+    "O(1) lineage — BFS with unit weights generalized to real costs, "
+    "completing the iterative-graph ladder (CC fixpoint, PageRank "
+    "fixed-point, k-core peel, BFS frontier, Bellman-Ford min-plus). "
+    "The oracle is independent: DuckDB's recursive CTE enumerates "
+    "every <= 3-hop path and takes min(cost) — exponential-in-hops "
+    "path listing vs linear relaxation arriving at identical costs.",
+)
+def cheapest_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lanes = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.expr("1000000 DIV cnt").alias("w"))
+    )
+    d = graph.bellman_ford(lanes, source=0, rounds=3)
+    return d.select(
+        F.col("v").cast("bigint").alias("nation"),
+        F.col("dist").cast("bigint").alias("cost"),
+    ).orderBy("nation")

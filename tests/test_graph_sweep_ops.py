@@ -111,3 +111,31 @@ def test_sessions_from_events_gap_rule(spark):
     assert len(per_user[2]) == 1
     assert ("2024-01-01 00:00:00", "2024-01-01 00:29:00") in per_user[1]
     assert ("2024-01-01 01:00:00", "2024-01-01 01:00:00") in per_user[1]
+
+
+def test_bellman_ford_prefers_cheaper_multihop(spark):
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 25), (2, 3, 5), (0, 9, 100)],
+        "src: bigint, dst: bigint, w: bigint",
+    )
+    d = {r.v: r.dist for r in graph.bellman_ford(e, 0, rounds=3).collect()}
+    assert d == {0: 0, 1: 10, 2: 20, 3: 25, 9: 100}
+
+
+def test_bellman_ford_hop_cap_is_semantic(spark):
+    # with rounds=1 only direct edges resolve; the cheaper 2-hop path
+    # to 2 is invisible until round 2
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 25)],
+        "src: bigint, dst: bigint, w: bigint",
+    )
+    d1 = {r.v: r.dist for r in graph.bellman_ford(e, 0, rounds=1).collect()}
+    assert d1 == {0: 0, 1: 10, 2: 25}
+    d2 = {r.v: r.dist for r in graph.bellman_ford(e, 0, rounds=2).collect()}
+    assert d2[2] == 20
+
+
+def test_bellman_ford_rejects_bad_rounds(spark):
+    e = spark.createDataFrame([(0, 1, 1)], "src: bigint, dst: bigint, w: bigint")
+    with pytest.raises(ValueError):
+        graph.bellman_ford(e, 0, rounds=0)
