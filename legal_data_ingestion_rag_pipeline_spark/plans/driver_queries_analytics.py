@@ -1379,3 +1379,66 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("latency_s").cast("bigint").alias("min_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER w AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d,
+             count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE))
+               AS n_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(min(n_events) AS BIGINT) AS n_events
+    FROM ranked GROUP BY user_id, day
+    HAVING min(n_events) >= 5
+    ORDER BY user_id, day
+    """,
+    doc="OHLC resampling bars per (user, day): open/close are the "
+    "first/last values under the (ts, event_id) total order (the "
+    "l_linenumber lesson: never order by ts alone), high/low are "
+    "plain min/max — all single IEEE comparisons, no sums, so the "
+    "doubles are hash-stable. The time-series downsampling shape "
+    "(financial bars, telemetry rollups): one key-partitioned window "
+    "pass + one aggregation, both on the same (user, day) key — the "
+    "second shuffle collapses via AQE partition reuse; state bounded "
+    "per key-day. HAVING >= 5 keeps the gate output focused on days "
+    "with real bars.",
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w_a = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_n = Window.partitionBy("user_id", "day")
+    ranked = ev.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+        F.count("*").over(w_n).alias("n_events"),
+    )
+    return (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.min("n_events").cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 5)
+        .orderBy("user_id", "day")
+    )
