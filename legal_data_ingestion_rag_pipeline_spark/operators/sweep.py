@@ -53,8 +53,33 @@ def concurrency_by_day(
         starts.unionByName(ends)
         .groupBy("ts")
         .agg(F.sum("d").alias("delta"))
-        .withColumn("day", F.to_date("ts"))
     )
+
+    n_starts = (
+        intervals.select(F.to_date(start_col).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n_starts"))
+    )
+    daily = finalize_daily_peaks(per_ts)
+    return daily.join(n_starts, "day", "left").select(
+        "day",
+        "carry_in",
+        "peak_concurrent",
+        F.coalesce("n_starts", F.lit(0)).cast("bigint").alias("n_starts"),
+    )
+
+
+def finalize_daily_peaks(per_ts: DataFrame) -> DataFrame:
+    """The batch FINALIZE stage of the sweep: fold a (ts, delta)
+    change-point table — however it was produced, one batch pass or a
+    streaming pre-aggregate maintained under a watermark — into
+    (day, carry_in, peak_concurrent).  This split is the lambda
+    shape: the commutative-associative part (summing deltas per
+    timestamp) streams incrementally; the order-dependent part (the
+    prefix sum) runs here, over the already-shrunk change-point
+    table, with the same two-phase day-partitioned discipline.
+    """
+    per_ts = per_ts.withColumn("day", F.to_date("ts"))
 
     # Day-level carry: calendar-bounded single-partition window.
     day_tot = per_ts.groupBy("day").agg(F.sum("delta").alias("day_delta"))
@@ -74,23 +99,12 @@ def concurrency_by_day(
         .agg(F.max("run_in_day").alias("max_run"))
     )
 
-    n_starts = (
-        intervals.select(F.to_date(start_col).alias("day"))
-        .groupBy("day")
-        .agg(F.count("*").cast("bigint").alias("n_starts"))
-    )
-
-    return (
-        daily_max.join(F.broadcast(offsets), "day")
-        .join(n_starts, "day", "left")
-        .select(
-            "day",
-            "carry_in",
-            (F.col("max_run") + F.col("carry_in"))
-            .cast("bigint")
-            .alias("peak_concurrent"),
-            F.coalesce("n_starts", F.lit(0)).cast("bigint").alias("n_starts"),
-        )
+    return daily_max.join(F.broadcast(offsets), "day").select(
+        "day",
+        "carry_in",
+        (F.col("max_run") + F.col("carry_in"))
+        .cast("bigint")
+        .alias("peak_concurrent"),
     )
 
 

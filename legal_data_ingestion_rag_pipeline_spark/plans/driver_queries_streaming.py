@@ -351,3 +351,90 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SSJOIN_SINK).orderBy("purchase_id", "click_id")
+
+
+_SWEEP_SINK = "streaming_peak_concurrency_sink"
+
+
+@register(
+    "streaming_peak_concurrency",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+    deltas AS (
+      SELECT ts, 1 AS d FROM ev
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1 AS d FROM ev
+    ), per_ts AS (
+      SELECT ts, SUM(d) AS delta FROM deltas GROUP BY ts
+    ), rt AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(delta) OVER (ORDER BY ts) AS concur
+      FROM per_ts
+    ), daily AS (
+      SELECT day, CAST(max(concur) AS BIGINT) AS peak_concurrent
+      FROM rt GROUP BY day
+    ), dd AS (
+      SELECT CAST(ts AS DATE) AS day, SUM(delta) AS day_delta
+      FROM per_ts GROUP BY 1
+    ), off AS (
+      SELECT day,
+             CAST(coalesce(SUM(day_delta) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS carry_in
+      FROM dd
+    )
+    SELECT d.day, o.carry_in, d.peak_concurrent
+    FROM daily d JOIN off o USING (day) ORDER BY day
+    """,
+    doc="the sweep-line concurrency split into its LAMBDA shape: each "
+    "event opens a 5-minute activity lease ([ts, ts+5min) — the "
+    "stateless interval form, no sessionizer needed), the STREAMING "
+    "stage maintains the per-timestamp delta pre-aggregate (the "
+    "commutative-associative half — streams incrementally under a "
+    "watermark in the unbounded deployment; complete mode on the "
+    "finite replay makes the result micro-batch-split independent), "
+    "and the BATCH stage (sweep.finalize_daily_peaks) folds the "
+    "already-shrunk change-point table into daily peaks with the "
+    "two-phase prefix sum — the order-DEPENDENT half that cannot "
+    "stream. Gated against the single-sort batch sweep in SQL, so "
+    "the stream+finalize composition must be bit-equal to the batch "
+    "path.",
+)
+def streaming_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sweep
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    deltas = stream.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ts"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("ts"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.ts", "x.d")
+    per_ts = (
+        deltas.withWatermark("ts", "1 day")
+        .groupBy("ts")
+        .agg(F.sum("d").alias("delta"))
+    )
+    q = (
+        per_ts.writeStream.format("memory")
+        .queryName(_SWEEP_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sweep.finalize_daily_peaks(spark.table(_SWEEP_SINK)).orderBy("day")
