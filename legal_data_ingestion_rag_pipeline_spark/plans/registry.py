@@ -293,6 +293,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        stored); the prefix-slice tier keeps its recall-floor fuzz
 #:        pytest + oracle_check.
 #:
+#: Round-7 eighth rotation (two strict-containment swaps, session
+#: tail):
+#:   IN : cheapest_trade_routes — Bellman-Ford min-plus relaxation
+#:        GENERALIZES the BFS frontier (unit weights -> integer
+#:        costs; same join+min-aggregate round, same localCheckpoint
+#:        discipline), so OUT bfs_copurchase_distances (keeps its
+#:        bench row, the recursive-CTE oracle_check row, and the
+#:        frontier pytest suite).
+#:   IN : streaming_peak_concurrency — the lambda composition
+#:        CONTAINS sweep.finalize_daily_peaks (the two-phase prefix
+#:        sum, now shared code) and adds the watermarked streaming
+#:        delta pre-aggregate on top, so OUT session_peak_concurrency
+#:        (keeps its bench row + oracle_check; its gap-rule session
+#:        builder is the same lag+cumsum+groupBy machinery gated via
+#:        scd2_event_type_history's window frames).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -325,7 +341,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fts_conjunctive_search",
     "bucketed_join_scan",
     "kcore_copurchase",
-    "bfs_copurchase_distances",
+    "cheapest_trade_routes",
     "triangle_count_copurchase",
     "hll_incremental_store",
     # LLM family: text analysis + RAG + curation + streaming +
@@ -353,7 +369,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "error_breakdown",
     "streaming_interval_join",
     "scd2_event_type_history",
-    "session_peak_concurrency",
+    "streaming_peak_concurrency",
     "regression_price_vs_quantity",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
