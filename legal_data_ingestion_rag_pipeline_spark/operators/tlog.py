@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _MANIFEST = "_tlog.jsonl"
 
@@ -153,6 +153,8 @@ def live_files(
         if e["version"] > version:
             break
         seen = seen or e["version"] == version
+        if e["action"] not in ("append", "overwrite"):
+            continue  # metadata-only entries (bloom index) carry no files
         if e["action"] == "overwrite":
             live = list(e["files"])
             stats = dict(e.get("stats", {}))
@@ -235,6 +237,9 @@ def vacuum(path: str, keep_from_version: int) -> list[str]:
     for e in entries:
         if e["version"] < keep_from_version:
             continue
+        if e["action"] not in ("append", "overwrite"):
+            rewritten.append(e)  # metadata-only entries pass through
+            continue
         if e["version"] == keep_from_version:
             base = live_files(path, keep_from_version, with_stats=True)
             rec = {
@@ -258,7 +263,12 @@ def vacuum(path: str, keep_from_version: int) -> list[str]:
             rewritten.append(e)
     for v in range(keep_from_version, latest + 1):
         keep_sets.update(live_files(path, v))
-    all_files = {f for e in entries for f in e["files"]}
+    all_files = {
+        f
+        for e in entries
+        if e["action"] in ("append", "overwrite")
+        for f in e["files"]
+    }
     doomed = sorted(all_files - keep_sets)
     for f in doomed:
         if os.path.exists(f):
@@ -269,3 +279,138 @@ def vacuum(path: str, keep_from_version: int) -> list[str]:
             fh.write(json.dumps(rec) + "\n")
     os.replace(tmp, _manifest_path(path))
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom index (the Delta "bloom filter index" pattern): point
+# lookups on a column whose values INTERLEAVE across files — where
+# [min, max] range stats prune nothing — drop files whose bloom says
+# "definitely absent".  False positives only ADD files (the read stays
+# a superset; the row filter still applies), so correctness never
+# depends on the index.  The words use the SAME portable polynomial
+# hash + position formula as operators/sketches.bloom_build (bit-exact
+# Python twin below, pinned by tests), computed file-locally from the
+# written parquet — no extra Spark job, no shuffle.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_PER_WORD = 63
+
+
+def _py_poly_hash(s: str) -> int:
+    """Bit-exact Python twin of functions/portable.poly_hash."""
+    from ..functions import portable as PT
+
+    acc = PT.POLY_INIT
+    for ch in s:
+        acc = (acc * PT.POLY_MULT + ord(ch)) % PT.P
+    return acc
+
+
+def _py_bloom_words(values, k: int, m_words: int) -> list[int]:
+    """Bit-exact Python twin of sketches.bloom_build over string
+    values (same constants, same position formula)."""
+    from ..functions import portable as PT
+
+    m = m_words * BLOOM_BITS_PER_WORD
+    consts = PT._perm_constants(k)[:k]
+    words = [0] * m_words
+    for v in values:
+        if v is None:
+            continue
+        h = _py_poly_hash(str(v))
+        for a, b in consts:
+            pos = ((h * a + b) % PT.P) % m
+            words[pos // BLOOM_BITS_PER_WORD] |= 1 << (
+                pos % BLOOM_BITS_PER_WORD
+            )
+    return words
+
+
+def attach_bloom_index(
+    path: str, col: str, k: int = 4, m_words: int = 16
+) -> None:
+    """Record a per-file Bloom index over ``col`` for every live file
+    of the LATEST version that does not already carry one: one
+    manifest line ``{"action": "bloom", ...}`` mapping file ->
+    63-bit words.  Reads only the indexed column of each file
+    (columnar projection), writes no data files — a metadata-only
+    commit, appendable after the fact like any other index build.
+    """
+    import pyarrow.parquet as pq
+
+    entries = _read_manifest(path)
+    if not entries:
+        raise ValueError(f"no tlog table at {path}")
+    indexed: dict[str, dict] = {}
+    for e in entries:
+        if e.get("action") == "bloom" and e.get("bloom_col") == col:
+            indexed.update(e.get("blooms", {}))
+    blooms = {}
+    for f in live_files(path):
+        if f in indexed:
+            continue
+        vals = pq.read_table(f, columns=[col]).column(0).to_pylist()
+        blooms[f] = _py_bloom_words(vals, k, m_words)
+    if not blooms:
+        return
+    with open(_manifest_path(path), "a", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "version": entries[-1]["version"],
+                    "action": "bloom",
+                    "bloom_col": col,
+                    "k": k,
+                    "m_words": m_words,
+                    "blooms": blooms,
+                }
+            )
+            + "\n"
+        )
+
+
+def read_point_lookup(
+    spark: SparkSession, path: str, col: str, value
+) -> DataFrame:
+    """Point-lookup read: scan only the live files whose Bloom index
+    might contain ``value`` (files without an index are
+    conservatively kept), with the exact row filter applied on top —
+    the index is an access-path optimization, never a semantics
+    change."""
+    from ..functions import portable as PT
+
+    entries = _read_manifest(path)
+    blooms: dict[str, list] = {}
+    params = None
+    for e in entries:
+        if e.get("action") == "bloom" and e.get("bloom_col") == col:
+            blooms.update(e.get("blooms", {}))
+            params = (e["k"], e["m_words"])
+    live = live_files(path)
+    if params is None:
+        files = live
+    else:
+        k, m_words = params
+        m = m_words * BLOOM_BITS_PER_WORD
+        consts = PT._perm_constants(k)[:k]
+        h = _py_poly_hash(str(value))
+
+        def might_contain(words: list) -> bool:
+            for a, b in consts:
+                pos = ((h * a + b) % PT.P) % m
+                if not words[pos // BLOOM_BITS_PER_WORD] & (
+                    1 << (pos % BLOOM_BITS_PER_WORD)
+                ):
+                    return False
+            return True
+
+        files = [
+            f for f in live if f not in blooms or might_contain(blooms[f])
+        ]
+    if not files:
+        return (
+            spark.read.parquet(*live)
+            .filter(F.lit(False))
+            .filter(F.col(col) == value)
+        )
+    return spark.read.parquet(*files).filter(F.col(col) == value)

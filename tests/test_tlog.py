@@ -198,3 +198,59 @@ def test_seeded_fuzz_commit_sequences_match_model(tmp_path, spark):
                 r.id for r in tlog.read_version(spark, path, v).collect()
             }
             assert got == expect, f"seq {seq_no} version {v}"
+
+
+def test_bloom_index_prunes_point_lookup(tmp_path, spark):
+    path = str(tmp_path / "t")
+    segs = [("alpha", 0), ("beta", 1), ("gamma", 2)]
+    for name, lo in segs:
+        df = spark.range(lo * 100, lo * 100 + 50).select(
+            F.col("id").cast("bigint"), F.lit(name).alias("seg")
+        )
+        tlog.commit(df.coalesce(1), path, "append")
+    tlog.attach_bloom_index(path, "seg")
+    hit = tlog.read_point_lookup(spark, path, "seg", "beta")
+    assert len(hit.inputFiles()) == 1
+    assert hit.count() == 50
+    # absent value: every file's bloom says no -> empty without a scan
+    miss = tlog.read_point_lookup(spark, path, "seg", "nope")
+    assert miss.count() == 0
+
+
+def test_bloom_index_spark_twin_parity(spark):
+    # the manifest blooms use a pure-Python twin of sketches.bloom_build:
+    # identical words for identical inputs, or lookups would silently
+    # skip files that DO contain the value
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+    from legal_data_ingestion_rag_pipeline_spark.operators.tlog import (
+        _py_bloom_words,
+    )
+
+    vals = ["alpha", "beta", "gamma", "delta", "x" * 40]
+    df = spark.createDataFrame([(v,) for v in vals], "v: string").select(
+        F.expr(PT.poly_hash("v", PT.SPARK)).alias("h")
+    )
+    spark_words = {
+        r.word_idx: r.word
+        for r in sketches.bloom_build(df, "h", k=4, m_words=16).collect()
+    }
+    py = _py_bloom_words(vals, k=4, m_words=16)
+    expect = {i: w for i, w in enumerate(py) if w != 0}
+    assert spark_words == expect
+
+
+def test_bloom_index_survives_append_and_incremental_attach(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tlog.commit(
+        spark.range(0, 10).select(F.lit("a").alias("seg")).coalesce(1),
+        path, "append",
+    )
+    tlog.attach_bloom_index(path, "seg")
+    tlog.commit(
+        spark.range(0, 10).select(F.lit("b").alias("seg")).coalesce(1),
+        path, "append",
+    )
+    tlog.attach_bloom_index(path, "seg")  # only the new file is indexed
+    hit = tlog.read_point_lookup(spark, path, "seg", "b")
+    assert len(hit.inputFiles()) == 1 and hit.count() == 10
