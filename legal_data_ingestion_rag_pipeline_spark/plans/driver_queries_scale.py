@@ -2125,3 +2125,59 @@ def cheapest_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("nation"),
         F.col("dist").cast("bigint").alias("cost"),
     ).orderBy("nation")
+
+
+@register(
+    "tlog_point_lookup",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_mktsegment
+    """,
+    doc="point lookup through the per-file Bloom index "
+    "(tlog.attach_bloom_index / read_point_lookup -- the Delta "
+    "bloom-filter-index pattern): customers commit in three "
+    "hash-split batches whose segment values INTERLEAVE across files "
+    "(range stats prune nothing there -- exactly the case the Bloom "
+    "index exists for... except segments appear in every batch, so "
+    "here the index proves the SUPERSET contract rather than a skip: "
+    "false positives and all-files-match both only widen the read, "
+    "the row filter closes it). The skip itself is pinned by "
+    "tests/test_tlog.py on value-partitioned batches; the gate pins "
+    "that the index path loses no rows under the driver's bare "
+    "session, and the word arrays come from a bit-exact Python twin "
+    "of the gated sketches.bloom_build (parity test).",
+)
+def tlog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import tlog
+
+    c = _t(spark, sf_dir, "customer")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogb_{tag}")
+    for bucket in range(3):
+        tlog.commit(
+            c.filter(F.col("c_custkey") % 3 == bucket).coalesce(1),
+            store,
+            "append",
+        )
+    tlog.attach_bloom_index(store, "c_mktsegment")
+    return (
+        tlog.read_point_lookup(spark, store, "c_mktsegment", "BUILDING")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
