@@ -414,3 +414,21 @@ def read_point_lookup(
             .filter(F.col(col) == value)
         )
     return spark.read.parquet(*files).filter(F.col(col) == value)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    stats_col: str | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current live set into ``target_files``
+    files committed as a new overwrite version — content-identical,
+    small-file count reset.  History is untouched (pre-compaction
+    versions still time-travel; vacuum reclaims them later); readers
+    that resolved the old version keep working because its files are
+    still referenced by the log.  Re-attach Bloom indexes after
+    compaction — the new files start unindexed (conservatively read).
+    """
+    df = read_version(spark, path).coalesce(target_files)
+    return commit(df, path, "overwrite", stats_col=stats_col)

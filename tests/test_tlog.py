@@ -254,3 +254,19 @@ def test_bloom_index_survives_append_and_incremental_attach(tmp_path, spark):
     tlog.attach_bloom_index(path, "seg")  # only the new file is indexed
     hit = tlog.read_point_lookup(spark, path, "seg", "b")
     assert len(hit.inputFiles()) == 1 and hit.count() == 10
+
+
+def test_compact_preserves_content_and_history(tmp_path, spark):
+    path = str(tmp_path / "t")
+    for lo in (0, 10, 20, 30):
+        tlog.commit(_df(spark, lo, lo + 10).coalesce(2), path, "append")
+    before = set(
+        r.id for r in tlog.read_version(spark, path).collect()
+    )
+    assert len(tlog.live_files(path)) == 8
+    v = tlog.compact(spark, path, target_files=1)
+    assert len(tlog.live_files(path)) == 1
+    after = set(r.id for r in tlog.read_version(spark, path).collect())
+    assert after == before
+    # pre-compaction version still time-travels
+    assert tlog.read_version(spark, path, v - 1).count() == 40
