@@ -2181,3 +2181,61 @@ def tlog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "tlog_change_data_feed",
+    oracle="""
+    SELECT o_orderkey, 'insert' AS change
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'update' AS change
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    """,
+    doc="change data feed derived from time travel "
+    "(tlog.read_version x upsert.snapshot_diff -- what Delta's "
+    "CHANGE DATA FEED materializes, computed between any two "
+    "committed versions after the fact): version 0 is the pre-1997 "
+    "orders with open-status rows blanked to priority 'X', version 1 "
+    "overwrites with the full corrected table; diffing the two "
+    "snapshots yields exactly (inserts = post-1997 rows, updates = "
+    "the blanked rows), which the oracle derives from the raw table "
+    "predicates. The diff shuffles (key, sha2) pairs only -- payload "
+    "never moves (snapshot_diff's hashed-key convention) -- and the "
+    "version reads are explicit manifest-resolved file lists, so "
+    "deriving CDC between ANY two historical versions costs two "
+    "manifest reads + one key-hash join, independent of how many "
+    "versions lie between.",
+)
+def tlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import tlog
+    from ..operators.upsert import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogc_{tag}")
+    cut = "1997-01-01"
+    v0 = o.filter(F.col("o_orderdate") < cut).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderstatus") == "O", F.lit("X")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    tlog.commit(v0, store, "append")
+    tlog.commit(o, store, "overwrite")
+    diff = snapshot_diff(
+        tlog.read_version(spark, store, 0),
+        tlog.read_version(spark, store, 1),
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return diff.select("o_orderkey", "change").orderBy("o_orderkey")
