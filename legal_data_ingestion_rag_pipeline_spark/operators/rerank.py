@@ -132,3 +132,90 @@ class CrossEncoderReranker:
             .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
             .drop(text_col)
         )
+
+
+def mmr_select(
+    pool: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> list[tuple]:
+    """Maximal Marginal Relevance selection over a bounded candidate
+    POOL: greedily pick the candidate maximizing
+    ``lam*relevance - (1-lam)*max_similarity_to_selected`` — the
+    diversity-aware sampler every RAG context builder and
+    training-data curator needs (Carbonell & Goldstein 1998).
+
+    Integer-exact: relevance and similarity quantize to micro-units
+    (FLOOR(x*1e6+0.5), the cross-engine convention) and the lambda
+    blend is integer ``lam_num*rel - (lam_den-lam_num)*sim`` — no
+    float comparisons anywhere, ties break on ascending id, so any
+    engine and any partitioning selects the identical sequence.
+
+    Scale contract: MMR is inherently sequential (k dependent steps),
+    so it runs on a POOL — the bounded output of a two-phase top-N
+    retrieval (the ann family), never the corpus.  Each step is one
+    Spark pass over the remaining pool (greatest() against the
+    newly selected vector) + a 1-row argmax collect — the
+    bpe_train_merges driver-loop convention.  Returns
+    [(rank, id, mmr_micro), ...].
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot_q = F.expr(
+        "aggregate(zip_with(_vec, _qv, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    cur = (
+        pool.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        )
+        .withColumn("_qv", q_lit)
+        .withColumn(
+            "rel_micro",
+            F.expr(
+                "CAST(FLOOR(aggregate(zip_with(_vec, _qv, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0.0 AS DOUBLE), (s, x) -> s + x) * 1000000.0 + 0.5) "
+                "AS BIGINT)"
+            ),
+        )
+        .drop("_qv")
+        .withColumn("max_sim_micro", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    mu = lam_den - lam_num
+    out: list[tuple] = []
+    for rank in range(1, k + 1):
+        mmr = lam_num * F.col("rel_micro") - mu * F.col("max_sim_micro")
+        top = (
+            cur.withColumn("_mmr", mmr)
+            .orderBy(F.desc("_mmr"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        sel = top[0]
+        out.append((rank, sel._id, int(sel._mmr)))
+        sel_vec = F.array(*[F.lit(float(x)) for x in sel._vec])
+        sim = F.expr(
+            "CAST(FLOOR(aggregate(zip_with(_vec, _sv, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x) * 1000000.0 + 0.5) "
+            "AS BIGINT)"
+        )
+        cur = (
+            cur.filter(F.col("_id") != sel._id)
+            .withColumn("_sv", sel_vec)
+            .withColumn(
+                "max_sim_micro", F.greatest(F.col("max_sim_micro"), sim)
+            )
+            .drop("_sv")
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -2634,3 +2634,96 @@ def fts_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.conjunctive_search(
         docs, "doc_id", "text", ["vector", "merge", "window"], k=50
     )
+
+
+def _mmr_oracle(sf_dir: str) -> str:
+    """Python twin: same pool, same left-fold double dots, same
+    micro-quantization, same integer lambda blend, same id tiebreak —
+    emitted as VALUES (the kcore/bpe convention for sequential
+    algorithms)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+    q = vecs[0]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
+    def micro(x):
+        import math
+
+        return int(math.floor(x * 1_000_000.0 + 0.5))
+
+    rel = {i: micro(dot(v, q)) for i, v in vecs.items()}
+    pool = sorted(vecs, key=lambda i: (-rel[i], i))[:30]
+    max_sim = {i: 0 for i in pool}
+    picked = []
+    remaining = list(pool)
+    for rank in range(1, 9):
+        best = max(
+            remaining, key=lambda i: (7 * rel[i] - 3 * max_sim[i], -i)
+        )
+        picked.append((rank, best, 7 * rel[best] - 3 * max_sim[best]))
+        remaining.remove(best)
+        for i in remaining:
+            max_sim[i] = max(max_sim[i], micro(dot(vecs[i], vecs[best])))
+    vals = ", ".join(f"({r}, {i}, {s})" for r, i, s in picked)
+    return (
+        f"SELECT CAST(rank AS BIGINT) AS rank, "
+        f"CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(mmr_micro AS BIGINT) AS mmr_micro "
+        f"FROM (VALUES {vals}) AS t(rank, vec_id, mmr_micro) ORDER BY rank"
+    )
+
+
+@register(
+    "mmr_diverse_selection",
+    oracle=_mmr_oracle,
+    doc="Maximal Marginal Relevance diverse selection "
+    "(rerank.mmr_select): top-30 retrieval pool for query vector 0, "
+    "then 8 greedy picks maximizing 7*rel - 3*max_sim_to_selected in "
+    "EXACT micro-integer arithmetic (left-fold double dots, "
+    "FLOOR(x*1e6+0.5), ascending-id ties) — the diversity-aware "
+    "sampler RAG context builders and dataset curators run after "
+    "retrieval. Sequential by nature, so it runs on the POOL (the "
+    "bounded two-phase top-N output), one Spark pass + 1-row argmax "
+    "per step — the bpe driver-loop convention; the oracle is a "
+    "bit-exact pure-Python twin emitted as VALUES.",
+)
+def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    dot_q = (
+        "aggregate(zip_with(embedding, _qv, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    pool = (
+        e.withColumn("_qv", F.array(*[F.lit(x) for x in q_vec]))
+        .withColumn(
+            "_rel",
+            F.expr(
+                f"CAST(FLOOR(({dot_q}) * 1000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("_rel"), F.asc("vec_id"))
+        .limit(30)
+        .select("vec_id", "embedding")
+    )
+    picked = rerank.mmr_select(pool, q_vec, k=8)
+    return spark.createDataFrame(
+        picked, "rank: bigint, vec_id: bigint, mmr_micro: bigint"
+    ).orderBy("rank")
