@@ -2727,3 +2727,55 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rank: bigint, vec_id: bigint, mmr_micro: bigint"
     ).orderBy("rank")
+
+
+@register(
+    "context_budget_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({PT.tokens('text', D)}) AS n_tokens,
+             len(text) AS n_chars
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 2000 ORDER BY rank
+    """,
+    doc="budget-constrained context assembly (the RAG step between "
+    "retrieve/rerank and the prompt): candidates ranked by a "
+    "deterministic score (here char length as the stand-in "
+    "relevance, doc_id ties), admitted greedily while the CUMULATIVE "
+    "token count stays under the context budget — a running-sum "
+    "window + filter, not a driver loop, so the same plan packs a "
+    "million candidate pools in parallel when the window partitions "
+    "by query id. Integer token counts make the cutoff exact; the "
+    "prefix-sum-then-filter form is the sequential greedy knapsack "
+    "linearized into one window pass.",
+)
+def context_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.expr(PT.tokens("text", PT.SPARK))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = t.select(
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("n_tokens").over(w_sum).cast("bigint").alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("cum_tokens") <= 2000)
+        .select("rank", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("rank")
+    )
