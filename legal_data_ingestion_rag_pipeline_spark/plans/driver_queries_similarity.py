@@ -2733,42 +2733,50 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "context_budget_packing",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, len({PT.tokens('text', D)}) AS n_tokens,
+      SELECT doc_id, doc_id % 4 AS pool_id,
+             len({PT.tokens('text', D)}) AS n_tokens,
              len(text) AS n_chars
       FROM documents
     ), ranked AS (
-      SELECT doc_id, n_tokens,
-             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
-             SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+      SELECT pool_id, doc_id, n_tokens,
+             row_number() OVER w AS rnk,
+             SUM(n_tokens) OVER (PARTITION BY pool_id
+                                 ORDER BY n_chars DESC, doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
-      FROM t
+      FROM t WINDOW w AS (PARTITION BY pool_id
+                          ORDER BY n_chars DESC, doc_id)
     )
-    SELECT CAST(rnk AS BIGINT) AS rank, doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT CAST(pool_id AS BIGINT) AS pool_id, CAST(rnk AS BIGINT) AS rank,
+           doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(cum_tokens AS BIGINT) AS cum_tokens
-    FROM ranked WHERE cum_tokens <= 2000 ORDER BY rank
+    FROM ranked WHERE cum_tokens <= 2000 ORDER BY pool_id, rank
     """,
     doc="budget-constrained context assembly (the RAG step between "
-    "retrieve/rerank and the prompt): candidates ranked by a "
-    "deterministic score (here char length as the stand-in "
-    "relevance, doc_id ties), admitted greedily while the CUMULATIVE "
-    "token count stays under the context budget — a running-sum "
-    "window + filter, not a driver loop, so the same plan packs a "
-    "million candidate pools in parallel when the window partitions "
-    "by query id. Integer token counts make the cutoff exact; the "
-    "prefix-sum-then-filter form is the sequential greedy knapsack "
-    "linearized into one window pass.",
+    "retrieve/rerank and the prompt): per retrieval POOL, candidates "
+    "ranked by a deterministic score (char length as the stand-in "
+    "relevance, doc_id ties) are admitted greedily while the "
+    "CUMULATIVE token count stays under the context budget — a "
+    "running-sum window + filter, not a driver loop. The window "
+    "PARTITIONS BY the pool key (four synthetic pools here; the "
+    "query id in production), so a million pools pack in parallel "
+    "and no reducer ever sees more than one pool's candidates — the "
+    "global-window form of this query is the single-reducer "
+    "scale-killer this formulation exists to avoid. Integer token "
+    "counts make the cutoff exact; prefix-sum-then-filter is the "
+    "sequential greedy knapsack linearized into one window pass.",
 )
 def context_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
+        (F.col("doc_id") % 4).cast("bigint").alias("pool_id"),
         F.size(F.expr(PT.tokens("text", PT.SPARK))).alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w = Window.partitionBy("pool_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = t.select(
+        "pool_id",
         "doc_id",
         "n_tokens",
         F.row_number().over(w).cast("bigint").alias("rank"),
@@ -2776,6 +2784,6 @@ def context_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter(F.col("cum_tokens") <= 2000)
-        .select("rank", "doc_id", "n_tokens", "cum_tokens")
-        .orderBy("rank")
+        .select("pool_id", "rank", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("pool_id", "rank")
     )
