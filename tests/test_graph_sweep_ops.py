@@ -139,3 +139,36 @@ def test_bellman_ford_rejects_bad_rounds(spark):
     e = spark.createDataFrame([(0, 1, 1)], "src: bigint, dst: bigint, w: bigint")
     with pytest.raises(ValueError):
         graph.bellman_ford(e, 0, rounds=0)
+
+
+def test_mmr_select_diversity_and_exhaustion(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    # two near-identical high-relevance vectors + one diverse
+    # mid-relevance vector: plain top-k (and relevance-heavy lambda)
+    # takes both twins back-to-back; a diversity-heavy lambda must
+    # interleave the diverse vector at rank 2.
+    pool = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.001]),
+            (3, [0.6, 0.6]),
+        ],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    relevance_heavy = rerank.mmr_select(pool, [1.0, 0.0], k=3)
+    assert [p[1] for p in relevance_heavy] == [1, 2, 3]
+    diverse = rerank.mmr_select(pool, [1.0, 0.0], k=3, lam_num=3)
+    assert [p[1] for p in diverse] == [1, 3, 2]
+    # k beyond pool size exhausts gracefully
+    assert len(rerank.mmr_select(pool, [1.0, 0.0], k=10)) == 3
+
+
+def test_mmr_select_stable_under_repartition(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    rows = [(i, [float((i * 7 + j) % 5) / 5.0 for j in range(4)]) for i in range(20)]
+    pool1 = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+    pool2 = pool1.repartition(7)
+    q = [0.3, 0.9, 0.1, 0.5]
+    assert rerank.mmr_select(pool1, q, k=5) == rerank.mmr_select(pool2, q, k=5)
