@@ -246,3 +246,67 @@ def audio_windows(
             "window_content",
         )
     )
+
+
+def bytes_simhash(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    n: int = 4,
+    bits: int = 30,
+) -> DataFrame:
+    """Content-level SimHash over raw BYTES: rolling n-byte-gram
+    hashes (the byte twin of portable.poly_hash — fold (acc*31 +
+    byte) % P from 7, so on ASCII payloads the fingerprint equals the
+    char-gram SQL formulation the oracle mirrors) voted into a
+    ``bits``-bit SimHash exactly like dedup.simhash_docs.
+
+    This is the dedup family extended to the multimodal column: the
+    near-dup signal for binary payloads where no tokenizer exists
+    (the perceptual-hash slot — a real pipeline swaps the byte grams
+    for decoded perceptual features, same signature, same
+    downstream banding).  Arrow mapInPandas, map-side only; returns
+    (id, n_bytes, simhash).  Empty/short payloads (< n bytes) emit
+    simhash 0 — deterministic, documented, matched by the oracle.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from ..functions import portable as PT
+
+    P = PT.P
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, media.schema[id_col].dataType, True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("simhash", T.LongType(), True),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            ids, lens, sims = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload) if payload is not None else b""
+                ids.append(mid)
+                lens.append(len(b))
+                votes = [0] * bits
+                if len(b) >= n:
+                    for i in range(len(b) - n + 1):
+                        acc = PT.POLY_INIT
+                        for x in b[i : i + n]:
+                            acc = (acc * PT.POLY_MULT + x) % P
+                        for j in range(bits):
+                            votes[j] += 1 if (acc >> j) & 1 else -1
+                sim = 0
+                for j in range(bits):
+                    if votes[j] > 0:
+                        sim |= 1 << j
+                sims.append(sim)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": lens, "simhash": sims}
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        _batches, out_schema
+    )

@@ -154,3 +154,33 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id", "window_idx")
         .limit(2000)
     )
+
+
+@register(
+    "multimodal_bytes_simhash",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) >= 4 THEN
+             {PT.simhash_from_hashes(PT.hash_array(PT.char_ngrams('text', 4, PT.DUCKDB), PT.DUCKDB), 30, PT.DUCKDB)}
+           ELSE 0 END AS simhash
+    FROM documents ORDER BY media_id
+    """,
+    doc="near-dup fingerprinting for BINARY payloads "
+    "(multimodal.bytes_simhash): rolling 4-byte-gram hashes voted "
+    "into a 30-bit SimHash inside an Arrow mapInPandas batch -- the "
+    "dedup family extended to the multimodal column, where no "
+    "tokenizer exists (the perceptual-hash slot; a real pipeline "
+    "swaps byte grams for decoded features, same signature, same "
+    "downstream banding/pairing). The synthetic media payloads are "
+    "the documents' ASCII bytes, so the oracle computes the "
+    "IDENTICAL fingerprint from char 4-grams with the portable SQL "
+    "simhash -- every bit of every fingerprint is hash-gated. "
+    "Map-side only: the payload never shuffles, 8 bytes of "
+    "fingerprint per asset leave the scan.",
+)
+def multimodal_bytes_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import bytes_simhash
+
+    m = _media(spark, sf_dir)
+    return bytes_simhash(m).orderBy("media_id")
