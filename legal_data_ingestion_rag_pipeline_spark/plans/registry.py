@@ -309,6 +309,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        builder is the same lag+cumsum+groupBy machinery gated via
 #:        scd2_event_type_history's window frames).
 #:
+#: Round-7 ninth rotation (session tail, two swaps):
+#:   IN : mmr_diverse_selection — greedy sequential selection in
+#:        exact micro-integer arithmetic, a NEW machinery class
+#:        (pool-bounded driver-loop selection), and its callable
+#:        Python-twin VALUES oracle keeps the dynamic-oracle path
+#:        proven in the gate, so OUT textstats_compression_ratio
+#:        (whose gate role was exactly that; keeps its Python-twin
+#:        oracle_check row + zlib parity pytest).
+#:   IN : multimodal_bytes_simhash — the dedup family extended to
+#:        BINARY payloads (rolling byte-gram SimHash in Arrow
+#:        mapInPandas, every fingerprint bit hash-gated), which also
+#:        exercises the same Arrow-over-binary batch plumbing as
+#:        multimodal_features, so OUT multimodal_features (keeps
+#:        oracle_check + the multimodal pytest suite; frame/audio
+#:        plumbing stays oracle_check-covered via its own rows).
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -362,9 +378,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "url_canonical_dedup",
     "quality_ensemble_topk",
     "streaming_sliding_counts",
-    "multimodal_features",
+    "multimodal_bytes_simhash",
     "sequence_packing",
-    "textstats_compression_ratio",
+    "mmr_diverse_selection",
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
     "streaming_interval_join",
