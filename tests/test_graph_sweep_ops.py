@@ -172,3 +172,28 @@ def test_mmr_select_stable_under_repartition(spark):
     pool2 = pool1.repartition(7)
     q = [0.3, 0.9, 0.1, 0.5]
     assert rerank.mmr_select(pool1, q, k=5) == rerank.mmr_select(pool2, q, k=5)
+
+
+def test_conjunctive_search_monotone_and_validates(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta"),
+            (3, "alpha alpha beta gamma gamma"),
+            (4, "delta"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    one = fts.conjunctive_search(docs, "doc_id", "text", ["alpha"]).collect()
+    assert {r.doc_id for r in one} == {1, 2, 3}
+    three = fts.conjunctive_search(
+        docs, "doc_id", "text", ["alpha", "beta", "gamma"]
+    ).collect()
+    # adding terms only narrows (AND semantics); tf sums over all terms
+    assert {r.doc_id: r.total_tf for r in three} == {1: 3, 3: 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fts.conjunctive_search(docs, "doc_id", "text", [])
