@@ -445,3 +445,65 @@ def bellman_ford(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): every
+    vertex simultaneously adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label, for a FIXED number of
+    rounds.  Returns (v, label).
+
+    Fixed rounds, not convergence: synchronous LPA can oscillate on
+    bipartite structures, so a fixpoint test would hang — a fixed
+    count is deterministic in both result and cost (the pagerank
+    discipline), and the caller picks rounds ~ diameter of the
+    communities sought.  Determinism inside a round: the adopted
+    label is argmax over (count, -label) — an exact integer
+    comparison, no hash-partition order dependence.  Per round: one
+    edge-label join + one (vertex, label) count + one per-vertex
+    max-struct aggregate, O(E) rows, localCheckpoint O(1) lineage.
+    Unlike connected_components (which finds CONNECTIVITY classes),
+    LPA finds DENSITY classes — two communities joined by one bridge
+    edge stay separate here but merge under CC.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    nbr = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nbr.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        counted = (
+            nbr.join(
+                labels.select(F.col("v").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("v"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            counted.groupBy("v")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                .alias("_top")
+            )
+            .select("v", (-F.col("_top.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

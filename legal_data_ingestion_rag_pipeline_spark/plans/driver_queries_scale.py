@@ -2239,3 +2239,65 @@ def tlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
     )
     return diff.select("o_orderkey", "change").orderBy("o_orderkey")
+
+
+def _lpa_oracle(sf_dir: str) -> str:
+    """Python twin of graph.label_propagation on the support-2
+    co-purchase graph: synchronous rounds, neighbor-only votes,
+    (count, -label) argmax — emitted as VALUES."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for lo, hi in con.execute(_SUPPORT2_EDGES_SQL).fetchall():
+        adj[int(lo)].add(int(hi))
+        adj[int(hi)].add(int(lo))
+    con.close()
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            cnt: dict[int, int] = collections.defaultdict(int)
+            for u in adj[v]:
+                cnt[labels[u]] += 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = nxt
+    rows = ", ".join(f"({v}, {l})" for v, l in sorted(labels.items()))
+    return (
+        f"SELECT CAST(part AS BIGINT) AS part, "
+        f"CAST(label AS BIGINT) AS label "
+        f"FROM (VALUES {rows}) AS t(part, label) ORDER BY part"
+    )
+
+
+@register(
+    "lpa_copurchase_communities",
+    oracle=_lpa_oracle,
+    doc="label-propagation communities, 3 synchronous rounds, over "
+    "the support-2 co-purchase graph (graph.label_propagation): "
+    "every vertex adopts its neighbors' most frequent label with "
+    "(count, -label) integer argmax ties — deterministic under any "
+    "partitioning, which is what lets an inherently heuristic "
+    "community algorithm pass a hash gate. Fixed rounds, not a "
+    "fixpoint (synchronous LPA oscillates on bipartite structure; "
+    "fixed count = deterministic result AND cost). DENSITY classes, "
+    "not connectivity: a single bridge edge keeps two communities "
+    "separate here but merges them under the gated "
+    "dedup_cluster_components. Oracle is the pure-Python synchronous "
+    "twin (VALUES).",
+)
+def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    edges = _support2_edges(spark, sf_dir)
+    out = graph.label_propagation(edges, rounds=3, a="lo", b="hi")
+    return out.select(
+        F.col("v").cast("bigint").alias("part"),
+        F.col("label").cast("bigint").alias("label"),
+    ).orderBy("part")

@@ -197,3 +197,28 @@ def test_conjunctive_search_monotone_and_validates(spark):
 
     with _pytest.raises(ValueError):
         fts.conjunctive_search(docs, "doc_id", "text", [])
+
+
+def test_lpa_density_vs_connectivity(spark):
+    # two triangles joined by one bridge: LPA keeps them separate
+    # (density classes); connected_components merges them
+    e = _edges(
+        spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    )
+    lpa = {r.v: r.label for r in graph.label_propagation(e, rounds=3).collect()}
+    comms = {}
+    for v, l in lpa.items():
+        comms.setdefault(l, set()).add(v)
+    assert sorted(map(sorted, comms.values())) == [[1, 2, 3], [10, 11, 12]]
+    cc = {
+        r.vertex: r.label
+        for r in graph.connected_components(
+            e.withColumnsRenamed({"a": "src", "b": "dst"})
+        ).collect()
+    }
+    assert len(set(cc.values())) == 1
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    with pytest.raises(ValueError):
+        graph.label_propagation(_edges(spark, [(1, 2)]), rounds=0)
