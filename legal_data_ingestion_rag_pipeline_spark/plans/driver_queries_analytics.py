@@ -1442,3 +1442,89 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") >= 5)
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="""
+    SELECT 'customer: c_custkey -> c_mktsegment' AS dependency,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT c_custkey FROM customer
+              GROUP BY c_custkey HAVING count(DISTINCT c_mktsegment) > 1))
+             AS n_violating_keys,
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+             AS n_keys
+    UNION ALL
+    SELECT 'lineitem: l_orderkey -> o_orderdate (via join)',
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT l.l_orderkey FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY l.l_orderkey HAVING count(DISTINCT o.o_orderdate) > 1)),
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+    UNION ALL
+    SELECT 'nation: n_nationkey -> n_regionkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT n_nationkey FROM nation
+              GROUP BY n_nationkey HAVING count(DISTINCT n_regionkey) > 1)),
+           (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation)
+    UNION ALL
+    SELECT 'orders: o_custkey -> o_orderstatus',
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT o_custkey FROM orders
+              GROUP BY o_custkey HAVING count(DISTINCT o_orderstatus) > 1)),
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+    ORDER BY dependency
+    """,
+    doc="functional-dependency audit (schema-discovery profiling, "
+    "the complement of referential_integrity_audit's FK checks): for "
+    "each candidate FD lhs -> rhs, the count of lhs keys violating "
+    "it (more than one distinct rhs). True dependencies "
+    "(key -> attribute, join-implied date) audit to zero; "
+    "o_custkey -> o_orderstatus is a deliberately FALSE candidate "
+    "whose violation count the hash gate pins — an audit that can "
+    "only say 'holds' is not an audit. Each leg is one "
+    "groupBy(lhs) + countDistinct(rhs) partial-aggregated shuffle; "
+    "1-row results union into the report.",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg(label: str, df: DataFrame, lhs: str, rhs: str):
+        viol = (
+            df.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(F.count("*").cast("bigint").alias("n_violating_keys"))
+        )
+        keys = df.agg(
+            F.countDistinct(lhs).cast("bigint").alias("n_keys")
+        )
+        return (
+            viol.crossJoin(F.broadcast(keys))
+            .select(
+                F.lit(label).alias("dependency"),
+                "n_violating_keys",
+                "n_keys",
+            )
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderdate"
+    )
+    legs = [
+        leg("customer: c_custkey -> c_mktsegment", c, "c_custkey", "c_mktsegment"),
+        leg(
+            "lineitem: l_orderkey -> o_orderdate (via join)",
+            lo,
+            "l_orderkey",
+            "o_orderdate",
+        ),
+        leg("nation: n_nationkey -> n_regionkey", n, "n_nationkey", "n_regionkey"),
+        leg("orders: o_custkey -> o_orderstatus", o, "o_custkey", "o_orderstatus"),
+    ]
+    out = legs[0]
+    for more in legs[1:]:
+        out = out.unionByName(more)
+    return out.orderBy("dependency")
