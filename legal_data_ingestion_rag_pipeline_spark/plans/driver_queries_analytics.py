@@ -1528,3 +1528,74 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for more in legs[1:]:
         out = out.unionByName(more)
     return out.orderBy("dependency")
+
+
+@register(
+    "clamped_wallet_balance",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+               WHEN 'error' THEN -CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+               ELSE 0 END AS delta
+      FROM events
+    ), seq AS (
+      SELECT user_id, delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_steps
+      FROM d
+    ), walk AS (
+      SELECT user_id, rn, n_steps,
+             GREATEST(0, delta) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS n_clamps
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.n_steps,
+             GREATEST(0, w.bal + s.delta),
+             w.n_clamps + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(bal AS BIGINT) AS final_balance,
+           CAST(n_clamps AS BIGINT) AS n_clamps,
+           CAST(n_steps AS BIGINT) AS n_steps
+    FROM walk WHERE rn = n_steps ORDER BY user_id
+    """,
+    doc="per-key NON-LINEAR recurrence (operators/recurrence."
+    "clamped_running_balance): a wallet that credits purchases, "
+    "debits errors, and clamps at zero — bal = max(0, bal + delta) "
+    "has no prefix decomposition, so no window function can express "
+    "it; the faithful batch form is an applyInPandas ordered walk "
+    "per key (one key shuffle, O(1) state per key, keys "
+    "embarrassingly parallel — the batch edition of the streaming "
+    "applyInPandasWithState contract, and the ONE family where "
+    "per-key Python is the right tool rather than the slow path). "
+    "Integer cents (FLOOR(x*100+0.5) both engines) keep the walk "
+    "exact. The oracle is genuinely independent: a recursive CTE "
+    "replays the recurrence row-by-row in SQL. Clamp counts pin the "
+    "non-linearity — a plain running sum would get them all wrong.",
+)
+def clamped_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recurrence import clamped_running_balance
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+    out = clamped_running_balance(
+        d, "user_id", ["ts", "event_id"], "delta"
+    )
+    return out.orderBy("user_id")

@@ -222,3 +222,28 @@ def test_lpa_density_vs_connectivity(spark):
 def test_lpa_rejects_bad_rounds(spark):
     with pytest.raises(ValueError):
         graph.label_propagation(_edges(spark, [(1, 2)]), rounds=0)
+
+
+def test_clamped_balance_walk(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        clamped_running_balance,
+    )
+
+    d = spark.createDataFrame(
+        [
+            # user 1: +100, -300 (clamp to 0), +50 -> 50, 1 clamp
+            (1, 1, 100), (1, 2, -300), (1, 3, 50),
+            # user 2: -5 (clamp), -5 (clamp) -> 0, 2 clamps
+            (2, 1, -5), (2, 2, -5),
+        ],
+        "user_id: bigint, seq: bigint, delta: bigint",
+    )
+    out = {
+        r.user_id: (r.final_balance, r.n_clamps, r.n_steps)
+        for r in clamped_running_balance(
+            d, "user_id", ["seq"], "delta"
+        ).collect()
+    }
+    assert out == {1: (50, 1, 3), 2: (0, 2, 2)}
+    # a plain running sum would report user 1 at -150: the clamp is
+    # exactly what no window can express
