@@ -1599,3 +1599,47 @@ def clamped_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "user_id", ["ts", "event_id"], "delta"
     )
     return out.orderBy("user_id")
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o_orderstatus IN ('O', 'F', 'P')
+    GROUP BY c_mktsegment, status
+    HAVING count(*) > 0
+    ORDER BY c_mktsegment, status
+    """,
+    doc="UNPIVOT (wide -> long reshape via stack()), gated as the "
+    "round-trip proof: the segment x status counts pivot WIDE "
+    "(explicit value list, single-aggregation plan — the gated "
+    "pivot_status_by_segment machinery) and immediately stack back "
+    "LONG; unpivot(pivot(x)) == x, so the oracle is the plain "
+    "GROUP BY that never reshaped at all — the faithful-rewrite "
+    "convention applied to reshaping. stack() is a codegen "
+    "generator (n_cols rows out per row in, map-side, no shuffle "
+    "beyond the original aggregation); zero-count cells produced by "
+    "the pivot's dense grid are dropped to match the sparse long "
+    "form.",
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(3, 'F', F, 'O', O, 'P', P) AS (status, n_orders)"
+        ),
+    ).select("c_mktsegment", "status", F.col("n_orders").cast("bigint").alias("n_orders"))
+    return (
+        long.filter(F.col("n_orders").isNotNull() & (F.col("n_orders") > 0))
+        .orderBy("c_mktsegment", "status")
+    )
