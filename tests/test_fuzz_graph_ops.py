@@ -1,0 +1,162 @@
+"""Seeded-fuzz equivalence for the session-3 iterative operators:
+random small graphs / interval sets replayed against pure-Python
+reference models (the test_fuzz.py convention)."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import graph, sweep
+
+SEED = 20260814
+
+
+def _rand_graph(rng, n=18, m=30):
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _adj(edges):
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    return adj
+
+
+def test_fuzz_k_core_matches_python_peel(spark):
+    rng = random.Random(SEED)
+    for _ in range(2):
+        edges = _rand_graph(rng)
+        adj = _adj(edges)
+        k = 3
+        deg = {v: len(n) for v, n in adj.items()}
+        live = set(adj)
+        while True:
+            drop = {v for v in live if deg[v] < k}
+            if not drop:
+                break
+            for v in drop:
+                live.discard(v)
+                for u in adj[v]:
+                    if u in live:
+                        deg[u] -= 1
+        e = spark.createDataFrame(edges, "a: bigint, b: bigint")
+        got = {r.v: r.core_degree for r in graph.k_core(e, k=k).collect()}
+        assert set(got) == live
+        assert got == {v: deg[v] for v in live}
+
+
+def test_fuzz_bfs_matches_python(spark):
+    rng = random.Random(SEED + 1)
+    edges = _rand_graph(rng)
+    adj = _adj(edges)
+    src = min(adj)
+    dist = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    nxt.append(u)
+        frontier = nxt
+    cap = 3
+    expect = {v: d for v, d in dist.items() if d <= cap}
+    e = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    got = {
+        r.v: r.dist
+        for r in graph.bfs_distances(e, source=src, max_depth=cap).collect()
+    }
+    assert got == expect
+
+
+def test_fuzz_bellman_ford_matches_python(spark):
+    rng = random.Random(SEED + 2)
+    n = 15
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 50))
+        for _ in range(40)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    rounds = 4
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, INF):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    e = spark.createDataFrame(edges, "src: bigint, dst: bigint, w: bigint")
+    got = {
+        r.v: r.dist for r in graph.bellman_ford(e, 0, rounds=rounds).collect()
+    }
+    assert got == dist
+
+
+def test_fuzz_lpa_matches_python(spark):
+    rng = random.Random(SEED + 3)
+    edges = _rand_graph(rng, n=14, m=24)
+    adj = _adj(edges)
+    rounds = 3
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v in adj:
+            cnt = collections.defaultdict(int)
+            for u in adj[v]:
+                cnt[labels[u]] += 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = nxt
+    e = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    got = {
+        r.v: r.label
+        for r in graph.label_propagation(e, rounds=rounds).collect()
+    }
+    assert got == labels
+
+
+def test_fuzz_concurrency_matches_global_sweep(spark):
+    rng = random.Random(SEED + 4)
+    base = 1_700_000_000
+    iv = []
+    for _ in range(40):
+        s = base + rng.randrange(0, 3 * 86400)
+        e = s + rng.randrange(0, 86400)
+        iv.append((s, e))
+    # python global sweep (post-change convention, [s, e) half-open)
+    deltas = collections.defaultdict(int)
+    for s, e in iv:
+        deltas[s] += 1
+        deltas[e] -= 1
+    run = 0
+    by_day_peak = {}
+    by_day_carry = {}
+    import datetime as dt
+
+    for ts in sorted(deltas):
+        day = dt.datetime.fromtimestamp(ts, dt.timezone.utc).date().isoformat()
+        if day not in by_day_carry:
+            by_day_carry[day] = run
+        run += deltas[ts]
+        by_day_peak[day] = max(by_day_peak.get(day, -(10**9)), run)
+    df = spark.createDataFrame(iv, "s_epoch: bigint, e_epoch: bigint").select(
+        F.timestamp_seconds("s_epoch").alias("s"),
+        F.timestamp_seconds("e_epoch").alias("e"),
+    )
+    rows = {
+        str(r.day): (r.carry_in, r.peak_concurrent)
+        for r in sweep.concurrency_by_day(df, "s", "e").collect()
+    }
+    assert rows == {
+        d: (by_day_carry[d], by_day_peak[d]) for d in by_day_peak
+    }
