@@ -1643,3 +1643,104 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.filter(F.col("n_orders").isNotNull() & (F.col("n_orders") > 0))
         .orderBy("c_mktsegment", "status")
     )
+
+
+@register(
+    "events_analytics_capstone",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sn AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ), iv AS (
+      SELECT user_id, session_no, min(ts) AS s, max(ts) AS e
+      FROM sn GROUP BY user_id, session_no
+    ), per_ts AS (
+      SELECT ts, SUM(d) AS delta FROM (
+        SELECT s AS ts, 1 AS d FROM iv
+        UNION ALL SELECT e, -1 FROM iv) GROUP BY ts
+    ), rt AS (
+      SELECT SUM(delta) OVER (ORDER BY ts) AS concur FROM per_ts
+    ), fz AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (p_us - s_us) // 1000000 AS latency_s
+      FROM fz WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+    )
+    SELECT 'n_events' AS metric,
+           (SELECT CAST(count(*) AS DOUBLE) FROM events) AS value
+    UNION ALL
+    SELECT 'n_sessions', (SELECT CAST(count(*) AS DOUBLE) FROM iv)
+    UNION ALL
+    SELECT 'n_users_converted', (SELECT CAST(count(*) AS DOUBLE) FROM conv)
+    UNION ALL
+    SELECT 'p50_convert_latency_s',
+           (SELECT quantile_cont(CAST(latency_s AS DOUBLE), 0.5) FROM conv)
+    UNION ALL
+    SELECT 'peak_concurrent_sessions',
+           (SELECT CAST(max(concur) AS DOUBLE) FROM rt)
+    ORDER BY metric
+    """,
+    doc="events-analytics capstone: one (metric, value) report "
+    "composing the session families end-to-end in a single lazy "
+    "plan — gap-rule sessionization (sweep.sessions_from_events), "
+    "the two-phase concurrency sweep's peak, and funnel conversion "
+    "latency — the executive-summary query every analytics pipeline "
+    "ships, and the composition proof that the operators share one "
+    "DataFrame currency (the curation_pipeline capstone convention "
+    "applied to the events side). All counts exact; the one double "
+    "(p50 latency) uses the shared percentile interpolation.",
+)
+def events_analytics_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sweep
+
+    ev = _t(spark, sf_dir, "events")
+    iv = sweep.sessions_from_events(ev)
+    peak = (
+        sweep.concurrency_by_day(iv, "s", "e")
+        .agg(F.max("peak_concurrent").cast("double").alias("value"))
+        .select(F.lit("peak_concurrent_sessions").alias("metric"), "value")
+    )
+    n_events = ev.agg(F.count("*").cast("double").alias("value")).select(
+        F.lit("n_events").alias("metric"), "value"
+    )
+    n_sessions = iv.agg(F.count("*").cast("double").alias("value")).select(
+        F.lit("n_sessions").alias("metric"), "value"
+    )
+    fz = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("s_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    conv = fz.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("s_us"))
+    ).select(F.expr("(p_us - s_us) DIV 1000000").alias("latency_s"))
+    n_conv = conv.agg(F.count("*").cast("double").alias("value")).select(
+        F.lit("n_users_converted").alias("metric"), "value"
+    )
+    p50 = conv.agg(
+        F.expr("percentile(CAST(latency_s AS DOUBLE), 0.5)").alias("value")
+    ).select(F.lit("p50_convert_latency_s").alias("metric"), "value")
+    return (
+        n_events.unionByName(n_sessions)
+        .unionByName(n_conv)
+        .unionByName(p50)
+        .unionByName(peak)
+        .orderBy("metric")
+    )
