@@ -2301,3 +2301,56 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("part"),
         F.col("label").cast("bigint").alias("label"),
     ).orderBy("part")
+
+
+@register(
+    "ivm_join_view_refresh",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    doc="incremental maintenance of a JOIN view (operators/ivm."
+    "join_view_delta): orders and customers both split into a stored "
+    "side and an arriving delta; the view refreshes by appending "
+    "d(A|><|B) = dA|><|B_old + A_old|><|dB + dA|><|dB -- three legs "
+    "that each join a SMALL broadcast delta against one stored side, "
+    "O(|delta| x fan-out) regardless of |A|,|B| -- the reason a "
+    "100 TB materialized join view is maintainable at all. The "
+    "oracle aggregates the full recompute, so the gate proves the "
+    "algebraic identity: the three legs are disjoint and complete "
+    "(any duplicate or missing row breaks the per-segment counts). "
+    "The aggregate-view half of IVM is the gated-family partner "
+    "incremental_rollup_maintenance; insert-only here, signed "
+    "multiplicities (from snapshot_diff's CDC feed) generalize it.",
+)
+def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ivm
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cut = "1996-01-01"
+    a_old = o.filter(F.col("o_orderdate") < cut)
+    a_delta = o.filter(F.col("o_orderdate") >= cut)
+    b_old = c.filter(F.col("c_custkey") % 10 != 0)
+    b_delta = c.filter(F.col("c_custkey") % 10 == 0)
+    a_oldk = a_old.withColumn("k", F.col("o_custkey"))
+    a_delk = a_delta.withColumn("k", F.col("o_custkey"))
+    b_oldk = b_old.withColumn("k", F.col("c_custkey"))
+    b_delk = b_delta.withColumn("k", F.col("c_custkey"))
+    view_old = a_oldk.join(b_oldk, ["k"])
+    delta = ivm.join_view_delta(a_oldk, a_delk, b_oldk, b_delk, on=["k"])
+    refreshed = view_old.unionByName(delta)
+    return (
+        refreshed.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -247,3 +247,24 @@ def test_clamped_balance_walk(spark):
     assert out == {1: (50, 1, 3), 2: (0, 2, 2)}
     # a plain running sum would report user 1 at -150: the clamp is
     # exactly what no window can express
+
+
+def test_ivm_join_delta_disjoint_and_complete(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import ivm
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k: bigint, av: string")
+    a_del = spark.createDataFrame([(2, "a3"), (3, "a4")], "k: bigint, av: string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b2")], "k: bigint, bv: string")
+    b_del = spark.createDataFrame([(2, "b3")], "k: bigint, bv: string")
+    full = (
+        a_old.unionByName(a_del)
+        .join(b_old.unionByName(b_del), "k")
+        .collect()
+    )
+    incr = (
+        a_old.join(b_old, "k")
+        .unionByName(ivm.join_view_delta(a_old, a_del, b_old, b_del, ["k"]))
+        .collect()
+    )
+    key = lambda r: (r.k, r.av, r.bv)
+    assert sorted(map(key, incr)) == sorted(map(key, full))
