@@ -2354,3 +2354,110 @@ def ivm_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _hll_intersection_oracle() -> str:
+    from ..operators.sketches import hll_coefficient, hll_sql_parts
+
+    p = hll_sql_parts("k", _HLL_B, D)
+    m, shift = int(p["m"]), int(p["shift"])
+    coef = repr(hll_coefficient(_HLL_B))
+
+    def est_cte(tag: str, regs: str) -> str:
+        return f"""
+    f_{tag} AS (SELECT allb.bucket, coalesce(r.max_rank, 0) AS mr
+                FROM allb LEFT JOIN {regs} r USING (bucket)),
+    e_{tag} AS (SELECT {PT.round6(f"{coef} / CAST(sum(CAST(1 AS BIGINT) << CAST({shift} - mr AS INT)) AS DOUBLE)", D)} AS est
+                FROM f_{tag})"""
+
+    return f"""
+    WITH ka AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    kb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL),
+    ra AS (SELECT ({p['bucket']}) AS bucket, max({p['rank']}) AS max_rank
+           FROM ka GROUP BY 1),
+    rb AS (SELECT ({p['bucket']}) AS bucket, max({p['rank']}) AS max_rank
+           FROM kb GROUP BY 1),
+    ru AS (SELECT bucket, max(max_rank) AS max_rank FROM
+           (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+    allb AS (SELECT CAST(unnest(range({m})) AS BIGINT) AS bucket),
+    {est_cte('a', 'ra')},
+    {est_cte('b', 'rb')},
+    {est_cte('u', 'ru')},
+    truth AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_intersection FROM
+        (SELECT k FROM ka INTERSECT SELECT k FROM kb)
+    )
+    SELECT e_a.est AS est_a, e_b.est AS est_b, e_u.est AS est_union,
+           {PT.round6('e_a.est + e_b.est - e_u.est', D)} AS est_intersection,
+           truth.true_intersection
+    FROM e_a, e_b, e_u, truth
+    """
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=_hll_intersection_oracle(),
+    doc="HLL set ALGEBRA: distinct purchasers INTERSECT distinct "
+    "clickers estimated by inclusion-exclusion |A|+|B|-|A union B|, "
+    "where the union sketch is the register-wise max of the two "
+    "register tables -- the operation HLL supports natively (unions "
+    "are lossless; intersections are derived). All register ops are "
+    "exact integers; each estimate is one round6'd literal division, "
+    "and the final subtraction operates on already-rounded doubles "
+    "identically in both engines. Exact truth reported beside the "
+    "estimate (the sketch-triad convention), so the hash gate pins "
+    "the sketch error rather than hiding it. The scale story is the "
+    "point: audience-overlap questions over 100 TB reduce to "
+    "merging 2^b-row register tables.",
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ka = (
+        ev.filter(F.col("event_type") == "purchase")
+        .selectExpr("CAST(user_id AS STRING) AS k")
+        .distinct()
+    )
+    kb = (
+        ev.filter(F.col("event_type") == "click")
+        .selectExpr("CAST(user_id AS STRING) AS k")
+        .distinct()
+    )
+    ra = sketches.hll_register(ka, "k", b=_HLL_B)
+    rb = sketches.hll_register(kb, "k", b=_HLL_B)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    ea = sketches.hll_estimate(ra, b=_HLL_B).select(
+        F.col("est_hll").alias("est_a")
+    )
+    eb = sketches.hll_estimate(rb, b=_HLL_B).select(
+        F.col("est_hll").alias("est_b")
+    )
+    eu = sketches.hll_estimate(ru, b=_HLL_B).select(
+        F.col("est_hll").alias("est_union")
+    )
+    truth = (
+        ka.intersect(kb)
+        .agg(F.count("*").cast("bigint").alias("true_intersection"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .withColumn(
+            "est_intersection",
+            F.expr(
+                PT.round6("est_a + est_b - est_union", PT.SPARK)
+            ),
+        )
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "est_a", "est_b", "est_union", "est_intersection",
+            "true_intersection",
+        )
+    )
