@@ -1303,3 +1303,48 @@ def quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score_micro", "keep")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cms_merge_estimate",
+    oracle=_cms_oracle(),
+    doc="CMS sketch MERGE (the additive half of the sketch-merge "
+    "triad beside the HLL register store's max-merge and Bloom's "
+    "OR-merge): the corpus splits into two halves, each builds its "
+    "own d x width counter table, and the merged sketch is the "
+    "element-wise counter SUM — CMS counters are additive, so the "
+    "merged sketch is BIT-IDENTICAL to the single-pass build, which "
+    "is exactly what gating against cms_heavy_hitters' single-pass "
+    "oracle proves (the faithful-rewrite convention applied to "
+    "sketch algebra). At 100 TB this is why CMS works at all: "
+    "per-partition/per-day sketches merge associatively into any "
+    "rollup without touching raw data again.",
+)
+def cms_merge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("tok")
+    )
+    half_a = items.filter(F.col("doc_id") < 250)
+    half_b = items.filter(F.col("doc_id") >= 250)
+    sk_a = sketches.cms_build(half_a, "tok", d=_CMS_D, width=_CMS_WIDTH)
+    sk_b = sketches.cms_build(half_b, "tok", d=_CMS_D, width=_CMS_WIDTH)
+    merged = (
+        sk_a.unionByName(sk_b)
+        .groupBy("h_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    truth = items.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    est = sketches.cms_estimate(
+        merged, truth.select("tok"), "tok", d=_CMS_D, width=_CMS_WIDTH
+    )
+    return (
+        est.join(truth, "tok")
+        .select(
+            "tok",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        )
+        .orderBy(F.desc("est"), "tok")
+        .limit(20)
+    )
