@@ -37,3 +37,31 @@ def test_batch_register_file_bounded_by_m(tmp_path, spark):
     )
     # 100k keys collapse to at most 2^6 register rows on disk
     assert spark.read.parquet(store).count() <= 64
+
+
+def test_bloom_or_merge_equals_single_build(spark):
+    """Bloom bitmaps merge by word-wise OR — the third leg of the
+    sketch-merge triad (CMS sum, HLL max, Bloom OR)."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+
+    def hashed(lo, hi):
+        return spark.range(lo, hi).select(
+            F.expr(
+                PT.poly_hash("CAST(concat('k', id) AS STRING)", PT.SPARK)
+            ).alias("h")
+        )
+
+    a = sketches.bloom_build(hashed(0, 300), "h", k=4, m_words=32)
+    b = sketches.bloom_build(hashed(200, 500), "h", k=4, m_words=32)
+    merged = {
+        r.word_idx: r.word
+        for r in a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .collect()
+    }
+    single = {
+        r.word_idx: r.word
+        for r in sketches.bloom_build(hashed(0, 500), "h", k=4, m_words=32).collect()
+    }
+    assert merged == single
