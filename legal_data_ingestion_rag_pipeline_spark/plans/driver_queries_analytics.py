@@ -1744,3 +1744,74 @@ def events_analytics_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(peak)
         .orderBy("metric")
     )
+
+
+@register(
+    "daily_count_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+      FROM daily
+    )
+    SELECT d.day, d.n,
+           CASE WHEN m.cnt * m.s2 - m.s1 * m.s1 <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(
+                  (CAST(m.cnt AS DOUBLE) * d.n - m.s1)
+                  / sqrt(CAST(m.cnt AS DOUBLE) * m.s2
+                         - CAST(m.s1 AS DOUBLE) * m.s1)
+                  * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+    FROM daily d, mom m
+    WHERE abs(CASE WHEN m.cnt * m.s2 - m.s1 * m.s1 <= 0 THEN 0
+              ELSE (CAST(m.cnt AS DOUBLE) * d.n - m.s1)
+                   / sqrt(CAST(m.cnt AS DOUBLE) * m.s2
+                          - CAST(m.s1 AS DOUBLE) * m.s1) END) > 1.0
+    ORDER BY day
+    """,
+    doc="volume-anomaly detection on the daily event series: "
+    "population z-score per day computed from EXACT integer moments "
+    "(count, sum, sum-of-squares over the calendar-bounded daily "
+    "aggregate -- the quality_ensemble_topk discipline: one tiny "
+    "moment row, no per-row float accumulation), zero-variance "
+    "guarded with the shared CASE convention, micro-floored for the "
+    "hash gate; |z| > 1 flags the anomalous days. The ingest-health "
+    "cousin of MAD outliers: MAD is robust per-value within groups, "
+    "this is the classical control-chart signal on the series a "
+    "pipeline operator actually watches.",
+)
+def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    mom = daily.agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    z = F.when(
+        F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1") <= 0,
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("cnt").cast("double") * F.col("n") - F.col("s1"))
+        / F.sqrt(
+            F.col("cnt").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+    )
+    return (
+        daily.crossJoin(F.broadcast(mom))
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) > 1.0)
+        .select(
+            "day",
+            "n",
+            F.expr(
+                "CAST(floor(_z * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("z_micro"),
+        )
+        .orderBy("day")
+    )

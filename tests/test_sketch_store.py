@@ -65,3 +65,29 @@ def test_bloom_or_merge_equals_single_build(spark):
         for r in sketches.bloom_build(hashed(0, 500), "h", k=4, m_words=32).collect()
     }
     assert merged == single
+
+
+def test_histogram_sum_merge_equals_single_build(spark):
+    """Equi-width histogram counters merge by plain addition (same
+    lo/hi/n_bins) — the fourth mergeable sketch beside CMS/HLL/Bloom."""
+    a = sketches.histogram_build(
+        spark.range(0, 600).selectExpr("CAST(id AS DOUBLE) AS v"),
+        "v", 0.0, 1000.0, n_bins=32,
+    )
+    b = sketches.histogram_build(
+        spark.range(600, 1000).selectExpr("CAST(id AS DOUBLE) AS v"),
+        "v", 0.0, 1000.0, n_bins=32,
+    )
+    merged = {
+        r.bin: r.cnt
+        for r in a.unionByName(b)
+        .groupBy("bin").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    single = {
+        r.bin: r.cnt
+        for r in sketches.histogram_build(
+            spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v"),
+            "v", 0.0, 1000.0, n_bins=32,
+        ).collect()
+    }
+    assert merged == single
