@@ -325,6 +325,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        oracle_check + the multimodal pytest suite; frame/audio
 #:        plumbing stays oracle_check-covered via its own rows).
 #:
+#: Round-7 tenth rotation (one swap): IN clamped_wallet_balance —
+#: the per-key NON-LINEAR recurrence (bal = max(0, bal+delta)) is the
+#: ONLY grouped-applyInPandas operator in the repo (everything else
+#: Arrow-side is mapInPandas), i.e. the one batch family where
+#: per-key Python is the right tool, and its recursive-CTE oracle is
+#: a genuinely independent row-by-row replay — machinery nothing else
+#: gates. OUT sequence_packing — its greedy shard packing is
+#: running-sum-window machinery (the prefix-sum-then-filter shape),
+#: gated via scd2_event_type_history's frames and the sweep finalize
+#: inside streaming_peak_concurrency; packing keeps its oracle_check
+#: row + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -379,7 +391,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "quality_ensemble_topk",
     "streaming_sliding_counts",
     "multimodal_bytes_simhash",
-    "sequence_packing",
+    "clamped_wallet_balance",
     "mmr_diverse_selection",
     # events-table family (timestamp/window/sessionization operators)
     "error_breakdown",
