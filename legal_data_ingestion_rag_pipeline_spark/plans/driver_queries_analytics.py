@@ -1815,3 +1815,61 @@ def daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "price_band_report",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('A: <50k',        0.0,      50000.0),
+      ('B: 50k-100k',    50000.0,  100000.0),
+      ('C: 100k-200k',   100000.0, 200000.0),
+      ('D: 200k-400k',   200000.0, 400000.0),
+      ('E: >=400k',      400000.0, 1e18))
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    doc="dimension-band lookup via broadcast range join: facts land "
+    "in half-open [lo, hi) price bands defined by a literal band "
+    "table -- the rate-card / tax-bracket / tiering join every "
+    "warehouse has. The band table is rows-sized, so the range "
+    "predicate rides a BroadcastNestedLoopJoin whose inner side is "
+    "5 rows -- O(facts x bands) comparisons map-side, no shuffle "
+    "until the 5-group aggregate; contrast with range_join_clicks_"
+    "before_purchase (fact-to-fact interval join, equi-key + "
+    "residual) and the histogram sketch (fixed-width bins computed "
+    "arithmetically -- the form to use when bands ARE uniform). "
+    "Half-open bands partition the line, so each fact lands exactly "
+    "once: the per-band counts summing to the table count is a free "
+    "invariant the gate pins.",
+)
+def price_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("A: <50k", 0.0, 50000.0),
+            ("B: 50k-100k", 50000.0, 100000.0),
+            ("C: 100k-200k", 100000.0, 200000.0),
+            ("D: 200k-400k", 200000.0, 400000.0),
+            ("E: >=400k", 400000.0, 1e18),
+        ],
+        "band: string, lo: double, hi: double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("band")
+    )
