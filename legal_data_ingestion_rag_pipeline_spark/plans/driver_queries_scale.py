@@ -2461,3 +2461,89 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_intersection",
         )
     )
+
+
+@register(
+    "systematic_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS w_cents
+      FROM orders
+    ), tot AS (SELECT CAST(sum(w_cents) AS BIGINT) AS wsum FROM w),
+    c AS (
+      SELECT o_orderkey, w_cents,
+             SUM(w_cents) OVER (ORDER BY o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM w
+    ), s AS (
+      SELECT c.*, (SELECT wsum FROM tot) // 97 AS step FROM c
+    )
+    SELECT o_orderkey, w_cents, CAST(cum AS BIGINT) AS cum,
+           CAST(cum // step - (cum - w_cents) // step AS BIGINT) AS n_picks
+    FROM s WHERE cum // step > (cum - w_cents) // step
+    ORDER BY o_orderkey
+    """,
+    doc="probability-proportional-to-size SYSTEMATIC sampling, fully "
+    "deterministic: weights quantize to integer cents, the exact "
+    "cumulative weight assigns each row the half-open interval "
+    "[cum - w, cum), and a row is selected once per multiple of "
+    "step = W DIV k inside its interval (floor-division crossing "
+    "count -- no RNG anywhere, so the draw is reproducible and "
+    "hash-gateable, the property every training-data sampling recipe "
+    "wants for audits). The Spark cumsum is the sweep operator's "
+    "two-phase prefix sum over key-range buckets (per-bucket window "
+    "parallel across buckets + bucket-carry broadcast), so no global "
+    "sort touches the facts; the oracle runs the single-sort global "
+    "window -- algebraic identity, gate-proven. Exactly k rows come "
+    "back when no single weight spans two steps; heavier rows report "
+    "n_picks > 1 rather than duplicating.",
+)
+def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("w_cents"),
+        (F.col("o_orderkey") / 4096).cast("bigint").alias("_bucket"),
+    )
+    tot = w.agg(F.sum("w_cents").cast("bigint").alias("wsum"))
+    w_in = Window.partitionBy("_bucket").orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bucket_tot = w.groupBy("_bucket").agg(
+        F.sum("w_cents").alias("_bt")
+    )
+    w_carry = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bucket_tot.select(
+        "_bucket",
+        F.coalesce(F.sum("_bt").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("_carry"),
+    )
+    cum = (
+        w.withColumn("_incum", F.sum("w_cents").over(w_in))
+        .join(F.broadcast(carry), "_bucket")
+        .withColumn("cum", (F.col("_carry") + F.col("_incum")).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("step", F.expr("wsum DIV 97"))
+    )
+    return (
+        cum.filter(
+            F.expr("cum DIV step > (cum - w_cents) DIV step")
+        )
+        .select(
+            "o_orderkey",
+            "w_cents",
+            "cum",
+            F.expr(
+                "CAST(cum DIV step - (cum - w_cents) DIV step AS BIGINT)"
+            ).alias("n_picks"),
+        )
+        .orderBy("o_orderkey")
+    )
