@@ -421,3 +421,26 @@ def test_conjunctive_prunes_terms_before_shuffle(spark):
     agg_pos = plan.index("HashAggregate")
     assert "CartesianProduct" not in plan
     assert filter_pos > 0 and agg_pos > 0
+
+
+def test_systematic_sample_no_global_sort_on_facts(spark):
+    # the cumsum must ride bucket-partitioned windows; the only
+    # acceptable single-partition window is over the bucket-carry
+    # table (bucket-count-scale, not fact-scale)
+    plan = plan_of(spark, "systematic_weighted_sample")
+    fact_windows = [
+        seg for seg in plan.split("Window [")[1:] if "w_cents" in seg[:200]
+    ]
+    assert fact_windows, "expected the per-bucket cumsum window"
+    assert any("_bucket" in seg[:300] for seg in fact_windows)
+
+
+def test_ivm_deltas_broadcast(spark):
+    plan = plan_of(spark, "ivm_join_view_refresh")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bellman_ford_no_cartesian(spark):
+    plan = plan_of(spark, "cheapest_trade_routes")
+    assert "CartesianProduct" not in plan
