@@ -270,3 +270,16 @@ def test_compact_preserves_content_and_history(tmp_path, spark):
     assert after == before
     # pre-compaction version still time-travels
     assert tlog.read_version(spark, path, v - 1).count() == 40
+
+
+def test_error_paths(tmp_path, spark):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError):
+        tlog.commit(_df(spark, 0, 5), path, "upsert")  # unknown action
+    tlog.commit(_df(spark, 0, 5), path, "append")
+    with pytest.raises(ValueError):
+        tlog.vacuum(path, keep_from_version=5)  # out of range
+    with pytest.raises(ValueError):
+        tlog.read_version(spark, str(tmp_path / "absent"))  # empty table
+    with pytest.raises(ValueError):
+        tlog.attach_bloom_index(str(tmp_path / "absent"), "x")
