@@ -1873,3 +1873,79 @@ def price_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'p' ELSE 'q' END
+               AS half,
+             LEAST(CAST(19 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+                   CAST(floor(value) AS BIGINT))) AS bin
+      FROM events
+    ), counts AS (
+      SELECT bin,
+             CAST(count(*) FILTER (WHERE half = 'p') AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE half = 'q') AS BIGINT) AS nq
+      FROM labeled GROUP BY bin
+    ), tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+                      CAST(sum(nq) AS BIGINT) AS tq FROM counts)
+    SELECT c.bin, c.np, c.nq,
+           CAST(floor(
+             (CAST(c.np AS DOUBLE) / t.tp - CAST(c.nq AS DOUBLE) / t.tq)
+             * ln((CAST(c.np AS DOUBLE) / t.tp)
+                  / (CAST(c.nq AS DOUBLE) / t.tq))
+             * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+    FROM counts c, tot t
+    WHERE c.np > 0 AND c.nq > 0
+    ORDER BY c.bin
+    """,
+    doc="population stability index between the month's two halves "
+    "over clamped unit-width value bins -- the drift metric every "
+    "serving/training pipeline monitors (PSI > 0.25 folklore = "
+    "retrain). Bin counts are exact integers from ONE grouped pass "
+    "(conditional counts, no second scan); each bin's PSI "
+    "contribution is (p-q)*ln(p/q) computed on ratios of exact "
+    "integers and snapped to micro-units (the lm_perplexity ln "
+    "convention -- the double input to ln is identical in both "
+    "engines because its numerator/denominator are exact), and bins "
+    "empty on either side are excluded (the standard practical "
+    "choice, documented rather than silently smoothed). Total PSI = "
+    "sum(psi_micro)/1e6, exactly summable by the reader.",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.when(F.col("ts") < "2024-01-15", "p").otherwise("q").alias("half"),
+        F.least(
+            F.lit(19).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor(F.col("value")).cast("bigint"),
+            ),
+        ).alias("bin"),
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "p", 1)).cast("bigint").alias("np"),
+        F.count(F.when(F.col("half") == "q", 1)).cast("bigint").alias("nq"),
+    )
+    tot = counts.agg(
+        F.sum("np").cast("bigint").alias("tp"),
+        F.sum("nq").cast("bigint").alias("tq"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("np") > 0) & (F.col("nq") > 0))
+        .select(
+            "bin",
+            "np",
+            "nq",
+            F.expr(
+                "CAST(floor((CAST(np AS DOUBLE) / tp - CAST(nq AS DOUBLE) / tq)"
+                " * ln((CAST(np AS DOUBLE) / tp) / (CAST(nq AS DOUBLE) / tq))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("psi_micro"),
+        )
+        .orderBy("bin")
+    )
