@@ -1949,3 +1949,58 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(s, 0.5) AS slope_per_day,
+           quantile_cont(s, 0.25) AS slope_q1,
+           quantile_cont(s, 0.75) AS slope_q3
+    FROM slopes
+    """,
+    doc="Theil-Sen robust trend of the daily event series: the "
+    "median of all pairwise slopes -- immune to the outlier days "
+    "that bend the decimal-exact OLS fit "
+    "(regression_price_vs_quantity), the robust-statistics "
+    "complement beside MAD's robust spread. Each slope is one "
+    "integer-difference ratio (exact doubles), the median uses the "
+    "shared percentile interpolation. The pairwise join is "
+    "CALENDAR-bounded -- n(n-1)/2 over DAYS, not facts (~400 pairs "
+    "for a month, ~66k for a decade) -- the one place an all-pairs "
+    "join is legitimately safe at any corpus size, because the "
+    "grouped series, not the corpus, is the domain.",
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .select(
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("s")
+        )
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("percentile(s, 0.5)").alias("slope_per_day"),
+        F.expr("percentile(s, 0.25)").alias("slope_q1"),
+        F.expr("percentile(s, 0.75)").alias("slope_q3"),
+    )
