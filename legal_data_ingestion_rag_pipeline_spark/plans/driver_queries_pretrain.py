@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import htmltext, portable as PT
 from ..operators import classifier, domains, linededup, sketches
-from ..session import load_table
+from ..session import barrier, load_table
 from .registry import register
 
 D = PT.DUCKDB
@@ -1436,4 +1436,51 @@ def domain_category_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_labels").cast("bigint").alias("match_labels"),
         )
         .orderBy("category")
+    )
+
+
+def _confusion_oracle() -> str:
+    from .driver_queries_similarity import _QUALITY_ORACLE
+
+    score = classifier.oracle_score_sql("text", _CLS_WEIGHTS, _CLS_BIAS)
+    return f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    c AS (SELECT doc_id, ({score}) >= 0.0 AS cls_keep FROM documents)
+    SELECT c.cls_keep, q.quality >= 0.75 AS ts_keep,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c JOIN q USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "quality_signal_confusion",
+    oracle=_confusion_oracle(),
+    doc="filter-agreement confusion matrix between two independent "
+    "quality signals -- the hashing-trick classifier's keep decision "
+    "vs the heuristic composite's 0.75 threshold -- the 2x2 table a "
+    "curator reads before stacking filters (high off-diagonal mass "
+    "means the signals disagree and an ensemble adds information; "
+    "near-diagonal means one filter is redundant). Both signals are "
+    "map-side scalar folds over the text, joined on doc_id and "
+    "counted -- one shuffle, four output rows at any corpus size. "
+    "Composes two separately-gated scoring paths into one gated "
+    "cross-check, so a regression in EITHER scorer breaks this hash "
+    "too.",
+)
+def quality_signal_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import textstats as TSF
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier.score_documents(
+        barrier(docs), _CLS_WEIGHTS, bias=_CLS_BIAS, text_col="text"
+    ).select("doc_id", (F.col("score") >= 0.0).alias("cls_keep"))
+    q = TSF.quality_stats_arrow(barrier(docs), "text", "doc_id").select(
+        "doc_id", (F.col("quality") >= 0.75).alias("ts_keep")
+    )
+    return (
+        scored.join(q, "doc_id")
+        .groupBy("cls_keep", "ts_keep")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("cls_keep", "ts_keep")
     )
