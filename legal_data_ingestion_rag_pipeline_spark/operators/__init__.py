@@ -17,12 +17,16 @@ from . import (
     linededup,
     mixture,
     multimodal,
+    ivm,
     negatives,
     pq,
     quantize,
+    recurrence,
     rerank,
     sketches,
     surrogate,
+    sweep,
+    tlog,
     topk,
     upsert,
     variations,
@@ -39,12 +43,16 @@ __all__ = [
     "linededup",
     "mixture",
     "multimodal",
+    "ivm",
     "negatives",
     "pq",
     "quantize",
+    "recurrence",
     "rerank",
     "sketches",
     "surrogate",
+    "sweep",
+    "tlog",
     "topk",
     "upsert",
     "variations",
