@@ -2004,3 +2004,83 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(s, 0.25)").alias("slope_q1"),
         F.expr("percentile(s, 0.75)").alias("slope_q3"),
     )
+
+
+#: exp-decay lookup, lambda=0.9 per day, micro-units, horizon 40 days:
+#: floor(0.9^d * 1e6 + 0.5) computed ONCE in Python and folded into
+#: both dialects as the same literal array -- the trick that makes
+#: time-decay hash-gateable (pow() walks different libm paths in the
+#: two engines; a literal table walks none).
+_DECAY_MICRO = [
+    1000000, 900000, 810000, 729000, 656100, 590490, 531441, 478297,
+    430467, 387420, 348678, 313811, 282430, 254187, 228768, 205891,
+    185302, 166772, 150095, 135085, 121577, 109419, 98477, 88629,
+    79766, 71790, 64611, 58150, 52335, 47101, 42391, 38152, 34337,
+    30903, 27813, 25032, 22528, 20276, 18248, 16423, 14781,
+]
+
+
+@register(
+    "decayed_user_value",
+    oracle=f"""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS asof FROM events),
+    e AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             LEAST(40, CAST(mx.asof - CAST(ts AS DATE) AS BIGINT)) AS age
+      FROM events, mx WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(sum(cents * ([{', '.join(str(v) for v in _DECAY_MICRO)}])[age + 1])
+             AS BIGINT) AS decayed_micro_cents,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM e GROUP BY user_id
+    HAVING sum(cents * ([{', '.join(str(v) for v in _DECAY_MICRO)}])[age + 1])
+           >= 20000000000
+    ORDER BY user_id
+    """,
+    doc="time-decayed lifetime value per user (freshness-weighted "
+    "scoring, the recency signal curation recipes and CRM rankings "
+    "share): each purchase contributes cents * 0.9^age-days, with "
+    "the decay curve folded in as a LITERAL micro-unit lookup table "
+    "computed once in Python -- pow() walks different libm code in "
+    "the two engines, a literal array walks none, so the decayed "
+    "sums are exact BIGINTs and hash-gate cleanly (the same "
+    "fold-constants-in-Python rule as the cross-engine-literal-"
+    "arithmetic memory). Ages clamp to the 40-day horizon (beyond "
+    "it the weight is <1.5% and the table ends -- an explicit "
+    "modeling choice, not an overflow guard). One groupBy; the "
+    "element_at on a 41-element literal is whole-stage codegen.",
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    asof = ev.agg(F.max(F.to_date("ts")).alias("asof"))
+    decay = F.array(*[F.lit(v).cast("bigint") for v in _DECAY_MICRO])
+    e = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.least(
+                F.lit(40).cast("bigint"),
+                F.datediff(F.col("asof"), F.to_date("ts")).cast("bigint"),
+            ).alias("age"),
+        )
+        .withColumn(
+            "contrib",
+            F.col("cents")
+            * F.element_at(decay, (F.col("age") + 1).cast("int")),
+        )
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum("contrib").cast("bigint").alias("decayed_micro_cents"),
+            F.count("*").cast("bigint").alias("n_purchases"),
+        )
+        .filter(F.col("decayed_micro_cents") >= 20_000_000_000)
+        .orderBy("user_id")
+    )
