@@ -2547,3 +2547,86 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "brand_pair_pmi",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), marg AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY b
+    ), tot AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM ob
+    ), pairs AS (
+      SELECT a.b AS brand_a, bb.b AS brand_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+      GROUP BY 1, 2 HAVING count(*) >= 200
+    )
+    SELECT p.brand_a, p.brand_b, p.support,
+           CAST(floor(ln(
+             (CAST(p.support AS DOUBLE) * t.n_orders)
+             / (CAST(ma.nb AS DOUBLE) * mb.nb)
+           ) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN marg ma ON ma.b = p.brand_a
+    JOIN marg mb ON mb.b = p.brand_b
+    CROSS JOIN tot t
+    ORDER BY pmi_micro DESC, brand_a, brand_b LIMIT 30
+    """,
+    doc="pointwise mutual information over co-purchase brand pairs: "
+    "PMI = ln(P(a,b) / (P(a)P(b))) ranks pairs by ASSOCIATION "
+    "strength rather than raw support (frequent_brand_pairs' "
+    "counts), separating genuinely-linked brands from "
+    "popular-with-everything ones -- the association-mining score "
+    "that turns basket counts into signal. Every probability is a "
+    "ratio of exact integers, ln is applied once per pair and "
+    "micro-snapped (the lm_perplexity / PSI convention), support "
+    "floor 200 keeps the estimates out of the small-count noise "
+    "regime. Same co-partitioned basket self-join as the support "
+    "query; marginals and the 1-row total broadcast.",
+)
+def brand_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    marg = ob.groupBy("b").agg(F.count("*").cast("bigint").alias("nb"))
+    tot = ob.agg(
+        F.countDistinct("o").cast("bigint").alias("n_orders")
+    )
+    a = ob.alias("a")
+    bb = ob.alias("bb")
+    pairs = (
+        a.join(bb, "o")
+        .filter(F.col("a.b") < F.col("bb.b"))
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("bb.b").alias("brand_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 200)
+    )
+    ma = marg.select(F.col("b").alias("brand_a"), F.col("nb").alias("na_"))
+    mb = marg.select(F.col("b").alias("brand_b"), F.col("nb").alias("nb_"))
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.expr(
+                "CAST(floor(ln((CAST(support AS DOUBLE) * n_orders)"
+                " / (CAST(na_ AS DOUBLE) * nb_)) * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "brand_a", "brand_b")
+        .limit(30)
+    )
