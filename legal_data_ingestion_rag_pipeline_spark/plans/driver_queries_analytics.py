@@ -2084,3 +2084,64 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("decayed_micro_cents") >= 20_000_000_000)
         .orderBy("user_id")
     )
+
+
+@register(
+    "winsorized_clipped_sums",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type,
+             LEAST(GREATEST(
+               CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT),
+               CAST(floor(q.p05 * 1000000.0 + 0.5) AS BIGINT)),
+               CAST(floor(q.p95 * 1000000.0 + 0.5) AS BIGINT)) AS v_micro,
+             q.p05, q.p95
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type, p05, p95,
+           CAST(sum(v_micro) AS BIGINT) AS sum_clipped_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c GROUP BY event_type, p05, p95 ORDER BY event_type
+    """,
+    doc="winsorized (clipped) sums in EXACT integers: values and the "
+    "exact p05/p95 bounds both micro-quantize (FLOOR(x*1e6+0.5), the "
+    "shared convention) BEFORE clipping, so the clipped sum is a "
+    "BIGINT -- addition-order independent at any parallelism -- and "
+    "the winsorized mean is one division the reader performs. This "
+    "completes winsorized_value_stats, which reports the bounds and "
+    "clip counts but deliberately not the clipped MEAN (a double sum "
+    "is order-dependent); quantizing first is what makes the mean "
+    "gateable. Same plan shape: per-group exact percentiles "
+    "broadcast back, one aggregation.",
+)
+def winsorized_clipped_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    c = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(
+            F.greatest(
+                F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"),
+                F.expr("CAST(floor(p05 * 1000000.0 + 0.5) AS BIGINT)"),
+            ),
+            F.expr("CAST(floor(p95 * 1000000.0 + 0.5) AS BIGINT)"),
+        ).alias("v_micro"),
+    )
+    return (
+        c.groupBy("event_type", "p05", "p95")
+        .agg(
+            F.sum("v_micro").cast("bigint").alias("sum_clipped_micro"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
