@@ -2145,3 +2145,53 @@ def winsorized_clipped_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "repeat_purchase_latency",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT (epoch_us(ts) - prev_us) // 1000000 AS gap_s
+      FROM p WHERE prev_us IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.5) AS p50_s,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.9) AS p90_s,
+           CAST(min(gap_s) AS BIGINT) AS min_s,
+           CAST(max(gap_s) AS BIGINT) AS max_s
+    FROM gaps
+    """,
+    doc="repeat-purchase inter-arrival distribution: per-user "
+    "consecutive purchase gaps (lag in the user partition, "
+    "microsecond integers truncated to seconds) summarized by exact "
+    "percentiles -- the purchase-cadence complement to "
+    "funnel_time_to_convert's first-conversion latency; together "
+    "they bracket the lifecycle (acquire -> repeat). One user-key "
+    "window + a gap-count-sized percentile.",
+)
+def repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap_us"
+            )
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.expr("percentile(CAST(gap_s AS DOUBLE), 0.5)").alias("p50_s"),
+        F.expr("percentile(CAST(gap_s AS DOUBLE), 0.9)").alias("p90_s"),
+        F.min("gap_s").cast("bigint").alias("min_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
+    )
