@@ -2630,3 +2630,90 @@ def brand_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "brand_a", "brand_b")
         .limit(30)
     )
+
+
+@register(
+    "clustering_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                      greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT lo AS v FROM e UNION ALL SELECT hi FROM e) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    pv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY v
+    )
+    SELECT CAST(d.v AS BIGINT) AS v, d.d AS degree,
+           coalesce(pv.n_tri, 0) AS n_triangles,
+           CAST(floor(
+             CAST(2 * coalesce(pv.n_tri, 0) AS DOUBLE)
+             / (CAST(d.d AS DOUBLE) * (d.d - 1))
+             * 1000000.0 + 0.5) AS BIGINT) AS cc_micro
+    FROM deg d LEFT JOIN pv ON pv.v = d.v
+    WHERE d.d >= 50
+    ORDER BY cc_micro DESC, v LIMIT 25
+    """,
+    doc="local clustering coefficient per vertex: 2*triangles / "
+    "(deg*(deg-1)) over the raw co-purchase graph -- the normalized "
+    "community-density metric the raw triangle counts "
+    "(triangle_count_copurchase, same degree-oriented enumeration) "
+    "feed; a min-degree floor keeps the ratio out of the "
+    "small-denominator noise. Triangle and degree counts are exact "
+    "BIGINTs; the single division per vertex micro-snaps. The "
+    "oracle recomputes triangles by id-ordered brute force -- "
+    "orientation changes which joins run, never the counts.",
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tri = graph.triangle_counts(edges, a="pa", b="pb")
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").cast("bigint").alias("v"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+        .filter(F.col("degree") >= 50)
+        .withColumn(
+            "cc_micro",
+            F.expr(
+                "CAST(floor(CAST(2 * n_triangles AS DOUBLE)"
+                " / (CAST(degree AS DOUBLE) * (degree - 1))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+        .orderBy(F.desc("cc_micro"), "v")
+        .limit(25)
+    )
