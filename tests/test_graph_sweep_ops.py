@@ -268,3 +268,28 @@ def test_ivm_join_delta_disjoint_and_complete(spark):
     )
     key = lambda r: (r.k, r.av, r.bv)
     assert sorted(map(key, incr)) == sorted(map(key, full))
+
+
+def test_hll_intersection_inclusion_exclusion_sane(spark):
+    """|A n B| estimate from register-max union sketches lands within
+    HLL noise of truth on synthetic overlapping sets."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("k")
+        )
+
+    b = 8
+    ra = sketches.hll_register(keys(0, 3000), "k", b=b)
+    rb = sketches.hll_register(keys(2000, 5000), "k", b=b)
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    ea = sketches.hll_estimate(ra, b=b).collect()[0].est_hll
+    eb = sketches.hll_estimate(rb, b=b).collect()[0].est_hll
+    eu = sketches.hll_estimate(ru, b=b).collect()[0].est_hll
+    inter = ea + eb - eu
+    assert 400 <= inter <= 1800, inter  # truth = 1000, raw-HLL noise band
