@@ -293,3 +293,21 @@ def test_hll_intersection_inclusion_exclusion_sane(spark):
     eu = sketches.hll_estimate(ru, b=b).collect()[0].est_hll
     inter = ea + eb - eu
     assert 400 <= inter <= 1800, inter  # truth = 1000, raw-HLL noise band
+
+
+def test_decay_table_monotone_and_horizon():
+    """The literal decay table matches floor(0.9^d * 1e6 + 0.5) and is
+    strictly decreasing — the guarantee the cross-engine literal
+    convention rests on."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_analytics import (
+        _DECAY_MICRO,
+    )
+
+    x = 1.0
+    for d, expect in enumerate(_DECAY_MICRO):
+        assert expect == int(x * 1_000_000 + 0.5), d
+        x *= 0.9
+    assert all(
+        a > b for a, b in zip(_DECAY_MICRO, _DECAY_MICRO[1:])
+    )
+    assert len(_DECAY_MICRO) == 41  # 40-day horizon inclusive
