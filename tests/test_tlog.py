@@ -283,3 +283,20 @@ def test_error_paths(tmp_path, spark):
         tlog.read_version(spark, str(tmp_path / "absent"))  # empty table
     with pytest.raises(ValueError):
         tlog.attach_bloom_index(str(tmp_path / "absent"), "x")
+
+
+def test_prune_composes_with_time_travel(tmp_path, spark):
+    """Stats pruning must respect the version boundary: a file added
+    AFTER the requested version never appears, even when its stats
+    match the range."""
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 100).coalesce(1), path, "append", stats_col="id")
+    v0 = tlog.current_version(path)
+    tlog.commit(
+        _df(spark, 50, 150).coalesce(1), path, "append", stats_col="id"
+    )
+    old = tlog.read_version(spark, path, v0, prune=(60, 70))
+    assert len(old.inputFiles()) == 1
+    assert old.filter("id BETWEEN 60 AND 70").count() == 11
+    new = tlog.read_version(spark, path, prune=(60, 70))
+    assert len(new.inputFiles()) == 2  # both versions' files overlap 60-70
