@@ -311,3 +311,17 @@ def test_decay_table_monotone_and_horizon():
         a > b for a, b in zip(_DECAY_MICRO, _DECAY_MICRO[1:])
     )
     assert len(_DECAY_MICRO) == 41  # 40-day horizon inclusive
+
+
+def test_finalize_daily_peaks_single_day_and_negatives(spark):
+    from pyspark.sql import functions as FF
+
+    per_ts = spark.createDataFrame(
+        [("2024-03-01 10:00:00", 3), ("2024-03-01 11:00:00", -1),
+         ("2024-03-01 12:00:00", -2)],
+        "ts_raw: string, delta: long",
+    ).select(FF.to_timestamp("ts_raw").alias("ts"), "delta")
+    rows = sweep.finalize_daily_peaks(per_ts).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (str(r.day), r.carry_in, r.peak_concurrent) == ("2024-03-01", 0, 3)
