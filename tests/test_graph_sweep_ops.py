@@ -325,3 +325,26 @@ def test_finalize_daily_peaks_single_day_and_negatives(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (str(r.day), r.carry_in, r.peak_concurrent) == ("2024-03-01", 0, 3)
+
+
+def test_registry_invariants_markov_and_systematic(spark):
+    """The invariants the query docs claim, machine-checked: Markov
+    marginals equal the per-from transition sums, and the systematic
+    sample draws exactly k=97 picks over a monotone cumulative."""
+    from collections import defaultdict
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    reg = registry()
+    sf = "/root/testdata/sf0.01"
+    mk = reg["markov_event_transitions"].spark(spark, sf).collect()
+    per_from = defaultdict(int)
+    n_from = {}
+    for r in mk:
+        per_from[r.from_type] += r.n_transitions
+        n_from[r.from_type] = r.n_from
+    assert dict(per_from) == n_from
+    ss = reg["systematic_weighted_sample"].spark(spark, sf).collect()
+    assert sum(r.n_picks for r in ss) == 97
+    cums = [r.cum for r in ss]
+    assert cums == sorted(cums)
