@@ -348,3 +348,19 @@ def test_registry_invariants_markov_and_systematic(spark):
     assert sum(r.n_picks for r in ss) == 97
     cums = [r.cum for r in ss]
     assert cums == sorted(cums)
+
+
+def test_band_and_lpm_partitions_cover_exactly(spark):
+    """Half-open bands and longest-match categories both PARTITION
+    their domain: per-group counts must sum to the table count."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    reg = registry()
+    sf = "/root/testdata/sf0.01"
+    n_orders = load_table(spark, sf, "orders").count()
+    bands = reg["price_band_report"].spark(spark, sf).collect()
+    assert sum(r.n_orders for r in bands) == n_orders
+    n_docs = load_table(spark, sf, "documents").count()
+    lpm = reg["domain_category_lpm"].spark(spark, sf).collect()
+    assert sum(r.n_docs for r in lpm) == n_docs
