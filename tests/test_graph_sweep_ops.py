@@ -364,3 +364,20 @@ def test_band_and_lpm_partitions_cover_exactly(spark):
     n_docs = load_table(spark, sf, "documents").count()
     lpm = reg["domain_category_lpm"].spark(spark, sf).collect()
     assert sum(r.n_docs for r in lpm) == n_docs
+
+
+def test_cohort_week_zero_equals_cohort_size(spark):
+    """Every user is active in their own first-purchase week, so
+    n_active at weeks_since=0 must equal cohort_size — the free
+    self-check the query doc promises."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = (
+        registry()["cohort_retention_weekly"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    week0 = [r for r in rows if r.weeks_since == 0]
+    assert week0 and all(r.n_active == r.cohort_size for r in week0)
+    # retention never exceeds the cohort
+    assert all(r.n_active <= r.cohort_size for r in rows)
