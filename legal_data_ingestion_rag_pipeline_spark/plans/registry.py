@@ -435,6 +435,7 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries_pretrain,
         driver_queries_scale,
         driver_queries_similarity,
+        driver_queries_stats,
         driver_queries_streaming,
         driver_queries_tpch,
     )
