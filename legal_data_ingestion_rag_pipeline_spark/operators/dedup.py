@@ -19,6 +19,8 @@ so every strategy is oracle-checkable bit-for-bit in DuckDB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import portable as PT
@@ -938,16 +940,29 @@ def prefix_filtered_jaccard_pairs(
     )
     prefix = per_doc.select(
         "doc",
+        "n_grams",
         F.explode(
             F.expr(
                 f"slice(glist, 1, CAST(floor((1.0 - {t}) * n_grams) + 1 AS INT))"
             )
         ).alias("gram"),
     )
+    # PPJoin length filter: J(a,b) >= t forces t*|a| <= |b| <= |a|/t
+    # (J <= min/max of the set sizes), so size-incompatible pairs are
+    # dropped BEFORE the distinct and the two full-gram verify joins.
+    # Compared in exact integer micro-units with one micro of slack
+    # (t_micro - 1) so float representation of t can never exclude a
+    # pair the micro-rounded verify would accept — a pure
+    # candidate-set reduction, zero recall loss.
+    t_micro = int(math.floor(t * 1_000_000 + 0.5))
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "gram")
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n_grams") * 1_000_000 >= F.col("a.n_grams") * (t_micro - 1))
+            & (F.col("a.n_grams") * 1_000_000 >= F.col("b.n_grams") * (t_micro - 1))
+        )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )

@@ -357,15 +357,19 @@ def triangle_counts(
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    # orientation key: (degree, id) as one comparable BIGINT
+    # orientation key: (degree, id) compared as a STRUCT — Spark
+    # orders structs field-wise lexicographically, so the total order
+    # is exact at ANY id range (packing into d*1e9+id would collide or
+    # misorder once vertex ids reach 1e9, exactly the scale this
+    # module targets)
     keyed = (
         und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
         .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
         .select(
             "lo",
             "hi",
-            (F.col("dlo") * F.lit(1_000_000_000) + F.col("lo")).alias("klo"),
-            (F.col("dhi") * F.lit(1_000_000_000) + F.col("hi")).alias("khi"),
+            F.struct(F.col("dlo").alias("d"), F.col("lo").alias("i")).alias("klo"),
+            F.struct(F.col("dhi").alias("d"), F.col("hi").alias("i")).alias("khi"),
         )
     )
     oriented = keyed.select(

@@ -231,11 +231,17 @@ def bloom_probe(
     k: int = 4,
     m_words: int = 64,
 ) -> DataFrame:
-    """Append ``might_contain`` to ``keys``: true iff all k bits are
-    set.  The bitmap (<= m_words rows) broadcasts; the probe is an
-    explode to k rows, a broadcast left join on word_idx (absent word
-    = all zeros), and a bool_and — the key set never shuffles beyond
-    its own k-row explode."""
+    """Membership column over the DISTINCT non-NULL rows of ``keys``:
+    one row per distinct key tuple with ``might_contain`` = true iff
+    all k bits are set.  Like :func:`cms_estimate`, this is
+    key-domain (not row-aligned) semantics: duplicate input rows
+    collapse through the final groupBy and rows with NULL
+    ``hash_col`` are excluded (a NULL key has no hash positions) —
+    callers needing per-row alignment should left-join this result
+    back onto their rows.  The bitmap (<= m_words rows) broadcasts;
+    the probe is an explode to k rows, a broadcast left join on
+    word_idx (absent word = all zeros), and a bool_and — the key set
+    never shuffles beyond its own k-row explode."""
     positions = F.array(*_bloom_pos_cols(hash_col, k, m_words))
     exploded = keys.filter(F.col(hash_col).isNotNull()).select(
         "*", F.explode(positions).alias("pos")

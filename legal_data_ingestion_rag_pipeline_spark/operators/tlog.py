@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -100,6 +101,14 @@ def commit(
                 return e["version"]
     version = (entries[-1]["version"] if entries else -1) + 1
     vdir = os.path.join(path, "data", f"v{version:06d}")
+    # a crash between the data write and the manifest append leaves
+    # this directory populated but unreferenced (no reader resolves
+    # it); the next commit recomputes the same version number, so an
+    # existing v{N} directory here is by definition such an orphan —
+    # clear it instead of failing on mode('error').  Safe because the
+    # table is single-writer (module contract above).
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
     df.write.mode("error").parquet(vdir)
     files = sorted(
         os.path.join(vdir, f)

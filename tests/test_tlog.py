@@ -38,6 +38,24 @@ def test_orphan_files_invisible(tmp_path, spark):
     assert tlog.read_version(spark, path).count() == 10
 
 
+def test_crashed_commit_attempt_recovered(tmp_path, spark):
+    """A crash BETWEEN the data write and the manifest append leaves
+    data/v{N} populated but unreferenced.  The next commit recomputes
+    the same version number and must clear the orphan and succeed —
+    the table stays writable without manual cleanup."""
+    path = str(tmp_path / "t")
+    tlog.commit(_df(spark, 0, 10), path, "append")
+    # simulate the crashed attempt at the NEXT version number
+    crashed_dir = os.path.join(path, "data", "v000001")
+    _df(spark, 500, 600).write.parquet(crashed_dir)
+    assert tlog.read_version(spark, path).count() == 10  # still invisible
+    v = tlog.commit(_df(spark, 10, 15), path, "append")
+    assert v == 1
+    assert tlog.read_version(spark, path).count() == 15
+    # the orphan's rows must NOT have leaked into the committed version
+    assert tlog.read_version(spark, path).filter(F.col("id") >= 500).count() == 0
+
+
 def test_uncommitted_version_rejected(tmp_path, spark):
     path = str(tmp_path / "t")
     tlog.commit(_df(spark, 0, 10), path, "append")
