@@ -511,3 +511,90 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+#: Fixed-point scale for HITS scores: after each normalization every
+#: hub/authority score is <= HITS_SCALE, so the next round's raw sums
+#: are bounded by HITS_SCALE * max_degree — exact BIGINTs far below
+#: 2^63 at any realistic degree.
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg's hubs-and-authorities) over a
+    directed edge list in EXACT integer fixed-point arithmetic —
+    returns (node, hub_units, auth_units).
+
+    Same reproducibility stance as :func:`pagerank`: float HITS is
+    hash-gate-hostile (order-dependent double sums, an L2 norm), so
+    scores are BIGINT units and each half-step max-normalizes with an
+    exact ceiling divisor ``s = max(1, ceil(raw_max / HITS_SCALE))``
+    and integer DIV — any partitioning and any engine produces
+    bit-identical scores (max-normalization is a standard HITS
+    variant; only the scale of the scores differs from the L2 form,
+    never the ranking for uniform divisors).
+
+    Per iteration: auth_raw(v) = sum of hub(u) over in-edges, then
+    normalize; hub_raw(u) = sum of the NEW auth(v) over out-edges,
+    then normalize — the standard Gauss-Seidel ordering.  Each
+    half-step is one join on a vertex key plus one shuffle-agg and a
+    1-row max broadcast; O(E) rows per round, localCheckpoint keeping
+    lineage O(1).  ``iterations`` is fixed, not converged, for a
+    deterministic cost; the oracle unrolls the same fixed count.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    norm_expr = (
+        f"_raw DIV greatest(CAST(1 AS BIGINT), "
+        f"(_max + {HITS_SCALE - 1}) DIV {HITS_SCALE})"
+    )
+    hub = nodes.withColumn("hub_units", F.lit(HITS_SCALE).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub.select(F.col("node").alias("src"), "hub_units"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_units").cast("bigint").alias("_raw"))
+        )
+        a_all = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("_raw", F.lit(0)).cast("bigint").alias("_raw")
+        )
+        a_max = a_all.agg(F.max("_raw").cast("bigint").alias("_max"))
+        auth = (
+            a_all.crossJoin(F.broadcast(a_max))
+            .select("node", F.expr(norm_expr).cast("bigint").alias("auth_units"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth_units"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_units").cast("bigint").alias("_raw"))
+        )
+        h_all = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("_raw", F.lit(0)).cast("bigint").alias("_raw")
+        )
+        h_max = h_all.agg(F.max("_raw").cast("bigint").alias("_max"))
+        hub = (
+            h_all.crossJoin(F.broadcast(h_max))
+            .select("node", F.expr(norm_expr).cast("bigint").alias("hub_units"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node")

@@ -1,0 +1,132 @@
+"""Two-phase global ranks and prefix sums — order statistics without
+a global sort.
+
+A global ``row_number() OVER (ORDER BY v)`` or running ``SUM() OVER
+(ORDER BY v)`` collapses to ONE task in Spark (an empty-partition
+window is a single-partition sort) — the classic scale-killer for
+rank statistics (Spearman, Gini, RFM quintiles) and ECDFs (KS).  The
+distributed form here is the ``operators/sweep.py`` discipline
+applied to value order instead of time order:
+
+1. the caller supplies a BAND column that is monotone non-decreasing
+   in the sort order and RANGE-BOUNDED — its distinct count depends
+   on the value range and band width, never on the corpus size
+   (``cents DIV 100_000`` over a bounded price domain, the same
+   argument that makes the sweep's per-day carry calendar-bounded);
+2. per-band row counts / partial sums aggregate first (one shuffle on
+   the band key);
+3. the band-level carry-in offsets come from a window over the BAND
+   table — single-partition but band-bounded, never corpus-bounded —
+   and broadcast back;
+4. in-band ranks / running sums compute in parallel across bands
+   (window partitioned by band), and the global value is in-band
+   value + carry-in.
+
+Determinism: the in-band order must be TOTAL (value plus an explicit
+tie-break chain), so any partitioning yields bit-identical ranks —
+the hash-gate requirement.  Oracles deliberately use the plain
+single-window SQL formulation: an independent algorithm arriving at
+the same ranks is exactly what the gate should prove.
+
+No analog in the reference (its queries are single-table scans,
+``main.py:1-120``); this is the order-statistics layer every
+experimentation / data-quality platform needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _carry_window(part_cols: Sequence[str], band_col: str):
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(band_col)
+    else:
+        w = Window.orderBy(band_col)
+    return w.rowsBetween(Window.unboundedPreceding, -1)
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    band_col: str,
+    part_cols: Sequence[str] = (),
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Append 1-based global ``rank_name`` over ``order_cols`` (a
+    TOTAL order: include a tie-break key) within each ``part_cols``
+    group, computed band-parallel as described in the module
+    docstring.  ``band_col`` must be monotone non-decreasing in the
+    ``order_cols`` order within every group."""
+    counts = df.groupBy(*part_cols, band_col).agg(
+        F.count("*").cast("bigint").alias("_bn")
+    )
+    offsets = counts.select(
+        *part_cols,
+        band_col,
+        F.coalesce(F.sum("_bn").over(_carry_window(part_cols, band_col)), F.lit(0))
+        .cast("bigint")
+        .alias("_off"),
+    )
+    w_in = Window.partitionBy(*part_cols, band_col).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(offsets), [*part_cols, band_col])
+        .withColumn(
+            rank_name,
+            (F.row_number().over(w_in) + F.col("_off")).cast("bigint"),
+        )
+        .drop("_off")
+    )
+
+
+def two_phase_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    band_col: str,
+    sum_cols: Sequence[str],
+    part_cols: Sequence[str] = (),
+    suffix: str = "_run",
+) -> DataFrame:
+    """Append inclusive running sums ``{c}{suffix}`` of each
+    ``sum_cols`` column over the total ``order_cols`` order within
+    ``part_cols``, band-parallel.  Same band contract as
+    :func:`two_phase_rank`."""
+    carries = df.groupBy(*part_cols, band_col).agg(
+        *[F.sum(c).cast("bigint").alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_carry = _carry_window(part_cols, band_col)
+    offsets = carries.select(
+        *part_cols,
+        band_col,
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_carry), F.lit(0))
+            .cast("bigint")
+            .alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_in = (
+        Window.partitionBy(*part_cols, band_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.join(F.broadcast(offsets), [*part_cols, band_col])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            (F.sum(c).over(w_in) + F.col(f"_o_{c}")).cast("bigint"),
+        )
+    return out.drop(*[f"_o_{c}" for c in sum_cols])
+
+
+def quintile_score(rank_col: str, n_col: str) -> Column:
+    """Exact-integer quintile score 1..5 from a 1-based rank and the
+    group size: ``1 + ((rank-1)*5) DIV n`` — the RFM scoring rule,
+    identical under Spark and DuckDB integer division (both operands
+    non-negative)."""
+    return (
+        F.lit(1)
+        + F.expr(f"(({rank_col} - 1) * 5) DIV {n_col}")
+    ).cast("bigint")

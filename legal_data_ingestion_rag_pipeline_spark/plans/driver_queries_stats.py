@@ -333,3 +333,273 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics: Spearman, Gini, RFM — two-phase global ranks
+# (operators/ranks.py), never a single-task global sort.  Oracles
+# deliberately use the plain one-window SQL formulation: independent
+# algorithm, same ranks — exactly what the hash gate should prove.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_balance_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sp
+      FROM orders GROUP BY 1),
+    base AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey AS ck,
+             CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal, s.sp
+      FROM customer c JOIN spend s ON s.ck = c.c_custkey),
+    r AS (
+      SELECT segment,
+             row_number() OVER (PARTITION BY segment ORDER BY bal, ck) AS rx,
+             row_number() OVER (PARTITION BY segment ORDER BY sp, ck) AS ry
+      FROM base),
+    g AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM r GROUP BY segment)
+    SELECT segment, n_customers, sum_d2,
+           CAST(floor((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                / (CAST(n_customers AS DOUBLE) * n_customers * n_customers
+                   - n_customers))
+                * 1000000.0 + 0.5) AS BIGINT) AS rho_micro
+    FROM g ORDER BY segment
+    """,
+    doc="Spearman rank correlation between customer account balance "
+    "and total order spend, per market segment — the monotone-"
+    "association test (does a bigger balance rank where a bigger "
+    "spend ranks?). Both variables rank through the TWO-PHASE global "
+    "rank (operators/ranks.two_phase_rank): band-parallel in-band "
+    "row_numbers plus band-carry offsets from a band-bounded window "
+    "— no single-task global sort at any corpus size. Ranks are "
+    "row_number over the total order (value, custkey) — the "
+    "deterministic tie policy, documented in lieu of average ranks — "
+    "so sum_d2 is an exact BIGINT and rho = 1 - 6*sum_d2/(n^3-n) is "
+    "one identical IEEE expression over exact integers, micro-"
+    "snapped. Customers with no orders are excluded (rank domain = "
+    "joined rows).",
+)
+def spearman_balance_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sp")
+    )
+    base = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias(
+                "bal"
+            ),
+        )
+        .join(spend, "ck")
+        # bands: $1000 of balance / $100k of spend — value-range-
+        # bounded partitions of the sort domain (the two-phase
+        # contract), monotone under trunc DIV even at negative cents
+        .withColumn("bal_band", F.expr("bal DIV 100000"))
+        .withColumn("sp_band", F.expr("sp DIV 10000000"))
+    )
+    ranked = ranks.two_phase_rank(
+        base, ["bal", "ck"], "bal_band", part_cols=["segment"], rank_name="rx"
+    )
+    ranked = ranks.two_phase_rank(
+        ranked, ["sp", "ck"], "sp_band", part_cols=["segment"], rank_name="ry"
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.expr("(rx - ry) * (rx - ry)"))
+            .cast("bigint")
+            .alias("sum_d2"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "sum_d2",
+            F.expr(
+                "CAST(floor((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)"
+                " / (CAST(n_customers AS DOUBLE) * n_customers * n_customers"
+                " - n_customers))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("rho_micro"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "gini_revenue_by_segment",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sp
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT segment, sp,
+             row_number() OVER (PARTITION BY segment ORDER BY sp, ck) AS i
+      FROM spend),
+    g AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(sp) AS BIGINT) AS revenue_cents,
+             CAST(sum(i * sp) AS BIGINT) AS t
+      FROM r GROUP BY segment)
+    SELECT segment, n_customers, revenue_cents,
+           CAST(floor((2.0 * CAST(t AS DOUBLE)
+                - (CAST(n_customers AS DOUBLE) + 1.0) * revenue_cents)
+                / (CAST(n_customers AS DOUBLE) * revenue_cents)
+                * 1000000.0 + 0.5) AS BIGINT) AS gini_micro
+    FROM g ORDER BY segment
+    """,
+    doc="Gini concentration of revenue across customers, per market "
+    "segment — the inequality measure a mixture/curation layer uses "
+    "to detect head-heavy domains. The sorted prefix-weight sum "
+    "T = sum(i * x_i) over ascending-spend ranks comes from the "
+    "two-phase global rank (no single-task sort); "
+    "G = (2T - (n+1)S) / (nS) evaluates as one identical IEEE "
+    "expression over the exact BIGINTs (T, S, n), micro-snapped. "
+    "Rank ties break by (spend, custkey) — a total order, so T is "
+    "deterministic. BIGINT headroom: T <= n^2 * avg_spend_cents "
+    "fits int64 to ~10^9 customers at TPC-H spend levels; beyond "
+    "that, sum i*x_i into DECIMAL(38,0) on both engines.",
+)
+def gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("sp")
+        )
+        .withColumn("sp_band", F.expr("sp DIV 10000000"))
+    )
+    ranked = ranks.two_phase_rank(
+        spend, ["sp", "ck"], "sp_band", part_cols=["segment"], rank_name="i"
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("sp").cast("bigint").alias("revenue_cents"),
+            F.sum(F.expr("i * sp")).cast("bigint").alias("t"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "revenue_cents",
+            F.expr(
+                "CAST(floor((2.0 * CAST(t AS DOUBLE)"
+                " - (CAST(n_customers AS DOUBLE) + 1.0) * revenue_cents)"
+                " / (CAST(n_customers AS DOUBLE) * revenue_cents)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "ks_urgent_price_distribution",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+               END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1
+               END) AS BIGINT) AS cb
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents,
+             CAST(sum(ca) OVER (ORDER BY cents) AS BIGINT) AS ca_run,
+             CAST(sum(cb) OVER (ORDER BY cents) AS BIGINT) AS cb_run
+      FROM v),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM v)
+    SELECT t.n_a AS n_urgent, t.n_b AS n_rest, r.cents AS at_cents,
+           abs(r.ca_run * t.n_b - r.cb_run * t.n_a) AS ks_num,
+           CAST(floor(CAST(abs(r.ca_run * t.n_b - r.cb_run * t.n_a)
+                AS DOUBLE)
+                / (CAST(t.n_a AS DOUBLE) * t.n_b) * 1000000.0 + 0.5)
+             AS BIGINT) AS ks_micro
+    FROM r CROSS JOIN t
+    ORDER BY ks_num DESC, at_cents LIMIT 1
+    """,
+    doc="two-sample Kolmogorov-Smirnov distance between the order-"
+    "total distributions of URGENT orders vs the rest — the "
+    "distribution-drift test (did the urgent lane's price mix "
+    "shift?). Both ECDFs come from ONE two-phase prefix sum "
+    "(operators/ranks.two_phase_prefix_sum) over per-distinct-cents "
+    "group counts: band-parallel running sums plus band-carry "
+    "offsets, never a single-task global sort. The supremum "
+    "|F_a - F_b| maximizes the exact integer cross product "
+    "|ca_run*n_b - cb_run*n_a| (no float ECDF), reported with its "
+    "argmax value (min-cents tie-break) and the micro-snapped "
+    "normalized statistic; the top-1 is TakeOrderedAndProject. "
+    "Oracle: the one-window SQL formulation — independent algorithm, "
+    "same supremum.",
+)
+def ks_urgent_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders")
+    v = (
+        o.select(
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            F.expr(
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+            ).alias("ia"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("ia").cast("bigint").alias("ca"),
+            F.sum(F.expr("1 - ia")).cast("bigint").alias("cb"),
+        )
+        .withColumn("band", F.expr("cents DIV 1000000"))
+    )
+    runs = ranks.two_phase_prefix_sum(v, ["cents"], "band", ["ca", "cb"])
+    tot = v.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    return (
+        runs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_a").alias("n_urgent"),
+            F.col("n_b").alias("n_rest"),
+            F.col("cents").alias("at_cents"),
+            F.expr("abs(ca_run * n_b - cb_run * n_a)").alias("ks_num"),
+            F.expr(
+                "CAST(floor(CAST(abs(ca_run * n_b - cb_run * n_a) AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * n_b) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("ks_micro"),
+        )
+        .orderBy(F.desc("ks_num"), "at_cents")
+        .limit(1)
+    )
