@@ -603,3 +603,424 @@ def ks_urgent_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks_num"), "at_cents")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution, time series, RFM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS touch
+      FROM events)
+    SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY touch ORDER BY touch
+    """,
+    doc="last-touch revenue attribution: each purchase credits its "
+    "value to the user's most recent strictly-earlier non-purchase "
+    "event type ('direct' when none) — the marketing-attribution "
+    "pattern, expressed as the as-of window (last_value IGNORE NULLS "
+    "over preceding rows, the asof_prev_purchase machinery) so the "
+    "lookup never self-joins the event log. Per-user window (never "
+    "global), (ts, event_id) total-order tie-break, exact cents.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("direct"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            touch.alias("touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("touch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+        .orderBy("touch")
+    )
+
+
+#: shared final expression for exact-integer Pearson correlations —
+#: identical string on both engines so the one double expression
+#: evaluates bit-identically (micro-snapped).
+_PEARSON_MICRO = (
+    "CAST(floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "autocorr_daily_purchases",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (
+      SELECT a.c AS x, b.c AS y
+      FROM dc a JOIN dc b ON b.day = a.day + 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_days,
+           m AS n_pairs, {_PEARSON_MICRO} AS autocorr_micro
+    FROM s
+    """,
+    doc="lag-1 autocorrelation of the daily purchase-count series — "
+    "the burst/trend detector for ingestion monitoring. Calendar-"
+    "consecutive day pairs come from an equi-join of the daily-count "
+    "table against itself on day+1 (day gaps drop the pair; no "
+    "window, no global sort), all Pearson sums are exact BIGINTs, "
+    "and the correlation is one shared IEEE expression over them, "
+    "micro-snapped. The daily-count table is calendar-bounded, so "
+    "every post-aggregation step is corpus-size-independent.",
+)
+def autocorr_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    a = dc.select(F.col("day").alias("da"), F.col("c").alias("x"))
+    b = dc.select(F.col("day").alias("db"), F.col("c").alias("y"))
+    p = a.join(b, F.date_add(F.col("da"), 1) == F.col("db"))
+    s = p.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    n_days = dc.agg(F.count("*").cast("bigint").alias("n_days"))
+    return s.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("m").alias("n_pairs"),
+        F.expr(_PEARSON_MICRO).alias("autocorr_micro"),
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
+    f AS (
+      SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS mon,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+               (SELECT maxd FROM mx)) AS BIGINT) AS rec
+      FROM orders GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    r AS (
+      SELECT freq, mon,
+             row_number() OVER (ORDER BY rec DESC, ck) AS rr,
+             row_number() OVER (ORDER BY freq, ck) AS rf,
+             row_number() OVER (ORDER BY mon, ck) AS rm
+      FROM f),
+    s AS (
+      SELECT mon,
+             1 + ((rr - 1) * 5) // (SELECT n FROM n) AS r_score,
+             1 + ((rf - 1) * 5) // (SELECT n FROM n) AS f_score,
+             1 + ((rm - 1) * 5) // (SELECT n FROM n) AS m_score
+      FROM r)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS monetary_cents
+    FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM segmentation: per customer, recency (days from their "
+    "last order to the corpus max order date), frequency (order "
+    "count), monetary (exact cents) each quintile-scored 1..5 via "
+    "the exact-integer rule 1+((rank-1)*5) DIV n, score 5 = best "
+    "(most recent / most frequent / highest spend — recency ranks "
+    "descending so the oldest customer ranks first). All three "
+    "global ranks run through the TWO-PHASE band-parallel rank "
+    "(operators/ranks.two_phase_rank — no single-task global sort); "
+    "bands are value-range-bounded (quarter-of-recency / 4-orders / "
+    "$1M-of-spend), tie-break (value, custkey). Output is the "
+    "125-cell segment histogram.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    f = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("mon"),
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn("rec", F.datediff("maxd", "lastd").cast("bigint"))
+        .withColumn("neg_rec", F.expr("-rec"))
+        .withColumn("rec_band", F.expr("(-rec) DIV 90"))
+        .withColumn("freq_band", F.expr("freq DIV 4"))
+        .withColumn("mon_band", F.expr("mon DIV 100000000"))
+    )
+    ranked = ranks.two_phase_rank(f, ["neg_rec", "ck"], "rec_band", rank_name="rr")
+    ranked = ranks.two_phase_rank(ranked, ["freq", "ck"], "freq_band", rank_name="rf")
+    ranked = ranks.two_phase_rank(ranked, ["mon", "ck"], "mon_band", rank_name="rm")
+    n = f.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "mon",
+            ranks.quintile_score("rr", "n").alias("r_score"),
+            ranks.quintile_score("rf", "n").alias("f_score"),
+            ranks.quintile_score("rm", "n").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("mon").cast("bigint").alias("monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph statistics: assortativity, Adamic-Adar, HITS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_assortativity_trade",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    dc AS (SELECT ck, CAST(count(*) AS BIGINT) AS dx FROM e GROUP BY 1),
+    ds AS (SELECT sk, CAST(count(*) AS BIGINT) AS dy FROM e GROUP BY 1),
+    p AS (
+      SELECT dc.dx AS x, ds.dy AS y
+      FROM e JOIN dc ON dc.ck = e.ck JOIN ds ON ds.sk = e.sk),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p)
+    SELECT m AS n_edges, sx AS sum_cust_deg, sy AS sum_supp_deg,
+           {_PEARSON_MICRO} AS assortativity_micro
+    FROM s
+    """,
+    doc="cross-set degree assortativity of the customer-supplier "
+    "trade graph: Pearson correlation between the customer-side and "
+    "supplier-side degrees across edges (do high-degree customers "
+    "trade with high-degree suppliers?) — the graph-structure drift "
+    "signal. Degrees come from two shuffle-aggs over the distinct "
+    "edge list, per-edge (x, y) from two key joins, Pearson sums are "
+    "exact BIGINTs folded in one agg, and the coefficient is the "
+    "shared micro-snapped IEEE expression. No windows, no iteration "
+    "— three shuffles total, all corpus-partitioned.",
+)
+def degree_assortativity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    dc = e.groupBy("ck").agg(F.count("*").cast("bigint").alias("dx"))
+    ds = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("dy"))
+    p = e.join(dc, "ck").join(ds, "sk").select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    )
+    return p.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    ).select(
+        F.col("m").alias("n_edges"),
+        F.col("sx").alias("sum_cust_deg"),
+        F.col("sy").alias("sum_supp_deg"),
+        F.expr(_PEARSON_MICRO).alias("assortativity_micro"),
+    )
+
+
+@register(
+    "adamic_adar_parts",
+    oracle="""
+    WITH ops AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    w AS (
+      SELECT ok, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5)
+               AS BIGINT) AS w_micro
+      FROM ops GROUP BY ok HAVING count(*) >= 2),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, w.w_micro
+      FROM ops a JOIN ops b ON a.ok = b.ok AND a.pk < b.pk
+      JOIN w ON w.ok = a.ok)
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common_orders,
+           CAST(sum(w_micro) AS BIGINT) AS aa_score_micro
+    FROM pairs GROUP BY 1, 2
+    ORDER BY aa_score_micro DESC, part_a, part_b LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction between parts: "
+    "score(a,b) = sum over orders containing both of 1/ln(|order|), "
+    "|order| = the witness order's distinct-part count — rare "
+    "co-occurrence contexts weigh more (the related-items / "
+    "link-prediction standard). Each ln applies once to an exact "
+    "integer degree and snaps to micro-units BEFORE summation (the "
+    "psi_value_drift transcendental convention), so the sum is an "
+    "exact BIGINT. Scale: the witness fan-out is bounded by the "
+    "order-size DOMAIN (TPC-H caps lineitems/order at 7, C(7,2)=21 "
+    "pairs per order — corpus-size-independent), so the pair "
+    "explode is O(|lineitem|); top-20 is TakeOrderedAndProject with "
+    "a (score DESC, part_a, part_b) total order.",
+)
+def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ops = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    w = (
+        ops.groupBy("ok")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "ok",
+            F.expr(
+                "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)"
+            ).alias("w_micro"),
+        )
+    )
+    a = ops.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = ops.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(w, "ok")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common_orders"),
+            F.sum("w_micro").cast("bigint").alias("aa_score_micro"),
+        )
+        .orderBy(F.desc("aa_score_micro"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "hits_trade_authorities",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+    a1r AS (
+      SELECT nodes.node, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, CAST(count(*) AS BIGINT) * 1000000 AS v
+        FROM raw e GROUP BY 1) s ON s.node = nodes.node),
+    a1s AS (SELECT greatest(CAST(1 AS BIGINT),
+                   (max(v) + 999999) // 1000000) AS s FROM a1r),
+    a1 AS (SELECT node, v // (SELECT s FROM a1s) AS a FROM a1r),
+    h1r AS (
+      SELECT nodes.node, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN (
+        SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS v
+        FROM raw e JOIN a1 ON a1.node = e.dst GROUP BY 1) s
+      ON s.node = nodes.node),
+    h1s AS (SELECT greatest(CAST(1 AS BIGINT),
+                   (max(v) + 999999) // 1000000) AS s FROM h1r),
+    h1 AS (SELECT node, v // (SELECT s FROM h1s) AS h FROM h1r),
+    a2r AS (
+      SELECT nodes.node, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS v
+        FROM raw e JOIN h1 ON h1.node = e.src GROUP BY 1) s
+      ON s.node = nodes.node),
+    a2s AS (SELECT greatest(CAST(1 AS BIGINT),
+                   (max(v) + 999999) // 1000000) AS s FROM a2r),
+    a2 AS (SELECT node, v // (SELECT s FROM a2s) AS a FROM a2r),
+    h2r AS (
+      SELECT nodes.node, CAST(coalesce(s.v, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN (
+        SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS v
+        FROM raw e JOIN a2 ON a2.node = e.dst GROUP BY 1) s
+      ON s.node = nodes.node),
+    h2s AS (SELECT greatest(CAST(1 AS BIGINT),
+                   (max(v) + 999999) // 1000000) AS s FROM h2r),
+    h2 AS (SELECT node, v // (SELECT s FROM h2s) AS h FROM h2r)
+    SELECT h2.node, CAST(h2.h AS BIGINT) AS hub_units,
+           CAST(a2.a AS BIGINT) AS auth_units
+    FROM h2 JOIN a2 ON a2.node = h2.node
+    ORDER BY auth_units DESC, hub_units DESC, h2.node LIMIT 20
+    """,
+    doc="fixed-point HITS, 2 iterations, over the directed "
+    "customer->supplier trade graph (operators/graph.hits): hub and "
+    "authority scores live in exact BIGINT units, every half-step "
+    "max-normalizes with an exact ceiling divisor and integer DIV "
+    "(the pagerank_trade_network reproducibility stance — "
+    "bit-identical across engines and partitionings), Gauss-Seidel "
+    "ordering (hub update reads the NEW authorities). Per half-step: "
+    "one vertex-key join + one shuffle-agg + a 1-row max broadcast; "
+    "localCheckpoint keeps lineage O(1). Oracle unrolls the "
+    "identical two iterations in SQL (iteration 1's auth sum folds "
+    "to in-degree * scale since hub_0 is uniform). Top-20 "
+    "authorities with a total-order tie-break.",
+)
+def hits_trade_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = graph.hits(edges, iterations=2, assume_distinct=True)
+    return out.orderBy(
+        F.desc("auth_units"), F.desc("hub_units"), "node"
+    ).limit(20)
