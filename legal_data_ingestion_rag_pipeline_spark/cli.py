@@ -40,7 +40,16 @@ TABLES = (
 )
 
 
-def _store(spark: SparkSession, root: str):
+def _store(spark: SparkSession, root: str, fmt: str = "parquet"):
+    """``fmt='tlog'`` backs the warehouse with the transaction-log
+    table format (sources/sinks.TlogStore): every ingest run commits
+    one version per table, so any run's exact table state reads back
+    with ``store.read(table, version=N)`` — the reference's audit
+    trail (schema.sql:179-205) as format-level history."""
+    if fmt == "tlog":
+        from .sources.sinks import TlogStore
+
+        return TlogStore(spark, root)
     from .sources.sinks import ParquetStore
 
     return ParquetStore(spark, root)
@@ -62,7 +71,7 @@ def cmd_ingest(spark: SparkSession, args) -> int:
         print(json.dumps({"selftest": "ok" if ok else "failed"}))
         return 0 if ok else 1
 
-    store = _store(spark, args.store)
+    store = _store(spark, args.store, getattr(args, "format", "parquet"))
     existing = _load_tables(store)
     run_id = 1
     if "ingest_runs" in existing:
@@ -82,7 +91,7 @@ def cmd_ingest(spark: SparkSession, args) -> int:
 def cmd_rag(spark: SparkSession, args) -> int:
     from .plans.rag import HashEmbedder, backfill_chunk_embeddings, search_dockets
 
-    store = _store(spark, args.store)
+    store = _store(spark, args.store, getattr(args, "format", "parquet"))
     tables = _load_tables(store)
     if "cases" not in tables:
         print(json.dumps({"error": "no cases table — run ingest first"}))
@@ -123,7 +132,7 @@ def cmd_fts(spark: SparkSession, args) -> int:
     but never received. Ranks over the persisted cases table."""
     from .operators.fts import bm25_topk
 
-    store = _store(spark, args.store)
+    store = _store(spark, args.store, getattr(args, "format", "parquet"))
     if not store.exists("cases"):
         print(json.dumps({"error": "no cases table — run ingest first"}))
         return 1
@@ -153,7 +162,7 @@ def cmd_fts(spark: SparkSession, args) -> int:
 def cmd_quality(spark: SparkSession, args) -> int:
     from .plans.quality_report import report
 
-    store = _store(spark, args.store)
+    store = _store(spark, args.store, getattr(args, "format", "parquet"))
     tables = _load_tables(store)
     missing = [t for t in ("cases", "ingest_runs", "ingest_errors") if t not in tables]
     if missing:
@@ -184,26 +193,31 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--file")
     pi.add_argument("--selftest", action="store_true")
     pi.add_argument("--store", default="./warehouse")
+    pi.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
 
     pr = sub.add_parser("rag")
     rsub = pr.add_subparsers(dest="rag_cmd", required=True)
     rb = rsub.add_parser("backfill")
     rb.add_argument("--batch-size", type=int, default=128)  # accepted for parity
     rb.add_argument("--store", default="./warehouse")
+    rb.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
     rs = rsub.add_parser("search")
     rs.add_argument("--q", required=True)
     rs.add_argument("--k", type=int, default=5)
     rs.add_argument("--store", default="./warehouse")
+    rs.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
 
     pq = sub.add_parser("quality")
     pq.add_argument("--run-id", type=int, default=None)
     pq.add_argument("--since", default=None)
     pq.add_argument("--store", default="./warehouse")
+    pq.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
 
     pf = sub.add_parser("fts")
     pf.add_argument("--q", required=True)
     pf.add_argument("--k", type=int, default=10)
     pf.add_argument("--store", default="./warehouse")
+    pf.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
 
     args = p.parse_args(argv)
     from .session import build_session

@@ -2717,3 +2717,222 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_micro"), "v")
         .limit(25)
     )
+
+
+@register(
+    "ingest_timetravel_cases",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 100 < 30),
+    b2 AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 40),
+    v0 AS (SELECT k, 'active' AS status FROM b1),
+    v1 AS (
+      SELECT u.k,
+             CASE WHEN u.k IN (SELECT k FROM b2)
+                  THEN 'closed' ELSE 'active' END AS status
+      FROM (SELECT k FROM b1 UNION SELECT k FROM b2) u)
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_cases,
+           CAST(sum(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN status = 'closed' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_closed,
+           CAST(sum(k) AS BIGINT) AS sum_case_key
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN status = 'active' THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(sum(CASE WHEN status = 'closed' THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(sum(k) AS BIGINT)
+    FROM v1
+    ORDER BY version
+    """,
+    doc="the ingest MERGE path THROUGH the transaction-log table "
+    "format (sources/sinks.TlogStore -> operators/tlog): two "
+    "docket batches synthesized Spark-side from orders (batch 1 = "
+    "keys%100<30 active; batch 2 = keys%100 in [20,40) closed — 10 "
+    "overlap as updates, 10 are inserts) run the FULL ingest "
+    "pipeline (plans/ingest.ingest_batch: validation, dim "
+    "get-or-create, last-writer-wins merge) and every touched table "
+    "commits one tlog version per run.  The gate then reads the "
+    "cases table at VERSION 0 and at the current version and proves "
+    "each equals the replayed batch state the oracle computes "
+    "directly — the reference's audit-trail story "
+    "(schema.sql:179-205) as format-level history: any run's exact "
+    "warehouse state is one manifest replay away.  Rerun "
+    "idempotency + vacuum retention pinned by "
+    "tests/test_tlog_store.py.",
+)
+def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .ingest import ingest_batch
+    from ..sources.sinks import TlogStore
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def dockets(df, status: str) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("CASE-"), F.col("o_orderkey").cast("string")).alias(
+                "case_number"
+            ),
+            F.lit("District Court").alias("court"),
+            F.col("o_orderkey").cast("string").alias("title"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("filed_date"),
+            F.lit(None).cast("string").alias("parties"),
+            F.lit("civil").alias("case_type"),
+            F.lit(None).cast("string").alias("judge"),
+            F.lit("").alias("docket_text"),
+            F.lit(status).alias("status"),
+            F.col("o_orderkey").cast("long").alias("_seq"),
+        )
+
+    b1 = dockets(o.filter(F.col("o_orderkey") % 100 < 30), "active")
+    b2 = dockets(
+        o.filter(
+            (F.col("o_orderkey") % 100 >= 20) & (F.col("o_orderkey") % 100 < 40)
+        ),
+        "closed",
+    )
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    wh = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogwh_{tag}")
+    store = TlogStore(spark, wh)
+    r1 = ingest_batch(spark, b1, existing=None, run_id=1)
+    store.write_all(r1.tables)
+    existing = {
+        t: store.read(t) for t in r1.tables if store.exists(t)
+    }
+    r2 = ingest_batch(spark, b2, existing=existing, run_id=2)
+    store.write_all(r2.tables)
+
+    def snap(version: int | None, label: int) -> DataFrame:
+        return (
+            store.read("cases", version)
+            .agg(
+                F.count("*").cast("bigint").alias("n_cases"),
+                F.sum(F.expr("CASE WHEN status = 'active' THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias("n_active"),
+                F.sum(F.expr("CASE WHEN status = 'closed' THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias("n_closed"),
+                F.sum(F.col("title").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_case_key"),
+            )
+            .select(
+                F.lit(label).cast("bigint").alias("version"),
+                "n_cases",
+                "n_active",
+                "n_closed",
+                "sum_case_key",
+            )
+        )
+
+    return snap(0, 0).unionByName(snap(None, 1)).orderBy("version")
+
+
+@register(
+    "ivm_tlog_cdc_refresh",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 10000
+                  ELSE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+             END AS bal_cents
+      FROM customer WHERE c_custkey % 19 <> 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+    FROM orders o JOIN v1 ON v1.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="the full lakehouse IVM composition: two committed tlog "
+    "versions of the customer dim (v0 = keys%4!=1 at original "
+    "balances; v1 = all keys except %19==0 deletes, +$100 on %10==0 "
+    "updates) feed operators/upsert.snapshot_diff, whose signed CDC "
+    "rows (insert/update/delete — Delta's CHANGE DATA FEED shape) "
+    "then refresh a materialized orders|><|customer join view "
+    "WITHOUT recomputing it: drop view rows whose key is "
+    "update/delete (one anti-join), append orders joined to the new "
+    "version's insert/update rows (one key join against the "
+    "key-bounded CDC set).  Maintenance cost is O(|delta| x "
+    "fan-out), independent of view size — join_view_delta's "
+    "insert-only algebra generalized to signed multiplicities, "
+    "closing the loop the ivm module docstring promises.  The "
+    "oracle is the FULL recompute over v1, so the gate proves the "
+    "CDC-applied view is row-identical to rebuilding it (exact "
+    "integer cents; any missed/duplicated/stale row breaks the "
+    "per-segment sums).",
+)
+def ivm_tlog_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import tlog
+    from ..operators.upsert import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias(
+            "bal_cents"
+        ),
+    )
+    v0 = c.filter(F.col("c_custkey") % 4 != 1)
+    v1 = c.filter(F.col("c_custkey") % 19 != 0).withColumn(
+        "bal_cents",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("bal_cents") + 10000
+        ).otherwise(F.col("bal_cents")),
+    )
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_TLOG_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogivm_{tag}")
+    tlog.commit(v0, store, "overwrite")
+    tlog.commit(v1, store, "overwrite")
+
+    cust_v0 = tlog.read_version(spark, store, 0)
+    cust_v1 = tlog.read_version(spark, store, 1)
+    cdc = snapshot_diff(
+        cust_v0, cust_v1, ["c_custkey"], ["c_mktsegment", "bal_cents"]
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    view0 = o.join(
+        cust_v0, o.o_custkey == cust_v0.c_custkey
+    ).select("c_custkey", "c_mktsegment", "bal_cents")
+
+    gone = cdc.filter(F.col("change").isin("update", "delete")).select(
+        "c_custkey"
+    )
+    added = cdc.filter(F.col("change").isin("insert", "update")).select(
+        "c_custkey"
+    )
+    # CDC keys are delta-bounded: broadcast them against the stored view
+    refreshed = view0.join(F.broadcast(gone), "c_custkey", "left_anti").unionByName(
+        o.join(
+            cust_v1.join(F.broadcast(added), "c_custkey"),
+            o.o_custkey == F.col("c_custkey"),
+        ).select("c_custkey", "c_mktsegment", "bal_cents")
+    )
+    return (
+        refreshed.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

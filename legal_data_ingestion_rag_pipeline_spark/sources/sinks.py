@@ -155,6 +155,77 @@ class ParquetStore:
             self._swap(name, stage)
 
 
+class TlogStore:
+    """The ParquetStore interface backed by the transaction-log table
+    format (operators/tlog.py) — every write is a tlog commit, so the
+    whole ingest warehouse gains time travel, vacuum, and manifest-
+    resolved reads for free (the reference's audit-trail story,
+    schema.sql:179-205, met by format-level history instead of
+    trigger tables).
+
+    Contrast with ParquetStore's stage-then-swap: a tlog commit writes
+    data files to a NEW version directory while any in-flight lazy
+    plan keeps reading the previous version's files (never deleted by
+    a commit — only by vacuum), and the manifest append is the atomic
+    switch.  The parquet self-overwrite trap therefore cannot occur,
+    and write_all needs no two-phase staging: tables commit
+    sequentially, each plan still resolving the file lists it was
+    built against.
+
+    read(table, version=N) is `VERSION AS OF N` per table; every
+    batch ingest becomes one committed version per touched table, so
+    "the cases table exactly as run 3 left it" is a manifest replay,
+    not a reconstruction.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def path(self, table: str) -> Path:
+        return self.root / table
+
+    def exists(self, table: str) -> bool:
+        from ..operators import tlog
+
+        return tlog.current_version(str(self.path(table))) >= 0
+
+    def current_version(self, table: str) -> int:
+        from ..operators import tlog
+
+        return tlog.current_version(str(self.path(table)))
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        from ..operators import tlog
+
+        return tlog.read_version(self.spark, str(self.path(table)), version)
+
+    def write(self, table: str, df: DataFrame) -> int:
+        """MERGE-result persistence: commit ``df`` as a new overwrite
+        version (the post-merge state IS the table)."""
+        from ..operators import tlog
+
+        return tlog.commit(df, str(self.path(table)), "overwrite")
+
+    def append(self, table: str, df: DataFrame) -> int:
+        """Log-shaped tables (errors, runs, quarantine mirrors):
+        commit only the new rows; history replay unions them."""
+        from ..operators import tlog
+
+        return tlog.commit(df, str(self.path(table)), "append")
+
+    def write_all(self, tables: dict[str, DataFrame]) -> dict[str, int]:
+        """Commit every table sequentially; returns table -> version.
+        No staging needed — see the class docstring."""
+        return {name: self.write(name, df) for name, df in tables.items()}
+
+    def vacuum(self, table: str, keep_from_version: int) -> list[str]:
+        from ..operators import tlog
+
+        return tlog.vacuum(str(self.path(table)), keep_from_version)
+
+
 def compact_parquet(
     spark: SparkSession,
     in_path: str,
