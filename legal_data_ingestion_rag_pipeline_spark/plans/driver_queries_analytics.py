@@ -1532,6 +1532,7 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "clamped_wallet_balance",
+    bench=True,
     oracle="""
     WITH RECURSIVE d AS (
       SELECT user_id, ts, event_id,

@@ -158,6 +158,7 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_bytes_simhash",
+    bench=True,
     oracle=f"""
     SELECT doc_id AS media_id,
            CAST(length(text) AS BIGINT) AS n_bytes,

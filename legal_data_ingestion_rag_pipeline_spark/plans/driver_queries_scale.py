@@ -2721,12 +2721,13 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_timetravel_cases",
+    bench=True,
     oracle="""
     WITH b1 AS (
-      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 100 < 30),
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 1000 < 30),
     b2 AS (
       SELECT o_orderkey AS k FROM orders
-      WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 40),
+      WHERE o_orderkey % 1000 >= 20 AND o_orderkey % 1000 < 40),
     v0 AS (SELECT k, 'active' AS status FROM b1),
     v1 AS (
       SELECT u.k,
@@ -2754,7 +2755,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="the ingest MERGE path THROUGH the transaction-log table "
     "format (sources/sinks.TlogStore -> operators/tlog): two "
     "docket batches synthesized Spark-side from orders (batch 1 = "
-    "keys%100<30 active; batch 2 = keys%100 in [20,40) closed — 10 "
+    "keys%1000<30 active; batch 2 = keys%1000 in [20,40) closed — 10 "
     "overlap as updates, 10 are inserts) run the FULL ingest "
     "pipeline (plans/ingest.ingest_batch: validation, dim "
     "get-or-create, last-writer-wins merge) and every touched table "
@@ -2793,10 +2794,10 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("long").alias("_seq"),
         )
 
-    b1 = dockets(o.filter(F.col("o_orderkey") % 100 < 30), "active")
+    b1 = dockets(o.filter(F.col("o_orderkey") % 1000 < 30), "active")
     b2 = dockets(
         o.filter(
-            (F.col("o_orderkey") % 100 >= 20) & (F.col("o_orderkey") % 100 < 40)
+            (F.col("o_orderkey") % 1000 >= 20) & (F.col("o_orderkey") % 1000 < 40)
         ),
         "closed",
     )
@@ -2843,6 +2844,7 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivm_tlog_cdc_refresh",
+    bench=True,
     oracle="""
     WITH v1 AS (
       SELECT c_custkey, c_mktsegment,

@@ -2605,6 +2605,7 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fts_conjunctive_search",
+    bench=True,
     oracle=f"""
     WITH base AS (
       SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents

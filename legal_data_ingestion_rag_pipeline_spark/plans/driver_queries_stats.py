@@ -948,6 +948,7 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hits_trade_authorities",
+    bench=True,
     oracle="""
     WITH raw AS (
       SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

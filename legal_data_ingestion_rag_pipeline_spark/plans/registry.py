@@ -337,6 +337,68 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: inside streaming_peak_concurrency; packing keeps its oracle_check
 #: row + pytest.
 #:
+#: Round-8 rotation (per round-7 verdict ask #1 — the stats module +
+#: newest round-8 machinery in; every OUT slot keeps a gated family
+#: partner + tools/oracle_check row + pytest):
+#:   IN : ingest_timetravel_cases (the ingest MERGE path THROUGH the
+#:        tlog format — runs the FULL validate/dims/last-wins merge
+#:        pipeline in-gate and reads a historical version back,
+#:        verdict ask #3's done-criterion),
+#:        ivm_tlog_cdc_refresh (tlog versions -> snapshot_diff CDC ->
+#:        signed view refresh, gated vs full recompute — ask #7),
+#:        spearman_balance_spend (TWO-PHASE global rank,
+#:        operators/ranks.py — new order-statistics machinery: no
+#:        single-task global sort),
+#:        ks_urgent_price_distribution (two-phase prefix-sum ECDF +
+#:        exact integer cross-product supremum — the global-sort-
+#:        discipline test the verdict named),
+#:        hits_trade_authorities (integer fixed-point HITS with exact
+#:        ceiling-divisor max-normalization — newest iterative
+#:        machinery),
+#:        chi_squared_independence, psi_value_drift,
+#:        theil_sen_daily_trend, systematic_weighted_sample,
+#:        quality_signal_confusion (the five verdict-named families
+#:        with no driver CORRECTNESS row ever).
+#:   OUT: merge_upsert_state -> the MERGE (last-writer-wins + anti-
+#:        join union) runs INSIDE ingest_timetravel_cases's two-batch
+#:        ingest (strict containment); keeps oracle_check + ingest
+#:        pytest.
+#:        status_validation_split -> the full validate() cascade runs
+#:        INSIDE ingest_timetravel_cases; keeps oracle_check +
+#:        test_ingest's per-code assertions.
+#:        timetravel_snapshot_read -> commit protocol + manifest
+#:        replay now gated via ingest_timetravel_cases (multi-table
+#:        commits, historical read) AND ivm_tlog_cdc_refresh
+#:        (overwrite versions feeding CDC); keeps oracle_check +
+#:        test_tlog pytest; timetravel_pruned_scan keeps the stats-
+#:        pruning half gated.
+#:        regression_price_vs_quantity -> exact-integer numeric
+#:        machinery gated via theil_sen_daily_trend + chi_squared
+#:        (verdict-suggested partner); keeps oracle_check + pytest.
+#:        streaming_sliding_counts -> watermark window machinery
+#:        gated via streaming_interval_join +
+#:        streaming_peak_concurrency (verdict-suggested); keeps
+#:        oracle_check + streaming pytest.
+#:        error_breakdown -> top-10 groupBy-agg machinery gated by a
+#:        dozen slots (verdict-suggested); keeps oracle_check.
+#:        cheapest_trade_routes -> the iterative slot points at the
+#:        newest iterative operator (rotation convention): HITS runs
+#:        the same join+shuffle-agg+broadcast round with
+#:        localCheckpoint discipline; Bellman-Ford keeps its bench
+#:        row, recursive-CTE oracle_check row, and fuzz pytest.
+#:        quality_ensemble_topk -> the z-blend runs INSIDE the gated
+#:        curation_pipeline_v5 ensemble stage, and the FLOOR-micro-
+#:        snap dialect convention is now gated by the entire stats
+#:        family; keeps oracle_check + pytest.
+#:        textstats_quality -> quality signals run INSIDE
+#:        curation_pipeline_v5 (quality stage) and
+#:        quality_classifier_trained (feature fold); keeps
+#:        oracle_check + pytest.
+#:        scd2_point_in_time_join -> temporal interval machinery
+#:        gated via scd2_event_type_history (validity frames) +
+#:        streaming_interval_join (interval residual); keeps
+#:        oracle_check + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -360,7 +422,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_semantic_clusters",
     "dedup_spans_incremental",
-    "scd2_point_in_time_join",
+    "ingest_timetravel_cases",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
@@ -369,41 +431,44 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fts_conjunctive_search",
     "bucketed_join_scan",
     "kcore_copurchase",
-    "cheapest_trade_routes",
+    "hits_trade_authorities",
     "triangle_count_copurchase",
     "hll_incremental_store",
+    # statistics family (driver_queries_stats + operators/ranks —
+    # r8 rotation)
+    "spearman_balance_spend",
+    "ks_urgent_price_distribution",
+    "chi_squared_independence",
+    "psi_value_drift",
+    "theil_sen_daily_trend",
+    "systematic_weighted_sample",
+    "quality_signal_confusion",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
     # multimodal_features gates the same plumbing)
     "textstats_lang_id",
-    "textstats_quality",
+    "ivm_tlog_cdc_refresh",
     "quality_classifier_trained",
     "lm_perplexity_score",
     "bpe_encode_corpus",
     "html_text_extraction",
     "rag_semantic_search",
     "rag_rerank_bm25",
-    "timetravel_snapshot_read",
     "timetravel_pruned_scan",
     "decontamination_bloom",
     "url_canonical_dedup",
-    "quality_ensemble_topk",
-    "streaming_sliding_counts",
     "multimodal_bytes_simhash",
     "clamped_wallet_balance",
     "mmr_diverse_selection",
     # events-table family (timestamp/window/sessionization operators)
-    "error_breakdown",
     "streaming_interval_join",
     "scd2_event_type_history",
     "streaming_peak_concurrency",
-    "regression_price_vs_quantity",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",
     "curation_pipeline_v5",
-    "status_validation_split",
     # (round-5 rotation: multiformat_date_parse and chunk_documents
     # out for quality_classifier_filter and bpe_train_merges — T4
     # keeps the reference's 15 ported selftest cases in
@@ -412,7 +477,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # rag_semantic_search.)
     "parties_grammar",
     "surrogate_dim_ids",
-    "merge_upsert_state",
     "case_detail_joins",
     "backfill_anti_join",
 )
