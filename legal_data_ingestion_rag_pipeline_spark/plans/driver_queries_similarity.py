@@ -2837,3 +2837,82 @@ def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("band")
     )
+
+
+def _spectrum_oracle(sf_dir: str) -> str:
+    """Python-twin oracle (the kcore/bpe VALUES convention): replay
+    the identical milli-quantization, exact integer scatter matrix,
+    and eigensolve over the same parquet — independent data path
+    (duckdb fetch + numpy loops), same exact-arithmetic contract."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.linalg import VEC_SCALE, covariance_spectrum_py
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL"
+    ).fetchall()
+    con.close()
+    dim = 64
+    q = np.floor(
+        np.asarray([r[0] for r in rows], dtype=np.float64)
+        * float(VEC_SCALE)
+        + 0.5
+    ).astype(np.int64)
+    gram = q.T @ q
+    mom = q.sum(axis=0)
+    cells = [
+        (i, j, int(gram[i, j])) for i in range(dim) for j in range(dim)
+    ]
+    cells += [(dim, j, int(mom[j])) for j in range(dim)]
+    cells += [(dim, dim, q.shape[0])]
+    spec = covariance_spectrum_py(cells, dim, top_k=8)
+    vals = ", ".join(f"({c}, {v})" for c, v in spec)
+    return (
+        f"SELECT CAST(component AS BIGINT) AS component, "
+        f"CAST(var_micro AS BIGINT) AS var_micro "
+        f"FROM (VALUES {vals}) AS t(component, var_micro) "
+        f"ORDER BY component"
+    )
+
+
+@register(
+    "embedding_covariance_spectrum",
+    oracle=_spectrum_oracle,
+    doc="top-8 eigenvalues of the embedding covariance (exact-"
+    "integer PCA spectrum, operators/linalg.py) — the effective-"
+    "dimensionality diagnostic a pipeline runs before choosing an "
+    "index or a Matryoshka truncation tier (how many components "
+    "carry the variance?).  Components quantize to milli-units, "
+    "each Arrow batch contributes an exact int64 partial Gram "
+    "(numpy integer matmul — no float summation order anywhere), "
+    "one (i,j) shuffle folds the d^2+d+1 partial cells, and the "
+    "driver assembles the exact scatter matrix n*G - s*s^T in "
+    "arbitrary-precision ints before ONE float64 eigensolve — the "
+    "corpus is read once, the collect is KB-scale (the classifier-"
+    "training split generalized to dense vectors).  Identical Gram "
+    "under any partitioning => identical spectrum; the oracle twin "
+    "replays quantization+Gram+eigh over a duckdb fetch of the "
+    "same parquet.",
+)
+def embedding_covariance_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.linalg import covariance_spectrum_py, gram_moments
+
+    dim = 64
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cells = [
+        (int(r.i), int(r.j), int(r.v))
+        for r in gram_moments(emb, "embedding", dim).collect()
+    ]
+    spec = covariance_spectrum_py(cells, dim, top_k=8)
+    return spark.createDataFrame(
+        [(int(c), int(v)) for c, v in spec],
+        "component long, var_micro long",
+    ).orderBy("component")

@@ -1,10 +1,16 @@
 """Driver queries: statistical-test and distribution-analytics
 operators — the hypothesis-testing / association / concentration
 family a data-quality or experimentation platform layers on top of
-the OLAP core (chi-squared independence, Benford digit audit,
-Shannon entropy, seasonality profile, rank correlation, Gini,
-Kolmogorov-Smirnov, autocorrelation, attribution, RFM, graph
-assortativity, Adamic-Adar link prediction, HITS).
+the OLAP core — all fifteen implemented below: chi-squared
+independence, Benford digit audit, Shannon entropy, seasonality
+profile, Spearman rank correlation, Gini concentration,
+Kolmogorov-Smirnov, last-touch attribution, lag-1 autocorrelation,
+RFM segmentation, degree assortativity, Adamic-Adar link
+prediction, HITS, exact tie-corrected ROC-AUC (Mann-Whitney), and
+exact banded quantiles.  The global-order statistics (Spearman,
+Gini, KS, RFM, AUC, quantiles) all run through the two-phase
+band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
+single-task global sort.
 
 Every query follows the repo's cross-engine exactness conventions:
 counts and cents are exact BIGINTs, each transcendental (ln) is
@@ -1025,3 +1031,158 @@ def hits_trade_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("auth_units"), F.desc("hub_units"), "node"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation + order statistics: exact AUC, exact quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "auc_purchase_value",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+               END) AS BIGINT) AS nn
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT np, nn,
+             CAST(sum(nn) OVER (ORDER BY cents) AS BIGINT) AS nn_run
+      FROM v),
+    s AS (
+      SELECT CAST(sum(2 * np * (nn_run - nn) + np * nn) AS BIGINT)
+               AS u2,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM r)
+    SELECT n_pos, n_neg, u2 AS u_half_units,
+           CAST(floor(CAST(u2 AS DOUBLE)
+                / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)
+                * 1000000.0 + 0.5) AS BIGINT) AS auc_micro
+    FROM s
+    """,
+    doc="exact tie-corrected ROC-AUC of event value as a purchase "
+    "classifier — the Mann-Whitney U statistic, the model-eval "
+    "primitive every trained-filter pipeline needs (the "
+    "quality_classifier_trained eval half). Scores pre-aggregate "
+    "per DISTINCT cent value to (np, nn) counts, the below-value "
+    "negative mass comes from ONE two-phase prefix sum "
+    "(operators/ranks.two_phase_prefix_sum — band-parallel, no "
+    "single-task sort), and U accumulates in HALF-units "
+    "(2*np*below + np*nn ties) so tie correction is exact integer "
+    "arithmetic, never midrank floats. AUC = U2/(2*n_pos*n_neg) "
+    "evaluates once in a shared IEEE expression, micro-snapped "
+    "(exact while n_pos*n_neg < 2^52; beyond that route the "
+    "division through DECIMAL). Oracle: the one-window SQL "
+    "formulation — independent algorithm, same statistic.",
+)
+def auc_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.select(
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("ip"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("ip").cast("bigint").alias("np"),
+            F.sum(F.expr("1 - ip")).cast("bigint").alias("nn"),
+        )
+        .withColumn("band", F.expr("cents DIV 1000000"))
+    )
+    runs = ranks.two_phase_prefix_sum(v, ["cents"], "band", ["nn"])
+    s = runs.agg(
+        F.sum(F.expr("2 * np * (nn_run - nn) + np * nn"))
+        .cast("bigint")
+        .alias("u2"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.col("u2").alias("u_half_units"),
+        F.expr(
+            "CAST(floor(CAST(u2 AS DOUBLE)"
+            " / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
+
+
+#: exact-quantile probe points in micro-probability units, folded as
+#: the same literal list into both dialects.
+_QUANTILE_PROBES = [500000, 900000, 990000, 999000]
+
+
+@register(
+    "exact_quantiles_order_totals",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, k) AS rk FROM v),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    p AS (SELECT unnest(ARRAY[{', '.join(str(x) for x in _QUANTILE_PROBES)}])
+            AS p_micro)
+    SELECT p.p_micro,
+           CAST((p.p_micro * n.n + 999999) // 1000000 AS BIGINT) AS k_rank,
+           r.cents AS value_cents
+    FROM p CROSS JOIN n
+    JOIN r ON r.rk = (p.p_micro * n.n + 999999) // 1000000
+    ORDER BY p.p_micro
+    """,
+    doc="EXACT p50/p90/p99/p99.9 of order totals without a global "
+    "sort: the k-th order statistic selected by the TWO-PHASE global "
+    "rank (operators/ranks.two_phase_rank — $10k-band-parallel "
+    "row_numbers plus band-carry offsets), k = ceil(p*n) in exact "
+    "integer arithmetic from a 1-row count broadcast. This is the "
+    "deterministic alternative to percentile_approx at 100 TB: "
+    "approx sketches give no exactness guarantee and vary with "
+    "merge order, while the banded rank is exact, deterministic, "
+    "and still fully parallel (the KS/Gini/Spearman machinery "
+    "pointed at selection instead of summation). Ties on cents "
+    "break by order key — a total order, so every engine selects "
+    "the identical row.",
+)
+def exact_quantiles_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("k"),
+    ).withColumn("band", F.expr("cents DIV 1000000"))
+    ranked = ranks.two_phase_rank(v, ["cents", "k"], "band", rank_name="rk")
+    n = v.agg(F.count("*").cast("bigint").alias("n"))
+    probes = F.array(
+        *[F.lit(x).cast("bigint") for x in _QUANTILE_PROBES]
+    )
+    # 4-row (p, k_rank) probe table from the 1-row count — the fact
+    # table meets it in a broadcast join on the rank, never exploding
+    probe_ranks = n.select(
+        F.explode(probes).alias("p_micro"), "n"
+    ).select(
+        "p_micro",
+        F.expr("(p_micro * n + 999999) DIV 1000000").alias("k_rank"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(probe_ranks), ranked.rk == probe_ranks.k_rank
+        )
+        .select("p_micro", "k_rank", F.col("cents").alias("value_cents"))
+        .orderBy("p_micro")
+    )

@@ -145,3 +145,53 @@ def test_fuzz_hits_matches_python_model(spark):
             for r in graph.hits(e, iterations=2).collect()
         }
         assert got == {n: (hub[n], auth[n]) for n in hub}
+
+
+def test_gram_moments_partition_independent(spark):
+    """Exact integer Gram: any partitioning yields the identical
+    cells, and they match a direct numpy computation."""
+    import numpy as np
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.linalg import (
+        VEC_SCALE,
+        covariance_spectrum_py,
+        gram_moments,
+    )
+
+    rng = random.Random(SEED + 3)
+    dim = 5
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "id: long, embedding: array<double>",
+    )
+
+    def cells(frame):
+        return {
+            (r.i, r.j): r.v
+            for r in gram_moments(frame, "embedding", dim).collect()
+        }
+
+    c1 = cells(df.coalesce(1))
+    c7 = cells(df.repartition(7))
+    assert c1 == c7
+
+    q = np.floor(
+        np.asarray(vecs, dtype=np.float64) * float(VEC_SCALE) + 0.5
+    ).astype(np.int64)
+    want_gram = q.T @ q
+    for i in range(dim):
+        for j in range(dim):
+            assert c1[(i, j)] == want_gram[i, j]
+    assert all(c1[(dim, j)] == q[:, j].sum() for j in range(dim))
+    assert c1[(dim, dim)] == len(vecs)
+
+    spec = covariance_spectrum_py(
+        [(i, j, v) for (i, j), v in c1.items()], dim, top_k=3
+    )
+    # eigenvalues of a real scatter matrix: descending, non-negative
+    vals = [v for _, v in spec]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[-1] >= 0
