@@ -1,13 +1,13 @@
 """Driver queries: statistical-test and distribution-analytics
 operators — the hypothesis-testing / association / concentration
 family a data-quality or experimentation platform layers on top of
-the OLAP core — all fifteen implemented below: chi-squared
+the OLAP core — all sixteen implemented below: chi-squared
 independence, Benford digit audit, Shannon entropy, seasonality
 profile, Spearman rank correlation, Gini concentration,
 Kolmogorov-Smirnov, last-touch attribution, lag-1 autocorrelation,
 RFM segmentation, degree assortativity, Adamic-Adar link
-prediction, HITS, exact tie-corrected ROC-AUC (Mann-Whitney), and
-exact banded quantiles.  The global-order statistics (Spearman,
+prediction, HITS, exact tie-corrected ROC-AUC (Mann-Whitney), decile
+lift/calibration, and exact banded quantiles.  The global-order statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
 single-task global sort.
@@ -1185,4 +1185,115 @@ def exact_quantiles_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_micro", "k_rank", F.col("cents").alias("value_cents"))
         .orderBy("p_micro")
+    )
+
+
+@register(
+    "decile_lift_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             event_id,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS BIGINT) AS ip
+      FROM events),
+    r AS (
+      SELECT ip, cents,
+             row_number() OVER (ORDER BY cents, event_id) AS rk
+      FROM v),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    d AS (
+      SELECT CAST(1 + ((rk - 1) * 10) // n.n AS BIGINT) AS decile, ip,
+             cents
+      FROM r CROSS JOIN n),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(ip) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS nt,
+                 CAST(sum(n_purchases) AS BIGINT) AS pt FROM g)
+    SELECT decile, n_events, n_purchases, sum_cents,
+           (n_purchases * 1000000) // n_events AS rate_micro,
+           CAST(sum(n_purchases) OVER (ORDER BY decile DESC)
+             AS BIGINT) AS cum_purchases,
+           CAST(floor(CAST(n_purchases AS DOUBLE) * nt
+                / (CAST(n_events AS DOUBLE) * pt)
+                * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+    FROM g CROSS JOIN t ORDER BY decile
+    """,
+    doc="decile lift / calibration table for event value as a "
+    "purchase predictor — the gains-chart companion to "
+    "auc_purchase_value (every trained-filter rollout reads one of "
+    "these before setting a threshold). Events rank by (value "
+    "cents, event_id) through the TWO-PHASE band-parallel rank "
+    "(operators/ranks.two_phase_rank — no single-task sort), "
+    "deciles come from the exact-integer rule 1+((rank-1)*10) DIV "
+    "n, and per-decile purchase rate (exact integer micros), "
+    "top-down cumulative purchases (a 10-row decile window — "
+    "decile-bounded, never corpus-bounded), and lift vs the base "
+    "rate (one shared IEEE expression over exact counts, "
+    "micro-snapped; exact while counts < 2^52) are all "
+    "hash-gateable. Decile 10 = highest values.",
+)
+def decile_lift_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        "event_id",
+        F.expr(
+            "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("ip"),
+    ).withColumn("band", F.expr("cents DIV 1000000"))
+    ranked = ranks.two_phase_rank(
+        v, ["cents", "event_id"], "band", rank_name="rk"
+    )
+    n = v.agg(F.count("*").cast("bigint").alias("n"))
+    g = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST(1 + ((rk - 1) * 10) DIV n AS BIGINT)").alias(
+                "decile"
+            ),
+            "ip",
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("ip").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_events").cast("bigint").alias("nt"),
+        F.sum("n_purchases").cast("bigint").alias("pt"),
+    )
+    w = (
+        Window.orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_events",
+            "n_purchases",
+            "sum_cents",
+            F.expr("(n_purchases * 1000000) DIV n_events").alias(
+                "rate_micro"
+            ),
+            F.sum("n_purchases").over(w).cast("bigint").alias(
+                "cum_purchases"
+            ),
+            F.expr(
+                "CAST(floor(CAST(n_purchases AS DOUBLE) * nt"
+                " / (CAST(n_events AS DOUBLE) * pt)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("decile")
     )
