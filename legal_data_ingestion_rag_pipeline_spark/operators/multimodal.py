@@ -55,9 +55,12 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
     keeps the values bit-identical to a SQL oracle's sqrt()."""
     if not content:
         return [0.0] * dim
-    counts = [0] * dim
-    for b in content:
-        counts[b % dim] += 1
+    import numpy as np
+
+    x = np.frombuffer(content, dtype=np.uint8)
+    # vectorized histogram; .tolist() yields exact Python ints, so the
+    # norm/ratio float math below is bit-identical to the per-byte loop
+    counts = np.bincount(x % dim, minlength=dim).tolist()
     norm = math.sqrt(sum(c * c for c in counts)) or 1.0
     return [c / norm for c in counts]
 
@@ -284,29 +287,42 @@ def bytes_simhash(
     )
 
     def _batches(it):
+        import numpy as np
+
         for pdf in it:
             ids, lens, sims = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(payload) if payload is not None else b""
                 ids.append(mid)
                 lens.append(len(b))
-                votes = [0] * bits
-                if len(b) >= n:
-                    for i in range(len(b) - n + 1):
-                        acc = PT.POLY_INIT
-                        for x in b[i : i + n]:
-                            acc = (acc * PT.POLY_MULT + x) % P
-                        for j in range(bits):
-                            votes[j] += 1 if (acc >> j) & 1 else -1
                 sim = 0
-                for j in range(bits):
-                    if votes[j] > 0:
-                        sim |= 1 << j
+                if len(b) >= n:
+                    # vectorized rolling poly-hash: fold the n byte
+                    # lanes across all grams at once, mod P each step
+                    # (intermediates < P*31 + 255 — exact int64, the
+                    # same residues as the per-byte loop)
+                    x = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    g_cnt = len(b) - n + 1
+                    acc = np.full(g_cnt, PT.POLY_INIT, dtype=np.int64)
+                    for i in range(n):
+                        acc = (acc * PT.POLY_MULT + x[i : i + g_cnt]) % P
+                    # bit votes: ones-count per bit vs gram count
+                    for j in range(bits):
+                        ones = int(((acc >> j) & 1).sum())
+                        if 2 * ones - g_cnt > 0:
+                            sim |= 1 << j
                 sims.append(sim)
             yield pd.DataFrame(
                 {id_col: ids, "n_bytes": lens, "simhash": sims}
             )
 
-    return media.select(id_col, content_col).mapInPandas(
+    # spread the (often single-file) input across cores before the
+    # CPU-bound Arrow stage (the minhash_signatures convention); the
+    # payload shuffles ONCE here — at 100 TB a well-laid-out media
+    # store already scans many-way and the repartition collapses to
+    # the scan parallelism
+    from ..session import barrier
+
+    return barrier(media.select(id_col, content_col)).mapInPandas(
         _batches, out_schema
     )

@@ -177,8 +177,9 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the documents' ASCII bytes, so the oracle computes the "
     "IDENTICAL fingerprint from char 4-grams with the portable SQL "
     "simhash -- every bit of every fingerprint is hash-gated. "
-    "Map-side only: the payload never shuffles, 8 bytes of "
-    "fingerprint per asset leave the scan.",
+    "The payload round-robins ONCE into the CPU-bound Arrow stage "
+    "(the minhash convention; a well-laid-out store already scans "
+    "many-way), and 8 bytes of fingerprint per asset leave it.",
 )
 def multimodal_bytes_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import bytes_simhash
