@@ -337,3 +337,91 @@ def start_cms_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_wallet_balance(events: DataFrame) -> DataFrame:
+    """The clamped-wallet recurrence (operators/recurrence.
+    clamped_running_balance) as a STREAMING operator on the Spark 4
+    ``transformWithStateInPandas`` API — typed, state-store-backed
+    ValueState instead of applyInPandasWithState's single implicit
+    tuple (the successor API: multiple named states, timers, TTL).
+
+    State per user = (bal, n_clamps, n_steps); each micro-batch walks
+    its rows in (ts, event_id) order continuing from stored state and
+    emits the cumulative triple, so the latest emit per user equals
+    the batch walk over the full event log — the
+    exactly-once-state-continuation contract the test asserts across
+    two time-ordered micro-batches.  delta = +cents on purchase,
+    -cents on error, 0 otherwise (the batch query's mapping).
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store); the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``.  ENVIRONMENT
+    NOTE: the TWS Python worker speaks protobuf to the JVM; this
+    image ships google.protobuf broken, so the cross-batch test
+    (tests/test_streaming.py) import-gates and skips here — the
+    applyInPandasWithState twin (stateful_sessionize) carries the
+    verified stateful-streaming contract in this image.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WalletProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "wallet", "bal bigint, n_clamps bigint, n_steps bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            pdf = pd.concat(list(rows))
+            if len(pdf) == 0:
+                return
+            pdf = pdf.sort_values(["ts", "event_id"])
+            prior = self._state.get() if self._state.exists() else None
+            bal, clamps, steps = prior if prior else (0, 0, 0)
+            for d in pdf["delta"]:
+                nxt = bal + int(d)
+                if nxt < 0:
+                    clamps += 1
+                    bal = 0
+                else:
+                    bal = nxt
+                steps += 1
+            self._state.update((int(bal), int(clamps), int(steps)))
+            yield pd.DataFrame(
+                [(key[0], int(bal), int(clamps), int(steps))],
+                columns=[
+                    "user_id",
+                    "final_balance",
+                    "n_clamps",
+                    "n_steps",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    deltas = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE event_type"
+            " WHEN 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " WHEN 'error' THEN -CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("delta"),
+    )
+    return deltas.groupBy("user_id").transformWithStateInPandas(
+        WalletProcessor(),
+        outputStructType=(
+            "user_id bigint, final_balance bigint, "
+            "n_clamps bigint, n_steps bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

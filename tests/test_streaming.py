@@ -388,3 +388,114 @@ def test_sliding_windows_each_event_in_two(spark, tmp_path):
     assert starts[("2026-01-04 00:00:00", "click")] == 2
     assert starts[("2026-01-07 00:00:00", "view")] == 1
     assert starts[("2026-01-06 00:00:00", "view")] == 1
+
+
+def test_transform_with_state_wallet_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (the Spark 4 typed-state API): two
+    time-ordered micro-batches through stateful_wallet_balance; the
+    final cumulative emit per user must equal the batch clamped walk
+    (operators/recurrence.clamped_running_balance) over the same
+    events — state continues across batches through RocksDB."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    try:  # transformWithState's Python worker protocol needs protobuf,
+        # which this image ships broken — same import-gate convention
+        # as the sentence-transformers embedder (plans/rag.py)
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "worker cannot start in this image")
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        clamped_running_balance,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stateful_wallet_balance,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0].m
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).toPandas().to_parquet(
+        str(src / "a.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    time.sleep(1.2)
+    ev.filter(F.col("ts") > cut).toPandas().to_parquet(
+        str(src / "b.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = stateful_wallet_balance(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("wallet_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        got = {
+            r.user_id: (r.final_balance, r.n_clamps, r.n_steps)
+            for r in spark.table("wallet_test")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy(F.desc("n_steps"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+    finally:
+        if prior_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prior_provider,
+            )
+
+    deltas = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CASE event_type"
+            " WHEN 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " WHEN 'error' THEN -CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("delta"),
+    )
+    want = {
+        r.user_id: (r.final_balance, r.n_clamps, r.n_steps)
+        for r in clamped_running_balance(
+            deltas, "user_id", ["ts", "event_id"], "delta"
+        ).collect()
+    }
+    assert got == want
