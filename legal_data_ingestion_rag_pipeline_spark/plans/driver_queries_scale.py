@@ -2938,3 +2938,41 @@ def ivm_tlog_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "props_variant_bands",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="the Spark 4 VARIANT path for semi-structured columns: "
+    "parse_json once into the binary VARIANT encoding, then typed "
+    "variant_get extraction feeding plain integer aggregation — "
+    "the shredded/typed successor to get_json_object string "
+    "re-parsing (semistructured_props_stats keeps the from_json "
+    "form; this gates the new type end-to-end: parse, typed "
+    "extract, band, aggregate). VARIANT at 100 TB: parse cost paid "
+    "once per row at scan, extraction is a binary-offset read, and "
+    "Parquet shredding (when written) pushes field pruning into "
+    "the scan itself.",
+)
+def props_variant_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k DIV 10").alias("k_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_band")
+    )

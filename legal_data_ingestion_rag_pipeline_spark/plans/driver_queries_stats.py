@@ -1,13 +1,16 @@
 """Driver queries: statistical-test and distribution-analytics
 operators — the hypothesis-testing / association / concentration
 family a data-quality or experimentation platform layers on top of
-the OLAP core — all sixteen implemented below: chi-squared
+the OLAP core — every family listed here is implemented in
+this module: chi-squared
 independence, Benford digit audit, Shannon entropy, seasonality
 profile, Spearman rank correlation, Gini concentration,
 Kolmogorov-Smirnov, last-touch attribution, lag-1 autocorrelation,
 RFM segmentation, degree assortativity, Adamic-Adar link
 prediction, HITS, exact tie-corrected ROC-AUC (Mann-Whitney), decile
-lift/calibration, and exact banded quantiles.  The global-order statistics (Spearman,
+lift/calibration, exact banded quantiles (global and
+per-group), and calendar-spine gap filling.  The global-order
+statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
 single-task global sort.
@@ -1296,4 +1299,142 @@ def decile_lift_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
         .orderBy("decile")
+    )
+
+
+@register(
+    "segment_price_quantiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o.o_orderkey AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents, k) AS rk
+      FROM v),
+    n AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    p AS (SELECT unnest(ARRAY[{', '.join(str(x) for x in _QUANTILE_PROBES)}])
+            AS p_micro)
+    SELECT r.segment, p.p_micro,
+           CAST((p.p_micro * n.n + 999999) // 1000000 AS BIGINT) AS k_rank,
+           r.cents AS value_cents
+    FROM p CROSS JOIN n
+    JOIN r ON r.segment = n.segment
+          AND r.rk = (p.p_micro * n.n + 999999) // 1000000
+    ORDER BY r.segment, p.p_micro
+    """,
+    doc="exact per-group quantiles: p50/p90/p99/p99.9 of order "
+    "totals WITHIN each market segment — the grouped form of "
+    "exact_quantiles_order_totals, proving the two-phase rank's "
+    "part_cols path (band-parallel row_numbers inside each "
+    "(segment, band) cell, segment-scoped band carries). k = "
+    "ceil(p*n_g) per group from a groups-bounded count table "
+    "(broadcast), selection by a broadcast join on (segment, "
+    "rank). The per-group alternative to percentile_approx with an "
+    "exactness guarantee; ties break by order key.",
+)
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .withColumn("band", F.expr("cents DIV 1000000"))
+    )
+    ranked = ranks.two_phase_rank(
+        v, ["cents", "k"], "band", part_cols=["segment"], rank_name="rk"
+    )
+    n = v.groupBy("segment").agg(F.count("*").cast("bigint").alias("n"))
+    probes = F.array(*[F.lit(x).cast("bigint") for x in _QUANTILE_PROBES])
+    probe_ranks = n.select(
+        "segment", F.explode(probes).alias("p_micro"), "n"
+    ).select(
+        "segment",
+        "p_micro",
+        F.expr("(p_micro * n + 999999) DIV 1000000").alias("k_rank"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(probe_ranks),
+            (ranked.segment == probe_ranks.segment)
+            & (ranked.rk == probe_ranks.k_rank),
+        )
+        .select(
+            ranked.segment, "p_micro", "k_rank",
+            F.col("cents").alias("value_cents"),
+        )
+        .orderBy("segment", "p_micro")
+    )
+
+
+@register(
+    "daily_purchases_gapfilled",
+    oracle="""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM dc),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM bounds)
+    SELECT spine.day, coalesce(dc.n, 0) AS n_purchases,
+           coalesce(dc.cents, 0) AS revenue_cents,
+           (dc.day IS NULL) AS is_gap
+    FROM spine LEFT JOIN dc ON dc.day = spine.day
+    ORDER BY spine.day
+    """,
+    doc="calendar-spine gap filling: the daily purchase series joined "
+    "LEFT onto a generated min..max date spine so zero-activity days "
+    "appear explicitly (every downstream window/anomaly/seasonality "
+    "computation silently mis-lags across gaps otherwise — the "
+    "autocorr_daily_purchases docstring's dropped-pair caveat, "
+    "solved). The spine comes from sequence() over a 1-row bounds "
+    "broadcast — calendar-bounded, never corpus-bounded; the join is "
+    "day-keyed against the already-aggregated daily table.",
+)
+def daily_purchases_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    bounds = dc.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    return (
+        spine.join(dc, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.coalesce("cents", F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("day")
     )
