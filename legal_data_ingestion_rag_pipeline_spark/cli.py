@@ -80,6 +80,7 @@ def cmd_ingest(spark: SparkSession, args) -> int:
     raw = read_raw_dockets(spark, args.file)
     result = ingest_batch(spark, raw, existing=existing or None, run_id=run_id)
     store.write_all(result.tables)
+    result.release()
     if result.quarantine is not None:
         # ingest_batch already shapes quarantine rows in the reference's
         # JSONL form (run_id, error_code, why, raw, ts, record_hash)

@@ -2809,11 +2809,13 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TlogStore(spark, wh)
     r1 = ingest_batch(spark, b1, existing=None, run_id=1)
     store.write_all(r1.tables)
+    r1.release()  # committed — drop the batch caches (shared session)
     existing = {
         t: store.read(t) for t in r1.tables if store.exists(t)
     }
     r2 = ingest_batch(spark, b2, existing=existing, run_id=2)
     store.write_all(r2.tables)
+    r2.release()
 
     def snap(version: int | None, label: int) -> DataFrame:
         return (

@@ -49,6 +49,18 @@ class IngestResult:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     quarantine: DataFrame | None = None
     errors: DataFrame | None = None
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist the batch's intermediate caches.  Call AFTER the
+        result tables are materialized (written/collected) — they
+        derive from these caches, so releasing earlier recomputes the
+        whole validation pipeline on next touch.  A long-lived session
+        (bench, streaming foreachBatch) that skips this accumulates
+        one cached validation pass per batch in executor memory."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def _empty_dim(spark: SparkSession, extra: str = "") -> DataFrame:
@@ -148,7 +160,14 @@ def ingest_batch(
     now = F.current_timestamp()
     validated = validate(raw).cache()
 
-    total_read = validated.count()
+    # one multi-aggregate job instead of three separate counts
+    # (total / good / failed): failed = read - good by definition
+    # (reference run-summary invariant), so two numbers pin all three
+    _c = validated.agg(
+        F.count("*").alias("t"),
+        F.count(F.when(F.col("error_code").isNull(), 1)).alias("g"),
+    ).collect()[0]
+    total_read, n_good = int(_c.t), int(_c.g)
     bad = validated.filter(F.col("error_code").isNotNull())
     good = validated.filter(F.col("error_code").isNull())
 
@@ -204,7 +223,6 @@ def ingest_batch(
         new_keys = final_rows.join(existing_keys, "case_number", "left_anti")
     else:
         new_keys = final_rows
-    n_good = good.count()
     n_inserted = new_keys.count()
     n_updated = n_good - n_inserted
 
@@ -272,7 +290,7 @@ def ingest_batch(
             case_parties
         ).dropDuplicates(["case_id", "party_id", "role"])
 
-    n_failed = bad.count()
+    n_failed = total_read - n_good
     n_no_parties = final_rows.join(
         exploded.select("case_number").distinct(), "case_number", "left_anti"
     ).count()
@@ -367,5 +385,6 @@ def ingest_batch(
         "ingest_errors": all_errors,
     }
     return IngestResult(
-        run_id=run_id, counts=counts, tables=tables, quarantine=quarantine, errors=errors
+        run_id=run_id, counts=counts, tables=tables, quarantine=quarantine,
+        errors=errors, cached=[validated, dim_src],
     )

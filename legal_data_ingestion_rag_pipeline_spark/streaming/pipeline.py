@@ -47,6 +47,10 @@ def start_ingest_stream(
         # materialize new versions so the next batch sees them
         state["tables"] = {k: v.localCheckpoint(eager=True) for k, v in result.tables.items()}
         state.setdefault("counts", []).append(result.counts)
+        # tables are checkpointed — drop the batch caches so a
+        # long-running stream doesn't hold one validation pass per
+        # micro-batch in executor memory
+        result.release()
 
     return (
         raw_stream.writeStream.foreachBatch(_process)
