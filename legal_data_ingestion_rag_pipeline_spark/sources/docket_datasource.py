@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: column order must match sources/readers.RAW_FIELDS + _seq; the DDL
@@ -114,6 +115,9 @@ class DocketJsonDataSource(DataSource):
     def reader(self, schema) -> DocketJsonReader:
         return DocketJsonReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return DocketJsonStreamReader(self.options)
+
 
 def read_raw_dockets_source(spark, path: str):
     """Convenience: register (idempotent) and load through the
@@ -121,3 +125,70 @@ def read_raw_dockets_source(spark, path: str):
     same columns, same ``_seq`` contract, file-parallel."""
     spark.dataSource.register(DocketJsonDataSource)
     return spark.read.format("docketjson").load(path)
+
+
+class DocketJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (SimpleDataSourceStreamReader):
+    the offset is the count of files consumed from the SORTED listing
+    — an append-only directory contract (each export lands as a new
+    file; files are immutable once written, the same contract Spark's
+    own FileStreamSource assumes).  ``readBetweenOffsets`` replays any
+    committed range deterministically from the listing, which is what
+    makes recovery exactly-once: a restarted query re-reads precisely
+    the files of the uncommitted batch, in the same order, with the
+    same ``_seq`` values (file-index based, so replay-stable)."""
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("docketjson stream requires a path")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.json")
+        self._glob = path
+
+    def _files(self):
+        return sorted(_glob.glob(self._glob))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, files, base_index):
+        for k, path in enumerate(files):
+            yield from self._file_rows(_FilePartition(base_index + k, path))
+
+    def _file_rows(self, partition):
+        with open(partition.path, "r", encoding="utf-8") as f:
+            records = json.load(f)
+        if not isinstance(records, list):
+            records = [records]
+        base = partition.index * SEQ_FILE_STRIDE
+        for i, rec in enumerate(records):
+            if not isinstance(rec, dict):
+                rec = {}
+            vals = [
+                (
+                    v
+                    if v is None or isinstance(v, str)
+                    else json.dumps(v, sort_keys=True)
+                )
+                for v in (rec.get(k) for k in _FIELDS)
+            ]
+            yield (*vals, base + i)
+
+    def read(self, start: dict):
+        # materialized list, not a generator: the simple-reader
+        # protocol prefetches and PICKLES the batch driver-side (its
+        # documented trade — per-batch data must fit the driver; the
+        # partition-planned DataSourceStreamReader is the scale path)
+        files = self._files()
+        lo = start["idx"]
+        return list(self._rows(files[lo:], lo)), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return list(
+            self._rows(files[start["idx"] : end["idx"]], start["idx"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -96,3 +96,48 @@ def test_source_non_string_values_stringified(spark, tmp_path):
     row = read_raw_dockets_source(spark, str(f)).collect()[0]
     assert row.title == "42"  # permissive: scalars stringify
     assert row.parties is None
+
+
+def test_source_streaming_two_batches(spark, tmp_path):
+    """The connector's streaming half (SimpleDataSourceStreamReader):
+    availableNow over file 1, then a SECOND query from the same
+    checkpoint after file 2 lands — only the new file's records
+    append (offset = files-consumed, replay-stable _seq)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _write(src / "a.json", DOCKETS[:4])
+    from legal_data_ingestion_rag_pipeline_spark.sources.docket_datasource import (
+        DocketJsonDataSource,
+    )
+
+    spark.dataSource.register(DocketJsonDataSource)
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = spark.readStream.format("docketjson").load(
+            str(src / "*.json")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    run_once()
+    got1 = spark.read.parquet(str(out_dir))
+    assert got1.count() == 4
+
+    _write(src / "b.json", DOCKETS[4:])
+    run_once()
+    rows = spark.read.parquet(str(out_dir)).orderBy("_seq").collect()
+    assert len(rows) == len(DOCKETS)  # no duplicates from file a
+    assert [r.case_number for r in rows] == [
+        d["case_number"] for d in DOCKETS
+    ]
+    # second file's _seq rides file index 1
+    assert rows[4]._seq == SEQ_FILE_STRIDE
