@@ -80,3 +80,41 @@ def test_cli_selftest(spark, capsys):
     assert cli.main(["ingest", "--selftest"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["selftest"] == "ok"
+
+
+def test_cli_tlog_format_end_to_end(spark, tmp_path, capsys):
+    """--format tlog: the same CLI workflows through the transaction-
+    log warehouse — runs accumulate versions, quality reads the
+    current state, and every prior run's state time-travels back."""
+    from legal_data_ingestion_rag_pipeline_spark.sources.sinks import TlogStore
+
+    f = tmp_path / "dockets.json"
+    f.write_text(json.dumps(DOCKETS))
+    store_dir = str(tmp_path / "tlwh")
+    args = ["--store", store_dir, "--format", "tlog"]
+
+    assert cli.main(["ingest", "--file", str(f), *args]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["run_id"] == 1 and out1["summary"]["inserted"] == 3
+
+    assert cli.main(["ingest", "--file", str(f), *args]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["run_id"] == 2 and out2["summary"]["inserted"] == 0
+
+    # quality reads the tlog-backed current state
+    rc = cli.main(["quality", *args])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "failed_pct" in rep
+    assert rc == 1  # 6/10 failed > 5% threshold, same as parquet path
+
+    # time travel: run 1's cases state is version 0
+    store = TlogStore(spark, store_dir)
+    assert store.current_version("cases") == 1
+    assert store.read("cases", version=0).count() == 3
+    assert store.read("ingest_runs", version=0).count() == 1
+    assert store.read("ingest_runs").count() == 2
+
+    # fts works over the tlog store too
+    assert cli.main(["fts", "--q", "complaint", "--k", "3", *args]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 1
