@@ -2978,3 +2978,70 @@ def props_variant_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_band")
     )
+
+
+_REACHABILITY_SQL = """
+    WITH RECURSIVE p(v, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS hops
+      UNION ALL
+      SELECT e.dst, p.hops + 1
+      FROM p JOIN {lanes} e ON e.src = p.v WHERE p.hops < 3
+    )
+    SELECT CAST(v AS BIGINT) AS nation, CAST(min(hops) AS BIGINT) AS hops
+    FROM p GROUP BY v ORDER BY nation
+"""
+
+
+@register(
+    "recursive_reachability_sql",
+    oracle="""
+    WITH RECURSIVE lanes AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst FROM lanes WHERE src <> dst AND cnt >= 5),
+    p AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS hops
+      UNION ALL
+      SELECT e.dst, p.hops + 1
+      FROM p JOIN e ON e.src = p.v WHERE p.hops < 3
+    )
+    SELECT CAST(v AS BIGINT) AS nation, CAST(min(hops) AS BIGINT) AS hops
+    FROM p GROUP BY v ORDER BY nation
+    """,
+    doc="Spark 4 RECURSIVE CTE executed natively by the SQL "
+    "front-end (the UnionLoop operator): 3-hop reachability from "
+    "nation 0 over the volume-filtered trade-lane graph, the same "
+    "statement shape DuckDB runs as the oracle — two independent "
+    "recursive-CTE engines pinned to the same frontier. Recursion "
+    "is DEPTH-BOUNDED inside the recursive leg (hops < 3) with "
+    "min() taken after — the documented guard against the "
+    "cyclic-graph divergence both engines share (a monotone depth "
+    "column makes every (v, hops) pair 'new' forever). The "
+    "iterative-operator form of the same computation is "
+    "graph.bfs_distances / bellman_ford (frontier joins + "
+    "localCheckpoint); this row gates the declarative surface.",
+)
+def recursive_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lanes = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("src") != F.col("dst")) & (F.col("cnt") >= 5))
+        .select("src", "dst")
+    )
+    lanes.createOrReplaceTempView("v_reach_lanes")
+    return spark.sql(_REACHABILITY_SQL.format(lanes="v_reach_lanes"))
