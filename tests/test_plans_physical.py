@@ -444,3 +444,47 @@ def test_ivm_deltas_broadcast(spark):
 def test_bellman_ford_no_cartesian(spark):
     plan = plan_of(spark, "cheapest_trade_routes")
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_rank_fact_windows_band_partitioned(spark):
+    """ranks.two_phase_rank: every fact-side window must partition by
+    the band (parallel in-band row_numbers); the only unpartitioned
+    window is the band-carry table (value-range-bounded, never
+    corpus-bounded).  Asserted on the quantile query, whose only rank
+    source is the two-phase layer."""
+    plan = plan_of(spark, "exact_quantiles_order_totals")
+    segs = plan.split("Window [")[1:]
+    assert segs, "expected window nodes"
+    fact = [s for s in segs if "row_number" in s[:300]]
+    assert fact, "expected the in-band row_number window"
+    for s in fact:
+        assert "band" in s[:300], "row_number window must be band-partitioned"
+
+
+def test_quantile_probe_join_broadcast(spark):
+    plan = plan_of(spark, "exact_quantiles_order_totals")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_prefix_sum_band_partitioned(spark):
+    """two_phase_prefix_sum in the KS ECDF: the running-sum window
+    over distinct-cents groups partitions by band; top-1 is
+    TakeOrderedAndProject (never a global sort of the run table)."""
+    plan = plan_of(spark, "ks_urgent_price_distribution")
+    assert "TakeOrderedAndProject" in plan
+    # fact-side running sums order by cents within each band; the
+    # band-carry window (band-ordered, no cents) may be unpartitioned
+    segs = [
+        s
+        for s in plan.split("Window [")[1:]
+        if "cents" in s[:400]
+    ]
+    assert segs, "expected the in-band running-sum window"
+    for s in segs:
+        assert "windowspecdefinition(band" in s[:400]
+
+
+def test_recursive_cte_no_cartesian(spark):
+    plan = plan_of(spark, "recursive_reachability_sql")
+    assert "CartesianProduct" not in plan
