@@ -2916,3 +2916,118 @@ def embedding_covariance_spectrum(
         [(int(c), int(v)) for c, v in spec],
         "component long, var_micro long",
     ).orderBy("component")
+
+
+@register(
+    "gopher_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {PT.tokens('text', PT.DUCKDB)} AS toks
+      FROM documents),
+    n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+    b AS (SELECT doc_id, unnest({PT.word_ngrams('toks', 2, PT.DUCKDB)})
+            AS g FROM t),
+    bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+    btop AS (
+      SELECT doc_id, g AS top_bigram, c AS top_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, g DESC) AS rn FROM bc)
+      WHERE rn = 1),
+    f AS (SELECT doc_id, unnest({PT.word_ngrams('toks', 5, PT.DUCKDB)})
+            AS g FROM t),
+    fc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           FROM f GROUP BY 1, 2),
+    fs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total5,
+                  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup5
+           FROM fc GROUP BY 1)
+    SELECT n.doc_id, n.n_tokens, btop.top_bigram, btop.top_count,
+           (btop.top_count * 2 * 1000000) // n.n_tokens
+             AS top2_token_frac_micro,
+           CASE WHEN coalesce(fs.total5, 0) > 0
+                THEN (fs.dup5 * 1000000) // fs.total5
+                ELSE CAST(0 AS BIGINT) END AS dup5_frac_micro
+    FROM n
+    JOIN btop ON btop.doc_id = n.doc_id
+    LEFT JOIN fs ON fs.doc_id = n.doc_id
+    ORDER BY dup5_frac_micro DESC, n.doc_id LIMIT 25
+    """,
+    doc="the Gopher-family repetition signals (Rae et al. 2021 "
+    "quality heuristics, token-fraction variants): per document, "
+    "the fraction of tokens covered by the single most frequent "
+    "word bigram (catches phrase loops) and the fraction of "
+    "word-5-gram instances that are duplicates within the document "
+    "(catches long-range template repetition; the corpus ships no "
+    "newlines, so the duplicate-LINE form is degenerate here and "
+    "the n-gram forms carry the signal). Exact integer counts and "
+    "integer-division micros end-to-end — no floats at all; ties "
+    "on the top bigram break (count DESC, gram DESC) identically "
+    "in both engines; top-25 most repetitive docs via "
+    "TakeOrderedAndProject. Complements compression_ratio (zlib "
+    "proxy) and boilerplate_segment_removal (cross-doc lines) in "
+    "the quality family.",
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = barrier(
+        docs.select(
+            "doc_id", F.expr(PT.tokens("text", S)).alias("toks")
+        )
+    ).localCheckpoint(eager=True)
+    n = t.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    bc = (
+        t.select(
+            "doc_id",
+            F.explode(F.expr(PT.word_ngrams("toks", 2, S))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.desc("g"))
+    btop = (
+        bc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_bigram"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    fs = (
+        t.select(
+            "doc_id",
+            F.explode(F.expr(PT.word_ngrams("toks", 5, S))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("total5"),
+            F.sum(F.expr("CASE WHEN c >= 2 THEN c ELSE 0 END"))
+            .cast("bigint")
+            .alias("dup5"),
+        )
+    )
+    return (
+        n.join(btop, "doc_id")
+        .join(fs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_bigram",
+            "top_count",
+            F.expr("(top_count * 2 * 1000000) DIV n_tokens").alias(
+                "top2_token_frac_micro"
+            ),
+            F.expr(
+                "CASE WHEN coalesce(total5, 0) > 0"
+                " THEN (dup5 * 1000000) DIV total5"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("dup5_frac_micro"),
+        )
+        .orderBy(F.desc("dup5_frac_micro"), "doc_id")
+        .limit(25)
+    )
