@@ -77,7 +77,12 @@ def cmd_ingest(spark: SparkSession, args) -> int:
     if "ingest_runs" in existing:
         prev = existing["ingest_runs"].agg({"run_id": "max"}).collect()[0][0]
         run_id = int(prev or 0) + 1
-    raw = read_raw_dockets(spark, args.file)
+    if getattr(args, "reader", "builtin") == "datasource":
+        from .sources.docket_datasource import read_raw_dockets_source
+
+        raw = read_raw_dockets_source(spark, args.file)
+    else:
+        raw = read_raw_dockets(spark, args.file)
     result = ingest_batch(spark, raw, existing=existing or None, run_id=run_id)
     store.write_all(result.tables)
     result.release()
@@ -195,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--selftest", action="store_true")
     pi.add_argument("--store", default="./warehouse")
     pi.add_argument("--format", choices=("parquet", "tlog"), default="parquet")
+    # builtin = multiLine JSON reader; datasource = the docketjson
+    # Python DataSource connector (file-parallel, stable _seq)
+    pi.add_argument(
+        "--reader", choices=("builtin", "datasource"), default="builtin"
+    )
 
     pr = sub.add_parser("rag")
     rsub = pr.add_subparsers(dest="rag_cmd", required=True)

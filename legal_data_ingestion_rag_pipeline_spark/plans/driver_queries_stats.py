@@ -1438,3 +1438,69 @@ def daily_purchases_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "cusum_change_point",
+    oracle="""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(c) AS BIGINT) AS total FROM dc),
+    s AS (
+      SELECT day,
+             CAST(sum(c * (SELECT m FROM t) - (SELECT total FROM t))
+               OVER (ORDER BY day) AS BIGINT) AS s_k
+      FROM dc)
+    SELECT (SELECT m FROM t) AS n_days, day AS change_day,
+           abs(s_k) AS cusum_peak_scaled,
+           CAST(floor(CAST(abs(s_k) AS DOUBLE)
+                / (SELECT CAST(m AS DOUBLE) FROM t)
+                * 1000000.0 + 0.5) AS BIGINT) AS cusum_peak_micro
+    FROM s ORDER BY abs(s_k) DESC, day LIMIT 1
+    """,
+    doc="CUSUM change-point detection on the daily purchase series — "
+    "the monitoring primitive that localizes WHEN a level shift "
+    "happened (complementing daily_count_anomalies' pointwise "
+    "z-scores and psi_value_drift's distribution drift): the "
+    "cumulative sum of mean-centered counts peaks at the "
+    "change point. Centering is kept exact by scaling with the day "
+    "count (c*m - total — integer, no float mean), the running sum "
+    "rides the calendar-bounded daily table (a days-scale window, "
+    "never corpus-scale), and the peak is TakeOrderedAndProject "
+    "with a (|S_k| DESC, day) total order. The micro-normalized "
+    "peak divides the one exact integer by m in a shared IEEE "
+    "expression.",
+)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    t = dc.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        dc.crossJoin(F.broadcast(t))
+        .withColumn(
+            "s_k", F.sum(F.expr("c * m - total")).over(w).cast("bigint")
+        )
+    )
+    return (
+        s.select(
+            F.col("m").alias("n_days"),
+            F.col("day").alias("change_day"),
+            F.expr("abs(s_k)").alias("cusum_peak_scaled"),
+            F.expr(
+                "CAST(floor(CAST(abs(s_k) AS DOUBLE) / CAST(m AS DOUBLE)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("cusum_peak_micro"),
+        )
+        .orderBy(F.desc("cusum_peak_scaled"), "change_day")
+        .limit(1)
+    )

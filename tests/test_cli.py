@@ -118,3 +118,19 @@ def test_cli_tlog_format_end_to_end(spark, tmp_path, capsys):
     assert cli.main(["fts", "--q", "complaint", "--k", "3", *args]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) >= 1
+
+
+def test_cli_datasource_reader(spark, tmp_path, capsys):
+    """--reader datasource: ingest through the docketjson connector —
+    same counts as the builtin reader path."""
+    f = tmp_path / "dockets.json"
+    f.write_text(json.dumps(DOCKETS))
+    store = str(tmp_path / "wh_ds")
+    rc = cli.main(
+        ["ingest", "--file", str(f), "--store", store,
+         "--reader", "datasource"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = out["summary"]
+    assert s["read"] == 10 and s["inserted"] == 3 and s["failed"] == 6
