@@ -9,7 +9,11 @@ Kolmogorov-Smirnov, last-touch attribution, lag-1 autocorrelation,
 RFM segmentation, degree assortativity, Adamic-Adar link
 prediction, HITS, exact tie-corrected ROC-AUC (Mann-Whitney), decile
 lift/calibration, exact banded quantiles (global and
-per-group), and calendar-spine gap filling.  The global-order
+per-group), calendar-spine gap filling, CUSUM change-point
+detection, Mann-Kendall trend significance (tie-corrected, with
+Kendall tau-b), Kaplan-Meier survival (product-limit over censored
+conversion times), and a deterministic Poisson-bootstrap confidence
+interval.  The global-order
 statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
@@ -1503,4 +1507,381 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cusum_peak_scaled"), "change_day")
         .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend significance, survival analysis, bootstrap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_kendall_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie3,
+             CAST(coalesce(sum((t * (t - 1)) // 2), 0) AS BIGINT) AS tie2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)
+    )
+    SELECT n.n_days, s.s_stat,
+           n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie3
+             AS var_num18,
+           CAST(floor(
+             (CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                   WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                   ELSE 0.0 END)
+             / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                         - ties.tie3 AS DOUBLE) / 18.0)
+             * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+           CAST(floor(
+             CAST(s.s_stat AS DOUBLE)
+             / sqrt(CAST((n.n_days * (n.n_days - 1) // 2) AS DOUBLE)
+                    * CAST((n.n_days * (n.n_days - 1) // 2) - ties.tie2
+                           AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS tau_b_micro
+    FROM s CROSS JOIN n CROSS JOIN ties
+    """,
+    doc="Mann-Kendall trend significance of the daily event series — "
+    "the non-parametric IS-there-a-trend test beside Theil-Sen's "
+    "HOW-steep estimate (the two are the classic pair). "
+    "S = sum of sign(y_j - y_i) over day pairs i<j is an exact "
+    "BIGINT from the same CALENDAR-bounded pairwise join Theil-Sen "
+    "uses (days^2, never facts^2); the tie-corrected variance "
+    "n(n-1)(2n+5) - sum t(t-1)(2t+5) stays exact-integer as "
+    "var_num18 (the /18 is folded into the reported expression), "
+    "and the only transcendental is ONE sqrt applied to a ratio of "
+    "exact integers, micro-snapped (the psi ln convention). "
+    "tau_b = S / sqrt(D(D - T_y)) reuses the exact tie table "
+    "(day ranks are tie-free, so T_x = 0). Continuity-corrected "
+    "z = (S -/+ 1)/sqrt(var): |z| > 1.96 rejects no-trend at 5%.",
+)
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    s = (
+        a.join(b, F.col("bx") > F.col("ax"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN by > ay THEN 1 WHEN by < ay THEN -1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast("bigint")
+            .alias("tie3"),
+            F.coalesce(F.sum(F.expr("(t * (t - 1)) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("tie2"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "s_stat",
+            F.expr(
+                "n_days * (n_days - 1) * (2 * n_days + 5) - tie3"
+            ).alias("var_num18"),
+            F.expr(
+                "CAST(floor("
+                "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+                " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+                " ELSE 0.0 END)"
+                " / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)"
+                " - tie3 AS DOUBLE) / 18.0)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("z_micro"),
+            F.expr(
+                "CAST(floor("
+                "CAST(s_stat AS DOUBLE)"
+                " / sqrt(CAST((n_days * (n_days - 1) DIV 2) AS DOUBLE)"
+                " * CAST((n_days * (n_days - 1) DIV 2) - tie2 AS DOUBLE))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("tau_b_micro"),
+        )
+    )
+
+
+@register(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+      SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+      GROUP BY 1, 2
+    ),
+    study AS (SELECT max(CAST(ts AS DATE)) AS end_d FROM events),
+    subj AS (
+      SELECT CAST(coalesce(CAST(f.p_ts AS DATE), st.end_d)
+                  - CAST(f.s_ts AS DATE) AS BIGINT) AS t_day,
+             CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM fp f CROSS JOIN study st
+    ),
+    daily AS (
+      SELECT t_day, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM daily),
+    risk AS (
+      SELECT t_day, d, c,
+             tot.n - CAST(coalesce(sum(d + c) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM daily CROSS JOIN tot
+    ),
+    steps AS (
+      SELECT t_day, n_risk, d, c,
+             CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+      FROM risk WHERE d > 0 AND d < n_risk
+    )
+    SELECT t_day, n_risk, d AS n_events, c AS n_censored,
+           CAST(sum(term_micro) OVER (ORDER BY t_day) AS BIGINT)
+             AS surv_ln_micro
+    FROM steps ORDER BY t_day
+    """,
+    doc="Kaplan-Meier product-limit estimator of signup-to-purchase "
+    "conversion time with right censoring — subjects who never "
+    "purchase are censored at the study end (global max event date), "
+    "not dropped, which is exactly the bias naive time-to-convert "
+    "averages (funnel_time_to_convert) suffer. Per-duration-day "
+    "event/censor counts are exact integers from one grouped pass; "
+    "the at-risk count n_i = N - (removed before t) and the curve "
+    "accumulates ln((n_i - d_i)/n_i) per event day — each ln applied "
+    "once to a ratio of exact integers and micro-snapped BEFORE the "
+    "cumulative sum (the psi convention), so surv_ln_micro is an "
+    "exact BIGINT and S(t) = exp(surv_ln_micro/1e6) reader-side. "
+    "Windows run over the DURATION-day table — calendar-bounded like "
+    "the sweep carries, never corpus-bounded. Days where the full "
+    "risk set converts (S hits exact 0, ln undefined) terminate the "
+    "reported curve by construction; censoring at study end makes "
+    "that a theoretical edge only.",
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    fp = (
+        signup.join(
+            purch,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    study = ev.agg(F.max(F.to_date("ts")).alias("end_d"))
+    subj = fp.crossJoin(F.broadcast(study)).select(
+        F.datediff(
+            F.coalesce(F.to_date("p_ts"), F.col("end_d")), F.to_date("s_ts")
+        )
+        .cast("bigint")
+        .alias("t_day"),
+        F.expr("CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END").alias("e"),
+    )
+    daily = subj.groupBy("t_day").agg(
+        F.sum("e").cast("bigint").alias("d"),
+        F.sum(F.expr("1 - e")).cast("bigint").alias("c"),
+    )
+    tot = daily.agg(F.sum(F.expr("d + c")).cast("bigint").alias("n"))
+    w_prev = (
+        Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.expr("d + c")).over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    )
+    steps = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).withColumn(
+        "term_micro",
+        F.expr(
+            "CAST(floor(ln(CAST(n_risk - d AS DOUBLE)"
+            " / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    w_run = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    return steps.select(
+        "t_day",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.sum("term_micro").over(w_run).cast("bigint").alias("surv_ln_micro"),
+    ).orderBy("t_day")
+
+
+#: Poisson(1) cumulative distribution, micro-snapped in Python once
+#: and folded into both dialects as the same literal table (the
+#: Benford/decayed_user_value convention — exp walks no libm path at
+#: query time).  weight = #{k : u_micro >= cdf_micro[k]} gives the
+#: standard Poisson bootstrap resample multiplicity, capped at 9 by
+#: the table length (P(w > 8) ~ 1e-7).
+_POISSON1_CDF_MICRO = [
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999
+]
+_P_MOD = 1_000_000_007
+
+
+def _bootstrap_weight_sql(dialect: str) -> str:
+    """w(ok, b): two multiplicative-congruential rounds over exact
+    int64s (no intermediate exceeds (1e9+7)*48271 < 2^63), then the
+    folded Poisson table — bit-identical in both engines."""
+    arr = ", ".join(str(v) for v in _POISSON1_CDF_MICRO)
+    u = (
+        f"((((ok % {_P_MOD}) * 48271 + (b + 1) * 16807) % {_P_MOD})"
+        f" * 48271 + 11) % {_P_MOD} % 1000000"
+    )
+    if dialect == "spark":
+        return f"CAST(size(filter(array({arr}), t -> {u} >= t)) AS BIGINT)"
+    return f"CAST(len(list_filter([{arr}], t -> {u} >= t)) AS BIGINT)"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS ok,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    x AS (
+      SELECT b, cents, {_bootstrap_weight_sql('duckdb')} AS w
+      FROM o CROSS JOIN range(0, 64) t(b)
+    ),
+    m AS (
+      SELECT b,
+             (CAST(sum(w * cents) AS BIGINT) * 1000)
+               // CAST(sum(w) AS BIGINT) AS mean_milli
+      FROM x GROUP BY b
+    ),
+    r AS (
+      SELECT mean_milli,
+             row_number() OVER (ORDER BY mean_milli, b) AS rnk
+      FROM m
+    ),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             (CAST(sum(cents) AS BIGINT) * 1000)
+               // CAST(count(*) AS BIGINT) AS mean_milli
+      FROM o
+    )
+    SELECT CAST(64 AS BIGINT) AS n_resamples, pt.n_orders,
+           pt.mean_milli AS mean_milli,
+           CAST(max(CASE WHEN r.rnk = 2 THEN r.mean_milli END) AS BIGINT)
+             AS ci_lo_milli,
+           CAST(max(CASE WHEN r.rnk = 63 THEN r.mean_milli END) AS BIGINT)
+             AS ci_hi_milli
+    FROM r CROSS JOIN pt
+    GROUP BY pt.n_orders, pt.mean_milli
+    """,
+    doc="deterministic Poisson-bootstrap confidence interval for mean "
+    "order value: 64 resamples where each order's multiplicity in "
+    "resample b is Poisson(1)-distributed but PURELY a function of "
+    "(o_orderkey, b) — two integer LCG rounds mod 1e9+7 feed a "
+    "folded Poisson CDF literal table, so re-runs, retries, and any "
+    "partitioning draw the SAME resamples (the deterministic_sample "
+    "property, extended to weighted replication). The Poisson trick "
+    "is WHY bootstrap scales: no resample materializes — each row "
+    "contributes (w, w*cents) partials that map-side combine into "
+    "64 groups, one 64-row shuffle regardless of corpus size. CI "
+    "bounds are EXACT order statistics (2nd / 63rd of 64 resample "
+    "means, a ~93.7% interval) — no quantile interpolation to "
+    "diverge between engines; means are exact integer milli-cents "
+    "(floor division, both operands positive). BIGINT headroom: "
+    "sum(w*cents)*1000 fits int64 to ~4e15 total order cents; "
+    "beyond, accumulate DECIMAL(38,0) on both engines.",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    bs = F.array([F.lit(i) for i in range(64)])
+    x = o.select(
+        "ok", "cents", F.explode(bs).alias("b")
+    ).withColumn("w", F.expr(_bootstrap_weight_sql("spark")))
+    m = x.groupBy("b").agg(
+        F.expr(
+            "(CAST(sum(w * cents) AS BIGINT) * 1000)"
+            " DIV CAST(sum(w) AS BIGINT)"
+        ).alias("mean_milli")
+    )
+    r = m.select(
+        F.col("mean_milli").alias("rmean"),
+        F.row_number()
+        .over(Window.orderBy("mean_milli", "b"))
+        .alias("rnk"),
+    )
+    pt = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr(
+            "(CAST(sum(cents) AS BIGINT) * 1000) DIV CAST(count(*) AS BIGINT)"
+        ).alias("mean_milli"),
+    )
+    return (
+        r.crossJoin(F.broadcast(pt))
+        .groupBy("n_orders", "mean_milli")
+        .agg(
+            F.max(F.expr("CASE WHEN rnk = 2 THEN rmean END"))
+            .cast("bigint")
+            .alias("ci_lo_milli"),
+            F.max(F.expr("CASE WHEN rnk = 63 THEN rmean END"))
+            .cast("bigint")
+            .alias("ci_hi_milli"),
+        )
+        .select(
+            F.lit(64).cast("bigint").alias("n_resamples"),
+            "n_orders",
+            "mean_milli",
+            "ci_lo_milli",
+            "ci_hi_milli",
+        )
     )
