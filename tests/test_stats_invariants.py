@@ -1,0 +1,139 @@
+"""Mathematical invariants of the statistical-test family that the
+hash gate cannot express: the gate proves Spark == DuckDB, these
+prove both equal something a statistician would sign off on."""
+
+from __future__ import annotations
+
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return registry()[name].spark(spark, SF).collect()
+
+
+def test_kaplan_meier_curve_is_valid_survival(spark):
+    rows = _run(spark, "kaplan_meier_conversion")
+    assert rows, "curve must have at least one event day"
+    prev_t, prev_risk, prev_ln = -1, None, 1
+    removed = 0
+    n0 = rows[0]["n_risk"] + 0  # risk set before any removal
+    for r in rows:
+        # event days strictly increase; risk set strictly shrinks
+        assert r["t_day"] > prev_t
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk
+        # ln S(t) is non-increasing and strictly negative after step 1
+        assert r["surv_ln_micro"] < 0
+        assert r["surv_ln_micro"] <= prev_ln
+        # the reported step is well-defined: 0 < d < n_risk
+        assert 0 < r["n_events"] < r["n_risk"]
+        assert r["n_censored"] >= 0
+        prev_t, prev_risk, prev_ln = r["t_day"], r["n_risk"], r["surv_ln_micro"]
+        removed += r["n_events"] + r["n_censored"]
+    # risk sets are consistent with cumulative removals between steps
+    assert rows[0]["n_risk"] <= n0
+
+
+def test_kaplan_meier_matches_python_model(spark):
+    """Bit-exact pure-Python twin over the same subject durations."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    subj = con.execute(
+        f"""
+        WITH signup AS (
+          SELECT user_id, min(ts) AS s_ts
+          FROM '{SF}/events.parquet' WHERE event_type = 'signup' GROUP BY 1),
+        fp AS (
+          SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+          FROM signup s LEFT JOIN '{SF}/events.parquet' e
+            ON e.user_id = s.user_id AND e.event_type = 'purchase'
+           AND e.ts >= s.s_ts GROUP BY 1, 2),
+        study AS (SELECT max(CAST(ts AS DATE)) AS end_d
+                  FROM '{SF}/events.parquet')
+        SELECT CAST(coalesce(CAST(f.p_ts AS DATE), st.end_d)
+                    - CAST(f.s_ts AS DATE) AS BIGINT) AS t_day,
+               CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM fp f CROSS JOIN study st
+        """
+    ).fetchall()
+    days: dict[int, list[int]] = {}
+    for t, e in subj:
+        d, c = days.setdefault(t, [0, 0])
+        days[t] = [d + e, c + (1 - e)]
+    n_risk = sum(d + c for d, c in days.values())
+    expect = []
+    ln_acc = 0
+    for t in sorted(days):
+        d, c = days[t]
+        if d > 0 and d < n_risk:
+            term = math.floor(
+                math.log(float(n_risk - d) / float(n_risk)) * 1_000_000 + 0.5
+            )
+            ln_acc += term
+            expect.append((t, n_risk, d, c, ln_acc))
+        n_risk -= d + c
+    got = [
+        (r["t_day"], r["n_risk"], r["n_events"], r["n_censored"],
+         r["surv_ln_micro"])
+        for r in _run(spark, "kaplan_meier_conversion")
+    ]
+    assert got == expect
+
+
+def test_mann_kendall_statistic_bounds(spark):
+    (r,) = _run(spark, "mann_kendall_daily_trend")
+    n, s = r["n_days"], r["s_stat"]
+    pairs = n * (n - 1) // 2
+    assert -pairs <= s <= pairs
+    # tie-corrected variance numerator is positive and at most the
+    # tie-free value
+    assert 0 < r["var_num18"] <= n * (n - 1) * (2 * n + 5)
+    # tau_b in [-1, 1] (micro-units)
+    assert -1_000_000 <= r["tau_b_micro"] <= 1_000_000
+    # z and S agree in sign (continuity correction never flips it)
+    if s > 1:
+        assert r["z_micro"] > 0
+    if s < -1:
+        assert r["z_micro"] < 0
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    (r,) = _run(spark, "bootstrap_mean_ci")
+    assert r["n_resamples"] == 64
+    assert r["ci_lo_milli"] <= r["ci_hi_milli"]
+    # the resample-mean order statistics straddle the full-sample mean
+    # (Poisson(1) weights are unbiased; at n=1500 orders the spread of
+    # 64 resample means comfortably brackets it)
+    assert r["ci_lo_milli"] <= r["mean_milli"] <= r["ci_hi_milli"]
+
+
+def test_bootstrap_weights_are_poisson_like(spark):
+    """The folded CDF table must produce mean multiplicity ~1: the
+    resample 'size' sum(w) stays within 10% of n for every b."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_stats import (
+        _bootstrap_weight_sql,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("ok")
+    )
+    n = o.count()
+    sizes = (
+        o.select("ok", F.explode(F.array([F.lit(i) for i in range(8)])).alias("b"))
+        .withColumn("w", F.expr(_bootstrap_weight_sql("spark")))
+        .groupBy("b")
+        .agg(F.sum("w").alias("sz"))
+        .collect()
+    )
+    assert len(sizes) == 8
+    for row in sizes:
+        assert abs(row["sz"] - n) < 0.1 * n
