@@ -1633,6 +1633,7 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kaplan_meier_conversion",
+    bench=True,
     oracle="""
     WITH signup AS (
       SELECT user_id, min(ts) AS s_ts
@@ -1784,6 +1785,7 @@ def _bootstrap_weight_sql(dialect: str) -> str:
 
 @register(
     "bootstrap_mean_ci",
+    bench=True,
     oracle=f"""
     WITH o AS (
       SELECT o_orderkey AS ok,

@@ -399,6 +399,28 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        streaming_interval_join (interval residual); keeps
 #:        oracle_check + pytest.
 #:
+#: Round-8 late rotation (the session's final statistical additions
+#: are the newest families with no driver row; same partner rule):
+#:   IN : kaplan_meier_conversion (product-limit survival with right
+#:        censoring — a new algorithm class: risk-set accounting +
+#:        the micro-snapped-ln-before-cumsum convention in one),
+#:        bootstrap_mean_ci (deterministic Poisson-bootstrap — a new
+#:        resampling class: folded-CDF integer weights, exact
+#:        order-statistic CI, map-side-combine scale shape).
+#:   OUT: psi_value_drift -> the ln-on-exact-integer-ratio micro-snap
+#:        convention is now gated by kaplan_meier_conversion (same
+#:        snap, plus cumulative discipline) and lm_perplexity_score;
+#:        keeps oracle_check.
+#:        systematic_weighted_sample -> deterministic weighted
+#:        selection is gated by bootstrap_mean_ci (the same pure-
+#:        function-of-key property, extended to replication); its
+#:        two-phase key-range prefix sum stays gated via
+#:        ks_urgent_price_distribution + spearman_balance_spend;
+#:        keeps oracle_check + the k=97 systematic-picks pytest.
+#:        (mann_kendall_daily_trend stays oracle_check-only: its
+#:        pairwise calendar-bounded join and exact tie table are the
+#:        machinery theil_sen_daily_trend already gates.)
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -439,9 +461,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "spearman_balance_spend",
     "ks_urgent_price_distribution",
     "chi_squared_independence",
-    "psi_value_drift",
+    "kaplan_meier_conversion",
     "theil_sen_daily_trend",
-    "systematic_weighted_sample",
+    "bootstrap_mean_ci",
     "quality_signal_confusion",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
