@@ -687,6 +687,176 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.perplexity_score(docs, uni, bi, v).orderBy("doc_id")
 
 
+_KN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+           FROM t),
+    bi AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    w1 AS (SELECT string_split(bigram, chr(1))[1] AS w,
+                  CAST(sum(c2) AS BIGINT) AS c1w,
+                  CAST(count(*) AS BIGINT) AS n1p
+           FROM bi GROUP BY 1),
+    w2 AS (SELECT string_split(bigram, chr(1))[2] AS w,
+                  CAST(count(*) AS BIGINT) AS ncont
+           FROM bi GROUP BY 1),
+    bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln(
+               CAST(greatest(4 * b.c2 - 3, 0) * bt.b
+                    + 3 * w1.n1p * w2.ncont AS DOUBLE)
+               / CAST(4 * w1.c1w * bt.b AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS nlp
+      FROM bg g
+      JOIN bi b USING (bigram)
+      JOIN w1 ON w1.w = string_split(g.bigram, chr(1))[1]
+      JOIN w2 ON w2.w = string_split(g.bigram, chr(1))[2]
+      CROSS JOIN bt
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nlp) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           CAST(coalesce(a.s, 0) AS BIGINT) AS sum_nlp_micro,
+           CAST(coalesce(a.s, 0) // greatest(coalesce(a.n_bigrams, 0), 1)
+                AS BIGINT) AS avg_nlp_micro
+    FROM (SELECT doc_id FROM t) d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "kneser_ney_perplexity",
+    oracle=_KN_ORACLE,
+    doc="Interpolated Kneser-Ney bigram scoring — the smoothing that "
+    "beats add-one on real text (Chen & Goodman 1998): absolute "
+    "discount D=3/4 kept RATIONAL so P_KN = (max(4*c2-3,0)*B + "
+    "3*N1+(w1,.)*N1+(.,w2)) / (4*c(w1 .)*B) is ONE ratio of exact "
+    "BIGINTs — the continuation counts N1+ are the KN insight "
+    "(how many DISTINCT contexts a word appears in, not how often). "
+    "All three model tables derive from the bigram-TYPE table, so KN "
+    "adds only vocabulary-scale aggregations to the one corpus-scale "
+    "bigram count pass; scoring is the same uniform bigram-key "
+    "shuffle join as lm_perplexity_score plus two vocabulary-keyed "
+    "joins. -ln snaps to micro-units before the per-doc BIGINT sum "
+    "(operators/lm.py kneser_ney_score).",
+)
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
+    return lm.kneser_ney_score(docs, bi, w1s, w2s, b).orderBy("doc_id")
+
+
+#: temperature-weighting sample budget (slots to apportion) and the
+#: milli-snapped weight expression shared by both dialects: w_d =
+#: mass_d^0.7 computed as exp(0.7 * ln(mass)) with EACH transcendental
+#: applied once to a bit-identical double input and snapped — ln takes
+#: an exact-BIGINT cast, its micro-snap re-enters exp as (7 * micro) /
+#: 1e7, both exact-int-derived doubles (the psi/lm snap convention,
+#: extended to a two-transcendental chain).
+_TEMP_BUDGET = 1_000_000
+_TEMP_W = (
+    "CAST(floor(exp(CAST(7 * CAST(floor(ln(CAST(mass AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000000.0)"
+    " * 1000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, mass, {_TEMP_W} AS w_milli FROM m),
+    tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w),
+    q AS (SELECT source, mass, w_milli,
+                 CAST(({_TEMP_BUDGET} * w_milli) // tw AS BIGINT)
+                   AS base_alloc,
+                 CAST(({_TEMP_BUDGET} * w_milli) % tw AS BIGINT) AS rem
+          FROM w CROSS JOIN tot),
+    l AS (SELECT CAST({_TEMP_BUDGET} - sum(base_alloc) AS BIGINT)
+                   AS leftover FROM q),
+    r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q)
+    SELECT source, mass, w_milli, base_alloc,
+           CAST(CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc
+                + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r CROSS JOIN l ORDER BY source
+    """,
+    doc="Temperature-based mixture apportionment (the mT5/multilingual "
+    "sampling rule): domain weight = mass^0.7 — the exponent that "
+    "up-samples tail domains without letting the head starve them — "
+    f"then {_TEMP_BUDGET} sample slots apportioned by LARGEST "
+    "REMAINDER (Hamilton): floor quotas in exact integer arithmetic, "
+    "leftovers to the largest remainders with a deterministic "
+    "(remainder DESC, source) tiebreak, so sum(alloc) == budget "
+    "EXACTLY — the invariant naive float-rounding apportionment "
+    "violates. The power folds to exp(0.7*ln(mass)) with each "
+    "transcendental applied once to an exact-integer-derived double "
+    "and snapped (module constant _TEMP_W). Scale: one partial-agg'd "
+    "domain rollup (output rows = #domains); the quota window runs "
+    "over that bounded table, never the corpus — feeds "
+    "mixture.sample_to_mixture as its weights table.",
+)
+def temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    m = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    )
+    w = m.withColumn("w_milli", F.expr(_TEMP_W))
+    tot = w.agg(F.sum("w_milli").cast("bigint").alias("tw"))
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "base_alloc", F.expr(f"({_TEMP_BUDGET} * w_milli) DIV tw")
+        )
+        .withColumn("rem", F.expr(f"({_TEMP_BUDGET} * w_milli) % tw"))
+    )
+    leftover = q.agg(
+        (F.lit(_TEMP_BUDGET) - F.sum("base_alloc"))
+        .cast("bigint")
+        .alias("leftover")
+    )
+    # global window over the DOMAIN table (rows = #domains, bounded)
+    # — never over the corpus
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    return (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "mass",
+            "w_milli",
+            "base_alloc",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("extra"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
 _PACK_BUDGET = 2048
 
 

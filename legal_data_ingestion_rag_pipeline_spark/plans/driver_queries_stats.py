@@ -1887,3 +1887,158 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_milli",
         )
     )
+
+
+def _pav_pools(
+    bins: list[tuple[int, int, int]]
+) -> list[tuple[int, int, int]]:
+    """Pool-Adjacent-Violators over (bin, n, pos) rows sorted by bin:
+    returns (bin, pool_n, pool_pos) with pooled positive rates
+    non-decreasing in bin.  Rates compare as RATIONALS (pos_a * n_b
+    vs pos_b * n_a) — exact integer arithmetic, no floats anywhere —
+    so the fit is a deterministic pure function of the aggregate
+    table and both engines' twins agree bit-for-bit."""
+    stack: list[list[int | list[int]]] = []  # [n, pos, [bins...]]
+    for b, n, pos in sorted(bins):
+        stack.append([n, pos, [b]])
+        # merge while the top pool's rate is BELOW its predecessor's
+        while (
+            len(stack) >= 2
+            and stack[-1][1] * stack[-2][0] < stack[-2][1] * stack[-1][0]
+        ):
+            n2, p2, b2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+            stack[-1][2].extend(b2)
+    out: list[tuple[int, int, int]] = []
+    for n, pos, bs in stack:
+        for b in bs:
+            out.append((b, n, pos))
+    return sorted(out)
+
+
+#: isotonic bin spec shared by both engines: $1000 account-balance
+#: bands, clamped to [0, 9]; negative balances clamp BEFORE the
+#: division (Spark DIV truncates toward zero, DuckDB // floors — they
+#: disagree on negatives, so the operand is made non-negative first).
+_ISO_BIN = "least(greatest(bal, 0) DIV 100000, 9)"
+_ISO_BIN_DUCK = "least(greatest(bal, 0) // 100000, 9)"
+
+
+def _iso_bins_duckdb(sf_dir: str) -> list[tuple[int, int, int]]:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH lab AS (
+          SELECT o_custkey AS ck,
+                 max(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS pos
+          FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1),
+        base AS (
+          SELECT CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal,
+                 coalesce(l.pos, 0) AS pos
+          FROM read_parquet('{sf_dir}/customer.parquet') c
+          LEFT JOIN lab l ON l.ck = c.c_custkey)
+        SELECT CAST({_ISO_BIN_DUCK} AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM base GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    con.close()
+    return [(int(b), int(n), int(p)) for b, n, p in rows]
+
+
+def _isotonic_oracle(sf_dir: str) -> str:
+    """Python twin: DuckDB aggregates the same bins, the shared
+    exact-rational PAV pools them, and the full result is emitted as
+    VALUES (the mmr/kcore convention for sequential algorithms)."""
+    bins = _iso_bins_duckdb(sf_dir)
+    pooled = {b: (n, p) for b, n, p in _pav_pools(bins)}
+    rows = []
+    for b, n, p in bins:
+        pn, pp = pooled[b]
+        rows.append(
+            (b, n, p, p * 1_000_000 // n, pp * 1_000_000 // pn)
+        )
+    vals = ", ".join(f"({b}, {n}, {p}, {r}, {c})" for b, n, p, r, c in rows)
+    return (
+        "SELECT CAST(bin AS BIGINT) AS bin,"
+        " CAST(n_customers AS BIGINT) AS n_customers,"
+        " CAST(n_pos AS BIGINT) AS n_pos,"
+        " CAST(rate_micro AS BIGINT) AS rate_micro,"
+        " CAST(cal_micro AS BIGINT) AS cal_micro"
+        f" FROM (VALUES {vals})"
+        " AS t(bin, n_customers, n_pos, rate_micro, cal_micro)"
+        " ORDER BY bin"
+    )
+
+
+@register(
+    "isotonic_calibration",
+    oracle=_isotonic_oracle,
+    doc="Isotonic regression via Pool-Adjacent-Violators — the "
+    "calibration step every learned quality/relevance scorer needs "
+    "before its scores gate data (Zadrozny & Elkan 2002): account-"
+    "balance bands as the score, has-an-URGENT-order as the label; "
+    "PAV pools adjacent rate violators until the calibrated rate is "
+    "non-decreasing in the score. The distributed work is the two "
+    "aggregations (per-customer label, per-bin counts — one fact "
+    "shuffle, output rows = #bins, bounded); PAV itself runs driver-"
+    "side on that KB-scale table in EXACT RATIONAL arithmetic "
+    "(pos_a*n_b comparisons, no floats) — the classifier ridge-solve "
+    "convention for bounded sequential steps — and rejoins as a "
+    "broadcast literal. rate_micro/cal_micro are exact integer "
+    "micro-unit divisions; cal_micro is non-decreasing by "
+    "construction (pinned in pytest). Oracle: DuckDB re-aggregates, "
+    "the shared exact-rational PAV twin pools, emitted as VALUES.",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    lab = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("pos")
+    )
+    base = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").alias(
+                "bal"
+            ),
+        )
+        .join(lab, "ck", "left")
+        .select(
+            F.expr(f"CAST({_ISO_BIN} AS BIGINT)").alias("bin"),
+            F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+        )
+    )
+    bins_df = base.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    # bounded collect (rows = #bins <= 10): the PAV pooling is the
+    # one sequential step, solved driver-side like the classifier's
+    # ridge solve, then rejoined as a broadcast literal table
+    rows = bins_df.collect()
+    pooled = _pav_pools(
+        [(int(r["bin"]), int(r["n_customers"]), int(r["n_pos"])) for r in rows]
+    )
+    cal = spark.createDataFrame(
+        [(b, pp * 1_000_000 // pn) for b, pn, pp in pooled],
+        "bin bigint, cal_micro bigint",
+    )
+    return (
+        bins_df.join(F.broadcast(cal), "bin")
+        .select(
+            "bin",
+            "n_customers",
+            "n_pos",
+            F.expr("(n_pos * 1000000) DIV n_customers").alias("rate_micro"),
+            F.col("cal_micro").cast("bigint").alias("cal_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -1121,3 +1121,79 @@ def test_prefix_filter_reduces_candidates_with_full_recall(spark):
     )
     assert cand < full_pairs, (cand, full_pairs)
     assert out.count() > 0  # sf0.001 contains near-dup pairs
+
+
+def test_kneser_ney_distribution_sums_to_one(spark):
+    """The KN closure property through the ACTUAL Spark-built model
+    tables: for every history w1, the rational P_KN numerators over
+    the full vocabulary sum EXACTLY to the denominator 4*c(w1 .)*B —
+    seen bigrams contribute max(4c2-3,0)*B + 3*n1p*ncont, unseen ones
+    the continuation term alone, and sum(ncont) == B makes the whole
+    thing telescope. Exact integers, no tolerance."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c a b"), (2, "b a b c"), (3, "c a")],
+        "doc_id bigint, text string",
+    )
+    bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
+    c2 = {r["bigram"]: r["c2"] for r in bi.collect()}
+    h = {r["_w1"]: (r["c1w"], r["n1p_fw"]) for r in w1s.collect()}
+    ncont = {r["_w2"]: r["ncont"] for r in w2s.collect()}
+    assert sum(ncont.values()) == b
+    vocab = set(ncont) | set(h)
+    for w1, (c1w, n1p) in h.items():
+        num_total = 0
+        for w2 in vocab:
+            c = c2.get(w1 + lm.SEP + w2, 0)
+            num_total += max(4 * c - 3, 0) * b + 3 * n1p * ncont.get(w2, 0)
+        assert num_total == 4 * c1w * b, w1
+
+
+def test_kneser_ney_scoring_contract(spark):
+    """Every input doc survives scoring (n_bigrams = len-1, 0 for
+    short docs) and the micro sums are consistent with the average."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "solo"), (3, ""), (4, "b a")],
+        "doc_id bigint, text string",
+    )
+    bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
+    out = {
+        r["doc_id"]: r
+        for r in lm.kneser_ney_score(docs, bi, w1s, w2s, b).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_bigrams"] == 3
+    assert out[2]["n_bigrams"] == 0 and out[2]["sum_nlp_micro"] == 0
+    assert out[3]["n_bigrams"] == 0
+    assert out[4]["n_bigrams"] == 1
+    for r in out.values():
+        assert r["sum_nlp_micro"] >= 0  # probabilities never exceed 1
+        assert r["avg_nlp_micro"] == r["sum_nlp_micro"] // max(
+            r["n_bigrams"], 1
+        )
+
+
+def test_temperature_mixture_apportionment_exact(spark):
+    """Largest-remainder apportionment: allocations sum EXACTLY to the
+    budget, every extra is 0/1 and goes to the largest remainders,
+    and the temperature weight is monotone in domain mass."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = registry()["temperature_mixture_weights"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert sum(r["alloc"] for r in rows) == 1_000_000
+    assert all(r["extra"] in (0, 1) for r in rows)
+    assert all(r["alloc"] == r["base_alloc"] + r["extra"] for r in rows)
+    by_mass = sorted(rows, key=lambda r: r["mass"])
+    for a, bb in zip(by_mass, by_mass[1:]):
+        assert a["w_milli"] <= bb["w_milli"]
+    # temperature flattens: weight ratio is strictly inside the mass
+    # ratio for distinct masses (0.7 < 1)
+    lo, hi = by_mass[0], by_mass[-1]
+    if lo["mass"] < hi["mass"]:
+        assert hi["w_milli"] * lo["mass"] < lo["w_milli"] * hi["mass"]

