@@ -121,6 +121,51 @@ def two_phase_prefix_sum(
     return out.drop(*[f"_o_{c}" for c in sum_cols])
 
 
+def two_phase_prefix_max(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    band_col: str,
+    val_col: str,
+    part_cols: Sequence[str] = (),
+    out_name: str = "prefix_max",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Append the running maximum of ``val_col`` over the total
+    ``order_cols`` order within ``part_cols``, band-parallel (same
+    band contract as :func:`two_phase_rank`).  ``inclusive=False``
+    gives the STRICT-predecessor max (NULL for the first row) — the
+    form dominance tests (skyline) and record-breaking queries need.
+
+    Phase 1 computes per-band maxima (one bounded aggregate); phase 2
+    turns them into exclusive band carries over the band table (rows
+    = #bands); phase 3 combines the in-band running max (window
+    partitioned BY BAND — never a global sort) with the carry via
+    null-skipping ``greatest``."""
+    carries = df.groupBy(*part_cols, band_col).agg(
+        F.max(val_col).alias("_bm")
+    )
+    offsets = carries.select(
+        *part_cols,
+        band_col,
+        F.max("_bm")
+        .over(_carry_window(part_cols, band_col))
+        .alias("_om"),
+    )
+    end = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy(*part_cols, band_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        df.join(F.broadcast(offsets), [*part_cols, band_col])
+        .withColumn(
+            out_name, F.greatest(F.max(val_col).over(w_in), F.col("_om"))
+        )
+        .drop("_om")
+    )
+
+
 def quintile_score(rank_col: str, n_col: str) -> Column:
     """Exact-integer quintile score 1..5 from a 1-based rank and the
     group size: ``1 + ((rank-1)*5) DIV n`` — the RFM scoring rule,

@@ -2196,3 +2196,70 @@ def repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").cast("bigint").alias("min_s"),
         F.max("gap_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey AS part_key,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part)
+    SELECT part_key, price_cents, size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size))
+    ORDER BY price_cents, size, part_key
+    """,
+    doc="2-D Pareto frontier (skyline): the parts no other part "
+    "dominates on (cheaper-or-equal price, larger-or-equal size, one "
+    "strict) — the multi-objective shortlist operator (Borzsony et "
+    "al., ICDE 2001). The naive formulation is an O(n^2) dominance "
+    "self-join; the sorted-scan identity replaces it: a point is "
+    "dominated iff max(size | price < p) >= s OR max(size | price "
+    "<= p) > s, i.e. TWO PREFIX MAXIMA over the per-price group "
+    "table. Runs as one price groupBy + the band-parallel two-phase "
+    "prefix max (operators/ranks.two_phase_prefix_max — per-band "
+    "maxima, exclusive band carries, in-band windows partitioned BY "
+    "BAND) + a group-keyed filter join: three bounded shuffles, no "
+    "global sort, no pairwise join at any corpus size. Exact-ties "
+    "semantics: duplicate (price, size) points are mutually "
+    "non-dominating and BOTH stay on the frontier (no strict "
+    "inequality) — the oracle's NOT EXISTS brute force pins that.",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_key"),
+        F.expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    g = pts.groupBy("price_cents").agg(F.max("size").alias("_gmax"))
+    # $100 value-range bands over the price-group table (the two-phase
+    # band contract: band key monotone in the order key)
+    g = g.withColumn("_band", F.expr("price_cents DIV 10000"))
+    g = ranks.two_phase_prefix_max(
+        g,
+        ["price_cents"],
+        "_band",
+        "_gmax",
+        out_name="_m_lt",
+        inclusive=False,
+    ).select("price_cents", "_gmax", "_m_lt")
+    dominated = (F.coalesce(F.col("_m_lt"), F.lit(-1)) >= F.col("size")) | (
+        F.greatest(F.coalesce(F.col("_m_lt"), F.lit(-1)), F.col("_gmax"))
+        > F.col("size")
+    )
+    return (
+        pts.join(g, "price_cents")
+        .filter(~dominated)
+        .select("part_key", "price_cents", "size")
+        .orderBy("price_cents", "size", "part_key")
+    )

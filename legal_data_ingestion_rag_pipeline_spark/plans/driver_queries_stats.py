@@ -2042,3 +2042,108 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Shapley attribution over the four non-conversion channels, exact:
+#: coalition subsets and their factorial weights |S|! * (n-1-|S|)!
+#: (denominator n! = 24) are folded in Python as literal tables — the
+#: decayed_user_value convention — so both engines run the identical
+#: 32-row join, and phi arrives as an exact BIGINT in 24ths.
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_TERMS = [
+    (name, s, s | bit, math.factorial(bin(s).count("1"))
+     * math.factorial(3 - bin(s).count("1")))
+    for name, bit in _SHAP_CHANNELS
+    for s in range(16)
+    if not s & bit
+]
+_SHAP_MASK = (
+    "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+    " + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+    " + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+    " + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_SHAP_MASK} AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    m AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv
+          FROM u GROUP BY mask),
+    s(s) AS (VALUES {", ".join(f"({i})" for i in range(16))}),
+    v AS (SELECT s.s,
+                 CAST(coalesce(sum(m.conv), 0) AS BIGINT) AS v
+          FROM s LEFT JOIN m ON (m.mask & s.s) = m.mask GROUP BY s.s),
+    t(channel, s_wo, s_wi, w) AS (VALUES
+      {", ".join(f"('{c}', {a}, {b}, {w})" for c, a, b, w in _SHAP_TERMS)})
+    SELECT t.channel,
+           CAST(sum(t.w * (vi.v - vs.v)) AS BIGINT) AS phi_24,
+           CAST((sum(t.w * (vi.v - vs.v)) * 1000000) // 24 AS BIGINT)
+             AS phi_micro
+    FROM t
+    JOIN v vs ON vs.s = t.s_wo
+    JOIN v vi ON vi.s = t.s_wi
+    GROUP BY t.channel ORDER BY t.channel
+    """,
+    doc="Exact Shapley-value channel attribution (the cooperative-"
+    "game split of conversion credit; Shapley 1953, applied to "
+    "marketing funnels): channels are the four non-purchase event "
+    "types, a user's coalition is the SET of channels they touched, "
+    "and v(S) = conversions among users whose touched set is "
+    "contained in S — monotone by construction. phi_channel = sum "
+    "over subsets S without the channel of |S|!(n-1-|S|)! * "
+    "[v(S+ch) - v(S)], kept as an exact BIGINT numerator over n!=24 "
+    "(phi_24) — the efficiency axiom sum(phi) = v(full) - v(empty) "
+    "holds EXACTLY and is pinned in pytest. Scale: one fact-table "
+    "user aggregate, then a 16-row mask rollup; the subset lattice "
+    "and factorial weights are FOLDED literal tables (32 rows) "
+    "joined to the 16-row v table — beyond the user aggregate "
+    "nothing scales with the corpus. Beside last_touch_attribution "
+    "(positional rule) and markov_event_transitions (path model) "
+    "this completes the attribution ladder with the axiomatic one.",
+)
+def shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.expr(_SHAP_MASK).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    m = u.groupBy("mask").agg(F.sum("conv").cast("bigint").alias("conv"))
+    s = spark.createDataFrame([(i,) for i in range(16)], "s bigint")
+    v = (
+        s.join(
+            F.broadcast(m),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    t = spark.createDataFrame(
+        _SHAP_TERMS, "channel string, s_wo bigint, s_wi bigint, w bigint"
+    )
+    vs = v.select(F.col("s").alias("s_wo"), F.col("v").alias("_v_wo"))
+    vi = v.select(F.col("s").alias("s_wi"), F.col("v").alias("_v_wi"))
+    return (
+        t.join(F.broadcast(vs), "s_wo")
+        .join(F.broadcast(vi), "s_wi")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr("w * (_v_wi - _v_wo)"))
+            .cast("bigint")
+            .alias("phi_24"),
+            F.expr(
+                "CAST((sum(w * (_v_wi - _v_wo)) * 1000000) DIV 24 AS BIGINT)"
+            ).alias("phi_micro"),
+        )
+        .orderBy("channel")
+    )

@@ -421,6 +421,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        pairwise calendar-bounded join and exact tie table are the
 #:        machinery theil_sen_daily_trend already gates.)
 #:
+#: Round-8 second late rotation (the session's newest algorithm
+#: families in, same partner rule):
+#:   IN : kneser_ney_perplexity (interpolated KN smoothing as ONE
+#:        ratio of exact BIGINTs — rational discount D=3/4,
+#:        continuation-count model tables derived from the bigram
+#:        TYPE table; runs the same corpus-scale bigram shuffle +
+#:        micro-snapped -ln + per-doc agg as the add-one LM and adds
+#:        the vocabulary-keyed continuation joins on top),
+#:        isotonic_calibration (Pool-Adjacent-Violators in exact
+#:        RATIONAL arithmetic over the bounded bin table — a new
+#:        algorithm class: order-constrained regression; also the
+#:        newest instance of the dynamic Python-twin VALUES oracle
+#:        path and the bounded driver-side-solve convention).
+#:   OUT: lm_perplexity_score -> kneser_ney_perplexity gates the
+#:        same bigram-LM machinery (strict superset of shuffles and
+#:        the snap convention); add-one keeps its bench row,
+#:        oracle_check row, and operators/lm.py pytest.
+#:        mmr_diverse_selection -> the dynamic-oracle + bounded
+#:        sequential-solve slot points at the newest instance
+#:        (rotation convention, the r7 compression_ratio -> mmr
+#:        precedent); MMR keeps oracle_check + the rerank pytest.
+#:   (temperature_mixture_weights stays oracle_check-only: its
+#:   bounded-table window + broadcast + transcendental-snap
+#:   machinery is gated via the stats family and curation quotas.)
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -472,7 +497,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "textstats_lang_id",
     "ivm_tlog_cdc_refresh",
     "quality_classifier_trained",
-    "lm_perplexity_score",
+    "kneser_ney_perplexity",
     "bpe_encode_corpus",
     "html_text_extraction",
     "rag_semantic_search",
@@ -482,7 +507,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
     "clamped_wallet_balance",
-    "mmr_diverse_selection",
+    "isotonic_calibration",
     # events-table family (timestamp/window/sessionization operators)
     "streaming_interval_join",
     "scd2_event_type_history",

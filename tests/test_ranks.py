@@ -195,3 +195,67 @@ def test_gram_moments_partition_independent(spark):
     vals = [v for _, v in spec]
     assert vals == sorted(vals, reverse=True)
     assert vals[-1] >= 0
+
+
+def test_two_phase_prefix_max_matches_single_window(spark):
+    """Fuzz: band-parallel prefix max == the plain single-window form,
+    both inclusive and strict-predecessor, over ties and negatives."""
+    rng = random.Random(SEED + 7)
+    rows = [
+        (i, rng.randrange(-50, 51), rng.randrange(-1000, 1001))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k bigint, v bigint")
+    df = df.withColumn("band", F.expr("k DIV 7"))
+    for inclusive in (True, False):
+        got = {
+            r["id"]: r["pm"]
+            for r in ranks.two_phase_prefix_max(
+                df,
+                ["k", "id"],
+                "band",
+                "v",
+                out_name="pm",
+                inclusive=inclusive,
+            ).collect()
+        }
+        end = 0 if inclusive else -1
+        w = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        want = {
+            r["id"]: r["pm"]
+            for r in df.withColumn("pm", F.max("v").over(w)).collect()
+        }
+        assert got == want, f"inclusive={inclusive}"
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    """The skyline query equals the brute-force dominance filter and
+    is an antichain: along increasing price, frontier sizes strictly
+    increase (equal-price members have equal size)."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["part_key"], r["price_cents"], r["size"])
+        for r in registry()["pareto_frontier_parts"].spark(spark, sf).collect()
+    ]
+    import duckdb
+
+    pts = duckdb.connect().execute(
+        f"""SELECT p_partkey, CAST(floor(p_retailprice * 100.0 + 0.5)
+            AS BIGINT), CAST(p_size AS BIGINT)
+            FROM read_parquet('{sf}/part.parquet')"""
+    ).fetchall()
+    want = sorted(
+        (int(k), int(p), int(s))
+        for k, p, s in pts
+        if not any(
+            bp <= p and bs >= s and (bp < p or bs > s)
+            for _, bp, bs in pts
+        )
+    )
+    assert sorted(got) == want
+    for (_, pa, sa), (_, pb, sb) in zip(got, got[1:]):
+        assert (pa < pb and sa < sb) or (pa == pb and sa == sb)

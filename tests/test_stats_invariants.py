@@ -179,3 +179,40 @@ def test_isotonic_calibration_invariants(spark):
         # numerator is the pool's own positive total
         pooled_pos += sum(r["n_pos"] for r in g)
     assert pooled_pos == total_pos
+
+
+def test_shapley_efficiency_axiom(spark):
+    """sum(phi) == v(grand coalition) - v(empty) EXACTLY in 24ths,
+    with both sides of the identity computed independently (DuckDB
+    for the coalition values, Spark for the attribution)."""
+    import duckdb
+
+    rows = _run(spark, "shapley_channel_attribution")
+    assert [r["channel"] for r in rows] == [
+        "click",
+        "error",
+        "signup",
+        "view",
+    ]
+    assert all(r["phi_24"] >= 0 for r in rows)  # v is monotone
+    con = duckdb.connect()
+    v_full, v_empty = con.execute(
+        f"""
+        WITH u AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv,
+                 max(CASE WHEN event_type IN
+                     ('click','error','signup','view') THEN 1 ELSE 0 END)
+                   AS touched
+          FROM '{SF}/events.parquet' GROUP BY 1)
+        SELECT CAST(sum(conv) AS BIGINT),
+               CAST(sum(CASE WHEN touched = 0 THEN conv ELSE 0 END)
+                    AS BIGINT)
+        FROM u
+        """
+    ).fetchone()
+    con.close()
+    assert sum(r["phi_24"] for r in rows) == 24 * (v_full - v_empty)
+    for r in rows:
+        assert r["phi_micro"] == r["phi_24"] * 1_000_000 // 24
