@@ -731,6 +731,7 @@ _KN_ORACLE = f"""
 @register(
     "kneser_ney_perplexity",
     oracle=_KN_ORACLE,
+    bench=True,
     doc="Interpolated Kneser-Ney bigram scoring — the smoothing that "
     "beats add-one on real text (Chen & Goodman 1998): absolute "
     "discount D=3/4 kept RATIONAL so P_KN = (max(4*c2-3,0)*B + "
@@ -750,6 +751,59 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
     return lm.kneser_ney_score(docs, bi, w1s, w2s, b).orderBy("doc_id")
+
+
+def _unigram_oracle(sf_dir: str) -> str:
+    """Sparkless twin: word counts from the parquet, the same seeding
+    + hard-EM + Viterbi pure functions, per-doc stats as VALUES — the
+    bpe_encode_corpus convention; Spark and the twin share only the
+    pure (deterministic-integer) functions, while every AGGREGATION
+    runs through a different engine."""
+    from ..operators import unigram
+
+    path = f"{sf_dir}/documents.parquet"
+    wc = unigram.word_counts_from_parquet(path)
+    counts = unigram.train_unigram_py(wc)
+    stats = unigram.encode_stats_from_parquet(path, counts)
+    values = ",\n             ".join(
+        f"({d}, {a}, {b}, {c})" for d, (a, b, c) in sorted(stats.items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(sum_cost_micro AS BIGINT) AS sum_cost_micro
+    FROM (VALUES {values})
+      AS t(doc_id, n_words, n_pieces, sum_cost_micro)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "unigram_lm_tokenize",
+    oracle=_unigram_oracle,
+    bench=True,
+    doc="Unigram-LM subword tokenizer (SentencePiece; Kudo 2018) — "
+    "the OTHER major vocab recipe beside BPE: seed all substrings up "
+    "to 4 chars over the word-frequency table, fit piece "
+    "probabilities by two hard-EM rounds (Viterbi-segment every "
+    "distinct word, re-count pieces), then report per-document "
+    "fertility stats (n_words, n_pieces, total micro-cost) under the "
+    "trained model. Corpus touched ONCE (word_frequencies); seeding "
+    "and every EM round are vocabulary-scale aggregations with the "
+    "piece-cost model riding in an Arrow pandas_udf closure "
+    "(constant plan size — the BPE FOLD_MAX lesson). All arithmetic "
+    "is exact-integer (micro-cost Viterbi DP with a total tie rule: "
+    "longest piece on equal cost); ln is applied driver-side to "
+    "exact count ratios, so the two engines only have to agree on "
+    "integer counts (operators/unigram.py).",
+)
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = unigram.train_unigram(docs)
+    return unigram.encode_stats(docs, counts).orderBy("doc_id")
 
 
 #: temperature-weighting sample budget (slots to apportion) and the

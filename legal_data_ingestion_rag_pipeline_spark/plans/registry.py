@@ -446,6 +446,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:   bounded-table window + broadcast + transcendental-snap
 #:   machinery is gated via the stats family and curation quotas.)
 #:
+#: Round-8 third late rotation (one swap): IN unigram_lm_tokenize —
+#: the SentencePiece unigram-LM tokenizer is a NEW algorithm family
+#: (hard-EM piece-probability fitting + exact-integer Viterbi DP with
+#: a total tie rule), the second subword recipe beside the gated
+#: bpe_encode_corpus, with distributed seeding/EM aggregations that
+#: only the hash gate can prove equal to the sparkless twin's. OUT
+#: html_text_extraction -> its codegen regexp_replace chain machinery
+#: stays gated via url_canonical_dedup (the same-family partner named
+#: when pii_redaction rotated out in r6); keeps oracle_check + the
+#: WET-step pytest.  (pareto_frontier_parts and
+#: shapley_channel_attribution stay oracle_check-only: the skyline
+#: runs on the gated two-phase prefix machinery (ks/spearman), and
+#: Shapley's fact-scale work is one user-mask aggregate gated a dozen
+#: ways — the lattice join is bounded-literal.)
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -499,7 +514,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "quality_classifier_trained",
     "kneser_ney_perplexity",
     "bpe_encode_corpus",
-    "html_text_extraction",
+    "unigram_lm_tokenize",
     "rag_semantic_search",
     "rag_rerank_bm25",
     "timetravel_pruned_scan",

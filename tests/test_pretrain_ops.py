@@ -1197,3 +1197,76 @@ def test_temperature_mixture_apportionment_exact(spark):
     lo, hi = by_mass[0], by_mass[-1]
     if lo["mass"] < hi["mass"]:
         assert hi["w_milli"] * lo["mass"] < lo["w_milli"] * hi["mass"]
+
+
+def test_unigram_viterbi_is_globally_optimal():
+    """Brute force over ALL segmentations: the DP's cost matches the
+    true minimum, and its tie rule (longest piece first on equal
+    cost) picks a valid argmin."""
+    from itertools import product
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import unigram
+
+    costs = {
+        "a": 5, "b": 7, "c": 9, "ab": 11, "bc": 13, "abc": 30, "ca": 10,
+    }
+
+    def brute(word):
+        best = None
+        n = len(word)
+        for cuts in product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, cut in enumerate(cuts, 1):
+                if cut:
+                    pieces.append(word[start:i])
+                    start = i
+            pieces.append(word[start:])
+            if all(p in costs for p in pieces):
+                c = sum(costs[p] for p in pieces)
+                if best is None or c < best:
+                    best = c
+        return best
+
+    for word in ["abc", "abca", "cabcab", "aaaa", "bcbc", "cab"]:
+        seg = unigram.viterbi_segment(word, costs)
+        want = brute(word)
+        if want is None:
+            assert seg is None
+        else:
+            assert seg is not None and "".join(seg) == word
+            assert sum(costs[p] for p in seg) == want
+    assert unigram.viterbi_segment("abx", costs) is None  # x not in vocab
+
+
+def test_unigram_spark_training_matches_python_twin(spark):
+    """The distributed seeding + hard-EM reproduces the sparkless
+    twin exactly on a toy corpus (integer counts, shared pure
+    functions — the bpe parity convention)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import unigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the rat"),
+            (3, "mat rat cat   the the"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = unigram.train_unigram(docs)
+    wc = {}
+    for t in [r["text"] for r in docs.collect()]:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    want = unigram.train_unigram_py(wc)
+    assert got == want
+    stats = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["sum_cost_micro"])
+        for r in unigram.encode_stats(docs, got).collect()
+    }
+    assert set(stats) == {1, 2, 3, 4}
+    assert stats[4] == (0, 0, 0)  # empty doc survives with zeros
+    assert stats[3][0] == 5
+    for nw, npcs, c in stats.values():
+        assert npcs >= nw or nw == 0  # every word is >= 1 piece
+        assert c >= 0
