@@ -1708,3 +1708,61 @@ def quality_signal_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("cls_keep", "ts_keep")
     )
+
+
+#: A-Res priority, shared by both dialects: u = (h+1)/(P+1) in (0,1)
+#: from the portable polynomial hash (exact rational -> identical
+#: IEEE double), priority = ln(u)/w maximized — the Efraimidis-
+#: Spirakis key u^(1/w) in log space. Snapped to PICO units (1e12):
+#: priorities live in (-21/w_min, 0) and micro units would collapse
+#: distinct keys to ties; pico keeps ~6 significant digits for the
+#: largest weights while staying far inside int64.
+_ARES_K = 50
+
+
+def _ares_pri(dialect: str) -> str:
+    h = PT.poly_hash("concat('ares', CAST(doc_id AS VARCHAR))", dialect)
+    return (
+        f"CAST(floor(ln(CAST(({h}) + 1 AS DOUBLE) / 1000000008.0)"
+        " / CAST(n_chars AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           {_ares_pri(D)} AS pri_pico
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY pri_pico DESC, doc_id LIMIT {_ARES_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement via A-Res priorities "
+    "(Efraimidis & Spirakis 2006) — the distributed reservoir: each "
+    "row gets key u^(1/w) with u a hash-derived uniform, and the "
+    "global top-k by key IS an exact weighted sample without "
+    "replacement — no sequential reservoir state, no coordination; "
+    "the same top-k machinery Spark already plans as "
+    "TakeOrderedAndProject (per-partition heaps + driver merge of k, "
+    "never a global sort). Beside systematic_weighted_sample (fixed-"
+    "rate, WITH replacement semantics) this adds the exactly-k, "
+    "no-replacement draw every eval-set builder needs. Determinism: "
+    "u is an exact rational from the portable polynomial hash, ln "
+    "applied once to an identical IEEE input, priority snapped to "
+    "integer PICO units (micro would collapse distinct keys), "
+    "(pri, doc_id) total ordering.",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.expr(_ares_pri(S).replace("VARCHAR", "STRING")).alias(
+                "pri_pico"
+            ),
+        )
+        .orderBy(F.desc("pri_pico"), "doc_id")
+        .limit(_ARES_K)
+    )

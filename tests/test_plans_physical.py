@@ -488,3 +488,10 @@ def test_ks_prefix_sum_band_partitioned(spark):
 def test_recursive_cte_no_cartesian(spark):
     plan = plan_of(spark, "recursive_reachability_sql")
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """The A-Res draw must plan as a true distributed top-k
+    (per-partition heaps + k-merge), never a global sort."""
+    plan = plan_of(spark, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan

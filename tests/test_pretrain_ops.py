@@ -1270,3 +1270,40 @@ def test_unigram_spark_training_matches_python_twin(spark):
     for nw, npcs, c in stats.values():
         assert npcs >= nw or nw == 0  # every word is >= 1 piece
         assert c >= 0
+
+
+def test_weighted_reservoir_matches_exhaustive_ares(spark):
+    """The distributed top-k selects EXACTLY the k rows an exhaustive
+    A-Res priority computation ranks first (pure-Python twin over the
+    same parquet, same hash, same pico snap)."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["doc_id"], r["weight"], r["pri_pico"])
+        for r in registry()["weighted_reservoir_sample"]
+        .spark(spark, sf)
+        .collect()
+    ]
+    t = pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    P = 1_000_000_007
+    want = []
+    for doc_id, w in zip(
+        t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()
+    ):
+        if w <= 0:
+            continue
+        h = 7
+        for ch in f"ares{doc_id}":
+            h = (h * 31 + ord(ch)) % P
+        u = float(h + 1) / 1000000008.0
+        pri = math.floor(math.log(u) / float(w) * 1e12 + 0.5)
+        want.append((doc_id, w, pri))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want[:50]
+    assert len({d for d, _, _ in got}) == len(got)  # without replacement
+    assert all(p < 0 for _, _, p in got)  # ln(u) < 0 for u in (0,1)
