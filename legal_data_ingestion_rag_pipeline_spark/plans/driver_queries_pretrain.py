@@ -1766,3 +1766,273 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pri_pico"), "doc_id")
         .limit(_ARES_K)
     )
+
+
+_DSIR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, lang, {PT.tokens('text', D)} AS toks
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+           FROM t),
+    uni_r AS (SELECT word, count(*) AS c1
+              FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    v_r AS (SELECT count(*) AS vs FROM uni_r),
+    bi_r AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    tt AS (SELECT toks FROM t WHERE lang = 'en'),
+    bg_t AS (SELECT unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+             FROM tt),
+    uni_t AS (SELECT word, count(*) AS c1
+              FROM (SELECT unnest(toks) AS word FROM tt) GROUP BY word),
+    v_t AS (SELECT count(*) AS vs FROM uni_t),
+    bi_t AS (SELECT bigram, count(*) AS c2 FROM bg_t GROUP BY bigram),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln((coalesce(br.c2, 0) + 1)
+                            / CAST(coalesce(ur.c1, 0) + vr.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp_r,
+             CAST(floor(-ln((coalesce(bt.c2, 0) + 1)
+                            / CAST(coalesce(ut.c1, 0) + vt.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp_t
+      FROM bg g
+      LEFT JOIN bi_r br USING (bigram)
+      LEFT JOIN uni_r ur ON ur.word = string_split(g.bigram, chr(1))[1]
+      LEFT JOIN bi_t bt ON bt.bigram = g.bigram
+      LEFT JOIN uni_t ut ON ut.word = string_split(g.bigram, chr(1))[1]
+      CROSS JOIN v_r vr CROSS JOIN v_t vt
+    ),
+    agg AS (SELECT doc_id, count(*) AS nb,
+                   CAST(sum(nlp_r) AS BIGINT) AS s_r,
+                   CAST(sum(nlp_t) AS BIGINT) AS s_t
+            FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, d.lang,
+           coalesce(a.nb, 0) AS n_bigrams,
+           CAST(coalesce(a.s_r, 0) AS BIGINT) AS sum_nlp_raw_micro,
+           CAST(coalesce(a.s_t, 0) AS BIGINT) AS sum_nlp_target_micro,
+           CAST(coalesce(a.s_r, 0) - coalesce(a.s_t, 0) AS BIGINT)
+             AS importance_micro
+    FROM (SELECT doc_id, lang FROM t) d LEFT JOIN agg a USING (doc_id)
+    ORDER BY importance_micro DESC, d.doc_id LIMIT 100
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    doc="Data Selection with Importance Resampling (DSIR; Xie et al. "
+    "2023): rank raw-corpus documents by log p_target(x) - "
+    "log p_raw(x) under two cheap bigram LMs — one trained on the "
+    "TARGET domain (lang='en'), one on the whole corpus — selecting "
+    "documents that look most like the target relative to the raw "
+    "distribution; the published recipe for scaling curated-domain "
+    "data. In log space the importance weight is EXACT integer "
+    "arithmetic: both sides are the micro-snapped -ln sums the LM "
+    "family already produces, so importance = sum_raw - sum_target "
+    "as BIGINTs. Scale: two vocabulary-scale LM builds + ONE shared "
+    "corpus-scale bigram explode scored against both models in the "
+    "same pass (four model-keyed joins), then the two-phase top-k. "
+    "Held-out smoothing: target-unseen bigrams fall back to add-one "
+    "over the target vocabulary (operators/lm.py coalesce contract).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    uni_r, bi_r, v_r = lm.train_bigram_lm(docs)
+    target = docs.filter(F.col("lang") == "en")
+    uni_t, bi_t, v_t = lm.train_bigram_lm(target)
+    raw = lm.perplexity_score(docs, uni_r, bi_r, v_r).select(
+        "doc_id",
+        F.col("n_bigrams"),
+        F.col("sum_nlp_micro").alias("sum_nlp_raw_micro"),
+    )
+    tgt = lm.perplexity_score(docs, uni_t, bi_t, v_t).select(
+        "doc_id", F.col("sum_nlp_micro").alias("sum_nlp_target_micro")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(raw, "doc_id")
+        .join(tgt, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "sum_nlp_raw_micro",
+            "sum_nlp_target_micro",
+            (
+                F.col("sum_nlp_raw_micro") - F.col("sum_nlp_target_micro")
+            ).alias("importance_micro"),
+        )
+        .orderBy(F.desc("importance_micro"), "doc_id")
+        .limit(100)
+    )
+
+
+_CCNET_ORACLE = f"""
+    WITH t AS (SELECT doc_id, source, {PT.tokens('text', D)} AS toks
+               FROM documents),
+    uni AS (SELECT word, count(*) AS c1
+            FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+           FROM t),
+    bi AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln((coalesce(b.c2, 0) + 1)
+                            / CAST(u.c1 + v.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp
+      FROM bg g
+      LEFT JOIN bi b USING (bigram)
+      JOIN uni u ON u.word = string_split(g.bigram, chr(1))[1]
+      CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(a.s, 0) // greatest(coalesce(a.nb, 0), 1)
+                  AS BIGINT) AS avg_nlp
+      FROM (SELECT doc_id, source FROM t) d
+      LEFT JOIN (SELECT doc_id, count(*) AS nb, sum(nlp) AS s
+                 FROM scored GROUP BY doc_id) a USING (doc_id)),
+    ranked AS (
+      SELECT source, avg_nlp,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY avg_nlp, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM per_doc)
+    SELECT source, CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(avg_nlp) AS BIGINT) AS min_avg_nlp_micro,
+           CAST(max(avg_nlp) AS BIGINT) AS max_avg_nlp_micro
+    FROM ranked GROUP BY 1, 2 ORDER BY source, bucket
+"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_CCNET_ORACLE,
+    doc="CCNet's head/middle/tail split (Wenzek et al. 2020): rank "
+    "every document WITHIN its source by LM perplexity and cut into "
+    "terciles — bucket 0 (head) is the cleanest third that CCNet "
+    "keeps outright, tail is what gets dropped or re-filtered. Ranks "
+    "come from the band-parallel two-phase layer partitioned by "
+    "source (operators/ranks.two_phase_rank — at 100 TB a single "
+    "source is itself fact-scale, so even the within-source rank "
+    "must never be one window task); the tercile is the exact-"
+    "integer quantile rule ((rank-1)*3) DIV n (the RFM/quintile "
+    "convention). Zero-bigram documents score avg 0 and land in the "
+    "head — the survival contract; production would route them to a "
+    "length filter first (curation_pipeline stages, gated).",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm, ranks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    uni, bi, v = lm.train_bigram_lm(docs)
+    scores = lm.perplexity_score(docs, uni, bi, v).select(
+        "doc_id", F.col("avg_nlp_micro").alias("avg_nlp")
+    )
+    per_doc = docs.select("doc_id", "source").join(scores, "doc_id")
+    # one-nat bands over the per-source rank domain (band contract)
+    banded = per_doc.withColumn("_band", F.expr("avg_nlp DIV 1000000"))
+    ranked = ranks.two_phase_rank(
+        banded,
+        ["avg_nlp", "doc_id"],
+        "_band",
+        part_cols=["source"],
+        rank_name="rk",
+    )
+    n_per = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("_n")
+    )
+    return (
+        ranked.join(F.broadcast(n_per), "source")
+        .withColumn("bucket", F.expr("((rk - 1) * 3) DIV _n"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("avg_nlp").cast("bigint").alias("min_avg_nlp_micro"),
+            F.max("avg_nlp").cast("bigint").alias("max_avg_nlp_micro"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+def _hrw_shard(n_shards: int) -> str:
+    """Rendezvous winner among ``n_shards`` over a precomputed base
+    key hash column ``_h``: shard s's weight is the universal-hash
+    permutation (a_s*h + b_s) mod P (the minhash family — the rolling
+    poly_hash alone has NO avalanche: sequential ids hash near-
+    sequentially and one shard would win everywhere), packed as w*16+s
+    so one ``greatest`` carries both the max weight and its shard
+    (hash ties, were they to occur, break to the higher shard id — a
+    total rule); unpack with % 16.  Same arithmetic in both dialects
+    (a*h < 1e18 stays in int64)."""
+    packed = [
+        f"((_h * {a} + {b}) % {PT.P}) * 16 + {s}"
+        for s, (a, b) in enumerate(PT._perm_constants(n_shards))
+    ]
+    return "greatest(" + ", ".join(packed) + ") % 16"
+
+
+@register(
+    "rendezvous_sharding",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {PT.poly_hash("concat('doc:', CAST(doc_id AS VARCHAR))", D)}
+               AS _h
+      FROM documents),
+    a AS (
+      SELECT doc_id, n_chars,
+             CAST({_hrw_shard(8)} AS BIGINT) AS shard_8,
+             CAST({_hrw_shard(7)} AS BIGINT) AS shard_7
+      FROM h)
+    SELECT shard_8, shard_7,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM a GROUP BY 1, 2 ORDER BY shard_8, shard_7
+    """,
+    doc="Rendezvous (highest-random-weight) sharding — the shard "
+    "assignment a 100 TB corpus store wants (Thaler & Ravishankar "
+    "1998): each key goes to argmax over shards of hash(shard, key), "
+    "so when a shard LEAVES, exactly its own keys move and every "
+    "other assignment is untouched (consistent-hashing's guarantee "
+    "without the ring). The query assigns every document under 8 "
+    "and under 7 shards and reports the movement matrix: the HRW "
+    "property means off-diagonal rows exist ONLY for shard_8 = 7 — "
+    "pinned in pytest and visible in the gated output. Pure map-side "
+    "integer expressions: ONE base poly_hash per key, then the "
+    "universal-hash permutation family per shard (the minhash "
+    "constants — the rolling hash alone has no avalanche), packed "
+    "w*16+s so one greatest() carries winner and id; one bounded "
+    "aggregate ends the plan.",
+)
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = docs.withColumn(
+        "_h",
+        F.expr(PT.poly_hash("concat('doc:', CAST(doc_id AS STRING))", S)),
+    )
+    a = h.select(
+        F.expr(f"CAST({_hrw_shard(8)} AS BIGINT)").alias("shard_8"),
+        F.expr(f"CAST({_hrw_shard(7)} AS BIGINT)").alias("shard_7"),
+        "n_chars",
+    )
+    return (
+        a.groupBy("shard_8", "shard_7")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("shard_8", "shard_7")
+    )
