@@ -2036,3 +2036,177 @@ def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_8", "shard_7")
     )
+
+
+_V6_BUDGET = 120
+
+
+def _v6_oracle_sql() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, source, lang, n_chars,
+                      {PT.tokens('text', D)} AS toks
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+           FROM t),
+    uni_r AS (SELECT word, count(*) AS c1
+              FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    v_r AS (SELECT count(*) AS vs FROM uni_r),
+    bi_r AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    tt AS (SELECT toks FROM t WHERE lang = 'en'),
+    bg_t AS (SELECT unnest(list_transform(
+                    range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || chr(1) || toks[i + 1])) AS bigram
+             FROM tt),
+    uni_t AS (SELECT word, count(*) AS c1
+              FROM (SELECT unnest(toks) AS word FROM tt) GROUP BY word),
+    v_t AS (SELECT count(*) AS vs FROM uni_t),
+    bi_t AS (SELECT bigram, count(*) AS c2 FROM bg_t GROUP BY bigram),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor(-ln((coalesce(br.c2, 0) + 1)
+                            / CAST(coalesce(ur.c1, 0) + vr.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp_r,
+             CAST(floor(-ln((coalesce(bt.c2, 0) + 1)
+                            / CAST(coalesce(ut.c1, 0) + vt.vs AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nlp_t
+      FROM bg g
+      LEFT JOIN bi_r br USING (bigram)
+      LEFT JOIN uni_r ur ON ur.word = string_split(g.bigram, chr(1))[1]
+      LEFT JOIN bi_t bt ON bt.bigram = g.bigram
+      LEFT JOIN uni_t ut ON ut.word = string_split(g.bigram, chr(1))[1]
+      CROSS JOIN v_r vr CROSS JOIN v_t vt),
+    agg AS (SELECT doc_id,
+                   CAST(sum(nlp_r) AS BIGINT) AS s_r,
+                   CAST(sum(nlp_t) AS BIGINT) AS s_t
+            FROM scored GROUP BY doc_id),
+    kept AS (
+      SELECT d.doc_id, d.source, d.n_chars
+      FROM (SELECT doc_id, source, n_chars FROM t) d
+      JOIN agg a USING (doc_id)
+      WHERE a.s_r - a.s_t > 0 AND d.n_chars > 0),
+    m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+          FROM kept GROUP BY 1),
+    w AS (SELECT source, {_TEMP_W} AS w_milli FROM m),
+    tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w),
+    q AS (SELECT source,
+                 CAST(({_V6_BUDGET} * w_milli) // tw AS BIGINT) AS ba,
+                 CAST(({_V6_BUDGET} * w_milli) % tw AS BIGINT) AS rem
+          FROM w CROSS JOIN tot),
+    l AS (SELECT CAST({_V6_BUDGET} - sum(ba) AS BIGINT) AS leftover FROM q),
+    r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q),
+    alloc AS (SELECT source,
+                     CAST(ba + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                          AS BIGINT) AS quota
+              FROM r CROSS JOIN l),
+    pri AS (SELECT doc_id, source, {_ares_pri(D)} AS pri_pico FROM kept),
+    ranked AS (SELECT source, doc_id, pri_pico,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY pri_pico DESC, doc_id)
+                        AS draw_rank
+               FROM pri)
+    SELECT ranked.source, doc_id, pri_pico,
+           CAST(draw_rank AS BIGINT) AS draw_rank
+    FROM ranked JOIN alloc USING (source)
+    WHERE draw_rank <= alloc.quota
+    ORDER BY source, draw_rank
+    """
+
+
+@register(
+    "curation_pipeline_v6",
+    oracle=_v6_oracle_sql(),
+    doc="sixth curation composition — the session's new operators "
+    "fused into the modern target-aware mixing recipe: (1) DSIR gate "
+    "(keep documents whose en-target importance log-ratio is "
+    "positive — Xie et al. 2023), (2) temperature tau=0.7 quota per "
+    f"source over the kept mass, {_V6_BUDGET} slots by largest-"
+    "remainder (the mT5 mixing rule, exact apportionment), (3) A-Res "
+    "weighted draw WITHOUT replacement inside each source to fill "
+    "its quota (Efraimidis-Spirakis priorities, char-weighted). "
+    "Every stage is already gated on its own "
+    "(dsir_importance_weights, temperature_mixture_weights, "
+    "weighted_reservoir_sample); the composition adds one per-source "
+    "mass aggregate and the band-parallel per-source rank "
+    "(operators/ranks.two_phase_rank — no single-task window even "
+    "within a source). Deterministic end-to-end: a pure function of "
+    "the corpus, bit-identical on replay/retry — what a 100 TB "
+    "mixing job needs to be resumable.",
+)
+def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import lm, ranks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    uni_r, bi_r, v_r = lm.train_bigram_lm(docs)
+    target = docs.filter(F.col("lang") == "en")
+    uni_t, bi_t, v_t = lm.train_bigram_lm(target)
+    raw = lm.perplexity_score(docs, uni_r, bi_r, v_r).select(
+        "doc_id", F.col("sum_nlp_micro").alias("_s_r")
+    )
+    tgt = lm.perplexity_score(docs, uni_t, bi_t, v_t).select(
+        "doc_id", F.col("sum_nlp_micro").alias("_s_t")
+    )
+    kept = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(raw, "doc_id")
+        .join(tgt, "doc_id")
+        .filter((F.col("_s_r") - F.col("_s_t") > 0) & (F.col("n_chars") > 0))
+        .select("doc_id", "source", "n_chars")
+    )
+    m = kept.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    )
+    w = m.withColumn("w_milli", F.expr(_TEMP_W))
+    tot = w.agg(F.sum("w_milli").cast("bigint").alias("tw"))
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("ba", F.expr(f"({_V6_BUDGET} * w_milli) DIV tw"))
+        .withColumn("rem", F.expr(f"({_V6_BUDGET} * w_milli) % tw"))
+    )
+    leftover = q.agg(
+        (F.lit(_V6_BUDGET) - F.sum("ba")).cast("bigint").alias("leftover")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    alloc = (
+        q.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            (
+                F.col("ba")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    pri = kept.select(
+        "doc_id",
+        "source",
+        F.expr(_ares_pri(S).replace("VARCHAR", "STRING")).alias("pri_pico"),
+    ).withColumn("_band", F.expr("(-pri_pico) DIV 1000000000"))
+    ranked = ranks.two_phase_rank(
+        pri,
+        [F.desc("pri_pico"), F.asc("doc_id")],
+        "_band",
+        part_cols=["source"],
+        rank_name="draw_rank",
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("draw_rank") <= F.col("quota"))
+        .select(
+            "source",
+            "doc_id",
+            "pri_pico",
+            F.col("draw_rank").cast("bigint").alias("draw_rank"),
+        )
+        .orderBy("source", "draw_rank")
+    )

@@ -461,6 +461,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: Shapley's fact-scale work is one user-mask aggregate gated a dozen
 #: ways — the lattice join is bounded-literal.)
 #:
+#: Round-8 fourth late rotation (one swap): IN curation_pipeline_v6 —
+#: the target-aware mixing capstone composes the session's THREE new
+#: sampling/selection families in one gated plan (DSIR importance
+#: gate, temperature-quota largest-remainder apportionment, per-
+#: source A-Res weighted draws through the band-parallel rank), none
+#: of which had an individual driver row — one slot gates all three
+#: plus the composition. OUT chi_squared_independence -> its
+#: machinery (broadcast marginals, exact-integer contingency algebra,
+#: the FLOOR micro-snap) is gated via quality_signal_confusion (the
+#: same contingency-table shape) and the six remaining stats-family
+#: gate rows; chi2 keeps its oracle_check row + stats pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -500,7 +512,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r8 rotation)
     "spearman_balance_spend",
     "ks_urgent_price_distribution",
-    "chi_squared_independence",
+    "curation_pipeline_v6",
     "kaplan_meier_conversion",
     "theil_sen_daily_trend",
     "bootstrap_mean_ci",

