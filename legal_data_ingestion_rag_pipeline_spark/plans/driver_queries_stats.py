@@ -1772,15 +1772,29 @@ _P_MOD = 1_000_000_007
 def _bootstrap_weight_sql(dialect: str) -> str:
     """w(ok, b): two multiplicative-congruential rounds over exact
     int64s (no intermediate exceeds (1e9+7)*48271 < 2^63), then the
-    folded Poisson table — bit-identical in both engines."""
-    arr = ", ".join(str(v) for v in _POISSON1_CDF_MICRO)
-    u = (
+    folded Poisson table as a COMPARISON LADDER — sum of (u >= t_i)
+    casts over the 9 CDF literals, identical values in both engines.
+
+    The ladder replaced the original size(filter(array(...), lambda))
+    fold after a measured 14x regression hunt: Spark's higher-order
+    array functions run OUTSIDE whole-stage codegen, so the lambda
+    form re-evaluated the LCG per array element per row and broke the
+    codegen span — 12-16 s warm at sf0.1 vs 0.9 s for the ladder,
+    bit-identical output (PERFORMANCE.md round 8)."""
+    ladder = " + ".join(
+        f"CAST(_u >= {t} AS BIGINT)" for t in _POISSON1_CDF_MICRO
+    )
+    return f"CAST({ladder} AS BIGINT)"
+
+
+def _bootstrap_u_sql() -> str:
+    """The per-(ok, b) uniform in [0, 1e6): hoisted into its own
+    column/CTE so the CDF ladder reads it 9 times without
+    re-evaluating the LCG (measured 2.6 s -> 0.9 s at sf0.1)."""
+    return (
         f"((((ok % {_P_MOD}) * 48271 + (b + 1) * 16807) % {_P_MOD})"
         f" * 48271 + 11) % {_P_MOD} % 1000000"
     )
-    if dialect == "spark":
-        return f"CAST(size(filter(array({arr}), t -> {u} >= t)) AS BIGINT)"
-    return f"CAST(len(list_filter([{arr}], t -> {u} >= t)) AS BIGINT)"
 
 
 @register(
@@ -1792,9 +1806,12 @@ def _bootstrap_weight_sql(dialect: str) -> str:
              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
       FROM orders
     ),
-    x AS (
-      SELECT b, cents, {_bootstrap_weight_sql('duckdb')} AS w
+    xu AS (
+      SELECT b, cents, {_bootstrap_u_sql()} AS _u
       FROM o CROSS JOIN range(0, 64) t(b)
+    ),
+    x AS (
+      SELECT b, cents, {_bootstrap_weight_sql('duckdb')} AS w FROM xu
     ),
     m AS (
       SELECT b,
@@ -1847,9 +1864,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bs = F.array([F.lit(i) for i in range(64)])
-    x = o.select(
-        "ok", "cents", F.explode(bs).alias("b")
-    ).withColumn("w", F.expr(_bootstrap_weight_sql("spark")))
+    x = (
+        o.select("ok", "cents", F.explode(bs).alias("b"))
+        .withColumn("_u", F.expr(_bootstrap_u_sql()))
+        .withColumn("w", F.expr(_bootstrap_weight_sql("spark")))
+    )
     m = x.groupBy("b").agg(
         F.expr(
             "(CAST(sum(w * cents) AS BIGINT) * 1000)"

@@ -119,6 +119,7 @@ def test_bootstrap_weights_are_poisson_like(spark):
     from pyspark.sql import functions as F
 
     from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_stats import (
+        _bootstrap_u_sql,
         _bootstrap_weight_sql,
     )
     from legal_data_ingestion_rag_pipeline_spark.session import load_table
@@ -129,6 +130,7 @@ def test_bootstrap_weights_are_poisson_like(spark):
     n = o.count()
     sizes = (
         o.select("ok", F.explode(F.array([F.lit(i) for i in range(8)])).alias("b"))
+        .withColumn("_u", F.expr(_bootstrap_u_sql()))
         .withColumn("w", F.expr(_bootstrap_weight_sql("spark")))
         .groupBy("b")
         .agg(F.sum("w").alias("sz"))
