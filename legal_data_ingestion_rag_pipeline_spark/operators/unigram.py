@@ -150,15 +150,38 @@ def em_step_py(
     return out
 
 
+def prune_vocab(
+    counts: dict[str, int], vocab_target: int
+) -> dict[str, int]:
+    """SentencePiece's prune step, deterministic form: keep every
+    single-char piece (segmentability floor) plus the top multi-char
+    pieces by (count DESC, piece ASC) until the vocabulary holds
+    ``vocab_target`` pieces.  A pure function of the count table —
+    both engines' twins prune identically."""
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    keep = dict(singles)
+    for p, c in multi[: max(0, vocab_target - len(singles))]:
+        keep[p] = c
+    return keep
+
+
 def train_unigram_py(
     word_counts: dict[str, int],
     max_len: int = MAX_PIECE_LEN,
     min_count: int = MIN_SEED_COUNT,
     em_iters: int = EM_ITERS,
+    vocab_target: int | None = None,
 ) -> dict[str, int]:
     """Sparkless twin of train_unigram: final piece counts."""
     counts = seed_counts_py(word_counts, max_len, min_count)
     for _ in range(em_iters):
+        counts = em_step_py(word_counts, costs_from_counts(counts), max_len)
+    if vocab_target is not None:
+        counts = prune_vocab(counts, vocab_target)
         counts = em_step_py(word_counts, costs_from_counts(counts), max_len)
     return counts
 
@@ -207,14 +230,29 @@ def train_unigram(
     max_len: int = MAX_PIECE_LEN,
     min_count: int = MIN_SEED_COUNT,
     em_iters: int = EM_ITERS,
+    vocab_target: int | None = None,
 ) -> dict[str, int]:
     """Distributed unigram-LM training: returns final piece -> count.
 
     Corpus touched once (word_frequencies); seeding and every EM
     round are vocabulary-scale Spark aggregations; the (piece, count)
     model collects driver-side per round (the BPE merge-table / Gram
-    convention, documented KB..MB scale)."""
+    convention, documented KB..MB scale).  ``vocab_target`` enables
+    the SentencePiece prune round: cut the vocabulary to the target
+    (singles always survive) and run one more distributed E-step so
+    the surviving pieces re-absorb the pruned ones' mass."""
     words = word_frequencies(docs, text_col).persist()
+
+    def _estep(counts: dict[str, int]) -> dict[str, int]:
+        seg = _segment_udf(costs_from_counts(counts), max_len)
+        estep = (
+            words.select(seg(F.col("word")).alias("_pieces"), "cnt")
+            .select(F.explode("_pieces").alias("piece"), "cnt")
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        return {r["piece"]: int(r["c"]) for r in estep.collect()}
+
     try:
         seed = (
             words.select(
@@ -231,14 +269,10 @@ def train_unigram(
         )
         counts = {r["piece"]: int(r["c"]) for r in seed.collect()}
         for _ in range(em_iters):
-            seg = _segment_udf(costs_from_counts(counts), max_len)
-            estep = (
-                words.select(seg(F.col("word")).alias("_pieces"), "cnt")
-                .select(F.explode("_pieces").alias("piece"), "cnt")
-                .groupBy("piece")
-                .agg(F.sum("cnt").cast("bigint").alias("c"))
-            )
-            counts = {r["piece"]: int(r["c"]) for r in estep.collect()}
+            counts = _estep(counts)
+        if vocab_target is not None:
+            counts = prune_vocab(counts, vocab_target)
+            counts = _estep(counts)
         return counts
     finally:
         words.unpersist()

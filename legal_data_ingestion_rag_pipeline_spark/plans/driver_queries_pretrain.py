@@ -2210,3 +2210,55 @@ def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "draw_rank")
     )
+
+
+_UNI_VOCAB_TARGET = 256
+
+
+def _unigram_pruned_oracle(sf_dir: str) -> str:
+    from ..operators import unigram
+
+    wc = unigram.word_counts_from_parquet(f"{sf_dir}/documents.parquet")
+    counts = unigram.train_unigram_py(
+        wc, vocab_target=_UNI_VOCAB_TARGET
+    )
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    vals = ", ".join(
+        f"('{p.replace(chr(39), chr(39) * 2)}', {len(p)}, {c})"
+        for p, c in top
+    )
+    return (
+        "SELECT piece, CAST(piece_len AS BIGINT) AS piece_len,"
+        " CAST(cnt AS BIGINT) AS cnt"
+        f" FROM (VALUES {vals}) AS t(piece, piece_len, cnt)"
+        " ORDER BY cnt DESC, piece"
+    )
+
+
+@register(
+    "unigram_vocab_pruned",
+    oracle=_unigram_pruned_oracle,
+    doc="the SentencePiece PRUNE round on top of the unigram-LM "
+    f"trainer: cut the post-EM vocabulary to {_UNI_VOCAB_TARGET} "
+    "pieces (single chars always survive — the segmentability "
+    "floor; multi-char pieces keep by count DESC, piece ASC) and run "
+    "ONE more distributed E-step so surviving pieces re-absorb the "
+    "pruned pieces' probability mass — the seed -> EM -> prune -> EM "
+    "shape real tokenizer training runs (Kudo 2018 sect. 3.2). "
+    "Output: the final model's top-50 pieces. Same scale shape as "
+    "unigram_lm_tokenize (one corpus pass, vocabulary-scale rounds); "
+    "the prune itself is a pure function of the count table, shared "
+    "with the sparkless twin.",
+)
+def unigram_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import unigram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = unigram.train_unigram(
+        docs, vocab_target=_UNI_VOCAB_TARGET
+    )
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    return spark.createDataFrame(
+        [(p, len(p), c) for p, c in top],
+        "piece string, piece_len bigint, cnt bigint",
+    ).orderBy(F.desc("cnt"), "piece")

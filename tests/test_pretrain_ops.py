@@ -1399,3 +1399,28 @@ def test_curation_v6_respects_quotas(spark):
         for a, b in zip(srows, srows[1:]):
             assert (a["pri_pico"], -a["doc_id"]) >= (b["pri_pico"], -b["doc_id"])
             assert a["pri_pico"] < 0
+
+
+def test_unigram_prune_keeps_singles_and_respects_target(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import unigram
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ate the rat")],
+        "doc_id bigint, text string",
+    )
+    full = unigram.train_unigram(docs)
+    singles = {p for p in full if len(p) == 1}
+    target = len(singles) + 3
+    pruned = unigram.train_unigram(docs, vocab_target=target)
+    # parity with the twin through the prune round
+    wc = {}
+    for t in [r["text"] for r in docs.collect()]:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    assert pruned == unigram.train_unigram_py(wc, vocab_target=target)
+    # every single-char piece still present (segmentability floor)
+    assert singles <= set(pruned)
+    assert len(pruned) <= target
+    # the post-prune E-step keeps every word segmentable: piece mass
+    # is at least one piece per word occurrence
+    assert sum(pruned.values()) >= sum(wc.values())
