@@ -520,3 +520,36 @@ def hll_estimate_from_store(spark, path: str, b: int = 8) -> DataFrame:
         .agg(F.max("max_rank").alias("max_rank"))
     )
     return hll_estimate(merged, b=b)
+
+
+def write_histogram(
+    items: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    path: str,
+    n_bins: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Append-only histogram STORE: each batch writes its own
+    (bin, cnt) table to ``path``; merging is counter ADDITION at read
+    time — the additive complement of the HLL store's register-max
+    (write_hll_registers).  The bucketing domain [lo, hi) must be
+    FIXED across batches (fix it a priori in production — a price
+    domain, a latency SLA range); each batch's file is at most
+    ``n_bins`` rows regardless of batch size."""
+    histogram_build(items, col, lo, hi, n_bins).write.mode(mode).parquet(
+        path
+    )
+
+
+def histogram_from_store(spark, path: str) -> DataFrame:
+    """Fold ALL appended batches into one histogram: sum counters per
+    bin (associative + commutative, so batch order and partitioning
+    never matter).  Scan cost is (n_batches x n_bins) rows —
+    sketch-scale, never corpus-scale."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

@@ -1721,7 +1721,8 @@ _ARES_K = 50
 
 
 def _ares_pri(dialect: str) -> str:
-    h = PT.poly_hash("concat('ares', CAST(doc_id AS VARCHAR))", dialect)
+    cast = "VARCHAR" if dialect == D else "STRING"
+    h = PT.poly_hash(f"concat('ares', CAST(doc_id AS {cast}))", dialect)
     return (
         f"CAST(floor(ln(CAST(({h}) + 1 AS DOUBLE) / 1000000008.0)"
         " / CAST(n_chars AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT)"
@@ -1759,7 +1760,7 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_chars").cast("bigint").alias("weight"),
-            F.expr(_ares_pri(S).replace("VARCHAR", "STRING")).alias(
+            F.expr(_ares_pri(S)).alias(
                 "pri_pico"
             ),
         )
@@ -2190,7 +2191,7 @@ def curation_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri = kept.select(
         "doc_id",
         "source",
-        F.expr(_ares_pri(S).replace("VARCHAR", "STRING")).alias("pri_pico"),
+        F.expr(_ares_pri(S)).alias("pri_pico"),
     ).withColumn("_band", F.expr("(-pri_pico) DIV 1000000000"))
     ranked = ranks.two_phase_rank(
         pri,
@@ -2262,3 +2263,193 @@ def unigram_vocab_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, len(p), c) for p, c in top],
         "piece string, piece_len bigint, cnt bigint",
     ).orderBy(F.desc("cnt"), "piece")
+
+
+_HIST_STORE_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "histogram_incremental_store",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             max(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem
+    ),
+    h AS (
+      SELECT least(CAST({_HQ_BINS - 1} AS BIGINT),
+                   greatest(CAST(0 AS BIGINT),
+                     CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                                / (b.hi - b.lo) * {_HQ_BINS}) AS BIGINT)))
+               AS bin,
+             count(*) AS cnt
+      FROM lineitem, b GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER () AS total
+      FROM h
+    ),
+    qs AS (SELECT unnest([{', '.join(str(q) for q in _HQ_QS)}]) AS q),
+    sel AS (
+      SELECT q, min(bin) AS b_
+      FROM c, qs WHERE cum >= q * total GROUP BY q
+    )
+    SELECT q,
+           CAST(b.lo + (b_ + 1) * ((b.hi - b.lo) / {_HQ_BINS}) AS DOUBLE)
+             AS estimate,
+           CAST((b.hi - b.lo) / {_HQ_BINS} AS DOUBLE) AS max_err
+    FROM sel, b ORDER BY q
+    """,
+    doc="incremental quantiles through the STANDING histogram store "
+    "(sketches.write_histogram / histogram_from_store): the "
+    "pre-1996 lineitems write their (bin, cnt) batch once, the rest "
+    "append their own, and quantiles read the ADDITIVE fold of all "
+    "batches — counter addition is the histogram's merge operation "
+    "the way register-max is the HLL's (hll_incremental_store), and "
+    "gating the merged estimate against the single-pass full-corpus "
+    "oracle proves merge == rebuild exactly. Per-batch state is "
+    f"<= {_HQ_BINS} rows regardless of batch size; appending IS the "
+    "update; any batch subset remains estimable after the fact. The "
+    "bucketing domain is fixed across batches (the store contract).",
+)
+def histogram_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    lo, hi = li.agg(F.min(x), F.max(x)).first()
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_HIST_STORE_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_hist_{tag}")
+    cut = "1996-01-01"
+    sketches.write_histogram(
+        li.filter(F.col("l_shipdate") < cut),
+        "l_extendedprice",
+        float(lo),
+        float(hi),
+        store,
+        _HQ_BINS,
+        mode="overwrite",
+    )
+    sketches.write_histogram(
+        li.filter(F.col("l_shipdate") >= cut),
+        "l_extendedprice",
+        float(lo),
+        float(hi),
+        store,
+        _HQ_BINS,
+        mode="append",
+    )
+    merged = sketches.histogram_from_store(spark, store)
+    return sketches.histogram_quantiles(
+        merged, list(_HQ_QS), float(lo), float(hi), _HQ_BINS
+    )
+
+
+@register(
+    "corpus_datacard",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len({PT.tokens('text', D)}) AS n_toks,
+             sha256(coalesce(text, '')) AS th
+      FROM documents),
+    dupg AS (SELECT th FROM d GROUP BY th HAVING count(*) > 1),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM d GROUP BY 1),
+    dup AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+      FROM d JOIN dupg USING (th) GROUP BY 1),
+    lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2),
+    mx AS (SELECT source, max(c) AS mc FROM lc GROUP BY 1),
+    mj AS (SELECT lc.source, min(lc.lang) AS majority_lang
+           FROM lc JOIN mx ON mx.source = lc.source AND lc.c = mx.mc
+           GROUP BY 1)
+    SELECT base.source, n_docs, total_chars, total_tokens, n_langs,
+           mj.majority_lang,
+           CAST(mx.mc * 1000000 // n_docs AS BIGINT)
+             AS majority_share_micro,
+           CAST(coalesce(dup.dup_docs, 0) AS BIGINT) AS dup_docs
+    FROM base
+    JOIN mx ON mx.source = base.source
+    JOIN mj ON mj.source = base.source
+    LEFT JOIN dup ON dup.source = base.source
+    ORDER BY base.source
+    """,
+    doc="the corpus DATA CARD: the per-source accounting table every "
+    "dataset release publishes (docs, chars, whitespace tokens, "
+    "language count, majority language + its share in exact "
+    "micro-units, and exact-duplicate document count against the "
+    "GLOBAL sha256 text-hash groups — cross-source duplicates "
+    "count). One fact pass computes tokens+hash map-side; the dup "
+    "leg is the sha2-keyed groupBy the dedup family gates; majority "
+    "language is an argmax with a total (count DESC, lang ASC) tie "
+    "rule via the max-count join, never a window over the corpus. "
+    "Output rows = #sources — collectable at any scale.",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.expr(PT.tokens("text", S))).cast("bigint").alias("n_toks"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("th"),
+    )
+    dupg = d.groupBy("th").count().filter(F.col("count") > 1).select("th")
+    base = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    dup = (
+        d.join(dupg, "th")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("dup_docs"))
+    )
+    lc = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    mx = lc.groupBy("source").agg(F.max("c").alias("mc"))
+    mj = (
+        lc.join(F.broadcast(mx), "source")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("majority_lang"))
+    )
+    return (
+        base.join(F.broadcast(mx), "source")
+        .join(F.broadcast(mj), "source")
+        .join(F.broadcast(dup), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "majority_lang",
+            F.expr("CAST(mc * 1000000 DIV n_docs AS BIGINT)").alias(
+                "majority_share_micro"
+            ),
+            F.coalesce(F.col("dup_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+        .orderBy("source")
+    )

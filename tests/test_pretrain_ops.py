@@ -1424,3 +1424,60 @@ def test_unigram_prune_keeps_singles_and_respects_target(spark):
     # the post-prune E-step keeps every word segmentable: piece mass
     # is at least one piece per word occurrence
     assert sum(pruned.values()) >= sum(wc.values())
+
+
+def test_histogram_store_merge_equals_rebuild(spark):
+    """Counter-addition merge across appended batches reproduces the
+    single-pass histogram EXACTLY (bin-for-bin), not just at the
+    quantile level."""
+    import os
+    import tempfile
+    import uuid
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    from pyspark.sql import functions as F
+
+    x = F.col("l_extendedprice").cast("double")
+    lo, hi = li.agg(F.min(x), F.max(x)).first()
+    store = os.path.join(
+        tempfile.gettempdir(), f"hist_test_{uuid.uuid4().hex}"
+    )
+    cut = "1996-01-01"
+    sketches.write_histogram(
+        li.filter(F.col("l_shipdate") < cut), "l_extendedprice",
+        float(lo), float(hi), store, 64, mode="overwrite")
+    sketches.write_histogram(
+        li.filter(F.col("l_shipdate") >= cut), "l_extendedprice",
+        float(lo), float(hi), store, 64, mode="append")
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in sketches.histogram_from_store(spark, store).collect()
+    }
+    full = {
+        r["bin"]: r["cnt"]
+        for r in sketches.histogram_build(
+            li, "l_extendedprice", float(lo), float(hi), 64
+        ).collect()
+    }
+    assert merged == full
+    assert sum(merged.values()) == li.count()
+
+
+def test_corpus_datacard_totals(spark):
+    """Datacard rows partition the corpus: doc counts sum to the
+    table size, majority share is consistent, dup counts are even
+    group members (every dup group has >= 2 docs)."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["corpus_datacard"].spark(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert 1 <= r["n_langs"] <= 5
+        assert 0 < r["majority_share_micro"] <= 1_000_000
+        assert 0 <= r["dup_docs"] <= r["n_docs"]
+        assert r["total_tokens"] > 0 and r["total_chars"] > 0
