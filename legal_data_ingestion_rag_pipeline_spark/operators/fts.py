@@ -179,3 +179,59 @@ def conjunctive_search(
         .orderBy(F.desc("total_tf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+    k: int = 50,
+) -> DataFrame:
+    """Exact-phrase search over POSITIONAL postings: documents where
+    the query tokens appear adjacent and in order, ranked by
+    occurrence count — the third FTS access path beside bm25_topk's
+    ranked union and conjunctive_search's boolean intersection
+    (reference analog: the phraseto_tsquery semantics of the rag.py
+    FTS note).
+
+    The adjacency join is rewritten as the BASE-POSITION trick: a
+    token at position p matching phrase slot i anchors base = p - i,
+    and a phrase occurrence exists exactly where one (doc, base)
+    group covers ALL n slots (count of DISTINCT slots == n — repeated
+    phrase words contribute distinct slots, so 'the cat the' works).
+    One map-side IN prune before any shuffle, one (doc, base)
+    aggregation, one per-doc count: shuffle volume is (query-token
+    hits x 1) rows regardless of corpus size — never an n-way
+    posting self-join, and longer phrases only tighten the plan."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least two tokens")
+    terms = sorted(set(phrase))
+    toks = F.expr(PT.tokens(text_col, PT.SPARK))
+    slots = F.array(*[F.lit(t) for t in phrase])
+    hits = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+        .filter(F.col("term").isin(terms))
+        # one row per (token hit, matching slot): repeated words in
+        # the phrase fan out to each slot they could anchor
+        .select(
+            "doc_id",
+            "pos",
+            "term",
+            F.posexplode(slots).alias("slot", "slot_term"),
+        )
+        .filter(F.col("term") == F.col("slot_term"))
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("base"), "slot")
+    )
+    occ = (
+        hits.groupBy("doc_id", "base")
+        .agg(F.countDistinct("slot").alias("_n"))
+        .filter((F.col("_n") == len(phrase)) & (F.col("base") >= 0))
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3031,3 +3031,47 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup5_frac_micro"), "doc_id")
         .limit(25)
     )
+
+
+_PHRASE = ["vector", "merge"]
+
+
+@register(
+    "fts_phrase_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    p AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS term
+      FROM base, unnest(range(1, greatest(len(toks), 0) + 1)) AS u(i)
+    ),
+    h AS (
+      SELECT doc_id, pos - s.slot AS base, s.slot
+      FROM p JOIN (VALUES
+        {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))})
+        AS s(slot, t) ON p.term = s.t
+    ),
+    occ AS (
+      SELECT doc_id, base
+      FROM h GROUP BY doc_id, base
+      HAVING count(DISTINCT slot) = {len(_PHRASE)} AND base >= 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM occ GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id LIMIT 50
+    """,
+    doc="exact-PHRASE search over positional postings "
+    "(fts.phrase_search): documents where the query tokens appear "
+    "adjacent and in order, ranked by occurrence count — the third "
+    "FTS access path beside BM25's ranked union and the conjunctive "
+    "intersection (reference analog: phraseto_tsquery semantics). "
+    "Adjacency is the BASE-POSITION rewrite: a hit at position p for "
+    "slot i anchors base p-i, and an occurrence is a (doc, base) "
+    "group covering all slots — one map-side IN prune, one bounded "
+    "aggregation, NEVER an n-way posting self-join; longer phrases "
+    "only tighten the plan.",
+)
+def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.phrase_search(docs, "doc_id", "text", list(_PHRASE), k=50)

@@ -1481,3 +1481,35 @@ def test_corpus_datacard_totals(spark):
         assert 0 < r["majority_share_micro"] <= 1_000_000
         assert 0 <= r["dup_docs"] <= r["n_docs"]
         assert r["total_tokens"] > 0 and r["total_chars"] > 0
+
+
+def test_phrase_search_semantics(spark):
+    """Hand-built corpus: adjacency and order required; repeated
+    phrase words anchor distinct slots; overlapping occurrences all
+    count; out-of-order/gapped matches don't."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),            # exact once
+            (2, "cat the sat"),            # out of order -> no
+            (3, "the big cat"),            # gapped -> no
+            (4, "the cat the cat sat"),    # 'the cat' twice
+            (5, "x the cat sat the cat"),  # twice, offset starts
+            (6, ""),                       # empty survives scan
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in fts.phrase_search(docs, "doc_id", "text", ["the", "cat"]).collect()
+    }
+    assert got == {1: 1, 4: 2, 5: 2}
+    # repeated-word phrase: 'the cat the' in doc 4 once
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in fts.phrase_search(
+            docs, "doc_id", "text", ["the", "cat", "the"]
+        ).collect()
+    }
+    assert got2 == {4: 1}
