@@ -2166,3 +2166,264 @@ def shapley_channel_attribution(
         )
         .orderBy("channel")
     )
+
+
+#: Markov attribution: the four channel states in fixed order; CONV /
+#: NULL are absorbing, START is the synthetic source state.
+_MKV_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_conv_prob(
+    trans: dict[tuple[str, str], int], removed: str | None
+) -> float:
+    """P(absorb in CONV | start at START) for the first-order chain
+    defined by integer transition counts, with ``removed`` (if any)
+    taken out the standard removal-effect way: its INCOMING flow
+    redirects to NULL, its outgoing rows drop.  Pure deterministic
+    Python (fixed state order, no pivoting — the diagonal is
+    1 - P(s->s) > 0 for any state with an exit path), shared by the
+    Spark query and the oracle twin so the engines only have to
+    agree on the integer counts."""
+    states = ["START"] + [c for c in _MKV_CHANNELS if c != removed]
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    a = [[0.0] * n for _ in range(n)]
+    b = [0.0] * n
+    for i, s in enumerate(states):
+        out: dict[str, int] = {}
+        for (src, dst), c in trans.items():
+            if src != s:
+                continue
+            if dst == removed:
+                dst = "NULL"
+            out[dst] = out.get(dst, 0) + c
+        tot = sum(out.values())
+        a[i][i] = 1.0
+        if tot == 0:
+            continue  # no exit path -> p = 0
+        for dst, c in out.items():
+            p = c / tot
+            if dst == "CONV":
+                b[i] += p
+            elif dst in idx:
+                a[i][idx[dst]] -= p
+    # Gaussian elimination, fixed order
+    for col in range(n):
+        piv = a[col][col]
+        for row in range(col + 1, n):
+            f = a[row][col] / piv
+            if f == 0.0:
+                continue
+            for k in range(col, n):
+                a[row][k] -= f * a[col][k]
+            b[row] -= f * b[col]
+    x = [0.0] * n
+    for row in range(n - 1, -1, -1):
+        s = b[row]
+        for k in range(row + 1, n):
+            s -= a[row][k] * x[k]
+        x[row] = s / a[row][row]
+    return x[idx["START"]]
+
+
+_MKV_TRANS_DUCK = """
+    WITH p AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN ts END) AS p_ts,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN event_id END) AS p_eid0
+      FROM events GROUP BY 1),
+    pp AS (
+      SELECT e.user_id, p.p_ts,
+             min(e.event_id) AS p_eid
+      FROM events e JOIN p ON p.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts = p.p_ts
+      GROUP BY 1, 2),
+    ch AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             pp.p_ts IS NOT NULL AS conv
+      FROM events e LEFT JOIN pp ON pp.user_id = e.user_id
+      WHERE e.event_type != 'purchase'
+        AND (pp.p_ts IS NULL OR e.ts < pp.p_ts
+             OR (e.ts = pp.p_ts AND e.event_id < pp.p_eid))),
+    seq AS (
+      SELECT user_id, event_type, conv,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    allu AS (
+      SELECT u.user_id, pp.p_ts IS NOT NULL AS conv,
+             coalesce(s.n, 0) AS n
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN pp ON pp.user_id = u.user_id
+      LEFT JOIN (SELECT user_id, max(n) AS n FROM seq GROUP BY 1) s
+        ON s.user_id = u.user_id),
+    t AS (
+      SELECT CASE WHEN rn = 1 THEN 'START' ELSE prev END AS src,
+             event_type AS dst
+      FROM seq
+      UNION ALL
+      SELECT event_type, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END
+      FROM seq WHERE rn = n
+      UNION ALL
+      SELECT 'START', CASE WHEN conv THEN 'CONV' ELSE 'NULL' END
+      FROM allu WHERE n = 0)
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _markov_removal_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows = con.execute(_MKV_TRANS_DUCK).fetchall()
+    con.close()
+    trans = {(s, d): int(c) for s, d, c in rows}
+    base = _markov_conv_prob(trans, None)
+
+    def micro(x: float) -> int:
+        import math
+
+        return int(math.floor(x * 1_000_000.0 + 0.5))
+
+    effs = {
+        c: base - _markov_conv_prob(trans, c) for c in _MKV_CHANNELS
+    }
+    tot = sum(micro(e) for e in effs.values())
+    vals = ", ".join(
+        f"('{c}', {micro(base)}, {micro(base - effs[c])}, {micro(effs[c])},"
+        f" {micro(effs[c]) * 1_000_000 // tot if tot else 0})"
+        for c in _MKV_CHANNELS
+    )
+    return (
+        "SELECT channel, CAST(base_conv_micro AS BIGINT) AS base_conv_micro,"
+        " CAST(removal_conv_micro AS BIGINT) AS removal_conv_micro,"
+        " CAST(effect_micro AS BIGINT) AS effect_micro,"
+        " CAST(share_micro AS BIGINT) AS share_micro"
+        f" FROM (VALUES {vals}) AS t(channel, base_conv_micro,"
+        " removal_conv_micro, effect_micro, share_micro)"
+        " ORDER BY channel"
+    )
+
+
+@register(
+    "markov_removal_attribution",
+    oracle=_markov_removal_oracle,
+    doc="Markov removal-effect attribution (Anderl et al. 2016) — "
+    "the path-model member of the attribution trio beside last-touch "
+    "(positional) and Shapley (coalition): fit a first-order chain "
+    "over pre-conversion channel sequences (START -> channels -> "
+    "CONV/NULL absorbing), then each channel's credit is how much "
+    "the absorption probability drops when its incoming flow "
+    "redirects to NULL. The distributed work is the transition-count "
+    "build (per-user lag window over (ts, event_id), truncated at "
+    "the first purchase by the same total order both engines use); "
+    "the absorbing-chain solve runs driver-side on the <= 7x7 "
+    "integer count table (the classifier/PAV bounded-solve "
+    "convention) through a solve function SHARED with the oracle "
+    "twin — the gate therefore proves the engines agree on every "
+    "integer transition count. Shares are exact integer divisions "
+    "of micro-snapped effects.",
+)
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    pp = (
+        pur.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_p"))
+        .select(
+            "user_id",
+            F.col("_p.ts").alias("p_ts"),
+            F.col("_p.event_id").alias("p_eid"),
+        )
+    )
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(pp, "user_id", "left")  # user-keyed equi-join: shuffle
+        .filter(
+            F.col("p_ts").isNull()
+            | (F.col("ts") < F.col("p_ts"))
+            | ((F.col("ts") == F.col("p_ts")) & (F.col("event_id") < F.col("p_eid")))
+        )
+        .withColumn("conv", F.col("p_ts").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ch.select(
+        "user_id",
+        "event_type",
+        "conv",
+        F.lag("event_type").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    inner = seq.select(
+        F.when(F.col("rn") == 1, F.lit("START"))
+        .otherwise(F.col("prev"))
+        .alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    last = seq.filter(F.col("rn") == F.col("n")).select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("conv"), F.lit("CONV")).otherwise(F.lit("NULL")).alias("dst"),
+    )
+    allu = (
+        ev.select("user_id")
+        .distinct()
+        .join(pp, "user_id", "left")
+        .join(
+            seq.groupBy("user_id").agg(F.max("n").alias("_n")),
+            "user_id",
+            "left",
+        )
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) == 0)
+        .select(
+            F.lit("START").alias("src"),
+            F.when(F.col("p_ts").isNotNull(), F.lit("CONV"))
+            .otherwise(F.lit("NULL"))
+            .alias("dst"),
+        )
+    )
+    counts = (
+        inner.unionByName(last)
+        .unionByName(allu)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    trans = {
+        (r["src"], r["dst"]): int(r["c"]) for r in counts.collect()
+    }
+    base = _markov_conv_prob(trans, None)
+
+    def micro(x: float) -> int:
+        return int(math.floor(x * 1_000_000.0 + 0.5))
+
+    effs = {c: base - _markov_conv_prob(trans, c) for c in _MKV_CHANNELS}
+    tot = sum(micro(e) for e in effs.values())
+    rows = [
+        (
+            c,
+            micro(base),
+            micro(base - effs[c]),
+            micro(effs[c]),
+            micro(effs[c]) * 1_000_000 // tot if tot else 0,
+        )
+        for c in _MKV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_micro bigint, removal_conv_micro bigint,"
+        " effect_micro bigint, share_micro bigint",
+    ).orderBy("channel")

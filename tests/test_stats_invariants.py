@@ -218,3 +218,53 @@ def test_shapley_efficiency_axiom(spark):
     assert sum(r["phi_24"] for r in rows) == 24 * (v_full - v_empty)
     for r in rows:
         assert r["phi_micro"] == r["phi_24"] * 1_000_000 // 24
+
+
+def test_markov_solver_closed_forms():
+    """The shared absorbing-chain solver against hand-solvable
+    chains: a two-step deterministic path, a coin-flip chain, and a
+    removal that redirects flow to NULL."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_stats import (
+        _markov_conv_prob,
+    )
+
+    # START -> click -> CONV, deterministic
+    t = {("START", "click"): 10, ("click", "CONV"): 10}
+    assert abs(_markov_conv_prob(t, None) - 1.0) < 1e-12
+    assert _markov_conv_prob(t, "click") == 0.0
+    # START -> click (p=1); click -> CONV p=0.5, -> NULL p=0.5
+    t = {("START", "click"): 4, ("click", "CONV"): 2, ("click", "NULL"): 2}
+    assert abs(_markov_conv_prob(t, None) - 0.5) < 1e-12
+    # self-loop geometric: click -> click 0.5, -> CONV 0.25, -> NULL
+    # 0.25 => p(click) = 0.25 / (1 - 0.5) = 0.5
+    t = {
+        ("START", "click"): 8,
+        ("click", "click"): 4,
+        ("click", "CONV"): 2,
+        ("click", "NULL"): 2,
+    }
+    assert abs(_markov_conv_prob(t, None) - 0.5) < 1e-12
+    # two channels: removing 'view' redirects START flow into NULL
+    t = {
+        ("START", "click"): 5,
+        ("START", "view"): 5,
+        ("click", "CONV"): 5,
+        ("view", "CONV"): 5,
+    }
+    assert abs(_markov_conv_prob(t, None) - 1.0) < 1e-12
+    assert abs(_markov_conv_prob(t, "view") - 0.5) < 1e-12
+
+
+def test_markov_removal_attribution_invariants(spark):
+    """Effects are non-negative, removal can only reduce conversion,
+    and shares sum to ~1e6 (exact integer division leaves a <
+    n-channel remainder)."""
+    rows = _run(spark, "markov_removal_attribution")
+    assert [r["channel"] for r in rows] == ["click", "error", "signup", "view"]
+    base = rows[0]["base_conv_micro"]
+    assert all(r["base_conv_micro"] == base for r in rows)
+    for r in rows:
+        assert 0 <= r["removal_conv_micro"] <= base
+        assert r["effect_micro"] == base - r["removal_conv_micro"]
+    s = sum(r["share_micro"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
