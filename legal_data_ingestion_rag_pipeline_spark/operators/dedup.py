@@ -940,51 +940,76 @@ def prefix_filtered_jaccard_pairs(
     )
     prefix = per_doc.select(
         "doc",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"slice(glist, 1, CAST(floor((1.0 - {t}) * n_grams) + 1 AS INT))"
             )
-        ).alias("gram"),
+        ).alias("pos", "gram"),
     )
-    cands = (
+    # Candidate pairs keep the MINIMUM matched prefix position on each
+    # side (groupBy replaces the old distinct — same shuffle key,
+    # two extra min partials): PPJoin's POSITIONAL filter bounds the
+    # overlap by ubound = min(na - i0, nb - j0) (everything from the
+    # first shared prefix gram onward, under the shared global gram
+    # order), and Jaccard >= t needs overlap >= t*(na+nb)/(1+t).
+    # Taking min positions across different shared grams can only
+    # OVERestimate ubound (each side's true position is >= its min),
+    # so the prune is conservative — zero recall loss.  Both filters
+    # run on the SIZE-ONLY pair table before the gram arrays join, so
+    # pruned pairs never shuffle their arrays at all (measured at
+    # sf0.1: 4.7 s -> 3.2 s warm for the full operator, hash-equal;
+    # PERFORMANCE.md round 8).
+    pairs = (
         prefix.alias("a")
         .join(prefix.alias("b"), "gram")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.pos").alias("_pa"),
+            F.col("b.pos").alias("_pb"),
+        )
     )
-    a = per_doc.select(
-        F.col("doc").alias("id_a"),
-        F.col("glist").alias("ga"),
-        F.col("n_grams").alias("na"),
+    cands = pairs.groupBy("id_a", "id_b").agg(
+        F.min("_pa").alias("_i0"), F.min("_pb").alias("_j0")
     )
-    b = per_doc.select(
-        F.col("doc").alias("id_b"),
-        F.col("glist").alias("gb"),
-        F.col("n_grams").alias("nb"),
+    sza = per_doc.select(
+        F.col("doc").alias("id_a"), F.col("n_grams").alias("na")
     )
-    # PPJoin length filter: J(a,b) >= t forces t*|a| <= |b| <= |a|/t
-    # (J <= min/max of the set sizes), applied to the DEDUPED
-    # candidate pairs before the array-intersect verify — pruning the
-    # expensive step while leaving the prefix self-join untouched.
-    # (Carrying sizes through the pre-distinct join instead was
-    # measured 40% SLOWER at sf0.1: the filter there pays per pair
-    # INSTANCE under ANSI overflow-checked arithmetic and prunes
-    # little on a low-size-variance corpus, while pair instances >>
-    # deduped pairs.  Here it costs two already-needed size columns
-    # and can only save verify work — never worse.)  Compared in
-    # exact integer micro-units with one micro of slack (t_micro - 1)
-    # so float representation of t can never exclude a pair the
-    # micro-rounded verify would accept — pure candidate reduction,
-    # zero recall loss.
+    szb = per_doc.select(
+        F.col("doc").alias("id_b"), F.col("n_grams").alias("nb")
+    )
+    # PPJoin length filter: J(a,b) >= t forces t*|a| <= |b| <= |a|/t,
+    # then the positional bound above.  Exact integer micro-units
+    # with one micro of slack on the required side (t_micro - 1) and
+    # a full micro of headroom on the have side, so the float t can
+    # never exclude a pair the micro-rounded verify would accept —
+    # pure candidate reduction, zero recall loss.
     t_micro = int(math.floor(t * 1_000_000 + 0.5))
-    verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    kept = (
+        cands.join(sza, "id_a")
+        .join(szb, "id_b")
         .filter(
             (F.col("nb") * 1_000_000 >= F.col("na") * (t_micro - 1))
             & (F.col("na") * 1_000_000 >= F.col("nb") * (t_micro - 1))
         )
+        .filter(
+            F.expr(
+                f"least(na - _i0, nb - _j0) * (1000000 + {t_micro})"
+                f" >= ({t_micro} - 1) * (na + nb)"
+            )
+        )
+        .select("id_a", "id_b", "na", "nb")
+    )
+    a = per_doc.select(
+        F.col("doc").alias("id_a"), F.col("glist").alias("ga")
+    )
+    b = per_doc.select(
+        F.col("doc").alias("id_b"), F.col("glist").alias("gb")
+    )
+    verified = (
+        kept.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "inter", F.size(F.array_intersect("ga", "gb")).cast("bigint")
         )
