@@ -2453,3 +2453,63 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "good_turing_counts",
+    oracle=f"""
+    WITH t AS (SELECT {PT.tokens('text', D)} AS toks FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    coc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+            FROM wc GROUP BY c)
+    SELECT a.r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000 // a.n_r AS BIGINT)
+             AS r_star_milli
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+    ORDER BY a.r LIMIT 10
+    """,
+    doc="Good-Turing frequency re-estimation (Good 1953; the "
+    "smoothing family's third member beside add-one and Kneser-Ney): "
+    "the adjusted count r* = (r+1) * N_(r+1) / N_r from the "
+    "count-of-counts table — the estimate of how much probability "
+    "mass the SINGLETONS predict for unseen events, which is what "
+    "vocabulary-growth and corpus-coverage planning read off N_1. "
+    "Two nested aggregations (word counts, then counts-of-counts — "
+    "the second over a table whose size is the number of DISTINCT "
+    "frequencies, tiny by Zipf); the self-join on r+1 runs over that "
+    "bounded table. r* reported as exact integer milli-units "
+    "(floor division, both operands positive).",
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = (
+        docs.select(
+            F.explode(F.expr(PT.tokens("text", S))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    coc = wc.groupBy(F.col("c").alias("r")).agg(
+        F.count("*").cast("bigint").alias("n_r")
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        coc.join(F.broadcast(nxt), "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r_next"), F.lit(0))
+            .cast("bigint")
+            .alias("n_r_next"),
+            F.expr(
+                "CAST((r + 1) * coalesce(n_r_next, 0) * 1000 DIV n_r"
+                " AS BIGINT)"
+            ).alias("r_star_milli"),
+        )
+        .orderBy("r")
+        .limit(10)
+    )

@@ -5,6 +5,8 @@ set, each oracle-checked via the portable hash/dot arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import portable as PT
@@ -3075,3 +3077,155 @@ _PHRASE = ["vector", "merge"]
 def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return fts.phrase_search(docs, "doc_id", "text", list(_PHRASE), k=50)
+
+
+#: RRF constants: the standard k=60 damping, leg depth 50, fused
+#: top-10.  The per-rank increment 1e6/(60+r) is FOLDED in Python to
+#: exact micro literals (the decayed_user_value convention) — no
+#: cross-engine division at query time.
+_RRF_DEPTH = 50
+_RRF_TOPK = 10
+_RRF_MICRO = [
+    int(math.floor(1_000_000.0 / (60 + r) + 0.5))
+    for r in range(1, _RRF_DEPTH + 1)
+]
+
+
+@register(
+    "rag_hybrid_rrf",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl
+              FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits
+            GROUP BY term),
+    bscore AS (
+      SELECT h.doc_id,
+             CAST(sum(CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                         + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+      GROUP BY h.doc_id
+    ),
+    bleg AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s_micro DESC, doc_id) AS rnk
+      FROM bscore
+      ORDER BY s_micro DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cscore AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(floor({PT.dot_double('e.embedding', 'q.qv', D)}
+                        * 1000000.0 + 0.5) AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN q
+    ),
+    cleg AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM cscore ORDER BY rel DESC, doc_id LIMIT {_RRF_DEPTH}
+    ),
+    rrf(rnk, m) AS (VALUES
+      {", ".join(f"({r}, {m})" for r, m in enumerate(_RRF_MICRO, 1))}),
+    legs AS (
+      SELECT doc_id, 'bm25' AS leg, b.rnk, rrf.m
+      FROM bleg b JOIN rrf ON rrf.rnk = b.rnk
+      UNION ALL
+      SELECT doc_id, 'cos', c.rnk, rrf.m
+      FROM cleg c JOIN rrf ON rrf.rnk = c.rnk
+    )
+    SELECT doc_id,
+           CAST(coalesce(max(CASE WHEN leg = 'bm25' THEN rnk END), 0)
+                AS BIGINT) AS bm25_rank,
+           CAST(coalesce(max(CASE WHEN leg = 'cos' THEN rnk END), 0)
+                AS BIGINT) AS cos_rank,
+           CAST(sum(m) AS BIGINT) AS rrf_micro
+    FROM legs GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+    doc="HYBRID retrieval by Reciprocal Rank Fusion (Cormack et al. "
+    "2009) — the standard way production RAG combines keyword and "
+    "vector search: BM25 top-50 and exact-cosine top-50 each "
+    "contribute 1/(60+rank), summed per document, fused top-10. The "
+    "per-rank increments are folded Python micro literals joined on "
+    "a 50-row table, so fusion is exact BIGINT addition (rank ties "
+    "by doc id in both legs — total orders end to end). Both legs "
+    "are already-gated machinery (fts.bm25_topk's pruned postings; "
+    "the brute-force dot as a broadcast single-row cross join — no "
+    "driver collect); fusion adds one bounded union + aggregate. "
+    "vec_id doubles as doc_id: the embeddings table is the corpus "
+    "embedding tier (same 0..N id domain).",
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w_b = Window.orderBy(F.desc("s_micro"), F.asc("doc_id"))
+    bscore = fts.bm25_topk(
+        docs, "doc_id", "text", ["vector", "merge", "window"],
+        k=_RRF_DEPTH,
+    ).select(
+        "doc_id",
+        F.expr("CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "s_micro"
+        ),
+    )
+    bleg = bscore.withColumn("rnk", F.row_number().over(w_b)).select(
+        "doc_id", "rnk"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cscore = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(
+            f"CAST(floor({PT.dot_double('embedding', 'qv', PT.SPARK)}"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("rel"),
+    )
+    w_c = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    cleg = (
+        cscore.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("rnk", F.row_number().over(w_c))
+        .select("doc_id", "rnk")
+    )
+    rrf = spark.createDataFrame(
+        list(enumerate(_RRF_MICRO, 1)), "rnk int, m bigint"
+    )
+    legs = (
+        bleg.withColumn("leg", F.lit("bm25"))
+        .unionByName(cleg.withColumn("leg", F.lit("cos")))
+        .join(F.broadcast(rrf), "rnk")
+    )
+    return (
+        legs.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("leg") == "bm25", F.col("rnk"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("bm25_rank"),
+            F.coalesce(
+                F.max(F.when(F.col("leg") == "cos", F.col("rnk"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cos_rank"),
+            F.sum("m").cast("bigint").alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_RRF_TOPK)
+    )

@@ -1513,3 +1513,57 @@ def test_phrase_search_semantics(spark):
         ).collect()
     }
     assert got2 == {4: 1}
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF on the real tables: fused scores equal the sum of the two
+    legs' literal increments, docs in both legs beat equal-rank
+    single-leg docs, and ranks are within depth."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        _RRF_MICRO,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = registry()["rag_hybrid_rrf"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0 <= r["bm25_rank"] <= 50 and 0 <= r["cos_rank"] <= 50
+        want = 0
+        if r["bm25_rank"]:
+            want += _RRF_MICRO[r["bm25_rank"] - 1]
+        if r["cos_rank"]:
+            want += _RRF_MICRO[r["cos_rank"] - 1]
+        assert r["rrf_micro"] == want and want > 0
+    scores = [r["rrf_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_good_turing_identities(spark):
+    """Count-of-counts from the query match an independent direct
+    computation, and r* respects the Good-Turing identity."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["good_turing_counts"].spark(spark, sf).collect()
+    wc = collections.Counter()
+    t = pq_.read_table(f"{sf}/documents.parquet", columns=["text"])
+    for text in t.column("text").to_pylist():
+        if text:
+            wc.update(w for w in re.split(r"\s+", text.lower()) if w)
+    coc = collections.Counter(wc.values())
+    for r in rows:
+        assert r["n_r"] == coc[r["r"]]
+        assert r["n_r_next"] == coc.get(r["r"] + 1, 0)
+        assert (
+            r["r_star_milli"]
+            == (r["r"] + 1) * r["n_r_next"] * 1000 // r["n_r"]
+        )
+    want_rs = sorted(coc)[:10]
+    assert rows and [r["r"] for r in rows] == want_rs  # 10 smallest r
