@@ -72,3 +72,55 @@ def clamped_running_balance(
         .groupBy(key_col)
         .applyInPandas(walk, out_schema)
     )
+
+
+def halving_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Integer EWMA with alpha = 1/2 over each key's ordered series:
+    ``y_1 = x_1``, ``y_t = (y_{t-1} + x_t) DIV 2`` (floor division, so
+    the walk is exact BIGINT and engine-portable — the clamped-balance
+    contract).  Returns every step: (key, order, x, ewma).
+
+    alpha = 1/2 is the one EWMA whose integer form needs no scaling:
+    each step is one add and one shift, the state is a single BIGINT,
+    and the floor bias is bounded by 1 per step.  ``order_col`` must
+    be a total order per key (dense day indexes from a calendar
+    spine, never raw timestamps with possible ties).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType, True),
+            T.StructField(order_col, T.LongType(), True),
+            T.StructField(x_col, T.LongType(), True),
+            T.StructField("ewma", T.LongType(), True),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ys: list[int] = []
+        y: int | None = None
+        for x in pdf[x_col]:
+            xi = int(x)
+            y = xi if y is None else (y + xi) // 2
+            ys.append(y)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_col: pdf[order_col].astype("int64").to_numpy(),
+                x_col: pdf[x_col].astype("int64").to_numpy(),
+                "ewma": pd.Series(ys, dtype="int64").to_numpy(),
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, x_col)
+        .groupBy(key_col)
+        .applyInPandas(walk, out_schema)
+    )

@@ -569,8 +569,11 @@ def registry() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         driver_queries,
         driver_queries_analytics,
+        driver_queries_ml,
+        driver_queries_ml2,
         driver_queries_multimodal,
         driver_queries_pretrain,
+        driver_queries_profiling,
         driver_queries_scale,
         driver_queries_similarity,
         driver_queries_stats,
