@@ -124,3 +124,77 @@ def halving_ewma(
         .groupBy(key_col)
         .applyInPandas(walk, out_schema)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) with
+    alpha = beta = 1/2 in exact integer arithmetic, per key:
+
+        l_1 = x_1,  b_1 = 0
+        l_t = trunc((x_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = trunc((b_{t-1} + (l_t - l_{t-1})) / 2)
+
+    Halving TRUNCATES TOWARD ZERO — the semantics of SQL integer
+    division in BOTH gate engines (Spark ``DIV`` and DuckDB ``//``
+    truncate; Python ``//`` floors, so the walk must not use it on
+    the possibly-negative trend).  Returns every step:
+    (key, order, x, level, trend); the one-step-ahead forecast is
+    ``level + trend`` by the reader.
+
+    Two coupled states is exactly what makes this a recurrence and
+    not a window: the trend feeds back into the next level, so no
+    prefix decomposition exists (the clamped-balance argument, now
+    with a 2-dimensional state vector).
+    """
+    import pandas as pd
+
+    def _trunc_half(a: int) -> int:
+        q = abs(a) // 2
+        return q if a >= 0 else -q
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType, True),
+            T.StructField(order_col, T.LongType(), True),
+            T.StructField(x_col, T.LongType(), True),
+            T.StructField("level", T.LongType(), True),
+            T.StructField("trend", T.LongType(), True),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        levels: list[int] = []
+        trends: list[int] = []
+        lv: int | None = None
+        tr = 0
+        for x in pdf[x_col]:
+            xi = int(x)
+            if lv is None:
+                lv, tr = xi, 0
+            else:
+                nl = _trunc_half(xi + lv + tr)
+                tr = _trunc_half(tr + (nl - lv))
+                lv = nl
+            levels.append(lv)
+            trends.append(tr)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_col: pdf[order_col].astype("int64").to_numpy(),
+                x_col: pdf[x_col].astype("int64").to_numpy(),
+                "level": pd.Series(levels, dtype="int64").to_numpy(),
+                "trend": pd.Series(trends, dtype="int64").to_numpy(),
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, x_col)
+        .groupBy(key_col)
+        .applyInPandas(walk, out_schema)
+    )

@@ -1,5 +1,5 @@
 """Driver queries: graph-text and factorization training operators
-(round 8, second ML batch) — exactly two families, each implemented
+(round 8, second ML batch) — exactly four families, each implemented
 and registered in this module:
 
 - textrank_keywords   — TextRank keyword extraction: the word
@@ -16,6 +16,16 @@ and registered in this module:
   (Cramer's rule, micro-snapped once per coordinate).  The
   declarative core of the ALS recommender: per-key d^2 sums + a
   constant-size solve, never a driver-side matrix library.
+- information_gain_ranking — categorical feature selection: the
+  information gain of four candidate features against the URGENT
+  label from ONE stacked pass (the categorical complement of
+  stump_split_search's numeric split search), every entropy piece
+  micro-snapped from exact integer counts.
+- holt_linear_daily  — Holt double exponential smoothing (level +
+  linear trend, alpha=beta=1/2) over each segment's dense daily
+  revenue series in exact truncating-integer arithmetic
+  (operators/recurrence.holt_linear); the oracle replays the
+  two-state walk with a recursive CTE.
 
 Conventions as everywhere: exact BIGINT counts/fixed-point units,
 each division-to-double micro-snapped once from exact integers,
@@ -227,3 +237,226 @@ def als_user_factors_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {det} * 1000000.0 + 0.5) AS BIGINT)"
         ).alias("x2_micro"),
     ).orderBy("u")
+
+
+# --------------------------------------------------------------------------
+# information_gain_ranking
+# --------------------------------------------------------------------------
+
+_IG_PIECE = (
+    "CASE WHEN {c} > 0 THEN CAST(floor((CAST({c} AS DOUBLE) / {den_w})"
+    " * (-ln(CAST({c} AS DOUBLE) / {den_p})) * 1000000.0 + 0.5) AS BIGINT)"
+    " ELSE 0 END"
+)
+
+
+def _ig_oracle() -> str:
+    piece = _IG_PIECE
+    return f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(c.c_nationkey AS VARCHAR) AS nation,
+             o.o_orderstatus AS status,
+             CAST(month(CAST(o.o_orderdate AS DATE)) AS VARCHAR) AS mth,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    stacked AS (
+      SELECT 'segment' AS feature, segment AS val, y FROM j
+      UNION ALL SELECT 'nation', nation, y FROM j
+      UNION ALL SELECT 'status', status, y FROM j
+      UNION ALL SELECT 'month', mth, y FROM j
+    ),
+    pv AS (SELECT feature, val, CAST(count(*) AS BIGINT) AS n_v,
+                  CAST(sum(y) AS BIGINT) AS pos_v
+           FROM stacked GROUP BY feature, val),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS p FROM j),
+    hy AS (
+      SELECT ({piece.format(c="p", den_w="n", den_p="n")})
+           + ({piece.format(c="(n - p)", den_w="n", den_p="n")}) AS hy_micro
+      FROM tot
+    ),
+    cond AS (
+      SELECT pv.feature, CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(({piece.format(c="pv.pos_v", den_w="tot.n",
+                                     den_p="pv.n_v")})
+                    + ({piece.format(c="(pv.n_v - pv.pos_v)", den_w="tot.n",
+                                     den_p="pv.n_v")})) AS BIGINT)
+               AS cond_micro
+      FROM pv, tot GROUP BY pv.feature
+    )
+    SELECT cond.feature, cond.n_values, hy.hy_micro, cond.cond_micro,
+           hy.hy_micro - cond.cond_micro AS ig_micro
+    FROM cond, hy
+    ORDER BY ig_micro DESC, cond.feature
+    """
+
+
+@register(
+    "information_gain_ranking",
+    oracle=_ig_oracle(),
+    doc="categorical feature selection by information gain against "
+    "the URGENT-priority label: market segment, nation, order "
+    "status, and order month ranked by H(Y) - H(Y|X), the "
+    "categorical complement of stump_split_search's numeric split "
+    "search. ONE stacked pass (Spark stack(), no per-feature "
+    "rescan) builds every (feature, value) contingency row; each "
+    "entropy piece -w*ln(p) applies ln once to a ratio of exact "
+    "BIGINT counts and snaps to micro-units BEFORE the per-feature "
+    "sum (the entropy_priority_by_segment convention), so the "
+    "ranking is an exact BIGINT comparison. The value tables are "
+    "feature-domain-bounded; only the stack scan is fact-scale.",
+)
+def information_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.expr("CAST(month(CAST(o_orderdate AS DATE)) AS STRING)").alias(
+            "mth"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("string").alias("nation"),
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    stacked = j.select(
+        F.expr(
+            "stack(4, 'segment', segment, 'nation', nation,"
+            " 'status', status, 'month', mth) AS (feature, val)"
+        ),
+        "y",
+    )
+    pv = stacked.groupBy("feature", "val").agg(
+        F.count("*").cast("bigint").alias("n_v"),
+        F.sum("y").cast("bigint").alias("pos_v"),
+    )
+    tot = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    piece = _IG_PIECE
+    hy = tot.select(
+        F.expr(
+            f"({piece.format(c='p', den_w='n', den_p='n')})"
+            f" + ({piece.format(c='(n - p)', den_w='n', den_p='n')})"
+        ).alias("hy_micro")
+    )
+    cond = (
+        pv.crossJoin(F.broadcast(tot))
+        .groupBy("feature")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(
+                F.expr(
+                    f"({piece.format(c='pos_v', den_w='n', den_p='n_v')})"
+                    f" + ({piece.format(c='(n_v - pos_v)', den_w='n', den_p='n_v')})"
+                )
+            )
+            .cast("bigint")
+            .alias("cond_micro"),
+        )
+    )
+    return (
+        cond.crossJoin(F.broadcast(hy))
+        .select(
+            "feature",
+            "n_values",
+            "hy_micro",
+            "cond_micro",
+            (F.col("hy_micro") - F.col("cond_micro")).alias("ig_micro"),
+        )
+        .orderBy(F.col("ig_micro").desc(), "feature")
+    )
+
+
+# --------------------------------------------------------------------------
+# holt_linear_daily
+# --------------------------------------------------------------------------
+
+@register(
+    "holt_linear_daily",
+    oracle="""
+    WITH RECURSIVE j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS d,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM j),
+    days AS (SELECT CAST(g.x AS BIGINT) AS d
+             FROM bounds, unnest(range(mn, mx + 1)) AS g(x)),
+    segs AS (SELECT DISTINCT segment FROM j),
+    daily AS (SELECT segment, d, CAST(sum(cents) AS BIGINT) AS x
+              FROM j GROUP BY segment, d),
+    grid AS (
+      SELECT s.segment, dy.d, CAST(coalesce(daily.x, 0) AS BIGINT) AS x
+      FROM segs s CROSS JOIN days dy
+      LEFT JOIN daily ON daily.segment = s.segment AND daily.d = dy.d
+    ),
+    r AS (
+      SELECT g.segment, g.d, g.x, g.x AS level, CAST(0 AS BIGINT) AS trend
+      FROM grid g, bounds WHERE g.d = bounds.mn
+      UNION ALL
+      SELECT g.segment, g.d, g.x,
+             (g.x + r.level + r.trend) // 2,
+             (r.trend + ((g.x + r.level + r.trend) // 2 - r.level)) // 2
+      FROM r JOIN grid g ON g.segment = r.segment AND g.d = r.d + 1
+    )
+    SELECT segment, d, x, level, trend FROM r ORDER BY segment, d
+    """,
+    doc="Holt double exponential smoothing (level + linear trend, "
+    "alpha=beta=1/2) of each segment's dense daily revenue-cents "
+    "series: calendar-spine gap fill, then the exact two-state "
+    "truncating-integer walk (operators/recurrence.holt_linear — "
+    "truncation matches SQL DIV in BOTH engines; Python floor "
+    "division would diverge on the negative trend values). The "
+    "oracle replays the identical recurrence with a recursive CTE, "
+    "so both engines step the coupled (level, trend) state "
+    "bit-identically for ~2400 days x 5 segments. The forecasting "
+    "counterpart of ewma_event_type_daily's single-state smoother: "
+    "trend feedback is what makes it irreducibly sequential.",
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import recurrence
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+            " AS BIGINT)"
+        ).alias("d"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "segment", "d", "cents"
+    )
+    bounds = j.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(F.explode(F.expr("sequence(mn, mx)")).alias("d"))
+    segs = j.select("segment").distinct()
+    daily = j.groupBy("segment", "d").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    grid = (
+        segs.crossJoin(days)
+        .join(daily, ["segment", "d"], "left")
+        .select(
+            "segment",
+            F.col("d").cast("bigint").alias("d"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    return recurrence.holt_linear(grid, "segment", "d", "x").orderBy(
+        "segment", "d"
+    )

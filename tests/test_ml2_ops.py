@@ -123,3 +123,86 @@ def test_als_solution_satisfies_normal_equations(spark):
         tol = (r["a11"] + r["a12"] + r["a22"] + 2 * lam) * 1e-6 + 1e-9
         assert abs(r1 - r["b1"]) <= tol
         assert abs(r2 - r["b2"]) <= tol
+
+
+def test_information_gain_is_nonnegative_and_bounded(spark):
+    rows = _run(spark, "information_gain_ranking")
+    assert {r["feature"] for r in rows} == {
+        "segment",
+        "nation",
+        "status",
+        "month",
+    }
+    hy = rows[0]["hy_micro"]
+    for r in rows:
+        assert r["hy_micro"] == hy  # H(Y) is feature-independent
+        # 0 <= IG <= H(Y), allowing 1 micro-unit snap slack per piece
+        # (each value contributes two snapped pieces)
+        slack = 2 * r["n_values"] + 2
+        assert -slack <= r["ig_micro"] <= hy + slack
+        assert r["cond_micro"] >= 0
+    igs = [r["ig_micro"] for r in rows]
+    assert igs == sorted(igs, reverse=True)
+
+
+def test_information_gain_constant_feature_is_zero(spark):
+    """A feature with a single value cannot reduce entropy: its
+    conditional entropy equals H(Y) up to snap slack.  Verified via a
+    Python twin on the binary-entropy identity."""
+    import duckdb
+
+    rows = {r["feature"]: r for r in _run(spark, "information_gain_ranking")}
+    con = duckdb.connect()
+    n, p = con.execute(
+        f"""SELECT count(*),
+                   sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END)
+            FROM '{SF}/orders.parquet'"""
+    ).fetchone()
+    hy = math.floor((p / n) * -math.log(p / n) * 1e6 + 0.5) + math.floor(
+        ((n - p) / n) * -math.log((n - p) / n) * 1e6 + 0.5
+    )
+    assert rows["segment"]["hy_micro"] == hy
+
+
+def test_holt_matches_python_truncating_walk(spark):
+    rows = _run(spark, "holt_linear_daily")
+    import duckdb
+
+    con = duckdb.connect()
+    daily = dict(
+        ((r[0], r[1]), r[2])
+        for r in con.execute(
+            f"""SELECT c.c_mktsegment,
+                   CAST(CAST(o.o_orderdate AS DATE) - DATE '1995-01-01'
+                        AS BIGINT),
+                   sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2"""
+        ).fetchall()
+    )
+    days = sorted({d for (_, d) in daily})
+    lo, hi = days[0], days[-1]
+    segs = sorted({s for (s, _) in daily})
+
+    def trunc_half(a: int) -> int:
+        q = abs(a) // 2
+        return q if a >= 0 else -q
+
+    expect = []
+    for s in segs:
+        lv, tr = None, 0
+        for d in range(lo, hi + 1):
+            x = daily.get((s, d), 0)
+            if lv is None:
+                lv, tr = x, 0
+            else:
+                nl = trunc_half(x + lv + tr)
+                tr = trunc_half(tr + (nl - lv))
+                lv = nl
+            expect.append((s, d, x, lv, tr))
+    got = [
+        (r["segment"], r["d"], r["x"], r["level"], r["trend"]) for r in rows
+    ]
+    assert got == expect
