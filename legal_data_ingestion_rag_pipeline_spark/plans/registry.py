@@ -569,6 +569,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         driver_queries,
         driver_queries_analytics,
+        driver_queries_eval,
         driver_queries_ml,
         driver_queries_ml2,
         driver_queries_multimodal,
