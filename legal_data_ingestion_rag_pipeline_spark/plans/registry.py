@@ -473,6 +473,57 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: same contingency-table shape) and the six remaining stats-family
 #: gate rows; chi2 keeps its oracle_check row + stats pytest.
 #:
+#: Round-8 fifth late rotation (the supervised-learning /
+#: evaluation session: five NEW algorithm families in while newest,
+#: same partner rule — every OUT names the gated partner that keeps
+#: its machinery under a driver row, and keeps its own oracle_check
+#: row + pytest):
+#:   IN : stump_split_search (histogram split search — the GBDT
+#:        histogram pattern: constant-width exact-integer binning,
+#:        bin-bounded cumulative scan, micro-snapped Gini; a new
+#:        supervised-selection machinery class),
+#:        naive_bayes_lang_confusion (generative classifier trained
+#:        in-plan: corpus-scale token-count shuffle, vocabulary-
+#:        bounded broadcast likelihood table with micro-ln snaps,
+#:        OOV fallback, argmax-with-total-order confusion matrix),
+#:        conformal_price_calibration (split-conformal order
+#:        statistic through the band-parallel two-phase rank + a
+#:        held-out coverage audit — the newest operators/ranks.py
+#:        consumer),
+#:        holt_linear_daily (TWO-state integer recurrence with
+#:        truncating halving — extends the grouped-applyInPandas
+#:        walk class beyond single-state; recursive-CTE oracle
+#:        replays the coupled level/trend steps),
+#:        clustering_nmi_purity (external clustering evaluation:
+#:        contingency MI/entropy micro-pieces over the bounded
+#:        (k x labels) table composed with the kmeans assignment
+#:        machinery).
+#:   OUT: dedup_cluster_components -> hash-to-min component
+#:        propagation stays gated via dedup_semantic_clusters
+#:        (cluster keeper) and the iterative integer-label
+#:        discipline via kcore/triangle; clustering_nmi_purity now
+#:        gates the cluster-quality side; keeps oracle_check + the
+#:        seeded graph fuzz pytest.
+#:        ann_binary_hamming_topk -> the packed-word XOR+popcount
+#:        stage-1 machinery is gated by ann_ivf_binary_stored (a
+#:        strict superset: stored tier + IVF routing + Hamming +
+#:        exact rescore); keeps oracle_check + recall-floor pytest.
+#:        bucketed_join_scan -> layout-driven scan machinery stays
+#:        gated via timetravel_pruned_scan (manifest-stats file
+#:        skipping); the bucketed shuffle-free join keeps its
+#:        physical-plan assertion pytest + oracle_check.
+#:        dedup_incremental_minhash -> the probe-not-rebuild
+#:        standing-index discipline is gated via
+#:        dedup_spans_incremental (standing gram artifact) and the
+#:        banded-LSH build via dedup_minhash_lsh; keeps
+#:        oracle_check + incremental pytest.
+#:        streaming_peak_concurrency -> the sweep-line two-phase
+#:        prefix machinery is gated via ks_urgent_price_distribution
+#:        (band-parallel prefix sums) and now
+#:        conformal_price_calibration (band-parallel rank), and the
+#:        streaming window family via streaming_interval_join;
+#:        keeps oracle_check + the sweep pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -492,8 +543,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "dedup_prefix_jaccard",
     "boilerplate_segment_removal",
-    "dedup_cluster_components",
-    "dedup_incremental_minhash",
     "dedup_semantic_clusters",
     "dedup_spans_incremental",
     "ingest_timetravel_cases",
@@ -501,9 +550,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: similarity search / clustering / sketches
     "ann_bruteforce_topk",
     "ann_ivf_binary_stored",
-    "ann_binary_hamming_topk",
     "fts_conjunctive_search",
-    "bucketed_join_scan",
     "kcore_copurchase",
     "hits_trade_authorities",
     "triangle_count_copurchase",
@@ -517,6 +564,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "theil_sen_daily_trend",
     "bootstrap_mean_ci",
     "quality_signal_confusion",
+    # supervised-learning / evaluation family (r8 fifth late
+    # rotation)
+    "stump_split_search",
+    "naive_bayes_lang_confusion",
+    "conformal_price_calibration",
+    "holt_linear_daily",
+    "clustering_nmi_purity",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
@@ -538,7 +592,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events-table family (timestamp/window/sessionization operators)
     "streaming_interval_join",
     "scd2_event_type_history",
-    "streaming_peak_concurrency",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",
