@@ -101,6 +101,7 @@ def _nmi_oracle() -> str:
 
 @register(
     "clustering_nmi_purity",
+    bench=True,
     oracle=_nmi_oracle(),
     doc="external clustering evaluation: the deterministic k-means "
     "assignment (first-8-vector init, one broadcast-argmax pass — "

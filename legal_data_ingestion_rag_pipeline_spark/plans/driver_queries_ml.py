@@ -59,6 +59,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "stump_split_search",
+    bench=True,
     oracle="""
     WITH f AS (
       SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
@@ -185,6 +186,7 @@ def _nb_oracle() -> str:
 
 @register(
     "naive_bayes_lang_confusion",
+    bench=True,
     oracle=_nb_oracle(),
     doc="multinomial Naive Bayes language classifier trained fully "
     "in-plan on the even-doc_id half (Laplace-smoothed word "
@@ -611,6 +613,7 @@ def ewma_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "conformal_price_calibration",
+    bench=True,
     oracle="""
     WITH j AS (
       SELECT o.o_orderkey, c.c_mktsegment AS segment,

@@ -381,6 +381,7 @@ def information_gain_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "holt_linear_daily",
+    bench=True,
     oracle="""
     WITH RECURSIVE j AS (
       SELECT c.c_mktsegment AS segment,
