@@ -1,0 +1,379 @@
+"""Driver queries: pattern-mining, alignment, and causal-analytics
+operators (round 8) — exactly three families, each implemented and
+registered in this module:
+
+- association_rules_lift — classic directional association rules
+  over customer-order baskets: support / confidence / lift for part
+  pairs, minimum-support pruned.  Distinct from frequent_brand_pairs
+  (support only) and brand_pair_pmi (symmetric PMI): rules are
+  DIRECTIONAL (conf(A->B) != conf(B->A)) and lift-ranked.
+- lcs_align_neardups — alignment VERIFICATION of near-duplicate
+  candidates: the top word-3-gram-Jaccard pairs (the
+  dedup_ngram_jaccard machinery) re-scored by exact token-level
+  longest-common-subsequence ratio via a per-pair dynamic program in
+  grouped applyInPandas — set-similarity proposes, sequence
+  alignment confirms (order-sensitive, unlike Jaccard).  The oracle
+  is a bit-exact pure-Python twin emitted as VALUES (the
+  mmr/isotonic dynamic-oracle convention).
+- difference_in_differences — the 2x2 causal-analytics standard:
+  treated (BUILDING segment) vs control, before/after 1998-01-01,
+  cell means in exact milli-cents and the DID interaction as an
+  exact BIGINT difference of differences.
+
+Conventions as everywhere: exact BIGINT counts/cents, one division
+per output cell (integer DIV where exactness allows, double +
+micro/milli snap otherwise), total-order tie-breaks.
+
+No reference-file citation applies: /root/reference stops at
+retrieval; these extend the analytics families of
+driver_queries_stats / driver_queries_ml.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from ..functions import portable as PT
+from ..operators import dedup
+from ..session import load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# association_rules_lift
+# --------------------------------------------------------------------------
+
+_AR_MINSUP = 3
+
+@register(
+    "association_rules_lift",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    s AS (SELECT p, CAST(count(*) AS BIGINT) AS supp FROM op GROUP BY p),
+    nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
+    pairs AS (
+      SELECT a.p AS ante, b.p AS cons, CAST(count(*) AS BIGINT) AS supp_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_AR_MINSUP}
+    )
+    SELECT pr.ante, pr.cons, pr.supp_ab,
+           sa.supp AS supp_ante, sc.supp AS supp_cons,
+           pr.supp_ab * 1000000 // sa.supp AS conf_micro,
+           CAST(floor(CAST(pr.supp_ab * nn.n AS DOUBLE)
+                      / (CAST(sa.supp AS DOUBLE) * sc.supp)
+                      * 1000000.0 + 0.5) AS BIGINT) AS lift_micro
+    FROM pairs pr
+    JOIN s sa ON sa.p = pr.ante
+    JOIN s sc ON sc.p = pr.cons
+    CROSS JOIN nn
+    ORDER BY lift_micro DESC, pr.ante, pr.cons
+    LIMIT 20
+    """,
+    doc="directional association rules over order baskets: "
+    "ante -> cons with exact support counts, confidence = "
+    "supp(AB)/supp(A) as an exact integer-DIV micro fraction, and "
+    "lift = supp(AB)*N/(supp(A)*supp(B)) micro-snapped once from "
+    "exact BIGINTs; minimum support {minsup}, top-20 by (lift DESC, "
+    "rule). Scale: the pair build fans out per order and TPC-H caps "
+    "lineitems/order at 7 (C(7,2)=21 pairs per order, corpus-size-"
+    "independent — the adamic_adar argument); marginals broadcast. "
+    "The market-basket classic that PMI and raw pair counts only "
+    "approximate.".format(minsup=_AR_MINSUP),
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    s = li.groupBy("p").agg(F.count("*").cast("bigint").alias("supp"))
+    nn = li.agg(F.countDistinct("o").cast("bigint").alias("n"))
+    pairs = (
+        li.select(F.col("o"), F.col("p").alias("ante"))
+        .join(li.select("o", F.col("p").alias("cons")), "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("bigint").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _AR_MINSUP)
+    )
+    return (
+        pairs.join(
+            F.broadcast(s.select(F.col("p").alias("ante"),
+                                 F.col("supp").alias("supp_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(s.select(F.col("p").alias("cons"),
+                                 F.col("supp").alias("supp_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            "supp_ante",
+            "supp_cons",
+            F.expr("supp_ab * 1000000 DIV supp_ante").alias("conf_micro"),
+            F.expr(
+                "CAST(floor(CAST(supp_ab * n AS DOUBLE)"
+                " / (CAST(supp_ante AS DOUBLE) * supp_cons)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "ante", "cons")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# lcs_align_neardups
+# --------------------------------------------------------------------------
+
+def _py_tokens(text: str) -> list[str]:
+    """Bit-equal twin of PT.tokens: lowercase, split on whitespace
+    runs, drop empties."""
+    import re
+
+    return [t for t in re.split(r"\s+", (text or "").lower()) if t != ""]
+
+
+def _py_lcs(a: list[str], b: list[str]) -> int:
+    """Classic two-row LCS dynamic program on token sequences."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+_LCS_TOPK = 20
+
+
+def _lcs_oracle(sf_dir: str) -> str:
+    """Python twin: the SAME top-20 Jaccard candidate pairs (replayed
+    via the dedup_ngram_jaccard oracle SQL), the same tokenizer, the
+    same DP — emitted as VALUES."""
+    import math
+
+    import duckdb
+
+    from .driver_queries_similarity import _NGRAM_JACCARD_ORACLE
+
+    pair_sql = _NGRAM_JACCARD_ORACLE.replace("LIMIT 100", f"LIMIT {_LCS_TOPK}")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    pairs = con.execute(pair_sql).fetchall()
+    texts = dict(
+        con.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    con.close()
+    rows = []
+    for id_a, id_b, _, _ in pairs:
+        ta, tb = _py_tokens(texts[id_a]), _py_tokens(texts[id_b])
+        lcs = _py_lcs(ta, tb)
+        ratio = int(
+            math.floor(2.0 * lcs / (len(ta) + len(tb)) * 1_000_000.0 + 0.5)
+        )
+        rows.append((id_a, id_b, len(ta), len(tb), lcs, ratio))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    vals = ", ".join(f"({a}, {b}, {na}, {nb}, {l}, {r})"
+                     for a, b, na, nb, l, r in rows)
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+        " CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,"
+        " CAST(lcs_len AS BIGINT) AS lcs_len,"
+        " CAST(lcs_ratio_micro AS BIGINT) AS lcs_ratio_micro"
+        f" FROM (VALUES {vals}) AS t(id_a, id_b, n_a, n_b, lcs_len,"
+        " lcs_ratio_micro)"
+        " ORDER BY lcs_ratio_micro DESC, id_a, id_b"
+    )
+
+
+@register(
+    "lcs_align_neardups",
+    oracle=_lcs_oracle,
+    doc="alignment verification of near-duplicate candidates: the "
+    "top-20 exact word-3-gram Jaccard pairs (the dedup_ngram_jaccard "
+    "inverted-index machinery, df-capped) re-scored by token-level "
+    "longest-common-subsequence — 2*LCS/(|A|+|B|) micro-snapped — "
+    "via ONE dynamic program per pair inside grouped applyInPandas "
+    "(Arrow path; each pair is an independent task). Set similarity "
+    "is order-blind: a shuffled copy and a true edit chain get the "
+    "same Jaccard but very different LCS, which is why dedup "
+    "pipelines align their candidates before acting. Scale: the DP "
+    "is PAIR-bounded (candidates come from the capped index join, "
+    "top-k'd), never corpus-scale; texts move once, to exactly the "
+    "tasks that align them. Oracle: bit-exact Python twin as VALUES "
+    "(the mmr dynamic-oracle convention).",
+)
+def lcs_align_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, min_jaccard=0.05, max_doc_freq=100
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(_LCS_TOPK)
+        .select("id_a", "id_b")
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    joined = pairs.join(ta, "id_a").join(tb, "id_b").select(
+        "id_a", "id_b", "text_a", "text_b"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), True),
+            T.StructField("id_b", T.LongType(), True),
+            T.StructField("n_a", T.LongType(), True),
+            T.StructField("n_b", T.LongType(), True),
+            T.StructField("lcs_len", T.LongType(), True),
+            T.StructField("lcs_ratio_micro", T.LongType(), True),
+        ]
+    )
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        rows = []
+        for _, r in pdf.iterrows():
+            ta_ = _py_tokens(r["text_a"])
+            tb_ = _py_tokens(r["text_b"])
+            lcs = _py_lcs(ta_, tb_)
+            ratio = int(
+                math.floor(
+                    2.0 * lcs / (len(ta_) + len(tb_)) * 1_000_000.0 + 0.5
+                )
+            )
+            rows.append(
+                (int(r["id_a"]), int(r["id_b"]), len(ta_), len(tb_), lcs,
+                 ratio)
+            )
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "n_a", "n_b", "lcs_len",
+                           "lcs_ratio_micro"]
+        )
+
+    return (
+        joined.groupBy("id_a", "id_b")
+        .applyInPandas(align, out_schema)
+        .orderBy(F.col("lcs_ratio_micro").desc(), "id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# difference_in_differences
+# --------------------------------------------------------------------------
+
+@register(
+    "difference_in_differences",
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treated,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1
+                  ELSE 0 END AS post,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(cents) AS BIGINT) * 1000 // count(*) AS mean_milli
+      FROM j GROUP BY treated, post
+    ),
+    did AS (
+      SELECT (max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+            - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END))
+           - (max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+            - max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END))
+               AS did_milli
+      FROM cells
+    )
+    SELECT c.treated, c.post, c.n, c.sum_cents, c.mean_milli, d.did_milli
+    FROM cells c CROSS JOIN did d
+    ORDER BY c.treated, c.post
+    """,
+    doc="difference-in-differences, the 2x2 causal-analytics "
+    "standard: treated = BUILDING-segment orders, post = on/after "
+    "1998-01-01; per-cell means in exact milli-cents (BIGINT "
+    "sum*1000 DIV n — milli, not micro, keeps the product inside "
+    "int64 headroom through sf100) and the interaction "
+    "(T.post - T.pre) - (C.post - C.pre) as an exact BIGINT "
+    "constant on every row. One fact-scale join + a 4-row groupBy; "
+    "the parallel-trends reader has the four cells to check.",
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") >= "1998-01-01", 1).otherwise(0)
+        .alias("post"),
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        .alias("treated"),
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            "sum_cents",
+            F.expr("sum_cents * 1000 DIV n").alias("mean_milli"),
+        )
+    )
+    did = cells.agg(
+        (
+            (
+                F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                             F.col("mean_milli")))
+                - F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                               F.col("mean_milli")))
+            )
+            - (
+                F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                             F.col("mean_milli")))
+                - F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                               F.col("mean_milli")))
+            )
+        ).alias("did_milli")
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select("treated", "post", "n", "sum_cents", "mean_milli",
+                "did_milli")
+        .orderBy("treated", "post")
+    )

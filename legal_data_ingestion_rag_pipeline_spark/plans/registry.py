@@ -625,6 +625,7 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries_eval,
         driver_queries_ml,
         driver_queries_ml2,
+        driver_queries_mining,
         driver_queries_multimodal,
         driver_queries_pretrain,
         driver_queries_profiling,

@@ -1,0 +1,101 @@
+"""Invariants + Python twins for the pattern-mining / alignment /
+causal family (plans/driver_queries_mining.py)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_mining import (
+    _py_lcs,
+    _py_tokens,
+)
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return registry()[name].spark(spark, SF).collect()
+
+
+def test_association_rules_are_consistent(spark):
+    rows = _run(spark, "association_rules_lift")
+    assert len(rows) == 20
+    lifts = [r["lift_micro"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["supp_ab"] >= 3
+        # joint support can never exceed either marginal
+        assert r["supp_ab"] <= min(r["supp_ante"], r["supp_cons"])
+        # confidence is a probability
+        assert 0 < r["conf_micro"] <= 1_000_000
+        # exact integer-DIV confidence
+        assert r["conf_micro"] == r["supp_ab"] * 1_000_000 // r["supp_ante"]
+        # interesting rules only: lift-ranked top-20 should be > 1
+        assert r["lift_micro"] > 1_000_000
+
+
+def test_association_rules_directional_both_ways(spark):
+    """Every rule's reverse has identical joint support (symmetric
+    co-occurrence) even when its confidence differs."""
+    rows = _run(spark, "association_rules_lift")
+    con = duckdb.connect()
+    for r in rows[:5]:
+        rev = con.execute(
+            f"""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                            FROM '{SF}/lineitem.parquet')
+                SELECT count(*) FROM op a JOIN op b ON a.o = b.o
+                WHERE a.p = ? AND b.p = ?""",
+            [r["cons"], r["ante"]],
+        ).fetchone()[0]
+        assert rev == r["supp_ab"]
+
+
+def test_lcs_python_primitives():
+    assert _py_lcs([], ["a"]) == 0
+    assert _py_lcs(list("abcde"), list("ace")) == 3
+    assert _py_lcs(list("abc"), list("cba")) == 1
+    assert _py_tokens("  A  b\tC ") == ["a", "b", "c"]
+    assert _py_tokens(None) == []
+
+
+def test_lcs_scores_bounded_by_jaccard_candidates(spark):
+    rows = _run(spark, "lcs_align_neardups")
+    assert len(rows) == 20
+    ratios = [r["lcs_ratio_micro"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows[:5]:
+        ta = _py_tokens(texts[r["id_a"]])
+        tb = _py_tokens(texts[r["id_b"]])
+        assert (r["n_a"], r["n_b"]) == (len(ta), len(tb))
+        # LCS can never exceed the shorter sequence
+        assert 0 <= r["lcs_len"] <= min(r["n_a"], r["n_b"])
+        assert r["lcs_len"] == _py_lcs(ta, tb)
+        assert 0 <= r["lcs_ratio_micro"] <= 1_000_000
+
+
+def test_did_identity_and_cell_partition(spark):
+    rows = _run(spark, "difference_in_differences")
+    assert len(rows) == 4
+    cells = {(r["treated"], r["post"]): r for r in rows}
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    did = rows[0]["did_milli"]
+    for r in rows:
+        assert r["did_milli"] == did  # constant on every row
+        assert r["mean_milli"] == r["sum_cents"] * 1000 // r["n"]
+    expect = (
+        cells[(1, 1)]["mean_milli"] - cells[(1, 0)]["mean_milli"]
+    ) - (cells[(0, 1)]["mean_milli"] - cells[(0, 0)]["mean_milli"])
+    assert did == expect
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT count(*) FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n
