@@ -1,6 +1,6 @@
 """Driver queries: supervised-learning / feature-engineering
 operators (round 8) — the model-training layer a pretraining-data
-platform runs on top of the curation core.  Exactly seven families,
+platform runs on top of the curation core.  Exactly eight families,
 each implemented and registered in this module:
 
 - stump_split_search        — histogram-based decision-stump split
@@ -24,6 +24,13 @@ each implemented and registered in this module:
   per-segment k-th order statistic of calibration residuals via the
   band-parallel two-phase rank (operators/ranks.py), coverage audited
   on the held-out half.
+- boosting_two_rounds       — two rounds of L2 gradient boosting
+  (Friedman's least-squares boosting) composed from histogram split
+  searches: micro-integer residual algebra keeps every per-bin
+  residual sum EXACT (residuals take finitely many values per round,
+  so bin sums derive from indicator counts), SSE split scores are
+  deterministic doubles of exact BIGINTs, and leaf values are
+  truncating integer division — the GBDT trajectory, hash-gated.
 
 Cross-engine exactness follows the repo conventions: prices in exact
 BIGINT cents (floor(x*100+0.5)), every transcendental (ln, sqrt)
@@ -728,3 +735,261 @@ def conformal_price_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# boosting_two_rounds
+# --------------------------------------------------------------------------
+
+_BOOST_ORACLE = """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mth,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    st AS (SELECT CAST(min(cents) AS BIGINT) AS mn,
+                  CAST(max(cents) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS n_tot,
+                  CAST(sum(y) AS BIGINT) AS pos_tot,
+                  CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS f0
+           FROM base),
+    h1 AS (SELECT ((cents - mn) * 64) // (mx - mn + 1) AS bin,
+                  CAST(count(*) AS BIGINT) AS n1,
+                  CAST(sum(y) AS BIGINT) AS p1
+           FROM base, st GROUP BY 1),
+    c1 AS (SELECT bin,
+                  CAST(sum(n1) OVER (ORDER BY bin) AS BIGINT) AS nl,
+                  CAST(sum(p1) OVER (ORDER BY bin) AS BIGINT) AS pl
+           FROM h1),
+    cand1 AS (
+      SELECT bin, nl, pl,
+             pl * 1000000 - nl * st.f0 AS sl,
+             (st.pos_tot - pl) * 1000000 - (st.n_tot - nl) * st.f0 AS sr,
+             st.n_tot - nl AS nr, st.mn, st.mx, st.n_tot, st.f0
+      FROM c1, st WHERE nl > 0 AND nl < st.n_tot
+    ),
+    best1 AS (
+      SELECT * FROM (
+        SELECT cand1.*, row_number() OVER (ORDER BY
+                 CAST(sl AS DOUBLE) * sl / nl
+                 + CAST(sr AS DOUBLE) * sr / nr DESC, bin) AS rn
+        FROM cand1
+      ) WHERE rn = 1
+    ),
+    b1 AS (
+      SELECT mn + ((bin + 1) * (mx - mn + 1)) // 64 - 1 AS split_upper1,
+             nl AS nl1, nr AS nr1,
+             sl // nl AS gl1, sr // nr AS gr1, n_tot, f0
+      FROM best1
+    ),
+    h2 AS (
+      SELECT base.mth,
+             CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(base.y) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN base.cents <= b1.split_upper1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a2
+      FROM base, b1 GROUP BY base.mth
+    ),
+    s2 AS (
+      SELECT h2.mth, h2.n2,
+             h2.p2 * 1000000 - h2.n2 * b1.f0
+               - h2.a2 * b1.gl1 - (h2.n2 - h2.a2) * b1.gr1 AS sb
+      FROM h2, b1
+    ),
+    c2 AS (SELECT mth,
+                  CAST(sum(n2) OVER (ORDER BY mth) AS BIGINT) AS nl,
+                  CAST(sum(sb) OVER (ORDER BY mth) AS BIGINT) AS sl
+           FROM s2),
+    tot2 AS (SELECT CAST(sum(sb) AS BIGINT) AS s_all FROM s2),
+    cand2 AS (
+      SELECT c2.mth, c2.nl, c2.sl,
+             tot2.s_all - c2.sl AS sr, b1.n_tot - c2.nl AS nr
+      FROM c2, tot2, b1 WHERE c2.nl > 0 AND c2.nl < b1.n_tot
+    ),
+    best2 AS (
+      SELECT * FROM (
+        SELECT cand2.*, row_number() OVER (ORDER BY
+                 CAST(sl AS DOUBLE) * sl / nl
+                 + CAST(sr AS DOUBLE) * sr / nr DESC, mth) AS rn
+        FROM cand2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS round, 'total_cents' AS feature,
+           b1.split_upper1 AS split_upper, b1.nl1 AS n_left,
+           b1.nr1 AS n_right, b1.gl1 AS gamma_left_micro,
+           b1.gr1 AS gamma_right_micro, b1.f0 AS f0_micro
+    FROM b1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'order_month', best2.mth, best2.nl,
+           best2.nr, best2.sl // best2.nl, best2.sr // best2.nr, b1.f0
+    FROM best2, b1
+    ORDER BY round
+"""
+
+
+@register(
+    "boosting_two_rounds",
+    oracle=_BOOST_ORACLE,
+    doc="two rounds of L2 gradient boosting (Friedman's least-squares "
+    "boosting on the URGENT label): round 1 fits a histogram stump "
+    "on the exact-cents total, round 2 fits a stump on the order "
+    "month against the UPDATED residuals. The key exactness trick: "
+    "after k rounds the residual takes finitely many values (y x "
+    "leaf-path), so every per-bin residual SUM derives exactly from "
+    "indicator counts (p*1e6 - n*f0 - a*gammaL - (n-a)*gammaR) — no "
+    "float accumulates, ever. SSE split scores (SL^2/nL + SR^2/nR) "
+    "are deterministic doubles of exact BIGINTs used only for the "
+    "argmax; leaf values are truncating integer division (SQL DIV "
+    "semantics in both engines, exact on negative sums too). Scale: "
+    "each round is ONE 64-or-12-bin histogram groupBy over the "
+    "facts plus a bin-bounded scan — the LightGBM per-round cost "
+    "shape; the trajectory (split, leaf values per round) is the "
+    "output, as a model store would persist it.",
+)
+def boosting_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr("CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)").alias(
+            "mth"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    st = base.agg(
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.sum("y").cast("bigint").alias("pos_tot"),
+        F.expr("CAST(sum(y) AS BIGINT) * 1000000 DIV count(*)").alias("f0"),
+    )
+    h1 = (
+        base.crossJoin(F.broadcast(st))
+        .select(
+            F.expr("((cents - mn) * 64) DIV (mx - mn + 1)").alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum("y").cast("bigint").alias("p1"),
+        )
+    )
+    w_bin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c1 = h1.select(
+        "bin",
+        F.sum("n1").over(w_bin).cast("bigint").alias("nl"),
+        F.sum("p1").over(w_bin).cast("bigint").alias("pl"),
+    )
+    cand1 = (
+        c1.crossJoin(F.broadcast(st))
+        .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n_tot")))
+        .select(
+            "bin",
+            "nl",
+            F.expr("pl * 1000000 - nl * f0").alias("sl"),
+            F.expr(
+                "(pos_tot - pl) * 1000000 - (n_tot - nl) * f0"
+            ).alias("sr"),
+            (F.col("n_tot") - F.col("nl")).alias("nr"),
+            "mn",
+            "mx",
+            "n_tot",
+            "f0",
+        )
+    )
+    w_score = Window.orderBy(
+        F.expr(
+            "CAST(sl AS DOUBLE) * sl / nl + CAST(sr AS DOUBLE) * sr / nr"
+        ).desc(),
+        F.col("bin"),
+    )
+    b1 = (
+        cand1.withColumn("rn", F.row_number().over(w_score))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.expr("mn + ((bin + 1) * (mx - mn + 1)) DIV 64 - 1").alias(
+                "split_upper1"
+            ),
+            F.col("nl").alias("nl1"),
+            F.col("nr").alias("nr1"),
+            F.expr("sl DIV nl").alias("gl1"),
+            F.expr("sr DIV nr").alias("gr1"),
+            "n_tot",
+            "f0",
+        )
+    )
+    h2 = (
+        base.crossJoin(F.broadcast(b1))
+        .groupBy("mth")
+        .agg(
+            F.count("*").cast("bigint").alias("n2"),
+            F.sum("y").cast("bigint").alias("p2"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("split_upper1"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a2"),
+        )
+    )
+    s2 = h2.crossJoin(F.broadcast(b1)).select(
+        "mth",
+        "n2",
+        F.expr(
+            "p2 * 1000000 - n2 * f0 - a2 * gl1 - (n2 - a2) * gr1"
+        ).alias("sb"),
+    )
+    w_mth = Window.orderBy("mth").rowsBetween(Window.unboundedPreceding, 0)
+    c2 = s2.select(
+        "mth",
+        F.sum("n2").over(w_mth).cast("bigint").alias("nl"),
+        F.sum("sb").over(w_mth).cast("bigint").alias("sl"),
+    )
+    tot2 = s2.agg(F.sum("sb").cast("bigint").alias("s_all"))
+    cand2 = (
+        c2.crossJoin(F.broadcast(tot2))
+        .crossJoin(F.broadcast(b1.select("n_tot", "f0")))
+        .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n_tot")))
+        .select(
+            "mth",
+            "nl",
+            "sl",
+            (F.col("s_all") - F.col("sl")).alias("sr"),
+            (F.col("n_tot") - F.col("nl")).alias("nr"),
+            "f0",
+        )
+    )
+    w_score2 = Window.orderBy(
+        F.expr(
+            "CAST(sl AS DOUBLE) * sl / nl + CAST(sr AS DOUBLE) * sr / nr"
+        ).desc(),
+        F.col("mth"),
+    )
+    b2 = (
+        cand2.withColumn("rn", F.row_number().over(w_score2))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit(2).cast("bigint").alias("round"),
+            F.lit("order_month").alias("feature"),
+            F.col("mth").alias("split_upper"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.expr("sl DIV nl").alias("gamma_left_micro"),
+            F.expr("sr DIV nr").alias("gamma_right_micro"),
+            F.col("f0").alias("f0_micro"),
+        )
+    )
+    r1 = b1.select(
+        F.lit(1).cast("bigint").alias("round"),
+        F.lit("total_cents").alias("feature"),
+        F.col("split_upper1").alias("split_upper"),
+        F.col("nl1").alias("n_left"),
+        F.col("nr1").alias("n_right"),
+        F.col("gl1").alias("gamma_left_micro"),
+        F.col("gr1").alias("gamma_right_micro"),
+        F.col("f0").alias("f0_micro"),
+    )
+    return r1.unionByName(b2).orderBy("round")

@@ -229,3 +229,116 @@ def test_conformal_qhat_is_the_kth_order_statistic(spark):
         assert covered >= k
         # held-out coverage is reported against a positive test count
         assert 0 < r["n_covered"] <= r["n_test"]
+
+
+# --------------------------------------------------------------------------
+# boosting_two_rounds
+# --------------------------------------------------------------------------
+
+def _trunc_div(a: int, b: int) -> int:
+    """SQL DIV semantics: truncate toward zero (b > 0)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def test_boosting_matches_python_twin(spark):
+    rows = _run(spark, "boosting_two_rounds")
+    assert [r["round"] for r in rows] == [1, 2]
+    assert [r["feature"] for r in rows] == ["total_cents", "order_month"]
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"""SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                   CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT),
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+            FROM '{SF}/orders.parquet'"""
+    ).fetchall()
+    mn = min(r[0] for r in data)
+    mx = max(r[0] for r in data)
+    n_tot = len(data)
+    pos_tot = sum(r[2] for r in data)
+    f0 = pos_tot * 1_000_000 // n_tot
+
+    # round 1: 64-bin histogram on cents
+    h1: dict[int, list[int]] = {}
+    for cents, _, y in data:
+        b = ((cents - mn) * 64) // (mx - mn + 1)
+        e = h1.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += y
+    best1, best1_score = None, None
+    nl = pl = 0
+    for b in sorted(h1):
+        nl += h1[b][0]
+        pl += h1[b][1]
+        if nl == 0 or nl == n_tot:
+            continue
+        sl = pl * 1_000_000 - nl * f0
+        sr = (pos_tot - pl) * 1_000_000 - (n_tot - nl) * f0
+        nr = n_tot - nl
+        score = float(sl) * sl / nl + float(sr) * sr / nr
+        if best1_score is None or score > best1_score:
+            best1_score = score
+            best1 = (b, nl, nr, sl, sr)
+    b, nl1, nr1, sl1, sr1 = best1
+    split_upper1 = mn + ((b + 1) * (mx - mn + 1)) // 64 - 1
+    gl1, gr1 = _trunc_div(sl1, nl1), _trunc_div(sr1, nr1)
+    r1 = rows[0]
+    assert (
+        r1["split_upper"],
+        r1["n_left"],
+        r1["n_right"],
+        r1["gamma_left_micro"],
+        r1["gamma_right_micro"],
+        r1["f0_micro"],
+    ) == (split_upper1, nl1, nr1, gl1, gr1, f0)
+
+    # round 2: month histogram on updated residuals
+    h2: dict[int, list[int]] = {}
+    for cents, mth, y in data:
+        e = h2.setdefault(mth, [0, 0, 0])
+        e[0] += 1
+        e[1] += y
+        if cents <= split_upper1:
+            e[2] += 1
+    best2, best2_score = None, None
+    s_all = sum(
+        p * 1_000_000 - n * f0 - a * gl1 - (n - a) * gr1
+        for n, p, a in h2.values()
+    )
+    nl = sl = 0
+    for m in sorted(h2):
+        n, p, a = h2[m]
+        nl += n
+        sl += p * 1_000_000 - n * f0 - a * gl1 - (n - a) * gr1
+        if nl == 0 or nl == n_tot:
+            continue
+        sr = s_all - sl
+        nr = n_tot - nl
+        score = float(sl) * sl / nl + float(sr) * sr / nr
+        if best2_score is None or score > best2_score:
+            best2_score = score
+            best2 = (m, nl, nr, sl, sr)
+    m2, nl2, nr2, sl2, sr2 = best2
+    r2 = rows[1]
+    assert (
+        r2["split_upper"],
+        r2["n_left"],
+        r2["n_right"],
+        r2["gamma_left_micro"],
+        r2["gamma_right_micro"],
+    ) == (m2, nl2, nr2, _trunc_div(sl2, nl2), _trunc_div(sr2, nr2))
+
+
+def test_boosting_round2_residuals_shrink(spark):
+    """After subtracting round-1 leaf values the total residual mass
+    must not grow: |sum r2| <= |sum r1| + truncation slack."""
+    rows = _run(spark, "boosting_two_rounds")
+    r1, r2 = rows
+    # round-2 leaves reconstruct a partition of all rows
+    assert r1["n_left"] + r1["n_right"] == r2["n_left"] + r2["n_right"]
+    # leaf values are micro-probability corrections, bounded by 1.0
+    for r in rows:
+        assert abs(r["gamma_left_micro"]) <= 1_000_000
+        assert abs(r["gamma_right_micro"]) <= 1_000_000
+    assert 0 <= r1["f0_micro"] <= 1_000_000
