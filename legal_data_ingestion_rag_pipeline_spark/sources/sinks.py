@@ -216,9 +216,24 @@ class TlogStore:
         return tlog.commit(df, str(self.path(table)), "append")
 
     def write_all(self, tables: dict[str, DataFrame]) -> dict[str, int]:
-        """Commit every table sequentially; returns table -> version.
+        """Commit every table; returns table -> version.
+
+        Commits run CONCURRENTLY across tables (a thread pool
+        submitting independent Spark jobs): each table owns its own
+        directory and manifest, so there is no cross-table state and
+        the single-writer-per-table contract holds.  For a batch
+        touching ~10 tables this turns the wall cost from the sum of
+        ten small write jobs into the max of them — the same reason
+        real lakehouse writers commit independent tables in parallel.
         No staging needed — see the class docstring."""
-        return {name: self.write(name, df) for name, df in tables.items()}
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not tables:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as ex:
+            futs = {name: ex.submit(self.write, name, df)
+                    for name, df in tables.items()}
+            return {name: fut.result() for name, fut in futs.items()}
 
     def vacuum(self, table: str, keep_from_version: int) -> list[str]:
         from ..operators import tlog
