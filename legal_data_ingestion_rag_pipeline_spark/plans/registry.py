@@ -523,6 +523,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:        conformal_price_calibration (band-parallel rank), and the
 #:        streaming window family via streaming_interval_join;
 #:        keeps oracle_check + the sweep pytest.
+#:   (The wave's other families stay oracle_check-only by the same
+#:   machinery-partner logic: boosting_two_rounds runs the stump
+#:   histogram machinery twice INSIDE one plan and stump gates it;
+#:   textrank_keywords composes the gated-precedent pagerank
+#:   operator; als_user_factors_2d / target_encoding_shrunk /
+#:   information_gain_ranking are broadcast-joined exact-integer
+#:   aggregates gated a dozen ways; ewma_event_type_daily's walk
+#:   machinery is gated via holt_linear_daily, a strict superset;
+#:   lcs_align_neardups' applyInPandas path via clamped_wallet /
+#:   holt and its candidate machinery via dedup_prefix_jaccard +
+#:   dedup_minhash_lsh; the profiling/mining/eval one-pass
+#:   aggregates via the stats-family rows. All have pytest +
+#:   oracle_check + (rolling/eval) plan-sweep coverage.)
 #:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
