@@ -1,6 +1,6 @@
 """Driver queries: supervised-learning / feature-engineering
 operators (round 8) — the model-training layer a pretraining-data
-platform runs on top of the curation core.  Exactly eight families,
+platform runs on top of the curation core.  Exactly nine families,
 each implemented and registered in this module:
 
 - stump_split_search        — histogram-based decision-stump split
@@ -31,6 +31,12 @@ each implemented and registered in this module:
   so bin sums derive from indicator counts), SSE split scores are
   deterministic doubles of exact BIGINTs, and leaf values are
   truncating integer division — the GBDT trajectory, hash-gated.
+- logistic_hashed_first_step — the hashing-trick linear model: four
+  categorical features hashed into 32 shared buckets (collisions
+  kept — that IS the trick), and the first logistic-regression
+  gradient step from w=0, which is CLOSED FORM exact because
+  sigmoid(0) = 1/2 makes the gradient a half-integer count (step -grad/N); the
+  before/after NLL totals audit the step, per-row micro-snapped.
 
 Cross-engine exactness follows the repo conventions: prices in exact
 BIGINT cents (floor(x*100+0.5)), every transcendental (ln, sqrt)
@@ -993,3 +999,175 @@ def boosting_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f0").alias("f0_micro"),
     )
     return r1.unionByName(b2).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# logistic_hashed_first_step
+# --------------------------------------------------------------------------
+
+_LH_BUCKETS = 32
+_LH_LN2_MICRO = 693147  # floor(ln(2)*1e6 + 0.5), folded in Python
+
+
+def _lh_oracle() -> str:
+    ph = PT.poly_hash("fs", D)
+    return f"""
+    WITH j AS (
+      SELECT o.o_orderkey AS rid,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             c.c_mktsegment AS seg, CAST(c.c_nationkey AS VARCHAR) AS nat,
+             o.o_orderstatus AS st,
+             CAST(month(CAST(o.o_orderdate AS DATE)) AS VARCHAR) AS mo
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    feats AS (
+      SELECT rid, y, f.fs FROM j, unnest([
+        'seg=' || seg, 'nat=' || nat, 'st=' || st, 'mo=' || mo
+      ]) AS f(fs)
+    ),
+    dim AS (
+      SELECT fs, ({ph}) % {_LH_BUCKETS} AS bucket
+      FROM (SELECT DISTINCT fs FROM feats)
+    ),
+    fb AS (SELECT feats.rid, feats.y, dim.bucket
+           FROM feats JOIN dim ON dim.fs = feats.fs),
+    g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM fb GROUP BY bucket
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    w1 AS (
+      SELECT bucket, cnt, pos, cnt - 2 * pos AS grad_half,
+             ((2 * pos - cnt) * 1000000) // (2 * nn.n) AS w1_micro
+      FROM g, nn
+    ),
+    z AS (
+      SELECT fb.rid, max(fb.y) AS y,
+             CAST(sum(w1.w1_micro) AS BIGINT) AS z_micro
+      FROM fb JOIN w1 ON w1.bucket = fb.bucket GROUP BY fb.rid
+    ),
+    loss AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) * {_LH_LN2_MICRO}
+               AS loss_before_total_micro,
+             CAST(sum(CAST(floor(ln(1.0 + exp(
+               CASE WHEN y = 1 THEN -CAST(z_micro AS DOUBLE) / 1000000.0
+                    ELSE CAST(z_micro AS DOUBLE) / 1000000.0 END))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS loss_after_total_micro
+      FROM z
+    )
+    SELECT w1.bucket, w1.cnt, w1.pos, w1.grad_half, w1.w1_micro,
+           loss.n_rows, loss.loss_before_total_micro,
+           loss.loss_after_total_micro
+    FROM w1 CROSS JOIN loss
+    ORDER BY w1.bucket
+    """
+
+
+@register(
+    "logistic_hashed_first_step",
+    oracle=_lh_oracle(),
+    doc="the hashing-trick linear model, first training step, exact: "
+    "four categorical features (segment, nation, status, month) "
+    "hash into 32 shared buckets via the portable polynomial hash — "
+    "collisions are KEPT, that is the point of feature hashing — "
+    "and the first logistic gradient step from w=0 is closed-form "
+    "exact because sigmoid(0)=1/2 makes each bucket's gradient the "
+    "half-integer cnt-2*pos; w1 = -grad/32 lands as one truncating "
+    "integer division (SQL DIV in both engines). The NLL audit: "
+    "before = N*ln(2) folded to micro-literals, after = per-row "
+    "ln(1+exp(-margin)) snapped to micro BEFORE the exact BIGINT "
+    "sum (the lm_perplexity per-row convention). Scale: the hash "
+    "runs on the DOMAIN-bounded distinct-value table (45 strings, "
+    "broadcast), never per row — the bootstrap HOF-lambda lesson; "
+    "the two fact-scale passes are one explode-groupBy and one "
+    "margin groupBy by row key.",
+)
+def logistic_hashed_first_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _LH_BUCKETS
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rid"),
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr("CAST(month(CAST(o_orderdate AS DATE)) AS STRING)").alias(
+            "mo"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    feats = j.select(
+        "rid",
+        "y",
+        F.explode(
+            F.array(
+                F.concat(F.lit("seg="), F.col("seg")),
+                F.concat(F.lit("nat="), F.col("nat")),
+                F.concat(F.lit("st="), F.col("st")),
+                F.concat(F.lit("mo="), F.col("mo")),
+            )
+        ).alias("fs"),
+    )
+    dim = feats.select("fs").distinct().select(
+        "fs",
+        (F.expr(PT.poly_hash("fs", S)) % B).alias("bucket"),
+    )
+    fb = feats.join(F.broadcast(dim), "fs").select("rid", "y", "bucket")
+    g = fb.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    nn = j.agg(F.count("*").cast("bigint").alias("n"))
+    w1 = g.crossJoin(F.broadcast(nn)).select(
+        "bucket",
+        "cnt",
+        "pos",
+        (F.col("cnt") - 2 * F.col("pos")).alias("grad_half"),
+        F.expr("((2 * pos - cnt) * 1000000) DIV (2 * n)").alias("w1_micro"),
+    )
+    z = (
+        fb.join(F.broadcast(w1.select("bucket", "w1_micro")), "bucket")
+        .groupBy("rid")
+        .agg(
+            F.max("y").alias("y"),
+            F.sum("w1_micro").cast("bigint").alias("z_micro"),
+        )
+    )
+    loss = z.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*").cast("bigint") * _LH_LN2_MICRO).alias(
+            "loss_before_total_micro"
+        ),
+        F.sum(
+            F.expr(
+                "CAST(floor(ln(1.0 + exp("
+                "CASE WHEN y = 1 THEN -CAST(z_micro AS DOUBLE) / 1000000.0"
+                " ELSE CAST(z_micro AS DOUBLE) / 1000000.0 END))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("loss_after_total_micro"),
+    )
+    return (
+        w1.crossJoin(F.broadcast(loss))
+        .select(
+            "bucket",
+            "cnt",
+            "pos",
+            "grad_half",
+            "w1_micro",
+            "n_rows",
+            "loss_before_total_micro",
+            "loss_after_total_micro",
+        )
+        .orderBy("bucket")
+    )

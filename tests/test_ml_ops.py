@@ -342,3 +342,27 @@ def test_boosting_round2_residuals_shrink(spark):
         assert abs(r["gamma_left_micro"]) <= 1_000_000
         assert abs(r["gamma_right_micro"]) <= 1_000_000
     assert 0 <= r1["f0_micro"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# logistic_hashed_first_step
+# --------------------------------------------------------------------------
+
+def test_logistic_first_step_reduces_loss(spark):
+    rows = _run(spark, "logistic_hashed_first_step")
+    # buckets partition the (row, feature) incidences: 4 per row
+    n = rows[0]["n_rows"]
+    assert sum(r["cnt"] for r in rows) == 4 * n
+    for r in rows:
+        assert 0 <= r["pos"] <= r["cnt"]
+        assert r["grad_half"] == r["cnt"] - 2 * r["pos"]
+        # w1 = -grad/N in micro units, truncating division
+        expect = (2 * r["pos"] - r["cnt"]) * 1_000_000
+        q = abs(expect) // (2 * n)
+        assert r["w1_micro"] == (q if expect >= 0 else -q)
+    # the first gradient step from w=0 can never increase the NLL
+    # (it moves along the exact negative gradient with a small step)
+    assert rows[0]["loss_after_total_micro"] < rows[0][
+        "loss_before_total_micro"
+    ]
+    assert rows[0]["loss_before_total_micro"] == n * 693147
