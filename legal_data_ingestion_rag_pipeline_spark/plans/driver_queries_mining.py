@@ -1,6 +1,6 @@
-"""Driver queries: pattern-mining, alignment, and causal-analytics
-operators (round 8) — exactly three families, each implemented and
-registered in this module:
+"""Driver queries: pattern-mining, alignment, and causal / survival /
+tail-analytics operators (round 8) — exactly six families, each
+implemented and registered in this module:
 
 - association_rules_lift — classic directional association rules
   over customer-order baskets: support / confidence / lift for part
@@ -19,6 +19,18 @@ registered in this module:
   treated (BUILDING segment) vs control, before/after 1998-01-01,
   cell means in exact milli-cents and the DID interaction as an
   exact BIGINT difference of differences.
+- propensity_stratified_effect — the stratification/standardization
+  estimator beside DID: per-nation strata on common support, exact
+  milli-cent cell means, population-weighted ATE as one final
+  integer division.
+- nelson_aalen_hazard — the cumulative-hazard complement of the
+  gated Kaplan-Meier curve: per-event-day d/n snapped to micro
+  BEFORE the calendar-bounded cumulative sum (same censored
+  risk-set machinery, additive instead of product-limit).
+- hill_tail_exponent — the Hill/power-law estimator of the
+  word-frequency tail exponent (the Zipf audit of a corpus
+  datacard): each ln(f/xmin) snapped to micro from exact counts,
+  one final alpha division on exact BIGINTs.
 
 Conventions as everywhere: exact BIGINT counts/cents, one division
 per output cell (integer DIV where exactness allows, double +
@@ -376,4 +388,335 @@ def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("treated", "post", "n", "sum_cents", "mean_milli",
                 "did_milli")
         .orderBy("treated", "post")
+    )
+
+
+# --------------------------------------------------------------------------
+# propensity_stratified_effect
+# --------------------------------------------------------------------------
+
+@register(
+    "propensity_stratified_effect",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nation,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treated,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    strata AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(count(*) FILTER (WHERE treated = 1) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (WHERE treated = 0) AS BIGINT) AS n_c,
+             CAST(coalesce(sum(cents) FILTER (WHERE treated = 1), 0)
+                  AS BIGINT) AS s_t,
+             CAST(coalesce(sum(cents) FILTER (WHERE treated = 0), 0)
+                  AS BIGINT) AS s_c
+      FROM j GROUP BY nation
+    ),
+    supp AS (
+      SELECT nation, n_s, n_t, n_c,
+             s_t * 1000 // n_t AS mt_milli,
+             s_c * 1000 // n_c AS mc_milli
+      FROM strata WHERE n_t > 0 AND n_c > 0
+    ),
+    ate AS (
+      SELECT CAST(sum(n_s * (mt_milli - mc_milli)) AS BIGINT)
+               // CAST(sum(n_s) AS BIGINT) AS ate_milli,
+             CAST(sum(n_s) AS BIGINT) AS n_support
+      FROM supp
+    )
+    SELECT s.nation, s.n_s, s.n_t, s.n_c, s.mt_milli, s.mc_milli,
+           s.mt_milli - s.mc_milli AS diff_milli,
+           a.ate_milli, a.n_support
+    FROM supp s CROSS JOIN ate a
+    ORDER BY s.nation
+    """,
+    doc="stratified (standardized) average-treatment-effect estimate "
+    "beside difference_in_differences: treated = BUILDING-segment "
+    "orders, strata = customer nation, outcome = exact milli-cent "
+    "order value. Strata lacking common support (no treated or no "
+    "control rows) are excluded — the standard positivity "
+    "restriction, made explicit. Per-stratum means are exact "
+    "integer divisions; the population-weighted ATE "
+    "sum(n_s * diff) / sum(n_s) is ONE final BIGINT division, so "
+    "the estimate is bit-portable. One fact-scale join feeds a "
+    "nation-bounded strata table; everything after is constant "
+    "size.",
+)
+def propensity_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        .alias("treated"),
+    )
+    strata = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_s"),
+            F.count(F.when(F.col("treated") == 1, 1))
+            .cast("bigint")
+            .alias("n_t"),
+            F.count(F.when(F.col("treated") == 0, 1))
+            .cast("bigint")
+            .alias("n_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("treated") == 1, F.col("cents"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("s_t"),
+            F.coalesce(
+                F.sum(F.when(F.col("treated") == 0, F.col("cents"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("s_c"),
+        )
+    )
+    supp = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "nation",
+        "n_s",
+        "n_t",
+        "n_c",
+        F.expr("s_t * 1000 DIV n_t").alias("mt_milli"),
+        F.expr("s_c * 1000 DIV n_c").alias("mc_milli"),
+    )
+    ate = supp.agg(
+        F.expr(
+            "CAST(sum(n_s * (mt_milli - mc_milli)) AS BIGINT)"
+            " DIV CAST(sum(n_s) AS BIGINT)"
+        ).alias("ate_milli"),
+        F.sum("n_s").cast("bigint").alias("n_support"),
+    )
+    return (
+        supp.crossJoin(F.broadcast(ate))
+        .select(
+            "nation",
+            "n_s",
+            "n_t",
+            "n_c",
+            "mt_milli",
+            "mc_milli",
+            (F.col("mt_milli") - F.col("mc_milli")).alias("diff_milli"),
+            "ate_milli",
+            "n_support",
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# nelson_aalen_hazard
+# --------------------------------------------------------------------------
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+      SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+      GROUP BY 1, 2
+    ),
+    study AS (SELECT max(CAST(ts AS DATE)) AS end_d FROM events),
+    subj AS (
+      SELECT CAST(coalesce(CAST(f.p_ts AS DATE), st.end_d)
+                  - CAST(f.s_ts AS DATE) AS BIGINT) AS t_day,
+             CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM fp f CROSS JOIN study st
+    ),
+    daily AS (
+      SELECT t_day, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM daily),
+    risk AS (
+      SELECT t_day, d, c,
+             tot.n - CAST(coalesce(sum(d + c) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM daily CROSS JOIN tot
+    ),
+    steps AS (
+      SELECT t_day, n_risk, d, c,
+             d * 1000000 // n_risk AS hazard_micro
+      FROM risk WHERE d > 0
+    )
+    SELECT t_day, n_risk, d AS n_events, c AS n_censored, hazard_micro,
+           CAST(sum(hazard_micro) OVER (ORDER BY t_day) AS BIGINT)
+             AS cum_hazard_micro
+    FROM steps ORDER BY t_day
+    """,
+    doc="Nelson-Aalen cumulative hazard of signup-to-purchase "
+    "conversion — the additive complement of the gated Kaplan-Meier "
+    "product-limit curve, on the SAME right-censored risk-set "
+    "machinery (subjects who never purchase censor at the study "
+    "end). Each event day's hazard increment d/n is one exact "
+    "integer division to micro-units; the cumulative hazard is then "
+    "an exact BIGINT running sum over the calendar-bounded event-day "
+    "table — no transcendental at all, unlike KM's ln-product, "
+    "which is why NA is the estimator of choice when increments "
+    "must aggregate exactly. One fact-scale min-ts aggregation per "
+    "cohort leg; everything downstream is day-bounded.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_raw")
+    )
+    fp = (
+        signup.join(
+            purchases,
+            (signup.user_id == purchases.user_id)
+            & (purchases.p_raw >= signup.s_ts),
+            "left",
+        )
+        .groupBy(signup.user_id, "s_ts")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    study = ev.agg(F.max(F.col("ts").cast("date")).alias("end_d"))
+    subj = fp.crossJoin(F.broadcast(study)).select(
+        F.expr(
+            "CAST(datediff(coalesce(CAST(p_ts AS DATE), end_d),"
+            " CAST(s_ts AS DATE)) AS BIGINT)"
+        ).alias("t_day"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    daily = subj.groupBy("t_day").agg(
+        F.sum("e").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("bigint").alias("c"),
+    )
+    tot = daily.agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("n"))
+    w_prev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "t_day",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select(
+        "t_day",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.expr("d * 1000000 DIV n_risk").alias("hazard_micro"),
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return steps.select(
+        "t_day",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "hazard_micro",
+        F.sum("hazard_micro").over(w_cum).cast("bigint").alias(
+            "cum_hazard_micro"
+        ),
+    ).orderBy("t_day")
+
+
+# --------------------------------------------------------------------------
+# hill_tail_exponent
+# --------------------------------------------------------------------------
+
+_HILL_XMIN = 5
+
+def _hill_oracle() -> str:
+    toks = PT.tokens("coalesce(text, '')", D)
+    return f"""
+    WITH tok AS (SELECT t.w FROM documents, unnest({toks}) AS t(w)),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+             FROM tok GROUP BY w),
+    tail AS (
+      SELECT w, f,
+             CAST(floor(ln(CAST(f AS DOUBLE) / {_HILL_XMIN})
+                  * 1000000.0 + 0.5) AS BIGINT) AS ln_micro
+      FROM freq WHERE f >= {_HILL_XMIN}
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(ln_micro) AS BIGINT) AS s_ln_micro
+      FROM tail
+    )
+    SELECT CAST({_HILL_XMIN} AS BIGINT) AS xmin, agg.n_tail,
+           agg.s_ln_micro,
+           1000000 + CAST(floor(
+             CAST(agg.n_tail AS DOUBLE) * 1000000000000.0 / agg.s_ln_micro
+             + 0.5) AS BIGINT) AS alpha_micro
+    FROM agg
+    """
+
+
+@register(
+    "hill_tail_exponent",
+    oracle=_hill_oracle(),
+    doc="Hill maximum-likelihood estimator of the word-frequency "
+    "power-law tail exponent (alpha = 1 + n / sum ln(f/xmin), "
+    "xmin={xmin}) — the Zipf audit a corpus datacard reports to "
+    "catch degenerate token distributions. Each ln applies once to "
+    "a ratio of an exact BIGINT count over the folded xmin and "
+    "snaps to micro BEFORE the sum (the psi convention), so the "
+    "only floating step in the final alpha is one deterministic "
+    "double division of exact integers. Scale: the frequency table "
+    "is vocabulary-bounded after one token-count shuffle; the tail "
+    "aggregate is a single row.".format(xmin=_HILL_XMIN),
+)
+def hill_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = PT.tokens("text", S)
+    freq = (
+        docs.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    tail = freq.filter(F.col("f") >= _HILL_XMIN).select(
+        F.expr(
+            f"CAST(floor(ln(CAST(f AS DOUBLE) / {_HILL_XMIN})"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("ln_micro")
+    )
+    agg = tail.agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.sum("ln_micro").cast("bigint").alias("s_ln_micro"),
+    )
+    return agg.select(
+        F.lit(_HILL_XMIN).cast("bigint").alias("xmin"),
+        "n_tail",
+        "s_ln_micro",
+        F.expr(
+            "1000000 + CAST(floor(CAST(n_tail AS DOUBLE) * 1000000000000.0"
+            " / s_ln_micro + 0.5) AS BIGINT)"
+        ).alias("alpha_micro"),
     )

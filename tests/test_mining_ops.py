@@ -99,3 +99,70 @@ def test_did_identity_and_cell_partition(spark):
             JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
     ).fetchone()[0]
     assert sum(r["n"] for r in rows) == n
+
+
+def test_stratified_effect_identity(spark):
+    rows = _run(spark, "propensity_stratified_effect")
+    assert rows, "common support must be non-empty"
+    ate = rows[0]["ate_milli"]
+    num = sum(r["n_s"] * (r["mt_milli"] - r["mc_milli"]) for r in rows)
+    den = sum(r["n_s"] for r in rows)
+    q = abs(num) // den
+    assert ate == (q if num >= 0 else -q)
+    assert rows[0]["n_support"] == den
+    for r in rows:
+        assert r["n_t"] > 0 and r["n_c"] > 0  # positivity enforced
+        assert r["n_t"] + r["n_c"] == r["n_s"]
+        assert r["diff_milli"] == r["mt_milli"] - r["mc_milli"]
+        assert r["ate_milli"] == ate
+
+
+def test_nelson_aalen_consistent_with_km_risk_sets(spark):
+    na = _run(spark, "nelson_aalen_hazard")
+    km = {r["t_day"]: r for r in _run(spark, "kaplan_meier_conversion")}
+    prev_cum = 0
+    for r in na:
+        # hazard increments are exact integer divisions
+        assert r["hazard_micro"] == r["n_events"] * 1_000_000 // r["n_risk"]
+        assert r["cum_hazard_micro"] == prev_cum + r["hazard_micro"]
+        prev_cum = r["cum_hazard_micro"]
+        # same risk sets as the KM curve on shared event days (KM
+        # additionally drops d == n_risk days)
+        if r["t_day"] in km:
+            k = km[r["t_day"]]
+            assert (k["n_risk"], k["n_events"]) == (
+                r["n_risk"],
+                r["n_events"],
+            )
+        # NA >= -ln(S) is false in general, but both are positive and
+        # the hazard is a probability increment
+        assert 0 < r["hazard_micro"] <= 1_000_000
+
+
+def test_hill_alpha_matches_python(spark):
+    import math
+
+    rows = _run(spark, "hill_tail_exponent")
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    freqs = [
+        x[0]
+        for x in con.execute(
+            f"""SELECT count(*) FROM (
+                  SELECT unnest(list_filter(string_split_regex(
+                    lower(coalesce(text, '')), '\\s+'), t -> t <> '')) AS w
+                  FROM '{SF}/documents.parquet')
+                GROUP BY w HAVING count(*) >= 5"""
+        ).fetchall()
+    ]
+    s = sum(
+        math.floor(math.log(f / 5) * 1e6 + 0.5) for f in freqs
+    )
+    assert r["n_tail"] == len(freqs)
+    assert r["s_ln_micro"] == s
+    assert r["alpha_micro"] == 1_000_000 + math.floor(
+        len(freqs) * 1e12 / s + 0.5
+    )
+    # a plausible power-law-ish tail exponent
+    assert 1_000_000 < r["alpha_micro"] < 20_000_000
