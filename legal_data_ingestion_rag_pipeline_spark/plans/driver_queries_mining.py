@@ -1,5 +1,5 @@
 """Driver queries: pattern-mining, alignment, and causal / survival /
-tail-analytics operators (round 8) — exactly six families, each
+tail-analytics operators (round 8) — exactly eight families, each
 implemented and registered in this module:
 
 - association_rules_lift — classic directional association rules
@@ -31,6 +31,14 @@ implemented and registered in this module:
   word-frequency tail exponent (the Zipf audit of a corpus
   datacard): each ln(f/xmin) snapped to micro from exact counts,
   one final alpha division on exact BIGINTs.
+- mcnemar_urgent_periods — McNemar's paired test on per-customer
+  urgent-order status before/after 1998: the discordant-pair
+  statistic (b-c)^2/(b+c), the right test when the two proportions
+  share subjects and chi-squared independence does not apply.
+- odds_ratio_woolf_ci — the 2x2 odds ratio (BUILDING exposure vs
+  urgent outcome, per customer) with Woolf's log-normal confidence
+  interval; ln(OR) and each CI bound snapped once from exact cell
+  counts.
 
 Conventions as everywhere: exact BIGINT counts/cents, one division
 per output cell (integer DIV where exactness allows, double +
@@ -719,4 +727,199 @@ def hill_tail_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 + CAST(floor(CAST(n_tail AS DOUBLE) * 1000000000000.0"
             " / s_ln_micro + 0.5) AS BIGINT)"
         ).alias("alpha_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mcnemar_urgent_periods
+# --------------------------------------------------------------------------
+
+@register(
+    "mcnemar_urgent_periods",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                       AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS x_a,
+             max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                       AND o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS x_b
+      FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE x_a = 1 AND x_b = 1) AS BIGINT) AS a,
+        CAST(count(*) FILTER (WHERE x_a = 1 AND x_b = 0) AS BIGINT) AS b,
+        CAST(count(*) FILTER (WHERE x_a = 0 AND x_b = 1) AS BIGINT) AS c,
+        CAST(count(*) FILTER (WHERE x_a = 0 AND x_b = 0) AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS n
+      FROM per_cust
+    )
+    SELECT a, b, c, d, n,
+           CAST(floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
+                * 1000000.0 + 0.5) AS BIGINT) AS mcnemar_micro
+    FROM cells
+    """,
+    doc="McNemar's test for paired binary outcomes: per customer, "
+    "did they place an URGENT order before vs on/after 1998-01-01? "
+    "The statistic (b-c)^2/(b+c) uses only the DISCORDANT pairs — "
+    "the correct test when both proportions measure the same "
+    "subjects, where chi_squared_independence's independence "
+    "assumption fails. One grouped pass builds the per-subject "
+    "paired indicators (two conditional max aggregates, one "
+    "shuffle); the 2x2 cell reduction and the single micro-snapped "
+    "division are constant-size. Exact BIGINT cells at any scale.",
+)
+def mcnemar_urgent_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate",
+                                           "o_orderpriority")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when(
+                (F.col("o_orderdate") < "1998-01-01")
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                1,
+            ).otherwise(0)
+        ).alias("x_a"),
+        F.max(
+            F.when(
+                (F.col("o_orderdate") >= "1998-01-01")
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                1,
+            ).otherwise(0)
+        ).alias("x_b"),
+    )
+    cells = per_cust.agg(
+        F.count(F.when((F.col("x_a") == 1) & (F.col("x_b") == 1), 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when((F.col("x_a") == 1) & (F.col("x_b") == 0), 1))
+        .cast("bigint")
+        .alias("b"),
+        F.count(F.when((F.col("x_a") == 0) & (F.col("x_b") == 1), 1))
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.when((F.col("x_a") == 0) & (F.col("x_b") == 0), 1))
+        .cast("bigint")
+        .alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        "n",
+        F.expr(
+            "CAST(floor(CAST((b - c) * (b - c) AS DOUBLE) / (b + c)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("mcnemar_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# odds_ratio_woolf_ci
+# --------------------------------------------------------------------------
+
+@register(
+    "odds_ratio_woolf_ci",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS exposed,
+             max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS outcome
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    cells AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE exposed = 1 AND outcome = 1) AS BIGINT)
+          AS a,
+        CAST(count(*) FILTER (WHERE exposed = 1 AND outcome = 0) AS BIGINT)
+          AS b,
+        CAST(count(*) FILTER (WHERE exposed = 0 AND outcome = 1) AS BIGINT)
+          AS c,
+        CAST(count(*) FILTER (WHERE exposed = 0 AND outcome = 0) AS BIGINT)
+          AS d
+      FROM per_cust
+    )
+    SELECT a, b, c, d,
+      CAST(floor(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+           * 1000000.0 + 0.5) AS BIGINT) AS lnor_micro,
+      CAST(floor(sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)
+           * 1000000.0 + 0.5) AS BIGINT) AS se_micro,
+      CAST(floor((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+           - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+           * 1000000.0 + 0.5) AS BIGINT) AS ci_lo_micro,
+      CAST(floor((ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+           + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d))
+           * 1000000.0 + 0.5) AS BIGINT) AS ci_hi_micro
+    FROM cells
+    """,
+    doc="2x2 odds ratio with Woolf's log-normal 95% confidence "
+    "interval: exposure = BUILDING segment, outcome = the customer "
+    "ever placed an URGENT order. ln(OR) = ln(a*d/(b*c)) applies "
+    "once to a ratio of exact BIGINT cell products; the standard "
+    "error sqrt(1/a+1/b+1/c+1/d) and each CI bound are single "
+    "snapped double expressions of the same exact cells (the 1.96 "
+    "quantile folded as a literal), so all four statistics are "
+    "bit-portable. One join + one grouped pass builds the "
+    "per-customer table; the 2x2 reduction is constant-size. The "
+    "epidemiology classic beside the cohort-level "
+    "chi_squared/McNemar tests.",
+)
+def odds_ratio_woolf_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        .alias("exposed"),
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "exposed")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("outcome")
+        )
+    )
+    cells = per_cust.agg(
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1))
+        .cast("bigint")
+        .alias("b"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1))
+        .cast("bigint")
+        .alias("c"),
+        F.count(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1))
+        .cast("bigint")
+        .alias("d"),
+    )
+    lnor = "ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))"
+    se = "sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)"
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            f"CAST(floor({lnor} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("lnor_micro"),
+        F.expr(
+            f"CAST(floor({se} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("se_micro"),
+        F.expr(
+            f"CAST(floor(({lnor} - 1.959964 * {se}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ci_lo_micro"),
+        F.expr(
+            f"CAST(floor(({lnor} + 1.959964 * {se}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ci_hi_micro"),
     )

@@ -166,3 +166,38 @@ def test_hill_alpha_matches_python(spark):
     )
     # a plausible power-law-ish tail exponent
     assert 1_000_000 < r["alpha_micro"] < 20_000_000
+
+
+def test_mcnemar_cells_partition_customers(spark):
+    rows = _run(spark, "mcnemar_urgent_periods")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["a"] + r["b"] + r["c"] + r["d"] == r["n"]
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert r["n"] == n_cust
+    import math
+
+    expect = math.floor(
+        (r["b"] - r["c"]) ** 2 / (r["b"] + r["c"]) * 1e6 + 0.5
+    )
+    assert r["mcnemar_micro"] == expect
+
+
+def test_odds_ratio_ci_brackets_point_estimate(spark):
+    rows = _run(spark, "odds_ratio_woolf_ci")
+    assert len(rows) == 1
+    r = rows[0]
+    import math
+
+    for cell in ("a", "b", "c", "d"):
+        assert r[cell] > 0  # Woolf needs all four cells populated
+    lnor = math.log(r["a"] * r["d"] / (r["b"] * r["c"]))
+    se = math.sqrt(1 / r["a"] + 1 / r["b"] + 1 / r["c"] + 1 / r["d"])
+    assert r["lnor_micro"] == math.floor(lnor * 1e6 + 0.5)
+    assert r["se_micro"] == math.floor(se * 1e6 + 0.5)
+    assert r["ci_lo_micro"] == math.floor((lnor - 1.959964 * se) * 1e6 + 0.5)
+    assert r["ci_hi_micro"] == math.floor((lnor + 1.959964 * se) * 1e6 + 0.5)
+    assert r["ci_lo_micro"] < r["lnor_micro"] < r["ci_hi_micro"]
