@@ -1,6 +1,6 @@
-"""Driver queries: model-evaluation and rolling-model operators
-(round 8) — exactly two families, each implemented and registered in
-this module:
+"""Driver queries: model-evaluation, rolling-model,
+distribution-distance, and attribution operators (round 8) — exactly
+four families, each implemented and registered in this module:
 
 - clustering_nmi_purity — external clustering evaluation: normalized
   mutual information and purity of the deterministic k-means
@@ -16,6 +16,17 @@ this module:
   frame (ROWS 27 PRECEDING) over the dense calendar grid.  The
   many-small-models pattern: thousands of regressions from one
   window pass, no per-model scan.
+- wasserstein_price_distance — EXACT 1-D earth-mover distance
+  between the R-flag and N-flag price distributions on $100 bins:
+  W1 * nA * nB = sum over bins of |cumA*nB - cumB*nA| is pure
+  BIGINT arithmetic (ECDF prefix sums over the value-domain-bounded
+  bin table), one final division — the distribution-shift metric
+  that, unlike KS, weighs WHERE the mass moved.
+- position_based_attribution — the U-shaped (40/20/40) credit rule
+  completing the attribution ladder beside last-touch, Shapley and
+  Markov removal: exact micro-integer credits per pre-conversion
+  touch position (documented floor-remainder convention), one
+  window pass per user.
 
 Cross-engine exactness follows the repo conventions (exact BIGINT
 counts/cents/moments; one transcendental or division per output
@@ -30,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import portable as PT
+from ..operators import ranks
 from ..session import load_table
 from .registry import register
 
@@ -323,4 +335,228 @@ def rolling_regression_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope_micro"),
         )
         .orderBy("segment", "d")
+    )
+
+
+# --------------------------------------------------------------------------
+# wasserstein_price_distance
+# --------------------------------------------------------------------------
+
+@register(
+    "wasserstein_price_distance",
+    oracle="""
+    WITH src AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) // 10000
+               AS bin
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    bounds AS (SELECT min(bin) AS mn, max(bin) AS mx FROM src),
+    spine AS (SELECT CAST(g.x AS BIGINT) AS bin
+              FROM bounds, unnest(range(mn, mx + 1)) AS g(x)),
+    counts AS (
+      SELECT bin,
+             CAST(count(*) FILTER (WHERE flag = 'R') AS BIGINT) AS cnt_r,
+             CAST(count(*) FILTER (WHERE flag = 'N') AS BIGINT) AS cnt_n
+      FROM src GROUP BY bin
+    ),
+    dense AS (
+      SELECT s.bin, coalesce(c.cnt_r, 0) AS cnt_r,
+             coalesce(c.cnt_n, 0) AS cnt_n
+      FROM spine s LEFT JOIN counts c ON c.bin = s.bin
+    ),
+    tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS n_r,
+                   CAST(sum(cnt_n) AS BIGINT) AS n_n FROM dense),
+    cum AS (
+      SELECT bin, cnt_r, cnt_n,
+             CAST(sum(cnt_r) OVER (ORDER BY bin) AS BIGINT) AS cum_r,
+             CAST(sum(cnt_n) OVER (ORDER BY bin) AS BIGINT) AS cum_n
+      FROM dense
+    ),
+    contrib AS (
+      SELECT cum.*, abs(cum.cum_r * tot.n_n - cum.cum_n * tot.n_r)
+               AS contrib
+      FROM cum, tot
+    ),
+    w1 AS (SELECT CAST(sum(contrib) AS BIGINT) AS w1_num FROM contrib)
+    SELECT c.bin, c.cnt_r, c.cnt_n, c.cum_r, c.cum_n, c.contrib,
+           w1.w1_num,
+           CAST(floor(CAST(w1.w1_num AS DOUBLE)
+                / (CAST(tot.n_r AS DOUBLE) * tot.n_n)
+                * 1000.0 + 0.5) AS BIGINT) AS w1_milli_bins
+    FROM contrib c CROSS JOIN w1 CROSS JOIN tot
+    ORDER BY c.contrib DESC, c.bin
+    LIMIT 10
+    """,
+    doc="EXACT 1-D Wasserstein (earth-mover) distance between the "
+    "R-flag and N-flag extended-price distributions on $100 bins: "
+    "W1 * nR * nN = sum over the dense bin spine of "
+    "|cumR*nN - cumN*nR| is pure BIGINT arithmetic — the ECDF "
+    "prefix sums run over a VALUE-DOMAIN-BOUNDED table (<= ~5000 "
+    "bins regardless of corpus size, the ranks.py band argument), "
+    "and only the final normalization divides, once, in double "
+    "(snapped to milli-bin units). Unlike the KS statistic (max "
+    "ECDF gap) this integrates WHERE the mass moved — the metric "
+    "behind distribution-shift alerts and embedding-drift audits. "
+    "Output: the 10 largest-contribution bins with the global "
+    "distance as constant columns. One fact-scale binning groupBy; "
+    "everything after is bin-bounded.",
+)
+def wasserstein_price_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) DIV 10000"
+        ).alias("bin"),
+    ).filter(F.col("flag").isin("R", "N"))
+    bounds = li.agg(F.min("bin").alias("mn"), F.max("bin").alias("mx"))
+    spine = bounds.select(F.explode(F.expr("sequence(mn, mx)")).alias("bin"))
+    counts = li.groupBy("bin").agg(
+        F.count(F.when(F.col("flag") == "R", 1)).cast("bigint").alias("cnt_r"),
+        F.count(F.when(F.col("flag") == "N", 1)).cast("bigint").alias("cnt_n"),
+    )
+    dense = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("cnt_r"), F.lit(0)).cast("bigint").alias("cnt_r"),
+        F.coalesce(F.col("cnt_n"), F.lit(0)).cast("bigint").alias("cnt_n"),
+    )
+    tot = dense.agg(
+        F.sum("cnt_r").cast("bigint").alias("n_r"),
+        F.sum("cnt_n").cast("bigint").alias("n_n"),
+    )
+    cum = ranks.two_phase_prefix_sum(
+        dense.withColumn("band", F.expr("bin DIV 100")),
+        order_cols=["bin"],
+        band_col="band",
+        sum_cols=["cnt_r", "cnt_n"],
+        suffix="_cum",
+    ).select(
+        "bin",
+        "cnt_r",
+        "cnt_n",
+        F.col("cnt_r_cum").alias("cum_r"),
+        F.col("cnt_n_cum").alias("cum_n"),
+    )
+    contrib = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cnt_r",
+        "cnt_n",
+        "cum_r",
+        "cum_n",
+        F.abs(
+            F.col("cum_r") * F.col("n_n") - F.col("cum_n") * F.col("n_r")
+        ).alias("contrib"),
+        "n_r",
+        "n_n",
+    )
+    w1 = contrib.agg(F.sum("contrib").cast("bigint").alias("w1_num"))
+    return (
+        contrib.crossJoin(F.broadcast(w1))
+        .select(
+            "bin",
+            "cnt_r",
+            "cnt_n",
+            "cum_r",
+            "cum_n",
+            "contrib",
+            "w1_num",
+            F.expr(
+                "CAST(floor(CAST(w1_num AS DOUBLE)"
+                " / (CAST(n_r AS DOUBLE) * n_n) * 1000.0 + 0.5) AS BIGINT)"
+            ).alias("w1_milli_bins"),
+        )
+        .orderBy(F.col("contrib").desc(), "bin")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# position_based_attribution
+# --------------------------------------------------------------------------
+
+@register(
+    "position_based_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type AS channel,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS k
+      FROM events e JOIN conv ON conv.user_id = e.user_id
+      WHERE e.ts < conv.conv_ts AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+      SELECT channel, user_id,
+             CASE WHEN k = 1 THEN 1000000
+                  WHEN k = 2 THEN 500000
+                  WHEN rn = 1 OR rn = k THEN 400000
+                  ELSE 200000 // (k - 2)
+             END AS credit_micro
+      FROM touches
+    )
+    SELECT channel,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM credited
+    GROUP BY channel
+    ORDER BY credit_micro_total DESC, channel
+    """,
+    doc="position-based (U-shaped, 40/20/40) attribution of first "
+    "purchases, completing the ladder beside last_touch_attribution, "
+    "shapley_channel_attribution and markov_removal_attribution: "
+    "first and last pre-conversion touches take 400000 micro-credits "
+    "each, the middle 200000 splits by exact integer division "
+    "across the k-2 interior touches (the floor remainder is "
+    "documented leak, deterministic in both engines; k=1 takes all, "
+    "k=2 splits 50/50). One shuffle keys each converter's touch "
+    "stream; the per-user frame is a total order on (ts, event_id).",
+)
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"), "ts",
+                "event_id")
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_k = Window.partitionBy("user_id")
+    credited = touches.select(
+        "channel",
+        "user_id",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_k).alias("k"),
+    ).select(
+        "channel",
+        "user_id",
+        F.expr(
+            "CASE WHEN k = 1 THEN 1000000"
+            " WHEN k = 2 THEN 500000"
+            " WHEN rn = 1 OR rn = k THEN 400000"
+            " ELSE 200000 DIV (k - 2) END"
+        ).alias("credit_micro"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.col("credit_micro_total").desc(), "channel")
     )

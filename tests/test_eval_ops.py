@@ -90,3 +90,74 @@ def test_rolling_regression_matches_python_on_one_window(spark):
         (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5
     )
     assert probe["slope_micro"] == expect
+
+
+def test_wasserstein_identity_and_zero_self_distance(spark):
+    rows = _run(spark, "wasserstein_price_distance")
+    assert len(rows) == 10
+    w1 = rows[0]["w1_num"]
+    contribs = [r["contrib"] for r in rows]
+    assert contribs == sorted(contribs, reverse=True)
+    con = duckdb.connect()
+    # python twin of the full distance
+    data = con.execute(
+        f"""SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   // 10000 AS bin, l_returnflag
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_returnflag IN ('R', 'N')"""
+    ).fetchall()
+    from collections import Counter
+
+    cr = Counter(b for b, f in data if f == "R")
+    cn = Counter(b for b, f in data if f == "N")
+    n_r, n_n = sum(cr.values()), sum(cn.values())
+    lo = min(min(cr), min(cn))
+    hi = max(max(cr), max(cn))
+    cum_r = cum_n = 0
+    total = 0
+    per_bin = {}
+    for b in range(lo, hi + 1):
+        cum_r += cr.get(b, 0)
+        cum_n += cn.get(b, 0)
+        c = abs(cum_r * n_n - cum_n * n_r)
+        per_bin[b] = (cum_r, cum_n, c)
+        total += c
+    assert w1 == total
+    for r in rows:
+        er, en, ec = per_bin[r["bin"]]
+        assert (r["cum_r"], r["cum_n"], r["contrib"]) == (er, en, ec)
+    import math
+
+    assert rows[0]["w1_milli_bins"] == math.floor(
+        total / (n_r * n_n) * 1000 + 0.5
+    )
+
+
+def test_position_attribution_conserves_credit(spark):
+    rows = _run(spark, "position_based_attribution")
+    con = duckdb.connect()
+    # total credit = sum over converters of (1e6 minus the documented
+    # floor leak 200000 - (k-2)*(200000 DIV (k-2)) for k >= 3)
+    ks = [
+        k
+        for (k,) in con.execute(
+            f"""WITH conv AS (SELECT user_id, min(ts) AS cts
+                  FROM '{SF}/events.parquet' WHERE event_type = 'purchase'
+                  GROUP BY user_id)
+                SELECT count(*) AS k
+                FROM '{SF}/events.parquet' e JOIN conv USING (user_id)
+                WHERE e.ts < conv.cts AND e.event_type <> 'purchase'
+                GROUP BY e.user_id"""
+        ).fetchall()
+    ]
+    expect_total = 0
+    for k in ks:
+        if k <= 2:
+            expect_total += 1_000_000
+        else:
+            expect_total += 800_000 + (k - 2) * (200_000 // (k - 2))
+    assert sum(r["credit_micro_total"] for r in rows) == expect_total
+    assert sum(r["n_touches"] for r in rows) == sum(ks)
+    for r in rows:
+        assert r["credit_micro_total"] > 0
+        assert r["channel"] != "purchase"
