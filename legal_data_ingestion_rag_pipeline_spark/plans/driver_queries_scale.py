@@ -3045,3 +3045,110 @@ def recursive_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lanes.createOrReplaceTempView("v_reach_lanes")
     return spark.sql(_REACHABILITY_SQL.format(lanes="v_reach_lanes"))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank over the trade graph (seed-restart walk)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = [f"c{i}" for i in range(1, 11)]
+
+
+def _ppr_seed_list() -> str:
+    return ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+
+
+@register(
+    "personalized_pagerank_trade",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT node FROM nodes
+              WHERE node IN ({_ppr_seed_list()})),
+    ns AS (SELECT count(*) AS s FROM seeds),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+    r0 AS (SELECT nodes.node,
+                  CASE WHEN sd.node IS NOT NULL
+                       THEN ({_PR_SCALE} // ns.s) ELSE 0 END AS rank_units
+           FROM nodes LEFT JOIN seeds sd ON sd.node = nodes.node
+           CROSS JOIN ns),
+    c1 AS (SELECT e.dst AS node, sum(r.rank_units // d.out_deg) AS cin
+           FROM e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    d1 AS (SELECT coalesce(sum(r.rank_units), 0) AS dang
+           FROM r0 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    r1 AS (SELECT nodes.node,
+                  (CASE WHEN sd.node IS NOT NULL
+                        THEN ((15 * ({_PR_SCALE} // ns.s)) // 100)
+                        ELSE 0 END)
+                  + ((85 * (coalesce(c1.cin, 0)
+                      + (CASE WHEN sd.node IS NOT NULL
+                              THEN (d1.dang // ns.s) ELSE 0 END))) // 100)
+                    AS rank_units
+           FROM nodes LEFT JOIN seeds sd ON sd.node = nodes.node
+           CROSS JOIN ns CROSS JOIN d1
+           LEFT JOIN c1 ON c1.node = nodes.node),
+    c2 AS (SELECT e.dst AS node, sum(r.rank_units // d.out_deg) AS cin
+           FROM e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    d2 AS (SELECT coalesce(sum(r.rank_units), 0) AS dang
+           FROM r1 r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+    r2 AS (SELECT nodes.node,
+                  (CASE WHEN sd.node IS NOT NULL
+                        THEN ((15 * ({_PR_SCALE} // ns.s)) // 100)
+                        ELSE 0 END)
+                  + ((85 * (coalesce(c2.cin, 0)
+                      + (CASE WHEN sd.node IS NOT NULL
+                              THEN (d2.dang // ns.s) ELSE 0 END))) // 100)
+                    AS rank_units
+           FROM nodes LEFT JOIN seeds sd ON sd.node = nodes.node
+           CROSS JOIN ns CROSS JOIN d2
+           LEFT JOIN c2 ON c2.node = nodes.node)
+    SELECT node, CAST(rank_units AS BIGINT) AS rank_units
+    FROM r2 ORDER BY rank_units DESC, node LIMIT 20
+    """,
+    doc="personalized PageRank, 2 iterations, over the bidirectional "
+    "customer<->supplier trade graph (operators/graph."
+    "personalized_pagerank): the teleport distribution concentrates "
+    "on ten seed customers, so rank measures PROXIMITY TO THE SEEDS "
+    "— the related-entities / graph-recommendation form of the walk "
+    "(suppliers the seed cohort trades through surface first). Same "
+    "exact BIGINT fixed-point discipline as the gated-precedent "
+    "global walk (integer DIV contributions, dangling mass returned "
+    "to the seeds, every sum exact), so the hash gate pins the "
+    "whole trajectory; top-20 under a (rank DESC, node) total "
+    "order. Scale per iteration: one join on src + one shuffle-agg "
+    "on dst, frontier localCheckpointed — O(E) rows moved per "
+    "round.",
+)
+def personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    und = raw.union(raw.select(F.col("dst"), F.col("src")))
+    seeds = spark.createDataFrame(
+        [(s,) for s in _PPR_SEEDS], "node: string"
+    )
+    pr = graph.personalized_pagerank(und, seeds, iterations=2)
+    return (
+        pr.orderBy(F.col("rank_units").desc(), "node")
+        .limit(20)
+        .select("node", "rank_units")
+    )

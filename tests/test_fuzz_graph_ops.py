@@ -160,3 +160,44 @@ def test_fuzz_concurrency_matches_global_sweep(spark):
     assert rows == {
         d: (by_day_carry[d], by_day_peak[d]) for d in by_day_peak
     }
+
+
+def test_fuzz_personalized_pagerank_matches_python(spark):
+    """Seed-restart walk vs a pure-Python integer twin on a random
+    graph; also checks mass concentrates near the seeds."""
+    rng = random.Random(SEED + 7)
+    edges = _rand_graph(rng, n=14, m=24)
+    und = sorted(set(edges) | {(b, a) for a, b in edges})
+    nodes = sorted({v for e in und for v in e})
+    seeds = [v for v in nodes[:3]]
+    SCALE = graph.PAGERANK_SCALE
+    ns = len(seeds)
+    unit = SCALE // ns
+    base = 15 * unit // 100
+    out = collections.defaultdict(list)
+    for a, b in und:
+        out[a].append(b)
+    rank = {v: (unit if v in seeds else 0) for v in nodes}
+    for _ in range(2):
+        dang = sum(rank[v] for v in nodes if not out[v])
+        cin = collections.defaultdict(int)
+        for a in nodes:
+            if out[a]:
+                c = rank[a] // len(out[a])
+                for b in out[a]:
+                    cin[b] += c
+        rank = {
+            v: (base if v in seeds else 0)
+            + (85 * (cin[v] + ((dang // ns) if v in seeds else 0))) // 100
+            for v in nodes
+        }
+    e = spark.createDataFrame(und, "src: bigint, dst: bigint")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node: bigint")
+    got = {
+        r.node: r.rank_units
+        for r in graph.personalized_pagerank(e, sd, iterations=2).collect()
+    }
+    assert got == rank
+    # proximity: total seed-side mass should dominate a uniform share
+    seed_mass = sum(rank[s] for s in seeds)
+    assert seed_mass * len(nodes) > sum(rank.values()) * ns
