@@ -2513,3 +2513,177 @@ def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# ctfidf_source_terms (round 8: class-based TF-IDF topic labeling)
+# --------------------------------------------------------------------------
+
+def _ctfidf_oracle() -> str:
+    toks = PT.tokens("coalesce(text, '')", PT.DUCKDB)
+    return f"""
+    WITH tok AS (SELECT source, t.w
+                 FROM documents, unnest({toks}) AS t(w)),
+    tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS f
+           FROM tok GROUP BY source, w),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS n_src FROM tf GROUP BY w),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s FROM tf),
+    tot AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_terms
+            FROM tf GROUP BY source),
+    scored AS (
+      SELECT tf.source, tf.w, tf.f, df.n_src,
+             CAST(floor(
+               (CAST(tf.f AS DOUBLE) / tot.n_terms)
+               * ln(1.0 + CAST(ns.s AS DOUBLE) / df.n_src)
+               * 1000000.0 + 0.5) AS BIGINT) AS ctfidf_micro
+      FROM tf JOIN df ON df.w = tf.w
+      JOIN tot ON tot.source = tf.source CROSS JOIN ns
+    )
+    SELECT source, w AS term, f, n_src, ctfidf_micro, rk FROM (
+      SELECT scored.*, row_number() OVER (PARTITION BY source
+               ORDER BY ctfidf_micro DESC, w) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    ORDER BY source, rk
+    """
+
+
+@register(
+    "ctfidf_source_terms",
+    oracle=_ctfidf_oracle(),
+    doc="class-based TF-IDF (the BERTopic c-TF-IDF recipe) labeling "
+    "each SOURCE with its five most distinctive terms: term "
+    "frequency normalizes within the source's token mass, the "
+    "inverse frequency ln(1 + S/df) counts the SOURCES containing "
+    "the term (not documents), and each score snaps to micro from "
+    "exact integer counts — so the per-source topic labels are "
+    "hash-portable. Scale: one token-count shuffle to a (source x "
+    "vocab)-bounded table; df/totals broadcast; per-source top-5 is "
+    "a source-partitioned window over that bounded table. The "
+    "corpus-datacard complement that names WHAT each source "
+    "contributes, not just how much.",
+)
+def ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = PT.tokens("text", PT.SPARK)
+    tok = docs.select("source", F.explode(F.expr(toks)).alias("w"))
+    tf = tok.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("n_src"))
+    ns = tf.agg(F.countDistinct("source").cast("bigint").alias("s"))
+    tot = tf.groupBy("source").agg(F.sum("f").cast("bigint").alias("n_terms"))
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "f",
+            "n_src",
+            F.expr(
+                "CAST(floor((CAST(f AS DOUBLE) / n_terms)"
+                " * ln(1.0 + CAST(s AS DOUBLE) / n_src)"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("ctfidf_micro"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w_rk = W.partitionBy("source").orderBy(
+        F.col("ctfidf_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "f", "n_src", "ctfidf_micro", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal_naive_mape (round 8: forecast-evaluation primitive)
+# --------------------------------------------------------------------------
+
+@register(
+    "seasonal_naive_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    paired AS (
+      SELECT a.d, a.y, f.y AS yhat
+      FROM daily a JOIN daily f ON f.d = a.d - 7
+    ),
+    scored AS (
+      SELECT d, y, yhat, abs(y - yhat) AS abs_err,
+             abs(y - yhat) * 1000000 // y AS ape_micro,
+             (2 * abs(y - yhat) * 1000000) // (y + yhat) AS sape_micro
+      FROM paired
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+           CAST(sum(y) AS BIGINT) AS sum_actual,
+           CAST(sum(ape_micro) AS BIGINT) // count(*) AS mape_micro,
+           CAST(sum(sape_micro) AS BIGINT) // count(*) AS smape_micro,
+           CAST(sum(abs_err) AS BIGINT) * 1000000
+             // CAST(sum(y) AS BIGINT) AS wape_micro
+    FROM scored
+    """,
+    doc="forecast-evaluation primitive: the seasonal-naive (lag-7) "
+    "forecast of daily purchase counts scored by MAPE, sMAPE and "
+    "WAPE — the baseline every forecasting pipeline must beat and "
+    "the denominators every evaluation bakeoff argues about, all "
+    "three reported so the reader sees how they diverge. Every "
+    "per-day percentage error is one exact integer division to "
+    "micro-units (counts are never zero on purchase days, y+yhat "
+    "> 0 by construction); the aggregate means are exact BIGINT "
+    "divisions. One groupBy builds the daily series; the lag join "
+    "is calendar-bounded.",
+)
+def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("d"),
+        "event_type",
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    fore = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("y").alias("yhat")
+    )
+    paired = daily.join(fore, "d")
+    scored = paired.select(
+        "d",
+        "y",
+        "yhat",
+        F.abs(F.col("y") - F.col("yhat")).alias("abs_err"),
+        F.expr("abs(y - yhat) * 1000000 DIV y").alias("ape_micro"),
+        F.expr("(2 * abs(y - yhat) * 1000000) DIV (y + yhat)").alias(
+            "sape_micro"
+        ),
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err"),
+        F.sum("y").cast("bigint").alias("sum_actual"),
+        F.expr("CAST(sum(ape_micro) AS BIGINT) DIV count(*)").alias(
+            "mape_micro"
+        ),
+        F.expr("CAST(sum(sape_micro) AS BIGINT) DIV count(*)").alias(
+            "smape_micro"
+        ),
+        F.expr(
+            "CAST(sum(abs_err) AS BIGINT) * 1000000"
+            " DIV CAST(sum(y) AS BIGINT)"
+        ).alias("wape_micro"),
+    )

@@ -1567,3 +1567,57 @@ def test_good_turing_identities(spark):
         )
     want_rs = sorted(coc)[:10]
     assert rows and [r["r"] for r in rows] == want_rs  # 10 smallest r
+
+
+def test_ctfidf_labels_every_source_with_five_terms(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = registry()["ctfidf_source_terms"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["ctfidf_micro"] > 0
+        assert 1 <= r["rk"] <= 5
+    assert len(by_src) == 20  # one label set per source
+    for recs in by_src.values():
+        assert [r["rk"] for r in recs] == [1, 2, 3, 4, 5]
+        scores = [r["ctfidf_micro"] for r in recs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_seasonal_naive_metrics_are_consistent(spark):
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = registry()["seasonal_naive_mape"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    con = duckdb.connect()
+    daily = dict(
+        con.execute(
+            """SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT),
+                      count(*)
+               FROM '/root/testdata/sf0.001/events.parquet'
+               WHERE event_type = 'purchase' GROUP BY 1"""
+        ).fetchall()
+    )
+    pairs = [
+        (y, daily[d - 7]) for d, y in daily.items() if d - 7 in daily
+    ]
+    assert r["n_days"] == len(pairs)
+    assert r["sum_abs_err"] == sum(abs(y - f) for y, f in pairs)
+    assert r["sum_actual"] == sum(y for y, _ in pairs)
+    mape = sum(abs(y - f) * 1_000_000 // y for y, f in pairs) // len(pairs)
+    smape = sum(
+        2 * abs(y - f) * 1_000_000 // (y + f) for y, f in pairs
+    ) // len(pairs)
+    assert r["mape_micro"] == mape
+    assert r["smape_micro"] == smape
+    assert r["wape_micro"] == r["sum_abs_err"] * 1_000_000 // r["sum_actual"]
+    # sMAPE is bounded by 2, WAPE and MAPE positive on noisy series
+    assert 0 < r["smape_micro"] <= 2_000_000
