@@ -1,6 +1,7 @@
 """Driver queries: model-evaluation, rolling-model,
-distribution-distance, and attribution operators (round 8) — exactly
-four families, each implemented and registered in this module:
+distribution-distance, attribution, and retrieval-evaluation
+operators (round 8) — exactly five families, each implemented and
+registered in this module:
 
 - clustering_nmi_purity — external clustering evaluation: normalized
   mutual information and purity of the deterministic k-means
@@ -27,6 +28,13 @@ four families, each implemented and registered in this module:
   Markov removal: exact micro-integer credits per pre-conversion
   touch position (documented floor-remainder convention), one
   window pass per user.
+- retrieval_ndcg_eval — ranked-retrieval evaluation of the exact
+  cosine top-10 against the embeddings table's ground-truth labels:
+  per query NDCG@10, reciprocal rank, and precision@10, with every
+  log2 discount weight and 1/rank value folded in Python as a
+  literal micro-integer table (the decayed_user_value convention),
+  so DCG/IDCG/MRR are pure BIGINT sums with exactly one snapped
+  division (the NDCG normalization) per output row.
 
 Cross-engine exactness follows the repo conventions (exact BIGINT
 counts/cents/moments; one transcendental or division per output
@@ -37,6 +45,8 @@ retrieval; these audit the models the ml/ml2 families train.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -560,3 +570,164 @@ def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("credit_micro_total").desc(), "channel")
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_ndcg_eval
+# --------------------------------------------------------------------------
+
+#: literal micro-integer discount tables, folded in Python (the
+#: decayed_user_value convention): w[i] = round(1e6 / log2(i + 1)) for
+#: rank i, cum[r] = sum of the first r weights (the ideal-DCG prefix),
+#: rr[i] = round(1e6 / i).  Identical literal strings feed both engines.
+_NDCG_K = 10
+_NDCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_CUM = [0]
+for _w in _NDCG_W:
+    _NDCG_CUM.append(_NDCG_CUM[-1] + _w)
+_NDCG_RR = [round(1_000_000 / i) for i in range(1, _NDCG_K + 1)]
+
+_W_CASE = (
+    "CASE rank "
+    + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W))
+    + " ELSE 0 END"
+)
+_RR_CASE = (
+    "CASE first_hit_rank "
+    + " ".join(f"WHEN {i + 1} THEN {r}" for i, r in enumerate(_NDCG_RR))
+    + " ELSE 0 END"
+)
+_IDCG_CASE = (
+    "CASE least(n_rel_pool, " + str(_NDCG_K) + ") "
+    + " ".join(f"WHEN {r} THEN {c}" for r, c in enumerate(_NDCG_CUM))
+    + " ELSE 0 END"
+)
+
+_NDCG_DOT = PT.dot_double("e.embedding", "q.q_vec", PT.DUCKDB)
+
+_NDCG_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 20),
+    pool AS (SELECT vec_id, embedding, label FROM embeddings
+             WHERE vec_id >= 20),
+    ranked AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {_NDCG_DOT} DESC, e.vec_id) AS rank
+      FROM pool e, q
+    ),
+    scored AS (
+      SELECT q_id, q_label, rank,
+             CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rank <= {_NDCG_K}
+    ),
+    per_q AS (
+      SELECT q_id, q_label,
+             CAST(sum(rel) AS BIGINT) AS hits10,
+             CAST(sum(rel * {_W_CASE}) AS BIGINT) AS dcg_micro,
+             CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)
+                  AS BIGINT) AS first_hit_rank
+      FROM scored GROUP BY 1, 2
+    ),
+    pc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_rel_pool
+           FROM pool GROUP BY 1),
+    wide AS (
+      SELECT per_q.q_id, per_q.q_label,
+             CAST(coalesce(pc.n_rel_pool, 0) AS BIGINT) AS n_rel_pool,
+             per_q.hits10, per_q.first_hit_rank, per_q.dcg_micro
+      FROM per_q LEFT JOIN pc ON pc.label = per_q.q_label
+    )
+    SELECT q_id, q_label, n_rel_pool, hits10, first_hit_rank,
+           CAST({_RR_CASE} AS BIGINT) AS rr_micro,
+           dcg_micro,
+           CAST({_IDCG_CASE} AS BIGINT) AS idcg_micro,
+           CASE WHEN {_IDCG_CASE} > 0
+                THEN CAST(floor(dcg_micro * 1000000.0 / ({_IDCG_CASE})
+                                + 0.5) AS BIGINT)
+                ELSE 0 END AS ndcg_micro
+    FROM wide ORDER BY q_id
+"""
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=_NDCG_ORACLE,
+    doc="ranked-retrieval evaluation: NDCG@10, reciprocal rank, and "
+    "precision@10 (hits10) of the exact cosine top-10 — queries are "
+    "vec_id < 20, the pool is the rest, relevance is label equality "
+    "with the query's ground-truth label.  Every transcendental "
+    "(log2 discounts, 1/rank) is a Python-folded literal "
+    "micro-integer table, so DCG, the ideal-DCG prefix (indexed by "
+    "least(n_rel_pool, 10) — the true per-query normalizer, not a "
+    "constant), and MRR are exact BIGINT sums; the single division "
+    "per row is the NDCG normalization, floor-snapped to micro. "
+    "Scale: scoring is the broadcast map-side dot + two-phase top-k "
+    "(corpus never shuffled); everything after the top-k is "
+    "(n_queries x 10)-bounded.  Beside clustering_nmi_purity this "
+    "closes the eval loop on the retrieval ladder itself.",
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    pool = e.filter(F.col("vec_id") >= 20)
+    topk = ann.brute_force_topk(
+        pool, queries.select("q_id", "q_vec"), k=_NDCG_K
+    )
+    scored = (
+        topk.join(pool.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(queries.select("q_id", "q_label")), "q_id")
+        .select(
+            "q_id",
+            "q_label",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    per_q = scored.groupBy("q_id", "q_label").agg(
+        F.sum("rel").cast("bigint").alias("hits10"),
+        F.sum(F.col("rel") * F.expr(_W_CASE)).cast("bigint").alias(
+            "dcg_micro"
+        ),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_hit_rank"),
+    )
+    pc = pool.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_rel_pool")
+    )
+    wide = per_q.join(
+        F.broadcast(pc), per_q.q_label == pc.label, "left"
+    ).select(
+        "q_id",
+        "q_label",
+        F.coalesce(F.col("n_rel_pool"), F.lit(0))
+        .cast("bigint")
+        .alias("n_rel_pool"),
+        "hits10",
+        "first_hit_rank",
+        "dcg_micro",
+    )
+    return wide.select(
+        "q_id",
+        "q_label",
+        "n_rel_pool",
+        "hits10",
+        "first_hit_rank",
+        F.expr(_RR_CASE).cast("bigint").alias("rr_micro"),
+        "dcg_micro",
+        F.expr(_IDCG_CASE).cast("bigint").alias("idcg_micro"),
+        F.expr(
+            f"CASE WHEN {_IDCG_CASE} > 0 THEN CAST(floor(dcg_micro * "
+            f"1000000.0 / ({_IDCG_CASE}) + 0.5) AS BIGINT) ELSE 0 END"
+        ).alias("ndcg_micro"),
+    ).orderBy("q_id")
