@@ -3229,3 +3229,140 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+_PRF_K = 10
+#: Rocchio beta folded as a literal; alpha = 1.0.  Classic PRF drops
+#: the gamma (negative) term — no judged non-relevant set exists.
+_PRF_BETA = "0.75"
+
+_PRF_DOT1 = PT.dot_double("e.embedding", "q.q_vec", D)
+_PRF_DOT2 = PT.dot_double("e.embedding", "qp.r_vec", D)
+
+_ROCCHIO_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+    r1 AS (
+      SELECT q.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY {_PRF_DOT1} DESC, e.vec_id) AS rank
+      FROM pool e, q
+    ),
+    fb AS (SELECT q_id, vec_id FROM r1 WHERE rank <= {_PRF_K}),
+    cent AS (
+      SELECT q_id, array_agg(m ORDER BY pos) AS c_vec
+      FROM (
+        SELECT q_id, pos,
+               {PT.round6('CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / count(*)', D)} AS m
+        FROM (
+          SELECT fb.q_id, unnest(e.embedding) AS val,
+                 unnest(range(0, len(e.embedding))) AS pos
+          FROM fb JOIN pool e USING (vec_id)
+        ) x GROUP BY q_id, pos
+      ) y GROUP BY q_id
+    ),
+    qp AS (
+      SELECT q.q_id,
+             list_transform(list_zip(q.q_vec, c.c_vec),
+               p -> {PT.round6(f'CAST(p[1] AS DOUBLE) + {_PRF_BETA} * CAST(p[2] AS DOUBLE)', D)})
+               AS r_vec
+      FROM q JOIN cent c ON c.q_id = q.q_id
+    ),
+    r2 AS (
+      SELECT qp.q_id, e.vec_id,
+             row_number() OVER (PARTITION BY qp.q_id
+                                ORDER BY {_PRF_DOT2} DESC, e.vec_id) AS rank,
+             CAST(floor({_PRF_DOT2} * 1000000.0 + 0.5) AS BIGINT)
+               AS sim_micro
+      FROM pool e, qp
+    )
+    SELECT r2.q_id, r2.vec_id, CAST(r2.rank AS BIGINT) AS rank,
+           r2.sim_micro,
+           CAST(CASE WHEN fb.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_prf
+    FROM r2 LEFT JOIN fb
+      ON fb.q_id = r2.q_id AND fb.vec_id = r2.vec_id
+    WHERE r2.rank <= {_PRF_K}
+    ORDER BY r2.q_id, r2.rank
+"""
+
+
+@register(
+    "rocchio_prf_rerank",
+    oracle=_ROCCHIO_ORACLE,
+    doc="Rocchio pseudo-relevance feedback: retrieve the exact cosine "
+    "top-10 per query (vec_id < 5, pool vec_id >= 20), fold the "
+    "feedback set into a per-query centroid (the "
+    "embedding_label_centroids recipe — posexplode, order-free "
+    "DECIMAL(27,10) partial sums, round6 mean per dim), expand the "
+    "query as q' = q + 0.75*centroid with every component round6-"
+    "snapped (bit-identical in both engines), and retrieve again "
+    "with q'.  Output: second-pass top-10 with micro-snapped score "
+    "and an in_prf flag marking which hits the feedback set already "
+    "contained — the classic recall-expansion readout.  Scale: two "
+    "broadcast map-side scoring passes over a never-shuffled pool; "
+    "the centroid shuffle is (n_queries x dims) cells, independent "
+    "of corpus size.",
+)
+def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pool = e.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    fb = ann.brute_force_topk(pool, q, k=_PRF_K).select("q_id", "vec_id")
+    pos = fb.join(pool, "vec_id").select(
+        "q_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        pos.groupBy("q_id", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(27,10)"))
+            .cast("double")
+            .alias("s"),
+            F.count("*").alias("c"),
+        )
+        .withColumn("m", F.expr(PT.round6("s / c", S)))
+        .groupBy("q_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))),"
+                " x -> x.m)"
+            ).alias("c_vec")
+        )
+    )
+    qp = q.join(cent, "q_id").select(
+        "q_id",
+        F.expr(
+            "zip_with(q_vec, c_vec, (x, y) -> "
+            + PT.round6(
+                f"CAST(x AS DOUBLE) + {_PRF_BETA} * CAST(y AS DOUBLE)", S
+            )
+            + ")"
+        ).alias("q_vec"),
+    )
+    r2 = ann.brute_force_topk(pool, qp, k=_PRF_K)
+    return (
+        r2.join(
+            fb.withColumn("in_prf_1", F.lit(1)),
+            ["q_id", "vec_id"],
+            "left",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.expr(
+                "CAST(floor(similarity * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("sim_micro"),
+            F.coalesce(F.col("in_prf_1"), F.lit(0))
+            .cast("bigint")
+            .alias("in_prf"),
+        )
+        .orderBy("q_id", "rank")
+    )
