@@ -438,3 +438,90 @@ def streaming_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return sweep.finalize_daily_peaks(spark.table(_SWEEP_SINK)).orderBy("day")
+
+
+_SESSION_SINK = "streaming_session_windows_sink"
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           make_timestamp(max(epoch_us(ts)) + 1800000000) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Structured Streaming SESSION windows (the dynamic-gap shape "
+    "completing the window matrix beside tumbling and sliding): "
+    "session_window(ts, 30 minutes) per user over the events file "
+    "stream, availableNow, memory sink, complete mode.  The oracle is "
+    "the lag/cumsum batch twin with Spark's merge rule mirrored "
+    "EXACTLY: a successor at exactly gap distance MERGES — new "
+    "session only when diff > gap, the lenient rule, pinned "
+    "empirically by test_session_window_exact_gap_merges and "
+    "agreeing with the batch sessionization query.  session_end is "
+    "last event + gap, Spark's window.end.  In production the same "
+    "agg runs unbounded in append mode with the watermark closing "
+    "sessions; complete mode makes the finite replay deterministic "
+    "for the hash gate.  DECIMAL sums keep values exact.",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SESSION_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(_SESSION_SINK)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

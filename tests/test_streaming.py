@@ -499,3 +499,34 @@ def test_transform_with_state_wallet_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_session_window_exact_gap_merges(spark):
+    # Spark's session_window merge rule is LENIENT: a successor at
+    # EXACTLY t+gap still merges into the session — a new session
+    # starts only when the gap is strictly exceeded.  This is the rule
+    # streaming_session_windows' oracle mirrors (new_s on diff > gap),
+    # the same convention as the batch sessionization query.
+    from pyspark.sql import functions as F
+
+    gap_us = 1_800_000_000  # 30 minutes
+    t0 = 1_600_000_000_000_000
+    rows = [
+        (1, t0),                     # session A
+        (1, t0 + gap_us - 1),        # merges: 1 us inside the window
+        (1, t0 + 2 * gap_us - 1),    # still merges off the second event
+        (2, t0),                     # session B
+        (2, t0 + gap_us),            # exactly at the edge: MERGES
+    ]
+    df = spark.createDataFrame(rows, "user_id int, us long").select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+        .orderBy("user_id", "n")
+        .collect()
+    )
+    got = [(r.user_id, r.n) for r in out]
+    assert got == [(1, 3), (2, 2)]
