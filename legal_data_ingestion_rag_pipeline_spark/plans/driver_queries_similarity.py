@@ -3366,3 +3366,178 @@ def rocchio_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit
+# ---------------------------------------------------------------------------
+
+def _split_expr(dialect: str) -> str:
+    """Deterministic 80/10/10 split: portable polynomial hash of the
+    doc id string -> bucket 0-9 -> train(0-7) / val(8) / test(9).
+    Identical literal arithmetic in both engines."""
+    idstr = (
+        "CAST(doc_id AS STRING)" if dialect == S else "CAST(doc_id AS VARCHAR)"
+    )
+    bucket = f"(({PT.poly_hash(idstr, dialect)}) % 10)"
+    return (
+        f"CASE WHEN {bucket} <= 7 THEN 'train' "
+        f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+_LEAK_EST = 0.5
+
+_LEAK_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t),
+    h AS (SELECT doc_id, {PT.word_ngram_hashes('tok_hashes', 3, D)} AS gram_hashes
+          FROM g WHERE len(tok_hashes) >= 3),
+    s AS (SELECT doc_id, {PT.minhash_from_hashes('gram_hashes', 32, D)} AS mh FROM h),
+    banded AS (
+      SELECT doc_id, mh, b AS band_idx,
+             list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+      FROM s, unnest(range(16)) AS tt(b)
+    ),
+    capped AS (
+      SELECT doc_id, mh, band_idx, band_sig FROM (
+        SELECT banded.*, count(*) OVER (PARTITION BY band_idx, band_sig)
+                 AS bucket_n
+        FROM banded) t
+      WHERE bucket_n <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.mh AS mh_a, b.mh AS mh_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i])) / 32.0
+            >= {_LEAK_EST}
+    ),
+    sp AS (SELECT doc_id, {_split_expr(D)} AS split FROM documents),
+    cls AS (
+      SELECT least(sa.split, sb.split) AS split_lo,
+             greatest(sa.split, sb.split) AS split_hi,
+             n.id_a, n.id_b, sa.split AS s_a, sb.split AS s_b
+      FROM near n
+      JOIN sp sa ON sa.doc_id = n.id_a
+      JOIN sp sb ON sb.doc_id = n.id_b
+    ),
+    pair_agg AS (
+      SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cls GROUP BY 1, 2
+    ),
+    members AS (
+      SELECT split_lo, split_hi, id_a AS doc_id, s_a AS s FROM cls
+      UNION ALL
+      SELECT split_lo, split_hi, id_b AS doc_id, s_b AS s FROM cls
+    ),
+    doc_agg AS (
+      SELECT split_lo, split_hi,
+             CAST(count(DISTINCT CASE WHEN s = split_lo THEN doc_id END)
+                  AS BIGINT) AS n_docs_lo,
+             CAST(count(DISTINCT CASE WHEN s = split_hi THEN doc_id END)
+                  AS BIGINT) AS n_docs_hi
+      FROM members GROUP BY 1, 2
+    )
+    SELECT p.split_lo, p.split_hi, p.n_pairs, d.n_docs_lo, d.n_docs_hi,
+           CAST(CASE WHEN p.split_lo = p.split_hi THEN 0 ELSE 1 END
+                AS BIGINT) AS is_cross_split
+    FROM pair_agg p JOIN doc_agg d
+      ON d.split_lo = p.split_lo AND d.split_hi = p.split_hi
+    ORDER BY p.split_lo, p.split_hi
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_LEAK_ORACLE,
+    doc="train/val/test split-leakage audit — the decontamination "
+    "check an eval pipeline runs before trusting held-out metrics: "
+    "docs get a deterministic 80/10/10 split (portable polynomial "
+    "hash of the id, bucket 0-9), near-dup candidate pairs come from "
+    "the standing MinHash(32)+LSH(16x2) machinery at est Jaccard >= "
+    "0.5, and the output is the split-pair contamination matrix: "
+    "pairs per (split_lo, split_hi) class plus distinct docs on each "
+    "side (lo/hi order is lexicographic) — the ('test', 'train') "
+    "row's n_docs_lo IS the count of contaminated test documents.  Scale: the banded self-join "
+    "bounds pair generation exactly as dedup_minhash_lsh (hot-bucket "
+    "cap 1000); the split join is a broadcast-sized id->split map "
+    "derived map-side, no extra corpus shuffle.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sp = docs.select("doc_id", F.expr(_split_expr(S)).alias("split"))
+    sigs = dedup.with_minhash(docs, "text", "doc_id", n_hashes=32, shingle_words=3)
+    near = (
+        dedup.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+        )
+        .filter(F.col("est_jaccard") >= _LEAK_EST)
+        .select("id_a", "id_b")
+    )
+    cls = (
+        near.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("s_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+            "id_a",
+            "id_b",
+            "s_a",
+            "s_b",
+        )
+    )
+    pair_agg = cls.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    members = cls.select(
+        "split_lo", "split_hi", F.col("id_a").alias("doc_id"),
+        F.col("s_a").alias("s")
+    ).unionAll(
+        cls.select(
+            "split_lo", "split_hi", F.col("id_b").alias("doc_id"),
+            F.col("s_b").alias("s")
+        )
+    )
+    doc_agg = members.groupBy("split_lo", "split_hi").agg(
+        F.countDistinct(
+            F.when(F.col("s") == F.col("split_lo"), F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("n_docs_lo"),
+        F.countDistinct(
+            F.when(F.col("s") == F.col("split_hi"), F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("n_docs_hi"),
+    )
+    return (
+        pair_agg.join(doc_agg, ["split_lo", "split_hi"])
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            "n_docs_lo",
+            "n_docs_hi",
+            F.when(F.col("split_lo") == F.col("split_hi"), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("is_cross_split"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
