@@ -1,6 +1,6 @@
 """Driver queries: model-evaluation, rolling-model,
 distribution-distance, attribution, and retrieval-evaluation
-operators (round 8) — exactly five families, each implemented and
+operators (round 8) — exactly six families, each implemented and
 registered in this module:
 
 - clustering_nmi_purity — external clustering evaluation: normalized
@@ -35,6 +35,12 @@ registered in this module:
   literal micro-integer table (the decayed_user_value convention),
   so DCG/IDCG/MRR are pure BIGINT sums with exactly one snapped
   division (the NDCG normalization) per output row.
+- knn_loo_confusion — leave-one-out k-NN classifier evaluation over
+  the embeddings table: each query vector's label predicted by the
+  majority vote of its 5 nearest non-self neighbors (exact cosine,
+  ties to the smaller label), reported as the true-vs-predicted
+  confusion matrix.  Pure counting after the top-k — no floats
+  beyond the deterministic dot ordering.
 
 Cross-engine exactness follows the repo conventions (exact BIGINT
 counts/cents/moments; one transcendental or division per output
@@ -731,3 +737,121 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"1000000.0 / ({_IDCG_CASE}) + 0.5) AS BIGINT) ELSE 0 END"
         ).alias("ndcg_micro"),
     ).orderBy("q_id")
+
+
+# --------------------------------------------------------------------------
+# knn_loo_confusion
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NQ = 50
+
+_KNN_DOT = PT.dot_double("e.embedding", "q.q_vec", PT.DUCKDB)
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < {_KNN_NQ}),
+    nn AS (
+      SELECT q_id, q_label, label FROM (
+        SELECT q.q_id, q.q_label, e.label,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_KNN_DOT} DESC, e.vec_id) AS rnk
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id) t
+      WHERE rnk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT q_id, q_label, label AS cand, count(*) AS n_votes
+      FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT q_id, q_label, cand AS pred_label FROM (
+        SELECT votes.*,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY n_votes DESC, cand) AS rv
+        FROM votes) t
+      WHERE rv = 1
+    )
+    SELECT CAST(q_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(CASE WHEN q_label = pred_label THEN 1 ELSE 0 END AS BIGINT)
+             AS is_correct
+    FROM pred GROUP BY q_label, pred_label
+    ORDER BY true_label, pred_label
+"""
+
+
+@register(
+    "knn_loo_confusion",
+    oracle=_KNN_ORACLE,
+    doc="leave-one-out k-NN classifier evaluation: the first 50 "
+    "vectors are queries, each classified by the majority vote of "
+    "its 5 nearest NON-SELF neighbors in the full corpus (exact "
+    "cosine, vote ties to the smaller label), reported as the "
+    "true-vs-predicted confusion matrix with an is_correct diagonal "
+    "marker.  The instance-based sibling of "
+    "quality_classifier_trained and naive_bayes_lang_confusion.  "
+    "Scale: one broadcast map-side scoring pass (corpus never "
+    "shuffled, self excluded by taking top-(k+1) then dropping the "
+    "self row); everything after the top-k is (n_queries x "
+    "k)-bounded counting.",
+)
+def knn_loo_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    # top-(k+1) including the query itself, then drop the self row:
+    # cos(v, v) = 1 is maximal for unit vectors, so the k+1 window
+    # always contains the true top-k non-self neighbors.
+    top = ann.brute_force_topk(e, q.select("q_id", "q_vec"), k=_KNN_K + 1)
+    nn = (
+        top.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "rnk2",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("similarity"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk2") <= _KNN_K)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(q.select("q_id", "q_label")), "q_id")
+    )
+    votes = nn.groupBy("q_id", "q_label", F.col("label").alias("cand")).agg(
+        F.count("*").alias("n_votes")
+    )
+    pred = (
+        votes.withColumn(
+            "rv",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("n_votes"), "cand"
+                )
+            ),
+        )
+        .filter(F.col("rv") == 1)
+        .select("q_id", "q_label", F.col("cand").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(
+            F.col("q_label").cast("bigint").alias("true_label"),
+            F.col("pred_label").cast("bigint").alias("pred_label"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_queries"))
+        .select(
+            "true_label",
+            "pred_label",
+            "n_queries",
+            F.when(F.col("true_label") == F.col("pred_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_correct"),
+        )
+        .orderBy("true_label", "pred_label")
+    )
