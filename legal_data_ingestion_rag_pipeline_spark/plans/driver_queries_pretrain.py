@@ -2687,3 +2687,92 @@ def seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(sum(y) AS BIGINT)"
         ).alias("wape_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# pinball_loss_eval (round 8: quantile-forecast evaluation)
+# --------------------------------------------------------------------------
+
+@register(
+    "pinball_loss_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    paired AS (
+      SELECT a.d, a.y, f.y AS yhat
+      FROM daily a JOIN daily f ON f.d = a.d - 7
+    ),
+    q AS (SELECT unnest([1, 5, 9]) AS q_deci),
+    losses AS (
+      SELECT q.q_deci, p.d,
+             CASE WHEN p.y >= p.yhat
+                  THEN q.q_deci * (p.y - p.yhat)
+                  ELSE (10 - q.q_deci) * (p.yhat - p.y)
+             END AS loss_deci
+      FROM paired p CROSS JOIN q
+    )
+    SELECT CAST(q_deci AS BIGINT) AS q_deci,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(loss_deci) AS BIGINT) AS sum_loss_deci,
+           CAST(sum(loss_deci) AS BIGINT) // count(*) AS mean_loss_deci
+    FROM losses GROUP BY q_deci ORDER BY q_deci
+    """,
+    doc="quantile-forecast evaluation: pinball (quantile) loss of the "
+    "seasonal-naive lag-7 forecast of daily purchase revenue at "
+    "q = 0.1 / 0.5 / 0.9.  All arithmetic is exact: revenue is "
+    "summed in integer ten-thousandths (value has 4 decimals), the "
+    "loss is scaled by 10 so q*(y-f) / (1-q)*(f-y) are integer "
+    "products (loss_deci), and the mean is one exact BIGINT "
+    "truncating division.  The q = 0.5 row is half the MAE — the "
+    "cross-check against seasonal_naive_mape's sum_abs_err.  Scale: "
+    "one fact groupBy to the daily series; everything after is "
+    "calendar-bounded x 3 quantile rows.",
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("d"),
+        "event_type",
+        "value",
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    fore = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("y").alias("yhat")
+    )
+    paired = daily.join(fore, "d")
+    qs = F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("q_deci")
+    losses = paired.select("d", "y", "yhat", qs).select(
+        "q_deci",
+        F.expr(
+            "CASE WHEN y >= yhat THEN q_deci * (y - yhat)"
+            " ELSE (10 - q_deci) * (yhat - y) END"
+        ).alias("loss_deci"),
+    )
+    return (
+        losses.groupBy(F.col("q_deci").cast("bigint").alias("q_deci"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("loss_deci").cast("bigint").alias("sum_loss_deci"),
+            F.expr("CAST(sum(loss_deci) AS BIGINT) DIV count(*)").alias(
+                "mean_loss_deci"
+            ),
+        )
+        .orderBy("q_deci")
+    )
