@@ -2776,3 +2776,173 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_deci")
     )
+
+
+# --------------------------------------------------------------------------
+# chao1_vocab_richness (round 8: species-richness estimate of the
+# vocabulary — how many word types the corpus has NOT shown yet)
+# --------------------------------------------------------------------------
+
+@register(
+    "chao1_vocab_richness",
+    oracle=f"""
+    WITH t AS (SELECT {PT.tokens('text', D)} AS toks FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_d,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+      FROM wc
+    )
+    SELECT n_tokens, vocab_d, f1, f2,
+           vocab_d * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+             AS chao1_milli,
+           1000000 - (f1 * 1000000) // n_tokens AS coverage_micro
+    FROM s
+    """,
+    doc="Chao1 species-richness estimate of the word vocabulary "
+    "(Chao 1984, bias-corrected form D + f1(f1-1)/(2(f2+1)) — "
+    "defined even when no doubletons exist) plus Good's sample "
+    "coverage 1 - f1/N — together the datacard numbers for 'how "
+    "much vocabulary is still unseen' and 'what fraction of the "
+    "next token's mass is already covered'.  Reads the same "
+    "count-of-counts singleton/doubleton cells good_turing_counts "
+    "re-estimates; all arithmetic exact integer (milli/micro floor "
+    "divisions on positive operands).  Scale: one word-count "
+    "shuffle; the f1/f2 cells aggregate from it map-side.",
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = (
+        docs.select(
+            F.explode(F.expr(PT.tokens("text", S))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    s = wc.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab_d"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("f1"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("bigint").alias("f2"),
+    )
+    return s.select(
+        "n_tokens",
+        "vocab_d",
+        "f1",
+        "f2",
+        F.expr(
+            "vocab_d * 1000 + (f1 * (f1 - 1) * 1000) DIV (2 * (f2 + 1))"
+        ).alias("chao1_milli"),
+        F.expr("1000000 - (f1 * 1000000) DIV n_tokens").alias(
+            "coverage_micro"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohens_kappa_agreement (round 8: chance-corrected agreement of the
+# two quality signals the confusion query tabulates)
+# --------------------------------------------------------------------------
+
+def _kappa_oracle() -> str:
+    from .driver_queries_similarity import _QUALITY_ORACLE
+
+    score = classifier.oracle_score_sql("text", _CLS_WEIGHTS, _CLS_BIAS)
+    return f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    c AS (SELECT doc_id, ({score}) >= 0.0 AS cls_keep FROM documents),
+    j AS (SELECT c.cls_keep, q.quality >= 0.75 AS ts_keep
+          FROM c JOIN q USING (doc_id)),
+    cells AS (
+      SELECT CAST(count(*) FILTER (WHERE cls_keep AND ts_keep) AS BIGINT)
+               AS n11,
+             CAST(count(*) FILTER (WHERE cls_keep AND NOT ts_keep)
+                  AS BIGINT) AS n10,
+             CAST(count(*) FILTER (WHERE NOT cls_keep AND ts_keep)
+                  AS BIGINT) AS n01,
+             CAST(count(*) FILTER (WHERE NOT cls_keep AND NOT ts_keep)
+                  AS BIGINT) AS n00,
+             CAST(count(*) AS BIGINT) AS n
+      FROM j
+    )
+    SELECT n11, n10, n01, n00, n,
+           ((n11 + n00) * 1000000) // n AS po_micro,
+           (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            * 1000000) // (n * n) AS pe_micro,
+           CAST(floor(
+             CAST(n * (n11 + n00)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+             / CAST(n * n
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+             * 1000000.0 + 0.5) AS BIGINT) AS kappa_micro
+    FROM cells
+    """
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=_kappa_oracle(),
+    doc="Cohen's kappa of the two quality signals "
+    "quality_signal_confusion tabulates — chance-corrected "
+    "agreement, the number a curator quotes instead of raw percent "
+    "agreement when both filters keep most docs anyway.  The 2x2 "
+    "cells are exact BIGINTs; po/pe are exact micro floor-divisions "
+    "(operands non-negative); kappa itself can be NEGATIVE, so it "
+    "is computed as ONE double division of exact integer numerator "
+    "over denominator and floor(x*1e6+0.5)-snapped — never an "
+    "integer division, whose floor-vs-truncate semantics diverge "
+    "between engines below zero.  Same two map-side scoring passes "
+    "as the confusion query, one join, constant-size output.",
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import textstats as TSF
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier.score_documents(
+        barrier(docs), _CLS_WEIGHTS, bias=_CLS_BIAS, text_col="text"
+    ).select("doc_id", (F.col("score") >= 0.0).alias("cls_keep"))
+    q = TSF.quality_stats_arrow(barrier(docs), "text", "doc_id").select(
+        "doc_id", (F.col("quality") >= 0.75).alias("ts_keep")
+    )
+    cells = scored.join(q, "doc_id").agg(
+        F.count(F.when(F.col("cls_keep") & F.col("ts_keep"), 1))
+        .cast("bigint")
+        .alias("n11"),
+        F.count(F.when(F.col("cls_keep") & ~F.col("ts_keep"), 1))
+        .cast("bigint")
+        .alias("n10"),
+        F.count(F.when(~F.col("cls_keep") & F.col("ts_keep"), 1))
+        .cast("bigint")
+        .alias("n01"),
+        F.count(F.when(~F.col("cls_keep") & ~F.col("ts_keep"), 1))
+        .cast("bigint")
+        .alias("n00"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "n",
+        F.expr("((n11 + n00) * 1000000) DIV n").alias("po_micro"),
+        F.expr(
+            "(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            " * 1000000) DIV (n * n)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST(floor("
+            "CAST(n * (n11 + n00)"
+            " - ((n11 + n10) * (n11 + n01)"
+            "    + (n01 + n00) * (n10 + n00)) AS DOUBLE)"
+            " / CAST(n * n"
+            " - ((n11 + n10) * (n11 + n01)"
+            "    + (n01 + n00) * (n10 + n00)) AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
