@@ -201,3 +201,47 @@ def test_odds_ratio_ci_brackets_point_estimate(spark):
     assert r["ci_lo_micro"] == math.floor((lnor - 1.959964 * se) * 1e6 + 0.5)
     assert r["ci_hi_micro"] == math.floor((lnor + 1.959964 * se) * 1e6 + 0.5)
     assert r["ci_lo_micro"] < r["lnor_micro"] < r["ci_hi_micro"]
+
+
+def test_dtw_twin_matches_bruteforce():
+    # seeded fuzz: the two-row DP in _py_dtw vs a memoized recursive
+    # definition of DTW, on small random integer series.
+    import random
+    from functools import lru_cache
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_mining import (
+        _py_dtw,
+    )
+
+    rng = random.Random(8041)
+    for _ in range(60):
+        na, nb = rng.randint(1, 8), rng.randint(1, 8)
+        a = tuple(rng.randint(0, 20) for _ in range(na))
+        b = tuple(rng.randint(0, 20) for _ in range(nb))
+
+        @lru_cache(maxsize=None)
+        def rec(i: int, j: int) -> int:
+            if i == 0 and j == 0:
+                return abs(a[0] - b[0])
+            if i < 0 or j < 0:
+                return 1 << 62
+            return abs(a[i] - b[j]) + min(
+                rec(i - 1, j), rec(i, j - 1), rec(i - 1, j - 1)
+            )
+
+        assert _py_dtw(list(a), list(b)) == rec(na - 1, nb - 1)
+        rec.cache_clear()
+
+
+def test_dtw_identity_and_shift():
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_mining import (
+        _py_dtw,
+    )
+
+    s = [3, 1, 4, 1, 5, 9, 2, 6]
+    assert _py_dtw(s, s) == 0
+    # a pure one-step lag is mostly absorbed by warping: cost far
+    # below the unwarped L1 distance
+    lag = [0] + s[:-1]
+    l1 = sum(abs(x - y) for x, y in zip(s, lag))
+    assert _py_dtw(s, lag) < l1
