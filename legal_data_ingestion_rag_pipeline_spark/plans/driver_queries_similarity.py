@@ -3541,3 +3541,181 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering over embeddings
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = "0.35"   # cosine similarity threshold (literal, both engines)
+_DBSCAN_MIN_DEG = 2    # minPts = 3 INCLUDING self <=> degree >= 2
+
+_DB_DOT = PT.dot_double("a.embedding", "b.embedding", D)
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE e AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DB_DOT} >= {_DBSCAN_EPS}
+    ),
+    nbr AS (SELECT ia AS v, ib AS u FROM e UNION ALL SELECT ib, ia FROM e),
+    deg AS (SELECT v, count(*) AS c FROM nbr GROUP BY v),
+    core AS (SELECT v FROM deg WHERE c >= {_DBSCAN_MIN_DEG}),
+    ce AS (
+      SELECT e.ia AS src, e.ib AS dst FROM e
+      JOIN core ca ON ca.v = e.ia JOIN core cb ON cb.v = e.ib
+    ),
+    cnbr AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+    reach(vertex, label) AS (
+      SELECT DISTINCT src AS vertex, src AS label FROM cnbr
+      UNION
+      SELECT cnbr.src, reach.label FROM cnbr
+      JOIN reach ON reach.vertex = cnbr.dst
+    ),
+    cc AS (SELECT vertex, min(label) AS label FROM reach GROUP BY vertex),
+    core_labels AS (
+      SELECT core.v AS vertex, coalesce(cc.label, core.v) AS label
+      FROM core LEFT JOIN cc ON cc.vertex = core.v
+    ),
+    border AS (
+      SELECT nbr.v AS vertex, min(cl.label) AS label
+      FROM nbr JOIN core_labels cl ON cl.vertex = nbr.u
+      WHERE nbr.v NOT IN (SELECT v FROM core)
+      GROUP BY nbr.v
+    ),
+    members AS (
+      SELECT vertex, label, 1 AS is_core FROM core_labels
+      UNION ALL
+      SELECT vertex, label, 0 FROM border
+    ),
+    clusters AS (
+      SELECT CAST(label AS BIGINT) AS cluster_id,
+             CAST(sum(is_core) AS BIGINT) AS n_core,
+             CAST(count(*) - sum(is_core) AS BIGINT) AS n_border,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(min(vertex) AS BIGINT) AS min_member,
+             CAST(max(vertex) AS BIGINT) AS max_member
+      FROM members GROUP BY label
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(min(vec_id) AS BIGINT) AS min_member,
+             CAST(max(vec_id) AS BIGINT) AS max_member
+      FROM embeddings
+      WHERE vec_id NOT IN (SELECT vertex FROM members)
+    )
+    SELECT * FROM clusters
+    UNION ALL
+    SELECT * FROM noise WHERE n_total > 0
+    ORDER BY cluster_id
+"""
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle=_DBSCAN_ORACLE,
+    doc="DBSCAN density clustering over the embedding table (eps = "
+    "cosine >= 0.35, minPts = 3 including the point itself): core "
+    "points have >= 2 within-eps neighbors, clusters are connected "
+    "components of the CORE-CORE graph (min-label fixpoint, "
+    "operators/graph.py), border points attach to the smallest "
+    "cluster label among their core neighbors (the deterministic "
+    "resolution of DBSCAN's classic border ambiguity), everything "
+    "else is the cluster_id = -1 noise row.  The density complement "
+    "of the centroid-based k-means family: finds arbitrary-shape "
+    "clusters and leaves outliers OUT of the training mix.  This is "
+    "the exact all-pairs AUDIT form (refuses above max_rows, the "
+    "dedup_embedding_cosine convention); the scale path feeds the "
+    "same core/border/components machinery from SRP-LSH bucketed "
+    "candidate pairs instead of the n^2 join.  Oracle: recursive-CTE "
+    "min-closure over the same core graph.",
+)
+def dbscan_embedding_clusters(
+    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dbscan_embedding_clusters is an exact O(n^2) audit query; "
+            f"corpus has {n} rows > max_rows={max_rows}. Feed the "
+            f"core/border/components machinery from SRP-LSH bucketed "
+            f"pairs (dedup_embedding_srp_lsh) for large corpora."
+        )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+    edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= F.expr(_DBSCAN_EPS))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+    )
+    edges = barrier(edges)
+    nbr = edges.select(
+        F.col("ia").alias("v"), F.col("ib").alias("u")
+    ).unionAll(edges.select(F.col("ib").alias("v"), F.col("ia").alias("u")))
+    core = (
+        nbr.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _DBSCAN_MIN_DEG)
+        .select("v")
+    )
+    ce = (
+        edges.join(core.select(F.col("v").alias("ia")), "ia")
+        .join(core.select(F.col("v").alias("ib")), "ib")
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    cc = graph.connected_components(ce)
+    core_labels = core.join(
+        cc, core.v == cc.vertex, "left"
+    ).select(
+        F.col("v").alias("vertex"),
+        F.coalesce(F.col("label"), F.col("v")).alias("label"),
+    )
+    border = (
+        nbr.join(core.select(F.col("v").alias("nc")), nbr.v == F.col("nc"), "left_anti")
+        .join(
+            core_labels.select(
+                F.col("vertex").alias("u"), F.col("label").alias("ulabel")
+            ),
+            "u",
+        )
+        .groupBy("v")
+        .agg(F.min("ulabel").alias("label"))
+        .select(F.col("v").alias("vertex"), "label")
+    )
+    members = core_labels.withColumn("is_core", F.lit(1)).unionAll(
+        border.withColumn("is_core", F.lit(0))
+    )
+    clusters = members.groupBy("label").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        (F.count("*") - F.sum("is_core")).cast("bigint").alias("n_border"),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.min("vertex").cast("bigint").alias("min_member"),
+        F.max("vertex").cast("bigint").alias("max_member"),
+    ).select(
+        F.col("label").cast("bigint").alias("cluster_id"),
+        "n_core",
+        "n_border",
+        "n_total",
+        "min_member",
+        "max_member",
+    )
+    noise = (
+        e.select(F.col("vec_id").alias("vertex"))
+        .join(members.select("vertex"), "vertex", "left_anti")
+        .agg(
+            F.lit(-1).cast("bigint").alias("cluster_id"),
+            F.lit(0).cast("bigint").alias("n_core"),
+            F.lit(0).cast("bigint").alias("n_border"),
+            F.count("*").cast("bigint").alias("n_total"),
+            F.min("vertex").cast("bigint").alias("min_member"),
+            F.max("vertex").cast("bigint").alias("max_member"),
+        )
+        .filter(F.col("n_total") > 0)
+    )
+    return clusters.unionAll(noise).orderBy("cluster_id")
