@@ -12,8 +12,9 @@ lift/calibration, exact banded quantiles (global and
 per-group), calendar-spine gap filling, CUSUM change-point
 detection, Mann-Kendall trend significance (tie-corrected, with
 Kendall tau-b), Kaplan-Meier survival (product-limit over censored
-conversion times), and a deterministic Poisson-bootstrap confidence
-interval.  The global-order
+conversion times), a deterministic Poisson-bootstrap confidence
+interval, and an exact 28-day DFT periodogram (literal milli trig
+tables folded in Python, BIGINT spectral power).  The global-order
 statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
@@ -2427,3 +2428,107 @@ def markov_removal_attribution(
         "channel string, base_conv_micro bigint, removal_conv_micro bigint,"
         " effect_micro bigint, share_micro bigint",
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# periodogram_weekly_cycle
+# --------------------------------------------------------------------------
+
+#: literal milli-unit trig tables for the fixed 28-day DFT window,
+#: folded in Python (the decayed_user_value convention): T = 28 gives
+#: four full weeks, so the weekly cycle sits EXACTLY on bin k = 4.
+_DFT_T = 28
+_DFT_KMAX = 14
+_DFT_TRIG = [
+    (
+        k,
+        d,
+        int(math.floor(math.cos(2.0 * math.pi * k * d / _DFT_T) * 1000 + 0.5)),
+        int(math.floor(math.sin(2.0 * math.pi * k * d / _DFT_T) * 1000 + 0.5)),
+    )
+    for k in range(1, _DFT_KMAX + 1)
+    for d in range(_DFT_T)
+]
+
+_DFT_VALUES = ", ".join(
+    f"({k}, {d}, {c}, {sn})" for k, d, c, sn in _DFT_TRIG
+)
+
+
+@register(
+    "periodogram_weekly_cycle",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    trig AS (
+      SELECT * FROM (VALUES {_DFT_VALUES}) AS t(k, d, c_milli, s_milli)
+    ),
+    spec AS (
+      SELECT CAST(trig.k AS BIGINT) AS k,
+             CAST(sum(daily.y * trig.c_milli) AS BIGINT) AS re_milli,
+             CAST(sum(daily.y * trig.s_milli) AS BIGINT) AS im_milli
+      FROM trig JOIN daily ON daily.d = trig.d
+      WHERE daily.d < {_DFT_T}
+      GROUP BY trig.k
+    )
+    SELECT k, {_DFT_T * 1000000} // k AS period_micro_days,
+           re_milli, im_milli,
+           re_milli * re_milli + im_milli * im_milli AS power_milli2
+    FROM spec ORDER BY k
+    """,
+    doc="exact discrete-Fourier periodogram of daily purchase counts "
+    "over the fixed first-28-day window (four full weeks, so the "
+    "weekly cycle lands EXACTLY on bin k = 4 — the spectral twin of "
+    "dow_seasonality_profile's time-domain readout): cos/sin folded "
+    "in Python as a literal 14 x 28 milli-unit table joined onto the "
+    "daily series, so each Fourier coefficient is an exact BIGINT "
+    "dot product and power = re^2 + im^2 is exact integer "
+    "arithmetic (bounded: |re| <= sum(y)*1000, fine to ~3e9 "
+    "events/day before int64 pressure).  Scale: one fact groupBy to "
+    "the daily series; the spectrum is a broadcast join against 392 "
+    "literal rows.",
+)
+def periodogram_weekly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("d"),
+        "event_type",
+    )
+    daily = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("d") < _DFT_T)
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    trig = spark.createDataFrame(
+        _DFT_TRIG, "k long, d long, c_milli long, s_milli long"
+    )
+    spec = (
+        daily.join(F.broadcast(trig), "d")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("y") * F.col("c_milli"))
+            .cast("bigint")
+            .alias("re_milli"),
+            F.sum(F.col("y") * F.col("s_milli"))
+            .cast("bigint")
+            .alias("im_milli"),
+        )
+    )
+    return spec.select(
+        "k",
+        F.expr(f"{_DFT_T * 1000000} DIV k").alias("period_micro_days"),
+        "re_milli",
+        "im_milli",
+        (
+            F.col("re_milli") * F.col("re_milli")
+            + F.col("im_milli") * F.col("im_milli")
+        ).alias("power_milli2"),
+    ).orderBy("k")
