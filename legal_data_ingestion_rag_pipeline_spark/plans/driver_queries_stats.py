@@ -12,7 +12,8 @@ lift/calibration, exact banded quantiles (global and
 per-group), calendar-spine gap filling, CUSUM change-point
 detection, Mann-Kendall trend significance (tie-corrected, with
 Kendall tau-b), Kaplan-Meier survival (product-limit over censored
-conversion times), a deterministic Poisson-bootstrap confidence
+conversion times) with its two-sample log-rank test, a
+deterministic Poisson-bootstrap confidence
 interval, and an exact 28-day DFT periodogram (literal milli trig
 tables folded in Python, BIGINT spectral power).  The global-order
 statistics (Spearman,
@@ -2532,3 +2533,209 @@ def periodogram_weekly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("im_milli") * F.col("im_milli")
         ).alias("power_milli2"),
     ).orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# logrank_conversion_arms
+# --------------------------------------------------------------------------
+
+@register(
+    "logrank_conversion_arms",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    fp AS (
+      SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+      FROM signup s LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.s_ts
+      GROUP BY 1, 2
+    ),
+    study AS (SELECT max(CAST(ts AS DATE)) AS end_d FROM events),
+    subj AS (
+      SELECT CAST(f.user_id % 2 AS BIGINT) AS arm,
+             CAST(coalesce(CAST(f.p_ts AS DATE), st.end_d)
+                  - CAST(f.s_ts AS DATE) AS BIGINT) AS t_day,
+             CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM fp f CROSS JOIN study st
+    ),
+    daily AS (
+      SELECT t_day,
+             CAST(sum(CASE WHEN arm = 0 THEN e ELSE 0 END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 - e ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(sum(CASE WHEN arm = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 - e ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM subj GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(d0 + c0) AS BIGINT) AS n0_all,
+             CAST(sum(d1 + c1) AS BIGINT) AS n1_all
+      FROM daily
+    ),
+    risk AS (
+      SELECT t_day, d0, d1,
+             tot.n0_all - CAST(coalesce(sum(d0 + c0) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n0t,
+             tot.n1_all - CAST(coalesce(sum(d1 + c1) OVER (ORDER BY t_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1t
+      FROM daily CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT t_day, d0, d1, n0t, n1t,
+             d0 + d1 AS dt, n0t + n1t AS nt,
+             CAST(floor(CAST((d0 + d1) * n1t AS DOUBLE)
+                        / CAST(n0t + n1t AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS e1_micro,
+             CAST(floor(CAST((d0 + d1) * n1t * n0t
+                             * (n0t + n1t - d0 - d1) AS DOUBLE)
+                        / CAST((n0t + n1t) * (n0t + n1t)
+                               * (n0t + n1t - 1) AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+      FROM risk
+      WHERE d0 + d1 > 0 AND n0t + n1t > 1
+    ),
+    agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(d0) AS BIGINT) AS o0,
+             CAST(sum(e1_micro) AS BIGINT) AS e1_micro,
+             CAST(sum(v_micro) AS BIGINT) AS v_micro
+      FROM terms
+    )
+    SELECT tot.n0_all, tot.n1_all, agg.o0, agg.o1,
+           agg.e1_micro,
+           (agg.o0 + agg.o1) * 1000000 - agg.e1_micro AS e0_micro,
+           agg.v_micro,
+           CAST(floor(
+             CAST(agg.o1 * 1000000 - agg.e1_micro AS DOUBLE)
+             * CAST(agg.o1 * 1000000 - agg.e1_micro AS DOUBLE)
+             / CAST(agg.v_micro AS DOUBLE) / 1000000.0 + 0.5)
+             AS BIGINT) AS chi2_micro
+    FROM agg CROSS JOIN tot
+    """,
+    doc="two-sample log-rank test of signup-to-purchase conversion "
+    "between the deterministic experiment arms user_id % 2 — the "
+    "inferential completion of the survival trio (Kaplan-Meier "
+    "curve, Nelson-Aalen hazard, and now 'do the arms differ'): at "
+    "each event day the observed arm-1 events are compared to the "
+    "hypergeometric expectation d_t * n1_t/n_t, variance "
+    "d_t*n1_t*n0_t*(n_t-d_t) / (n_t^2 (n_t-1)), chi^2 = "
+    "(O1-E1)^2/V.  Same censoring-at-study-end risk-set machinery "
+    "as kaplan_meier_conversion; per-day E and V are each ONE "
+    "double division of exact BIGINT products, micro-snapped "
+    "BEFORE summation (the psi convention), and the final chi^2 "
+    "divides once more.  Windows run over the duration-day table — "
+    "calendar-bounded.  chi2_micro ~ 3.84e6 is the 5% line.",
+)
+def logrank_conversion_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    fp = (
+        signup.join(
+            purch,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    study = ev.agg(F.max(F.col("ts").cast("date")).alias("end_d"))
+    subj = fp.crossJoin(F.broadcast(study)).select(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        F.expr(
+            "CAST(datediff(coalesce(CAST(p_ts AS DATE), end_d),"
+            " CAST(s_ts AS DATE)) AS BIGINT)"
+        ).alias("t_day"),
+        F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("e"),
+    )
+    daily = subj.groupBy("t_day").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("e")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("d0") + F.col("c0")).cast("bigint").alias("n0_all"),
+        F.sum(F.col("d1") + F.col("c1")).cast("bigint").alias("n1_all"),
+    )
+    w = (
+        Window.orderBy("t_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = daily.crossJoin(F.broadcast(tot)).select(
+        "t_day",
+        "d0",
+        "d1",
+        (
+            F.col("n0_all")
+            - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(w), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n0t"),
+        (
+            F.col("n1_all")
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n1t"),
+    )
+    terms = risk.filter(
+        (F.col("d0") + F.col("d1") > 0) & (F.col("n0t") + F.col("n1t") > 1)
+    ).select(
+        "d0",
+        "d1",
+        F.expr(
+            "CAST(floor(CAST((d0 + d1) * n1t AS DOUBLE)"
+            " / CAST(n0t + n1t AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("e1_micro"),
+        F.expr(
+            "CAST(floor(CAST((d0 + d1) * n1t * n0t"
+            " * (n0t + n1t - d0 - d1) AS DOUBLE)"
+            " / CAST((n0t + n1t) * (n0t + n1t)"
+            " * (n0t + n1t - 1) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d0").cast("bigint").alias("o0"),
+        F.sum("e1_micro").cast("bigint").alias("e1_micro"),
+        F.sum("v_micro").cast("bigint").alias("v_micro"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n0_all",
+        "n1_all",
+        "o0",
+        "o1",
+        "e1_micro",
+        ((F.col("o0") + F.col("o1")) * 1000000 - F.col("e1_micro")).alias(
+            "e0_micro"
+        ),
+        "v_micro",
+        F.expr(
+            "CAST(floor("
+            "CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+            " * CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+            " / CAST(v_micro AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("chi2_micro"),
+    )
