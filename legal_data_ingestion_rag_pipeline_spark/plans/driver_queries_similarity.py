@@ -3719,3 +3719,110 @@ def dbscan_embedding_clusters(
         .filter(F.col("n_total") > 0)
     )
     return clusters.unionAll(noise).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval — the third classic
+# ranking model beside BM25 (fts_bm25_search) and vector cosine.
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000
+_QL_K = 10
+
+_QL_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl FROM base),
+    corpus AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS c_len FROM docs2
+    ),
+    cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cf FROM (
+        SELECT unnest(toks) AS term FROM base
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY term
+    ),
+    hits AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM base
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CASE WHEN h.tf IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             CAST(floor(
+               ln(CAST(coalesce(h.tf, 0) * c.c_len
+                       + {_QL_MU} * cf.cf AS DOUBLE)
+                  / CAST((d.dl + {_QL_MU}) * c.c_len AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM docs2 d CROSS JOIN cf CROSS JOIN corpus c
+      LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.term = cf.term
+    )
+    SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_terms_hit,
+           CAST(sum(micro) AS DOUBLE) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_QL_K}
+"""
+
+
+@register(
+    "fts_dirichlet_ql_search",
+    oracle=_QL_ORACLE,
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+    "Lafferty 2001; mu = 2000) for the same 3-term query as "
+    "fts_bm25_search — the language-modeling member of the classic "
+    "ranking triad (BM25, vector cosine, QL): score = sum over "
+    "query terms of ln((tf*|C| + mu*cf) / ((dl + mu)*|C|)), every "
+    "ln applied ONCE to a ratio of exact BIGINT products "
+    "(the lm_perplexity convention) and micro-snapped before the "
+    "per-doc sum, so ordering is addition-order independent.  "
+    "Unlike BM25, zero-tf terms still contribute the background "
+    "mass — every doc scores on every query term via a 3x fan-out "
+    "of the doc-length table with the tiny cf/corpus scalars "
+    "broadcast; postings prune to query terms before any shuffle.  "
+    "TakeOrderedAndProject top-10.",
+)
+def fts_dirichlet_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(PT.tokens("text", S)).alias("toks")
+    )
+    base = barrier(base)
+    docs2 = base.select("doc_id", F.size("toks").alias("dl"))
+    words = base.select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    corpus = docs2.agg(F.sum("dl").cast("bigint").alias("c_len"))
+    qterms = words.filter(F.col("term").isin(*_FTS_TERMS))
+    cf = qterms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("cf")
+    )
+    hits = qterms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    scored = (
+        docs2.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(corpus))
+        .join(hits, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("hit"),
+            F.expr(
+                f"CAST(floor(ln(CAST(coalesce(tf, 0) * c_len"
+                f" + {_QL_MU} * cf AS DOUBLE)"
+                f" / CAST((dl + {_QL_MU}) * c_len AS DOUBLE))"
+                f" * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_terms_hit"),
+            (F.sum("micro").cast("double") / 1000000.0).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_QL_K)
+    )
