@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import portable as PT
 from ..operators.topk import salted_join
-from ..session import load_table
+from ..session import barrier, load_table
 from .registry import register
 
 D = PT.DUCKDB
@@ -3151,4 +3151,164 @@ def personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.orderBy(F.col("rank_units").desc(), "node")
         .limit(20)
         .select("node", "rank_units")
+    )
+
+
+# ---------------------------------------------------------------------------
+# modularity_lpa_communities
+# ---------------------------------------------------------------------------
+
+def _modularity_oracle(sf_dir: str) -> str:
+    """Python twin: same synchronous LPA as _lpa_oracle, then exact
+    integer modularity per community — emitted as VALUES."""
+    import collections
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = [
+        (int(lo), int(hi))
+        for lo, hi in con.execute(_SUPPORT2_EDGES_SQL).fetchall()
+    ]
+    con.close()
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            cnt: dict[int, int] = collections.defaultdict(int)
+            for u in adj[v]:
+                cnt[labels[u]] += 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = nxt
+    m = len(edges)
+    n_members: dict[int, int] = collections.defaultdict(int)
+    d_c: dict[int, int] = collections.defaultdict(int)
+    m_c: dict[int, int] = collections.defaultdict(int)
+    for v, l in labels.items():
+        n_members[l] += 1
+        d_c[l] += len(adj[v])
+    for lo, hi in edges:
+        if labels[lo] == labels[hi]:
+            m_c[labels[lo]] += 1
+    total = sum(
+        4 * m * m_c.get(l, 0) - d_c[l] * d_c[l] for l in n_members
+    )
+    q_micro = int(
+        math.floor(total / float(4 * m * m) * 1_000_000.0 + 0.5)
+    )
+    rows = sorted(
+        (
+            (l, n_members[l], d_c[l], m_c.get(l, 0),
+             4 * m * m_c.get(l, 0) - d_c[l] * d_c[l])
+            for l in n_members
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    vals = ", ".join(
+        f"({l}, {nm}, {dc}, {mc}, {ct}, {m}, {q_micro})"
+        for l, nm, dc, mc, ct in rows
+    )
+    return (
+        "SELECT CAST(label AS BIGINT) AS label,"
+        " CAST(n_members AS BIGINT) AS n_members,"
+        " CAST(d_c AS BIGINT) AS d_c,"
+        " CAST(m_c AS BIGINT) AS m_c,"
+        " CAST(contrib AS BIGINT) AS contrib,"
+        " CAST(m_edges AS BIGINT) AS m_edges,"
+        " CAST(q_micro AS BIGINT) AS q_micro"
+        f" FROM (VALUES {vals}) AS t(label, n_members, d_c, m_c,"
+        " contrib, m_edges, q_micro)"
+        " ORDER BY n_members DESC, label"
+    )
+
+
+@register(
+    "modularity_lpa_communities",
+    oracle=_modularity_oracle,
+    doc="Newman modularity of the LPA communities on the support-2 "
+    "co-purchase graph — the quality score that turns "
+    "lpa_copurchase_communities from 'labels came out' into 'the "
+    "partition is better than chance': Q = sum_c (m_c/m - "
+    "(d_c/2m)^2), computed as the EXACT integer 4*m*m_c - d_c^2 per "
+    "community (contrib; Q = sum(contrib)/(4m^2)) with exactly one "
+    "final division micro-snapped into the constant q_micro column.  "
+    "Top-20 communities by size with their intra-edge and degree "
+    "masses.  Scale: degrees and intra-edge counts are two "
+    "edge-table aggregations on the labels join; the per-community "
+    "table is community-bounded.  Oracle: pure-Python synchronous "
+    "LPA twin + the same integer arithmetic (VALUES).",
+)
+def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    edges = barrier(_support2_edges(spark, sf_dir))
+    labels = graph.label_propagation(edges, rounds=3, a="lo", b="hi")
+    m_df = edges.agg(F.count("*").cast("bigint").alias("m_edges"))
+    deg = (
+        edges.select(F.col("lo").alias("dv"))
+        .unionAll(edges.select(F.col("hi").alias("dv")))
+        .groupBy("dv")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    mem = labels.join(deg, labels.v == deg.dv).select(
+        labels.v.alias("vertex"), "label", "deg"
+    )
+    comm = mem.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("deg").cast("bigint").alias("d_c"),
+    )
+    lab_lo = labels.select(
+        F.col("v").alias("lo"), F.col("label").alias("l_lo")
+    )
+    lab_hi = labels.select(
+        F.col("v").alias("hi"), F.col("label").alias("l_hi")
+    )
+    intra = (
+        edges.join(lab_lo, "lo")
+        .join(lab_hi, "hi")
+        .filter(F.col("l_lo") == F.col("l_hi"))
+        .groupBy(F.col("l_lo").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    per = (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            "n_members",
+            "d_c",
+            F.coalesce(F.col("m_c"), F.lit(0)).cast("bigint").alias("m_c"),
+            "m_edges",
+        )
+        .withColumn(
+            "contrib",
+            (4 * F.col("m_edges") * F.col("m_c")
+             - F.col("d_c") * F.col("d_c")).cast("bigint"),
+        )
+    )
+    q = per.agg(
+        F.sum("contrib").alias("total"), F.max("m_edges").alias("m")
+    ).select(
+        F.expr(
+            "CAST(floor(CAST(total AS DOUBLE)"
+            " / CAST(4 * m * m AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("q_micro")
+    )
+    return (
+        per.crossJoin(F.broadcast(q))
+        .select(
+            "label", "n_members", "d_c", "m_c", "contrib", "m_edges",
+            "q_micro",
+        )
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
     )
