@@ -2946,3 +2946,92 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0 + 0.5) AS BIGINT)"
         ).alias("kappa_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# source_unigram_kl (round 8: domain-shift datacard number)
+# --------------------------------------------------------------------------
+
+@register(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH t AS (SELECT source, {PT.tokens('text', D)} AS toks
+               FROM documents),
+    w AS (SELECT source, unnest(toks) AS word FROM t),
+    sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+           FROM w GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s,
+                    CAST(count(*) AS BIGINT) AS n_types
+             FROM sw GROUP BY 1),
+    cw AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+    ctot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+    cells AS (
+      SELECT sw.source,
+             CAST(floor(
+               (CAST(sw.c_sw AS DOUBLE) / st.n_s)
+               * ln(CAST(sw.c_sw AS DOUBLE) * ct.n
+                    / (CAST(st.n_s AS DOUBLE) * cw.c_w))
+               * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+      FROM sw JOIN stot st USING (source)
+      JOIN cw USING (word) CROSS JOIN ctot ct
+    )
+    SELECT st.source, st.n_s AS n_tokens, st.n_types,
+           CAST(sum(c.term_micro) AS BIGINT) AS kl_micro
+    FROM cells c JOIN stot st USING (source)
+    GROUP BY st.source, st.n_s, st.n_types
+    ORDER BY kl_micro DESC, st.source
+    """,
+    doc="per-source unigram KL divergence against the corpus "
+    "distribution — the domain-shift number a mixture datacard "
+    "quotes per slice (how far does this source's word usage sit "
+    "from the blend it feeds): KL(P_s || Q) = sum_w (c_sw/N_s) * "
+    "ln(c_sw*N / (N_s*c_w)), every cell's ln applied once to a "
+    "ratio of exact BIGINT counts and the whole cell micro-snapped "
+    "BEFORE summation (the NMI/information-gain convention; Q's "
+    "support contains P_s's by construction, so no smoothing term). "
+    "The divergence sibling of class_tfidf_source_terms (which "
+    "names the words; this prices the shift).  Scale: one word "
+    "shuffle to (source, word) cells; marginals join back "
+    "broadcast.",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    w = docs.select(
+        "source", F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("c_sw")
+    )
+    sw = barrier(sw)
+    stot = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_s"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    cw = sw.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    ctot = cw.agg(F.sum("c_w").cast("bigint").alias("n"))
+    cells = (
+        sw.join(F.broadcast(stot), "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor((CAST(c_sw AS DOUBLE) / n_s)"
+                " * ln(CAST(c_sw AS DOUBLE) * n"
+                " / (CAST(n_s AS DOUBLE) * c_w))"
+                " * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        cells.groupBy("source")
+        .agg(F.sum("term_micro").cast("bigint").alias("kl_micro"))
+        .join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            "kl_micro",
+        )
+        .orderBy(F.desc("kl_micro"), "source")
+    )
