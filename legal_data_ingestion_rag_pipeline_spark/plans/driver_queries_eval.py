@@ -657,6 +657,7 @@ _NDCG_ORACLE = f"""
 
 @register(
     "retrieval_ndcg_eval",
+    bench=True,
     oracle=_NDCG_ORACLE,
     doc="ranked-retrieval evaluation: NDCG@10, reciprocal rank, and "
     "precision@10 (hits10) of the exact cosine top-10 — queries are "

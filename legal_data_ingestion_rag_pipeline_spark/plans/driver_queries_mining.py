@@ -1009,6 +1009,7 @@ def _dtw_oracle(sf_dir: str) -> str:
 
 @register(
     "dtw_daily_series_alignment",
+    bench=True,
     oracle=_dtw_oracle,
     doc="dynamic time warping of each non-purchase event type's dense "
     "daily-count series against the purchase series (both gap-filled "

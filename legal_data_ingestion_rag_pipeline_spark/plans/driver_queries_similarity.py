@@ -3455,6 +3455,7 @@ _LEAK_ORACLE = f"""
 
 @register(
     "split_leakage_audit",
+    bench=True,
     oracle=_LEAK_ORACLE,
     doc="train/val/test split-leakage audit — the decontamination "
     "check an eval pipeline runs before trusting held-out metrics: "

@@ -445,6 +445,7 @@ _SESSION_SINK = "streaming_session_windows_sink"
 
 @register(
     "streaming_session_windows",
+    bench=True,
     oracle="""
     WITH o AS (
       SELECT user_id, ts, event_id, value,

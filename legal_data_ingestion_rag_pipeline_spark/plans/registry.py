@@ -537,6 +537,77 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:   aggregates via the stats-family rows. All have pytest +
 #:   oracle_check + (rolling/eval) plan-sweep coverage.)
 #:
+#: Round-8 sixth late rotation (the retrieval-evaluation / density /
+#: session-window session: five NEW families in while newest, same
+#: partner rule — every OUT keeps a gated machinery partner, its
+#: oracle_check row, and pytest):
+#:   IN : split_leakage_audit (train/val/test decontamination matrix
+#:        — runs with_minhash + lsh_candidate_pairs + the hot-bucket
+#:        cap INSIDE the plan, a strict superset of
+#:        dedup_minhash_lsh's machinery, plus the portable-hash split
+#:        assignment and the cross-split contamination algebra),
+#:        retrieval_ndcg_eval (NDCG@10/MRR/P@10 of the exact cosine
+#:        top-k — runs brute_force_topk INSIDE the plan, a strict
+#:        superset of ann_bruteforce_topk's broadcast + two-phase
+#:        top-k machinery, plus the Python-folded literal
+#:        discount-table discipline),
+#:        streaming_session_windows (session_window(gap) — the
+#:        dynamic-gap shape completing the streaming window matrix
+#:        beside tumbling/sliding/interval; merge-at-exact-gap rule
+#:        pinned empirically by pytest),
+#:        dbscan_embedding_clusters (density clustering — a NEW
+#:        algorithm class: eps-graph cores, deterministic border
+#:        attachment, noise; runs graph.connected_components INSIDE
+#:        the plan, restoring the components fixpoint to a driver row
+#:        after the r8 fifth rotation retired
+#:        dedup_cluster_components),
+#:        dtw_daily_series_alignment (dynamic time warping — the
+#:        newest per-group DP + dynamic Python-twin VALUES instance;
+#:        the dynamic-oracle slot points at the newest instance, the
+#:        compression_ratio -> mmr -> isotonic precedent).
+#:   Bench note: four of the five INs joined the bench set
+#:   (gate-critical -> benched rule).  dbscan_embedding_clusters is
+#:   the documented exception: it is the exact O(n^2) all-pairs AUDIT
+#:   form (the dedup_embedding_cosine class), ~60 s at sf0.1 from
+#:   12.5M fold-exact dots — an honest cost with no plan-level fix
+#:   that keeps bit-exactness (a GEMM path reorders float sums and
+#:   breaks the hash contract at the eps boundary).  Its gate row
+#:   runs at sf0.01 (~2 s); the bench keeps measuring its machinery
+#:   via the components/eps-pair consumers (split_leakage_audit,
+#:   retrieval_ndcg_eval).
+#:   OUT: dedup_minhash_lsh -> strict containment in
+#:        split_leakage_audit (same signatures, banding, cap); keeps
+#:        its bench row, oracle_check row, and LSH pytest.
+#:        ann_bruteforce_topk -> strict containment in
+#:        retrieval_ndcg_eval (and knn_loo_confusion /
+#:        rocchio_prf_rerank gate-adjacent siblings run it too);
+#:        keeps bench + oracle_check + ann pytest.
+#:        clamped_wallet_balance -> the grouped-applyInPandas walk
+#:        class is gated via holt_linear_daily (two-state strict
+#:        superset, the r8 fifth-rotation precedent for ewma); keeps
+#:        oracle_check + the transformWithState/recurrence pytest.
+#:        dedup_semantic_clusters -> its kmeans-assignment piece is
+#:        gated via clustering_nmi_purity (ivf_assign composition)
+#:        and its within-cluster pairwise + keeper algebra via
+#:        dbscan_embedding_clusters (eps-pairs + components + member
+#:        accounting); keeps oracle_check + pytest.
+#:        isotonic_calibration -> the dynamic Python-twin VALUES +
+#:        bounded-driver-solve slot rotates to the newest instance
+#:        (dtw; rotation convention), and PAV's order-statistics
+#:        consumers stay gated via conformal_price_calibration;
+#:        keeps oracle_check + the PAV pytest.
+#:   (The session's other new families stay oracle_check-only by the
+#:   same machinery-partner logic: rocchio_prf_rerank and
+#:   knn_loo_confusion run the gated brute-force + centroid recipes;
+#:   fts_dirichlet_ql_search shares the postings/ln-snap machinery
+#:   gated via kneser_ney_perplexity + rag_rerank_bm25;
+#:   logrank_conversion_arms shares kaplan_meier_conversion's
+#:   risk-set machinery; periodogram_weekly_cycle / chao1 / kappa /
+#:   pinball / source_unigram_kl are literal-table or one-pass
+#:   exact-integer aggregates gated a dozen ways;
+#:   modularity_lpa_communities composes the gated-precedent LPA
+#:   with two edge-table aggregates. All have oracle_check rows.)
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -552,16 +623,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:     (v4 = v3 + domain front door stays oracle_check-only for now).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup
-    "dedup_minhash_lsh",
+    "split_leakage_audit",
     "hard_negative_mining",
     "dedup_prefix_jaccard",
     "boilerplate_segment_removal",
-    "dedup_semantic_clusters",
+    "dbscan_embedding_clusters",
     "dedup_spans_incremental",
     "ingest_timetravel_cases",
     "streaming_neardup_docs",
     # LLM family: similarity search / clustering / sketches
-    "ann_bruteforce_topk",
+    "retrieval_ndcg_eval",
     "ann_ivf_binary_stored",
     "fts_conjunctive_search",
     "kcore_copurchase",
@@ -600,8 +671,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "decontamination_bloom",
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
-    "clamped_wallet_balance",
-    "isotonic_calibration",
+    "streaming_session_windows",
+    "dtw_daily_series_alignment",
     # events-table family (timestamp/window/sessionization operators)
     "streaming_interval_join",
     "scd2_event_type_history",
