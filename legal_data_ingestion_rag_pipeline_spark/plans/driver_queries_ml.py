@@ -1,6 +1,6 @@
 """Driver queries: supervised-learning / feature-engineering
 operators (round 8) — the model-training layer a pretraining-data
-platform runs on top of the curation core.  Exactly nine families,
+platform runs on top of the curation core.  Exactly ten families,
 each implemented and registered in this module:
 
 - stump_split_search        — histogram-based decision-stump split
@@ -15,6 +15,11 @@ each implemented and registered in this module:
 - itemitem_cosine_topk      — item-item collaborative filtering:
   co-occurrence cosine over customer baskets, top-5 neighbors for
   the 10 most-purchased parts.
+- cf_holdout_hitrate        — leave-last-out evaluation of that
+  recommender: hold out each eval user's most recent part, rebuild
+  the similarity table on the remaining pairs, recommend by summed
+  neighbor cosine, report each panel user's held-out rank (the
+  hit@k / MRR readout, kept per-user for hash discriminativeness).
 - frequent_event_trigrams   — order-aware sequential-pattern support
   counting (contiguous event-type trigrams per user).
 - ewma_event_type_daily     — integer alpha=1/2 EWMA over the dense
@@ -1171,3 +1176,229 @@ def logistic_hashed_first_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# cf_holdout_hitrate
+# --------------------------------------------------------------------------
+
+_CF_EVAL_USERS = 100
+_CF_NBRS = 20
+_CF_RR = " ".join(
+    f"WHEN {r} THEN {round(1_000_000 / r)}" for r in range(1, 11)
+)
+_CF_RR_CASE = f"CASE hit_rank {_CF_RR} ELSE 0 END"
+
+
+@register(
+    "cf_holdout_hitrate",
+    oracle=f"""
+    WITH up AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS p,
+             max(o.o_orderdate) AS d_p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT u FROM up GROUP BY u HAVING count(*) >= 2
+    ),
+    panel AS (
+      SELECT u FROM eligible ORDER BY u LIMIT {_CF_EVAL_USERS}
+    ),
+    holdout AS (
+      SELECT u, p AS h FROM (
+        SELECT up.u, up.p,
+               row_number() OVER (PARTITION BY up.u
+                                  ORDER BY up.d_p DESC, up.p DESC) AS rn
+        FROM up JOIN panel USING (u)) t
+      WHERE rn = 1
+    ),
+    train AS (
+      SELECT up.u, up.p FROM up
+      LEFT JOIN holdout ho ON ho.u = up.u AND ho.h = up.p
+      WHERE ho.u IS NULL
+    ),
+    ic AS (SELECT p, CAST(count(*) AS BIGINT) AS nu FROM train GROUP BY p),
+    cooc AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+      FROM train a JOIN train b ON b.u = a.u AND b.p <> a.p
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT pa, pb, cos_micro FROM (
+        SELECT cooc.pa, cooc.pb,
+               CAST(floor(cooc.c * 1000000.0
+                          / sqrt(CAST(ia.nu AS DOUBLE) * ib.nu) + 0.5)
+                    AS BIGINT) AS cos_micro,
+               row_number() OVER (PARTITION BY cooc.pa
+                 ORDER BY CAST(floor(cooc.c * 1000000.0
+                   / sqrt(CAST(ia.nu AS DOUBLE) * ib.nu) + 0.5) AS BIGINT)
+                   DESC, cooc.pb) AS rk
+        FROM cooc JOIN ic ia ON ia.p = cooc.pa
+        JOIN ic ib ON ib.p = cooc.pb) t
+      WHERE rk <= {_CF_NBRS}
+    ),
+    basket AS (
+      SELECT t.u, t.p FROM train t JOIN panel USING (u)
+    ),
+    cand AS (
+      SELECT b.u, s.pb AS c, CAST(sum(s.cos_micro) AS BIGINT) AS score
+      FROM basket b JOIN sim s ON s.pa = b.p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM train t2 WHERE t2.u = b.u AND t2.p = s.pb
+      )
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT u, c, row_number() OVER (PARTITION BY u
+               ORDER BY score DESC, c) AS rk
+      FROM cand
+    ),
+    bsize AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n_train_parts
+      FROM basket GROUP BY u
+    ),
+    hitting AS (
+      SELECT ho.u, bs.n_train_parts,
+             CAST(coalesce(min(CASE WHEN r.c = ho.h THEN r.rk END), 0)
+                  AS BIGINT) AS hit_rank,
+             CAST(coalesce(max(r.rk), 0) AS BIGINT) AS n_candidates
+      FROM holdout ho
+      JOIN bsize bs ON bs.u = ho.u
+      LEFT JOIN ranked r ON r.u = ho.u
+      GROUP BY ho.u, bs.n_train_parts
+    )
+    SELECT u, n_train_parts, n_candidates, hit_rank,
+           CAST({_CF_RR_CASE} AS BIGINT) AS rr_micro
+    FROM hitting ORDER BY u
+    """,
+    doc="leave-last-out recommender evaluation of the item-item CF "
+    "family: for a deterministic 100-user panel (smallest custkeys "
+    "with >= 2 distinct parts), hold out each user's most recent "
+    "part ((max orderdate, part) total order), rebuild the "
+    "co-occurrence cosine similarity table on the REMAINING pairs "
+    "(no leakage of the held-out interaction), recommend by summed "
+    "neighbor cosine over the user's training basket (candidates "
+    "outside the basket, 20 neighbors per anchor), and report PER "
+    "USER the held-out part's full rank (0 = not reachable through "
+    "any neighbor list), candidate-set size, and the rank<=10 "
+    "reciprocal-rank micro credit (literal table) — hit@k and MRR "
+    "are one aggregation away, and the per-user ranks keep the "
+    "gate hash discriminative even on this co-purchase-free "
+    "synthetic data (an aggregate would collapse to zeros).  Every "
+    "cosine is the one-sqrt-of-integer-product micro "
+    "snap; scores are exact BIGINT sums, so rankings are total-"
+    "ordered.  Scale: the cooc build is the basket^2 fan-out "
+    "(sum over users of basket size squared — bounded by basket "
+    "caps in production); the panel side is 100-user bounded.",
+)
+def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    up = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.max("o_orderdate").alias("d_p"))
+    )
+    from ..session import barrier
+
+    up = barrier(up)
+    panel = (
+        up.groupBy("u")
+        .agg(F.count("*").alias("np"))
+        .filter(F.col("np") >= 2)
+        .select("u")
+        .orderBy("u")
+        .limit(_CF_EVAL_USERS)
+    )
+    w_h = Window.partitionBy("u").orderBy(
+        F.col("d_p").desc(), F.col("p").desc()
+    )
+    holdout = (
+        up.join(F.broadcast(panel), "u")
+        .withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") == 1)
+        .select("u", F.col("p").alias("h"))
+    )
+    train = up.select("u", "p").join(
+        holdout.select("u", F.col("h").alias("p")), ["u", "p"], "left_anti"
+    )
+    train = barrier(train)
+    ic = train.groupBy("p").agg(F.count("*").cast("bigint").alias("nu"))
+    a = train.select("u", F.col("p").alias("pa"))
+    b = train.select("u", F.col("p").alias("pb"))
+    cooc = (
+        a.join(b, "u")
+        .filter(F.col("pb") != F.col("pa"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    sim = (
+        cooc.join(ic.select(F.col("p").alias("pa"), F.col("nu").alias("na")), "pa")
+        .join(ic.select(F.col("p").alias("pb"), F.col("nu").alias("nb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.expr(
+                "CAST(floor(c * 1000000.0"
+                " / sqrt(CAST(na AS DOUBLE) * nb) + 0.5) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("pa").orderBy(
+                    F.desc("cos_micro"), "pb"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _CF_NBRS)
+        .select("pa", "pb", "cos_micro")
+    )
+    basket = train.join(F.broadcast(panel), "u")
+    cand = (
+        basket.join(sim, basket.p == sim.pa)
+        .select("u", F.col("pb").alias("c"), "cos_micro")
+        .join(
+            train.select("u", F.col("p").alias("c")),
+            ["u", "c"],
+            "left_anti",
+        )
+        .groupBy("u", "c")
+        .agg(F.sum("cos_micro").cast("bigint").alias("score"))
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.desc("score"), "c")
+        ),
+    )
+    bsize = basket.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("n_train_parts")
+    )
+    joined = holdout.join(F.broadcast(bsize), "u").join(
+        ranked.select(F.col("u").alias("ru"), "c", "rk"),
+        (holdout.u == F.col("ru")),
+        "left",
+    )
+    hitting = joined.groupBy("u", "n_train_parts").agg(
+        F.coalesce(
+            F.min(F.when(F.col("c") == F.col("h"), F.col("rk"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("hit_rank"),
+        F.coalesce(F.max("rk"), F.lit(0)).cast("bigint").alias(
+            "n_candidates"
+        ),
+    )
+    return hitting.select(
+        "u",
+        "n_train_parts",
+        "n_candidates",
+        "hit_rank",
+        F.expr(_CF_RR_CASE).cast("bigint").alias("rr_micro"),
+    ).orderBy("u")
