@@ -3907,3 +3907,169 @@ def search_snippet_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated eval export — the actionable step after the audit
+# ---------------------------------------------------------------------------
+
+_DECON_PAIRS = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t),
+    h AS (SELECT doc_id, {PT.word_ngram_hashes('tok_hashes', 3, D)} AS gram_hashes
+          FROM g WHERE len(tok_hashes) >= 3),
+    s AS (SELECT doc_id, {PT.minhash_from_hashes('gram_hashes', 32, D)} AS mh FROM h),
+    banded AS (
+      SELECT doc_id, mh, b AS band_idx,
+             list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+      FROM s, unnest(range(16)) AS tt(b)
+    ),
+    capped AS (
+      SELECT doc_id, mh, band_idx, band_sig FROM (
+        SELECT banded.*, count(*) OVER (PARTITION BY band_idx, band_sig)
+                 AS bucket_n
+        FROM banded) t
+      WHERE bucket_n <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.mh AS mh_a, b.mh AS mh_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i]))
+                  * 1000 // 32 AS BIGINT) AS est_milli
+      FROM pairs
+      WHERE len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i])) / 32.0
+            >= {_LEAK_EST}
+    ),
+    sp AS (SELECT doc_id, {_split_expr(D)} AS split FROM documents)
+"""
+
+
+@register(
+    "eval_split_decontaminated",
+    oracle=f"""{_DECON_PAIRS},
+    links AS (
+      SELECT CASE WHEN sa.split = 'test' THEN n.id_a ELSE n.id_b END
+               AS test_doc,
+             CASE WHEN sa.split = 'test' THEN n.id_b ELSE n.id_a END
+               AS train_doc,
+             n.est_milli
+      FROM near n
+      JOIN sp sa ON sa.doc_id = n.id_a
+      JOIN sp sb ON sb.doc_id = n.id_b
+      WHERE (sa.split = 'test' AND sb.split = 'train')
+         OR (sa.split = 'train' AND sb.split = 'test')
+    ),
+    contaminated AS (
+      SELECT test_doc,
+             CAST(count(*) AS BIGINT) AS n_train_partners,
+             CAST(max(est_milli) AS BIGINT) AS worst_est_milli,
+             CAST(min(CASE WHEN est_milli = (SELECT max(l2.est_milli)
+                 FROM links l2 WHERE l2.test_doc = links.test_doc)
+                 THEN train_doc END) AS BIGINT) AS worst_partner
+      FROM links GROUP BY test_doc
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST((SELECT count(*) FROM contaminated) AS BIGINT)
+               AS n_contaminated
+      FROM sp WHERE split = 'test'
+    )
+    SELECT c.test_doc, c.n_train_partners, c.worst_partner,
+           c.worst_est_milli, k.n_test, k.n_contaminated,
+           k.n_test - k.n_contaminated AS n_clean
+    FROM contaminated c CROSS JOIN counts k
+    ORDER BY c.test_doc
+    """,
+    doc="the actionable step after split_leakage_audit: list every "
+    "TEST-split document with a near-dup partner in TRAIN (the docs "
+    "an eval export must drop), each with its partner count, its "
+    "worst (highest est-Jaccard) train partner — ties to the "
+    "smallest partner id — and the constant n_test / n_contaminated "
+    "/ n_clean export accounting.  Same MinHash-LSH candidate "
+    "machinery and portable-hash split as the audit; the output is "
+    "contamination-bounded, so the export decision list stays tiny "
+    "at any corpus size.",
+)
+def eval_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sp = docs.select("doc_id", F.expr(_split_expr(S)).alias("split"))
+    sigs = dedup.with_minhash(
+        docs, "text", "doc_id", n_hashes=32, shingle_words=3
+    )
+    near = (
+        dedup.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+        )
+        .filter(F.col("est_jaccard") >= _LEAK_EST)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(CAST(est_jaccard * 32 + 0.5 AS BIGINT)"
+                " * 1000 DIV 32 AS BIGINT)"
+            ).alias("est_milli"),
+        )
+    )
+    links = (
+        near.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")),
+            "id_b",
+        )
+        .filter(
+            ((F.col("s_a") == "test") & (F.col("s_b") == "train"))
+            | ((F.col("s_a") == "train") & (F.col("s_b") == "test"))
+        )
+        .select(
+            F.when(F.col("s_a") == "test", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("test_doc"),
+            F.when(F.col("s_a") == "test", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_doc"),
+            "est_milli",
+        )
+    )
+    w_best = Window.partitionBy("test_doc").orderBy(
+        F.desc("est_milli"), "train_doc"
+    )
+    contaminated = (
+        links.withColumn("rn", F.row_number().over(w_best))
+        .groupBy("test_doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_partners"),
+            F.max("est_milli").cast("bigint").alias("worst_est_milli"),
+            F.min(F.when(F.col("rn") == 1, F.col("train_doc")))
+            .cast("bigint")
+            .alias("worst_partner"),
+        )
+    )
+    counts = sp.filter(F.col("split") == "test").agg(
+        F.count("*").cast("bigint").alias("n_test")
+    ).crossJoin(
+        contaminated.agg(
+            F.count("*").cast("bigint").alias("n_contaminated")
+        )
+    )
+    return (
+        contaminated.crossJoin(F.broadcast(counts))
+        .select(
+            "test_doc",
+            "n_train_partners",
+            "worst_partner",
+            "worst_est_milli",
+            "n_test",
+            "n_contaminated",
+            (F.col("n_test") - F.col("n_contaminated")).alias("n_clean"),
+        )
+        .orderBy("test_doc")
+    )
