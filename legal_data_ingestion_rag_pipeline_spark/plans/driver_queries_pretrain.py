@@ -18,7 +18,7 @@ the Spark plans, so value hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import htmltext, portable as PT
 from ..operators import classifier, domains, linededup, sketches
@@ -3034,4 +3034,215 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_micro",
         )
         .orderBy(F.desc("kl_micro"), "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline_v7 (round 8 capstone: leakage-safe training export)
+# --------------------------------------------------------------------------
+
+_V7_CAP = 20
+_V7_Q = "0.75"
+
+
+def _v7_oracle() -> str:
+    from .driver_queries_similarity import (
+        _QUALITY_ORACLE,
+        _split_expr,
+        _LEAK_EST,
+    )
+
+    return f"""
+    WITH t0 AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t0),
+    h AS (SELECT doc_id, {PT.word_ngram_hashes('tok_hashes', 3, D)} AS gram_hashes
+          FROM g WHERE len(tok_hashes) >= 3),
+    s AS (SELECT doc_id, {PT.minhash_from_hashes('gram_hashes', 32, D)} AS mh FROM h),
+    banded AS (
+      SELECT doc_id, mh, b AS band_idx,
+             list_slice(mh, b*2 + 1, b*2 + 2) AS band_sig
+      FROM s, unnest(range(16)) AS tt(b)
+    ),
+    capped AS (
+      SELECT doc_id, mh, band_idx, band_sig FROM (
+        SELECT banded.*, count(*) OVER (PARTITION BY band_idx, band_sig)
+                 AS bucket_n
+        FROM banded) t
+      WHERE bucket_n <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.mh AS mh_a, b.mh AS mh_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE len(list_filter(range(1, 33), i -> mh_a[i] = mh_b[i])) / 32.0
+            >= {_LEAK_EST}
+    ),
+    sp AS (SELECT doc_id, {_split_expr(D)} AS split FROM documents),
+    leaked AS (
+      SELECT DISTINCT CASE WHEN sa.split = 'train' THEN n.id_a
+                           ELSE n.id_b END AS doc_id
+      FROM near n
+      JOIN sp sa ON sa.doc_id = n.id_a
+      JOIN sp sb ON sb.doc_id = n.id_b
+      WHERE (sa.split = 'train' AND sb.split <> 'train')
+         OR (sa.split <> 'train' AND sb.split = 'train')
+    ),
+    q AS ({_QUALITY_ORACLE}),
+    train AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_leaked,
+             CASE WHEN q.quality >= {_V7_Q} THEN 1 ELSE 0 END AS is_q
+      FROM documents d
+      JOIN sp ON sp.doc_id = d.doc_id AND sp.split = 'train'
+      LEFT JOIN leaked lk ON lk.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+    ),
+    kept AS (
+      SELECT source, doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY doc_id) AS rn
+      FROM train WHERE is_leaked = 0 AND is_q = 1
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(t.is_leaked) AS BIGINT) AS n_leaked,
+           CAST(sum(CASE WHEN t.is_leaked = 0 AND t.is_q = 0 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_lowq,
+           CAST(coalesce((SELECT count(*) FROM kept k
+                          WHERE k.source = t.source
+                            AND k.rn <= {_V7_CAP}), 0) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce((SELECT min(doc_id) FROM kept k
+                          WHERE k.source = t.source
+                            AND k.rn <= {_V7_CAP}), -1) AS BIGINT)
+             AS first_kept,
+           CAST(coalesce((SELECT max(doc_id) FROM kept k
+                          WHERE k.source = t.source
+                            AND k.rn <= {_V7_CAP}), -1) AS BIGINT)
+             AS last_kept
+    FROM train t GROUP BY t.source ORDER BY t.source
+    """
+
+
+@register(
+    "curation_pipeline_v7",
+    oracle=_v7_oracle(),
+    doc="curation capstone v7 — the LEAKAGE-SAFE training export: "
+    "train-split documents (portable-hash 80/10/10) minus every doc "
+    "with a MinHash-LSH near-dup in val/test (decontaminating the "
+    "TRAINING side so eval numbers stay honest — the complement of "
+    "eval_split_decontaminated), minus docs under the 0.75 "
+    "heuristic-quality bar, then a flat per-source cap of 20 "
+    "(deterministic doc_id order) — split, leakage, quality and "
+    "quota machinery, all individually gated, composed in ONE lazy "
+    "plan.  Output: per-source export accounting (train/leaked/"
+    "low-quality/kept + kept id range).  Scale: one signature "
+    "build + banded self-join (the audit's shape), one Arrow "
+    "quality pass, one source-partitioned cap window over "
+    "already-filtered rows.",
+)
+def curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import textstats as TSF
+    from ..operators import dedup
+    from .driver_queries_similarity import _split_expr, _LEAK_EST
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select("doc_id", F.expr(_split_expr(PT.SPARK)).alias("split"))
+    sigs = dedup.with_minhash(
+        docs, "text", "doc_id", n_hashes=32, shingle_words=3
+    )
+    near = (
+        dedup.lsh_candidate_pairs(
+            sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+        )
+        .filter(F.col("est_jaccard") >= _LEAK_EST)
+        .select("id_a", "id_b")
+    )
+    j = (
+        near.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("s_a")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("s_b")),
+            "id_b",
+        )
+    )
+    leaked = (
+        j.filter(
+            ((F.col("s_a") == "train") & (F.col("s_b") != "train"))
+            | ((F.col("s_a") != "train") & (F.col("s_b") == "train"))
+        )
+        .select(
+            F.when(F.col("s_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    q = TSF.quality_stats_arrow(barrier(docs), "text", "doc_id").select(
+        "doc_id", (F.col("quality") >= F.expr(_V7_Q)).alias("is_q_b")
+    )
+    train = (
+        docs.select("doc_id", "source")
+        .join(sp.filter(F.col("split") == "train").select("doc_id"), "doc_id")
+        .join(leaked.withColumn("lk", F.lit(1)), "doc_id", "left")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("lk"), F.lit(0)).alias("is_leaked"),
+            F.when(F.col("is_q_b"), 1).otherwise(0).alias("is_q"),
+        )
+    )
+    train = barrier(train)
+    kept = (
+        train.filter((F.col("is_leaked") == 0) & (F.col("is_q") == 1))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= _V7_CAP)
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("first_kept"),
+        F.max("doc_id").cast("bigint").alias("last_kept"),
+    )
+    return (
+        train.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum("is_leaked").cast("bigint").alias("n_leaked"),
+            F.sum(
+                F.when(
+                    (F.col("is_leaked") == 0) & (F.col("is_q") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_lowq"),
+        )
+        .join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            "n_leaked",
+            "n_lowq",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("first_kept"), F.lit(-1))
+            .cast("bigint")
+            .alias("first_kept"),
+            F.coalesce(F.col("last_kept"), F.lit(-1))
+            .cast("bigint")
+            .alias("last_kept"),
+        )
+        .orderBy("source")
     )
