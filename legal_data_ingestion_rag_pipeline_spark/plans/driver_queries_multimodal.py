@@ -186,3 +186,117 @@ def multimodal_bytes_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _media(spark, sf_dir)
     return bytes_simhash(m).orderBy("media_id")
+
+
+# the entropy piece, shared by both dialects as the same literal
+# arithmetic: per non-zero bucket, -(c/n)*ln(c/n) micro-snapped
+# BEFORE summation (the NMI convention).
+_ENTROPY_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             text
+      FROM documents WHERE length(text) > 0
+    ),
+    b AS (
+      SELECT media_id, kind, CAST(length(text) AS BIGINT) AS n_bytes,
+             j AS bucket,
+             CAST(len(list_filter(
+                    list_transform(range(1, length(text) + 1),
+                                   i -> ascii(text[i:i]) % 16),
+                    v -> v = j)) AS BIGINT) AS c
+      FROM m, unnest(range(0, 16)) AS tt(j)
+    ),
+    cells AS (
+      SELECT media_id, kind, n_bytes,
+             CASE WHEN c > 0 THEN CAST(floor(
+               (CAST(c AS DOUBLE) / n_bytes)
+               * (-ln(CAST(c AS DOUBLE) / n_bytes)) * 1000000.0 + 0.5)
+               AS BIGINT) ELSE 0 END AS ent_micro,
+             CASE WHEN c > 0 THEN 1 ELSE 0 END AS nz
+      FROM b
+    )
+    SELECT media_id, kind, n_bytes,
+           CAST(sum(nz) AS BIGINT) AS n_buckets_used,
+           CAST(sum(ent_micro) AS BIGINT) AS entropy_micro,
+           CAST(CASE WHEN sum(ent_micro) < 1500000 THEN 1 ELSE 0 END
+                AS BIGINT) AS low_entropy_flag
+    FROM cells GROUP BY media_id, kind, n_bytes
+    ORDER BY entropy_micro DESC, media_id LIMIT 100
+"""
+
+
+def _raw_histogram(content: bytes, dim: int) -> list[float]:
+    """decode_fn returning RAW bucket counts (exact small ints in
+    double) instead of the unit-normalized default — entropy needs
+    the integer cells."""
+    if not content:
+        return [0.0] * dim
+    import numpy as np
+
+    x = np.frombuffer(content, dtype=np.uint8)
+    return [float(c) for c in np.bincount(x % dim, minlength=dim).tolist()]
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle=_ENTROPY_ORACLE,
+    doc="payload byte-entropy audit: Shannon entropy of each media "
+    "blob's 16-bucket byte histogram (the extract_features "
+    "machinery), each -(c/n)ln(c/n) cell micro-snapped from exact "
+    "BIGINT counts before summation (the NMI convention), with a "
+    "low-entropy flag (< 1.5 nats) — the ingestion signal that "
+    "catches padded/constant/corrupt blobs, while ~ln(16)-entropy "
+    "payloads are well-mixed (compressed/encrypted) media.  Top-100 "
+    "by entropy with total-order tie-break.  Map-side per-payload "
+    "arithmetic; bytes never shuffle — only the per-blob stat rows "
+    "enter the top-k.",
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(
+        _media(spark, sf_dir), dim=16, decode_fn=_raw_histogram
+    )
+    cells = feats.filter(F.col("n_bytes") > 0).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("bucket", "cf"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("cf").cast("bigint").alias("c"),
+    )
+    scored = cells.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.expr(
+            "CASE WHEN c > 0 THEN CAST(floor("
+            "(CAST(c AS DOUBLE) / n_bytes)"
+            " * (-ln(CAST(c AS DOUBLE) / n_bytes)) * 1000000.0 + 0.5)"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("ent_micro"),
+        F.when(F.col("c") > 0, 1).otherwise(0).alias("nz"),
+    )
+    return (
+        scored.groupBy("media_id", "kind", "n_bytes")
+        .agg(
+            F.sum("nz").cast("bigint").alias("n_buckets_used"),
+            F.sum("ent_micro").cast("bigint").alias("entropy_micro"),
+        )
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "n_buckets_used",
+            "entropy_micro",
+            F.when(F.col("entropy_micro") < 1_500_000, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("low_entropy_flag"),
+        )
+        .orderBy(F.desc("entropy_micro"), "media_id")
+        .limit(100)
+    )
