@@ -526,3 +526,71 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+import itertools as _it
+import os as _os
+import tempfile as _tempfile
+
+_TLOG_SINK_SEQ = _it.count()
+
+
+@register(
+    "streaming_tlog_sink",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+    doc="exactly-once streaming sink into the tlog table format: the "
+    "events file stream lands through foreachBatch where EVERY "
+    "micro-batch is one tlog.commit(epoch=batch_id) — the epoch "
+    "idempotence token makes a retried batch a manifest no-op "
+    "(operators/tlog.py), upgrading at-least-once delivery to "
+    "exactly-once table contents (Delta's txn-version contract in "
+    "one manifest line; retry no-op pinned by "
+    "test_stream_to_tlog_retry_is_noop).  The gated output reads "
+    "the committed table back through the manifest and aggregates "
+    "split-invariant totals, so the hash holds under ANY "
+    "micro-batch partitioning.  Scale: each batch writes its own "
+    "version directory (no rewrite of history); vacuum/compact "
+    "bound manifest replay as the stream ages.",
+)
+def streaming_tlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from ..operators import tlog
+    from ..streaming.pipeline import stream_to_tlog
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = (
+        f"{hashlib.sha256(base.encode()).hexdigest()[:12]}"
+        f"_{_os.getpid()}_{next(_TLOG_SINK_SEQ)}"
+    )
+    table = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_stream_tlog_{tag}"
+    )
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = stream_to_tlog(stream, table)
+    q.awaitTermination()
+    out = tlog.read_version(spark, table)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -429,3 +429,29 @@ def stateful_wallet_balance(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_to_tlog(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str | None = None,
+):
+    """Exactly-once micro-batch sink into a tlog table: every batch is
+    one ``tlog.commit(..., epoch=batch_id)``.  The epoch token makes a
+    RETRIED batch a no-op (the log already holds that epoch — see
+    operators/tlog.commit), which upgrades foreachBatch's
+    at-least-once delivery to exactly-once table contents: the same
+    idempotence contract Delta's txn-version-per-stream gives its
+    streaming writer, in one manifest line.  Combined with the
+    checkpoint (which replays unfinished epochs after a crash), the
+    table converges to exactly-once regardless of retries.
+    """
+    from ..operators import tlog
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        tlog.commit(batch_df, table_path, "append", epoch=int(epoch_id))
+
+    w = stream.writeStream.foreachBatch(_process)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.trigger(availableNow=True).start()

@@ -530,3 +530,55 @@ def test_session_window_exact_gap_merges(spark):
     )
     got = [(r.user_id, r.n) for r in out]
     assert got == [(1, 3), (2, 2)]
+
+
+def test_stream_to_tlog_retry_is_noop(spark, tmp_path):
+    # the exactly-once contract of the tlog streaming sink: a RETRIED
+    # micro-batch (same epoch id) must not change the table — the
+    # epoch token makes the second commit a manifest no-op.
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import tlog
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stream_to_tlog,
+    )
+
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k int, v double"
+    )
+    # the file stream source does not recurse into parquet DIRECTORIES:
+    # stage the write, then move the single part out as a plain file
+    # (the driver-testdata layout).
+    staging = tmp_path / "staging"
+    df.coalesce(1).write.parquet(str(staging))
+    part = _glob.glob(str(staging / "part-*.parquet"))[0]
+    _shutil.move(part, str(src / "batch1.parquet"))
+
+    schema = spark.read.parquet(str(src / "batch1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = stream_to_tlog(stream, table)
+    q.awaitTermination()
+
+    v_after = tlog.current_version(table)
+    n_after = tlog.read_version(spark, table).count()
+    assert n_after == 30
+
+    # simulate the at-least-once retry: re-commit batch 0's data with
+    # the SAME epoch — version and contents must not move.
+    tlog.commit(spark.read.parquet(str(src / "batch1.parquet")), table,
+                "append", epoch=0)
+    assert tlog.current_version(table) == v_after
+    assert tlog.read_version(spark, table).count() == 30
+
+    # a genuinely NEW epoch does append.
+    tlog.commit(
+        spark.createDataFrame([(99, 0, 9.9)], "id long, k int, v double"),
+        table, "append", epoch=v_after + 1000,
+    )
+    assert tlog.read_version(spark, table).count() == 31
