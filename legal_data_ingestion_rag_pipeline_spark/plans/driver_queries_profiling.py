@@ -394,3 +394,189 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# constraint_check_suite (round 8: declarative data-quality contract)
+# --------------------------------------------------------------------------
+
+@register(
+    "constraint_check_suite",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_pk_unique' AS check_name, 'orders' AS table_name,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_fk_orders', 'lineitem',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'orders_fk_customer', 'orders',
+             CAST(count(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'orderstatus_domain', 'orders',
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN
+               ('O', 'F', 'P')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'discount_range', 'lineitem',
+             CAST(count(*) FILTER (WHERE l_discount < 0
+               OR l_discount > 0.1) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_positive', 'lineitem',
+             CAST(count(*) FILTER (WHERE l_quantity IS NULL
+               OR l_quantity <= 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events_value_nonnull', 'events',
+             CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents_text_nonempty', 'documents',
+             CAST(count(*) FILTER (WHERE text IS NULL
+               OR length(text) = 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'totalprice_positive', 'orders',
+             CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+               OR o_totalprice <= 0) AS BIGINT)
+      FROM orders
+    ) t
+    ORDER BY check_name
+    """,
+    doc="declarative data-quality contract, Deequ/Great-Expectations "
+    "style — the generalization of the reference's data_quality "
+    "module from one hard-wired report to a CHECK SUITE: primary-key "
+    "uniqueness (count minus countDistinct, never a self-join), "
+    "referential integrity as LEFT-ANTI probe counts "
+    "(lineitem->orders, orders->customer), domain membership, range "
+    "and non-null checks — one row per check with its exact BIGINT "
+    "violation count (0 = pass; the driver hash certifies the whole "
+    "contract at once).  Scale: every check is one aggregate over "
+    "its table — the anti-joins broadcast the key side when small "
+    "and shuffle-hash otherwise; no check materializes violating "
+    "rows (drill-down is a follow-up filter).",
+)
+def constraint_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def row(name: str, table: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+        )
+
+    checks = [
+        row(
+            "orders_pk_unique",
+            "orders",
+            o.agg(
+                (F.count("*") - F.countDistinct("o_orderkey")).alias(
+                    "violations"
+                )
+            ),
+        ),
+        row(
+            "lineitem_fk_orders",
+            "lineitem",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        row(
+            "orders_fk_customer",
+            "orders",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        row(
+            "orderstatus_domain",
+            "orders",
+            o.agg(
+                F.count(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "discount_range",
+            "lineitem",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_discount") < 0)
+                        | (F.col("l_discount") > 0.1),
+                        1,
+                    )
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "quantity_positive",
+            "lineitem",
+            li.agg(
+                F.count(
+                    F.when(
+                        F.col("l_quantity").isNull()
+                        | (F.col("l_quantity") <= 0),
+                        1,
+                    )
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "events_value_nonnull",
+            "events",
+            ev.agg(
+                F.count(F.when(F.col("value").isNull(), 1)).alias(
+                    "violations"
+                )
+            ),
+        ),
+        row(
+            "documents_text_nonempty",
+            "documents",
+            docs.agg(
+                F.count(
+                    F.when(
+                        F.col("text").isNull()
+                        | (F.length("text") == 0),
+                        1,
+                    )
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "totalprice_positive",
+            "orders",
+            o.agg(
+                F.count(
+                    F.when(
+                        F.col("o_totalprice").isNull()
+                        | (F.col("o_totalprice") <= 0),
+                        1,
+                    )
+                ).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ck in checks[1:]:
+        out = out.unionAll(ck)
+    return out.orderBy("check_name")
