@@ -4073,3 +4073,110 @@ def eval_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup — catches quote/inclusion relationships
+# symmetric Jaccard dilutes away.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.5
+
+_CONTAIN_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({PT.word_ngrams('toks', 3, D)}) AS gram FROM t),
+    gd AS (SELECT DISTINCT doc_id AS doc, gram FROM g),
+    sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_grams
+              FROM gd GROUP BY doc),
+    dfreq AS (SELECT gram, count(*) AS gram_df FROM gd GROUP BY gram),
+    filt AS (SELECT doc, gd.gram FROM gd JOIN dfreq USING (gram)
+             WHERE gram_df <= 100),
+    inter AS (
+      SELECT a.doc AS id_small, b.doc AS id_big,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM filt a JOIN filt b ON a.gram = b.gram AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_small, id_big, n_common,
+           sa.n_grams AS n_small, sb.n_grams AS n_big,
+           n_common * 1000 // sa.n_grams AS containment_milli
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_small
+    JOIN sizes sb ON sb.doc = id_big
+    WHERE sa.n_grams <= sb.n_grams
+      AND n_common * 1000 // sa.n_grams >= {int(_CONTAIN_MIN * 1000)}
+    ORDER BY containment_milli DESC, id_small, id_big LIMIT 100
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    doc="asymmetric CONTAINMENT dedup: |grams(A) n grams(B)| / "
+    "|grams(A)| for the smaller doc A — the relationship symmetric "
+    "Jaccard dilutes away when a short document is quoted inside a "
+    "long one (containment 1.0, Jaccard near |A|/|B|).  Same "
+    "df-capped inverted-index join as dedup_ngram_jaccard (the "
+    "hot-gram guard bounds fan-out at any corpus size); the "
+    "normalization divides by the SMALLER side only, exact integer "
+    "milli floor-division, pairs oriented small->big with a "
+    "total-order tie-break.  The dedup policy consumer drops or "
+    "down-weights contained docs rather than near-equal ones.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gd = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.expr(PT.word_ngrams(PT.tokens("text", S), 3, S))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    gd = barrier(gd)
+    sizes = gd.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    dfreq = gd.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    filt = gd.join(
+        dfreq.filter(F.col("gram_df") <= 100).select("gram"), "gram"
+    )
+    a = filt.select(F.col("doc").alias("id_small"), "gram")
+    b = filt.select(F.col("doc").alias("id_big"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col("doc").alias("id_small"), F.col("n_grams").alias("n_small")
+            ),
+            "id_small",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("id_big"), F.col("n_grams").alias("n_big")
+            ),
+            "id_big",
+        )
+        .filter(F.col("n_small") <= F.col("n_big"))
+        .withColumn(
+            "containment_milli",
+            F.expr("n_common * 1000 DIV n_small"),
+        )
+        .filter(
+            F.col("containment_milli") >= int(_CONTAIN_MIN * 1000)
+        )
+    )
+    return (
+        out.select(
+            "id_small", "id_big", "n_common", "n_small", "n_big",
+            "containment_milli",
+        )
+        .orderBy(F.desc("containment_milli"), "id_small", "id_big")
+        .limit(100)
+    )
