@@ -14,8 +14,9 @@ detection, Mann-Kendall trend significance (tie-corrected, with
 Kendall tau-b), Kaplan-Meier survival (product-limit over censored
 conversion times) with its two-sample log-rank test, a
 deterministic Poisson-bootstrap confidence
-interval, and an exact 28-day DFT periodogram (literal milli trig
-tables folded in Python, BIGINT spectral power).  The global-order
+interval, an exact 28-day DFT periodogram (literal milli trig
+tables folded in Python, BIGINT spectral power), and Wald's SPRT
+sequential conversion monitor (folded micro-nat LLR literals).  The global-order
 statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
@@ -2739,3 +2740,105 @@ def logrank_conversion_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(v_micro AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)"
         ).alias("chi2_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# sprt_conversion_monitor
+# --------------------------------------------------------------------------
+
+#: SPRT constants folded in Python (the literal-table convention):
+#: H0 p=0.45 vs H1 p=0.55, alpha = beta = 0.05.  Per-trial log-
+#: likelihood-ratio increments and the two Wald decision thresholds,
+#: all in micro-nats.
+_SPRT_P0, _SPRT_P1 = 0.45, 0.55
+_SPRT_WIN = int(math.floor(math.log(_SPRT_P1 / _SPRT_P0) * 1e6 + 0.5))
+_SPRT_LOSE = int(
+    math.floor(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6 + 0.5)
+)
+_SPRT_A = int(math.floor(math.log(0.95 / 0.05) * 1e6 + 0.5))   # accept H1
+_SPRT_B = int(math.floor(math.log(0.05 / 0.95) * 1e6 + 0.5))   # accept H0
+
+
+@register(
+    "sprt_conversion_monitor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    walk AS (
+      SELECT d, x, n,
+             x * {_SPRT_WIN} + (n - x) * ({_SPRT_LOSE}) AS llr_micro,
+             CAST(sum(x * {_SPRT_WIN} + (n - x) * ({_SPRT_LOSE}))
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_llr_micro
+      FROM daily
+    )
+    SELECT d, x, n, CAST(llr_micro AS BIGINT) AS llr_micro,
+           cum_llr_micro,
+           CAST({_SPRT_A} AS BIGINT) AS accept_h1_at,
+           CAST({_SPRT_B} AS BIGINT) AS accept_h0_at,
+           CAST(CASE WHEN cum_llr_micro >= {_SPRT_A} THEN 1
+                     WHEN cum_llr_micro <= {_SPRT_B} THEN -1
+                     ELSE 0 END AS BIGINT) AS decision
+    FROM walk ORDER BY d
+    """,
+    doc="Wald's sequential probability ratio test monitoring the "
+    "purchase share among click+purchase events day by day — the "
+    "always-valid sequential monitor a platform runs INSTEAD of "
+    "peeking at a fixed-horizon test (peeking inflates false "
+    "positives; the SPRT's Wald thresholds ln((1-b)/a), ln(b/(1-a)) "
+    "hold at every look).  H0 p=0.45 vs H1 p=0.55, alpha=beta=0.05; "
+    "the per-trial LLR increments and both thresholds are "
+    "Python-folded micro-nat literals, so the daily walk is exact "
+    "BIGINT multiply-add and the cumulative sum runs over the "
+    "calendar-bounded unique-day table (tie-free ordering).  "
+    "decision: +1 cross-up (accept H1), -1 cross-down, 0 continue.  "
+    "The sequential sibling of cusum_change_point (drift detection) "
+    "and mcnemar (paired fixed-horizon).",
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("d"),
+        "event_type",
+    )
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "llr_micro",
+        (
+            F.col("x") * F.lit(_SPRT_WIN)
+            + (F.col("n") - F.col("x")) * F.lit(_SPRT_LOSE)
+        ).cast("bigint"),
+    ).withColumn(
+        "cum_llr_micro", F.sum("llr_micro").over(w).cast("bigint")
+    )
+    return walk.select(
+        "d",
+        "x",
+        "n",
+        "llr_micro",
+        "cum_llr_micro",
+        F.lit(_SPRT_A).cast("bigint").alias("accept_h1_at"),
+        F.lit(_SPRT_B).cast("bigint").alias("accept_h0_at"),
+        F.when(F.col("cum_llr_micro") >= _SPRT_A, 1)
+        .when(F.col("cum_llr_micro") <= _SPRT_B, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("decision"),
+    ).orderBy("d")
