@@ -3246,3 +3246,91 @@ def curation_pipeline_v7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# source_vocab_jaccard (round 8: source-pair interchangeability)
+# --------------------------------------------------------------------------
+
+@register(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT source, {PT.tokens('text', D)} AS toks
+               FROM documents),
+    sw AS (SELECT DISTINCT source, unnest(toks) AS word FROM t),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types
+              FROM sw GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           sa.n_types AS types_a, sb.n_types AS types_b,
+           n_common * 1000 // (sa.n_types + sb.n_types - n_common)
+             AS jaccard_milli
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY jaccard_milli DESC, src_a, src_b LIMIT 30
+    """,
+    doc="source-pair vocabulary Jaccard — the interchangeability "
+    "matrix beside source_unigram_kl (KL prices each source's "
+    "distance from the BLEND; this says which PAIRS overlap): "
+    "distinct word-type sets per source, pairwise intersection "
+    "through one word-keyed join (words are the join key, so the "
+    "shuffle is vocabulary-scale — the source-pair matrix never "
+    "materializes beyond actual co-occurring pairs), exact integer "
+    "milli floor-division, top-30 by similarity.  The mixture "
+    "designer merges near-duplicate sources before tuning quotas.",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sw = docs.select(
+        "source", F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    ).distinct()
+    sw = barrier(sw)
+    sizes = sw.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_types")
+    )
+    a = sw.select(F.col("source").alias("src_a"), "word")
+    b = sw.select(F.col("source").alias("src_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_types").alias("types_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_types").alias("types_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "types_a",
+            "types_b",
+            F.expr(
+                "n_common * 1000 DIV (types_a + types_b - n_common)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy(F.desc("jaccard_milli"), "src_a", "src_b")
+        .limit(30)
+    )

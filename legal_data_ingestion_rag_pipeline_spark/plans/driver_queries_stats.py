@@ -2842,3 +2842,77 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("decision"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# dispersion_index_daily
+# --------------------------------------------------------------------------
+
+@register(
+    "dispersion_index_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, s1, s2,
+           CAST(floor(
+             CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+             / CAST(n_days - 1 AS DOUBLE)
+             / (CAST(s1 AS DOUBLE) / n_days)
+             * 1000000.0 + 0.5) AS BIGINT)
+             AS dispersion_micro
+    FROM m WHERE n_days > 1
+    ORDER BY event_type
+    """,
+    doc="index of dispersion (variance-to-mean ratio) of each event "
+    "type's daily count series — the overdispersion diagnostic that "
+    "decides Poisson vs negative-binomial modeling (and whether "
+    "daily_count_anomalies' thresholds are honest): variance from "
+    "exact BIGINT moment sums (n*S2 - S1^2 over n-1), divided once "
+    "by the exact mean and micro-snapped.  ~1e6 means Poisson-like; "
+    "well above means bursty.  One fact groupBy to the daily "
+    "series; moments are calendar-bounded.",
+)
+def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        ).alias("d"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    return (
+        m.filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "n_days",
+            "s1",
+            "s2",
+            F.expr(
+                "CAST(floor("
+                "CAST(n_days * s2 - s1 * s1 AS DOUBLE)"
+                " / CAST(n_days - 1 AS DOUBLE)"
+                " / (CAST(s1 AS DOUBLE) / n_days)"
+                " * 1000000.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("dispersion_micro"),
+        )
+        .orderBy("event_type")
+    )
