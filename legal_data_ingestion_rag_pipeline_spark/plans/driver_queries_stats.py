@@ -15,8 +15,9 @@ Kendall tau-b), Kaplan-Meier survival (product-limit over censored
 conversion times) with its two-sample log-rank test, a
 deterministic Poisson-bootstrap confidence
 interval, an exact 28-day DFT periodogram (literal milli trig
-tables folded in Python, BIGINT spectral power), and Wald's SPRT
-sequential conversion monitor (folded micro-nat LLR literals).  The global-order
+tables folded in Python, BIGINT spectral power), Wald's SPRT
+sequential conversion monitor (folded micro-nat LLR literals), and
+the index-of-dispersion overdispersion diagnostic.  The global-order
 statistics (Spearman,
 Gini, KS, RFM, AUC, quantiles) all run through the two-phase
 band-parallel rank/prefix-sum layer (operators/ranks.py) — never a
