@@ -3334,3 +3334,75 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_milli"), "src_a", "src_b")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# split_quality_invariance (round 8: split-fairness audit)
+# --------------------------------------------------------------------------
+
+def _sqi_oracle() -> str:
+    from .driver_queries_similarity import _QUALITY_ORACLE, _split_expr
+
+    return f"""
+    WITH q AS ({_QUALITY_ORACLE}),
+    sp AS (SELECT doc_id, {_split_expr(D)} AS split FROM documents),
+    cells AS (
+      SELECT sp.split,
+             CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+      FROM sp JOIN q USING (doc_id)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
+           CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_q_micro,
+           CAST(min(q_micro) AS BIGINT) AS min_q_micro,
+           CAST(max(q_micro) AS BIGINT) AS max_q_micro,
+           CAST(count(*) FILTER (WHERE q_micro >= 750000) AS BIGINT)
+             AS n_above_bar
+    FROM cells GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "split_quality_invariance",
+    oracle=_sqi_oracle(),
+    doc="split-fairness audit: the heuristic quality signal's "
+    "distribution per train/val/test split (n, exact micro sum/mean/"
+    "min/max, count above the 0.75 curation bar) — the check that "
+    "the portable-hash split didn't correlate with quality (it "
+    "can't, being a pure function of the id, but the AUDIT is what "
+    "a pipeline records; near-equal mean_q_micro and above-bar "
+    "RATES across splits certify the eval set measures the same "
+    "distribution training saw).  Per-doc quality micro-snapped "
+    "BEFORE the split aggregate, so sums are exact BIGINTs.  One "
+    "Arrow quality pass + one split groupBy.",
+)
+def split_quality_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import textstats as TSF
+    from .driver_queries_similarity import _split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select("doc_id", F.expr(_split_expr(PT.SPARK)).alias("split"))
+    q = TSF.quality_stats_arrow(barrier(docs), "text", "doc_id").select(
+        "doc_id",
+        F.expr(
+            "CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("q_micro"),
+    )
+    return (
+        sp.join(q, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("q_micro").cast("bigint").alias("sum_q_micro"),
+            F.expr(
+                "CAST(sum(q_micro) DIV count(*) AS BIGINT)"
+            ).alias("mean_q_micro"),
+            F.min("q_micro").cast("bigint").alias("min_q_micro"),
+            F.max("q_micro").cast("bigint").alias("max_q_micro"),
+            F.count(F.when(F.col("q_micro") >= 750000, 1))
+            .cast("bigint")
+            .alias("n_above_bar"),
+        )
+        .orderBy("split")
+    )

@@ -2917,3 +2917,87 @@ def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# user_activity_lorenz
+# --------------------------------------------------------------------------
+
+@register(
+    "user_activity_lorenz",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1
+    ),
+    rk AS (
+      SELECT n_ev,
+             row_number() OVER (ORDER BY n_ev, user_id) AS r,
+             count(*) OVER () AS n_users,
+             sum(n_ev) OVER () AS total_ev
+      FROM ue
+    ),
+    cum AS (
+      SELECT r, n_users, total_ev,
+             CAST(sum(n_ev) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_ev,
+             (r * 10) // n_users AS decile_edge,
+             ((r - 1) * 10) // n_users AS prev_edge
+      FROM rk
+    )
+    SELECT CAST(decile_edge AS BIGINT) AS decile,
+           CAST(max(r) AS BIGINT) AS n_users_cum,
+           CAST(max(cum_ev) AS BIGINT) AS cum_events,
+           CAST(max(cum_ev) * 1000000 // max(total_ev) AS BIGINT)
+             AS cum_share_micro
+    FROM cum WHERE decile_edge > prev_edge
+    GROUP BY decile_edge ORDER BY decile
+    """,
+    doc="Lorenz curve of user activity concentration: users ranked "
+    "ascending by event count ((n_ev, user_id) total order), the "
+    "cumulative event share read at each population-decile edge — "
+    "the curve whose area complement IS the Gini the "
+    "gini_revenue_by_segment query summarizes, kept as explicit "
+    "curve points because mixture/among-user budgeting reads the "
+    "SHAPE ('the top decile produces X%').  Rank and prefix sum run "
+    "over the per-user aggregate (one fact groupBy, then a "
+    "user-table window); shares are exact micro floor-divisions.  "
+    "Decile edges by integer r*10/n flooring — the last row is "
+    "always decile 10 at share 1e6.",
+)
+def user_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    ue = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ev")
+    )
+    w_r = Window.orderBy("n_ev", "user_id")
+    w_all = Window.partitionBy()
+    rk = ue.select(
+        "n_ev",
+        F.row_number().over(w_r).alias("r"),
+        F.count("*").over(w_all).alias("n_users"),
+        F.sum("n_ev").over(w_all).alias("total_ev"),
+    )
+    w_cum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rk.select(
+        "r",
+        "n_users",
+        "total_ev",
+        F.sum("n_ev").over(w_cum).cast("bigint").alias("cum_ev"),
+        F.expr("(r * 10) DIV n_users").alias("decile_edge"),
+        F.expr("((r - 1) * 10) DIV n_users").alias("prev_edge"),
+    )
+    return (
+        cum.filter(F.col("decile_edge") > F.col("prev_edge"))
+        .groupBy(F.col("decile_edge").alias("decile"))
+        .agg(
+            F.max("r").cast("bigint").alias("n_users_cum"),
+            F.max("cum_ev").cast("bigint").alias("cum_events"),
+            F.expr(
+                "CAST(max(cum_ev) * 1000000 DIV max(total_ev) AS BIGINT)"
+            ).alias("cum_share_micro"),
+        )
+        .orderBy("decile")
+    )
