@@ -148,13 +148,21 @@ def _minhash_arrow(
     return barrier(df.select(id_col, text_col)).mapInPandas(_batches, out_schema)
 
 
+#: Default hot-bucket cap for :func:`lsh_candidate_pairs`.  Round-9
+#: change (verdict r8 ask #8): the cap is now ON by default — at
+#: 100 TB a forgotten cap is a job-killer (one boilerplate bucket of B
+#: docs emits B^2/2 pairs in a single task).  Pass
+#: ``max_bucket_size=None`` to explicitly opt out (full recall).
+DEFAULT_LSH_BUCKET_CAP = 1000
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
     n_hashes: int = 32,
     bands: int = 16,
     materialize_input: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_LSH_BUCKET_CAP,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair; estimated Jaccard = matching-slot fraction.
@@ -162,15 +170,16 @@ def lsh_candidate_pairs(
     Scale: the self-join is keyed on (band_idx, band signature) — the
     shuffle moves each doc `bands` times, and only same-bucket pairs
     are generated.  A bucket of B docs still produces B^2/2 pairs in
-    ONE task, so at scale callers should OPT IN to the hot-bucket
-    guard via `max_bucket_size` (the default is None — full recall,
-    no silently dropped pairs): any bucket larger than the cap
+    ONE task, so the hot-bucket guard `max_bucket_size` defaults ON
+    (``DEFAULT_LSH_BUCKET_CAP``): any bucket larger than the cap
     (boilerplate/viral content) is dropped
     from pair generation before the self-join — the same discipline as
     ``ngram_jaccard_pairs``' `max_doc_freq`.  Docs in a dropped bucket
     still pair through their other `bands - 1` bands, and truly
     identical docs belong in the exact-dedup pass anyway.  Use
-    :func:`lsh_oversized_buckets` to log what was dropped.  The count
+    :func:`lsh_oversized_buckets` to audit what was dropped.  Passing
+    ``max_bucket_size=None`` is the explicit full-recall opt-out and
+    warns.  The count
     window partitions by the same key the join shuffles on, so the cap
     adds no extra shuffle of the signatures.
 
@@ -183,12 +192,13 @@ def lsh_candidate_pairs(
     if max_bucket_size is None:
         import warnings
 
-        # recall-first default, but never SILENT: one boilerplate
-        # bucket of B docs produces B^2/2 pairs in a single task.
+        # explicit full-recall opt-out — allowed, but never SILENT:
+        # one boilerplate bucket of B docs produces B^2/2 pairs in a
+        # single task.
         warnings.warn(
-            "lsh_candidate_pairs called without max_bucket_size: a single "
+            "lsh_candidate_pairs called with max_bucket_size=None: a single "
             "hot bucket of B docs generates B^2/2 candidate pairs in one "
-            "task. At scale pass max_bucket_size (e.g. 1000) and audit "
+            "task. At scale keep the default cap and audit "
             "dropped buckets with lsh_oversized_buckets.",
             stacklevel=2,
         )

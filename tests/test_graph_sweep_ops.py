@@ -245,8 +245,96 @@ def test_clamped_balance_walk(spark):
         ).collect()
     }
     assert out == {1: (50, 1, 3), 2: (0, 2, 2)}
-    # a plain running sum would report user 1 at -150: the clamp is
-    # exactly what no window can express
+    # a plain running sum would report user 1 at -150: the reflection
+    # term (running min of prefix sums) is what restores the clamp
+
+
+def test_clamped_balance_closed_form_no_python(spark):
+    """Round 9 (verdict r8 #2): the clamped balance is the Skorokhod
+    closed form — two window functions, a groupBy, and NO Python
+    stage in the physical plan."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        clamped_running_balance,
+    )
+
+    d = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, -300)], "user_id: bigint, seq: bigint, delta: bigint"
+    )
+    plan = (
+        clamped_running_balance(d, "user_id", ["seq"], "delta")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    for py_stage in ("FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_stage not in plan, py_stage
+
+
+def test_clamped_balance_fuzz_vs_walk(spark):
+    """The closed form must equal the definitional walk on random
+    delta sequences (clamps included)."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        clamped_running_balance,
+    )
+
+    rng = random.Random(909)
+    rows = []
+    want = {}
+    for key in range(1, 21):
+        n = rng.randint(1, 40)
+        bal = clamps = 0
+        for seq in range(1, n + 1):
+            delta = rng.randint(-500, 400)
+            rows.append((key, seq, delta))
+            nxt = bal + delta
+            if nxt < 0:
+                clamps += 1
+                bal = 0
+            else:
+                bal = nxt
+        want[key] = (bal, clamps, n)
+    d = spark.createDataFrame(rows, "user_id: bigint, seq: bigint, delta: bigint")
+    got = {
+        r.user_id: (r.final_balance, r.n_clamps, r.n_steps)
+        for r in clamped_running_balance(d, "user_id", ["seq"], "delta").collect()
+    }
+    assert got == want
+
+
+def test_gap_decay_ewma_walk(spark):
+    """Hand-computed data-dependent-decay EWMA, plus the k-bounds
+    guard."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        gap_decay_ewma,
+    )
+
+    # user 1: y1=100; k=1 -> y=(100*1+40)//2=70; k=3 -> (70*7+10)//8=62
+    # user 2: single row -> y=7, max_k=2 (k recorded even when unused)
+    d = spark.createDataFrame(
+        [
+            (1, 1, 100, 1),
+            (1, 2, 40, 1),
+            (1, 3, 10, 3),
+            (2, 1, 7, 2),
+        ],
+        "user_id: bigint, seq: bigint, x: bigint, k: bigint",
+    )
+    out = {
+        r.user_id: (r.final_ewma, r.n_steps, r.max_k)
+        for r in gap_decay_ewma(d, "user_id", ["seq"], "x", "k").collect()
+    }
+    assert out == {1: (62, 3, 3), 2: (7, 1, 2)}
+
+    bad = spark.createDataFrame(
+        [(1, 1, 5, 31)], "user_id: bigint, seq: bigint, x: bigint, k: bigint"
+    )
+    with _pytest.raises(Exception, match="outside"):
+        gap_decay_ewma(bad, "user_id", ["seq"], "x", "k").collect()
 
 
 def test_ivm_join_delta_disjoint_and_complete(spark):
