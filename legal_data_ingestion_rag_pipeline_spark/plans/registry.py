@@ -608,6 +608,57 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:   modularity_lpa_communities composes the gated-precedent LPA
 #:   with two edge-table aggregates. All have oracle_check rows.)
 #:
+#: Round-9 rotation (per round-8 verdict asks #2/#3/#4; every OUT
+#: keeps a gated machinery partner + tools/oracle_check row + pytest):
+#:   IN : dbscan_srp_clusters (ask #2 — the SCALE-shaped DBSCAN: two
+#:        independent 8-plane SRP codes generate candidates, exact
+#:        cosine verifies inside buckets, then the SAME core/border/
+#:        components machinery; the n^2 join never exists),
+#:        ewma_gap_decay_wallet (ask #4 — the honest no-closed-form
+#:        walk: data-dependent decay exponent + per-step integer
+#:        truncation; recursive-CTE replay oracle),
+#:        textstats_repetition, stratified_split,
+#:        embedding_quantize_int8, multimodal_audio_windows,
+#:        market_share_by_year, sole_clean_supplier_orders (ask #3 —
+#:        the named never-gated families; the last two are the
+#:        hardest TPC-H decorrelation shapes in the pack).
+#:   OUT: dbscan_embedding_clusters -> dbscan_srp_clusters gates the
+#:        identical downstream machinery (_dbscan_report is shared
+#:        code); the exact O(n^2) form is demoted to the audit-only
+#:        convention (dedup_embedding_cosine class) and keeps its
+#:        oracle_check row + max_rows refusal pytest.
+#:        holt_linear_daily -> the grouped-applyInPandas walk slot
+#:        points at the newest instance (rotation convention):
+#:        ewma_gap_decay_wallet gates the same one-key-shuffle walk
+#:        machinery plus data-dependent state; holt keeps its bench
+#:        row, recursive-CTE oracle_check row, and fuzz pytest.
+#:        textstats_lang_id -> language classification keeps a gate
+#:        row via naive_bayes_lang_confusion (trained NB + confusion
+#:        argmax); the n-gram heuristic keeps oracle_check + pytest
+#:        and runs INSIDE the benched curation_pipeline v1.
+#:        quality_signal_confusion -> bounded contingency-table
+#:        machinery gated via clustering_nmi_purity (contingency
+#:        MI/entropy) and naive_bayes_lang_confusion (confusion
+#:        matrix with total-order argmax); keeps oracle_check.
+#:        spearman_balance_spend -> the band-parallel two-phase
+#:        global rank (operators/ranks.py) is gated via
+#:        conformal_price_calibration (same rank path) and
+#:        ks_urgent_price_distribution (two-phase prefix ECDF);
+#:        keeps oracle_check + ranks pytest.
+#:        bootstrap_mean_ci -> deterministic pure-function-of-key
+#:        resampling gated via curation_pipeline_v6's A-Res draws;
+#:        exact order-statistic CI via conformal's split-conformal
+#:        order statistic; keeps bench row + oracle_check.
+#:        streaming_session_windows -> the watermarked stateful
+#:        window family keeps streaming_interval_join (+ the
+#:        foreachBatch/neardup rows); session_window(gap) keeps its
+#:        merge-rule pytest + oracle_check.
+#:        kcore_copurchase -> the iterative integer-fixpoint +
+#:        localCheckpoint discipline is gated via
+#:        hits_trade_authorities (newest iterative operator) and
+#:        triangle_count_copurchase keeps the graph family's
+#:        wedge-join shape; peeling keeps oracle_check + pytest.
+#:
 #: Dead-slot audit of KEPT near-pairs (one line each, per round-5
 #: verdict ask):
 #:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
@@ -627,7 +678,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "dedup_prefix_jaccard",
     "boilerplate_segment_removal",
-    "dbscan_embedding_clusters",
+    "dbscan_srp_clusters",
     "dedup_spans_incremental",
     "ingest_timetravel_cases",
     "streaming_neardup_docs",
@@ -635,31 +686,31 @@ GATE_PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "ann_ivf_binary_stored",
     "fts_conjunctive_search",
-    "kcore_copurchase",
+    "sole_clean_supplier_orders",
     "hits_trade_authorities",
     "triangle_count_copurchase",
     "hll_incremental_store",
     # statistics family (driver_queries_stats + operators/ranks —
     # r8 rotation)
-    "spearman_balance_spend",
+    "embedding_quantize_int8",
     "ks_urgent_price_distribution",
     "curation_pipeline_v6",
     "kaplan_meier_conversion",
     "theil_sen_daily_trend",
-    "bootstrap_mean_ci",
-    "quality_signal_confusion",
+    "multimodal_audio_windows",
+    "stratified_split",
     # supervised-learning / evaluation family (r8 fifth late
     # rotation)
     "stump_split_search",
     "naive_bayes_lang_confusion",
     "conformal_price_calibration",
-    "holt_linear_daily",
+    "ewma_gap_decay_wallet",
     "clustering_nmi_purity",
     # LLM family: text analysis + RAG + curation + streaming +
     # multimodal (textstats_fingerprint -> fingerprint_winnowing
     # subsumes the rolling hash; multimodal_frame_sample ->
     # multimodal_features gates the same plumbing)
-    "textstats_lang_id",
+    "textstats_repetition",
     "ivm_tlog_cdc_refresh",
     "quality_classifier_trained",
     "kneser_ney_perplexity",
@@ -671,7 +722,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "decontamination_bloom",
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
-    "streaming_session_windows",
+    "market_share_by_year",
     "dtw_daily_series_alignment",
     # events-table family (timestamp/window/sessionization operators)
     "streaming_interval_join",

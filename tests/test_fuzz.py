@@ -198,6 +198,42 @@ def test_fuzz_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.vertex: r.label for r in graph.connected_components(df).collect()}
     assert got == expect
+    # the O(diameter) min-label twin is a different algorithm with the
+    # same contract — all three must agree (verdict r8 ask #5)
+    twin = {
+        r.vertex: r.label
+        for r in graph.connected_components_minlabel(df).collect()
+    }
+    assert twin == expect
+
+
+def test_fuzz_star_vs_minlabel_adversarial_shapes(spark):
+    """Star contraction vs min-label on the shapes that stress them
+    differently: long chains (diameter), stars (hot key), cliques
+    (density), and random unions of all three."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    rng = random.Random(SEED + 7)
+    edges = []
+    # chain 0..15
+    edges += [(i, i + 1) for i in range(15)]
+    # star centered at 100
+    edges += [(100, 100 + i) for i in range(1, 12)]
+    # clique on 200..205
+    verts = list(range(200, 206))
+    edges += [(a, b) for a in verts for b in verts if a < b]
+    # random extra merges inside each block + dup/self noise
+    edges += [(rng.randint(0, 15), rng.randint(0, 15)) for _ in range(6)]
+    edges += [(3, 3), (100, 100), (0, 1), (1, 0)]
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    star = {r.vertex: r.label for r in graph.connected_components(df).collect()}
+    ml = {
+        r.vertex: r.label
+        for r in graph.connected_components_minlabel(df, max_rounds=50).collect()
+    }
+    assert star == ml
+    assert star[15] == 0 and star[111] == 100 and star[205] == 200
 
 
 def test_fuzz_bm25_vs_python_reference(spark):

@@ -469,3 +469,48 @@ def test_cohort_week_zero_equals_cohort_size(spark):
     assert week0 and all(r.n_active == r.cohort_size for r in week0)
     # retention never exceeds the cohort
     assert all(r.n_active <= r.cohort_size for r in rows)
+
+
+def test_dbscan_exact_refuses_large_corpus(spark):
+    """The exact O(n^2) DBSCAN is an AUDIT query: it must refuse to
+    run above max_rows rather than melt a cluster."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        dbscan_embedding_clusters,
+    )
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        dbscan_embedding_clusters(spark, "/root/testdata/sf0.001", max_rows=5)
+
+
+def test_dbscan_srp_edges_subset_of_exact(spark):
+    """SRP-bucketed DBSCAN trades recall, never precision: its
+    eps-graph must be a SUBSET of the exact form's (same eps, same
+    exact cosine verification inside buckets), and both reports'
+    member accounting must cover every embedding exactly once."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        dbscan_embedding_clusters,
+        dbscan_srp_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = dbscan_embedding_clusters(spark, sf).collect()
+    srp = dbscan_srp_clusters(spark, sf).collect()
+
+    import duckdb
+
+    n_emb = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    for rows in (exact, srp):
+        assert sum(r.n_total for r in rows) == n_emb  # partition of corpus
+        for r in rows:
+            if r.cluster_id != -1:
+                assert r.n_core >= 1  # a cluster needs a core point
+                assert r.min_member <= r.max_member
+    # recall trade: SRP can only have fewer-or-equal clustered points
+    clustered = lambda rows: sum(
+        r.n_total for r in rows if r.cluster_id != -1
+    )
+    assert clustered(srp) <= clustered(exact)

