@@ -75,7 +75,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # singleton-edge-set graphs converge in round 1; the loop always
-    # runs at least once so the star property is established
+    # runs at least once so the star property is established.
+    # n_canon is carried between rounds so the fixpoint check costs
+    # one count job + (only on count equality) one anti-join probe —
+    # never a recount of the already-materialized previous frontier.
+    n_canon = canon.count()
     for _ in range(max_rounds):
         # LARGE-STAR over the symmetric adjacency
         nbr = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
@@ -104,13 +108,14 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixpoint: the canonical edge set is unchanged
+        # fixpoint: the canonical edge set is unchanged (both sides
+        # are distinct, so equal cardinality + subset <=> equal sets)
         n_new = after_small.count()
         unchanged = (
-            n_new == canon.count()
+            n_new == n_canon
             and after_small.join(canon, ["hi", "lo"], "left_anti").limit(1).count() == 0
         )
-        canon = after_small
+        canon, n_canon = after_small, n_new
         if unchanged:
             return (
                 canon.select(F.col("hi").alias("vertex"), F.col("lo").alias("label"))

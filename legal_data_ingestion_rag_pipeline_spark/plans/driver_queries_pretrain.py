@@ -3406,3 +3406,224 @@ def split_quality_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# zipf_slope_fit / heaps_law_fit (round 9: the two power-law corpus
+# datacard exponents beside chao1_vocab_richness)
+# --------------------------------------------------------------------------
+
+_ZIPF_K = 1000
+
+#: shared exact-integer OLS over milli-snapped (x, y) log points:
+#: each ln is applied once to an exact BIGINT and the RESULT snapped
+#: to milli BEFORE any aggregation (kills the 1-ulp libm-vs-JVM ln
+#: divergence), so sx/sy/sxy/sxx/syy are exact BIGINTs on both
+#: engines; slope and r2 are then single double expressions of those
+#: integers, micro-snapped.  Magnitudes: |x|,|y| <= ~21000 milli
+#: (ln of anything below e^21 ~ 1.3e9), k <= 1024 points, so
+#: k*sxy <= 1024 * 1024 * 21000^2 ~ 4.6e14 — 4 decimal orders of
+#: BIGINT headroom.
+_OLS_SUMS = (
+    "CAST(count(*) AS BIGINT) AS k, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(y * y) AS BIGINT) AS syy"
+)
+_OLS_SLOPE = (
+    "CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE)"
+    " / CAST(k * sxx - sx * sx AS DOUBLE)"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_OLS_R2 = (
+    "CAST(floor("
+    "CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE)"
+    " / (CAST(k * sxx - sx * sx AS DOUBLE)"
+    "    * CAST(k * syy - sy * sy AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_MLN = "CAST(floor(ln(CAST({v} AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH t AS (SELECT {PT.tokens('text', D)} AS toks FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r
+            FROM wc ORDER BY c DESC, word LIMIT {_ZIPF_K}),
+    pts AS (SELECT {_MLN.format(v='r')} AS x, {_MLN.format(v='c')} AS y
+            FROM top),
+    s AS (SELECT {_OLS_SUMS} FROM pts)
+    SELECT k AS n_points, {_OLS_SLOPE} AS slope_micro, {_OLS_R2} AS r2_micro
+    FROM s
+    """,
+    doc="Zipf rank-frequency exponent of the corpus vocabulary: the "
+    "log-log OLS slope over the top-1000 (count DESC, word) ranked "
+    "types — the datacard number that says how head-heavy the word "
+    "distribution is (natural corpora sit near -1; synthetic or "
+    "templated text drifts shallow).  Each ln is applied once to an "
+    "exact BIGINT rank/count and milli-snapped BEFORE aggregation "
+    "(the source_unigram_kl convention — kills cross-engine libm "
+    "1-ulp drift); the five OLS sums are exact BIGINTs with 4 "
+    "orders of headroom (analysis at _OLS_SUMS), and slope/r2 are "
+    "single double divisions micro-snapped (floor(x*1e6+0.5) — the "
+    "negative-safe kappa convention, since the slope IS negative).  "
+    "Scale: one word-count shuffle; top-K is TakeOrderedAndProject "
+    "(per-partition heaps, the corpus is never globally sorted); "
+    "the rank window runs on the K=1000 bounded survivors only.",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    wc = (
+        docs.select(F.explode(F.expr(PT.tokens("text", S))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = wc.orderBy(F.desc("c"), "word").limit(_ZIPF_K)
+    w = Window.orderBy(F.desc("c"), "word")  # bounded: K rows survive
+    pts = top.select(
+        F.row_number().over(w).cast("bigint").alias("r"), "c"
+    ).select(
+        F.expr(_MLN.format(v="r")).alias("x"),
+        F.expr(_MLN.format(v="c")).alias("y"),
+    )
+    s = pts.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(y * y) AS BIGINT)").alias("syy"),
+    )
+    return s.select(
+        F.col("k").alias("n_points"),
+        F.expr(_OLS_SLOPE).alias("slope_micro"),
+        F.expr(_OLS_R2).alias("r2_micro"),
+    )
+
+
+_HEAPS_PTS = 1024
+_HEAPS_BAND = 1024  # docs per prefix band
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      {PT.tokens("coalesce(text, '')", D)} AS toks
+               FROM documents),
+    pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+    fw AS (SELECT word, min(doc_id) AS fd
+           FROM (SELECT doc_id, unnest(toks) AS word FROM t) GROUP BY word),
+    nn AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+           FROM fw GROUP BY fd),
+    base AS (SELECT pd.doc_id, pd.n_tok, coalesce(nn.n_new, 0) AS n_new
+             FROM pd LEFT JOIN nn USING (doc_id)),
+    run AS (SELECT doc_id,
+                   CAST(sum(n_tok) OVER w AS BIGINT) AS n_tok_run,
+                   CAST(sum(n_new) OVER w AS BIGINT) AS n_new_run,
+                   CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+            FROM base
+            WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+    pts AS (SELECT {_MLN.format(v='n_tok_run')} AS x,
+                   {_MLN.format(v='n_new_run')} AS y
+            FROM run, nd
+            WHERE rn % greatest(1, n_docs // {_HEAPS_PTS}) = 0
+              AND n_tok_run >= 1 AND n_new_run >= 1),
+    s AS (SELECT {_OLS_SUMS} FROM pts),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_new) AS BIGINT) AS vocab_d
+            FROM base)
+    SELECT nd.n_docs, tot.n_tokens, tot.vocab_d, s.k AS n_points,
+           {_OLS_SLOPE} AS beta_micro, {_OLS_R2} AS r2_micro
+    FROM s, tot, nd
+    """,
+    doc="Heaps'-law vocabulary-growth exponent: V(N) ~ K * N^beta "
+    "fit as the log-log OLS slope of (cumulative tokens, cumulative "
+    "distinct types) over the doc_id corpus order — the datacard "
+    "number that prices how fast new vocabulary keeps arriving "
+    "(natural text sits near beta ~ 0.5; a saturating/templated "
+    "corpus falls toward 0).  First occurrences are doc-granular "
+    "(the word's min doc_id), the standard batch formulation.  "
+    "Determinism: the same milli-snapped-ln / exact-BIGINT-OLS / "
+    "micro-snapped-division ladder as zipf_slope_fit.  Scale: one "
+    "word shuffle to (word -> min doc) + one per-doc count; BOTH "
+    "running sums are band-parallel two-phase prefix sums over "
+    "doc_id bands (operators/ranks.py — never a global sort); the "
+    "fit reads at most {} decimated rank points (rn %% "
+    "greatest(1, n_docs DIV {}) == 0), so OLS stays exact-BIGINT "
+    "bounded at ANY corpus size — fitting on every doc would "
+    "overflow the sums past ~230k docs and add nothing to a "
+    "2-parameter fit.".format(_HEAPS_PTS, _HEAPS_PTS),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = barrier(
+        docs.select(
+            "doc_id", F.expr(PT.tokens("coalesce(text, '')", S)).alias("toks")
+        )
+    )
+    pd_ = t.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
+    nn = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    base = (
+        pd_.join(nn, pd_.doc_id == nn.fd, "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("band", F.expr(f"doc_id DIV {_HEAPS_BAND}"))
+    )
+    run = ranks.two_phase_prefix_sum(
+        base, ["doc_id"], "band", ["n_tok", "n_new"]
+    )
+    run = ranks.two_phase_rank(run, ["doc_id"], "band", rank_name="rn")
+    nd = base.agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = base.agg(
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_new").cast("bigint").alias("vocab_d"),
+    )
+    pts = (
+        run.join(F.broadcast(nd), F.lit(True))
+        .filter(
+            (F.expr(f"rn % greatest(1, n_docs DIV {_HEAPS_PTS})") == 0)
+            & (F.col("n_tok_run") >= 1)
+            & (F.col("n_new_run") >= 1)
+        )
+        .select(
+            F.expr(_MLN.format(v="n_tok_run")).alias("x"),
+            F.expr(_MLN.format(v="n_new_run")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("k"),
+        F.expr("CAST(sum(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(sum(y) AS BIGINT)").alias("sy"),
+        F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(sum(y * y) AS BIGINT)").alias("syy"),
+    )
+    return (
+        s.join(F.broadcast(nd), F.lit(True))
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_d",
+            F.col("k").alias("n_points"),
+            F.expr(_OLS_SLOPE).alias("beta_micro"),
+            F.expr(_OLS_R2).alias("r2_micro"),
+        )
+    )

@@ -1621,3 +1621,80 @@ def test_seasonal_naive_metrics_are_consistent(spark):
     assert r["wape_micro"] == r["sum_abs_err"] * 1_000_000 // r["sum_actual"]
     # sMAPE is bounded by 2, WAPE and MAPE positive on noisy series
     assert 0 < r["smape_micro"] <= 2_000_000
+
+
+def test_power_law_fits_match_python_ols(spark):
+    """zipf_slope_fit / heaps_law_fit: the exact-BIGINT OLS ladder must
+    reproduce a direct Python least-squares on the SAME milli-snapped
+    log points (bit-equal snapping), and the exponents must be
+    physically sane (Zipf slope negative, Heaps beta in [0, 1])."""
+    import math
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    r = registry()
+    sf = "/root/testdata/sf0.001"
+
+    def mln(v: int) -> int:
+        return math.floor(math.log(float(v)) * 1000.0 + 0.5)
+
+    def ols_micro(pts):
+        k = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        num, den = k * sxy - sx * sy, k * sxx - sx * sx
+        slope = math.floor(float(num) / float(den) * 1e6 + 0.5)
+        r2 = math.floor(
+            float(num) * float(num) / (float(den) * float(k * syy - sy * sy))
+            * 1e6 + 0.5
+        )
+        return slope, r2
+
+    # --- zipf: rebuild the top-K rank/count points in Python
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    cnt = Counter(
+        w for (t,) in docs for w in (t or "").lower().split() if w
+    )
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    zpts = [(mln(i + 1), mln(c)) for i, (_, c) in enumerate(top)]
+    zs, zr2 = ols_micro(zpts)
+    got = r["zipf_slope_fit"].spark(spark, sf).collect()[0]
+    assert (got.n_points, got.slope_micro, got.r2_micro) == (
+        len(zpts), zs, zr2,
+    )
+    assert got.slope_micro < 0  # rank-frequency always decays
+
+    # --- heaps: doc-granular first occurrences over doc_id order
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    seen: set[str] = set()
+    n = v = 0
+    hpts = []
+    nd = len(rows)
+    step = max(1, nd // 1024)
+    for rn, (_, t) in enumerate(rows, 1):
+        toks = [w for w in (t or "").lower().split() if w]
+        n += len(toks)
+        for w in toks:
+            if w not in seen:
+                seen.add(w)
+                v += 1
+        if rn % step == 0 and n >= 1 and v >= 1:
+            hpts.append((mln(n), mln(v)))
+    hs, hr2 = ols_micro(hpts)
+    got = r["heaps_law_fit"].spark(spark, sf).collect()[0]
+    assert (got.n_docs, got.n_tokens, got.vocab_d) == (nd, n, v)
+    assert (got.n_points, got.beta_micro, got.r2_micro) == (
+        len(hpts), hs, hr2,
+    )
+    assert 0 <= got.beta_micro <= 1_000_000  # vocabulary growth exponent
