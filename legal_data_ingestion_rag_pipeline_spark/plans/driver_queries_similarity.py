@@ -4269,3 +4269,215 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment_milli"), "id_small", "id_big")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# kcenter_coreset_selection (round 9): greedy k-center — the pure-
+# coverage diversity sampler beside MMR's relevance-balanced one.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(sf_dir: str) -> str:
+    """Python twin: same seed (min vec_id), same left-fold double
+    dots, same micro snapping, same (min best_sim, min vec_id)
+    argmin — emitted as VALUES (the mmr/kcore convention for
+    sequential algorithms)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
+    def micro(x):
+        import math
+
+        return int(math.floor(x * 1_000_000.0 + 0.5))
+
+    remaining = sorted(vecs)
+    seed = remaining[0]
+    picked = [(1, seed, 2_000_000)]
+    best = {i: -2_000_000 for i in remaining}
+    cur = seed
+    remaining.remove(seed)
+    for rank in range(2, _KC_K + 1):
+        for i in remaining:
+            best[i] = max(best[i], micro(dot(vecs[i], vecs[cur])))
+        cur = min(remaining, key=lambda i: (best[i], i))
+        picked.append((rank, cur, 1_000_000 - best[cur]))
+        remaining.remove(cur)
+    vals = ", ".join(f"({r}, {i}, {d})" for r, i, d in picked)
+    return (
+        f"SELECT CAST(rank AS BIGINT) AS rank, "
+        f"CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(dist_micro AS BIGINT) AS dist_micro "
+        f"FROM (VALUES {vals}) AS t(rank, vec_id, dist_micro) "
+        f"ORDER BY rank"
+    )
+
+
+@register(
+    "kcenter_coreset_selection",
+    oracle=_kcenter_oracle,
+    doc="Greedy k-center (Gonzalez 2-approximation) coreset selection "
+    "over the embedding table: seed = min vec_id, then k-1 rounds of "
+    "'pick the point FARTHEST from every selected center' (cosine "
+    "distance micro = 1e6 - dot_micro on the unit-norm vectors; seed "
+    "row reports the 2e6 sentinel = max possible distance).  The "
+    "pure-COVERAGE diversity sampler beside mmr_diverse_selection's "
+    "relevance-balanced greedy — what dataset pruning runs to pick "
+    "representatives that span embedding space, with each pick's "
+    "dist_micro the (non-increasing) coverage radius sequence a "
+    "curator reads to choose k.  Execution is the bpe/mmr driver-"
+    "loop convention: the corpus NEVER shuffles — each round "
+    "broadcasts one center vector as a literal, updates the running "
+    "best-similarity column map-side (micro-snapped BEFORE greatest, "
+    "so the fold order can't flip ties), localCheckpoints the "
+    "frontier, and TakeOrdered(1) pulls the next center.  k rounds "
+    "of one map pass each; at 100 TB that is k corpus scans with "
+    "zero shuffle, the honest cost of exact greedy k-center.  "
+    "Oracle: bit-exact pure-Python twin emitted as VALUES.",
+)
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, int(seed.vec_id), 2_000_000)]
+    cur_vec = [float(x) for x in seed.embedding]
+    state = barrier(
+        e.filter(F.col("vec_id") != int(seed.vec_id)).withColumn(
+            "best_sim", F.lit(-2_000_000).cast("bigint")
+        )
+    )
+    dot_q = PT.dot_double("embedding", "_qv", S)
+    for rank in range(2, _KC_K + 1):
+        state = barrier(
+            state.withColumn(
+                "_qv", F.array(*[F.lit(x) for x in cur_vec])
+            )
+            .withColumn(
+                "best_sim",
+                F.greatest(
+                    "best_sim",
+                    F.expr(
+                        f"CAST(FLOOR(({dot_q}) * 1000000.0 + 0.5) AS BIGINT)"
+                    ),
+                ),
+            )
+            .drop("_qv")
+        )
+        nxt = (
+            state.orderBy(F.asc("best_sim"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append(
+            (rank, int(nxt.vec_id), 1_000_000 - int(nxt.best_sim))
+        )
+        cur_vec = [float(x) for x in nxt.embedding]
+        state = state.filter(F.col("vec_id") != int(nxt.vec_id))
+    return spark.createDataFrame(
+        picked, "rank: bigint, vec_id: bigint, dist_micro: bigint"
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# cross_source_neardup_matrix (round 9): which sources copy each
+# other — the provenance datacard built on the MinHash pair machinery.
+# ---------------------------------------------------------------------------
+
+_XSRC_EST = 0.5  # est Jaccard cutoff, the split_leakage_audit setting
+
+
+@register(
+    "cross_source_neardup_matrix",
+    oracle=f"""
+    WITH p0 AS ({_MINHASH_ORACLE.replace("LIMIT 20", "")}),
+    p AS (SELECT id_a, id_b FROM p0 WHERE est_jaccard >= {_XSRC_EST}),
+    m AS (SELECT least(da.source, db.source) AS source_lo,
+                 greatest(da.source, db.source) AS source_hi,
+                 p.id_a, p.id_b
+          FROM p JOIN documents da ON da.doc_id = p.id_a
+                 JOIN documents db ON db.doc_id = p.id_b),
+    np AS (SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM m GROUP BY 1, 2),
+    e AS (SELECT source_lo, source_hi, id_a AS d FROM m
+          UNION ALL SELECT source_lo, source_hi, id_b FROM m),
+    ndocs AS (SELECT source_lo, source_hi,
+                     CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+              FROM e GROUP BY 1, 2)
+    SELECT np.source_lo, np.source_hi, np.n_pairs, ndocs.n_docs
+    FROM np JOIN ndocs USING (source_lo, source_hi)
+    ORDER BY np.n_pairs DESC, np.source_lo, np.source_hi
+    """,
+    doc="cross-source near-duplication matrix: MinHash(32)+LSH(16x2) "
+    "candidate pairs at est Jaccard >= 0.5 (the split_leakage_audit "
+    "setting), each pair labeled with its documents' source pair "
+    "(lexicographic lo/hi; the diagonal = INTRA-source duplication), "
+    "aggregated to pair and distinct-doc counts — the provenance "
+    "datacard a curator reads to find mirror/scraper sources before "
+    "setting per-source mixture weights (beside source_vocab_jaccard, "
+    "which prices vocabulary overlap; this prices verbatim overlap).  "
+    "Scale: the pair table (bounded by the banded join + hot-bucket "
+    "cap) is orders smaller than the corpus, so the two source "
+    "lookups are id-keyed joins with the PAIRS as the small side — "
+    "never a corpus self-join, and the matrix itself is at most "
+    "|sources|^2 rows.",
+)
+def cross_source_neardup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(
+        docs, "text", "doc_id", n_hashes=32, shingle_words=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=32, bands=16, max_bucket_size=1000
+    ).filter(F.col("est_jaccard") >= _XSRC_EST)
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            "id_a",
+            "id_b",
+        )
+    )
+    m = barrier(m)
+    np_ = m.groupBy("source_lo", "source_hi").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    e = m.select("source_lo", "source_hi", F.col("id_a").alias("d")).unionAll(
+        m.select("source_lo", "source_hi", F.col("id_b").alias("d"))
+    )
+    ndocs = (
+        e.distinct()
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return (
+        np_.join(ndocs, ["source_lo", "source_hi"])
+        .orderBy(F.desc("n_pairs"), "source_lo", "source_hi")
+    )

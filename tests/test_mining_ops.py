@@ -245,3 +245,40 @@ def test_dtw_identity_and_shift():
     lag = [0] + s[:-1]
     l1 = sum(abs(x - y) for x, y in zip(s, lag))
     assert _py_dtw(s, lag) < l1
+
+
+def test_kcenter_radius_sequence_monotone(spark):
+    """Greedy k-center invariants: k distinct picks, the seed carries
+    the 2e6 max-distance sentinel, and the coverage-radius sequence
+    (each later pick's distance to the selected set) never increases
+    — the defining property of furthest-point traversal."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = (
+        registry()["kcenter_coreset_selection"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert rows[0].dist_micro == 2_000_000
+    radii = [r.dist_micro for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert all(0 <= d <= 2_000_000 for d in radii)
+
+
+def test_cross_source_matrix_doc_pair_accounting(spark):
+    """Each matrix cell's distinct-doc count is bounded by 2*n_pairs
+    and at least 2 (a pair needs two docs); lo/hi ordering is
+    canonical."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    rows = (
+        registry()["cross_source_neardup_matrix"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows  # sf0.001 corpus has near-dup pairs
+    for r in rows:
+        assert r.source_lo <= r.source_hi
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
