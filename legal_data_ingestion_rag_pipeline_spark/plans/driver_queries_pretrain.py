@@ -3627,3 +3627,83 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_OLS_R2).alias("r2_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_novelty_curve (round 9): marginal verbatim novelty per doc in
+# corpus order — the data-ordering / memorization datacard.
+# --------------------------------------------------------------------------
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    g0 AS (SELECT doc_id, {PT.hash_array('toks', D)} AS tok_hashes FROM t0),
+    g AS (SELECT DISTINCT doc_id, unnest(
+            {PT.word_ngram_hashes('tok_hashes', 3, D)}) AS gram
+          FROM g0 WHERE len(tok_hashes) >= 3),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM g GROUP BY doc_id),
+    fw AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+    nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+           FROM fw GROUP BY fd)
+    SELECT pd.doc_id, pd.n_grams,
+           coalesce(nv.n_novel, 0) AS n_novel,
+           coalesce(nv.n_novel, 0) * 1000 // pd.n_grams AS novelty_milli
+    FROM pd LEFT JOIN nv USING (doc_id)
+    ORDER BY pd.doc_id
+    """,
+    doc="per-document n-gram novelty in corpus (doc_id) order: of each "
+    "document's DISTINCT word-3-gram hashes, the fraction never seen "
+    "in any earlier document (gram's min doc_id == this doc) — the "
+    "marginal-new-content curve a curator reads for data ordering "
+    "and memorization risk (documents near 0 novelty late in the "
+    "stream are verbatim rehash; a corpus whose curve plateaus high "
+    "keeps teaching).  The doc-granular first-occurrence convention "
+    "of heaps_law_fit applied at n-gram resolution; exact integer "
+    "milli fraction (operands non-negative).  Scale: ONE gram-keyed "
+    "shuffle serves both the per-doc distinct counts and the "
+    "min-doc first-occurrence table; assembly is a doc-keyed left "
+    "join of two aggregates — the corpus text itself never moves "
+    "twice.  Docs under 3 tokens have no grams and are absent (the "
+    "minhash len>=3 convention).",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = docs.select(
+        "doc_id", F.expr(PT.tokens("text", S)).alias("toks")
+    ).select(
+        "doc_id", F.expr(PT.hash_array("toks", S)).alias("tok_hashes")
+    )
+    g = barrier(
+        t0.filter(F.size("tok_hashes") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(PT.word_ngram_hashes("tok_hashes", 3, S))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    pd_ = g.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    nv = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+        .withColumnRenamed("fd", "doc_id")
+    )
+    return (
+        pd_.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "coalesce(n_novel, 0) * 1000 DIV n_grams"
+            ).alias("novelty_milli"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1698,3 +1698,33 @@ def test_power_law_fits_match_python_ols(spark):
         len(hpts), hs, hr2,
     )
     assert 0 <= got.beta_micro <= 1_000_000  # vocabulary growth exponent
+
+
+def test_ngram_novelty_accounting(spark):
+    """Novelty invariants: the first gram-bearing doc is 100% novel,
+    every fraction sits in [0, 1000], and the novel counts partition
+    the global distinct-gram vocabulary exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry()["ngram_novelty_curve"].spark(spark, sf).collect()
+    assert rows[0].novelty_milli == 1000  # nothing precedes the first doc
+    assert all(0 <= r.novelty_milli <= 1000 for r in rows)
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows)
+
+    total_grams = (
+        load_table(spark, sf, "documents")
+        .select(F.expr(PT.tokens("text", PT.SPARK)).alias("toks"))
+        .select(F.expr(PT.hash_array("toks", PT.SPARK)).alias("th"))
+        .filter(F.size("th") >= 3)
+        .select(
+            F.explode(
+                F.expr(PT.word_ngram_hashes("th", 3, PT.SPARK))
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == total_grams
