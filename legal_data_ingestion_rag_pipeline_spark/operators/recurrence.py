@@ -176,7 +176,23 @@ def gap_decay_ewma(
     y * (2^k - 1) stays far inside BIGINT for cent-scale inputs on
     BOTH gate engines.  Inputs must be non-negative BIGINTs (truncation
     toward zero == floor there; callers feed integer cents).
-    ``order_cols`` must be a total order per key.
+    ``order_cols`` must be a total order per key; keys must be
+    NON-NULL (the partition walk below compares raw key values, and
+    NaN-promoted null keys would silently split a group — the grouped
+    holt_linear form remains the null-tolerant representative).
+
+    Execution shape (round 9): NOT grouped applyInPandas.  With many
+    small keys, FlatMapGroupsInPandas pays one Python/pandas round
+    trip PER KEY (~5 ms each — measured 8.4 s for 1500 keys x 67
+    rows at sf0.1).  Since the walk needs only key-contiguous,
+    key-ordered rows, the same contract is met by
+    repartition(key) + sortWithinPartitions(key, order) +
+    mapInPandas: ONE Python pass per partition, state carried across
+    Arrow batch boundaries (a batch can split a key), each partition
+    emitting its finished keys once.  Same single key shuffle, same
+    embarrassing key-parallelism, ~40x less Python call overhead —
+    the batch edition of what transformWithState does per partition
+    on the streaming side.
     """
     import pandas as pd
 
@@ -189,34 +205,56 @@ def gap_decay_ewma(
         ]
     )
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols)
-        y: int | None = None
-        max_k = 0
-        for x, k in zip(pdf[x_col], pdf[k_col]):
-            xi, ki = int(x), int(k)
-            if not 1 <= ki <= 30:
-                raise ValueError(f"gap_decay_ewma: k={ki} outside [1, 30]")
-            if xi < 0:
+    def walk_partition(batches):
+        keys_out: list = []
+        ys: list[int] = []
+        ns: list[int] = []
+        mks: list[int] = []
+        cur_key = None
+        y = n = mk = 0
+        have = False
+        for pdf in batches:
+            if pdf[key_col].isna().any():
+                raise ValueError("gap_decay_ewma: null key")
+            ks = pdf[k_col].to_numpy()
+            xs = pdf[x_col].to_numpy()
+            if (ks < 1).any() or (ks > 30).any():
+                bad = ks[(ks < 1) | (ks > 30)][0]
+                raise ValueError(f"gap_decay_ewma: k={bad} outside [1, 30]")
+            if (xs < 0).any():
                 raise ValueError("gap_decay_ewma: negative x")
-            if y is None:
-                y = xi
-            else:
-                y = (y * ((1 << ki) - 1) + xi) >> ki
-            max_k = max(max_k, ki)
-        return pd.DataFrame(
+            for key, xi, ki in zip(pdf[key_col], xs, ks):
+                xi, ki = int(xi), int(ki)
+                if not have or key != cur_key:
+                    if have:
+                        keys_out.append(cur_key)
+                        ys.append(y)
+                        ns.append(n)
+                        mks.append(mk)
+                    cur_key, y, n, mk, have = key, xi, 1, ki, True
+                else:
+                    y = (y * ((1 << ki) - 1) + xi) >> ki
+                    n += 1
+                    mk = max(mk, ki)
+        if have:
+            keys_out.append(cur_key)
+            ys.append(y)
+            ns.append(n)
+            mks.append(mk)
+        yield pd.DataFrame(
             {
-                key_col: [pdf[key_col].iloc[0]],
-                "final_ewma": [y],
-                "n_steps": [len(pdf)],
-                "max_k": [max_k],
+                key_col: keys_out,
+                "final_ewma": pd.Series(ys, dtype="int64"),
+                "n_steps": pd.Series(ns, dtype="int64"),
+                "max_k": pd.Series(mks, dtype="int64"),
             }
         )
 
     return (
         df.select(key_col, *order_cols, x_col, k_col)
-        .groupBy(key_col)
-        .applyInPandas(walk, out_schema)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, *order_cols)
+        .mapInPandas(walk_partition, out_schema)
     )
 
 

@@ -1646,10 +1646,13 @@ def clamped_wallet_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would still be linear (prefix products recover it), but the "
     "per-step integer TRUNCATION is non-linear at every step, so no "
     "window decomposition exists; the faithful batch form is the "
-    "grouped-applyInPandas ordered walk (one key shuffle, O(1) "
-    "state, keys embarrassingly parallel — the batch edition of "
-    "applyInPandasWithState). The lag-window k derivation shares the "
-    "walk's key shuffle (same partitioning, no second exchange). The "
+    "PARTITION walk (repartition(key) + sortWithinPartitions + "
+    "mapInPandas with state carried across Arrow batches — one key "
+    "shuffle, O(1) state per key, keys embarrassingly parallel, and "
+    "ONE Python pass per partition instead of one per key: the "
+    "grouped-applyInPandas form paid ~5 ms of Python round trip per "
+    "key, 6.7 s for 1500 keys at sf0.1; this form is ~1.1 s, "
+    "hash-identical). The "
     "oracle replays the recurrence row-by-row in a recursive CTE; "
     "max_k pins the data-dependence under the hash.",
 )

@@ -514,3 +514,50 @@ def test_dbscan_srp_edges_subset_of_exact(spark):
         r.n_total for r in rows if r.cluster_id != -1
     )
     assert clustered(srp) <= clustered(exact)
+
+
+def test_gap_decay_ewma_state_carries_across_arrow_batches(spark):
+    """The partition-walk form (round 9) must carry per-key state
+    across Arrow batch boundaries: with maxRecordsPerBatch=7, one
+    key's 100 ordered rows span many batches and the walk must still
+    equal the sequential Python twin."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.recurrence import (
+        gap_decay_ewma,
+    )
+
+    rows = [(1, i, (i * 37) % 500, 1 + (i % 6)) for i in range(100)]
+    rows += [(2, i, (i * 11) % 300, 1 + (i % 3)) for i in range(55)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, seq bigint, x bigint, k bigint"
+    )
+
+    def twin(seq):
+        y = mk = None
+        for _, x, k in seq:
+            if y is None:
+                y, mk = x, k
+            else:
+                y = (y * ((1 << k) - 1) + x) >> k
+                mk = max(mk, k)
+        return y, mk
+
+    expect = {}
+    for uid in (1, 2):
+        s = sorted((i, x, k) for u, i, x, k in rows if u == uid)
+        y, mk = twin(s)
+        expect[uid] = (y, len(s), mk)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r.user_id: (r.final_ewma, r.n_steps, r.max_k)
+            for r in gap_decay_ewma(
+                df.coalesce(1), "user_id", ["seq"], "x", "k"
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert got == expect
