@@ -38,15 +38,59 @@ class ConvergenceError(RuntimeError):
     """Label propagation hit max_rounds before reaching a fixpoint."""
 
 
+def _local_union_find(canon: DataFrame) -> DataFrame:
+    """Driver-side finish: union-find over a BOUNDED collected edge
+    set (the caller guarantees the count), labels = component min.
+    Returns the same (vertex, label) contract with the edge columns'
+    type preserved."""
+    rows = canon.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r.hi), find(r.lo)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from pyspark.sql import types as T
+
+    vt = canon.schema["hi"].dataType
+    schema = T.StructType(
+        [T.StructField("vertex", vt, True), T.StructField("label", vt, True)]
+    )
+    spark = canon.sparkSession
+    return spark.createDataFrame(
+        [(v, find(v)) for v in parent], schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """(vertex, label) with label = min vertex id in the component,
     via alternating large-star/small-star contraction (O(log n)
     rounds; see module docstring).
+
+    HYBRID finish: star contraction shrinks the edge set
+    geometrically, and once the (canonicalized, contracted) edge
+    count is <= ``local_finish_edges`` the remaining work is a
+    driver-side union-find over a bounded collect — the standard
+    production shape (each distributed round costs several fixed
+    jobs; paying them to contract a graph that already fits in one
+    task is pure overhead).  At 100 TB the banding/candidate caps
+    upstream bound pair counts long before vertex counts, so most
+    dedup graphs take the local path immediately and adversarial
+    giants contract first.  Pass ``local_finish_edges=0`` to force
+    the pure-distributed path (the fuzz/diameter tests do).
 
     ``edges`` is treated as undirected; isolated vertices (absent from
     ``edges``) are absent from the result — callers union them back if
@@ -81,6 +125,8 @@ def connected_components(
     # never a recount of the already-materialized previous frontier.
     n_canon = canon.count()
     for _ in range(max_rounds):
+        if n_canon <= local_finish_edges:
+            return _local_union_find(canon)
         # LARGE-STAR over the symmetric adjacency
         nbr = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
             canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))

@@ -3647,8 +3647,17 @@ def _dbscan_report(e: DataFrame, edges: DataFrame) -> DataFrame:
     deterministic border attachment (min core-neighbor label) -> the
     cluster_id = -1 noise row.  `edges` must be the deduplicated
     (ia < ib) within-eps pairs; `e` the full embeddings table (for the
-    noise complement)."""
-    edges = barrier(edges)
+    noise complement).
+
+    The eps-graph is localCheckpointed, not merely barriered: the
+    downstream DAG takes several ACTIONS (the components fixpoint's
+    materialize/count/collect plus the final report), and a plain
+    repartition barrier would replay the whole candidate-generation
+    pipeline (SRP codes + bucket joins + exact verification) once per
+    action — measured 3-5 s of pure recomputation per stage at sf0.1.
+    The edge set is orders smaller than the corpus, so pinning it is
+    the cheap side of that trade at any scale."""
+    edges = edges.localCheckpoint(eager=True)
     nbr = edges.select(
         F.col("ia").alias("v"), F.col("ib").alias("u")
     ).unionAll(edges.select(F.col("ib").alias("v"), F.col("ia").alias("u")))

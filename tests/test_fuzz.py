@@ -196,10 +196,21 @@ def test_fuzz_connected_components_vs_union_find(spark):
     expect = {v: find(v) for v in parent}
 
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    got = {r.vertex: r.label for r in graph.connected_components(df).collect()}
+    # pure-distributed star contraction
+    got = {
+        r.vertex: r.label
+        for r in graph.connected_components(
+            df, local_finish_edges=0
+        ).collect()
+    }
     assert got == expect
+    # the default hybrid (local union-find finish on a bounded graph)
+    hybrid = {
+        r.vertex: r.label for r in graph.connected_components(df).collect()
+    }
+    assert hybrid == expect
     # the O(diameter) min-label twin is a different algorithm with the
-    # same contract — all three must agree (verdict r8 ask #5)
+    # same contract — all four must agree (verdict r8 ask #5)
     twin = {
         r.vertex: r.label
         for r in graph.connected_components_minlabel(df).collect()
@@ -227,7 +238,12 @@ def test_fuzz_star_vs_minlabel_adversarial_shapes(spark):
     edges += [(3, 3), (100, 100), (0, 1), (1, 0)]
 
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    star = {r.vertex: r.label for r in graph.connected_components(df).collect()}
+    star = {
+        r.vertex: r.label
+        for r in graph.connected_components(
+            df, local_finish_edges=0
+        ).collect()
+    }
     ml = {
         r.vertex: r.label
         for r in graph.connected_components_minlabel(df, max_rounds=50).collect()

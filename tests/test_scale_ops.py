@@ -202,12 +202,15 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(11)], "src bigint, dst bigint"
     )
     labels = {
-        r.vertex: r.label for r in graph.connected_components(edges).collect()
+        r.vertex: r.label
+        for r in graph.connected_components(
+            edges, local_finish_edges=0
+        ).collect()
     }
     assert labels == {v: 0 for v in range(12)}
 
     with _pytest.raises(graph.ConvergenceError):
-        graph.connected_components(edges, max_rounds=2)
+        graph.connected_components(edges, max_rounds=2, local_finish_edges=0)
 
 
 def test_connected_components_degenerate_inputs(spark):
@@ -238,7 +241,10 @@ def test_star_contraction_beats_diameter(spark):
         [(i, i + 1) for i in range(40)], "src bigint, dst bigint"
     )
     labels = {
-        r.vertex: r.label for r in graph.connected_components(edges).collect()
+        r.vertex: r.label
+        for r in graph.connected_components(
+            edges, local_finish_edges=0
+        ).collect()
     }
     assert labels == {v: 0 for v in range(41)}
 
