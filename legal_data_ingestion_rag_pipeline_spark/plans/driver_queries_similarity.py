@@ -3747,6 +3747,16 @@ def _dbscan_report(e: DataFrame, edges: DataFrame) -> DataFrame:
 )
 def dbscan_srp_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
+    return _dbscan_report(e, _dbscan_srp_edges(spark, sf_dir))
+
+
+def _dbscan_srp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP-bucketed eps-graph BEFORE the report's checkpoint —
+    separated so the physical-plan test can assert the two-equi-join
+    shape (the checkpoint in _dbscan_report truncates the explained
+    plan of the full query, which would make a plan assertion on the
+    query itself vacuous)."""
+    e = _t(spark, sf_dir, "embeddings")
     b = barrier(
         e.select(
             "vec_id",
@@ -3772,8 +3782,7 @@ def dbscan_srp_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    edges = leg("b1").unionAll(leg("b2")).dropDuplicates(["ia", "ib"])
-    return _dbscan_report(e, edges)
+    return leg("b1").unionAll(leg("b2")).dropDuplicates(["ia", "ib"])
 
 
 @register(

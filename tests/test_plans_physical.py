@@ -500,7 +500,20 @@ def test_weighted_reservoir_is_take_ordered(spark):
 def test_dbscan_srp_no_cartesian(spark):
     """dbscan_srp_clusters (round 9): the two-code candidate
     generation must plan as TWO equi-joins on the bucket codes —
-    never a nested-loop/cartesian from an OR join condition."""
-    plan = plan_of(spark, "dbscan_srp_clusters")
+    never a nested-loop/cartesian from an OR join condition.  The
+    assertion targets the pre-checkpoint edge stage directly: the
+    report localCheckpoints the eps-graph, which truncates the full
+    query's explained plan and would make this check vacuous there."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        _dbscan_srp_edges,
+    )
+
+    plan = (
+        _dbscan_srp_edges(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") >= 2

@@ -46,3 +46,21 @@ def test_gate_priority_spends_the_full_budget():
     missing = [n for n in GATE_PRIORITY if n not in reg]
     assert missing == []
     assert list(reg)[:50] == list(GATE_PRIORITY)
+
+
+def test_registered_fn_matches_module_name():
+    """A @register decorator directly above `def helper` silently
+    registers the HELPER under the query's name (this bit round 9:
+    the dbscan_srp refactor briefly pointed the registry at the
+    edge-generator). For every registered name that also exists as a
+    module-level attribute, the two must be the SAME function."""
+    import importlib
+
+    reg = registry()
+    mismatches = []
+    for name, spec in reg.items():
+        mod = importlib.import_module(spec.spark.__module__)
+        attr = getattr(mod, name, None)
+        if attr is not None and callable(attr) and attr is not spec.spark:
+            mismatches.append(name)
+    assert not mismatches, f"registry/module divergence: {mismatches}"
