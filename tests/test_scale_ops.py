@@ -1399,3 +1399,41 @@ def test_ivf_binary_hybrid_recall_and_cell_bound(spark):
     assert sorted((r.q_id, r.vec_id, r.rank) for r in rows) == sorted(
         (r.q_id, r.vec_id, r.rank) for r in again
     )
+
+
+def test_connected_components_hybrid_handoff_above_threshold(spark):
+    """Hybrid handoff pin: a 130k-edge forest of dense cliques starts
+    ABOVE the default local-finish threshold (100k edges), so the
+    first large/small-star round must run DISTRIBUTED; contraction
+    then collapses each clique to a star (~29 edges each, ~9k total)
+    and the driver-side union-find finishes.  Labels must equal each
+    clique's min vertex — the same answer the pure-distributed path
+    gives."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    n_cliques, k, stride = 300, 30, 1000
+    base = spark.range(n_cliques).select(
+        (F.col("id") * stride).alias("b")
+    )
+    pairs = spark.range(k).select(F.col("id").alias("i")).crossJoin(
+        spark.range(k).select(F.col("id").alias("j"))
+    ).filter(F.col("i") < F.col("j"))
+    edges = base.crossJoin(pairs).select(
+        (F.col("b") + F.col("i")).alias("src"),
+        (F.col("b") + F.col("j")).alias("dst"),
+    )
+    assert edges.count() == n_cliques * k * (k - 1) // 2  # 130,500
+
+    labels = graph.connected_components(edges)
+    agg = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("vertex").alias("mn"), F.max("vertex").alias("mx"))
+        .collect()
+    )
+    assert len(agg) == n_cliques
+    for r in agg:
+        assert r.n == k
+        assert r.label == r.mn == (r.mx - k + 1)
+        assert r.label % stride == 0
