@@ -622,6 +622,102 @@ def ks_urgent_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MWU_Z = (
+    "CAST(floor((CAST(u2a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)"
+    " / (2.0 * sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)"
+    "   * ((CAST(n_a + n_b AS DOUBLE) + 1.0)"
+    "      - CAST(ts AS DOUBLE)"
+    "        / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "mannwhitney_urgent_price",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+               END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1
+               END) AS BIGINT) AS cb
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents, ca, cb,
+             CAST(sum(ca + cb) OVER (ORDER BY cents) AS BIGINT) AS n_run
+      FROM v),
+    s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (2 * (n_run - (ca + cb)) + (ca + cb) + 1))
+               AS BIGINT) AS r2a,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+               AS BIGINT) AS ts
+      FROM r),
+    u AS (SELECT n_a, n_b, r2a, ts,
+                 r2a - n_a * (n_a + 1) AS u2a FROM s)
+    SELECT n_a AS n_urgent, n_b AS n_rest, r2a AS r2_urgent,
+           u2a AS u2_urgent, ts AS tie_term, {_MWU_Z} AS z_micro
+    FROM u
+    """,
+    doc="two-sample Mann-Whitney U (Wilcoxon rank-sum) between URGENT "
+    "orders' totals and the rest — the rank-sum member of the "
+    "two-sample family beside ks_urgent_price_distribution (ECDF "
+    "supremum) and logrank_conversion_arms (censored risk sets): "
+    "location shift, robust to outliers, no normality assumed.  Ties "
+    "get textbook midranks, kept EXACT by working in DOUBLED ranks: "
+    "a tie group of size t after S predecessors contributes "
+    "ca*(2S + t + 1) to the doubled rank sum, so R2a, U2a = R2a - "
+    "nA(nA+1), and the tie term sum(t^3 - t) are all BIGINTs; the "
+    "normal-approximation z (tie-corrected variance) is ONE double "
+    "expression of those integers, micro-snapped (sqrt is "
+    "IEEE-exact, unlike ln).  Scale: the SAME per-distinct-cents "
+    "count table + band-parallel prefix sum as the KS query — one "
+    "shuffle on cents groups, constant-size output; the global sort "
+    "this avoids is the classic rank-statistic scale-killer.  "
+    "Oracle: the one-window SQL formulation — independent algorithm, "
+    "same integers.",
+)
+def mannwhitney_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders")
+    v = (
+        o.select(
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+            F.expr(
+                "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+            ).alias("ia"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("ia").cast("bigint").alias("ca"),
+            F.sum(F.expr("1 - ia")).cast("bigint").alias("cb"),
+        )
+        .withColumn("band", F.expr("cents DIV 1000000"))
+        .withColumn("ct", F.expr("ca + cb"))
+    )
+    runs = ranks.two_phase_prefix_sum(v, ["cents"], "band", ["ct"])
+    s = runs.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.expr("ca * (2 * (ct_run - ct) + ct + 1)"))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.expr("ct * ct * ct - ct")).cast("bigint").alias("ts"),
+    ).withColumn("u2a", F.expr("r2a - n_a * (n_a + 1)"))
+    return s.select(
+        F.col("n_a").alias("n_urgent"),
+        F.col("n_b").alias("n_rest"),
+        F.col("r2a").alias("r2_urgent"),
+        F.col("u2a").alias("u2_urgent"),
+        F.col("ts").alias("tie_term"),
+        F.expr(_MWU_Z).alias("z_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Attribution, time series, RFM
 # ---------------------------------------------------------------------------

@@ -268,3 +268,38 @@ def test_markov_removal_attribution_invariants(spark):
         assert r["effect_micro"] == base - r["removal_conv_micro"]
     s = sum(r["share_micro"] for r in rows)
     assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_mannwhitney_u_matches_bruteforce_pairs(spark):
+    """U has the direct pair-counting definition: doubled U for sample
+    A equals 2*#(a>b) + #(a==b) over all cross pairs. The rank-sum
+    formulation with midrank ties must reproduce it exactly, and the
+    two samples' doubled Us must partition 2*nA*nB."""
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),"
+        f" o_orderpriority = '1-URGENT' FROM '{sf}/orders.parquet'"
+    ).fetchall()
+    a = sorted(c for c, u in rows if u)
+    b = sorted(c for c, u in rows if not u)
+    import bisect
+
+    u2a = 0
+    for x in a:
+        gt = bisect.bisect_left(b, x)           # b values < x
+        eq = bisect.bisect_right(b, x) - gt     # b values == x
+        u2a += 2 * gt + eq
+
+    got = (
+        registry()["mannwhitney_urgent_price"]
+        .spark(spark, sf)
+        .collect()[0]
+    )
+    assert (got.n_urgent, got.n_rest) == (len(a), len(b))
+    assert got.u2_urgent == u2a
+    # symmetry: u2a + u2b == 2 * nA * nB
+    assert 0 <= got.u2_urgent <= 2 * len(a) * len(b)
