@@ -43,7 +43,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..session import load_table
+from ..session import barrier, load_table
 from .registry import register
 
 
@@ -715,6 +715,131 @@ def mannwhitney_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2a").alias("u2_urgent"),
         F.col("ts").alias("tie_term"),
         F.expr(_MWU_Z).alias("z_micro"),
+    )
+
+
+_KW_H = (
+    "CAST(floor((3.0 * CAST(dev_milli AS DOUBLE)"
+    " / (1000.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))"
+    " / (1.0 - CAST(ts AS DOUBLE)"
+    "     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "        - CAST(n AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+#: per-segment squared-deviation term of the Kruskal-Wallis H, in
+#: DOUBLED ranks (global doubled mean rank is exactly n+1), milli-
+#: snapped PER SEGMENT before the exact integer sum — the
+#: source_unigram_kl convention that makes the float work
+#: order-independent (a raw double sum over groups would depend on
+#: Spark's aggregation order).
+_KW_TERM = (
+    "CAST(floor((CAST(r2 AS DOUBLE) / nj - (CAST(n AS DOUBLE) + 1.0))"
+    " * (CAST(r2 AS DOUBLE) / nj - (CAST(n AS DOUBLE) + 1.0))"
+    " * CAST(nj AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "kruskal_wallis_segments",
+    oracle=f"""
+    WITH os AS (
+      SELECT CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             c.c_mktsegment AS segment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT cents, segment, CAST(count(*) AS BIGINT) AS csg
+          FROM os GROUP BY 1, 2),
+    v AS (SELECT cents, CAST(sum(csg) AS BIGINT) AS ct FROM g GROUP BY 1),
+    r AS (SELECT cents, ct,
+                 CAST(sum(ct) OVER (ORDER BY cents) AS BIGINT) AS ct_run
+          FROM v),
+    seg AS (
+      SELECT g.segment,
+             CAST(sum(g.csg) AS BIGINT) AS nj,
+             CAST(sum(g.csg * (2 * (r.ct_run - r.ct) + r.ct + 1))
+               AS BIGINT) AS r2
+      FROM g JOIN r USING (cents) GROUP BY g.segment),
+    tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_segments
+            FROM seg),
+    ties AS (SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS ts FROM r),
+    terms AS (
+      SELECT CAST(sum({_KW_TERM}) AS BIGINT) AS dev_milli
+      FROM seg CROSS JOIN tot)
+    SELECT tot.n, tot.n_segments, ties.ts AS tie_term,
+           terms.dev_milli, {_KW_H} AS h_micro
+    FROM tot CROSS JOIN ties CROSS JOIN terms
+    """,
+    doc="Kruskal-Wallis H across the five market segments' order-total "
+    "distributions — the k-sample extension of mannwhitney_urgent_"
+    "price (same doubled-midrank machinery, same per-distinct-cents "
+    "prefix sum): does ANY segment's price distribution sit shifted "
+    "from the others (chi-square with k-1 df under H0).  Per-segment "
+    "doubled rank sums are exact BIGINTs via the (cents, segment) "
+    "cell counts joined to the global cents-rank table; the squared-"
+    "deviation terms use that the global doubled mean rank is EXACTLY "
+    "n+1 and are milli-snapped PER SEGMENT before the exact sum (the "
+    "KL-cell convention — a raw double aggregate over groups would "
+    "depend on aggregation order); H with the tie correction is one "
+    "micro-snapped double expression.  Scale: one (cents, segment) "
+    "shuffle + the shared band-parallel cents prefix; output is one "
+    "row.  Oracle: the one-window SQL formulation.",
+)
+def kruskal_wallis_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    os_ = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    g = os_.groupBy("cents", "segment").agg(
+        F.count("*").cast("bigint").alias("csg")
+    )
+    g = barrier(g)
+    v = (
+        g.groupBy("cents")
+        .agg(F.sum("csg").cast("bigint").alias("ct"))
+        .withColumn("band", F.expr("cents DIV 1000000"))
+    )
+    r = ranks.two_phase_prefix_sum(v, ["cents"], "band", ["ct"]).select(
+        "cents", "ct", "ct_run"
+    )
+    seg = (
+        g.join(r, "cents")
+        .groupBy("segment")
+        .agg(
+            F.sum("csg").cast("bigint").alias("nj"),
+            F.sum(F.expr("csg * (2 * (ct_run - ct) + ct + 1)"))
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_segments"),
+    )
+    ties = r.agg(
+        F.sum(F.expr("ct * ct * ct - ct")).cast("bigint").alias("ts")
+    )
+    terms = (
+        seg.crossJoin(F.broadcast(tot))
+        .select(F.expr(_KW_TERM).alias("term_milli"))
+        .agg(F.sum("term_milli").cast("bigint").alias("dev_milli"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            "n_segments",
+            F.col("ts").alias("tie_term"),
+            "dev_milli",
+            F.expr(_KW_H).alias("h_micro"),
+        )
     )
 
 

@@ -303,3 +303,54 @@ def test_mannwhitney_u_matches_bruteforce_pairs(spark):
     assert got.u2_urgent == u2a
     # symmetry: u2a + u2b == 2 * nA * nB
     assert 0 <= got.u2_urgent <= 2 * len(a) * len(b)
+
+
+def test_kruskal_wallis_matches_python_midranks(spark):
+    """Direct Python twin: midranks from a sorted list, per-segment
+    rank sums, the same milli-snapped deviation terms and tie-
+    corrected H — independently recomputed from the raw parquet."""
+    import math
+
+    import duckdb
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"""SELECT CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT),
+                   c.c_mktsegment
+            FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey"""
+    ).fetchall()
+    n = len(rows)
+    from collections import Counter, defaultdict
+
+    ct = Counter(c for c, _ in rows)
+    start = {}
+    run = 0
+    for cval in sorted(ct):
+        start[cval] = run
+        run += ct[cval]
+    r2 = defaultdict(int)
+    nj = Counter()
+    for cval, seg in rows:
+        r2[seg] += 2 * start[cval] + ct[cval] + 1  # doubled midrank
+        nj[seg] += 1
+    dev_milli = sum(
+        math.floor(
+            (r2[s] / nj[s] - (n + 1)) ** 2 * nj[s] * 1000.0 + 0.5
+        )
+        for s in r2
+    )
+    ts = sum(t * t * t - t for t in ct.values())
+    h = (3.0 * dev_milli / (1000.0 * n * (n + 1))) / (
+        1.0 - ts / (float(n) ** 3 - n)
+    )
+    h_micro = math.floor(h * 1e6 + 0.5)
+
+    got = registry()["kruskal_wallis_segments"].spark(spark, sf).collect()[0]
+    assert (got.n, got.n_segments) == (n, len(r2))
+    assert got.tie_term == ts
+    assert got.dev_milli == dev_milli
+    assert got.h_micro == h_micro
+    assert got.h_micro >= 0
