@@ -561,3 +561,20 @@ def test_gap_decay_ewma_state_carries_across_arrow_batches(spark):
             "spark.sql.execution.arrow.maxRecordsPerBatch", old
         )
     assert got == expect
+
+
+def test_srp_edge_recall_bounds_and_refusal(spark):
+    """The recall calibration query: recall in (0, 1000], SRP edges a
+    strict subset at this plane budget, and the exact side's O(n^2)
+    refusal guard intact."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        dbscan_srp_edge_recall,
+    )
+
+    r = dbscan_srp_edge_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r.n_srp_edges <= r.n_exact_edges
+    assert 0 < r.recall_milli <= 1000
+    with _pytest.raises(ValueError, match="max_rows"):
+        dbscan_srp_edge_recall(spark, "/root/testdata/sf0.001", max_rows=5)
