@@ -4573,3 +4573,200 @@ def dbscan_srp_edge_recall(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dbscan_ivf_clusters (round 9): the loose-eps candidate generator —
+# trained coarse cells with multi-probe co-membership.
+# ---------------------------------------------------------------------------
+
+_DBSCAN_IVF_PROBES = 2
+
+
+def _dbscan_ivf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eps-graph candidates from trained-IVF cell co-membership: each
+    point joins its top-P coarse cells (the multi-probe trick applied
+    to BOTH sides of the self-join), pairs sharing ANY cell verify
+    with the exact cosine.  At the loose DBSCAN eps where SRP recall
+    collapses (dbscan_srp_edge_recall: 35-59 milli), cell
+    co-membership tracks the density structure directly — neighbors
+    land in the same or adjacent Voronoi cells."""
+    from ..operators import pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = pq.pq_train_codebook(e, m=1, **_TRAIN)[0]
+    c = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(cents)],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    dot_ec = PT.dot_double("embedding", "c_vec", S)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.expr(dot_ec).desc(), F.col("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DBSCAN_IVF_PROBES)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= F.expr(_DBSCAN_EPS))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+        .dropDuplicates(["ia", "ib"])
+    )
+
+
+def _dbscan_ivf_oracle(sf_dir: str) -> str:
+    from ..operators import pq
+
+    cents = pq.train_book_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=1, **_TRAIN
+    )[0]
+    values = ",\n               ".join(
+        f"(CAST({j} AS BIGINT), CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
+        for j, v in enumerate(cents)
+    )
+    edges = f"""
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM (SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_DOT_EC2} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings e,
+                   (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)) c
+            ) e WHERE rn <= {_DBSCAN_IVF_PROBES}) a
+      JOIN (SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_DOT_EC2} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings e,
+                   (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)) c
+            ) e WHERE rn <= {_DBSCAN_IVF_PROBES}) b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_DB_DOT} >= {_DBSCAN_EPS}
+    """
+    return _DBSCAN_ORACLE_TEMPLATE.format(edges=edges)
+
+
+@register(
+    "dbscan_ivf_clusters",
+    oracle=_dbscan_ivf_oracle,
+    doc="DBSCAN with trained-IVF candidate generation — the loose-eps "
+    "scale path the SRP form's measured recall argues for "
+    "(dbscan_srp_edge_recall: 35-59 milli at cos >= 0.35 vs THIS "
+    "generator's 789-800 milli, dbscan_ivf_edge_recall — a 15-20x "
+    "recall gap at the same exact-verification precision; SRP-LSH is "
+    "a tight-threshold tool): coarse k-means cells (the m=1 Lloyd "
+    "trainer shared with ann_ivf_trained_topk, centroids broadcast), "
+    "every point multi-probed into its top-2 cells on BOTH sides of "
+    "the self-join, pairs sharing any cell verified with the exact "
+    "fold-ordered cosine, then the SAME shared core/border/components "
+    "report (_dbscan_report).  The n^2 join never exists: candidate "
+    "work is the sum of squared cell sizes x probes^2, centroids are "
+    "dictionary-sized, and the per-point top-P window partitions by "
+    "vec_id (never global).  Oracle: callable — trains the "
+    "bit-identical centroids through the shared numpy core, inlines "
+    "them as VALUES, replays the same multi-probe bucketing, and "
+    "feeds the same recursive-CTE closure.",
+)
+def dbscan_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return _dbscan_report(e, _dbscan_ivf_edges(spark, sf_dir))
+
+
+def _dbscan_ivf_recall_oracle(sf_dir: str) -> str:
+    from ..operators import pq
+
+    cents = pq.train_book_from_parquet(
+        f"{sf_dir}/embeddings.parquet", m=1, **_TRAIN
+    )[0]
+    values = ",\n               ".join(
+        f"(CAST({j} AS BIGINT), CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
+        for j, v in enumerate(cents)
+    )
+    ivf_edges = f"""
+      SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+      FROM (SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_DOT_EC2} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings e,
+                   (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)) c
+            ) e WHERE rn <= {_DBSCAN_IVF_PROBES}) a
+      JOIN (SELECT vec_id, embedding, centroid_id FROM (
+              SELECT e.vec_id, e.embedding, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_DOT_EC2} DESC,
+                                                 c.centroid_id) AS rn
+              FROM embeddings e,
+                   (SELECT * FROM (VALUES {values}) t(centroid_id, c_vec)) c
+            ) e WHERE rn <= {_DBSCAN_IVF_PROBES}) b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_DB_DOT} >= {_DBSCAN_EPS}
+    """
+    return f"""
+    WITH ex AS ({_DBSCAN_EXACT_EDGES}),
+    iv AS ({ivf_edges}),
+    c AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+                 CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_ivf)
+    SELECT n_exact AS n_exact_edges, n_ivf AS n_ivf_edges,
+           n_ivf * 1000 // n_exact AS recall_milli
+    FROM c
+    """
+
+
+@register(
+    "dbscan_ivf_edge_recall",
+    oracle=_dbscan_ivf_recall_oracle,
+    doc="edge recall of the trained-IVF multi-probe candidate "
+    "generator against the exact all-pairs eps-graph — the "
+    "calibration twin of dbscan_srp_edge_recall, quantifying why the "
+    "IVF path is the loose-eps choice (cell co-membership tracks "
+    "density; hyperplane agreement does not at wide angles).  Same "
+    "sample-only convention: the exact side keeps the O(n^2) "
+    "max_rows refusal.",
+)
+def dbscan_ivf_edge_recall(
+    spark: SparkSession, sf_dir: str, max_rows: int = 100_000
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dbscan_ivf_edge_recall verifies against the exact O(n^2) "
+            f"audit join; corpus has {n} rows > max_rows={max_rows}. "
+            f"Run on a sample."
+        )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.expr(PT.dot_double("a.embedding", "b.embedding", S))
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(sim >= F.expr(_DBSCAN_EPS))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+    )
+    n_exact = exact.agg(F.count("*").cast("bigint").alias("n_exact_edges"))
+    n_ivf = _dbscan_ivf_edges(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_ivf_edges")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivf))
+        .select(
+            "n_exact_edges",
+            "n_ivf_edges",
+            F.expr("n_ivf_edges * 1000 DIV n_exact_edges").alias(
+                "recall_milli"
+            ),
+        )
+    )

@@ -578,3 +578,22 @@ def test_srp_edge_recall_bounds_and_refusal(spark):
     assert 0 < r.recall_milli <= 1000
     with _pytest.raises(ValueError, match="max_rows"):
         dbscan_srp_edge_recall(spark, "/root/testdata/sf0.001", max_rows=5)
+
+
+def test_ivf_candidates_beat_srp_at_loose_eps(spark):
+    """The measured argument for the IVF DBSCAN path: at the loose
+    cos >= 0.35 eps, trained-cell multi-probe co-membership must
+    recall strictly more eps-edges than the two-table SRP codes, and
+    both remain subsets of the exact graph."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        dbscan_ivf_edge_recall,
+        dbscan_srp_edge_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    srp = dbscan_srp_edge_recall(spark, sf).collect()[0]
+    ivf = dbscan_ivf_edge_recall(spark, sf).collect()[0]
+    assert srp.n_exact_edges == ivf.n_exact_edges
+    assert ivf.n_ivf_edges > srp.n_srp_edges
+    assert ivf.n_ivf_edges <= ivf.n_exact_edges
+    assert ivf.recall_milli > srp.recall_milli
