@@ -672,6 +672,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:     classifier + boilerplate-segment removal + hashed dedup:
 #:     disjoint stage sets, both compositions worth a driver row
 #:     (v4 = v3 + domain front door stays oracle_check-only for now).
+#:
+#: Round-10 rotation candidates (the round-9 session's 10 new
+#: never-gated queries, all sweep-green at sf0.001/0.01/0.1 with
+#: dedicated pytests — rotate the most machinery-distinct in first):
+#:   dbscan_ivf_clusters (trained-cell multi-probe candidates, the
+#:     measured loose-eps winner: 789-800 milli edge recall vs the
+#:     SRP form's 35-59 — consider swapping it INTO the slot
+#:     dbscan_srp_clusters holds), dbscan_srp_edge_recall /
+#:     dbscan_ivf_edge_recall (the calibration pair),
+#:   kcenter_coreset_selection (zero-shuffle greedy coverage),
+#:   mannwhitney_urgent_price + kruskal_wallis_segments (doubled-
+#:     midrank rank-sum family), zipf_slope_fit / heaps_law_fit
+#:     (exact-BIGINT OLS power laws), ngram_novelty_curve,
+#:   cross_source_neardup_matrix (provenance matrix).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup
     "split_leakage_audit",
