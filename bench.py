@@ -61,9 +61,22 @@ def main() -> None:
     specs = [s for s in registry().values() if s.bench]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # Iterative many-small-job queries (one Spark job per fixpoint
+    # round) integrate over the box's ~10-minute load oscillation
+    # instead of sampling it — BENCH_r08/r09 recorded them 1.3-1.9x
+    # their idle-box floors while single-job rows stayed flat.  Give
+    # them 5 warm repeats (median of 5) so one record spans more of
+    # the oscillation period (round-9 verdict ask #4).
+    iterative_extra = {
+        "pagerank_trade_network",
+        "bfs_copurchase_distances",
+        "hits_trade_authorities",
+        "kcore_copurchase",
+    }
     for spec in specs:
+        n_runs = 6 if spec.name in iterative_extra else 4
         runs = []
-        for _ in range(4):
+        for _ in range(n_runs):
             # Build INSIDE the timer: for lazy queries plan construction
             # is milliseconds, but eager-construction queries (BPE
             # training's collect loop, PageRank's per-iteration
@@ -76,7 +89,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         cold[spec.name] = runs[0]
-        timings[spec.name] = sorted(runs[1:])[1]  # median of 3 warm
+        warm = sorted(runs[1:])
+        timings[spec.name] = warm[len(warm) // 2]  # median of 3 (or 5) warm
 
     load_after = os.getloadavg()
     ncpu = os.cpu_count() or 1
@@ -99,16 +113,20 @@ def main() -> None:
     # item 4).
     print(json.dumps({**base, "queries": timings, "cold": cold}))
     sys.stdout.flush()
-    final = {**base, "queries": {k: round(v, 2) for k, v in timings.items()}}
+    # measure candidate payloads with the SAME 2-decimal rounding that
+    # is printed — full-precision floats serialize longer, so measuring
+    # them made the trim loop drop more queries than the budget needed
+    rounded = {k: round(v, 2) for k, v in timings.items()}
+    final = {**base, "queries": rounded}
     budget = 1900  # driver tail window is 2000 bytes; leave margin
     if len(json.dumps(final)) > budget:
         # drop the cheapest rows first — the expensive rows are the
         # ones the judge compares round-over-round
-        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-        while keep and len(json.dumps({**base, "queries": keep, "queries_omitted": len(timings) - len(keep)})) > budget:
+        keep = dict(sorted(rounded.items(), key=lambda kv: -kv[1]))
+        while keep and len(json.dumps({**base, "queries": keep, "queries_omitted": len(rounded) - len(keep)})) > budget:
             keep.pop(next(reversed(keep)))
-        final = {**base, "queries": {k: round(v, 2) for k, v in keep.items()},
-                 "queries_omitted": len(timings) - len(keep)}
+        final = {**base, "queries": keep,
+                 "queries_omitted": len(rounded) - len(keep)}
     print(json.dumps(final))
 
 

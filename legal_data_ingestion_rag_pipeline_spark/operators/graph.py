@@ -170,6 +170,12 @@ def connected_components(
                 )
                 .distinct()
             )
+    # Last-chance local finish: the threshold is tested at the TOP of
+    # each round, so when the max_rounds-th contraction shrinks the edge
+    # set under the bound the loop exhausts with a graph a bounded
+    # driver-side union-find can still finish — do that before failing.
+    if n_canon <= local_finish_edges:
+        return _local_union_find(canon)
     raise ConvergenceError(
         f"connected_components: no fixpoint after {max_rounds} rounds "
         "(star contraction is O(log n) rounds; raise max_rounds)"

@@ -4381,14 +4381,19 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     picked = [(1, int(seed.vec_id), 2_000_000)]
     cur_vec = [float(x) for x in seed.embedding]
-    state = barrier(
-        e.filter(F.col("vec_id") != int(seed.vec_id)).withColumn(
-            "best_sim", F.lit(-2_000_000).cast("bigint")
-        )
+    # localCheckpoint (NOT a repartition barrier): truncates lineage so
+    # round r scans only round r-1's materialized frontier — without it
+    # each round's TakeOrdered would recompute every prior round's dot
+    # columns from the parquet scan (O(k^2) corpus scans), and a
+    # repartition would add one shuffle per round for nothing.
+    state = (
+        e.filter(F.col("vec_id") != int(seed.vec_id))
+        .withColumn("best_sim", F.lit(-2_000_000).cast("bigint"))
+        .localCheckpoint(eager=True)
     )
     dot_q = PT.dot_double("embedding", "_qv", S)
     for rank in range(2, _KC_K + 1):
-        state = barrier(
+        state = (
             state.withColumn(
                 "_qv", F.array(*[F.lit(x) for x in cur_vec])
             )
@@ -4402,6 +4407,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .drop("_qv")
+            .localCheckpoint(eager=True)
         )
         nxt = (
             state.orderBy(F.asc("best_sim"), F.asc("vec_id"))
@@ -4522,7 +4528,7 @@ def cross_source_neardup_matrix(
     c AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
                  CAST((SELECT count(*) FROM sr) AS BIGINT) AS n_srp)
     SELECT n_exact AS n_exact_edges, n_srp AS n_srp_edges,
-           n_srp * 1000 // n_exact AS recall_milli
+           n_srp * 1000 // NULLIF(n_exact, 0) AS recall_milli
     FROM c
     """,
     doc="edge-level recall of the SRP-bucketed eps-graph against the "
@@ -4568,9 +4574,12 @@ def dbscan_srp_edge_recall(
         .select(
             "n_exact_edges",
             "n_srp_edges",
-            F.expr("n_srp_edges * 1000 DIV n_exact_edges").alias(
-                "recall_milli"
-            ),
+            # NULLIF guard: a zero-exact-edge sample must be NULL in
+            # BOTH engines (DuckDB's // raises on 0; Spark's DIV
+            # returns NULL) — engine-agreeing degenerate case.
+            F.expr(
+                "n_srp_edges * 1000 DIV NULLIF(n_exact_edges, CAST(0 AS BIGINT))"
+            ).alias("recall_milli"),
         )
     )
 
@@ -4721,7 +4730,7 @@ def _dbscan_ivf_recall_oracle(sf_dir: str) -> str:
     c AS (SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
                  CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_ivf)
     SELECT n_exact AS n_exact_edges, n_ivf AS n_ivf_edges,
-           n_ivf * 1000 // n_exact AS recall_milli
+           n_ivf * 1000 // NULLIF(n_exact, 0) AS recall_milli
     FROM c
     """
 
@@ -4765,8 +4774,9 @@ def dbscan_ivf_edge_recall(
         .select(
             "n_exact_edges",
             "n_ivf_edges",
-            F.expr("n_ivf_edges * 1000 DIV n_exact_edges").alias(
-                "recall_milli"
-            ),
+            # same NULLIF zero-guard as dbscan_srp_edge_recall
+            F.expr(
+                "n_ivf_edges * 1000 DIV NULLIF(n_exact_edges, CAST(0 AS BIGINT))"
+            ).alias("recall_milli"),
         )
     )

@@ -594,3 +594,72 @@ def streaming_tlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+_STATEFUL_SESS_SINK = "streaming_stateful_sessionize_sink"
+
+
+@register(
+    "streaming_stateful_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="the CUSTOM stateful streaming operator held to the hash gate: "
+    "streaming.pipeline.stateful_sessionize (applyInPandasWithState — "
+    "per-user GroupState carries (last event us, sessions, events) "
+    "across micro-batches, a 30-minute inactivity gap starts a "
+    "session) run over the events table replayed as a file stream, "
+    "availableNow, memory sink.  Each micro-batch emits the "
+    "CUMULATIVE per-user totals, so max-per-user over the appended "
+    "emits is the final state regardless of how the replay split "
+    "into batches, and on a finite replay that equals the batch "
+    "lag/cumsum sessionization — the SAME oracle SQL as the batch "
+    "`sessionization` query, making this the finite-replay "
+    "equivalence the two-micro-batch pytest "
+    "(tests/test_streaming.py) pins locally.  Scale: state is "
+    "per-user O(1) (three BIGINTs); unbounded deployments add a "
+    "ProcessingTimeTimeout + TTL for abandoned keys.",
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stateful_sessionize
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    stream = normalize_event_ts(stream)
+    sess = stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(_STATEFUL_SESS_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # cumulative emits: the per-user max IS the final state, batch
+    # split-invariant (both counters are non-decreasing per user)
+    return (
+        spark.table(_STATEFUL_SESS_SINK)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1437,3 +1437,44 @@ def test_connected_components_hybrid_handoff_above_threshold(spark):
         assert r.n == k
         assert r.label == r.mn == (r.mx - k + 1)
         assert r.label % stride == 0
+
+
+def test_connected_components_last_chance_local_finish(spark):
+    """Exhausting max_rounds must NOT raise when the final contraction
+    already shrank the edge set under local_finish_edges — the bounded
+    driver-side union-find finishes instead (the threshold is tested
+    at the top of each round, so without the last-chance check a graph
+    whose max_rounds-th round crosses the threshold would fail even
+    though it fits in one task).  Two 6-cliques = 30 edges start above
+    a 10-edge threshold; round 1 contracts each clique to a 5-edge
+    star (10 total, not yet the count-equal fixpoint), then
+    max_rounds=1 exhausts the loop."""
+    import pytest as _pytest
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    rows = [
+        (b + i, b + j)
+        for b in (0, 100)
+        for i in range(6)
+        for j in range(i + 1, 6)
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+    labels = {
+        r.vertex: r.label
+        for r in graph.connected_components(
+            edges, max_rounds=1, local_finish_edges=10
+        ).collect()
+    }
+    assert labels == {
+        **{v: 0 for v in range(6)},
+        **{100 + v: 100 for v in range(6)},
+    }
+
+    # a path that cannot converge in 1 round still raises on the
+    # pure-distributed no-threshold path
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(graph.ConvergenceError):
+        graph.connected_components(chain, max_rounds=1, local_finish_edges=0)
