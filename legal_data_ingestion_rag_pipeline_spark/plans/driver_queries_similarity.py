@@ -4670,6 +4670,7 @@ def _dbscan_ivf_oracle(sf_dir: str) -> str:
 @register(
     "dbscan_ivf_clusters",
     oracle=_dbscan_ivf_oracle,
+    bench=True,
     doc="DBSCAN with trained-IVF candidate generation — the loose-eps "
     "scale path the SRP form's measured recall argues for "
     "(dbscan_srp_edge_recall: 35-59 milli at cos >= 0.35 vs THIS "

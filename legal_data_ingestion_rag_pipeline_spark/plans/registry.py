@@ -26,704 +26,51 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-#: The correctness driver gates only the FIRST 50 registered queries, so
-#: ordering is a verification budget.  Spend it explicitly: the
+#: The correctness driver gates only the FIRST 50 registered queries,
+#: so ordering is a verification budget.  Spend it explicitly: the
 #: LLM-data-pipeline family (dedup/ANN/RAG/textstats/streaming/
-#: multimodal — the north-star operators) first, then the events-table
-#: family, then the flagship + highest-coverage reference-parity
-#: queries.  Everything after position 50 is still registered (full
-#: API surface, pytest + tools/oracle_check coverage) but receives no
-#: driver CORRECTNESS row.
-#: Round-6 rotation (each rotated-out slot keeps a gated family
-#: partner + tools/oracle_check and pytest coverage):
-#:   IN : rag_rerank_bm25, curation_pipeline_v3,
-#:        histogram_quantile_sketch (the three round-5 families with
-#:        no driver row), bpe_encode_corpus and url_domain_filter
-#:        (new round-6 operator families).
-#:   OUT: ann_pq_adc_topk         -> ann_pq_trained gates the same
-#:        ADC codegen + rescore machinery with trained codebooks (a
-#:        strict superset); adc keeps recall-floor fuzz in pytest.
-#:        streaming_dedup_docs    -> streaming_neardup_docs gates the
-#:        same dropDuplicatesWithinWatermark bounded-state path plus
-#:        minhash bucketing on top; exact keeps the streaming pytest
-#:        suite.
-#:        daily_series_last7      -> streaming_tumbling_counts gates
-#:        time-bucketed counting; error_breakdown +
-#:        quality_sanity_report keep the report family gated.
-#:        asof_prev_purchase      -> last(ignorenulls) over a user
-#:        frame; sessionization (lag+cumsum) and window_argmax
-#:        (row_number) keep the window-frame machinery gated.
-#:        funnel_signup_click_purchase -> min-ts aggregates + ordered
-#:        joins, machinery gated by a dozen join/agg slots.
+#: multimodal — the north-star operators) first, then the statistics
+#: and TPC-H plan-shape families, then the flagship +
+#: highest-coverage reference-parity queries.  Everything after
+#: position 50 is still registered (full API surface, pytest +
+#: tools/oracle_check coverage) but receives no driver CORRECTNESS
+#: row.
 #:
-#: Round-6 second rotation (the three operator families BUILT this
-#: round get driver rows while they are newest):
-#:   IN : dedup_incremental_minhash, lm_perplexity_score,
-#:        dedup_semantic_clusters.
-#:   OUT: record_canonical_hash   -> sha2 canonical hashing gated via
-#:        dedup_exact + merge_upsert_state; T9 keeps its oracle_check
-#:        row + ingest pytest.
-#:        variation_tracking      -> a two-column groupBy-agg over the
-#:        variations sink; the agg machinery is gated by a dozen
-#:        slots; S5/A11 keep oracle_check + test_ingest.
-#:        decontamination_overlap -> its n-gram build is gated via
-#:        dedup_ngram_jaccard and its broadcast-probe semi-join via
-#:        backfill_anti_join; keeps oracle_check + pytest.
-#:
-#: Round-6 third rotation (late-round new machinery):
-#:   IN : snapshot_table_diff (CDC full-outer hash diff — new operator
-#:        machinery), html_text_extraction (WET-step regex chain — new
-#:        function family).
-#:   OUT: last_wins_dedup      -> merge_upsert_state gates the same
-#:        last-wins ordering inside the MERGE path; keeps oracle_check
-#:        + ingest pytest.
-#:        fingerprint_winnowing -> the rolling-hash gram machinery is
-#:        gated via dedup_ngram_jaccard; winnowing keeps its
-#:        oracle_check row + textstats parity pytest.
-#:
-#: Round-6 fourth rotation (post-crash session: the three newest
-#: operator families in while newest):
-#:   IN : ann_binary_hamming_topk (1-bit packed-sign Hamming tier —
-#:        new quantized-retrieval machinery: XOR+popcount stage 1),
-#:        dedup_duplicate_spans (exact-substring dedup signal — new
-#:        rolling-gram + island-merge machinery),
-#:        pagerank_trade_network (fixed-point iterative PageRank —
-#:        new integer-exact iteration machinery).
-#:   OUT: ann_sq8_rescore_topk -> the two-stage pool->exact-rescore
-#:        machinery stays gated THREE ways (ann_pq_trained trained
-#:        ADC, ann_binary_hamming_topk Hamming tier, both ending in
-#:        the same exact-rescore + two-phase top-k); SQ8 keeps its
-#:        recall-floor fuzz + dedicated pytest + oracle_check row.
-#:        dedup_exact -> the sha2-keyed groupBy dedup machinery is
-#:        gated via curation_pipeline (exact-dedup stage) AND
-#:        curation_pipeline_v3 (hashed keeper); keeps oracle_check +
-#:        pytest.
-#:        kmeans_two_iterations -> Lloyd training machinery is gated
-#:        via ann_pq_trained and dedup_semantic_clusters (both train
-#:        codebooks/centroids in-query); keeps oracle_check + trainer
-#:        parity pytest; pagerank keeps the iterative-algorithm slot
-#:        pointed at the newest iterative operator.
-#:
-#: Round-6 fifth rotation (late additions, same partner rule):
-#:   IN : textstats_compression_ratio (zlib quality proxy — the one
-#:        non-SQL-expressible signal, gated through its Python-twin
-#:        VALUES oracle; worth a driver row precisely because the
-#:        gate must prove the dynamic-oracle path too),
-#:        ann_matryoshka_topk (prefix-truncation tier — fourth rung
-#:        of the retrieval ladder, new slice-projection machinery).
-#:   OUT: pii_redaction -> codegen regex-chain machinery is gated via
-#:        html_text_extraction (same regexp_replace pipeline shape);
-#:        keeps oracle_check + pytest.
-#:        fts_bm25_search -> the BM25 scoring path (postings, df/avgdl
-#:        broadcast, micro-unit quantization) runs INSIDE the gated
-#:        rag_rerank_bm25 stage 1; keeps oracle_check + rank pytest.
-#:
-#: Round-6 sixth rotation (session tail — newest machinery in):
-#:   IN : url_canonical_dedup (dialect-exact regexp canonicalization —
-#:        the RE2-vs-Java 'g'-flag/backref/escaping traps are NEW
-#:        machinery worth a driver row),
-#:        quality_ensemble_topk (multi-signal z-blend over exact
-#:        integer moments; also gates the FLOOR-vs-CAST double->int
-#:        dialect convention),
-#:        streaming_sliding_counts (hopping windows — a strict
-#:        superset of the tumbling shape).
-#:   OUT: bpe_train_merges -> the training loop + bit-exact Python
-#:        twin run INSIDE the still-gated bpe_encode_corpus (its
-#:        oracle re-trains and re-encodes); keeps oracle_check +
-#:        classic-merges pytest.
-#:        curation_pipeline (v1) -> every v1 stage is gated on its
-#:        own (textstats_quality, textstats_lang_id) or via
-#:        curation_pipeline_v3's hashed exact-dedup keeper; keeps
-#:        bench row + oracle_check.
-#:        streaming_tumbling_counts -> sliding gates the same
-#:        watermarked window-agg machinery with slide<window on top;
-#:        tumbling keeps pytest + oracle_check.
-#:
-#: Round-6 seventh rotation (last): IN ann_ivf_binary_topk — the
-#: 3-stage IVF x binary-Hamming x refine hybrid CONTAINS the plain
-#: probes=2 candidate generation as its stage 1, so OUT ann_ivf_topk
-#: (keeps its oracle_check row, the trained/recall/full-probe oracle
-#: family, and the IVF pytest suite).
-#:
-#: Round-7 rotation (per round-6 verdict ask #1 — the five newest
-#: operator families with no driver CORRECTNESS row in, each OUT slot
-#: keeps a gated family partner + oracle_check + pytest):
-#:   IN : curation_pipeline_v5 (domain front door + quota + ensemble
-#:        compose — newest end-to-end curation composition),
-#:        hard_negative_mining (positive-anchored rank-band draw —
-#:        new contrastive-training machinery),
-#:        scd2_event_type_history (SCD2 validity intervals via
-#:        lead-over-partition — new history-table machinery),
-#:        regression_price_vs_quantity (decimal-exact OLS normal
-#:        equations — new numeric-exactness machinery),
-#:        join_key_skew_profile (pre-join key-skew diagnostic — the
-#:        operator that DECIDES salted-vs-broadcast at 100 TB).
-#:   OUT: dedup_ngram_jaccard -> gram machinery gated via
-#:        dedup_duplicate_spans (rolling grams) + dedup_minhash_lsh
-#:        (shingle+verify legs); keeps oracle_check + pytest.
-#:        ann_pq_trained -> two-stage pool->exact-rescore gated via
-#:        ann_binary_hamming_topk + ann_ivf_binary_topk; trained-
-#:        codebook path keeps its dynamic oracle + trainer pytest.
-#:        sessionization -> the lag+cumsum window machinery is gated
-#:        via window_argmax_per_user (row_number frame) and now
-#:        scd2_event_type_history (lead frame); keeps oracle_check +
-#:        pytest.
-#:        semistructured_props_stats -> JSON-path machinery
-#:        (get_json_object/from_json) also runs inside the gated
-#:        error_breakdown props leg; keeps oracle_check + pytest.
-#:        normalize_entities -> regexp normalize machinery gated via
-#:        html_text_extraction + url_canonical_dedup (same
-#:        regexp_replace chain shape); T1-T3 keep oracle_check +
-#:        ported selftest pytest.
-#:
-#: Round-7 second rotation: IN ann_ivf_binary_stored — the stored-
-#: tier form (write_binary_tier -> read_binary_tier ->
-#: ivf_binary_topk_from_tier) is a strict superset of
-#: ann_ivf_binary_topk: the in-plan query now DELEGATES to the same
-#: from_tier search, so gating the stored form gates the search
-#: machinery AND the persistence round-trip (the verdict's
-#: what's-missing #1). OUT ann_ivf_binary_topk (keeps bench row,
-#: oracle_check, and the tier pytest suite in test_ann_tier.py).
-#:
-#: Round-7 third rotation: IN quality_classifier_trained — in-Spark
-#: distillation training (exact integer Gram + driver ridge solve,
-#: bit-exact Python-twin oracle; what's-missing #2) CONTAINS the
-#: fixed-literal scoring fold as its teacher stage, so OUT
-#: quality_classifier_filter (keeps oracle_check + the
-#: teacher-reproduction parity pytest in test_pretrain_ops.py).
-#:
-#: Round-7 fourth rotation: IN dedup_spans_incremental — the standing
-#: gram-artifact probe (write_gram_artifact append-only update +
-#: duplicate_spans_from_artifact) runs the SAME occurrence-count and
-#: island-merge machinery as dedup_duplicate_spans, read through the
-#: persisted table, plus the incremental-update contract on top, so
-#: OUT dedup_duplicate_spans (keeps bench row, oracle_check, and the
-#: artifact-vs-inplan parity pytest in test_pretrain_ops.py).
-#:
-#: Round-7 fifth rotation (session tail — the four newest operator
-#: families in, same partner rule):
-#:   IN : decontamination_bloom (portable Bloom bitmap — new sketch
-#:        family; even the false positives are hash-gated),
-#:        hll_distinct_parts (HyperLogLog — new sketch family:
-#:        mid-square finalizer + exact integer harmonic fold),
-#:        streaming_interval_join (stream-stream watermarked interval
-#:        join — the one stateful-streaming shape with no gate row),
-#:        bucketed_join_scan (bucketed+sorted co-located join — the
-#:        layout family's first gate row; zero-Exchange join plan).
-#:   OUT: url_domain_filter -> domain machinery runs INSIDE the gated
-#:        curation_pipeline_v5 front door + url_canonical_dedup;
-#:        keeps oracle_check + pytest.
-#:        histogram_quantile_sketch -> the bounded-key sketch-build
-#:        shuffle shape is gated via cms_heavy_hitters (and now two
-#:        more sketches); keeps oracle_check + pytest.
-#:        window_argmax_per_user -> row_number-over-partition frames
-#:        run inside EVERY gated two-phase top-k (ann family) and
-#:        scd2_event_type_history gates the lead frame; keeps
-#:        oracle_check + pytest.
-#:        contrastive_negatives -> the crossjoin + two-phase draw is
-#:        gated via hard_negative_mining (rank-band superset); keeps
-#:        oracle_check + pytest.
-#:
-#: Round-7 sixth rotation (session tail — the five newest operator
-#: families in, same partner rule):
-#:   IN : dedup_prefix_jaccard (PPJoin prefix-filtered EXACT Jaccard
-#:        join — new candidate-generation machinery: df-ordered token
-#:        prefixes bound the self-join without LSH approximation),
-#:        triangle_count_copurchase (degree-oriented wedge join —
-#:        arboricity-bounded triangle enumeration, new machinery),
-#:        kcore_copurchase (iterative peeling to a measured fixpoint
-#:        with a pure-Python VALUES twin — new machinery),
-#:        bfs_copurchase_distances (BSP frontier expansion gated
-#:        against a genuinely INDEPENDENT DuckDB recursive-CTE
-#:        formulation — the strongest oracle form in the registry),
-#:        session_peak_concurrency (sweep-line concurrency as a
-#:        distributed two-phase prefix sum — new operators/sweep.py).
-#:   OUT: dedup_embedding_srp_lsh -> LSH banding machinery gated via
-#:        dedup_minhash_lsh + dedup_incremental_minhash; SRP keeps
-#:        oracle_check + pytest.
-#:        pagerank_trade_network -> the iterative-fixpoint +
-#:        localCheckpoint discipline is now gated via kcore_copurchase
-#:        AND bfs_copurchase_distances (the rotation convention:
-#:        point the iterative slot at the newest iterative operator);
-#:        pagerank keeps its bench row, integer-exact oracle_check
-#:        row, and pytest.
-#:        cms_heavy_hitters -> the bounded-key sketch-build shuffle
-#:        is gated via decontamination_bloom + hll_distinct_parts;
-#:        CMS keeps bench + oracle_check + pytest.
-#:        range_join_clicks_before_purchase -> interval-predicate
-#:        join machinery gated via streaming_interval_join (same
-#:        residual shape under watermarks); the batch form keeps
-#:        oracle_check + pytest, and scd2_point_in_time_join adds a
-#:        third oracle_check-verified instance.
-#:        domain_mixture_sample -> the integer-threshold rate sampler
-#:        runs INSIDE the gated curation_pipeline_v5 quota front
-#:        door; keeps oracle_check + pytest.
-#:
-#: Round-7 seventh rotation (the transaction-log format + the other
-#: newest machinery in, same partner rule):
-#:   IN : timetravel_snapshot_read (tlog commit protocol — append
-#:        accumulation, overwrite replacement, historical reads
-#:        through manifest replay),
-#:        timetravel_pruned_scan (manifest-stats file skipping —
-#:        footer [min,max] into the manifest, prune before Spark
-#:        sees the file list),
-#:        hll_incremental_store (append-only register batches folded
-#:        by register-wise max — the sketch-merge contract),
-#:        fts_conjunctive_search (posting-intersection access path —
-#:        count-of-matched-terms, never an n-way posting self-join),
-#:        scd2_point_in_time_join (temporal dimension lookup —
-#:        interval residual on the key equi-join).
-#:   OUT: hll_distinct_parts -> hll_incremental_store CONTAINS the
-#:        register build + harmonic fold, read through the store (a
-#:        strict superset); keeps oracle_check + sketch pytest.
-#:        snapshot_table_diff -> the versioned-dimension family is
-#:        gated via scd2_point_in_time_join (+ scd2_event_type_
-#:        history); the CDC hash-diff keeps oracle_check + pytest.
-#:        curation_pipeline_v3 -> every v3 stage is gated on its own:
-#:        quality_classifier_trained contains the classifier fold,
-#:        boilerplate_segment_removal is gated, and the hashed keeper
-#:        dedup is gated via curation_pipeline_v5; v3 keeps its bench
-#:        row + oracle_check.
-#:        join_key_skew_profile -> a two-level key-count aggregation,
-#:        machinery gated by a dozen agg slots; the skew DECISION it
-#:        feeds (salted vs broadcast) keeps salted_join oracle_check
-#:        + pytest.
-#:        ann_matryoshka_topk -> the retrieval ladder keeps three
-#:        gated rungs (bruteforce, binary Hamming, IVF x binary
-#:        stored); the prefix-slice tier keeps its recall-floor fuzz
-#:        pytest + oracle_check.
-#:
-#: Round-7 eighth rotation (two strict-containment swaps, session
-#: tail):
-#:   IN : cheapest_trade_routes — Bellman-Ford min-plus relaxation
-#:        GENERALIZES the BFS frontier (unit weights -> integer
-#:        costs; same join+min-aggregate round, same localCheckpoint
-#:        discipline), so OUT bfs_copurchase_distances (keeps its
-#:        bench row, the recursive-CTE oracle_check row, and the
-#:        frontier pytest suite).
-#:   IN : streaming_peak_concurrency — the lambda composition
-#:        CONTAINS sweep.finalize_daily_peaks (the two-phase prefix
-#:        sum, now shared code) and adds the watermarked streaming
-#:        delta pre-aggregate on top, so OUT session_peak_concurrency
-#:        (keeps its bench row + oracle_check; its gap-rule session
-#:        builder is the same lag+cumsum+groupBy machinery gated via
-#:        scd2_event_type_history's window frames).
-#:
-#: Round-7 ninth rotation (session tail, two swaps):
-#:   IN : mmr_diverse_selection — greedy sequential selection in
-#:        exact micro-integer arithmetic, a NEW machinery class
-#:        (pool-bounded driver-loop selection), and its callable
-#:        Python-twin VALUES oracle keeps the dynamic-oracle path
-#:        proven in the gate, so OUT textstats_compression_ratio
-#:        (whose gate role was exactly that; keeps its Python-twin
-#:        oracle_check row + zlib parity pytest).
-#:   IN : multimodal_bytes_simhash — the dedup family extended to
-#:        BINARY payloads (rolling byte-gram SimHash in Arrow
-#:        mapInPandas, every fingerprint bit hash-gated), which also
-#:        exercises the same Arrow-over-binary batch plumbing as
-#:        multimodal_features, so OUT multimodal_features (keeps
-#:        oracle_check + the multimodal pytest suite; frame/audio
-#:        plumbing stays oracle_check-covered via its own rows).
-#:
-#: Round-7 tenth rotation (one swap): IN clamped_wallet_balance —
-#: the per-key NON-LINEAR recurrence (bal = max(0, bal+delta)) is the
-#: ONLY grouped-applyInPandas operator in the repo (everything else
-#: Arrow-side is mapInPandas), i.e. the one batch family where
-#: per-key Python is the right tool, and its recursive-CTE oracle is
-#: a genuinely independent row-by-row replay — machinery nothing else
-#: gates. OUT sequence_packing — its greedy shard packing is
-#: running-sum-window machinery (the prefix-sum-then-filter shape),
-#: gated via scd2_event_type_history's frames and the sweep finalize
-#: inside streaming_peak_concurrency; packing keeps its oracle_check
-#: row + pytest.
-#:
-#: Round-8 rotation (per round-7 verdict ask #1 — the stats module +
-#: newest round-8 machinery in; every OUT slot keeps a gated family
-#: partner + tools/oracle_check row + pytest):
-#:   IN : ingest_timetravel_cases (the ingest MERGE path THROUGH the
-#:        tlog format — runs the FULL validate/dims/last-wins merge
-#:        pipeline in-gate and reads a historical version back,
-#:        verdict ask #3's done-criterion),
-#:        ivm_tlog_cdc_refresh (tlog versions -> snapshot_diff CDC ->
-#:        signed view refresh, gated vs full recompute — ask #7),
-#:        spearman_balance_spend (TWO-PHASE global rank,
-#:        operators/ranks.py — new order-statistics machinery: no
-#:        single-task global sort),
-#:        ks_urgent_price_distribution (two-phase prefix-sum ECDF +
-#:        exact integer cross-product supremum — the global-sort-
-#:        discipline test the verdict named),
-#:        hits_trade_authorities (integer fixed-point HITS with exact
-#:        ceiling-divisor max-normalization — newest iterative
-#:        machinery),
-#:        chi_squared_independence, psi_value_drift,
-#:        theil_sen_daily_trend, systematic_weighted_sample,
-#:        quality_signal_confusion (the five verdict-named families
-#:        with no driver CORRECTNESS row ever).
-#:   OUT: merge_upsert_state -> the MERGE (last-writer-wins + anti-
-#:        join union) runs INSIDE ingest_timetravel_cases's two-batch
-#:        ingest (strict containment); keeps oracle_check + ingest
-#:        pytest.
-#:        status_validation_split -> the full validate() cascade runs
-#:        INSIDE ingest_timetravel_cases; keeps oracle_check +
-#:        test_ingest's per-code assertions.
-#:        timetravel_snapshot_read -> commit protocol + manifest
-#:        replay now gated via ingest_timetravel_cases (multi-table
-#:        commits, historical read) AND ivm_tlog_cdc_refresh
-#:        (overwrite versions feeding CDC); keeps oracle_check +
-#:        test_tlog pytest; timetravel_pruned_scan keeps the stats-
-#:        pruning half gated.
-#:        regression_price_vs_quantity -> exact-integer numeric
-#:        machinery gated via theil_sen_daily_trend + chi_squared
-#:        (verdict-suggested partner); keeps oracle_check + pytest.
-#:        streaming_sliding_counts -> watermark window machinery
-#:        gated via streaming_interval_join +
-#:        streaming_peak_concurrency (verdict-suggested); keeps
-#:        oracle_check + streaming pytest.
-#:        error_breakdown -> top-10 groupBy-agg machinery gated by a
-#:        dozen slots (verdict-suggested); keeps oracle_check.
-#:        cheapest_trade_routes -> the iterative slot points at the
-#:        newest iterative operator (rotation convention): HITS runs
-#:        the same join+shuffle-agg+broadcast round with
-#:        localCheckpoint discipline; Bellman-Ford keeps its bench
-#:        row, recursive-CTE oracle_check row, and fuzz pytest.
-#:        quality_ensemble_topk -> the z-blend runs INSIDE the gated
-#:        curation_pipeline_v5 ensemble stage, and the FLOOR-micro-
-#:        snap dialect convention is now gated by the entire stats
-#:        family; keeps oracle_check + pytest.
-#:        textstats_quality -> quality signals run INSIDE
-#:        curation_pipeline_v5 (quality stage) and
-#:        quality_classifier_trained (feature fold); keeps
-#:        oracle_check + pytest.
-#:        scd2_point_in_time_join -> temporal interval machinery
-#:        gated via scd2_event_type_history (validity frames) +
-#:        streaming_interval_join (interval residual); keeps
-#:        oracle_check + pytest.
-#:
-#: Round-8 late rotation (the session's final statistical additions
-#: are the newest families with no driver row; same partner rule):
-#:   IN : kaplan_meier_conversion (product-limit survival with right
-#:        censoring — a new algorithm class: risk-set accounting +
-#:        the micro-snapped-ln-before-cumsum convention in one),
-#:        bootstrap_mean_ci (deterministic Poisson-bootstrap — a new
-#:        resampling class: folded-CDF integer weights, exact
-#:        order-statistic CI, map-side-combine scale shape).
-#:   OUT: psi_value_drift -> the ln-on-exact-integer-ratio micro-snap
-#:        convention is now gated by kaplan_meier_conversion (same
-#:        snap, plus cumulative discipline) and lm_perplexity_score;
-#:        keeps oracle_check.
-#:        systematic_weighted_sample -> deterministic weighted
-#:        selection is gated by bootstrap_mean_ci (the same pure-
-#:        function-of-key property, extended to replication); its
-#:        two-phase key-range prefix sum stays gated via
-#:        ks_urgent_price_distribution + spearman_balance_spend;
-#:        keeps oracle_check + the k=97 systematic-picks pytest.
-#:        (mann_kendall_daily_trend stays oracle_check-only: its
-#:        pairwise calendar-bounded join and exact tie table are the
-#:        machinery theil_sen_daily_trend already gates.)
-#:
-#: Round-8 second late rotation (the session's newest algorithm
-#: families in, same partner rule):
-#:   IN : kneser_ney_perplexity (interpolated KN smoothing as ONE
-#:        ratio of exact BIGINTs — rational discount D=3/4,
-#:        continuation-count model tables derived from the bigram
-#:        TYPE table; runs the same corpus-scale bigram shuffle +
-#:        micro-snapped -ln + per-doc agg as the add-one LM and adds
-#:        the vocabulary-keyed continuation joins on top),
-#:        isotonic_calibration (Pool-Adjacent-Violators in exact
-#:        RATIONAL arithmetic over the bounded bin table — a new
-#:        algorithm class: order-constrained regression; also the
-#:        newest instance of the dynamic Python-twin VALUES oracle
-#:        path and the bounded driver-side-solve convention).
-#:   OUT: lm_perplexity_score -> kneser_ney_perplexity gates the
-#:        same bigram-LM machinery (strict superset of shuffles and
-#:        the snap convention); add-one keeps its bench row,
-#:        oracle_check row, and operators/lm.py pytest.
-#:        mmr_diverse_selection -> the dynamic-oracle + bounded
-#:        sequential-solve slot points at the newest instance
-#:        (rotation convention, the r7 compression_ratio -> mmr
-#:        precedent); MMR keeps oracle_check + the rerank pytest.
-#:   (temperature_mixture_weights stays oracle_check-only: its
-#:   bounded-table window + broadcast + transcendental-snap
-#:   machinery is gated via the stats family and curation quotas.)
-#:
-#: Round-8 third late rotation (one swap): IN unigram_lm_tokenize —
-#: the SentencePiece unigram-LM tokenizer is a NEW algorithm family
-#: (hard-EM piece-probability fitting + exact-integer Viterbi DP with
-#: a total tie rule), the second subword recipe beside the gated
-#: bpe_encode_corpus, with distributed seeding/EM aggregations that
-#: only the hash gate can prove equal to the sparkless twin's. OUT
-#: html_text_extraction -> its codegen regexp_replace chain machinery
-#: stays gated via url_canonical_dedup (the same-family partner named
-#: when pii_redaction rotated out in r6); keeps oracle_check + the
-#: WET-step pytest.  (pareto_frontier_parts and
-#: shapley_channel_attribution stay oracle_check-only: the skyline
-#: runs on the gated two-phase prefix machinery (ks/spearman), and
-#: Shapley's fact-scale work is one user-mask aggregate gated a dozen
-#: ways — the lattice join is bounded-literal.)
-#:
-#: Round-8 fourth late rotation (one swap): IN curation_pipeline_v6 —
-#: the target-aware mixing capstone composes the session's THREE new
-#: sampling/selection families in one gated plan (DSIR importance
-#: gate, temperature-quota largest-remainder apportionment, per-
-#: source A-Res weighted draws through the band-parallel rank), none
-#: of which had an individual driver row — one slot gates all three
-#: plus the composition. OUT chi_squared_independence -> its
-#: machinery (broadcast marginals, exact-integer contingency algebra,
-#: the FLOOR micro-snap) is gated via quality_signal_confusion (the
-#: same contingency-table shape) and the six remaining stats-family
-#: gate rows; chi2 keeps its oracle_check row + stats pytest.
-#:
-#: Round-8 fifth late rotation (the supervised-learning /
-#: evaluation session: five NEW algorithm families in while newest,
-#: same partner rule — every OUT names the gated partner that keeps
-#: its machinery under a driver row, and keeps its own oracle_check
-#: row + pytest):
-#:   IN : stump_split_search (histogram split search — the GBDT
-#:        histogram pattern: constant-width exact-integer binning,
-#:        bin-bounded cumulative scan, micro-snapped Gini; a new
-#:        supervised-selection machinery class),
-#:        naive_bayes_lang_confusion (generative classifier trained
-#:        in-plan: corpus-scale token-count shuffle, vocabulary-
-#:        bounded broadcast likelihood table with micro-ln snaps,
-#:        OOV fallback, argmax-with-total-order confusion matrix),
-#:        conformal_price_calibration (split-conformal order
-#:        statistic through the band-parallel two-phase rank + a
-#:        held-out coverage audit — the newest operators/ranks.py
-#:        consumer),
-#:        holt_linear_daily (TWO-state integer recurrence with
-#:        truncating halving — extends the grouped-applyInPandas
-#:        walk class beyond single-state; recursive-CTE oracle
-#:        replays the coupled level/trend steps),
-#:        clustering_nmi_purity (external clustering evaluation:
-#:        contingency MI/entropy micro-pieces over the bounded
-#:        (k x labels) table composed with the kmeans assignment
-#:        machinery).
-#:   OUT: dedup_cluster_components -> hash-to-min component
-#:        propagation stays gated via dedup_semantic_clusters
-#:        (cluster keeper) and the iterative integer-label
-#:        discipline via kcore/triangle; clustering_nmi_purity now
-#:        gates the cluster-quality side; keeps oracle_check + the
-#:        seeded graph fuzz pytest.
-#:        ann_binary_hamming_topk -> the packed-word XOR+popcount
-#:        stage-1 machinery is gated by ann_ivf_binary_stored (a
-#:        strict superset: stored tier + IVF routing + Hamming +
-#:        exact rescore); keeps oracle_check + recall-floor pytest.
-#:        bucketed_join_scan -> layout-driven scan machinery stays
-#:        gated via timetravel_pruned_scan (manifest-stats file
-#:        skipping); the bucketed shuffle-free join keeps its
-#:        physical-plan assertion pytest + oracle_check.
-#:        dedup_incremental_minhash -> the probe-not-rebuild
-#:        standing-index discipline is gated via
-#:        dedup_spans_incremental (standing gram artifact) and the
-#:        banded-LSH build via dedup_minhash_lsh; keeps
-#:        oracle_check + incremental pytest.
-#:        streaming_peak_concurrency -> the sweep-line two-phase
-#:        prefix machinery is gated via ks_urgent_price_distribution
-#:        (band-parallel prefix sums) and now
-#:        conformal_price_calibration (band-parallel rank), and the
-#:        streaming window family via streaming_interval_join;
-#:        keeps oracle_check + the sweep pytest.
-#:   (The wave's other families stay oracle_check-only by the same
-#:   machinery-partner logic: boosting_two_rounds runs the stump
-#:   histogram machinery twice INSIDE one plan and stump gates it;
-#:   textrank_keywords composes the gated-precedent pagerank
-#:   operator; als_user_factors_2d / target_encoding_shrunk /
-#:   information_gain_ranking are broadcast-joined exact-integer
-#:   aggregates gated a dozen ways; ewma_event_type_daily's walk
-#:   machinery is gated via holt_linear_daily, a strict superset;
-#:   lcs_align_neardups' applyInPandas path via clamped_wallet /
-#:   holt and its candidate machinery via dedup_prefix_jaccard +
-#:   dedup_minhash_lsh; the profiling/mining/eval one-pass
-#:   aggregates via the stats-family rows. All have pytest +
-#:   oracle_check + (rolling/eval) plan-sweep coverage.)
-#:
-#: Round-8 sixth late rotation (the retrieval-evaluation / density /
-#: session-window session: five NEW families in while newest, same
-#: partner rule — every OUT keeps a gated machinery partner, its
-#: oracle_check row, and pytest):
-#:   IN : split_leakage_audit (train/val/test decontamination matrix
-#:        — runs with_minhash + lsh_candidate_pairs + the hot-bucket
-#:        cap INSIDE the plan, a strict superset of
-#:        dedup_minhash_lsh's machinery, plus the portable-hash split
-#:        assignment and the cross-split contamination algebra),
-#:        retrieval_ndcg_eval (NDCG@10/MRR/P@10 of the exact cosine
-#:        top-k — runs brute_force_topk INSIDE the plan, a strict
-#:        superset of ann_bruteforce_topk's broadcast + two-phase
-#:        top-k machinery, plus the Python-folded literal
-#:        discount-table discipline),
-#:        streaming_session_windows (session_window(gap) — the
-#:        dynamic-gap shape completing the streaming window matrix
-#:        beside tumbling/sliding/interval; merge-at-exact-gap rule
-#:        pinned empirically by pytest),
-#:        dbscan_embedding_clusters (density clustering — a NEW
-#:        algorithm class: eps-graph cores, deterministic border
-#:        attachment, noise; runs graph.connected_components INSIDE
-#:        the plan, restoring the components fixpoint to a driver row
-#:        after the r8 fifth rotation retired
-#:        dedup_cluster_components),
-#:        dtw_daily_series_alignment (dynamic time warping — the
-#:        newest per-group DP + dynamic Python-twin VALUES instance;
-#:        the dynamic-oracle slot points at the newest instance, the
-#:        compression_ratio -> mmr -> isotonic precedent).
-#:   Bench note: four of the five INs joined the bench set
-#:   (gate-critical -> benched rule).  dbscan_embedding_clusters is
-#:   the documented exception: it is the exact O(n^2) all-pairs AUDIT
-#:   form (the dedup_embedding_cosine class), ~60 s at sf0.1 from
-#:   12.5M fold-exact dots — an honest cost with no plan-level fix
-#:   that keeps bit-exactness (a GEMM path reorders float sums and
-#:   breaks the hash contract at the eps boundary).  Its gate row
-#:   runs at sf0.01 (~2 s); the bench keeps measuring its machinery
-#:   via the components/eps-pair consumers (split_leakage_audit,
-#:   retrieval_ndcg_eval).
-#:   OUT: dedup_minhash_lsh -> strict containment in
-#:        split_leakage_audit (same signatures, banding, cap); keeps
-#:        its bench row, oracle_check row, and LSH pytest.
-#:        ann_bruteforce_topk -> strict containment in
-#:        retrieval_ndcg_eval (and knn_loo_confusion /
-#:        rocchio_prf_rerank gate-adjacent siblings run it too);
-#:        keeps bench + oracle_check + ann pytest.
-#:        clamped_wallet_balance -> the grouped-applyInPandas walk
-#:        class is gated via holt_linear_daily (two-state strict
-#:        superset, the r8 fifth-rotation precedent for ewma); keeps
-#:        oracle_check + the transformWithState/recurrence pytest.
-#:        dedup_semantic_clusters -> its kmeans-assignment piece is
-#:        gated via clustering_nmi_purity (ivf_assign composition)
-#:        and its within-cluster pairwise + keeper algebra via
-#:        dbscan_embedding_clusters (eps-pairs + components + member
-#:        accounting); keeps oracle_check + pytest.
-#:        isotonic_calibration -> the dynamic Python-twin VALUES +
-#:        bounded-driver-solve slot rotates to the newest instance
-#:        (dtw; rotation convention), and PAV's order-statistics
-#:        consumers stay gated via conformal_price_calibration;
-#:        keeps oracle_check + the PAV pytest.
-#:   (The session's other new families stay oracle_check-only by the
-#:   same machinery-partner logic: rocchio_prf_rerank and
-#:   knn_loo_confusion run the gated brute-force + centroid recipes;
-#:   fts_dirichlet_ql_search shares the postings/ln-snap machinery
-#:   gated via kneser_ney_perplexity + rag_rerank_bm25;
-#:   logrank_conversion_arms shares kaplan_meier_conversion's
-#:   risk-set machinery; periodogram_weekly_cycle / chao1 / kappa /
-#:   pinball / source_unigram_kl are literal-table or one-pass
-#:   exact-integer aggregates gated a dozen ways;
-#:   modularity_lpa_communities composes the gated-precedent LPA
-#:   with two edge-table aggregates. All have oracle_check rows.)
-#:
-#: Round-9 rotation (per round-8 verdict asks #2/#3/#4; every OUT
-#: keeps a gated machinery partner + tools/oracle_check row + pytest):
-#:   IN : dbscan_srp_clusters (ask #2 — the SCALE-shaped DBSCAN: two
-#:        independent 8-plane SRP codes generate candidates, exact
-#:        cosine verifies inside buckets, then the SAME core/border/
-#:        components machinery; the n^2 join never exists),
-#:        ewma_gap_decay_wallet (ask #4 — the honest no-closed-form
-#:        walk: data-dependent decay exponent + per-step integer
-#:        truncation; recursive-CTE replay oracle),
-#:        textstats_repetition, stratified_split,
-#:        embedding_quantize_int8, multimodal_audio_windows,
-#:        market_share_by_year, sole_clean_supplier_orders (ask #3 —
-#:        the named never-gated families; the last two are the
-#:        hardest TPC-H decorrelation shapes in the pack).
-#:   OUT: dbscan_embedding_clusters -> dbscan_srp_clusters gates the
-#:        identical downstream machinery (_dbscan_report is shared
-#:        code); the exact O(n^2) form is demoted to the audit-only
-#:        convention (dedup_embedding_cosine class) and keeps its
-#:        oracle_check row + max_rows refusal pytest.
-#:        holt_linear_daily -> the grouped-applyInPandas walk slot
-#:        points at the newest instance (rotation convention):
-#:        ewma_gap_decay_wallet gates the same one-key-shuffle walk
-#:        machinery plus data-dependent state; holt keeps its bench
-#:        row, recursive-CTE oracle_check row, and fuzz pytest.
-#:        textstats_lang_id -> language classification keeps a gate
-#:        row via naive_bayes_lang_confusion (trained NB + confusion
-#:        argmax); the n-gram heuristic keeps oracle_check + pytest
-#:        and runs INSIDE the benched curation_pipeline v1.
-#:        quality_signal_confusion -> bounded contingency-table
-#:        machinery gated via clustering_nmi_purity (contingency
-#:        MI/entropy) and naive_bayes_lang_confusion (confusion
-#:        matrix with total-order argmax); keeps oracle_check.
-#:        spearman_balance_spend -> the band-parallel two-phase
-#:        global rank (operators/ranks.py) is gated via
-#:        conformal_price_calibration (same rank path) and
-#:        ks_urgent_price_distribution (two-phase prefix ECDF);
-#:        keeps oracle_check + ranks pytest.
-#:        bootstrap_mean_ci -> deterministic pure-function-of-key
-#:        resampling gated via curation_pipeline_v6's A-Res draws;
-#:        exact order-statistic CI via conformal's split-conformal
-#:        order statistic; keeps bench row + oracle_check.
-#:        streaming_session_windows -> the watermarked stateful
-#:        window family keeps streaming_interval_join (+ the
-#:        foreachBatch/neardup rows); session_window(gap) keeps its
-#:        merge-rule pytest + oracle_check.
-#:        kcore_copurchase -> the iterative integer-fixpoint +
-#:        localCheckpoint discipline is gated via
-#:        hits_trade_authorities (newest iterative operator) and
-#:        triangle_count_copurchase keeps the graph family's
-#:        wedge-join shape; peeling keeps oracle_check + pytest.
-#:
-#: Dead-slot audit of KEPT near-pairs (one line each, per round-5
-#: verdict ask):
-#:   dedup_minhash_lsh vs dedup_ngram_jaccard — approximate banded
-#:     LSH self-join vs EXACT Jaccard via df-capped inverted index:
-#:     different algorithms, different failure modes, both north-star.
-#:   contrastive_negatives vs domain_mixture_sample — crossjoin +
-#:     two-phase top-k draw vs map-side integer-threshold rate
-#:     sampling: no shared machinery beyond the portable hash.
-#:   curation_pipeline vs curation_pipeline_v3 — v1 composes
-#:     textstats-quality + lang-id + exact dedup; v3 composes
-#:     classifier + boilerplate-segment removal + hashed dedup:
-#:     disjoint stage sets, both compositions worth a driver row
-#:     (v4 = v3 + domain front door stays oracle_check-only for now).
-#:
-#: Round-10 rotation candidates (the round-9 session's 10 new
-#: never-gated queries, all sweep-green at sf0.001/0.01/0.1 with
-#: dedicated pytests — rotate the most machinery-distinct in first):
-#:   dbscan_ivf_clusters (trained-cell multi-probe candidates, the
-#:     measured loose-eps winner: 789-800 milli edge recall vs the
-#:     SRP form's 35-59 — consider swapping it INTO the slot
-#:     dbscan_srp_clusters holds), dbscan_srp_edge_recall /
-#:     dbscan_ivf_edge_recall (the calibration pair),
-#:   kcenter_coreset_selection (zero-shuffle greedy coverage),
-#:   mannwhitney_urgent_price + kruskal_wallis_segments (doubled-
-#:     midrank rank-sum family), zipf_slope_fit / heaps_law_fit
-#:     (exact-BIGINT OLS power laws), ngram_novelty_curve,
-#:   cross_source_neardup_matrix (provenance matrix).
+#: The per-round rotation history (which slots rotated when, and the
+#: gated machinery partner every OUT keeps) lives in ROTATIONS.md —
+#: round-10 entry: 14 in (trained-IVF DBSCAN + recall twin, the
+#: round-9 never-gated stats/dedup families, four TPC-H
+#: decorrelation shapes, the stateful-streaming sessionizer), 14 out,
+#: each with a named partner.
 GATE_PRIORITY: tuple[str, ...] = (
-    # LLM family: dedup
+    # LLM family: dedup / ingest
     "split_leakage_audit",
-    "hard_negative_mining",
     "dedup_prefix_jaccard",
     "boilerplate_segment_removal",
-    "dbscan_srp_clusters",
+    "cross_source_neardup_matrix",
     "dedup_spans_incremental",
     "ingest_timetravel_cases",
-    "streaming_neardup_docs",
-    # LLM family: similarity search / clustering / sketches
+    # LLM family: similarity search / clustering / graph / sketches
+    "dbscan_ivf_clusters",
+    "dbscan_ivf_edge_recall",
+    "kcenter_coreset_selection",
     "retrieval_ndcg_eval",
     "ann_ivf_binary_stored",
     "fts_conjunctive_search",
-    "sole_clean_supplier_orders",
     "hits_trade_authorities",
     "triangle_count_copurchase",
     "hll_incremental_store",
-    # statistics family (driver_queries_stats + operators/ranks —
-    # r8 rotation)
-    "embedding_quantize_int8",
-    "ks_urgent_price_distribution",
+    # statistics family (operators/ranks + driver_queries_stats)
+    "mannwhitney_urgent_price",
+    "kruskal_wallis_segments",
+    "zipf_slope_fit",
+    "heaps_law_fit",
     "curation_pipeline_v6",
-    "kaplan_meier_conversion",
-    "theil_sen_daily_trend",
-    "multimodal_audio_windows",
-    "stratified_split",
-    # supervised-learning / evaluation family (r8 fifth late
-    # rotation)
-    "stump_split_search",
-    "naive_bayes_lang_confusion",
     "conformal_price_calibration",
     "ewma_gap_decay_wallet",
     "clustering_nmi_purity",
-    # LLM family: text analysis + RAG + curation + streaming +
-    # multimodal (textstats_fingerprint -> fingerprint_winnowing
-    # subsumes the rolling hash; multimodal_frame_sample ->
-    # multimodal_features gates the same plumbing)
+    # LLM family: text analysis + RAG + curation + multimodal
+    "ngram_novelty_curve",
     "textstats_repetition",
     "ivm_tlog_cdc_refresh",
     "quality_classifier_trained",
@@ -736,21 +83,20 @@ GATE_PRIORITY: tuple[str, ...] = (
     "decontamination_bloom",
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
-    "market_share_by_year",
-    "dtw_daily_series_alignment",
-    # events-table family (timestamp/window/sessionization operators)
+    # TPC-H plan-shape proofs (decorrelation / outer-join
+    # distribution / OR-factoring — round-9 verdict ask #3)
+    "volume_shipping_nations",
+    "customer_order_distribution",
+    "small_quantity_avg_subquery",
+    "ored_predicates_revenue",
+    # events-table / streaming family
+    "streaming_stateful_sessionize",
     "streaming_interval_join",
     "scd2_event_type_history",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",
     "curation_pipeline_v5",
-    # (round-5 rotation: multiformat_date_parse and chunk_documents
-    # out for quality_classifier_filter and bpe_train_merges — T4
-    # keeps the reference's 15 ported selftest cases in
-    # tests/test_dates.py + oracle_check; T12 keeps its boundary
-    # goldens + seeded fuzz, and the chunker feeds the still-gated
-    # rag_semantic_search.)
     "parties_grammar",
     "surrogate_dim_ids",
     "case_detail_joins",
