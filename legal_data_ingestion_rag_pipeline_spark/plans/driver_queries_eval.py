@@ -856,3 +856,113 @@ def knn_loo_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# expected_calibration_error (round 10): the reliability diagram +
+# ECE — is a predicted probability CALIBRATED, not just discriminative
+# (the evaluation conformal/isotonic consume upstream).
+# ---------------------------------------------------------------------------
+
+@register(
+    "expected_calibration_error",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+               AS fbin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y
+      FROM orders
+    ),
+    train AS (
+      SELECT fbin, CAST(sum(y) * 1000 // count(*) AS BIGINT) AS p_milli
+      FROM o WHERE o_orderkey % 2 = 0 GROUP BY fbin
+    ),
+    ev AS (
+      SELECT t.p_milli, o.y, t.p_milli // 100 AS cb
+      FROM o JOIN train t USING (fbin) WHERE o.o_orderkey % 2 = 1
+    ),
+    buckets AS (
+      SELECT cb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p_milli) // count(*) AS BIGINT) AS avg_pred_milli,
+             CAST(sum(y) * 1000 // count(*) AS BIGINT) AS actual_milli
+      FROM ev GROUP BY cb
+    ),
+    tot AS (
+      SELECT CAST(sum(n * abs(avg_pred_milli - actual_milli)) // sum(n)
+                  AS BIGINT) AS ece_milli
+      FROM buckets
+    )
+    SELECT CAST(cb AS BIGINT) AS bucket, n, avg_pred_milli, actual_milli,
+           CAST(abs(avg_pred_milli - actual_milli) AS BIGINT) AS gap_milli,
+           tot.ece_milli
+    FROM buckets CROSS JOIN tot ORDER BY bucket
+    """,
+    doc="Expected Calibration Error + reliability diagram (Naeini et "
+    "al. 2015) — the evaluation that asks whether a predicted "
+    "probability MEANS its number (conformal and isotonic consume "
+    "calibration; this measures it).  The probability model is "
+    "trained in-plan leakage-safe: even order keys fit per-price-bin "
+    "urgent rates (exact milli integer division), odd keys are "
+    "scored by their bin's trained rate — the stratified_split "
+    "hash-half convention.  Eval predictions group into 10 "
+    "calibration buckets (p_milli DIV 100); per bucket the mean "
+    "prediction and realized rate are exact integer divisions, and "
+    "ECE = sum(n_b * |avg_pred - actual|) DIV N — every number in "
+    "the result is exact BIGINT arithmetic, no transcendental "
+    "anywhere.  Eval rows whose price bin never appeared in the "
+    "train half drop (inner join — ECE is defined over trained "
+    "bins).  Scale: two grouped passes over orders plus a "
+    "10-row-table broadcast join; the reliability table is bounded "
+    "at 10 rows regardless of corpus size.",
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)"
+        ).alias("fbin"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    train = (
+        o.filter(F.expr("o_orderkey % 2 = 0"))
+        .groupBy("fbin")
+        .agg(F.expr("CAST(sum(y) * 1000 DIV count(*) AS BIGINT)").alias("p_milli"))
+    )
+    ev = (
+        o.filter(F.expr("o_orderkey % 2 = 1"))
+        .join(F.broadcast(train), "fbin")
+        .select("p_milli", "y", F.expr("p_milli DIV 100").alias("cb"))
+    )
+    buckets = ev.groupBy("cb").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(p_milli) DIV count(*) AS BIGINT)").alias(
+            "avg_pred_milli"
+        ),
+        F.expr("CAST(sum(y) * 1000 DIV count(*) AS BIGINT)").alias(
+            "actual_milli"
+        ),
+    )
+    tot = buckets.agg(
+        F.expr(
+            "CAST(sum(n * abs(avg_pred_milli - actual_milli)) DIV sum(n)"
+            " AS BIGINT)"
+        ).alias("ece_milli")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cb").cast("bigint").alias("bucket"),
+            "n",
+            "avg_pred_milli",
+            "actual_milli",
+            F.expr(
+                "CAST(abs(avg_pred_milli - actual_milli) AS BIGINT)"
+            ).alias("gap_milli"),
+            "ece_milli",
+        )
+        .orderBy("bucket")
+    )

@@ -3707,3 +3707,66 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_encode_corpus (round 10): the THIRD subword recipe — greedy
+# longest-match with start/continuation vocabulary (operators/wordpiece).
+# ---------------------------------------------------------------------------
+
+def _wordpiece_oracle(sf_dir: str) -> str:
+    """Sparkless twin: word counts from the parquet, the same pure
+    seeding/selection/greedy-encode functions, per-doc stats as VALUES
+    (the bpe/unigram convention — Spark and the twin share only the
+    pure integer functions; every AGGREGATION runs through a
+    different engine)."""
+    from ..operators import wordpiece
+
+    path = f"{sf_dir}/documents.parquet"
+    wc = wordpiece.word_counts_from_parquet(path)
+    vocab = wordpiece.train_wordpiece_py(wc)
+    stats = wordpiece.encode_stats_from_parquet(path, vocab)
+    values = ",\n             ".join(
+        f"({d}, {a}, {b}, {c}, {e})"
+        for d, (a, b, c, e) in sorted(stats.items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(n_unk_words AS BIGINT) AS n_unk_words,
+           CAST(n_continuations AS BIGINT) AS n_continuations
+    FROM (VALUES {values})
+      AS t(doc_id, n_words, n_pieces, n_unk_words, n_continuations)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "wordpiece_encode_corpus",
+    oracle=_wordpiece_oracle,
+    doc="WordPiece subword tokenizer (the BERT vocab family; Wu et "
+    "al. 2016) — the THIRD subword recipe beside the gated BPE and "
+    "unigram-LM queries, completing the tokenizer bake-off triple: "
+    "a position-aware vocabulary (word-START units vs ## "
+    "CONTINUATION units, counted separately over the distinct-word "
+    "table), greedy longest-match-first encoding (HF algorithm — NO "
+    "backtracking; a word with no matching unit at some position is "
+    "[UNK] wholesale, which makes n_unk_words a vocabulary-quality "
+    "signal Viterbi tokenizers cannot report), and per-document "
+    "fertility stats (n_words, n_pieces, n_unk_words, "
+    "n_continuations).  Scale (operators/wordpiece.py): corpus "
+    "touched ONCE (word_frequencies, shared with BPE); seeding is a "
+    "vocabulary-scale position-tagged substring explode + one "
+    "groupBy; encoding is one Arrow pandas_udf pass with the "
+    "vocabulary in the closure (constant plan size) and a per-batch "
+    "distinct-word memo.  All counts exact integers; vocabulary "
+    "selection has a total (count DESC, unit ASC) order — the "
+    "pyarrow twin is bit-equal, emitted as the VALUES oracle.",
+)
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import wordpiece
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = wordpiece.train_wordpiece(docs)
+    return wordpiece.encode_stats(docs, vocab).orderBy("doc_id")

@@ -3312,3 +3312,78 @@ def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar_linkpred (round 10): link-prediction scores on the
+# co-purchase bipartite graph — the "which pairs SHOULD be linked"
+# complement of triangle counting's "how clustered is what is".
+# ---------------------------------------------------------------------------
+
+@register(
+    "adamic_adar_linkpred",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    sz AS (SELECT o, CAST(count(*) AS BIGINT) AS deg FROM op GROUP BY o),
+    w AS (SELECT o, CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS w_micro
+          FROM sz WHERE deg >= 2),
+    pr AS (
+      SELECT a.p AS pa, b.p AS pb, w.w_micro
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      JOIN w ON w.o = a.o
+    )
+    SELECT pa, pb,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(w_micro) AS BIGINT) AS aa_micro
+    FROM pr GROUP BY 1, 2
+    ORDER BY aa_micro DESC, pa, pb
+    LIMIT 50
+    """,
+    doc="Adamic-Adar link prediction over the co-purchase bipartite "
+    "graph (Adamic & Adar 2003, the standard common-neighbor score): "
+    "for each part pair, sum 1/ln(|basket|) over the ORDERS they "
+    "share — a shared small basket is strong evidence, a shared "
+    "mega-basket is weak, which is exactly the inverse-log weighting "
+    "(plain co-occurrence counting, frequent_brand_pairs, treats "
+    "them equally).  Each order's weight 1e6/ln(deg) is snapped to "
+    "micro ONCE from its exact integer degree (one transcendental "
+    "per ORDER, not per pair — the psi/lm snap convention), then "
+    "pair scores are exact BIGINT sums; single-item baskets produce "
+    "no pairs and are excluded before ln (no ln(1)=0 division).  "
+    "Top-50 by (score DESC, pair).  Scale: the self-join is "
+    "co-partitioned on the basket key, per-basket fan-out is "
+    "k(k-1)/2 (TPC-H baskets <= 7; the heavy-basket cap applies at "
+    "100 TB), and the weight table is one row per order, joined on "
+    "the same key the pairs already shuffle on.",
+)
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = li.groupBy("o").agg(F.count("*").cast("bigint").alias("deg"))
+    w = sz.filter(F.col("deg") >= 2).select(
+        "o",
+        F.expr(
+            "CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pr = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .join(w, "o")
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"), "w_micro")
+    )
+    return (
+        pr.groupBy("pa", "pb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+        .orderBy(F.desc("aa_micro"), "pa", "pb")
+        .limit(50)
+    )

@@ -3222,3 +3222,90 @@ def user_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_residual_anomalies (round 10): the deseasonalized control
+# chart — remove the (event_type, weekday) baseline FIRST, then flag.
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_residual_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             (CAST(ts AS DATE) - DATE '{_DOW_ANCHOR}') % 7 AS dow_idx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT event_type, dow_idx,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT d.event_type, d.day, CAST(d.dow_idx AS BIGINT) AS dow_idx,
+             d.n,
+             CASE WHEN m.cnt * m.s2 - m.s1 * m.s1 <= 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(
+                    (CAST(m.cnt AS DOUBLE) * d.n - m.s1)
+                    / sqrt(CAST(m.cnt AS DOUBLE) * m.s2
+                           - CAST(m.s1 AS DOUBLE) * m.s1)
+                    * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+      FROM daily d JOIN mom m
+        ON d.event_type = m.event_type AND d.dow_idx = m.dow_idx
+    )
+    SELECT event_type, day, dow_idx, n, z_micro
+    FROM z WHERE abs(z_micro) > 1000000
+    ORDER BY event_type, day
+    """,
+    doc="seasonality-adjusted volume anomalies on the per-type daily "
+    "event series: the weekly cycle is removed by scoring each day "
+    "against its OWN (event_type, weekday) baseline — exact integer "
+    "moments (count, sum, sum-of-squares) per cell over the "
+    "calendar-bounded daily aggregate, z = (cnt*n - s1)/sqrt(cnt*s2 "
+    "- s1^2) micro-floored once, zero-variance CASE-guarded, |z| > 1 "
+    "flags — so a busy-every-Monday type stops alarming every Monday "
+    "(the failure mode of the global-baseline daily_count_anomalies, "
+    "which this complements; dow_seasonality_profile reports the "
+    "cycle itself, this subtracts it).  Weekday index is the folded "
+    "integer anchor arithmetic (no engine dayofweek()).  Scale: one "
+    "grouped pass to the daily table (rows = days x types), one "
+    "7x|types| moment aggregate broadcast back — nothing beyond the "
+    "daily rollup ever shuffles.",
+)
+def seasonal_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (
+            F.datediff(F.to_date("ts"), F.lit(_DOW_ANCHOR)) % 7
+        ).alias("dow_idx"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    mom = daily.groupBy("event_type", "dow_idx").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.expr("n * n")).cast("bigint").alias("s2"),
+    )
+    z = daily.join(F.broadcast(mom), ["event_type", "dow_idx"]).select(
+        "event_type",
+        "day",
+        F.col("dow_idx").cast("bigint").alias("dow_idx"),
+        "n",
+        F.expr(
+            "CASE WHEN cnt * s2 - s1 * s1 <= 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor((CAST(cnt AS DOUBLE) * n - s1) "
+            "/ sqrt(CAST(cnt AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) "
+            "* 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("z_micro"),
+    )
+    return (
+        z.filter(F.abs(F.col("z_micro")) > 1_000_000)
+        .orderBy("event_type", "day")
+    )

@@ -1,0 +1,301 @@
+"""Round-10 operator pins: WordPiece, Fellegi-Sunter linkage,
+seasonal residual anomalies, Adamic-Adar, ECE, FD audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import wordpiece as wp
+
+
+# ---------------------------------------------------------------------------
+# WordPiece pure functions
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_greedy_matches_hf_semantics():
+    """Greedy longest-match-first with ## continuations, [UNK] on any
+    unmatchable position — the HF WordPiece contract on its own
+    doc example."""
+    vocab = {v: 1 for v in [
+        "un", "##aff", "##able", "##ffa", "##ble", "u", "n", "##a",
+        "##f", "##b", "##l", "##e",
+    ]}
+    assert wp.greedy_encode("unaffable", vocab) == [
+        "un", "##aff", "##able"
+    ]
+    # greedy takes the LONGEST start unit even when that forces
+    # single-char continuations afterwards
+    vocab2 = {v: 1 for v in ["una", "un", "##affable", "##f", "##a",
+                             "##b", "##l", "##e"]}
+    assert wp.greedy_encode("unaffable", vocab2) == [
+        "una", "##f", "##f", "##a", "##b", "##l", "##e"
+    ]
+    # a char with no continuation unit -> whole word UNK
+    assert wp.greedy_encode("unq", {"un": 1, "u": 1, "n": 1}) is None
+    # start-position chars matter too
+    assert wp.greedy_encode("qun", {"##u": 1, "##n": 1}) is None
+
+
+def test_wordpiece_seed_counts_position_aware():
+    counts = wp.seed_unit_counts_py({"aa": 3}, max_len=2)
+    # position 0: "a" (x3), "aa" (x3); position 1: "##a" (x3)
+    assert counts == {"a": 3, "aa": 3, "##a": 3}
+
+
+def test_wordpiece_vocab_selection_total_order():
+    units = {"a": 1, "##a": 1, "ab": 5, "##ab": 5, "abc": 5, "zz": 9}
+    got = wp.select_vocab(units, vocab_target=4)
+    # singles always kept; budget 4 - 2 = 2 multis by (count DESC,
+    # unit ASC): zz(9), then ties at 5 -> "##ab" < "ab" < "abc"
+    assert set(got) == {"a", "##a", "zz", "##ab"}
+
+
+def test_wordpiece_spark_matches_twin(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat"),
+        (3, "concatenation of the catapult"),
+        (4, None),
+        (5, ""),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+    docs = spark.read.parquet(path)
+    vocab_spark = wp.train_wordpiece(docs, vocab_target=32)
+    vocab_py = wp.train_wordpiece_py(
+        wp.word_counts_from_parquet(path), vocab_target=32
+    )
+    assert vocab_spark == vocab_py
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_unk_words, r.n_continuations)
+        for r in wp.encode_stats(docs, vocab_spark).collect()
+    }
+    want = wp.encode_stats_from_parquet(path, vocab_py)
+    assert got == want
+    assert got[4] == (0, 0, 0, 0) and got[5] == (0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage
+# ---------------------------------------------------------------------------
+
+def test_record_linkage_scores_and_block_cap(spark, monkeypatch, tmp_path):
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_similarity as DQS,
+    )
+
+    # two docs agreeing on everything must outrank two agreeing on
+    # nothing but the block key; the max score = sum of agree weights
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    texts = [
+        (1, "alpha beta gamma delta", "en", "src_a", 22),
+        (2, "alpha beta gamma delta", "en", "src_a", 22),
+        (3, "alpha zzz yyy xxx www vvv uuu", "en", "src_b", 80),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [t[0] for t in texts],
+                "text": [t[1] for t in texts],
+                "lang": [t[2] for t in texts],
+                "source": [t[3] for t in texts],
+                "n_chars": [t[4] for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = DQS.record_linkage_fellegi_sunter(spark, str(tmp_path)).collect()
+    by_pair = {(r.id_a, r.id_b): r for r in out}
+    full = by_pair[(1, 2)]
+    assert (
+        full.agree_source,
+        full.agree_len,
+        full.agree_t2,
+        full.agree_last,
+    ) == (1, 1, 1, 1)
+    assert full.score_micro == sum(w[0] for w in DQS._RL_W.values())
+    assert by_pair[(1, 3)].score_micro < full.score_micro
+    assert out[0].score_micro == max(r.score_micro for r in out)
+
+
+# ---------------------------------------------------------------------------
+# seasonal residual anomalies / ECE / FD audit / Adamic-Adar
+# ---------------------------------------------------------------------------
+
+def test_seasonal_anomaly_flags_break_not_cycle(spark, tmp_path):
+    """A type that is ALWAYS busy on Mondays must not alarm on
+    Mondays; a one-off spike must."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    for week in range(6):
+        for dow in range(7):
+            day = base + dt.timedelta(days=week * 7 + dow)
+            n = 20 if dow == 0 else 5  # Mondays always busy
+            if week == 3 and dow == 2:
+                n = 50  # the genuine anomaly (a Wednesday)
+            for _ in range(n):
+                rows.append((eid, day, 1, "click", 1.0, None))
+                eid += 1
+    pq_.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows],
+                               type=pa.timestamp("us")),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+                "props": [r[5] for r in rows],
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_stats as DQSTATS,
+    )
+
+    got = DQSTATS.seasonal_residual_anomalies(spark, str(tmp_path)).collect()
+    flagged_days = {str(r.day) for r in got}
+    assert "2024-01-24" in flagged_days  # the spiked Wednesday
+    # no Monday is flagged: the cycle was absorbed by its baseline
+    import datetime as dt2
+
+    for r in got:
+        d = r.day
+        assert d.weekday() != 0
+
+
+def test_ece_zero_when_perfectly_calibrated(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    # train and eval halves identical by construction -> per-bin
+    # predicted rate equals realized rate -> every gap 0, ECE 0
+    rows = []
+    # fbin = (k//2) % 4 puts an even AND an odd key in every bin;
+    # phase = (k//8) % 4 cycles uniformly over 48 blocks, so the
+    # urgent rate is EXACTLY fbin/4 in both the train (even) and
+    # eval (odd) halves
+    for k in range(384):
+        fbin = (k // 2) % 4
+        urgent = (k // 8) % 4 < fbin
+        rows.append(
+            (
+                k,
+                float(fbin * 50000 + 10),
+                "1-URGENT" if urgent else "3-MEDIUM",
+            )
+        )
+    pq_.write_table(
+        pa.table(
+            {
+                "o_orderkey": [r[0] for r in rows],
+                "o_totalprice": [r[1] for r in rows],
+                "o_orderpriority": [r[2] for r in rows],
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_eval as DQE,
+    )
+
+    out = DQE.expected_calibration_error(spark, str(tmp_path)).collect()
+    assert out, "no buckets"
+    for r in out:
+        assert r.gap_milli == 0
+        assert r.ece_milli == 0
+        assert r.avg_pred_milli == r.actual_milli
+
+
+def test_fd_audit_key_holds_and_violations_counted(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    base = str(tmp_path)
+    pq_.write_table(
+        pa.table({"c_custkey": [1, 2, 3], "c_mktsegment": ["A", "B", "B"],
+                  "c_nationkey": [0, 0, 0], "c_acctbal": [0.0, 0.0, 0.0],
+                  "c_name": ["x", "y", "z"]}),
+        f"{base}/customer.parquet",
+    )
+    pq_.write_table(
+        pa.table({"o_custkey": [1, 1, 1, 2], "o_orderkey": [1, 2, 3, 4],
+                  "o_orderpriority": ["1-URGENT", "3-MEDIUM",
+                                      "1-URGENT", "5-LOW"]}),
+        f"{base}/orders.parquet",
+    )
+    pq_.write_table(
+        pa.table({"l_orderkey": [1, 1], "l_partkey": [7, 7],
+                  "l_suppkey": [1, 2], "l_returnflag": ["N", "N"]}),
+        f"{base}/lineitem.parquet",
+    )
+    import datetime as dt
+
+    pq_.write_table(
+        pa.table({"event_id": [1], "user_id": [1],
+                  "event_type": ["click"], "value": [1.0],
+                  "props": [None],
+                  "ts": pa.array([dt.datetime(2024, 1, 1)],
+                                 type=pa.timestamp("us"))}),
+        f"{base}/events.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_profiling as DQP,
+    )
+
+    got = {r.fd: r for r in DQP.functional_dependency_audit(spark, base).collect()}
+    key = got["customer.c_custkey->c_mktsegment"]
+    assert (key.holds, key.n_violating_determinants) == (1, 0)
+    cust = got["orders.o_custkey->o_orderpriority"]
+    # customer 1 has 2 distinct priorities over 3 rows
+    assert (cust.holds, cust.n_violating_determinants,
+            cust.n_violating_rows) == (0, 1, 3)
+    supp = got["lineitem.l_partkey->l_suppkey"]
+    assert (supp.holds, supp.n_violating_rows) == (0, 2)
+
+
+def test_adamic_adar_small_basket_outweighs_large(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    # pair (1,2) shares one 2-item basket; pair (3,4) shares one
+    # 5-item basket -> AA(1,2) = 1e6/ln2 > AA(3,4) = 1e6/ln5
+    rows = [(100, 1), (100, 2),
+            (200, 3), (200, 4), (200, 5), (200, 6), (200, 7)]
+    pq_.write_table(
+        pa.table({"l_orderkey": [r[0] for r in rows],
+                  "l_partkey": [r[1] for r in rows]}),
+        f"{tmp_path}/lineitem.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_scale as DQSC,
+    )
+
+    got = {(r.pa, r.pb): r.aa_micro
+           for r in DQSC.adamic_adar_linkpred(spark, str(tmp_path)).collect()}
+    import math
+
+    assert got[(1, 2)] == int(math.floor(1_000_000.0 / math.log(2.0) + 0.5))
+    assert got[(3, 4)] == int(math.floor(1_000_000.0 / math.log(5.0) + 0.5))
+    assert got[(1, 2)] > got[(3, 4)]
