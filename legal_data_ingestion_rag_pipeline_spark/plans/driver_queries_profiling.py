@@ -580,91 +580,3 @@ def constraint_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ck in checks[1:]:
         out = out.unionAll(ck)
     return out.orderBy("check_name")
-
-
-# ---------------------------------------------------------------------------
-# functional_dependency_audit (round 10): does A determine B — the
-# schema-discovery profiling signal (key detection, normalization
-# candidates, silent-denormalization drift).
-# ---------------------------------------------------------------------------
-
-#: candidate FDs audited: (label, table, determinant, dependent).
-#: A mix of expected-holds (keys) and expected-fails so the audit's
-#: violation algebra is exercised in both directions.
-_FD_CANDIDATES = (
-    ("customer.c_custkey->c_mktsegment", "customer", "c_custkey", "c_mktsegment"),
-    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
-    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
-    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
-    ("events.user_id->event_type", "events", "user_id", "event_type"),
-)
-
-
-def _fd_oracle_sql() -> str:
-    parts = []
-    for label, table, det, dep in _FD_CANDIDATES:
-        parts.append(f"""
-    SELECT '{label}' AS fd,
-           CAST(count(*) AS BIGINT) AS n_determinants,
-           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_violating_determinants,
-           CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
-             AS n_violating_rows,
-           CAST(CASE WHEN max(nd) > 1 THEN 0 ELSE 1 END AS BIGINT)
-             AS holds
-    FROM (SELECT {det} AS d, count(DISTINCT {dep}) AS nd, count(*) AS n
-          FROM {table} WHERE {det} IS NOT NULL GROUP BY 1) g
-        """)
-    return " UNION ALL ".join(parts) + " ORDER BY fd"
-
-
-@register(
-    "functional_dependency_audit",
-    oracle=_fd_oracle_sql(),
-    doc="functional-dependency audit over a literal candidate list "
-    "(module constant _FD_CANDIDATES — keys expected to hold, "
-    "many-to-many pairs expected to fail): for each A->B candidate, "
-    "group by the determinant and count determinant values carrying "
-    "MORE THAN ONE distinct dependent (the FD violation), plus the "
-    "row mass inside violating groups — the schema-discovery signal "
-    "a profiler runs to find undeclared keys, normalization "
-    "candidates, and silently drifting denormalized copies (TANE's "
-    "single-hypothesis check, run distributed; the lattice SEARCH "
-    "over all column pairs is candidate generation on top of this "
-    "same primitive).  NULL determinants are excluded (SQL FD "
-    "convention).  Scale: one count-distinct aggregate per "
-    "candidate, each a uniform-key shuffle on its own determinant; "
-    "the audit table is |candidates| rows.",
-)
-def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    checks = []
-    for label, table, det, dep in _FD_CANDIDATES:
-        t = _t(spark, sf_dir, table)
-        g = (
-            t.filter(F.col(det).isNotNull())
-            .groupBy(F.col(det).alias("d"))
-            .agg(
-                F.countDistinct(dep).alias("nd"),
-                F.count("*").alias("n"),
-            )
-        )
-        checks.append(
-            g.agg(
-                F.lit(label).alias("fd"),
-                F.count("*").cast("bigint").alias("n_determinants"),
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_violating_determinants"),
-                F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(0))
-                .cast("bigint")
-                .alias("n_violating_rows"),
-                F.when(F.max("nd") > 1, F.lit(0))
-                .otherwise(F.lit(1))
-                .cast("bigint")
-                .alias("holds"),
-            )
-        )
-    out = checks[0]
-    for ck in checks[1:]:
-        out = out.unionAll(ck)
-    return out.orderBy("fd")

@@ -1,5 +1,5 @@
 """Round-10 operator pins: WordPiece, Fellegi-Sunter linkage,
-seasonal residual anomalies, Adamic-Adar, ECE, FD audit."""
+seasonal residual anomalies, Adamic-Adar, ECE."""
 
 from __future__ import annotations
 
@@ -226,53 +226,6 @@ def test_ece_zero_when_perfectly_calibrated(spark, tmp_path):
         assert r.gap_milli == 0
         assert r.ece_milli == 0
         assert r.avg_pred_milli == r.actual_milli
-
-
-def test_fd_audit_key_holds_and_violations_counted(spark, tmp_path):
-    import pyarrow as pa
-    import pyarrow.parquet as pq_
-
-    base = str(tmp_path)
-    pq_.write_table(
-        pa.table({"c_custkey": [1, 2, 3], "c_mktsegment": ["A", "B", "B"],
-                  "c_nationkey": [0, 0, 0], "c_acctbal": [0.0, 0.0, 0.0],
-                  "c_name": ["x", "y", "z"]}),
-        f"{base}/customer.parquet",
-    )
-    pq_.write_table(
-        pa.table({"o_custkey": [1, 1, 1, 2], "o_orderkey": [1, 2, 3, 4],
-                  "o_orderpriority": ["1-URGENT", "3-MEDIUM",
-                                      "1-URGENT", "5-LOW"]}),
-        f"{base}/orders.parquet",
-    )
-    pq_.write_table(
-        pa.table({"l_orderkey": [1, 1], "l_partkey": [7, 7],
-                  "l_suppkey": [1, 2], "l_returnflag": ["N", "N"]}),
-        f"{base}/lineitem.parquet",
-    )
-    import datetime as dt
-
-    pq_.write_table(
-        pa.table({"event_id": [1], "user_id": [1],
-                  "event_type": ["click"], "value": [1.0],
-                  "props": [None],
-                  "ts": pa.array([dt.datetime(2024, 1, 1)],
-                                 type=pa.timestamp("us"))}),
-        f"{base}/events.parquet",
-    )
-    from legal_data_ingestion_rag_pipeline_spark.plans import (
-        driver_queries_profiling as DQP,
-    )
-
-    got = {r.fd: r for r in DQP.functional_dependency_audit(spark, base).collect()}
-    key = got["customer.c_custkey->c_mktsegment"]
-    assert (key.holds, key.n_violating_determinants) == (1, 0)
-    cust = got["orders.o_custkey->o_orderpriority"]
-    # customer 1 has 2 distinct priorities over 3 rows
-    assert (cust.holds, cust.n_violating_determinants,
-            cust.n_violating_rows) == (0, 1, 3)
-    supp = got["lineitem.l_partkey->l_suppkey"]
-    assert (supp.holds, supp.n_violating_rows) == (0, 2)
 
 
 def test_adamic_adar_small_basket_outweighs_large(spark, tmp_path):
