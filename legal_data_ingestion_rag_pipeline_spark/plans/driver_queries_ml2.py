@@ -461,3 +461,80 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recurrence.holt_linear(grid, "segment", "d", "x").orderBy(
         "segment", "d"
     )
+
+
+# ---------------------------------------------------------------------------
+# pca_gram_projection (round 10): the spectral family — exact-integer
+# Gram, driver-side power iteration, hash-exact projections
+# (operators/pca.py).
+# ---------------------------------------------------------------------------
+
+def _pca_oracle(sf_dir: str) -> str:
+    """Callable twin: pyarrow Gram (same exact integers as the Spark
+    DECIMAL(38,0) sums), the SAME pure power_components on them
+    (bit-identical float trajectory), components inlined as literals,
+    projection replayed as an exact DuckDB integer dot."""
+    from ..operators import pca
+
+    gram = pca.gram_from_parquet(f"{sf_dir}/embeddings.parquet")
+    comps, shares = pca.power_components(gram, n_components=2)
+
+    def dot(comp: list[int]) -> str:
+        arr = "[" + ", ".join(f"CAST({c} AS BIGINT)" for c in comp) + "]"
+        return (
+            f"CAST(list_aggregate(list_transform(list_zip(_q, {arr}), "
+            f"p -> p[1] * p[2]), 'sum') // {pca.QSCALE} AS BIGINT)"
+        )
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {pca.QSCALE}.0 + 0.5)
+                    AS BIGINT)) AS _q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {dot(comps[0])} AS pc1_micro,
+           {dot(comps[1])} AS pc2_micro,
+           CAST({shares[0]} AS BIGINT) AS evr1_micro,
+           CAST({shares[1]} AS BIGINT) AS evr2_micro
+    FROM q ORDER BY vec_id
+    """
+
+
+@register(
+    "pca_gram_projection",
+    oracle=_pca_oracle,
+    doc="PCA of the embedding table — the spectral analytics family "
+    "(operators/pca.py): embeddings quantize to exact integer micro "
+    "units, the 64x64 Gram accumulates as DECIMAL(38,0) sums of "
+    "BIGINT products (order-independent under ANY partitioning — a "
+    "float Gram is not; DECIMAL keeps it exact past int64 at 100 TB "
+    "row counts), the top-2 eigenvectors come from driver-side "
+    "power iteration with Hotelling deflation (fixed 50 iters, "
+    "deterministic e_1 start, largest-coordinate sign fix) on the "
+    "exact integer Gram, components snap to micro ONCE, and the "
+    "corpus projection is a pure exact-BIGINT dot per row — the "
+    "classical tall-skinny decomposition (corpus work = one "
+    "aggregation + one map) made hash-exact.  Explained-variance "
+    "shares ride as constant micro columns.  Oracle: callable — the "
+    "pyarrow twin accumulates the SAME integers, runs the SAME "
+    "power iteration (bit-identical float trajectory), and replays "
+    "the projection as a DuckDB integer dot against component "
+    "literals.  Scale note: the d(d+1)/2-per-row explode swaps for "
+    "a per-partition numpy partial Gram (Python-int accumulators) "
+    "at petabyte scale; the aggregation contract is identical.",
+)
+def pca_gram_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    gram = pca.gram_exact(e)
+    comps, shares = pca.power_components(gram, n_components=2)
+    return (
+        pca.project(e, comps)
+        .withColumn("evr1_micro", F.lit(shares[0]).cast("bigint"))
+        .withColumn("evr2_micro", F.lit(shares[1]).cast("bigint"))
+        .orderBy("vec_id")
+    )

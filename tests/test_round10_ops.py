@@ -252,3 +252,48 @@ def test_adamic_adar_small_basket_outweighs_large(spark, tmp_path):
     assert got[(1, 2)] == int(math.floor(1_000_000.0 / math.log(2.0) + 0.5))
     assert got[(3, 4)] == int(math.floor(1_000_000.0 / math.log(5.0) + 0.5))
     assert got[(1, 2)] > got[(3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# PCA (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+def test_pca_gram_exact_matches_twin_and_finds_planted_axis(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import pca
+
+    # planted dominant axis: variance along e0 >> e1 >> rest
+    vecs = []
+    for k in range(40):
+        a = 1.0 if k % 2 == 0 else -1.0
+        b = 0.3 if k % 4 < 2 else -0.3
+        vecs.append([a, b, 0.01 * (k % 3), 0.0])
+    path = str(tmp_path / "embeddings.parquet")
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(40)),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+    e = spark.read.parquet(path)
+    g_spark = pca.gram_exact(e)
+    g_py = pca.gram_from_parquet(path)
+    assert g_spark == g_py
+
+    comps, shares = pca.power_components(g_py, n_components=2)
+    # PC1 ~ e0 (sign-fixed positive), PC2 ~ e1
+    assert abs(comps[0][0]) > 990_000 and abs(comps[0][1]) < 120_000
+    assert comps[0][0] > 0  # sign convention
+    assert abs(comps[1][1]) > 990_000
+    assert shares[0] > shares[1] > 0
+
+    got = {r.vec_id: (r.pc1_micro, r.pc2_micro)
+           for r in pca.project(e, comps).collect()}
+    # even ids project positive on PC1, odd negative (planted signs)
+    assert all(v[0] > 900_000 for k, v in got.items() if k % 2 == 0)
+    assert all(v[0] < -900_000 for k, v in got.items() if k % 2 == 1)
