@@ -1402,3 +1402,161 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hit_rank",
         F.expr(_CF_RR_CASE).cast("bigint").alias("rr_micro"),
     ).orderBy("u")
+
+
+# --------------------------------------------------------------------------
+# logistic_gd_two_steps (round 10): actually-ITERATIVE in-plan training
+# — two full batch gradient-descent steps with a per-row snapped
+# sigmoid, the multi-pass extension of logistic_hashed_first_step
+# (whose single step from w=0 needs no sigmoid: p is exactly 1/2).
+# --------------------------------------------------------------------------
+
+#: learning rate 0.5 folded as the /2.0 in the update; features are
+#: small exact ints so two steps move the weights visibly.
+_GD_FEATS = (
+    ("f0", "CAST(1 AS BIGINT)"),
+    ("f1", "least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 5)"),
+    ("f2", "CAST(year(CAST(o_orderdate AS DATE)) - 1995 AS BIGINT)"),
+)
+_GD_Y = "CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT)"
+
+
+def _gd_margin(w: list[int]) -> str:
+    return " + ".join(f"({wj} * {name})" for wj, (name, _) in zip(w, _GD_FEATS))
+
+
+def _gd_p_micro(w: list[int]) -> str:
+    return (
+        f"CAST(floor(1000000.0 / (1.0 + exp(-(CAST({_gd_margin(w)} AS DOUBLE)"
+        f" / 1000000.0))) + 0.5) AS BIGINT)"
+    )
+
+
+def _gd_correct(w: list[int]) -> str:
+    m = _gd_margin(w)
+    return (
+        f"sum(CASE WHEN (({m}) > 0 AND y = 1) OR (({m}) <= 0 AND y = 0) "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+@register(
+    "logistic_gd_two_steps",
+    oracle=f"""
+    WITH f AS (
+      SELECT {", ".join(f"{expr} AS {name}" for name, expr in _GD_FEATS)},
+             {_GD_Y} AS y
+      FROM orders
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    g1 AS (
+      SELECT {", ".join(
+          f"CAST(sum({name} * (y * 1000000 - 500000)) AS BIGINT) AS g{j}"
+          for j, (name, _) in enumerate(_GD_FEATS))}
+      FROM f
+    ),
+    w1 AS (
+      SELECT {", ".join(
+          f"CAST(floor(((CAST(g{j} AS DOUBLE) / nn.n) / 2.0) + 0.5)"
+          f" AS BIGINT) AS w{j}"
+          for j in range(len(_GD_FEATS)))}
+      FROM g1, nn
+    ),
+    s2 AS (
+      SELECT f.*, w1.*,
+             CAST(floor(1000000.0 / (1.0 + exp(-(CAST(
+               w1.w0 * f.f0 + w1.w1 * f.f1 + w1.w2 * f.f2
+             AS DOUBLE) / 1000000.0))) + 0.5) AS BIGINT) AS p
+      FROM f CROSS JOIN w1
+    ),
+    pass2 AS (
+      SELECT {", ".join(
+          f"CAST(sum(f{j} * (y * 1000000 - p)) AS BIGINT) AS g{j}"
+          for j in range(len(_GD_FEATS)))},
+             CAST(sum(CASE WHEN ((w0 * f0 + w1 * f1 + w2 * f2) > 0
+                                 AND y = 1)
+                           OR ((w0 * f0 + w1 * f1 + w2 * f2) <= 0
+                                 AND y = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS correct1
+      FROM s2
+    ),
+    w2 AS (
+      SELECT {", ".join(
+          f"w1.w{j} + CAST(floor(((CAST(pass2.g{j} AS DOUBLE) / nn.n)"
+          f" / 2.0) + 0.5) AS BIGINT) AS w{j}"
+          for j in range(len(_GD_FEATS)))}
+      FROM w1, pass2, nn
+    ),
+    acc2 AS (
+      SELECT CAST(sum(CASE WHEN ((w2.w0 * f.f0 + w2.w1 * f.f1
+                                  + w2.w2 * f.f2) > 0 AND f.y = 1)
+                           OR ((w2.w0 * f.f0 + w2.w1 * f.f1
+                                  + w2.w2 * f.f2) <= 0 AND f.y = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS correct2
+      FROM f CROSS JOIN w2
+    )
+    SELECT CAST(1 AS BIGINT) AS step, w1.w0, w1.w1 AS w1_, w1.w2 AS w2_,
+           pass2.correct1 * 1000 // nn.n AS acc_milli
+    FROM w1, pass2, nn
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), w2.w0, w2.w1, w2.w2,
+           acc2.correct2 * 1000 // nn.n
+    FROM w2, acc2, nn
+    ORDER BY step
+    """,
+    doc="two full batch gradient-descent steps of logistic regression "
+    "trained in-plan (lr 1/2, log-loss) — the genuinely ITERATIVE "
+    "training shape: step 1 from w=0 needs no transcendental (sigmoid "
+    "of zero is exactly 500000 micro), step 2 evaluates the sigmoid "
+    "per row against the step-1 weights — one exp per row per "
+    "subsequent step, applied to an exact-integer-derived double and "
+    "micro-snapped (the logistic_hashed_first_step loss convention), "
+    "so gradients are exact BIGINT sums of (y*1e6 - p_micro) "
+    "products and weight updates snap once per step per coordinate "
+    "(floor((G/n)/2 + 0.5) on bit-identical doubles).  Output: "
+    "weights + train accuracy after each step — the learning-curve "
+    "row pair a trainer reports.  Oracle: the SAME two steps unrolled as "
+    "SQL CTEs — no literals, DuckDB re-derives the weights from "
+    "scratch, the strongest oracle form for a trainer.  Scale: one "
+    "count + one aggregation pass per step + one accuracy pass, "
+    "every pass a map-side fold to a 1-row result; weights are "
+    "driver-side scalars (the bpe/mmr driver-loop convention).",
+)
+def logistic_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        *[F.expr(expr).alias(name) for name, expr in _GD_FEATS],
+        F.expr(_GD_Y).alias("y"),
+    )
+    n = f.count()
+    d = len(_GD_FEATS)
+    w = [0] * d
+    rows = []
+    for step in (1, 2):
+        p = _gd_p_micro(w)
+        agg = f.agg(
+            *[
+                F.expr(
+                    f"CAST(sum({name} * (y * 1000000 - {p})) AS BIGINT)"
+                ).alias(f"g{j}")
+                for j, (name, _) in enumerate(_GD_FEATS)
+            ],
+        ).collect()[0]
+        w = [
+            w[j]
+            + int(
+                math.floor(
+                    ((float(int(agg[f"g{j}"])) / float(n)) / 2.0) + 0.5
+                )
+            )
+            for j in range(d)
+        ]
+        correct = f.agg(
+            F.expr(f"CAST({_gd_correct(w)} AS BIGINT)").alias("c")
+        ).collect()[0].c
+        rows.append((step, w[0], w[1], w[2], int(correct) * 1000 // n))
+    return spark.createDataFrame(
+        rows, "step bigint, w0 bigint, w1_ bigint, w2_ bigint, acc_milli bigint"
+    ).orderBy("step")

@@ -297,3 +297,47 @@ def test_pca_gram_exact_matches_twin_and_finds_planted_axis(spark, tmp_path):
     # even ids project positive on PC1, odd negative (planted signs)
     assert all(v[0] > 900_000 for k, v in got.items() if k % 2 == 0)
     assert all(v[0] < -900_000 for k, v in got.items() if k % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# logistic GD two steps
+# ---------------------------------------------------------------------------
+
+def test_logistic_gd_separable_data_learns_sign(spark, tmp_path):
+    """On linearly separable data the two-step trainer must move the
+    price weight positive (urgent iff expensive) and beat the
+    all-negative baseline accuracy by step 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows = []
+    for k in range(200):
+        expensive = k % 2 == 0
+        rows.append(
+            (
+                k,
+                float(250_000 if expensive else 10_000),
+                "1-URGENT" if expensive else "3-MEDIUM",
+                "1995-06-15",
+            )
+        )
+    pq_.write_table(
+        pa.table(
+            {
+                "o_orderkey": [r[0] for r in rows],
+                "o_totalprice": [r[1] for r in rows],
+                "o_orderpriority": [r[2] for r in rows],
+                "o_orderdate": [r[3] for r in rows],
+            }
+        ),
+        f"{tmp_path}/orders.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_ml as DQML,
+    )
+
+    out = {r.step: r for r in DQML.logistic_gd_two_steps(
+        spark, str(tmp_path)).collect()}
+    assert out[1].w1_ > 0  # price weight learns the planted sign
+    assert out[2].acc_milli >= out[1].acc_milli
+    assert out[2].acc_milli == 1000  # separable -> perfect by step 2
