@@ -42,6 +42,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: round-9 never-gated stats/dedup families, four TPC-H
 #: decorrelation shapes, the stateful-streaming sessionizer), 14 out,
 #: each with a named partner.
+#:
+#: Round-11 rotation candidates (the round-10 session's new
+#: never-gated families, all sweep-green with dedicated pytests —
+#: rotate the most machinery-distinct in first):
+#:   wordpiece_encode_corpus (greedy longest-match + start/##
+#:     vocabulary — the third subword recipe),
+#:   record_linkage_fellegi_sunter (blocked field-agreement log-odds
+#:     scoring — the entity-resolution class),
+#:   pca_gram_projection (exact-integer Gram + power iteration — the
+#:     spectral class),
+#:   logistic_gd_two_steps (iterative in-plan GD with a per-row
+#:     snapped sigmoid; SQL-unrolled no-literal oracle),
+#:   seasonal_residual_anomalies (deseasonalized control chart),
+#:   adamic_adar_linkpred (inverse-log common-neighbor scores),
+#:   expected_calibration_error (reliability diagram + ECE).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
