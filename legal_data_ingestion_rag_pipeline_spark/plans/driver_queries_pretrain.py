@@ -3770,3 +3770,111 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = wordpiece.train_wordpiece(docs)
     return wordpiece.encode_stats(docs, vocab).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_bakeoff (round 10): BPE vs unigram-LM vs WordPiece on one
+# corpus — the side-by-side a tokenizer decision actually reads.
+# ---------------------------------------------------------------------------
+
+def _bakeoff_oracle(sf_dir: str) -> str:
+    from ..operators import bpe, unigram, wordpiece
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def totals(stats_vals):
+        nw = sum(v[0] for v in stats_vals)
+        np_ = sum(v[1] for v in stats_vals)
+        return nw, np_, (np_ * 1000 // nw if nw else 0)
+
+    merges = bpe.train_merges_from_parquet(path, _ENC_N_MERGES)
+    b = totals(
+        [(v[0], v[1]) for v in bpe.encode_stats_from_parquet(path, merges).values()]
+    )
+    wc = unigram.word_counts_from_parquet(path)
+    u = totals(
+        [
+            (v[0], v[1])
+            for v in unigram.encode_stats_from_parquet(
+                path, unigram.train_unigram_py(wc)
+            ).values()
+        ]
+    )
+    w = totals(
+        [
+            (v[0], v[1])
+            for v in wordpiece.encode_stats_from_parquet(
+                path, wordpiece.train_wordpiece_py(
+                    wordpiece.word_counts_from_parquet(path)
+                )
+            ).values()
+        ]
+    )
+    rows = [("bpe", *b), ("unigram", *u), ("wordpiece", *w)]
+    values = ", ".join(f"('{t}', {a}, {b_}, {c})" for t, a, b_, c in rows)
+    return f"""
+    SELECT tokenizer, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(fertility_milli AS BIGINT) AS fertility_milli
+    FROM (VALUES {values})
+      AS t(tokenizer, n_words, n_pieces, fertility_milli)
+    ORDER BY tokenizer
+    """
+
+
+@register(
+    "tokenizer_bakeoff",
+    oracle=_bakeoff_oracle,
+    doc="the tokenizer bake-off: BPE (150 merges), unigram-LM "
+    "(seed + 2 hard-EM rounds), and WordPiece (greedy longest-match) "
+    "each trained on the SAME corpus and compared on the numbers a "
+    "tokenizer decision reads — corpus word count (equal across rows "
+    "by construction: one shared tokenization, a built-in "
+    "cross-check), total pieces, and fertility (pieces per word, "
+    "exact milli) — the corpus-level composition of the three gated "
+    "per-document encoders (bpe_encode_corpus, unigram_lm_tokenize, "
+    "wordpiece_encode_corpus).  Scale: three independent "
+    "distinct-word-table training passes + three map-side encode "
+    "passes, each already individually scale-shaped; the result is "
+    "three rows.  Oracle: the three bit-equal sparkless twins, "
+    "totaled, as VALUES.",
+)
+def tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe, unigram, wordpiece
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # BPE: parquet-twin trainer (pinned equal to the Spark trainer by
+    # bpe_train_merges), Arrow encoder, corpus totals
+    merges = bpe.train_merges_from_parquet(
+        f"{sf_dir}/documents.parquet", _ENC_N_MERGES
+    )
+    words = docs.select(
+        F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    ).withColumn("syms", F.expr("split(word, '')"))
+    b = bpe.apply_merges(words, merges, "syms", mode="arrow").agg(
+        F.lit("bpe").alias("tokenizer"),
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_pieces"),
+    )
+    u = unigram.encode_stats(docs, unigram.train_unigram(docs)).agg(
+        F.lit("unigram").alias("tokenizer"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+    )
+    w = wordpiece.encode_stats(docs, wordpiece.train_wordpiece(docs)).agg(
+        F.lit("wordpiece").alias("tokenizer"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+    )
+    return (
+        b.unionAll(u)
+        .unionAll(w)
+        .select(
+            "tokenizer",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000 DIV n_words").alias("fertility_milli"),
+        )
+        .orderBy("tokenizer")
+    )

@@ -43,20 +43,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: decorrelation shapes, the stateful-streaming sessionizer), 14 out,
 #: each with a named partner.
 #:
-#: Round-11 rotation candidates (the round-10 session's new
-#: never-gated families, all sweep-green with dedicated pytests —
-#: rotate the most machinery-distinct in first):
-#:   wordpiece_encode_corpus (greedy longest-match + start/##
-#:     vocabulary — the third subword recipe),
-#:   record_linkage_fellegi_sunter (blocked field-agreement log-odds
-#:     scoring — the entity-resolution class),
-#:   pca_gram_projection (exact-integer Gram + power iteration — the
-#:     spectral class),
-#:   logistic_gd_two_steps (iterative in-plan GD with a per-row
-#:     snapped sigmoid; SQL-unrolled no-literal oracle),
+#: Round-10 second rotation (the session's four most machinery-
+#: distinct new families in while newest — full rationale in
+#: ROTATIONS.md): IN wordpiece_encode_corpus,
+#: record_linkage_fellegi_sunter, pca_gram_projection,
+#: logistic_gd_two_steps; OUT unigram_lm_tokenize,
+#: decontamination_bloom, quality_classifier_trained,
+#: conformal_price_calibration (each keeps a gated machinery
+#: partner + oracle_check + pytest).
+#:
+#: Round-11 rotation candidates (round-10 families still never
+#: gated, all sweep-green with dedicated pytests):
 #:   seasonal_residual_anomalies (deseasonalized control chart),
 #:   adamic_adar_linkpred (inverse-log common-neighbor scores),
-#:   expected_calibration_error (reliability diagram + ECE).
+#:   expected_calibration_error (reliability diagram + ECE),
+#:   tokenizer_bakeoff if built (BPE/unigram/WordPiece side-by-side).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
@@ -81,21 +82,21 @@ GATE_PRIORITY: tuple[str, ...] = (
     "zipf_slope_fit",
     "heaps_law_fit",
     "curation_pipeline_v6",
-    "conformal_price_calibration",
+    "pca_gram_projection",
     "ewma_gap_decay_wallet",
     "clustering_nmi_purity",
     # LLM family: text analysis + RAG + curation + multimodal
     "ngram_novelty_curve",
     "textstats_repetition",
     "ivm_tlog_cdc_refresh",
-    "quality_classifier_trained",
+    "logistic_gd_two_steps",
     "kneser_ney_perplexity",
     "bpe_encode_corpus",
-    "unigram_lm_tokenize",
+    "wordpiece_encode_corpus",
     "rag_semantic_search",
     "rag_rerank_bm25",
     "timetravel_pruned_scan",
-    "decontamination_bloom",
+    "record_linkage_fellegi_sunter",
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
     # TPC-H plan-shape proofs (decorrelation / outer-join

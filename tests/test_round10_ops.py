@@ -341,3 +341,19 @@ def test_logistic_gd_separable_data_learns_sign(spark, tmp_path):
     assert out[1].w1_ > 0  # price weight learns the planted sign
     assert out[2].acc_milli >= out[1].acc_milli
     assert out[2].acc_milli == 1000  # separable -> perfect by step 2
+
+
+def test_tokenizer_bakeoff_shared_word_count(spark):
+    """All three tokenizers see the same corpus tokenization, so
+    n_words must be identical across rows and fertility >= 1000
+    (a word is at least one piece)."""
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_pretrain as DQP,
+    )
+
+    out = DQP.tokenizer_bakeoff(spark, "/root/testdata/sf0.001").collect()
+    assert [r.tokenizer for r in out] == ["bpe", "unigram", "wordpiece"]
+    assert len({r.n_words for r in out}) == 1
+    for r in out:
+        assert r.fertility_milli >= 1000
+        assert r.n_pieces >= r.n_words
