@@ -4962,3 +4962,123 @@ def _rl_select_exprs() -> list[str]:
         for s in _re.split(r",\s*(?=CAST)", _rl_score_sql())
         if s.strip()
     ]
+
+
+# ---------------------------------------------------------------------------
+# late_interaction_maxsim (round 10): ColBERT-style late interaction —
+# per-TOKEN vectors, MaxSim per query token, summed.  The retrieval
+# class between bag-of-words (BM25) and single-vector (bi-encoder).
+# ---------------------------------------------------------------------------
+
+_LI_QUERY = ("vector", "merge", "window")  # the fts/_RR_TERMS vocabulary
+_LI_DIM = 8
+
+
+def _li_tok_vec_py(tok: str) -> list[int]:
+    """Deterministic per-token integer vector: component i =
+    (poly_hash(tok + '#' + i) % 2001) - 1000 — the hash-embedder
+    idea applied token-level, exact ints in [-1000, 1000] (twin of
+    the in-SQL form; poly_hash parity is pinned by the tlog twin
+    tests)."""
+    from ..functions import portable as PTT
+
+    def ph(s: str) -> int:
+        acc = PTT.POLY_INIT
+        for ch in s:
+            acc = (acc * PTT.POLY_MULT + ord(ch)) % PTT.P
+        return acc
+
+    return [(ph(f"{tok}#{i}") % 2001) - 1000 for i in range(_LI_DIM)]
+
+
+def _li_doc_dot_sql(dialect: str) -> list[str]:
+    """One dot-product expression per query token over the per-token
+    component columns tv0..tv7 (computed once per doc token; the
+    query vectors fold to literal coefficients)."""
+    outs = []
+    for q in _LI_QUERY:
+        qv = _li_tok_vec_py(q)
+        outs.append(
+            "(" + " + ".join(f"({qv[i]}) * tv{i}" for i in range(_LI_DIM)) + ")"
+        )
+    return outs
+
+
+def _li_tv_sql(dialect: str) -> list[str]:
+    from ..functions import portable as PTT
+
+    cat = (
+        (lambda i: f"concat(word, '#{i}')")
+        if dialect == S
+        else (lambda i: f"word || '#{i}'")
+    )
+    return [
+        f"(({PTT.poly_hash(cat(i), dialect)}) % 2001) - 1000"
+        for i in range(_LI_DIM)
+    ]
+
+
+@register(
+    "late_interaction_maxsim",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({PT.tokens('text', D)}) AS word
+      FROM documents
+    ),
+    tv AS (
+      SELECT doc_id,
+             {", ".join(f"({e}) AS tv{i}" for i, e in enumerate(_li_tv_sql(D)))}
+      FROM toks
+    ),
+    dots AS (
+      SELECT doc_id,
+             {", ".join(f"({e}) AS d{j}" for j, e in enumerate(_li_doc_dot_sql(D)))}
+      FROM tv
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"max(d{j})" for j in range(len(_LI_QUERY)))}
+                AS BIGINT) AS maxsim_score
+    FROM dots GROUP BY doc_id
+    ORDER BY maxsim_score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="late-interaction retrieval (the ColBERT MaxSim operator; "
+    "Khattab & Zaharia 2020): every TOKEN carries its own vector "
+    "(here the deterministic integer hash-embedder, component i = "
+    "poly_hash(tok#i) %% 2001 - 1000 — exact ints, so the whole "
+    "score is BIGINT arithmetic), and a document's score is "
+    "sum over query tokens of MAX over its tokens of the dot "
+    "product — fine-grained term matching single-vector bi-encoders "
+    "average away, without BM25's exact-match brittleness.  The "
+    "retrieval class BETWEEN fts_bm25 and rag_semantic_search in "
+    "this repo's ladder.  Scale: per-token vectors and all "
+    "query-token dots are MAP-SIDE column expressions (query "
+    "vectors fold to literal coefficients — the per-token hash is "
+    "computed once and shared across query tokens); the only "
+    "shuffle is one groupBy(doc_id) max/sum, partial-aggregated.  "
+    "At real scale the token-vector column is precomputed at ingest "
+    "(multi-vector index); the plan shape is identical.",
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    )
+    tv = toks.select(
+        "doc_id",
+        *[F.expr(e).alias(f"tv{i}") for i, e in enumerate(_li_tv_sql(S))],
+    )
+    dots = tv.select(
+        "doc_id",
+        *[
+            F.expr(e).alias(f"d{j}")
+            for j, e in enumerate(_li_doc_dot_sql(S))
+        ],
+    )
+    score = " + ".join(f"max(d{j})" for j in range(len(_LI_QUERY)))
+    return (
+        dots.groupBy("doc_id")
+        .agg(F.expr(f"CAST({score} AS BIGINT)").alias("maxsim_score"))
+        .orderBy(F.desc("maxsim_score"), "doc_id")
+        .limit(20)
+    )

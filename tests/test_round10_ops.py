@@ -357,3 +357,43 @@ def test_tokenizer_bakeoff_shared_word_count(spark):
     for r in out:
         assert r.fertility_milli >= 1000
         assert r.n_pieces >= r.n_words
+
+
+def test_late_interaction_maxsim_exact_term_doc_wins(spark, tmp_path):
+    """A doc containing all three query terms must outrank a doc with
+    none; per-doc score equals the Python-twin MaxSim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_similarity as DQS,
+    )
+
+    docs = [
+        (1, "vector merge window"),
+        (2, "apple banana cherry"),
+        (3, "vector only here"),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {r.doc_id: r.maxsim_score
+           for r in DQS.late_interaction_maxsim(spark, str(tmp_path)).collect()}
+
+    def twin(text):
+        qs = [DQS._li_tok_vec_py(q) for q in DQS._LI_QUERY]
+        tvs = [DQS._li_tok_vec_py(t) for t in text.split()]
+        return sum(
+            max(sum(a * b for a, b in zip(q, t)) for t in tvs) for q in qs
+        )
+
+    for did, text in docs:
+        assert out[did] == twin(text)
+    assert out[1] > out[2]
+    assert out[1] >= out[3]
