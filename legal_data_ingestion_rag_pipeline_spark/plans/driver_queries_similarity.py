@@ -5082,3 +5082,105 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_score"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs (round 10): the Hernandez-Stolfo blocking
+# alternative — sort on a composite key, pair within a sliding rank
+# window.  Complements hash blocking (record_linkage) and LSH banding.
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 3
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, source,
+             lang || '|' || coalesce(({PT.tokens('text', D)})[1], '')
+                  || '|' || lpad(CAST(n_chars AS VARCHAR), 8, '0') AS sk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (ORDER BY sk, doc_id) AS rk
+      FROM f
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(b.rk - a.rk AS BIGINT) AS window_dist,
+             CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS same_lang,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS same_source
+      FROM r a JOIN r b
+        ON b.rk > a.rk AND b.rk <= a.rk + {_SN_WINDOW}
+    )
+    SELECT window_dist, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(same_lang) AS BIGINT) AS n_same_lang,
+           CAST(sum(same_source) AS BIGINT) AS n_same_source
+    FROM p GROUP BY window_dist ORDER BY window_dist
+    """,
+    doc="sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the "
+    "THIRD candidate-generation class beside hash blocking "
+    "(record_linkage_fellegi_sunter) and LSH banding "
+    "(dedup_minhash_lsh): records sort on a composite key "
+    "(lang | first token | zero-padded length) and every pair within "
+    f"a {_SN_WINDOW}-rank sliding window becomes a candidate — "
+    "robust to blocks hash blocking would split, linear output "
+    "(window x n pairs), and the window slides ACROSS block "
+    "boundaries (pairs may differ in lang/source — exactly the "
+    "near-miss recall SN buys; the report counts them per window "
+    "distance, the blocking-quality datacard).  Scale: the global "
+    "order comes from the band-parallel two-phase rank "
+    "(operators/ranks.py, lang as the monotone band — NEVER a "
+    "single-task global sort), and the window self-join is an "
+    "EQUI-join: the right side replicates once per offset 1..w and "
+    "joins on rank equality, so Spark plans a hash join on a dense "
+    "integer key.  Oracle: the plain one-window row_number "
+    "formulation — an independent path to the same ranks, exactly "
+    "what the gate should prove about the two-phase rank.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            f"concat(lang, '|', coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
+            f" '|', lpad(CAST(n_chars AS STRING), 8, '0'))"
+        ).alias("sk"),
+    )
+    r = ranks.two_phase_rank(
+        f, order_cols=["sk", "doc_id"], band_col="lang", rank_name="rk"
+    ).select("doc_id", "lang", "source", "rk")
+    b = (
+        r.withColumn(
+            "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SN_WINDOW + 1)]))
+        )
+        .select(
+            F.col("doc_id").alias("id_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("source").alias("source_b"),
+            (F.col("rk") - F.col("d")).alias("jr"),
+            F.col("d").cast("bigint").alias("window_dist"),
+        )
+    )
+    p = r.join(b, r.rk == b.jr).select(
+        "window_dist",
+        F.expr("CASE WHEN lang = lang_b THEN 1 ELSE 0 END").alias("same_lang"),
+        F.expr(
+            "CASE WHEN source = source_b THEN 1 ELSE 0 END"
+        ).alias("same_source"),
+    )
+    return (
+        p.groupBy("window_dist")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("same_lang").cast("bigint").alias("n_same_lang"),
+            F.sum("same_source").cast("bigint").alias("n_same_source"),
+        )
+        .orderBy("window_dist")
+    )

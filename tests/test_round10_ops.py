@@ -397,3 +397,42 @@ def test_late_interaction_maxsim_exact_term_doc_wins(spark, tmp_path):
         assert out[did] == twin(text)
     assert out[1] > out[2]
     assert out[1] >= out[3]
+
+
+def test_sorted_neighborhood_pairs_cross_boundary(spark, tmp_path):
+    """SN's hallmark: the window slides ACROSS sort-key boundaries —
+    with 2 docs per lang and window 3, cross-lang pairs MUST appear;
+    pair counts per distance follow n - d for the n=4 sorted list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    docs = [
+        (1, "alpha one", "de", "s1", 9),
+        (2, "beta two", "de", "s1", 8),
+        (3, "gamma three", "en", "s2", 11),
+        (4, "delta four", "en", "s2", 10),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+                "lang": [d[2] for d in docs],
+                "source": [d[3] for d in docs],
+                "n_chars": [d[4] for d in docs],
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_similarity as DQS,
+    )
+
+    got = {r.window_dist: r
+           for r in DQS.sorted_neighborhood_pairs(spark, str(tmp_path)).collect()}
+    # 4 ranked rows -> 3 pairs at d=1, 2 at d=2, 1 at d=3
+    assert [got[d].n_pairs for d in (1, 2, 3)] == [3, 2, 1]
+    # at d=1 exactly one pair crosses the lang boundary (de->en)
+    assert got[1].n_same_lang == 2
+    # the d=3 pair spans first-to-last: different lang and source
+    assert got[3].n_same_lang == 0 and got[3].n_same_source == 0
