@@ -251,3 +251,51 @@ def kneser_ney_score(
             ),
         )
     )
+
+
+def kneser_ney_row_scores(
+    docs: DataFrame,
+    bi: DataFrame,
+    w1s: DataFrame,
+    w2s: DataFrame,
+    n_bigram_types: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-BIGRAM Kneser-Ney scores: (id, _nlp) with one non-null row
+    per scorable bigram occurrence — the per-row frame
+    :func:`kneser_ney_score` aggregates, exposed for order-statistic
+    consumers (Min-K%% Prob).  Same exactness contract: P_KN is one
+    ratio of exact BIGINTs, -ln snapped to micro per row."""
+    pairs = docs.select(
+        id_col, F.explode_outer(_bigrams(_toks(text_col))).alias("bigram")
+    )
+    joined = (
+        pairs.withColumn("_w1", F.substring_index("bigram", SEP, 1))
+        .withColumn("_w2", F.substring_index("bigram", SEP, -1))
+        .join(bi, "bigram", "left")
+        .join(w1s, "_w1", "left")
+        .join(w2s, "_w2", "left")
+    )
+    num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("c2"), F.lit(0)) - 3, F.lit(0))
+        * F.lit(n_bigram_types)
+        + F.lit(3)
+        * F.coalesce(F.col("n1p_fw"), F.lit(0))
+        * F.coalesce(F.col("ncont"), F.lit(0))
+    ).cast("bigint")
+    den = (
+        F.lit(4) * F.coalesce(F.col("c1w"), F.lit(0)) * F.lit(n_bigram_types)
+    ).cast("bigint")
+    nlp_micro = F.floor(
+        -F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scorable = (
+        F.col("bigram").isNotNull()
+        & (F.coalesce(F.col("c1w"), F.lit(0)) > 0)
+        & (num > 0)
+    )
+    return joined.select(
+        id_col, F.when(scorable, nlp_micro).otherwise(F.lit(None)).alias("_nlp")
+    )

@@ -3878,3 +3878,94 @@ def tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tokenizer")
     )
+
+
+# ---------------------------------------------------------------------------
+# mink_prob_contamination (round 10): Min-K% Prob membership signal —
+# the modern pretraining-data audit (Shi et al. 2023) on the KN LM.
+# ---------------------------------------------------------------------------
+
+_MINK_PCT = 20
+# the KN model/scoring CTE chain up to the per-bigram `scored` table
+_MINK_PREFIX = _KN_ORACLE.split("agg AS")[0].rstrip().rstrip(",")
+
+
+@register(
+    "mink_prob_contamination",
+    oracle=f"""{_MINK_PREFIX},
+    k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM scored GROUP BY doc_id),
+    r AS (SELECT doc_id, nlp,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY nlp DESC) AS rk
+          FROM scored),
+    m AS (SELECT r.doc_id, CAST(sum(r.nlp) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS kc
+          FROM r JOIN k USING (doc_id)
+          WHERE r.rk <= greatest(1, k.n * {_MINK_PCT} // 100)
+          GROUP BY r.doc_id)
+    SELECT d.doc_id,
+           coalesce(k.n, 0) AS n_bigrams,
+           coalesce(m.kc, 0) AS k_count,
+           CAST(coalesce(m.s, 0) AS BIGINT) AS mink_sum_nlp_micro,
+           CAST(coalesce(m.s, 0) // greatest(coalesce(m.kc, 0), 1)
+                AS BIGINT) AS mink_avg_nlp_micro
+    FROM (SELECT doc_id FROM t) d
+    LEFT JOIN k USING (doc_id) LEFT JOIN m USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Min-K%% Prob membership / contamination signal (Shi et al. "
+    "2023, 'Detecting Pretraining Data from Large Language Models') "
+    "on the repo's Kneser-Ney LM: per document, the mean NLL of its "
+    f"{_MINK_PCT}%% LEAST-probable bigrams — a member (memorized/"
+    "duplicated) document has few surprising tokens, so its min-K "
+    "tail average sits LOW; scoring only the average (lm_perplexity/"
+    "kneser_ney rows) washes that tail out.  The audit a pretraining "
+    "pipeline runs against a benchmark suite before release, beside "
+    "the n-gram decontamination family (which needs the benchmark "
+    "text; this needs only the model).  Mechanics: the per-bigram "
+    "exact-micro NLL frame (operators/lm.kneser_ney_row_scores) "
+    "ranked DESC within each document (a per-DOCUMENT window — "
+    "bounded by document length, never a global sort), top "
+    "ceil-by-floor k = max(1, n*20 DIV 100) rows summed exactly; "
+    "boundary ties carry equal nlp values so the sum is invariant "
+    "to tie order.  <2-token documents survive with zeros.",
+)
+def mink_prob_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
+    rows = lm.kneser_ney_row_scores(docs, bi, w1s, w2s, b).filter(
+        F.col("_nlp").isNotNull()
+    )
+    k = rows.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_nlp"))
+    m = (
+        rows.withColumn("rk", F.row_number().over(w))
+        .join(k, "doc_id")
+        .filter(F.col("rk") <= F.greatest(F.lit(1), F.expr(f"n * {_MINK_PCT} DIV 100")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_nlp").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("kc"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(k, "doc_id", "left")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("kc"), F.lit(0)).cast("bigint").alias("k_count"),
+            F.coalesce(F.col("s"), F.lit(0))
+            .cast("bigint")
+            .alias("mink_sum_nlp_micro"),
+            F.expr(
+                "CAST(coalesce(s, 0) DIV greatest(coalesce(kc, 0), 1)"
+                " AS BIGINT)"
+            ).alias("mink_avg_nlp_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -436,3 +436,34 @@ def test_sorted_neighborhood_pairs_cross_boundary(spark, tmp_path):
     assert got[1].n_same_lang == 2
     # the d=3 pair spans first-to-last: different lang and source
     assert got[3].n_same_lang == 0 and got[3].n_same_source == 0
+
+
+def test_mink_prob_duplicated_doc_scores_lower(spark, tmp_path):
+    """A document duplicated many times in the corpus (the 'member')
+    must have a LOWER min-k tail average than a one-off document of
+    the same length — the Min-K% Prob separation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    dup = "the quick brown fox jumps over the lazy dog"
+    rare = "zyx wvu tsr qpo nml kji hgf edc baz"
+    texts = [dup] * 10 + [rare]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_pretrain as DQP,
+    )
+
+    out = {r.doc_id: r
+           for r in DQP.mink_prob_contamination(spark, str(tmp_path)).collect()}
+    rare_id = len(texts) - 1
+    assert out[0].mink_avg_nlp_micro < out[rare_id].mink_avg_nlp_micro
+    # k = max(1, n*20 DIV 100); the dup doc has 8 bigrams -> k = 1
+    assert out[0].n_bigrams == 8 and out[0].k_count == 1
