@@ -467,3 +467,22 @@ def test_mink_prob_duplicated_doc_scores_lower(spark, tmp_path):
     assert out[0].mink_avg_nlp_micro < out[rare_id].mink_avg_nlp_micro
     # k = max(1, n*20 DIV 100); the dup doc has 8 bigrams -> k = 1
     assert out[0].n_bigrams == 8 and out[0].k_count == 1
+
+
+def test_jaro_winkler_milli_classic_examples():
+    """The census-literature examples under the milli-exact integer
+    spec (floats give 0.961 / 0.813; the double-floor integer form
+    lands within one milli below)."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        jaro_winkler_milli,
+    )
+
+    assert jaro_winkler_milli("martha", "marhta") == 960
+    assert jaro_winkler_milli("dixon", "dicksonx") == 812
+    assert jaro_winkler_milli("same", "same") == 1000
+    assert jaro_winkler_milli("abc", "xyz") == 0
+    assert jaro_winkler_milli("", "abc") == 0
+    # symmetry
+    assert jaro_winkler_milli("dwayne", "duane") == jaro_winkler_milli(
+        "duane", "dwayne"
+    )
