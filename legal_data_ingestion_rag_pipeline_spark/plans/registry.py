@@ -57,7 +57,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:   seasonal_residual_anomalies (deseasonalized control chart),
 #:   adamic_adar_linkpred (inverse-log common-neighbor scores),
 #:   expected_calibration_error (reliability diagram + ECE),
-#:   tokenizer_bakeoff if built (BPE/unigram/WordPiece side-by-side).
+#:   tokenizer_bakeoff (BPE/unigram/WordPiece side-by-side),
+#:   late_interaction_maxsim (ColBERT MaxSim — the retrieval class
+#:     between BM25 and the bi-encoder),
+#:   sorted_neighborhood_pairs (rank-window blocking — the third
+#:     candidate-generation class),
+#:   mink_prob_contamination (Min-K% Prob membership audit on the
+#:     KN LM),
+#:   jaro_winkler_titles (milli-exact JW comparator over SN
+#:     candidates).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
