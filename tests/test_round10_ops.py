@@ -486,3 +486,53 @@ def test_jaro_winkler_milli_classic_examples():
     assert jaro_winkler_milli("dwayne", "duane") == jaro_winkler_milli(
         "duane", "dwayne"
     )
+
+
+def test_wordpiece_greedy_reconstruction_fuzz():
+    """Seeded fuzz: for any vocabulary and word, a non-UNK greedy
+    segmentation must RECONSTRUCT the word exactly (pieces with ##
+    stripped concatenate back), start with a start-unit, and continue
+    with ##-units only."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import wordpiece as wp
+
+    rng = random.Random(20260816)
+    alphabet = "abcd"
+    for _ in range(300):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        counts = {w: rng.randint(1, 5) for w in words}
+        vocab = wp.train_wordpiece_py(counts, vocab_target=rng.randint(4, 40))
+        for w in counts:
+            seg = wp.greedy_encode(w, vocab)
+            if seg is None:
+                continue
+            assert not seg[0].startswith(wp.CONT)
+            assert all(p.startswith(wp.CONT) for p in seg[1:])
+            rebuilt = seg[0] + "".join(p[len(wp.CONT):] for p in seg[1:])
+            assert rebuilt == w
+
+
+def test_jaro_winkler_fuzz_properties():
+    """Seeded fuzz: symmetry, range [0, 1000], identity = 1000, and
+    monotone-ish sanity (sharing a prefix never scores below the
+    same pair with the prefix scrambled is NOT guaranteed by JW, so
+    only the hard invariants are pinned)."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        jaro_winkler_milli,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    for _ in range(500):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        s = jaro_winkler_milli(a, b)
+        assert 0 <= s <= 1000
+        assert s == jaro_winkler_milli(b, a)
+        assert jaro_winkler_milli(a, a) == 1000
