@@ -580,3 +580,104 @@ def constraint_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ck in checks[1:]:
         out = out.unionAll(ck)
     return out.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# dp_noise_calibration (round 10): the geometric-mechanism release
+# audit — what each eps does to THIS table's counts, under a fixed
+# evaluation seed.  Completes the privacy family: k_anonymity /
+# l_diversity AUDIT exposure; this calibrates the RELEASE.
+# --------------------------------------------------------------------------
+
+_DP_EPS_MILLI = (100, 500, 1000)
+
+
+def _dp_noise_sql(dialect: str) -> str:
+    """noise = G1 - G2, G = floor(ln(1-u) / -eps) — the two-sided
+    geometric (discrete Laplace) mechanism.  u comes from the
+    portable polynomial hash of (segment, eps, leg) — a FIXED
+    evaluation seed so both engines draw the same noise: this
+    calibrates magnitudes (the eps-picking audit); a production
+    release swaps the hash for real entropy, same algebra."""
+    from ..functions import portable as PTT
+
+    def u(leg: int) -> str:
+        cat = (
+            f"concat(segment, '#', CAST(eps_milli AS STRING), '#{leg}')"
+            if dialect == PTT.SPARK
+            else f"segment || '#' || CAST(eps_milli AS VARCHAR) || '#{leg}'"
+        )
+        return f"(CAST(({PTT.poly_hash(cat, dialect)}) AS DOUBLE) / {PTT.P}.0)"
+
+    def g(leg: int) -> str:
+        return (
+            f"CAST(floor(ln(1.0 - {u(leg)})"
+            f" / (-(CAST(eps_milli AS DOUBLE) / 1000.0))) AS BIGINT)"
+        )
+
+    return f"(({g(1)}) - ({g(2)}))"
+
+
+@register(
+    "dp_noise_calibration",
+    oracle=f"""
+    WITH h AS (
+      SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS true_n
+      FROM customer GROUP BY 1
+    ),
+    e AS (SELECT CAST(g.x AS BIGINT) AS eps_milli
+          FROM unnest([{", ".join(str(e) for e in _DP_EPS_MILLI)}]) AS g(x)),
+    n AS (
+      SELECT e.eps_milli, h.segment, h.true_n,
+             {_dp_noise_sql("duckdb")} AS noise
+      FROM e CROSS JOIN h
+    )
+    SELECT eps_milli, segment, true_n,
+           CAST(true_n + noise AS BIGINT) AS released_n,
+           CAST(abs(noise) AS BIGINT) AS abs_err
+    FROM n ORDER BY eps_milli, segment
+    """,
+    doc="differential-privacy noise calibration for a histogram "
+    "release (the two-sided geometric / discrete-Laplace mechanism, "
+    "Ghosh-Roughgarden-Sundararajan 2009): for each candidate eps "
+    "(0.1 / 0.5 / 1.0), draw per-cell noise G1 - G2 with "
+    "G = floor(ln(1-u) / -eps) and report released counts and "
+    "realized absolute error next to the true counts — the table a "
+    "privacy review reads to pick eps (completing the privacy "
+    "family: k_anonymity_audit and l_diversity_audit measure "
+    "exposure; this calibrates the release).  The uniforms come "
+    "from the portable polynomial hash of (cell, eps, leg) — a "
+    "FIXED EVALUATION SEED, stated plainly: that makes this a "
+    "deterministic calibration of the mechanism's algebra and "
+    "magnitudes (hash-gateable), NOT a private release; production "
+    "swaps the hash for real entropy, algebra unchanged.  One ln "
+    "per draw on an exact-integer-derived double (the snap "
+    "convention).  Scale: one groupBy to the bounded cell table; "
+    "noise is a map-side expression over |cells| x |eps| rows.",
+)
+def dp_noise_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import portable as PTT
+
+    h = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+    )
+    e = spark.range(len(_DP_EPS_MILLI)).select(
+        F.element_at(
+            F.array(*[F.lit(v) for v in _DP_EPS_MILLI]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("bigint")
+        .alias("eps_milli")
+    )
+    n = e.crossJoin(h).withColumn(
+        "noise", F.expr(_dp_noise_sql(PTT.SPARK))
+    )
+    return n.select(
+        "eps_milli",
+        "segment",
+        "true_n",
+        F.expr("CAST(true_n + noise AS BIGINT)").alias("released_n"),
+        F.expr("CAST(abs(noise) AS BIGINT)").alias("abs_err"),
+    ).orderBy("eps_milli", "segment")

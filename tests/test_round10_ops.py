@@ -536,3 +536,21 @@ def test_jaro_winkler_fuzz_properties():
         assert 0 <= s <= 1000
         assert s == jaro_winkler_milli(b, a)
         assert jaro_winkler_milli(a, a) == 1000
+
+
+def test_dp_noise_shrinks_with_eps(spark):
+    """Geometric-mechanism sanity: across the segment cells, total
+    absolute error at eps=1.0 must not exceed the total at eps=0.1
+    (noise scale is 1/eps); released = true + noise exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_profiling as DQP,
+    )
+
+    rows = DQP.dp_noise_calibration(spark, "/root/testdata/sf0.001").collect()
+    by_eps = {}
+    for r in rows:
+        by_eps.setdefault(r.eps_milli, []).append(r)
+        assert r.released_n == r.true_n + (r.released_n - r.true_n)
+        assert r.abs_err == abs(r.released_n - r.true_n)
+    tot = {k: sum(r.abs_err for r in v) for k, v in by_eps.items()}
+    assert tot[1000] <= tot[100]
