@@ -5373,3 +5373,182 @@ def jaro_winkler_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jw_milli"), "id_a", "id_b")
         .limit(_JW_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# rrf_hybrid_search (round 10): reciprocal-rank fusion of the three
+# ranking systems — lexical BM25, conjunctive match, late-interaction
+# MaxSim — the standard hybrid-retrieval combiner.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_TOP = 20
+
+
+def _rrf_maxsim_cte() -> str:
+    return f"""
+      SELECT doc_id, maxsim_score,
+             row_number() OVER (ORDER BY maxsim_score DESC, doc_id) AS rk
+      FROM (
+        SELECT doc_id,
+               CAST({" + ".join(f"max(d{j})" for j in range(len(_LI_QUERY)))}
+                    AS BIGINT) AS maxsim_score
+        FROM (
+          SELECT doc_id,
+                 {", ".join(f"({e}) AS d{j}" for j, e in enumerate(_li_doc_dot_sql(D)))}
+          FROM (
+            SELECT doc_id,
+                   {", ".join(f"({e}) AS tv{i}" for i, e in enumerate(_li_tv_sql(D)))}
+            FROM (SELECT doc_id, unnest({PT.tokens('text', D)}) AS word
+                  FROM documents) _t0
+          ) _t1
+        ) _t2 GROUP BY doc_id
+        ORDER BY maxsim_score DESC, doc_id LIMIT {_RRF_POOL}
+      ) _m
+    """
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl
+              FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+      FROM (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS s
+            FROM scored GROUP BY doc_id
+            ORDER BY s DESC, doc_id LIMIT {_RRF_POOL}) _b
+    ),
+    conj AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY nh DESC, doc_id) AS rk
+      FROM (SELECT doc_id, count(DISTINCT term) AS nh
+            FROM (SELECT doc_id, unnest(toks) AS term FROM docs2) _c0
+            WHERE term IN ('vector', 'merge', 'window')
+            GROUP BY doc_id ORDER BY nh DESC, doc_id LIMIT {_RRF_POOL}) _c
+    ),
+    ms AS ({_rrf_maxsim_cte()}),
+    u AS (
+      SELECT doc_id, rk FROM bm25
+      UNION ALL SELECT doc_id, rk FROM conj
+      UNION ALL SELECT doc_id, rk FROM ms
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_systems,
+           CAST(sum(1000000 // ({_RRF_K} + rk)) AS BIGINT) AS rrf_micro
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+    doc="reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of "
+    "THREE ranking systems over the same query terms — BM25 "
+    "(lexical), conjunctive term-count (boolean), and "
+    "late-interaction MaxSim (token-vector) — the standard "
+    "hybrid-retrieval combiner: each system contributes "
+    f"floor(1e6 / ({_RRF_K} + rank)) micro-points for its top-"
+    f"{_RRF_POOL} documents (k = {_RRF_K}, the canonical setting), "
+    "summed exactly; rank fusion needs NO score normalization "
+    "across heterogeneous scales, which is why production hybrid "
+    "search ships RRF rather than score blending.  Every "
+    "per-system ranking is produced by its own TakeOrdered top-"
+    f"{_RRF_POOL} and only THEN ranked by a window over those <= "
+    f"{_RRF_POOL} rows (tiny-frame convention — never a global "
+    "sort), and the fusion is one uniform doc_id groupBy.  Oracle: "
+    "the three ranking CTEs (BM25's gated formulation, the "
+    "conjunctive count, the MaxSim chain) fused with the same "
+    "integer formula.",
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    bm = fts.bm25_topk(docs, "doc_id", "text", list(_FTS_TERMS), k=_RRF_POOL)
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("term")
+    )
+    conj = (
+        toks.filter(F.col("term").isin(*_FTS_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nh"))
+        .orderBy(F.desc("nh"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    conj_r = conj.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("nh"), "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+
+    # maxsim with the RRF pool size (the registered query's own top-k
+    # is smaller than the fusion pool)
+    tv = docs.select(
+        "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("word")
+    ).select(
+        "doc_id",
+        *[F.expr(e).alias(f"tv{i}") for i, e in enumerate(_li_tv_sql(S))],
+    )
+    dots = tv.select(
+        "doc_id",
+        *[F.expr(e).alias(f"d{j}") for j, e in enumerate(_li_doc_dot_sql(S))],
+    )
+    score = " + ".join(f"max(d{j})" for j in range(len(_LI_QUERY)))
+    ms = (
+        dots.groupBy("doc_id")
+        .agg(F.expr(f"CAST({score} AS BIGINT)").alias("maxsim_score"))
+        .orderBy(F.desc("maxsim_score"), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    ms_r = ms.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("maxsim_score"), "doc_id"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+
+    u = bm_r.unionAll(conj_r).unionAll(ms_r)
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_systems"),
+            F.sum(F.expr(f"1000000 DIV ({_RRF_K} + rk)"))
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(_RRF_TOP)
+    )

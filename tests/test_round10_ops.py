@@ -554,3 +554,30 @@ def test_dp_noise_shrinks_with_eps(spark):
         assert r.abs_err == abs(r.released_n - r.true_n)
     tot = {k: sum(r.abs_err for r in v) for k, v in by_eps.items()}
     assert tot[1000] <= tot[100]
+
+
+def test_rrf_three_system_consensus_wins(spark, tmp_path):
+    """A doc ranked #1 by all three systems must take RRF #1 with
+    exactly 3 * floor(1e6/61) micro-points."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    docs = [
+        (1, "vector merge window vector merge window"),
+        (2, "vector something else entirely here now"),
+        (3, "no relevant terms at all whatsoever ok"),
+    ]
+    pq_.write_table(
+        pa.table({"doc_id": [d[0] for d in docs],
+                  "text": [d[1] for d in docs]}),
+        f"{tmp_path}/documents.parquet",
+    )
+    from legal_data_ingestion_rag_pipeline_spark.plans import (
+        driver_queries_similarity as DQS,
+    )
+
+    out = DQS.rrf_hybrid_search(spark, str(tmp_path)).collect()
+    top = out[0]
+    assert top.doc_id == 1
+    assert top.n_systems == 3
+    assert top.rrf_micro == 3 * (1_000_000 // 61)
