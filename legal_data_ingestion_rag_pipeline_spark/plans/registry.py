@@ -65,7 +65,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:   mink_prob_contamination (Min-K% Prob membership audit on the
 #:     KN LM),
 #:   jaro_winkler_titles (milli-exact JW comparator over SN
-#:     candidates).
+#:     candidates),
+#:   rrf_hybrid_search (reciprocal-rank fusion of BM25 +
+#:     conjunctive + MaxSim — the hybrid-retrieval combiner),
+#:   dp_noise_calibration (geometric-mechanism release audit).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
