@@ -52,6 +52,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: conformal_price_calibration (each keeps a gated machinery
 #: partner + oracle_check + pytest).
 #:
+#: Round-10 third rotation (two strict-containment swaps): IN
+#: mink_prob_contamination — CONTAINS the full KN model build and
+#: per-bigram scoring join (kneser_ney_row_scores) plus the rank/
+#: top-k tail, so OUT kneser_ney_perplexity (keeps its bench row,
+#: oracle_check row, and the lm.py pytest).  IN rrf_hybrid_search —
+#: runs the BM25 postings/df/avgdl scoring top-50 INSIDE the plan
+#: beside two other ranking systems, so OUT rag_rerank_bm25 (its
+#: pool-bounded dense rerank stays gated via rag_semantic_search +
+#: retrieval_ndcg_eval; keeps oracle_check + the rank pytest).
+#:
 #: Round-11 rotation candidates (round-10 families still never
 #: gated, all sweep-green with dedicated pytests):
 #:   seasonal_residual_anomalies (deseasonalized control chart),
@@ -62,12 +72,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #:     between BM25 and the bi-encoder),
 #:   sorted_neighborhood_pairs (rank-window blocking — the third
 #:     candidate-generation class),
-#:   mink_prob_contamination (Min-K% Prob membership audit on the
-#:     KN LM),
 #:   jaro_winkler_titles (milli-exact JW comparator over SN
 #:     candidates),
-#:   rrf_hybrid_search (reciprocal-rank fusion of BM25 +
-#:     conjunctive + MaxSim — the hybrid-retrieval combiner),
 #:   dp_noise_calibration (geometric-mechanism release audit).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
@@ -101,11 +107,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "textstats_repetition",
     "ivm_tlog_cdc_refresh",
     "logistic_gd_two_steps",
-    "kneser_ney_perplexity",
+    "mink_prob_contamination",
     "bpe_encode_corpus",
     "wordpiece_encode_corpus",
     "rag_semantic_search",
-    "rag_rerank_bm25",
+    "rrf_hybrid_search",
     "timetravel_pruned_scan",
     "record_linkage_fellegi_sunter",
     "url_canonical_dedup",
