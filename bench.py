@@ -21,8 +21,32 @@ from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry  # n
 from legal_data_ingestion_rag_pipeline_spark.session import build_session  # noqa: E402
 
 
+def wait_for_quiet_box(max_wait_sec: float = 600.0) -> float:
+    """Round-10 verdict ask #2: the r10 driver record ran at loadavg
+    9.6 and had to be discounted (`load_suspect: true`).  Before
+    timing anything, wait (bounded) for the 1-minute load to drop
+    under the suspect threshold (ncpu/4) so the recorded numbers are
+    the plan's, not the neighbours'.  Returns seconds waited; gives
+    up after max_wait_sec and lets the load_suspect sentinel tell the
+    story. Disable with SPARK_GRAFT_NO_LOAD_WAIT=1."""
+    if os.environ.get("SPARK_GRAFT_NO_LOAD_WAIT"):
+        return 0.0
+    ncpu = os.cpu_count() or 1
+    thresh = ncpu / 4
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait_sec:
+        if os.getloadavg()[0] <= thresh:
+            break
+        time.sleep(10.0)
+    return round(time.monotonic() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_waited = wait_for_quiet_box()
+    # ambient load is sampled BEFORE the session build + warmups so
+    # the bench's own startup burst can't self-flag the record
+    load_before = os.getloadavg()
     spark = build_session("bench")
     # rough scale factor from the directory name (sf0.1 -> 0.1)
     tail = Path(sf_dir).name
@@ -57,7 +81,6 @@ def main() -> None:
     # rerun) — the consumer can discount the run.  load_after is NOT
     # part of the sentinel: the bench's own sf0.1 work raises the
     # 1-min load by ~4 even on an idle box.
-    load_before = os.getloadavg()
     specs = [s for s in registry().values() if s.bench]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -102,6 +125,7 @@ def main() -> None:
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "load_suspect": load_before[0] > ncpu / 4 or load_before[1] > ncpu / 4,
+        "load_waited_sec": load_waited,
         "n_queries": len(timings),
     }
     # Full detail first (humans / full-stdout logs), compact summary

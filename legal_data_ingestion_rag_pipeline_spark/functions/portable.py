@@ -23,6 +23,15 @@ P = 1_000_000_007
 POLY_INIT = 7
 POLY_MULT = 31
 
+#: Python-twin whitespace, pinned to what BOTH SQL engines' `\s`
+#: means: Java regex (Spark) \s = [ \t\n\x0B\f\r]; RE2 (DuckDB) \s is
+#: the same ASCII class.  Python's re is Unicode-aware — its \s also
+#: matches \x1c-\x1f (including the \x1f pair-encoding SEP!) and
+#: Unicode spaces (\xa0,  , ...), so a twin using r"\s+" would
+#: tokenize differently from the engines on such characters.  Every
+#: sparkless twin splits on THIS pattern.
+PY_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
 
 def split_chars(expr: str, dialect: str) -> str:
     if dialect == SPARK:
@@ -111,12 +120,22 @@ def poly_hash(expr: str, dialect: str) -> str:
 
 
 def tokens(expr: str, dialect: str) -> str:
-    """Lowercased whitespace tokens with empties removed."""
+    """Lowercased whitespace tokens with empties removed.
+
+    The whitespace class is the EXPLICIT ``PY_WS`` ASCII set, not
+    ``\\s``: Java regex (Spark) \\s includes \\x0B where RE2's
+    (DuckDB) does not, so '\\s+' names two different tokenizers.
+    Spark SQL string literals process backslash escapes (hence the
+    doubling); DuckDB's do not, RE2 sees the escapes directly."""
     if dialect == SPARK:
-        arr = f"split(lower({expr}), '\\\\s+')"
+        arr = f"split(lower({expr}), '{_sql_escaped_ws()}')"
     else:
-        arr = f"string_split_regex(lower({expr}), '\\s+')"
+        arr = f"string_split_regex(lower({expr}), '{PY_WS}')"
     return filter_(arr, "t -> t != ''", dialect)
+
+
+def _sql_escaped_ws() -> str:
+    return PY_WS.replace("\\", "\\\\")
 
 
 def word_ngrams(tokens_expr: str, n: int, dialect: str) -> str:

@@ -273,7 +273,7 @@ def train_merges_from_parquet(path: str, n_merges: int) -> list[tuple[str, str, 
         for text in batch.column("text").to_pylist():
             if not text:
                 continue
-            for w in re.split(r"\s+", text.lower()):
+            for w in re.split(PT.PY_WS, text.lower()):
                 if w and SEP not in w:  # mirror word_frequencies
                     counts[w] = counts.get(w, 0) + 1
     return train_merges_py(counts, n_merges)
@@ -312,7 +312,7 @@ def encode_stats_from_parquet(
         ):
             if not text:
                 continue
-            words = [w for w in re.split(r"\s+", text.lower()) if w]
+            words = [w for w in re.split(PT.PY_WS, text.lower()) if w]
             if not words:
                 continue
             nw, ns = len(words), sum(enc_len(w) for w in words)

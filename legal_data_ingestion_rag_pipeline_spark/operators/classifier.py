@@ -239,7 +239,7 @@ def train_distilled_weights_py(
     A = [[0] * D for _ in range(D)]
     b = [0] * D
     for _id, text in rows:
-        toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+        toks = [t for t in re.split(PT.PY_WS, (text or "").lower()) if t]
         s = 0.0
         feat: dict[int, int] = {}
         for t in toks:

@@ -204,39 +204,16 @@ def kneser_ney_score(
     training corpus; possible on held-out text) contribute no term —
     they are excluded from n_bigrams rather than scored with a
     garbage denominator.  <2-token documents survive with
-    n_bigrams = 0 (scoring must never delete documents)."""
-    pairs = docs.select(
-        id_col, F.explode_outer(_bigrams(_toks(text_col))).alias("bigram")
-    )
-    joined = (
-        pairs.withColumn("_w1", F.substring_index("bigram", SEP, 1))
-        .withColumn("_w2", F.substring_index("bigram", SEP, -1))
-        .join(bi, "bigram", "left")
-        .join(w1s, "_w1", "left")
-        .join(w2s, "_w2", "left")
-    )
-    num = (
-        F.greatest(F.lit(4) * F.coalesce(F.col("c2"), F.lit(0)) - 3, F.lit(0))
-        * F.lit(n_bigram_types)
-        + F.lit(3)
-        * F.coalesce(F.col("n1p_fw"), F.lit(0))
-        * F.coalesce(F.col("ncont"), F.lit(0))
-    ).cast("bigint")
-    den = (
-        F.lit(4) * F.coalesce(F.col("c1w"), F.lit(0)) * F.lit(n_bigram_types)
-    ).cast("bigint")
-    nlp_micro = F.floor(
-        -F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
-    scorable = (
-        F.col("bigram").isNotNull()
-        & (F.coalesce(F.col("c1w"), F.lit(0)) > 0)
-        & (num > 0)
-    )
-    per_row = F.when(scorable, nlp_micro).otherwise(F.lit(None))
+    n_bigrams = 0 (scoring must never delete documents).
+
+    Implemented as the per-document aggregation of
+    :func:`kneser_ney_row_scores` — ONE definition of the P_KN
+    formula, so the aggregate and order-statistic consumers (Min-K%%
+    Prob) can never drift apart."""
     return (
-        joined.select(id_col, per_row.alias("_nlp"))
+        kneser_ney_row_scores(
+            docs, bi, w1s, w2s, n_bigram_types, text_col, id_col
+        )
         .groupBy(id_col)
         .agg(
             F.count("_nlp").alias("n_bigrams"),

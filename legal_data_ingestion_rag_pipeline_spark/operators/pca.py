@@ -152,10 +152,22 @@ def gram_exact(
     per input row, DECIMAL(38,0) sums (exact past int64 at corpus
     scale).  Collects the d x d table driver-side (the codebook/Gram
     convention, KBs)."""
-    if dim is None:
-        dim = int(
-            e.select(F.size(vec_col).alias("_d")).limit(1).collect()[0]._d
+    # One aggregation pass establishes the dimension AND asserts the
+    # column is rectangular — a ragged embedding column would
+    # otherwise produce NULL products (element_at past the end) that
+    # silently poison the DECIMAL sums instead of failing loudly
+    # (mirrors the explicit assert in the pyarrow twin).
+    mn, mx = e.select(
+        F.min(F.size(vec_col)), F.max(F.size(vec_col))
+    ).first()
+    if mn != mx:
+        raise ValueError(
+            f"ragged embedding column: size(min)={mn} != size(max)={mx}"
         )
+    if dim is None:
+        dim = int(mx)
+    elif dim != int(mx):
+        raise ValueError(f"dim={dim} but embeddings have size {mx}")
     q = e.select(
         F.expr(
             f"transform({vec_col}, x -> "

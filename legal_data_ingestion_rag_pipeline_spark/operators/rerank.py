@@ -157,20 +157,22 @@ def mmr_select(
 
     Scale contract: MMR is inherently sequential (k dependent steps),
     so it runs on a POOL — the bounded output of a two-phase top-N
-    retrieval (the ann family), never the corpus.  Each step is one
-    Spark pass over the remaining pool (greatest() against the
-    newly selected vector) + a 1-row argmax collect — the
-    bpe_train_merges driver-loop convention.  Returns
-    [(rank, id, mmr_micro), ...].
+    retrieval (the ann family), never the corpus.  The relevance
+    column is ONE Spark pass (map-side dot against the query-vector
+    literal); the pool is then collected ONCE (bounded by
+    construction) and the k greedy steps run driver-side in pure
+    integer/IEEE-double arithmetic — identical operations in the
+    identical order to the Spark expressions they replace (double
+    products accumulated left-to-right, FLOOR(x*1e6+0.5)), so the
+    selected sequence is unchanged while k Spark jobs become 1
+    (round-10 verdict ask #6).  Returns [(rank, id, mmr_micro), ...].
     """
+    import math
+
     if k < 1:
         raise ValueError("k must be >= 1")
     q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
-    dot_q = F.expr(
-        "aggregate(zip_with(_vec, _qv, (x, y) -> CAST(x AS DOUBLE) * "
-        "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
-    )
-    cur = (
+    rows = (
         pool.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
         )
@@ -184,38 +186,27 @@ def mmr_select(
                 "AS BIGINT)"
             ),
         )
-        .drop("_qv")
-        .withColumn("max_sim_micro", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .select("_id", "_vec", "rel_micro")
+        .collect()
     )
+    # driver-side greedy over the bounded pool: [id, vec, rel, max_sim]
+    cand = [[r._id, [float(x) for x in r._vec], int(r.rel_micro), 0] for r in rows]
     mu = lam_den - lam_num
     out: list[tuple] = []
     for rank in range(1, k + 1):
-        mmr = lam_num * F.col("rel_micro") - mu * F.col("max_sim_micro")
-        top = (
-            cur.withColumn("_mmr", mmr)
-            .orderBy(F.desc("_mmr"), F.asc("_id"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        if not cand:
             break
-        sel = top[0]
-        out.append((rank, sel._id, int(sel._mmr)))
-        sel_vec = F.array(*[F.lit(float(x)) for x in sel._vec])
-        sim = F.expr(
-            "CAST(FLOOR(aggregate(zip_with(_vec, _sv, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (s, x) -> s + x) * 1000000.0 + 0.5) "
-            "AS BIGINT)"
+        best = min(
+            cand, key=lambda c: (-(lam_num * c[2] - mu * c[3]), c[0])
         )
-        cur = (
-            cur.filter(F.col("_id") != sel._id)
-            .withColumn("_sv", sel_vec)
-            .withColumn(
-                "max_sim_micro", F.greatest(F.col("max_sim_micro"), sim)
-            )
-            .drop("_sv")
-            .localCheckpoint(eager=True)
-        )
+        out.append((rank, best[0], lam_num * best[2] - mu * best[3]))
+        cand.remove(best)
+        sv = best[1]
+        for c in cand:
+            s = 0.0
+            for x, y in zip(c[1], sv):
+                s += x * y
+            sim = int(math.floor(s * 1000000.0 + 0.5))
+            if sim > c[3]:
+                c[3] = sim
     return out

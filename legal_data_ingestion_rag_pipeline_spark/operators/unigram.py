@@ -352,7 +352,7 @@ def word_counts_from_parquet(path: str) -> dict[str, int]:
         for text in batch.column("text").to_pylist():
             if not text:
                 continue
-            for w in re.split(r"\s+", text.lower()):
+            for w in re.split(PT.PY_WS, text.lower()):
                 if w and SEP not in w:  # mirror word_frequencies
                     counts[w] = counts.get(w, 0) + 1
     return counts
@@ -392,7 +392,7 @@ def encode_stats_from_parquet(
         ):
             nw = np = sc = 0
             if text:
-                for w in re.split(r"\s+", text.lower()):
+                for w in re.split(PT.PY_WS, text.lower()):
                     if w and SEP not in w:
                         nw += 1
                         p, c = enc(w)

@@ -143,7 +143,7 @@ def word_counts_from_parquet(path: str) -> dict[str, int]:
         for text in batch.column("text").to_pylist():
             if not text:
                 continue
-            for w in re.split(r"\s+", text.lower()):
+            for w in re.split(PT.PY_WS, text.lower()):
                 if w and SEP not in w:
                     counts[w] = counts.get(w, 0) + 1
     return counts
@@ -186,7 +186,7 @@ def encode_stats_from_parquet(
         ):
             nw = np = nu = nc = 0
             if text:
-                for w in re.split(r"\s+", text.lower()):
+                for w in re.split(PT.PY_WS, text.lower()):
                     if not w or SEP in w:
                         continue
                     nw += 1
@@ -294,9 +294,22 @@ def encode_stats(
         F.coalesce(F.col("_e.nu"), F.lit(0)).alias("_nu"),
         F.coalesce(F.col("_e.nc"), F.lit(0)).alias("_nc"),
     )
-    return per_word.groupBy(id_col).agg(
+    agg = per_word.groupBy(id_col).agg(
         F.sum("_nw").cast("bigint").alias("n_words"),
         F.sum("_np").cast("bigint").alias("n_pieces"),
         F.sum("_nu").cast("bigint").alias("n_unk_words"),
         F.sum("_nc").cast("bigint").alias("n_continuations"),
+    )
+    # A document whose EVERY token contains SEP loses all its rows to
+    # the filter above (explode_outer only emits a null row for an
+    # empty/null token array, not a fully-filtered one) — left-join
+    # the stats back onto the distinct id frame so such documents
+    # survive as (0,0,0,0), matching encode_stats_from_parquet.
+    ids = docs.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("n_words", "n_pieces", "n_unk_words", "n_continuations")
+        ],
     )

@@ -170,7 +170,7 @@ def _py_tokens(text: str) -> list[str]:
     runs, drop empties."""
     import re
 
-    return [t for t in re.split(r"\s+", (text or "").lower()) if t != ""]
+    return [t for t in re.split(PT.PY_WS, (text or "").lower()) if t != ""]
 
 
 def _py_lcs(a: list[str], b: list[str]) -> int:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import htmltext, portable as PT
-from ..operators import classifier, domains, linededup, sketches
+from ..operators import classifier, domains, linededup, packing as packing_mod, sketches
 from ..session import barrier, load_table
 from .registry import register
 
@@ -687,7 +687,11 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.perplexity_score(docs, uni, bi, v).orderBy("doc_id")
 
 
-_KN_ORACLE = f"""
+# The KN model/scoring CTE chain through the per-bigram `scored`
+# table — shared verbatim by the kneser_ney_perplexity and
+# mink_prob_contamination oracles (both aggregate `scored`
+# differently), so the two can never drift apart.
+_KN_SCORED_CTES = f"""
     WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
     bg AS (SELECT doc_id,
                   unnest(list_transform(
@@ -715,7 +719,9 @@ _KN_ORACLE = f"""
       JOIN w1 ON w1.w = string_split(g.bigram, chr(1))[1]
       JOIN w2 ON w2.w = string_split(g.bigram, chr(1))[2]
       CROSS JOIN bt
-    ),
+    )"""
+
+_KN_ORACLE = f"""{_KN_SCORED_CTES},
     agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nlp) AS s
             FROM scored GROUP BY doc_id)
     SELECT d.doc_id,
@@ -3886,13 +3892,11 @@ def tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MINK_PCT = 20
-# the KN model/scoring CTE chain up to the per-bigram `scored` table
-_MINK_PREFIX = _KN_ORACLE.split("agg AS")[0].rstrip().rstrip(",")
 
 
 @register(
     "mink_prob_contamination",
-    oracle=f"""{_MINK_PREFIX},
+    oracle=f"""{_KN_SCORED_CTES},
     k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
           FROM scored GROUP BY doc_id),
     r AS (SELECT doc_id, nlp,
@@ -3968,4 +3972,152 @@ def mink_prob_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mink_avg_nlp_micro"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_resampling (round 11): DSIR — importance-weighted
+# data selection under hashed bag-of-words models (Xie et al. 2023).
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_TOPK = 40
+
+
+def _dsir_oracle() -> str:
+    from ..operators import dsir
+
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    b = dsir.bucket_sql("word", D)
+    lr = dsir.log_ratio_micro_sql("t_c", "s_c", "t_tot", "s_tot")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, {PT.tokens('text', D)} AS toks,
+             source IN ({tgt}) AS is_t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, is_t, unnest(toks) AS word FROM d),
+    tb AS (SELECT doc_id, is_t, {b} AS b FROM tok),
+    bs AS (SELECT b,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_c,
+                  CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS s_c
+           FROM tb GROUP BY b),
+    tt AS (SELECT CAST(sum(t_c) AS BIGINT) AS t_tot,
+                  CAST(sum(s_c) AS BIGINT) AS s_tot FROM bs),
+    lr AS (SELECT b, {lr} AS lr_micro FROM bs CROSS JOIN tt),
+    sc AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(lr_micro) AS BIGINT) AS w
+           FROM tb JOIN lr USING (b) WHERE NOT is_t GROUP BY tb.doc_id)
+    SELECT p.doc_id, p.source,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sc.w, 0) AS BIGINT) AS dsir_weight_micro
+    FROM (SELECT doc_id, source FROM d WHERE NOT is_t) p
+    LEFT JOIN sc USING (doc_id)
+    ORDER BY dsir_weight_micro DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """
+
+
+@register(
+    "dsir_importance_resampling",
+    oracle=_dsir_oracle(),
+    bench=True,
+    doc="DSIR data selection (Xie et al. 2023): importance weights "
+    "p_target/p_source under two hashed bag-of-words unigram models — "
+    f"target model fit on the curated sources {_DSIR_TARGET}, source "
+    "model on the raw pool — and the top-"
+    f"{_DSIR_TOPK} raw documents by weight selected for the training "
+    "mix.  The no-training alternative to the quality-classifier "
+    "family: two exact count passes + one broadcast-scored pass.  "
+    "Exactness: the smoothed ratio ((t_c+1)(S+NB))/((s_c+1)(T+NB)) "
+    "is ONE ratio of exact BIGINT products so the ln() input is "
+    "bit-identical across engines (the KN convention); per-bucket "
+    "log-ratios snap to micro; document weights are exact BIGINT "
+    "sums; ties break on doc_id.  Scale: one tokenize pass feeds "
+    "both models (membership is a predicate, not a second scan); "
+    "the bucket shuffle is bounded by NB=256; the NB-row log-ratio "
+    "table broadcasts so the raw pool is scored map-side; top-k is "
+    "TakeOrderedAndProject (operators/dsir.py).",
+)
+def dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    w = dsir.dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET))
+    return (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "dsir_weight_micro")
+        .orderBy(F.desc("dsir_weight_micro"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing_stats (round 11): next-fit-decreasing context-window
+# packing — the padding-efficiency report every pretraining run reads.
+# ---------------------------------------------------------------------------
+
+
+def _packing_oracle(sf_dir: str) -> str:
+    from ..operators import packing
+
+    rows = packing.pack_stats_py(sf_dir)
+    vals = ", ".join(f"({s}, {d}, {b}, {t}, {p}, {f})" for s, d, b, t, p, f in rows)
+    return f"""
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(padding_tokens AS BIGINT) AS padding_tokens,
+           CAST(fill_milli AS BIGINT) AS fill_milli
+    FROM (VALUES {vals})
+      AS t(shard, n_docs, n_bins, total_tokens, padding_tokens, fill_milli)
+    ORDER BY shard
+    """
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=_packing_oracle,
+    bench=True,
+    doc="sequence packing for pretraining (operators/packing.py): "
+    "next-fit-decreasing assignment of documents into "
+    f"{packing_mod.CAPACITY}-token context windows within "
+    f"{packing_mod.N_SHARDS} hash shards, reported as the per-shard "
+    "padding-efficiency datacard (docs, bins, total tokens, padding, "
+    "fill per-mille) — the number that is pure wasted compute if it "
+    "drifts (Krell et al. 2021).  NFD keeps O(1) packing state (one "
+    "open bin), which is what makes the pass streamable; shards make "
+    "it embarrassingly parallel (one shuffle on the shard key, then "
+    "a grouped Arrow pass — FlatMapGroupsInPandas, no row-wise "
+    "Python).  Oracle: the bit-equal sparkless twin as VALUES (the "
+    "sequential-algorithm convention).",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = packing.pack_assignments(docs)
+    cap = packing.CAPACITY
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            (F.col("n_bins") * cap - F.col("total_tokens"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            F.expr(f"CAST(total_tokens * 1000 DIV (n_bins * {cap}) AS BIGINT)")
+            .alias("fill_milli"),
+        )
+        .orderBy("shard")
     )

@@ -640,7 +640,7 @@ def _rag_query_vec() -> list[float]:
     import math
     import re
 
-    toks = [t for t in re.split(r"\s+", _RAG_QUERY_TEXT.lower()) if t]
+    toks = [t for t in re.split(PT.PY_WS, _RAG_QUERY_TEXT.lower()) if t]
     hs = []
     for t in toks:
         acc = 7
@@ -5098,8 +5098,8 @@ _SN_WINDOW = 3
     oracle=f"""
     WITH f AS (
       SELECT doc_id, lang, source,
-             lang || '|' || coalesce(({PT.tokens('text', D)})[1], '')
-                  || '|' || lpad(CAST(n_chars AS VARCHAR), 8, '0') AS sk
+             lang || chr(1) || coalesce(({PT.tokens('text', D)})[1], '')
+                  || chr(1) || lpad(CAST(n_chars AS VARCHAR), 8, '0') AS sk
       FROM documents
     ),
     r AS (
@@ -5148,9 +5148,15 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        # Separator contract: two_phase_rank bands on `lang` but the
+        # global order is `sk` — the concatenation separator must sort
+        # BELOW every character that can follow `lang`, or a lang that
+        # is a proper prefix of another ('en' vs 'eng') would band in
+        # a different order than the oracle's global sk sort.  chr(1)
+        # sorts below all printable characters; '|' (0x7C) does not.
         F.expr(
-            f"concat(lang, '|', coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
-            f" '|', lpad(CAST(n_chars AS STRING), 8, '0'))"
+            f"concat(lang, chr(1), coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
+            f" chr(1), lpad(CAST(n_chars AS STRING), 8, '0'))"
         ).alias("sk"),
     )
     r = ranks.two_phase_rank(
@@ -5264,8 +5270,8 @@ def _jw_titles_py(sf_dir: str) -> list[tuple[int, int, int]]:
             batch.column("lang").to_pylist(),
             batch.column("n_chars").to_pylist(),
         ):
-            toks = [w for w in re.split(r"\s+", (text or "").lower()) if w]
-            sk = f"{lang}|{toks[0] if toks else ''}|{int(nc):08d}"
+            toks = [w for w in re.split(PT.PY_WS, (text or "").lower()) if w]
+            sk = f"{lang}\x01{toks[0] if toks else ''}\x01{int(nc):08d}"
             title = (text or "")[:_JW_TITLE_CHARS]
             rows.append((sk, int(did), title))
     rows.sort(key=lambda r: (r[0], r[1]))
@@ -5328,9 +5334,15 @@ def jaro_winkler_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = docs.select(
         "doc_id",
         "lang",
+        # Separator contract: two_phase_rank bands on `lang` but the
+        # global order is `sk` — the concatenation separator must sort
+        # BELOW every character that can follow `lang`, or a lang that
+        # is a proper prefix of another ('en' vs 'eng') would band in
+        # a different order than the oracle's global sk sort.  chr(1)
+        # sorts below all printable characters; '|' (0x7C) does not.
         F.expr(
-            f"concat(lang, '|', coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
-            f" '|', lpad(CAST(n_chars AS STRING), 8, '0'))"
+            f"concat(lang, chr(1), coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
+            f" chr(1), lpad(CAST(n_chars AS STRING), 8, '0'))"
         ).alias("sk"),
         F.expr(
             f"substring(coalesce(text, ''), 1, {_JW_TITLE_CHARS})"

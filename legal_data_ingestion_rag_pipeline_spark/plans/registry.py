@@ -37,44 +37,28 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: row.
 #:
 #: The per-round rotation history (which slots rotated when, and the
-#: gated machinery partner every OUT keeps) lives in ROTATIONS.md —
-#: round-10 entry: 14 in (trained-IVF DBSCAN + recall twin, the
-#: round-9 never-gated stats/dedup families, four TPC-H
-#: decorrelation shapes, the stateful-streaming sessionizer), 14 out,
-#: each with a named partner.
+#: gated machinery partner every OUT keeps) lives in ROTATIONS.md.
 #:
-#: Round-10 second rotation (the session's four most machinery-
-#: distinct new families in while newest — full rationale in
-#: ROTATIONS.md): IN wordpiece_encode_corpus,
-#: record_linkage_fellegi_sunter, pca_gram_projection,
-#: logistic_gd_two_steps; OUT unigram_lm_tokenize,
-#: decontamination_bloom, quality_classifier_trained,
-#: conformal_price_calibration (each keeps a gated machinery
-#: partner + oracle_check + pytest).
+#: Round-11 rotation (verdict asks #1/#3/#4): 18 IN, 18 OUT, each
+#: OUT keeping a named gated machinery partner — full rationale in
+#: ROTATIONS.md.  IN: the never-gated GRAPH pack (bfs, personalized
+#: pagerank, LPA + modularity communities, clustering coefficient,
+#: degree assortativity, Adamic-Adar — operators/graph.py has been a
+#: headline bench family since r7 with no external correctness row),
+#: the STORAGE/TABLE-FORMAT pack (orc / compaction / z-order /
+#: schema-evolution / tlog point lookup / exactly-once streaming
+#: sink — what a 100 TB deployment leans on), and the
+#: ATTRIBUTION/CAUSAL stats tail (Shapley + Markov-removal channel
+#: attribution, isotonic calibration, stratified propensity,
+#: difference-in-differences).
 #:
-#: Round-10 third rotation (two strict-containment swaps): IN
-#: mink_prob_contamination — CONTAINS the full KN model build and
-#: per-bigram scoring join (kneser_ney_row_scores) plus the rank/
-#: top-k tail, so OUT kneser_ney_perplexity (keeps its bench row,
-#: oracle_check row, and the lm.py pytest).  IN rrf_hybrid_search —
-#: runs the BM25 postings/df/avgdl scoring top-50 INSIDE the plan
-#: beside two other ranking systems, so OUT rag_rerank_bm25 (its
-#: pool-bounded dense rerank stays gated via rag_semantic_search +
-#: retrieval_ndcg_eval; keeps oracle_check + the rank pytest).
-#:
-#: Round-11 rotation candidates (round-10 families still never
-#: gated, all sweep-green with dedicated pytests):
-#:   seasonal_residual_anomalies (deseasonalized control chart),
-#:   adamic_adar_linkpred (inverse-log common-neighbor scores),
-#:   expected_calibration_error (reliability diagram + ECE),
-#:   tokenizer_bakeoff (BPE/unigram/WordPiece side-by-side),
-#:   late_interaction_maxsim (ColBERT MaxSim — the retrieval class
-#:     between BM25 and the bi-encoder),
-#:   sorted_neighborhood_pairs (rank-window blocking — the third
-#:     candidate-generation class),
-#:   jaro_winkler_titles (milli-exact JW comparator over SN
-#:     candidates),
-#:   dp_noise_calibration (geometric-mechanism release audit).
+#: Round-12 rotation candidates (new round-11 families, sweep-green
+#: with dedicated pytests + bench rows): dsir_importance_resampling
+#: (hashed-ngram importance weights, Xie et al. 2023),
+#: sequence_packing_stats (NFD context-window packing); plus the
+#: never-gated composite pipelines the r10 verdict named:
+#: events_analytics_capstone, pretrain_prep_pipeline, corpus_datacard,
+#: join_key_skew_profile.
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
@@ -83,49 +67,51 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cross_source_neardup_matrix",
     "dedup_spans_incremental",
     "ingest_timetravel_cases",
-    # LLM family: similarity search / clustering / graph / sketches
+    # LLM family: similarity search / clustering / sketches
     "dbscan_ivf_clusters",
-    "dbscan_ivf_edge_recall",
     "kcenter_coreset_selection",
     "retrieval_ndcg_eval",
     "ann_ivf_binary_stored",
-    "fts_conjunctive_search",
-    "hits_trade_authorities",
-    "triangle_count_copurchase",
     "hll_incremental_store",
+    # graph pack (round-11 verdict ask #1 — operators/graph.py)
+    "bfs_copurchase_distances",
+    "personalized_pagerank_trade",
+    "lpa_copurchase_communities",
+    "modularity_lpa_communities",
+    "clustering_coefficient",
+    "degree_assortativity_trade",
+    "adamic_adar_linkpred",
+    # storage / table-format pack (round-11 verdict ask #3 —
+    # operators/tlog.py + operators/layout.py + sources/sinks.py)
+    "orc_roundtrip_scan",
+    "compaction_roundtrip_scan",
+    "layout_zordered_scan",
+    "schema_evolution_scan",
+    "tlog_point_lookup",
+    "streaming_tlog_sink",
+    # attribution / causal stats tail (round-11 verdict ask #4)
+    "shapley_channel_attribution",
+    "markov_removal_attribution",
+    "isotonic_calibration",
+    "propensity_stratified_effect",
+    "difference_in_differences",
     # statistics family (operators/ranks + driver_queries_stats)
-    "mannwhitney_urgent_price",
     "kruskal_wallis_segments",
-    "zipf_slope_fit",
     "heaps_law_fit",
-    "curation_pipeline_v6",
     "pca_gram_projection",
     "ewma_gap_decay_wallet",
-    "clustering_nmi_purity",
     # LLM family: text analysis + RAG + curation + multimodal
-    "ngram_novelty_curve",
     "textstats_repetition",
-    "ivm_tlog_cdc_refresh",
     "logistic_gd_two_steps",
     "mink_prob_contamination",
-    "bpe_encode_corpus",
     "wordpiece_encode_corpus",
     "rag_semantic_search",
     "rrf_hybrid_search",
-    "timetravel_pruned_scan",
     "record_linkage_fellegi_sunter",
     "url_canonical_dedup",
     "multimodal_bytes_simhash",
-    # TPC-H plan-shape proofs (decorrelation / outer-join
-    # distribution / OR-factoring — round-9 verdict ask #3)
-    "volume_shipping_nations",
-    "customer_order_distribution",
-    "small_quantity_avg_subquery",
-    "ored_predicates_revenue",
     # events-table / streaming family
     "streaming_stateful_sessionize",
-    "streaming_interval_join",
-    "scd2_event_type_history",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",

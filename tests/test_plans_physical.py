@@ -517,3 +517,25 @@ def test_dbscan_srp_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mmr_select_runs_one_spark_job(spark):
+    """mmr_select (round-10 verdict ask #6): the greedy MMR loop runs
+    driver-side over the ONE collected pool — k selections must cost
+    exactly one Spark job, not k (the old per-step argmax collect)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import rerank
+
+    pool = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) / 7.0 for j in range(4)]) for i in range(30)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    sc = spark.sparkContext
+    group = "mmr-job-count-probe"
+    sc.setJobGroup(group, "mmr_select job-count assertion")
+    try:
+        picked = rerank.mmr_select(pool, [0.9, 0.1, 0.4, 0.2], k=8)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(picked) == 8
+    job_ids = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(job_ids) == 1, f"expected 1 Spark job, saw {len(job_ids)}"

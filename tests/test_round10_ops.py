@@ -61,6 +61,11 @@ def test_wordpiece_spark_matches_twin(spark, tmp_path):
         (3, "concatenation of the catapult"),
         (4, None),
         (5, ""),
+        # EVERY token contains SEP (\x1f): the word filter removes all
+        # its rows, so only the ids-frame left-join keeps it alive —
+        # the round-10 advice regression (Spark dropped it; twin kept
+        # it as zeros)
+        (6, "a\x1fb \x1fc"),
     ]
     path = str(tmp_path / "docs.parquet")
     pq_.write_table(
@@ -85,6 +90,7 @@ def test_wordpiece_spark_matches_twin(spark, tmp_path):
     want = wp.encode_stats_from_parquet(path, vocab_py)
     assert got == want
     assert got[4] == (0, 0, 0, 0) and got[5] == (0, 0, 0, 0)
+    assert got[6] == (0, 0, 0, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +303,23 @@ def test_pca_gram_exact_matches_twin_and_finds_planted_axis(spark, tmp_path):
     # even ids project positive on PC1, odd negative (planted signs)
     assert all(v[0] > 900_000 for k, v in got.items() if k % 2 == 0)
     assert all(v[0] < -900_000 for k, v in got.items() if k % 2 == 1)
+
+
+def test_pca_gram_exact_rejects_ragged_column(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import pca
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pca.gram_exact(ragged)
+    # explicit dim that disagrees with the data also fails loudly
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id: bigint, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        pca.gram_exact(ok, dim=3)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,213 @@
+"""Round-11 operators: DSIR importance resampling and sequence
+packing (plus their plan-shape properties)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# DSIR (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+def test_dsir_target_like_docs_outrank(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import dsir
+
+    # target corpus speaks "alpha beta"; raw pool has one doc in the
+    # target's dialect and one in a different one — DSIR must weight
+    # the target-like doc higher.
+    rows = [
+        (1, "alpha beta alpha beta alpha", "tgt"),
+        (2, "alpha beta beta alpha", "tgt"),
+        (3, "alpha beta alpha", "raw"),
+        (4, "gamma delta gamma delta", "raw"),
+        (5, None, "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string, source: string")
+    w = {
+        r.doc_id: (r.n_tokens, r.dsir_weight_micro)
+        for r in dsir.dsir_weights(docs, F.col("source") == "tgt").collect()
+    }
+    assert set(w) == {3, 4, 5}  # only the raw pool, null-text survives
+    assert w[5] == (0, 0)
+    assert w[3][1] > w[4][1]
+
+
+def test_dsir_weights_exact_formula(spark):
+    import math
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import dsir
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "tgt"), (2, "a a", "raw")],
+        "doc_id: bigint, text: string, source: string",
+    )
+    got = dsir.dsir_weights(docs, F.col("source") == "tgt").collect()[0]
+    # replay: bucket counts over {a:tgt x1 + raw x2, b:tgt x1}
+    def bucket(word):
+        h = PT.POLY_INIT
+        for ch in word:
+            h = (h * PT.POLY_MULT + ord(ch)) % PT.P
+        return h % dsir.N_BUCKETS
+
+    ba, bb = bucket("a"), bucket("b")
+    t_c = {ba: 1, bb: 1}
+    s_c = {ba: 2, bb: 0}
+    T, S, NB = 2, 2, dsir.N_BUCKETS
+    lr = {
+        b: math.floor(
+            math.log(
+                ((t_c.get(b, 0) + 1) * (S + NB))
+                / ((s_c.get(b, 0) + 1) * (T + NB))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in (ba, bb)
+    }
+    assert (got.n_tokens, got.dsir_weight_micro) == (2, 2 * lr[ba])
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def test_packing_respects_capacity_and_caps_overlong(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import packing
+
+    long_text = " ".join(["w"] * (packing.CAPACITY + 50))
+    rows = [(i, " ".join(["t"] * (10 * (i % 5 + 1)))) for i in range(40)]
+    rows += [(100, long_text), (101, ""), (102, None)]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    a = packing.pack_assignments(docs).collect()
+    ids = {r.doc_id for r in a}
+    assert 101 not in ids and 102 not in ids  # nothing to pack
+    capped = {r.doc_id: r.n_tokens for r in a}
+    assert capped[100] == packing.CAPACITY
+    fills = {}
+    for r in a:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(v <= packing.CAPACITY for v in fills.values())
+    # bin ids are dense from 0 within each shard
+    for shard in {r.shard for r in a}:
+        bins = sorted({r.bin_id for r in a if r.shard == shard})
+        assert bins == list(range(len(bins)))
+
+
+def test_packing_matches_twin_and_is_partition_stable(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import packing
+
+    rows = [
+        (i, " ".join(["tok"] * ((i * 37) % 150 + 1))) for i in range(60)
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+    docs = spark.read.parquet(path)
+    want = packing.pack_stats_py(str(tmp_path))
+
+    def stats(df):
+        a = packing.pack_assignments(df)
+        cap = packing.CAPACITY
+        out = (
+            a.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                (F.max("bin_id") + 1).alias("n_bins"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+        return [
+            (
+                r.shard,
+                r.n_docs,
+                r.n_bins,
+                r.total_tokens,
+                r.n_bins * cap - r.total_tokens,
+                r.total_tokens * 1000 // (r.n_bins * cap),
+            )
+            for r in out
+        ]
+
+    assert stats(docs) == want
+    assert stats(docs.repartition(13)) == want
+
+
+def test_packing_plans_as_arrow_not_rowwise(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id: bigint, text: string"
+    )
+    plan = (
+        packing.pack_assignments(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """The NB-row log-ratio table must broadcast to the scoring join —
+    the raw pool is scored map-side, never shuffled on the bucket."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+    df = registry()["dsir_importance_resampling"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# functions/hashing.py Column-API wrappers (coverage: the
+# machinery_coverage tool flagged these as dark — they are the public
+# convenience layer over the portable SQL builders)
+# ---------------------------------------------------------------------------
+
+def test_hashing_column_wrappers_match_portable(spark):
+    from legal_data_ingestion_rag_pipeline_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown dog")],
+        "doc_id: bigint, text: string",
+    )
+    out = (
+        df.withColumn("toks", H.tokens_col("text"))
+        .withColumn("grams", H.word_ngrams_col("toks", 2))
+        .withColumn("cgrams", H.char_ngrams_col("text", 3))
+        .withColumn("sig", H.minhash_signature_col("grams", n_hashes=8))
+        .withColumn("sh", H.simhash_col("toks", bits=16))
+        .collect()
+    )
+    r1, r2 = out
+    assert r1.toks == ["the", "quick", "brown", "fox"]
+    assert r1.grams == ["the quick", "quick brown", "brown fox"]
+    assert len(r1.cgrams) == len("the quick brown fox") - 2
+    assert len(r1.sig) == 8 and all(isinstance(x, int) for x in r1.sig)
+    # near-identical docs share most minhash components
+    assert sum(a == b for a, b in zip(r1.sig, r2.sig)) >= 4
+    assert 0 <= r1.sh < (1 << 16)
+    pair = (
+        spark.createDataFrame([(r1.sh, r2.sh)], "a: bigint, b: bigint")
+        .select(H.hamming_distance("a", "b", bits=16).alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert 0 < pair <= 16
