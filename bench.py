@@ -35,7 +35,11 @@ def wait_for_quiet_box(max_wait_sec: float = 600.0) -> float:
     thresh = ncpu / 4
     t0 = time.monotonic()
     while time.monotonic() - t0 < max_wait_sec:
-        if os.getloadavg()[0] <= thresh:
+        one, five, _ = os.getloadavg()
+        # BOTH the 1- and 5-minute loads gate, matching the
+        # load_suspect predicate exactly — the first r11 run waited on
+        # the 1-min load alone and still got flagged by the 5-min EMA
+        if one <= thresh and five <= thresh:
             break
         time.sleep(10.0)
     return round(time.monotonic() - t0, 1)

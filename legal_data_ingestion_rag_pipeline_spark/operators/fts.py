@@ -235,3 +235,154 @@ def phrase_search(
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rm3_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback search (Lavrenko & Croft 2001
+    relevance models; the Anserini/Lucene default PRF): a first-pass
+    BM25 retrieval picks ``fb_docs`` feedback documents, their term
+    distribution (weighted by first-pass score) nominates
+    ``fb_terms`` expansion terms, and the final ranking scores the
+    corpus under the interpolated query
+
+        score(d) = lam * BM25_Q(d) + (1 - lam) * BM25_E(d)
+
+    — the recall repair between exact keyword search and dense
+    retrieval in this repo's ladder (bm25 -> +PRF -> conjunctive ->
+    MaxSim -> bi-encoder -> RRF).
+
+    Exact-integer discipline: per-(doc,term) BM25 partials snap to
+    micro (the fts convention); the feedback weight of a term is the
+    BIGINT sum over feedback docs of ``tf * score_micro DIV dl`` (an
+    integer rendering of P(t|d)*P(q|d)); the lambda blend is integer
+    ``lam_num*partial`` / ``(lam_den-lam_num)*partial`` per term.
+    All selection boundaries carry total tie orders (score DESC then
+    doc_id; weight DESC then term), so any engine and partitioning
+    selects identical feedback docs, expansion terms, and final
+    ranking.
+
+    Scale shape: THE EXPANSION NEVER TOUCHES THE DRIVER — the
+    feedback-doc frame (<= fb_docs rows) and the expansion-term frame
+    (<= fb_terms rows) stay DataFrames and BROADCAST into the
+    feedback scan and the final scoring scan; both corpus passes
+    prune postings map-side (term IN query / broadcast semi-join on
+    the weighted-term table) before their one (doc,term) shuffle.
+    Three scans of the text column total; a deployment with a
+    materialized postings table replaces each with an index read of
+    the touched terms only.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q_terms = sorted(set(query_terms))
+    toks = F.expr(PT.tokens(text_col, PT.SPARK))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).withColumn("dl", F.size("_toks"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+
+    def scored_hits(hits):
+        """(doc_id, term, tf, dl) -> + df, stats, micro partial."""
+        df_per_term = hits.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        n, dfc, tf, dl, avgdl = (
+            F.col("n_docs").cast("double"),
+            F.col("df").cast("double"),
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("avgdl"),
+        )
+        idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+        partial = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+        )
+        micro = F.floor(partial * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        return (
+            hits.join(F.broadcast(df_per_term), "term")
+            .join(F.broadcast(stats))
+            .withColumn("partial_micro", micro)
+        )
+
+    # pass 1: BM25 over the original terms, top-fb_docs feedback set
+    hits1 = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*q_terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    fb = (
+        scored_hits(hits1)
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("partial_micro").alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("doc_id"))
+        .limit(fb_docs)
+        .select("doc_id", "dl", "s_micro")
+    )
+    # feedback term distribution: fbw(t) = sum_d tf * s_micro DIV dl
+    fb_term_rows = (
+        base.join(F.broadcast(fb.select("doc_id", "s_micro")), "doc_id")
+        .select(
+            "doc_id", "dl", "s_micro", F.explode("_toks").alias("term")
+        )
+        .filter(~F.col("term").isin(*q_terms))
+        .groupBy("doc_id", "term", "dl", "s_micro")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "term",
+            F.expr("tf * s_micro DIV dl").cast("bigint").alias("w"),
+        )
+        .groupBy("term")
+        .agg(F.sum("w").cast("bigint").alias("fbw"))
+    )
+    from pyspark.sql import Window
+
+    exp_terms = (
+        fb_term_rows.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("fbw"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("_rk") <= fb_terms)
+        .select("term")
+    )
+    # pass 2: interpolated scoring over Q (weight lam_num) + E (mu)
+    mu = lam_den - lam_num
+    weighted = exp_terms.withColumn("w", F.lit(mu)).unionByName(
+        docs.sparkSession.createDataFrame(
+            [(t, lam_num) for t in q_terms], "term string, w int"
+        )
+    )
+    hits2 = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(weighted), "term")
+        .groupBy("doc_id", "term", "dl", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        scored_hits(hits2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum(F.col("w") * F.col("partial_micro"))
+            .cast("bigint")
+            .alias("rm3_micro"),
+        )
+        .orderBy(F.desc("rm3_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -847,3 +847,138 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return rank.select("node", "rank_units")
+
+
+def edge_supports(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-EDGE triangle counts ("support") over an undirected edge
+    list: (lo, hi, support) for every canonical edge, 0 for edges in
+    no triangle — the edge-level companion of
+    :func:`triangle_counts` and the inner pass of k-truss peeling.
+
+    Same Chiba-Nishizeki orientation discipline: wedges pivot on the
+    (degree, id)-smallest vertex so fan-out is arboricity^2-bounded
+    and each triangle is generated once; the triangle's three edges
+    are then re-canonicalized by VALUE (least/greatest) and counted —
+    one extra edge-key shuffle over triangle_counts.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    return _edge_supports_canon(und)
+
+
+def _edge_supports_canon(und: DataFrame) -> DataFrame:
+    """edge_supports inner: input MUST be canonical (lo < hi) and
+    distinct (k_truss maintains that invariant between rounds and
+    skips the re-canonicalization shuffle)."""
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
+        .select(
+            "lo",
+            "hi",
+            F.struct(F.col("dlo").alias("d"), F.col("lo").alias("i")).alias("klo"),
+            F.struct(F.col("dhi").alias("d"), F.col("hi").alias("i")).alias("khi"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("klo") < F.col("khi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.least("klo", "khi").alias("ku"),
+        F.greatest("klo", "khi").alias("kv"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = (
+        e1.join(e2, "u").filter(F.col("kx") < F.col("ky")).select("u", "x", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("p"), F.col("x").alias("q")),
+                F.struct(F.col("u").alias("p"), F.col("y").alias("q")),
+                F.struct(F.col("x").alias("p"), F.col("y").alias("q")),
+            )
+        ).alias("t")
+    ).select(
+        F.least(F.col("t.p"), F.col("t.q")).alias("lo"),
+        F.greatest(F.col("t.p"), F.col("t.q")).alias("hi"),
+    )
+    supc = tri_edges.groupBy("lo", "hi").agg(
+        F.count("*").cast("bigint").alias("support")
+    )
+    return und.join(supc, ["lo", "hi"], "left").select(
+        "lo",
+        "hi",
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-truss of an undirected graph (Cohen 2008): the maximal
+    subgraph where every EDGE participates in >= k-2 triangles — the
+    cohesion notion between k-core (degree-based, which hubs satisfy
+    trivially) and cliques (which don't scale).  Returns
+    (lo, hi, support) with support counted INSIDE the truss.
+
+    Iterative peeling to a measured fixpoint: compute per-edge
+    supports (:func:`edge_supports`), drop sub-threshold edges,
+    repeat until a round drops nothing; ``max_rounds`` raises rather
+    than returning a partially peeled graph (the k_core contract).
+
+    Scale notes: each round is one oriented triangle enumeration
+    (arboricity^2-bounded wedge join) + one edge-key count + one
+    edge-key left join — all uniform-key shuffles; the surviving edge
+    frontier localCheckpoints per round so lineage stays O(1).
+    Rounds needed = truss peel depth, small for the sparse
+    support-filtered graphs this targets.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 triangles per edge)")
+    thresh = k - 2
+    cur = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            return cur.select(
+                "lo", "hi", F.lit(0).cast("bigint").alias("support")
+            )
+        sup = _edge_supports_canon(cur).localCheckpoint(eager=True)
+        keep = sup.filter(F.col("support") >= thresh)
+        n_keep = keep.count()
+        if n_keep == n_cur:
+            return keep
+        cur = keep.select("lo", "hi").localCheckpoint(eager=True)
+        n_cur = n_keep
+    raise ConvergenceError(
+        f"k_truss: no fixpoint after {max_rounds} peel rounds"
+    )

@@ -3387,3 +3387,89 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "pa", "pb")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# ktruss_copurchase (round 11): k-truss decomposition — the edge-level
+# cohesion notion completing the density ladder (k-core -> k-truss ->
+# clique) over the same support-2 co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 3
+
+
+def _ktruss_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: peel edges with support < k-2 in pure
+    Python set arithmetic (support(edge) = |common neighbors| within
+    the surviving graph) and emit the truss as VALUES — the k_core
+    convention for iterative fixpoints."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    e = {
+        (int(lo), int(hi))
+        for lo, hi in con.execute(_SUPPORT2_EDGES_SQL).fetchall()
+    }
+    con.close()
+    thresh = _KTRUSS_K - 2
+    while True:
+        adj: dict[int, set[int]] = collections.defaultdict(set)
+        for lo, hi in e:
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+        sup = {(lo, hi): len(adj[lo] & adj[hi]) for lo, hi in e}
+        keep = {p for p in e if sup[p] >= thresh}
+        if keep == e:
+            break
+        e = keep
+    if not e:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS part_lo, "
+            "CAST(NULL AS BIGINT) AS part_hi, "
+            "CAST(NULL AS BIGINT) AS support WHERE FALSE"
+        )
+    rows = ", ".join(
+        f"({lo}, {hi}, {sup[(lo, hi)]})" for lo, hi in sorted(e)
+    )
+    return (
+        f"SELECT CAST(part_lo AS BIGINT) AS part_lo, "
+        f"CAST(part_hi AS BIGINT) AS part_hi, "
+        f"CAST(support AS BIGINT) AS support "
+        f"FROM (VALUES {rows}) AS t(part_lo, part_hi, support) "
+        f"ORDER BY part_lo, part_hi"
+    )
+
+
+@register(
+    "ktruss_copurchase",
+    bench=True,
+    oracle=_ktruss_oracle,
+    doc=f"{_KTRUSS_K}-truss of the support-2 co-purchase graph "
+    "(graph.k_truss; Cohen 2008): the maximal subgraph where every "
+    f"EDGE closes >= {_KTRUSS_K - 2} triangles — the cohesion rung "
+    "between kcore_copurchase (degree-based, hub-satisfiable) and "
+    "cliques (unscalable), and the standard community-backbone "
+    "extractor.  Iterative peeling to a measured fixpoint; each "
+    "round reuses the Chiba-Nishizeki oriented wedge join "
+    "(arboricity^2-bounded fan-out) to count per-edge supports, then "
+    "drops sub-threshold edges; the frontier localCheckpoints so "
+    "lineage stays O(1).  Edge membership AND in-truss support are "
+    "both pinned.  Oracle: pure-Python peeling twin as VALUES (the "
+    "k_core convention).",
+)
+def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    edges = _support2_edges(spark, sf_dir)
+    truss = graph.k_truss(edges, k=_KTRUSS_K, a="lo", b="hi")
+    return truss.select(
+        F.col("lo").cast("bigint").alias("part_lo"),
+        F.col("hi").cast("bigint").alias("part_hi"),
+        "support",
+    ).orderBy("part_lo", "part_hi")

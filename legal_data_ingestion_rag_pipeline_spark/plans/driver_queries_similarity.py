@@ -5564,3 +5564,118 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# rm3_prf_expansion (round 11): pseudo-relevance-feedback query
+# expansion — the classic recall repair between exact keyword search
+# and dense retrieval (Lavrenko & Croft 2001; the Anserini default).
+# ---------------------------------------------------------------------------
+
+_RM3_TERMS = ("stream", "sort")
+_RM3_FB_DOCS = 10
+_RM3_FB_TERMS = 10
+_RM3_K = 10
+
+
+def _rm3_oracle() -> str:
+    q_in = ", ".join(f"'{t}'" for t in sorted(set(_RM3_TERMS)))
+    q_vals = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, 7 AS w" for t in sorted(set(_RM3_TERMS))
+    )
+    micro = """
+      CAST(floor(
+        ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                 / (CAST(d.df AS DOUBLE) + 0.5))
+        * CAST(h.tf AS DOUBLE) * 2.2
+        / (CAST(h.tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+        * 1000000.0 + 0.5) AS BIGINT)
+    """
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl
+              FROM d2),
+    h1 AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d2
+      ) WHERE term IN ({q_in}) GROUP BY doc_id, dl, term
+    ),
+    df1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM h1 GROUP BY term),
+    s1 AS (
+      SELECT h.doc_id, h.dl, CAST(sum({micro}) AS BIGINT) AS s_micro
+      FROM h1 h JOIN df1 d ON h.term = d.term CROSS JOIN stats s
+      GROUP BY h.doc_id, h.dl
+    ),
+    fb AS (SELECT doc_id, dl, s_micro FROM s1
+           ORDER BY s_micro DESC, doc_id LIMIT {_RM3_FB_DOCS}),
+    fbrows AS (
+      SELECT t.term, t.doc_id, count(*) AS tf, any_value(t.dl) AS dl,
+             any_value(t.s_micro) AS s_micro
+      FROM (
+        SELECT f.doc_id, f.dl, f.s_micro, unnest(d2.toks) AS term
+        FROM d2 JOIN fb f USING (doc_id)
+      ) t WHERE t.term NOT IN ({q_in})
+      GROUP BY t.term, t.doc_id
+    ),
+    fbt AS (
+      SELECT term,
+             CAST(sum((tf * s_micro) // dl) AS BIGINT) AS fbw
+      FROM fbrows GROUP BY term
+    ),
+    exp AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY fbw DESC, term) AS rk
+        FROM fbt
+      ) WHERE rk <= {_RM3_FB_TERMS}
+    ),
+    wt AS (SELECT term, 3 AS w FROM exp UNION ALL {q_vals}),
+    h2 AS (
+      SELECT e.doc_id, e.dl, e.term, wt.w, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d2
+      ) e JOIN wt USING (term) GROUP BY e.doc_id, e.dl, e.term, wt.w
+    ),
+    df2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM h2 GROUP BY term)
+    SELECT h.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(h.w * {micro}) AS BIGINT) AS rm3_micro
+    FROM h2 h JOIN df2 d ON h.term = d.term CROSS JOIN stats s
+    GROUP BY h.doc_id
+    ORDER BY rm3_micro DESC, doc_id LIMIT {_RM3_K}
+    """
+
+
+@register(
+    "rm3_prf_expansion",
+    oracle=_rm3_oracle(),
+    bench=True,
+    doc="RM3 pseudo-relevance feedback (operators/fts.rm3_topk; "
+    "Lavrenko & Croft 2001, the Anserini/Lucene default PRF): BM25 "
+    f"top-{_RM3_FB_DOCS} feedback docs for the query {_RM3_TERMS} "
+    "nominate the top-"
+    f"{_RM3_FB_TERMS} score-weighted expansion terms, and the final "
+    "ranking interpolates 7/10 original + 3/10 expansion BM25 — the "
+    "recall-repair rung between exact keyword search and dense "
+    "retrieval in the repo's ladder (bm25 -> +PRF -> conjunctive -> "
+    "MaxSim -> bi-encoder -> RRF).  Exactness: per-(doc,term) "
+    "partials snap to micro; feedback term weights are BIGINT "
+    "tf*s_micro DIV dl sums; every selection boundary has a total "
+    "tie order.  Scale: feedback docs and expansion terms STAY IN "
+    "THE PLAN (bounded frames, broadcast into both corpus passes — "
+    "never collected); each pass prunes postings map-side before "
+    "its one (doc,term) shuffle.",
+)
+def rm3_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.rm3_topk(
+        docs,
+        "doc_id",
+        "text",
+        list(_RM3_TERMS),
+        k=_RM3_K,
+        fb_docs=_RM3_FB_DOCS,
+        fb_terms=_RM3_FB_TERMS,
+    )

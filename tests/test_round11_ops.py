@@ -211,3 +211,112 @@ def test_hashing_column_wrappers_match_portable(spark):
         .d
     )
     assert 0 < pair <= 16
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (operators/fts.rm3_topk)
+# ---------------------------------------------------------------------------
+
+def test_rm3_recall_repair_retrieves_expansion_only_doc(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    # docs 1-3 match the query and all also speak "omega"; doc 4 has
+    # NO query term but is rich in "omega" — plain BM25 can never
+    # return it, RM3 must (the recall-repair property).  doc 5 is
+    # unrelated noise.
+    rows = [
+        (1, "query target omega omega filler one"),
+        (2, "query target omega filler two two"),
+        (3, "query omega omega filler three"),
+        (4, "omega omega omega unrelated words here"),
+        (5, "noise noise noise noise"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    plain = fts.bm25_topk(docs, "doc_id", "text", ["query", "target"], k=5)
+    assert 4 not in {r.doc_id for r in plain.collect()}
+    rm3 = fts.rm3_topk(
+        docs, "doc_id", "text", ["query", "target"], k=5, fb_docs=3, fb_terms=2
+    ).collect()
+    assert 4 in {r.doc_id for r in rm3}
+
+
+def test_rm3_deterministic_under_repartition(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+
+    rows = [
+        (i, " ".join(["t%d" % ((i * j) % 7) for j in range(1, 12)]) + " query")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    a = [tuple(r) for r in fts.rm3_topk(docs, "doc_id", "text", ["query", "t1"], k=8).collect()]
+    b = [
+        tuple(r)
+        for r in fts.rm3_topk(
+            docs.repartition(11), "doc_id", "text", ["query", "t1"], k=8
+        ).collect()
+    ]
+    assert a == b and len(a) == 8
+
+
+# ---------------------------------------------------------------------------
+# k-truss (operators/graph.k_truss / edge_supports)
+# ---------------------------------------------------------------------------
+
+def test_edge_supports_counts_common_neighbors(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    # K4 on {1,2,3,4} plus pendant edge (4,5): every K4 edge closes 2
+    # triangles, the pendant closes none.
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    e = spark.createDataFrame(k4 + [(4, 5)], "a: bigint, b: bigint")
+    sup = {(r.lo, r.hi): r.support for r in graph.edge_supports(e).collect()}
+    assert all(sup[p] == 2 for p in k4)
+    assert sup[(4, 5)] == 0
+
+
+def test_k_truss_peels_cascade(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    # K4 core + a triangle (4,5,6) hanging off vertex 4 + pendant:
+    # 3-truss keeps K4 AND the triangle; 4-truss must peel the
+    # triangle (support 1 each) and the CASCADE must then keep K4
+    # (its supports are untouched).  A chain of triangles
+    # (7,8,9),(8,9,10) where edge (8,9) has support 2 but the others
+    # have 1: a 4-truss must peel the whole chain — edge (8,9)'s
+    # support collapses after its neighbors go (the cascade property
+    # a single-pass filter would get wrong).
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    tri = [(4, 5), (4, 6), (5, 6)]
+    chain = [(7, 8), (7, 9), (8, 9), (8, 10), (9, 10)]
+    e = spark.createDataFrame(
+        k4 + tri + chain + [(6, 99)], "a: bigint, b: bigint"
+    )
+    t3 = {(r.lo, r.hi) for r in graph.k_truss(e, k=3).collect()}
+    assert t3 == set(k4) | set(tri) | set(chain)
+    t4 = {(r.lo, r.hi): r.support for r in graph.k_truss(e, k=4).collect()}
+    assert set(t4) == set(k4)
+    assert all(v == 2 for v in t4.values())
+    with pytest.raises(ValueError):
+        graph.k_truss(e, k=2)
+
+
+def test_k_truss_matches_twin_on_gate_graph(spark):
+    """The registered query's Spark result equals the pure-Python
+    peeling twin on the real support-2 graph at sf0.001."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_scale import (
+        _ktruss_oracle,
+        ktruss_copurchase,
+    )
+    import duckdb
+
+    got = [
+        (r.part_lo, r.part_hi, r.support)
+        for r in ktruss_copurchase(spark, "/root/testdata/sf0.001").collect()
+    ]
+    want = [
+        tuple(int(x) for x in row)
+        for row in duckdb.connect()
+        .execute(_ktruss_oracle("/root/testdata/sf0.001"))
+        .fetchall()
+    ]
+    assert got == want
