@@ -4121,3 +4121,88 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keyphrases (round 11): per-document top-k salient terms — the
+# datacard / faceting signal every corpus browser needs.
+# ---------------------------------------------------------------------------
+
+_KP_TOPK = 3
+
+
+@register(
+    "tfidf_keyphrases",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, unnest(toks) AS term FROM t
+           ) GROUP BY doc_id, term),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(floor(
+               ln(CAST(n.n_docs AS DOUBLE) / CAST(dfs.df AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro
+      FROM tf JOIN dfs USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_micro DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tfidf_micro AS BIGINT) AS tfidf_micro
+    FROM ranked WHERE rank <= {_KP_TOPK}
+    ORDER BY doc_id, rank
+    """,
+    doc="per-document tf-idf keyphrase extraction: top-"
+    f"{_KP_TOPK} terms by exact tf * micro-floored ln(N/df) — the "
+    "salience signal corpus datacards, faceted browsers, and "
+    "weak-label taggers read.  Exactness: idf snaps to micro once "
+    "per TERM (ln input is one ratio of exact BIGINTs), the score "
+    "is BIGINT tf * idf_micro, ties break (score DESC, term ASC).  "
+    "Scale: one (doc,term) count shuffle; document frequencies are "
+    "a vocabulary-scale aggregate whose join strategy is left to AQE "
+    "(broadcast when small, term-key shuffle at vocabulary sizes a "
+    "driver can't hold); the rank window partitions BY DOCUMENT "
+    "(bounded by doc length, never global).",
+)
+def tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.expr(PT.tokens("text", S))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        # dfs is VOCABULARY-scale: small enough to broadcast on most
+        # corpora but not guaranteed at 100 TB — leave the strategy to
+        # AQE (broadcasts when under threshold, term-key shuffle when
+        # not) instead of forcing a driver-sized build
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / "
+                "CAST(df AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _KP_TOPK)
+        .select("doc_id", "rank", "term", "tfidf_micro")
+        .orderBy("doc_id", "rank")
+    )

@@ -55,8 +55,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: Round-12 rotation candidates (new round-11 families, sweep-green
 #: with dedicated pytests + bench rows): dsir_importance_resampling
 #: (hashed-ngram importance weights, Xie et al. 2023),
-#: sequence_packing_stats (NFD context-window packing); plus the
-#: never-gated composite pipelines the r10 verdict named:
+#: sequence_packing_stats (NFD context-window packing),
+#: rm3_prf_expansion (pseudo-relevance feedback), ktruss_copurchase
+#: (edge-support peeling), tfidf_keyphrases; plus the never-gated
+#: composite pipelines the r10 verdict named:
 #: events_analytics_capstone, pretrain_prep_pipeline, corpus_datacard,
 #: join_key_skew_profile.
 GATE_PRIORITY: tuple[str, ...] = (

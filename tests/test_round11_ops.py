@@ -320,3 +320,40 @@ def test_k_truss_matches_twin_on_gate_graph(spark):
         .fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keyphrases
+# ---------------------------------------------------------------------------
+
+def test_tfidf_rare_term_outranks_common(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_pretrain import (
+        tfidf_keyphrases,
+    )
+
+    rows = [
+        (1, "common common common rareword"),
+        (2, "common common other"),
+        (3, "common other other"),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = tfidf_keyphrases(spark, str(tmp_path)).collect()
+    top = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'rareword' (df=1) beats 'common' (df=3, idf=0) despite tf 1 vs 3
+    assert top[1] == "rareword"
+    # doc 2/3: 'other' (df=2) is the most salient term
+    assert top[2] == "other" and top[3] == "other"
+    # 'common' appears in every doc -> idf exactly 0 -> score 0
+    zero = [r for r in out if r.term == "common"]
+    assert all(r.tfidf_micro == 0 for r in zero)

@@ -39,6 +39,12 @@ TARGETS = [
     ("boilerplate_segment_removal", "documents"),
     ("dbscan_ivf_clusters", "embeddings"),
     ("triangle_count_copurchase", "lineitem"),
+    # round-11 additions
+    ("dsir_importance_resampling", "documents"),
+    ("sequence_packing_stats", "documents"),
+    ("rm3_prf_expansion", "documents"),
+    ("ktruss_copurchase", "lineitem"),
+    ("tfidf_keyphrases", "documents"),
 ]
 
 
