@@ -4206,3 +4206,121 @@ def tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tfidf_micro")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights (round 11): DoReMi-style mixture reweighting —
+# per-domain EXCESS proxy-model loss becomes the upsampling weight.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doremi_domain_weights",
+    oracle=f"""{_KN_SCORED_CTES},
+    ds AS (SELECT doc_id, source FROM documents),
+    perdoc AS (SELECT doc_id, count(*) AS nb, sum(nlp) AS s
+               FROM scored GROUP BY doc_id),
+    dom AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(p.nb), 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(sum(p.s), 0) AS BIGINT) AS sum_nlp
+      FROM ds d LEFT JOIN perdoc p USING (doc_id) GROUP BY d.source
+    ),
+    m AS (SELECT source, n_docs, n_bigrams,
+                 CAST(sum_nlp // greatest(n_bigrams, 1) AS BIGINT)
+                   AS mean_nlp_micro
+          FROM dom),
+    g AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS gb,
+                 CAST(sum(sum_nlp) AS BIGINT) AS gs FROM dom),
+    x AS (SELECT m.source, m.n_docs, m.n_bigrams, m.mean_nlp_micro,
+                 CAST(greatest(m.mean_nlp_micro
+                               - (g.gs // greatest(g.gb, 1)), 0)
+                   AS BIGINT) AS excess_micro
+          FROM m CROSS JOIN g),
+    tw AS (SELECT CAST(sum(excess_micro) AS BIGINT) AS tot FROM x)
+    SELECT x.source, x.n_docs, x.n_bigrams, x.mean_nlp_micro,
+           x.excess_micro,
+           CAST(CASE WHEN tw.tot > 0
+                     THEN x.excess_micro * 1000 // tw.tot
+                     ELSE 0 END AS BIGINT) AS weight_milli
+    FROM x CROSS JOIN tw
+    ORDER BY x.source
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi: "
+    "Optimizing Data Mixtures Speeds Up Language Model "
+    "Pretraining'), the deterministic one-round rendering: the "
+    "in-plan Kneser-Ney bigram LM is the proxy model, each domain's "
+    "EXCESS mean NLL over the corpus mean (clamped at 0) is its "
+    "upsampling signal, normalized to milli weights — domains the "
+    "proxy finds hardest get upsampled, the core DoReMi move "
+    "(one excess-loss round instead of the minimax training loop; "
+    "same sign structure).  Completes the mixture suite: token "
+    "budgets (mixture.py), importance resampling (dsir), "
+    "difficulty-driven reweighting (this).  All arithmetic exact: "
+    "per-bigram micro NLLs sum as BIGINTs, means are integer DIV, "
+    "the weight normalization is integer milli.  Scale: one "
+    "corpus-scale bigram scoring pass (the gated KN machinery), one "
+    "domain-key aggregation; domain count is small by construction. "
+    " Oracle: composes the SAME shared _KN_SCORED_CTES constant as "
+    "kneser_ney_perplexity and mink_prob_contamination — the "
+    "advice-item refactor paying off.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    bi, w1s, w2s, b = lm.train_kneser_ney_lm(docs)
+    rows = lm.kneser_ney_row_scores(docs, bi, w1s, w2s, b).filter(
+        F.col("_nlp").isNotNull()
+    )
+    perdoc = rows.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("_nlp").cast("bigint").alias("s"),
+    )
+    dom = (
+        docs.select("doc_id", "source")
+        .join(perdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.sum("s"), F.lit(0)).cast("bigint").alias("sum_nlp"),
+        )
+        .withColumn(
+            "mean_nlp_micro",
+            F.expr("CAST(sum_nlp DIV greatest(n_bigrams, 1) AS BIGINT)"),
+        )
+    )
+    g = dom.agg(
+        F.sum("n_bigrams").cast("bigint").alias("gb"),
+        F.sum("sum_nlp").cast("bigint").alias("gs"),
+    )
+    x = dom.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "mean_nlp_micro",
+        F.expr(
+            "CAST(greatest(mean_nlp_micro - (gs DIV greatest(gb, 1)), 0)"
+            " AS BIGINT)"
+        ).alias("excess_micro"),
+    )
+    t = x.agg(F.sum("excess_micro").cast("bigint").alias("tot"))
+    return (
+        x.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "mean_nlp_micro",
+            "excess_micro",
+            F.expr(
+                "CAST(CASE WHEN tot > 0 THEN excess_micro * 1000 DIV tot"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("weight_milli"),
+        )
+        .orderBy("source")
+    )

@@ -57,7 +57,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: (hashed-ngram importance weights, Xie et al. 2023),
 #: sequence_packing_stats (NFD context-window packing),
 #: rm3_prf_expansion (pseudo-relevance feedback), ktruss_copurchase
-#: (edge-support peeling), tfidf_keyphrases; plus the never-gated
+#: (edge-support peeling), tfidf_keyphrases, doremi_domain_weights
+#: (excess-loss mixture reweighting); plus the never-gated
 #: composite pipelines the r10 verdict named:
 #: events_analytics_capstone, pretrain_prep_pipeline, corpus_datacard,
 #: join_key_skew_profile.

@@ -357,3 +357,42 @@ def test_tfidf_rare_term_outranks_common(spark, tmp_path):
     # 'common' appears in every doc -> idf exactly 0 -> score 0
     zero = [r for r in out if r.term == "common"]
     assert all(r.tfidf_micro == 0 for r in zero)
+
+
+# ---------------------------------------------------------------------------
+# doremi_domain_weights
+# ---------------------------------------------------------------------------
+
+def test_doremi_hard_domain_gets_weight(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_pretrain import (
+        doremi_domain_weights,
+    )
+
+    # 'easy' domain repeats one bigram (near-zero NLL under the
+    # corpus-trained proxy); 'hard' domain bigrams are each unique
+    # (high NLL). The hard domain must take (essentially) all the
+    # excess-loss weight.
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta alpha beta alpha beta", "easy"))
+    for i in range(10, 20):
+        toks = " ".join(f"w{i}x{j}" for j in range(6))
+        rows.append((i, toks, "hard"))
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.source: r for r in doremi_domain_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == {"easy", "hard"}
+    assert out["easy"].weight_milli == 0
+    assert out["hard"].weight_milli >= 990  # integer-div loss only
+    assert out["hard"].mean_nlp_micro > out["easy"].mean_nlp_micro
