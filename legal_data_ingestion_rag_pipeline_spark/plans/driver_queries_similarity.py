@@ -4835,7 +4835,12 @@ _RL_W = {
 def _rl_feat_sql(dialect: str) -> str:
     toks = PT.tokens("text", dialect)
     if dialect == S:
-        t = "element_at(_tk, {i})"
+        # try_element_at, NOT element_at: under ANSI semantics
+        # element_at THROWS on an out-of-bounds index, so a 1-token
+        # (no t2) or empty-text document would crash the whole query;
+        # DuckDB's _tk[i] returns NULL out of bounds, and the NULL-
+        # tolerant agreement CASEs already handle it on both engines.
+        t = "try_element_at(_tk, {i})"
     else:
         t = "_tk[{i}]"
     return (
@@ -5679,3 +5684,197 @@ def rm3_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb_docs=_RM3_FB_DOCS,
         fb_terms=_RM3_FB_TERMS,
     )
+
+
+# ---------------------------------------------------------------------------
+# golden_record_election (round 11): the end of the entity-resolution
+# pipeline — matches -> transitive clusters -> one canonical ("golden")
+# record per cluster.
+# ---------------------------------------------------------------------------
+
+
+def _golden_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: replay blocking + Fellegi-Sunter scoring
+    (integer log-odds, identical CASE weights via the shared
+    _rl_score_sql constants), union-find the positive-score matches,
+    elect per cluster by (n_chars DESC, doc_id ASC), emit VALUES."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    feats = {
+        int(r[0]): r[1:]  # doc_id -> (lang, source, n_chars, t1, t2, tl)
+        for r in con.execute(
+            f"SELECT doc_id, lang, source, n_chars, t1, t2, tl "
+            f"FROM ({_rl_feat_sql(D)}) WHERE t1 IS NOT NULL"
+        ).fetchall()
+    }
+    con.close()
+    blocks: dict[tuple, list[int]] = collections.defaultdict(list)
+    for did, (lang, _src, _n, t1, _t2, _tl) in feats.items():
+        blocks[(lang, t1)].append(did)
+    w = _RL_W
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for ids in blocks.values():
+        if len(ids) > _RL_BLOCK_CAP:
+            continue
+        ids = sorted(ids)
+        for i, ia in enumerate(ids):
+            la, sa, na, _t1a, t2a, tla = feats[ia]
+            for ib in ids[i + 1:]:
+                lb, sb, nb, _t1b, t2b, tlb = feats[ib]
+                score = 0
+                score += w["src"][0] if sa == sb else w["src"][1]
+                score += (
+                    w["len"][0]
+                    if 10 * abs(na - nb) <= min(na, nb)
+                    else w["len"][1]
+                )
+                score += (
+                    w["t2"][0]
+                    if (t2a is not None and t2b is not None and t2a == t2b)
+                    else w["t2"][1]
+                )
+                score += (
+                    w["last"][0]
+                    if (tla is not None and tlb is not None and tla == tlb)
+                    else w["last"][1]
+                )
+                if score > 0:
+                    union(ia, ib)
+    clusters: dict[int, list[int]] = collections.defaultdict(list)
+    for v in parent:
+        clusters[find(v)].append(v)
+    rows = []
+    for root, members in clusters.items():
+        if len(members) < 2:
+            continue
+        canon = sorted(
+            members, key=lambda d: (-feats[d][2], d)
+        )[0]
+        rows.append(
+            (
+                min(members),
+                len(members),
+                canon,
+                feats[canon][1],
+                sum(feats[m][2] for m in members),
+            )
+        )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS cluster_id, "
+            "CAST(NULL AS BIGINT) AS n_members, "
+            "CAST(NULL AS BIGINT) AS canonical_doc_id, "
+            "CAST(NULL AS VARCHAR) AS canonical_source, "
+            "CAST(NULL AS BIGINT) AS total_chars WHERE FALSE"
+        )
+    vals = ", ".join(
+        f"({c}, {n}, {d}, '{s}', {t})" for c, n, d, s, t in sorted(rows)
+    )
+    return (
+        f"SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+        f"CAST(n_members AS BIGINT) AS n_members, "
+        f"CAST(canonical_doc_id AS BIGINT) AS canonical_doc_id, "
+        f"canonical_source, CAST(total_chars AS BIGINT) AS total_chars "
+        f"FROM (VALUES {vals}) AS t(cluster_id, n_members, "
+        f"canonical_doc_id, canonical_source, total_chars) "
+        f"ORDER BY cluster_id"
+    )
+
+
+@register(
+    "golden_record_election",
+    oracle=_golden_oracle,
+    doc="golden-record election — the END of the entity-resolution "
+    "pipeline the repo now covers stage by stage: hash blocking + "
+    "Fellegi-Sunter integer log-odds scoring "
+    "(record_linkage_fellegi_sunter, same shared weight constants), "
+    "positive-score matches as edges, TRANSITIVE clusters via "
+    "min-label connected components (graph.connected_components — "
+    "the star-contraction operator), and one canonical record per "
+    "multi-member cluster elected by the survivorship rule "
+    "(n_chars DESC, doc_id ASC — richest record wins, id breaks "
+    "ties).  Output per cluster: min-id cluster label, member count, "
+    "canonical doc + source, total member chars.  Scale: match "
+    "generation is the gated blocked-pair machinery (never "
+    "all-pairs); clustering contracts geometrically with the "
+    "bounded-local finish; election is one per-cluster window over "
+    "cluster-sized groups.  Oracle: pure-Python blocking + scoring + "
+    "union-find twin as VALUES (the iterative-fixpoint convention).",
+)
+def golden_record_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    f = spark.sql(_rl_feat_sql(S)).filter(F.col("t1").isNotNull())
+    blk = f.groupBy("lang", "t1").agg(F.count("*").alias("bn"))
+    fb = f.join(blk.filter(F.col("bn") <= _RL_BLOCK_CAP), ["lang", "t1"]).drop(
+        "bn"
+    )
+    a = fb.select(
+        F.col("lang"), F.col("t1"),
+        F.col("doc_id").alias("id_a"), F.col("source").alias("a_source"),
+        F.col("n_chars").alias("a_n"), F.col("t2").alias("a_t2"),
+        F.col("tl").alias("a_tl"),
+    )
+    b = fb.select(
+        F.col("lang"), F.col("t1"),
+        F.col("doc_id").alias("id_b"), F.col("source").alias("b_source"),
+        F.col("n_chars").alias("b_n"), F.col("t2").alias("b_t2"),
+        F.col("tl").alias("b_tl"),
+    )
+    matches = (
+        a.join(b, ["lang", "t1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[F.expr(p) for p in _rl_select_exprs()])
+        .filter(F.col("score_micro") > 0)
+        .select("id_a", "id_b")
+    )
+    cc = graph.connected_components(matches, src="id_a", dst="id_b")
+    m = cc.select(F.col("vertex").alias("doc_id"), F.col("label")).join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    elected = (
+        m.withColumn("_rk", F.row_number().over(w))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(
+                F.when(F.col("_rk") == 1, F.col("doc_id"))
+            ).cast("bigint").alias("canonical_doc_id"),
+            F.max(F.when(F.col("_rk") == 1, F.col("source"))).alias(
+                "canonical_source"
+            ),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return elected.select(
+        F.col("label").cast("bigint").alias("cluster_id"),
+        "n_members",
+        "canonical_doc_id",
+        "canonical_source",
+        "total_chars",
+    ).orderBy("cluster_id")

@@ -396,3 +396,52 @@ def test_doremi_hard_domain_gets_weight(spark, tmp_path):
     assert out["easy"].weight_milli == 0
     assert out["hard"].weight_milli >= 990  # integer-div loss only
     assert out["hard"].mean_nlp_micro > out["easy"].mean_nlp_micro
+
+
+# ---------------------------------------------------------------------------
+# golden_record_election
+# ---------------------------------------------------------------------------
+
+def test_golden_record_transitive_cluster_and_election(spark, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        _golden_oracle,
+        golden_record_election,
+    )
+
+    # Crafted so A-B and B-C score positive but A-C scores NEGATIVE
+    # (len disagree + t2-null penalty outweigh src+last agreement):
+    # the {A,B,C} cluster exists ONLY through transitive closure.
+    rows = [
+        (1, "blk", "en", "s1", 100),            # A: t2 is NULL
+        (2, "blk x blk", "en", "s1", 105),      # B
+        (3, "blk x blk", "en", "s1", 111),      # C: richest -> canonical
+        (9, "other words here", "en", "s1", 50),  # different block
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [r[4] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = golden_record_election(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.cluster_id, r.n_members, r.canonical_doc_id) == (1, 3, 3)
+    assert r.canonical_source == "s1" and r.total_chars == 100 + 105 + 111
+    # and the pure-Python twin agrees end to end
+    want = duckdb.connect().execute(_golden_oracle(str(tmp_path))).fetchall()
+    assert [(x.cluster_id, x.n_members, x.canonical_doc_id,
+             x.canonical_source, x.total_chars) for x in got] == [
+        tuple(int(v) if isinstance(v, (int, float)) and not isinstance(v, str) else v for v in w)
+        for w in want
+    ]
