@@ -5160,7 +5160,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a different order than the oracle's global sk sort.  chr(1)
         # sorts below all printable characters; '|' (0x7C) does not.
         F.expr(
-            f"concat(lang, chr(1), coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
+            f"concat(lang, chr(1), coalesce(try_element_at({PT.tokens('text', S)}, 1), ''),"
             f" chr(1), lpad(CAST(n_chars AS STRING), 8, '0'))"
         ).alias("sk"),
     )
@@ -5346,7 +5346,7 @@ def jaro_winkler_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a different order than the oracle's global sk sort.  chr(1)
         # sorts below all printable characters; '|' (0x7C) does not.
         F.expr(
-            f"concat(lang, chr(1), coalesce(element_at({PT.tokens('text', S)}, 1), ''),"
+            f"concat(lang, chr(1), coalesce(try_element_at({PT.tokens('text', S)}, 1), ''),"
             f" chr(1), lpad(CAST(n_chars AS STRING), 8, '0'))"
         ).alias("sk"),
         F.expr(

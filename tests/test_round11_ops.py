@@ -445,3 +445,39 @@ def test_golden_record_transitive_cluster_and_election(spark, tmp_path):
         tuple(int(v) if isinstance(v, (int, float)) and not isinstance(v, str) else v for v in w)
         for w in want
     ]
+
+
+def test_linkage_and_sn_survive_empty_and_single_token_docs(spark, tmp_path):
+    """ANSI element_at hardening: empty-text and 1-token documents
+    must not crash the linkage/sorted-neighborhood feature builders
+    (the element_at -> try_element_at fix)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_similarity import (
+        record_linkage_fellegi_sunter,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "only", "en", "s1", 4),
+        (2, "", "en", "s1", 0),
+        (3, None, "en", "s2", 0),
+        (4, "two words here now", "en", "s2", 18),
+        (5, "two words here also", "en", "s2", 19),
+    ]
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [r[4] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    # must not throw; empty/null-text docs are simply featureless
+    record_linkage_fellegi_sunter(spark, str(tmp_path)).collect()
+    sorted_neighborhood_pairs(spark, str(tmp_path)).collect()
