@@ -982,3 +982,60 @@ def k_truss(
     raise ConvergenceError(
         f"k_truss: no fixpoint after {max_rounds} peel rounds"
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[int],
+    a: str = "a",
+    b: str = "b",
+    max_depth: int = 12,
+) -> DataFrame:
+    """Unweighted BFS hop distances from EVERY source simultaneously —
+    (landmark, v, dist) — the landmark-distance extractor behind
+    approximate shortest paths, harmonic-centrality estimates, and
+    graph features for ML (Potamias et al. 2009 landmark sketches).
+
+    One BSP sweep carries ALL landmarks: the frontier and settled set
+    are keyed by (landmark, vertex), so k landmarks cost ONE pass of
+    k-way-wider frontiers rather than k sequential BFS runs — at 100 TB
+    the per-level join count (the scheduling overhead that dominates
+    iterative graph work) is paid once, and the widened frontier rows
+    shuffle on the same uniform vertex key.  Same discipline as
+    :func:`bfs_distances`: dedup then anti-join the settled set per
+    level (first label = minimum hop), localCheckpoint per level for
+    O(1) lineage, early exit on an empty frontier, ``max_depth`` as
+    the semantic n-hop cap.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    nbr = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "landmark: bigint, v: bigint, dist: int",
+    ).localCheckpoint(eager=True)
+    frontier = settled.select("landmark", F.col("v").alias("src"))
+    for depth in range(1, max_depth + 1):
+        discovered = (
+            nbr.join(frontier, "src")
+            .select("landmark", F.col("dst").alias("v"))
+            .distinct()
+            .join(settled.select("landmark", "v"), ["landmark", "v"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if discovered.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(discovered).localCheckpoint(eager=True)
+        frontier = discovered.select("landmark", F.col("v").alias("src"))
+    return settled

@@ -3473,3 +3473,84 @@ def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("bigint").alias("part_hi"),
         "support",
     ).orderBy("part_lo", "part_hi")
+
+
+# ---------------------------------------------------------------------------
+# landmark_distances_copurchase (round 11): multi-source BFS — all
+# landmarks in ONE BSP sweep.
+# ---------------------------------------------------------------------------
+
+_LM_SOURCES = (0, 1, 2)
+_LM_DEPTH = 3
+
+
+@register(
+    "landmark_distances_copurchase",
+    oracle=f"""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                      greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT lo AS s, hi AS d FROM e0 UNION ALL SELECT hi, lo FROM e0),
+    bfs AS (
+      SELECT CAST(lm AS BIGINT) AS landmark, CAST(lm AS BIGINT) AS v,
+             0 AS dist
+      FROM (VALUES {", ".join(f"({s})" for s in _LM_SOURCES)}) AS t(lm)
+      UNION
+      SELECT bfs.landmark, e.d AS v, bfs.dist + 1 AS dist
+      FROM bfs JOIN e ON e.s = bfs.v
+      WHERE bfs.dist < {_LM_DEPTH}
+    ),
+    lab AS (SELECT landmark, v, min(dist) AS dist FROM bfs
+            GROUP BY landmark, v)
+    SELECT landmark, CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(v) AS BIGINT) AS sum_part_ids
+    FROM lab GROUP BY landmark, dist
+    ORDER BY landmark, dist
+    """,
+    doc="landmark (multi-source) BFS over the raw co-purchase graph "
+    f"(graph.multi_source_bfs): hop distances from parts "
+    f"{_LM_SOURCES} computed in ONE BSP sweep with a "
+    "(landmark, vertex)-keyed frontier — k landmarks cost one pass "
+    "of k-wide frontiers, not k sequential BFS runs, so the "
+    "per-level scheduling overhead that dominates iterative graph "
+    "work at scale is paid once (the landmark-sketch primitive "
+    "behind approximate shortest paths and centrality features; "
+    "Potamias et al. 2009).  Output: per (landmark, dist) the "
+    "vertex count AND the exact sum of member ids — the histogram "
+    "plus a membership checksum, so the hash pins the full "
+    "labeling without shipping every row.  Oracle: one recursive "
+    "CTE seeded with all three landmarks under the same "
+    f"{_LM_DEPTH}-hop cap, min(dist) per (landmark, vertex).",
+)
+def landmark_distances_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    lab = graph.multi_source_bfs(
+        edges, list(_LM_SOURCES), a="lo", b="hi", max_depth=_LM_DEPTH
+    )
+    return (
+        lab.groupBy("landmark", F.col("dist").cast("bigint").alias("dist"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.sum("v").cast("bigint").alias("sum_part_ids"),
+        )
+        .orderBy("landmark", "dist")
+    )

@@ -481,3 +481,31 @@ def test_linkage_and_sn_survive_empty_and_single_token_docs(spark, tmp_path):
     # must not throw; empty/null-text docs are simply featureless
     record_linkage_fellegi_sunter(spark, str(tmp_path)).collect()
     sorted_neighborhood_pairs(spark, str(tmp_path)).collect()
+
+
+# ---------------------------------------------------------------------------
+# multi_source_bfs (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def test_multi_source_bfs_equals_k_single_source_runs(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    # path 0-1-2-3-4 plus branch 2-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 9)], "a: bigint, b: bigint"
+    )
+    multi = {
+        (r.landmark, r.v): r.dist
+        for r in graph.multi_source_bfs(edges, [0, 4], max_depth=5).collect()
+    }
+    for s in (0, 4):
+        single = {
+            r.v: r.dist
+            for r in graph.bfs_distances(edges, s, max_depth=5).collect()
+        }
+        assert {v: d for (lm, v), d in multi.items() if lm == s} == single
+    # depth cap is semantic: 1-hop from 0 reaches only 0 and 1
+    capped = graph.multi_source_bfs(edges, [0], max_depth=1).collect()
+    assert {(r.v, r.dist) for r in capped} == {(0, 0), (1, 1)}
+    with pytest.raises(ValueError):
+        graph.multi_source_bfs(edges, [])
