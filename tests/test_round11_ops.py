@@ -509,3 +509,92 @@ def test_multi_source_bfs_equals_k_single_source_runs(spark):
     assert {(r.v, r.dist) for r in capped} == {(0, 0), (1, 1)}
     with pytest.raises(ValueError):
         graph.multi_source_bfs(edges, [])
+
+
+# ---------------------------------------------------------------------------
+# seeded fuzz: packing invariants and DSIR vs a pure-Python replay
+# ---------------------------------------------------------------------------
+
+def test_fuzz_packing_invariants(spark):
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import packing
+
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(200):
+        n = rng.choice([0, 1, 3, 17, 60, 127, 128, 129, 400])
+        rows.append((i, " ".join(["w"] * n) if n else rng.choice(["", None])))
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    a = packing.pack_assignments(docs).collect()
+    # invariant 1: every packable doc appears exactly once
+    packable = {i for i, t in rows if t and t.strip()}
+    assert sorted(r.doc_id for r in a) == sorted(packable)
+    # invariant 2: no bin exceeds capacity; token counts are capped
+    fills = {}
+    for r in a:
+        assert 1 <= r.n_tokens <= packing.CAPACITY
+        key = (r.shard, r.bin_id)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+    assert all(v <= packing.CAPACITY for v in fills.values())
+    # invariant 3: total tokens preserved (capped)
+    want_total = sum(
+        min(len(t.split()), packing.CAPACITY) for i, t in rows if t and t.strip()
+    )
+    assert sum(r.n_tokens for r in a) == want_total
+
+
+def test_fuzz_dsir_matches_python_replay(spark):
+    import math
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators import dsir
+
+    rng = random.Random(20260816)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 12)
+        rows.append(
+            (
+                i,
+                " ".join(rng.choice(vocab) for _ in range(n)),
+                "tgt" if rng.random() < 0.3 else "raw",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string, source: string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dsir_weight_micro)
+        for r in dsir.dsir_weights(docs, F.col("source") == "tgt").collect()
+    }
+
+    def bucket(w):
+        h = PT.POLY_INIT
+        for ch in w:
+            h = (h * PT.POLY_MULT + ord(ch)) % PT.P
+        return h % dsir.N_BUCKETS
+
+    t_c, s_c = {}, {}
+    for i, text, src in rows:
+        for w in text.split():
+            d = t_c if src == "tgt" else s_c
+            d[bucket(w)] = d.get(bucket(w), 0) + 1
+    T, S, NB = sum(t_c.values()), sum(s_c.values()), dsir.N_BUCKETS
+    lr = {}
+    for b in set(t_c) | set(s_c):
+        lr[b] = math.floor(
+            math.log(
+                ((t_c.get(b, 0) + 1) * (S + NB))
+                / ((s_c.get(b, 0) + 1) * (T + NB))
+            )
+            * 1e6
+            + 0.5
+        )
+    want = {}
+    for i, text, src in rows:
+        if src == "tgt":
+            continue
+        toks = text.split()
+        want[i] = (len(toks), sum(lr[bucket(w)] for w in toks))
+    assert got == want
