@@ -21,14 +21,16 @@ from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry  # n
 from legal_data_ingestion_rag_pipeline_spark.session import build_session  # noqa: E402
 
 
-def wait_for_quiet_box(max_wait_sec: float = 600.0) -> float:
+def wait_for_quiet_box(max_wait_sec: float = 300.0) -> float:
     """Round-10 verdict ask #2: the r10 driver record ran at loadavg
     9.6 and had to be discounted (`load_suspect: true`).  Before
     timing anything, wait (bounded) for the 1-minute load to drop
     under the suspect threshold (ncpu/4) so the recorded numbers are
     the plan's, not the neighbours'.  Returns seconds waited; gives
-    up after max_wait_sec and lets the load_suspect sentinel tell the
-    story. Disable with SPARK_GRAFT_NO_LOAD_WAIT=1."""
+    up after max_wait_sec (capped at 5 min — one 5-minute-EMA
+    half-life buys most of the decay, and the wait must not eat an
+    external runner's timeout budget) and lets the load_suspect
+    sentinel tell the story. Disable with SPARK_GRAFT_NO_LOAD_WAIT=1."""
     if os.environ.get("SPARK_GRAFT_NO_LOAD_WAIT"):
         return 0.0
     ncpu = os.cpu_count() or 1
