@@ -28,14 +28,19 @@ occurrences per side (product < 2^63); beyond that, compute the two
 ln() terms separately and add the micro values — same plan shape.
 
 Scale shape (100 TB):
-- ONE corpus-scale tokenize/explode pass feeds BOTH count models
+- ONE corpus-scale tokenize/explode pass, immediately collapsed to a
+  persisted per-document bucket-count frame (<= NB rows per doc, far
+  smaller than the token stream); BOTH count models and the scoring
+  pass read that frame, so the regex tokenize executes exactly once
   (target membership is a column predicate, not a second scan);
-- the bucket-count shuffle is bounded by NB (hash-bucket count table,
-  <= NB rows — KBs), partial-aggregated map-side;
+- the (doc, bucket) collapse is the one corpus-scale shuffle
+  (map-side partial agg, uniform composite key); the bucket-count
+  model on top of it is <= NB rows — KBs;
 - the per-bucket log-ratio table is NB rows and BROADCAST to the
   scoring join, so the raw pool is scored map-side;
-- the only other shuffle is the per-document weight sum (uniform
-  doc_id key), and top-k plans as TakeOrderedAndProject.
+- the only other shuffles are the per-document weight sum (uniform
+  doc_id key) and a column-pruned 2-column pool-id scan; top-k plans
+  as TakeOrderedAndProject.
 
 No reference-file citation applies: /root/reference stops at
 retrieval; this extends the curation family (SURVEY.md beyond-
@@ -91,9 +96,23 @@ def dsir_weights(
     ).withColumn(
         "_b", F.expr(bucket_sql("word", PT.SPARK, n_buckets))
     )
-    bstats = toks.groupBy("_b").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("t_c"),
-        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("bigint").alias("s_c"),
+    # ONE tokenize pass: collapse token occurrences to per-document
+    # bucket counts (<= n_buckets rows per doc, far smaller than the
+    # exploded token frame) and persist THAT — both the bucket-count
+    # models and the scoring pass read it, so the expensive regex
+    # tokenize/explode runs exactly once
+    doc_bucket = (
+        toks.groupBy(id_col, "_t", "_b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    bstats = doc_bucket.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("t_c"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(F.col("c")))
+        .cast("bigint")
+        .alias("s_c"),
     )
     totals = bstats.agg(
         F.sum("t_c").cast("bigint").alias("t_tot"),
@@ -109,12 +128,14 @@ def dsir_weights(
         )
     )
     scored = (
-        toks.filter(~F.col("_t"))
+        doc_bucket.filter(~F.col("_t"))
         .join(F.broadcast(lr), "_b")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("lr_micro").cast("bigint").alias("dsir_weight_micro"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro"))
+            .cast("bigint")
+            .alias("dsir_weight_micro"),
         )
     )
     pool_ids = docs.filter(~is_target).select(id_col)

@@ -67,8 +67,12 @@ def pack_assignments(
         .cast("bigint")
         .alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
+    # pmod, not %: Spark's % follows the dividend's sign (negative
+    # remainder for negative ids) while the pure-Python twin uses
+    # Python %, which is always non-negative — pmod matches the twin
+    # for any id sign
     sharded = sized.withColumn(
-        "shard", (F.col("doc_id") % n_shards).cast("bigint")
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint")
     )
 
     def _pack(pdf):

@@ -157,13 +157,25 @@ def gram_exact(
     # otherwise produce NULL products (element_at past the end) that
     # silently poison the DECIMAL sums instead of failing loudly
     # (mirrors the explicit assert in the pyarrow twin).
-    mn, mx = e.select(
-        F.min(F.size(vec_col)), F.max(F.size(vec_col))
+    # min/max ignore NULLs, so count NULL rows explicitly — a NULL
+    # embedding would otherwise slip past the rectangularity check and
+    # poison the DECIMAL sums (the exact failure this guard exists for)
+    mn, mx, n_null, n_rows = e.select(
+        F.min(F.size(vec_col)),
+        F.max(F.size(vec_col)),
+        F.count_if(F.col(vec_col).isNull()),
+        F.count(F.lit(1)),
     ).first()
+    if n_rows == 0:
+        raise ValueError("empty input: no embedding rows")
+    if n_null:
+        raise ValueError(f"{n_null} NULL rows in embedding column {vec_col!r}")
     if mn != mx:
         raise ValueError(
             f"ragged embedding column: size(min)={mn} != size(max)={mx}"
         )
+    if mn == 0:
+        raise ValueError("empty embedding arrays (size 0)")
     if dim is None:
         dim = int(mx)
     elif dim != int(mx):

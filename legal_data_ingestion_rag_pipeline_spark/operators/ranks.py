@@ -28,9 +28,10 @@ the hash-gate requirement.  Oracles deliberately use the plain
 single-window SQL formulation: an independent algorithm arriving at
 the same ranks is exactly what the gate should prove.
 
-No analog in the reference (its queries are single-table scans,
-``main.py:1-120``); this is the order-statistics layer every
-experimentation / data-quality platform needs.
+No analog in the reference (its modules — ``ingest.py``, ``rag.py``,
+``api.py``, ``data_quality.py`` — compute no rank statistics); this
+is the order-statistics layer every experimentation / data-quality
+platform needs.
 """
 
 from __future__ import annotations

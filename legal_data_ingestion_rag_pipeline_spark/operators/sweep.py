@@ -25,9 +25,10 @@ immediately after each change point — the standard step-function
 convention, and the one a plain `SUM() OVER (ORDER BY ts)` oracle
 reproduces exactly.
 
-No analog in the reference (its queries are single-table scans,
-`main.py:1-120`); this is the scheduling/occupancy shape every
-large-scale telemetry pipeline needs.
+No analog in the reference (its modules — `ingest.py`, `rag.py`,
+`api.py`, `data_quality.py` — contain no interval/occupancy query);
+this is the scheduling/occupancy shape every large-scale telemetry
+pipeline needs.
 """
 
 from __future__ import annotations

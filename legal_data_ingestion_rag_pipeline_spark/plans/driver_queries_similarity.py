@@ -5786,8 +5786,11 @@ def _golden_oracle(sf_dir: str) -> str:
             "CAST(NULL AS VARCHAR) AS canonical_source, "
             "CAST(NULL AS BIGINT) AS total_chars WHERE FALSE"
         )
+    # SQL-escape the string literal: a source value containing a
+    # single quote must not break the rendered VALUES twin
     vals = ", ".join(
-        f"({c}, {n}, {d}, '{s}', {t})" for c, n, d, s, t in sorted(rows)
+        f"({c}, {n}, {d}, '{s.replace(chr(39), chr(39) * 2)}', {t})"
+        for c, n, d, s, t in sorted(rows)
     )
     return (
         f"SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "

@@ -172,7 +172,21 @@ def test_dsir_scoring_join_is_broadcast(spark):
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    lines = plan.splitlines()
+    # the broadcast must be the join KEYED ON THE BUCKET (_b) — a
+    # BroadcastHashJoin elsewhere in the plan doesn't count, and the
+    # scoring join degrading to a shuffle join must fail loudly
+    bhj_on_bucket = [
+        ln for ln in lines if "BroadcastHashJoin" in ln and "_b#" in ln
+    ]
+    shuffle_join_on_bucket = [
+        ln
+        for ln in lines
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+        and "_b#" in ln
+    ]
+    assert bhj_on_bucket, plan
+    assert not shuffle_join_on_bucket, shuffle_join_on_bucket
 
 
 # ---------------------------------------------------------------------------
