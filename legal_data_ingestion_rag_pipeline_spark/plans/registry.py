@@ -39,29 +39,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: The per-round rotation history (which slots rotated when, and the
 #: gated machinery partner every OUT keeps) lives in ROTATIONS.md.
 #:
-#: Round-11 rotation (verdict asks #1/#3/#4): 18 IN, 18 OUT, each
-#: OUT keeping a named gated machinery partner — full rationale in
-#: ROTATIONS.md.  IN: the never-gated GRAPH pack (bfs, personalized
-#: pagerank, LPA + modularity communities, clustering coefficient,
-#: degree assortativity, Adamic-Adar — operators/graph.py has been a
-#: headline bench family since r7 with no external correctness row),
-#: the STORAGE/TABLE-FORMAT pack (orc / compaction / z-order /
-#: schema-evolution / tlog point lookup / exactly-once streaming
-#: sink — what a 100 TB deployment leans on), and the
-#: ATTRIBUTION/CAUSAL stats tail (Shapley + Markov-removal channel
-#: attribution, isotonic calibration, stratified propensity,
-#: difference-in-differences).
-#:
-#: Round-12 rotation candidates (new round-11 families, sweep-green
-#: with dedicated pytests + bench rows): dsir_importance_resampling
-#: (hashed-ngram importance weights, Xie et al. 2023),
-#: sequence_packing_stats (NFD context-window packing),
-#: rm3_prf_expansion (pseudo-relevance feedback), ktruss_copurchase
-#: (edge-support peeling), tfidf_keyphrases, doremi_domain_weights
-#: (excess-loss mixture reweighting); plus the never-gated
-#: composite pipelines the r10 verdict named:
-#: events_analytics_capstone, pretrain_prep_pipeline, corpus_datacard,
-#: join_key_skew_profile.
+#: Round-12 rotation (r11 verdict asks #1/#2/#3/#8): 20 IN, 20 OUT,
+#: each OUT keeping a named gated machinery partner — full rationale
+#: in ROTATIONS.md.  IN: the eight never-gated round-11 families
+#: (DSIR importance resampling, NFD sequence packing, RM3
+#: pseudo-relevance feedback, k-truss edge peeling, TF-IDF
+#: keyphrases, DoReMi domain reweighting, golden-record election,
+#: multi-source landmark BFS), the four composite pipelines
+#: (events capstone, pretrain prep, corpus datacard, join-key skew
+#: profile), and the IVM/store + FTS-variant + ANN-stored clusters
+#: (incremental view refresh, tlog CDC, histogram/CMS stores, phrase
+#: + Dirichlet-QL search, PQ + trained-IVF stored indexes).
 GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: dedup / ingest
     "split_leakage_audit",
@@ -73,31 +61,36 @@ GATE_PRIORITY: tuple[str, ...] = (
     # LLM family: similarity search / clustering / sketches
     "dbscan_ivf_clusters",
     "kcenter_coreset_selection",
-    "retrieval_ndcg_eval",
-    "ann_ivf_binary_stored",
     "hll_incremental_store",
-    # graph pack (round-11 verdict ask #1 — operators/graph.py)
-    "bfs_copurchase_distances",
-    "personalized_pagerank_trade",
-    "lpa_copurchase_communities",
-    "modularity_lpa_communities",
-    "clustering_coefficient",
-    "degree_assortativity_trade",
-    "adamic_adar_linkpred",
-    # storage / table-format pack (round-11 verdict ask #3 —
-    # operators/tlog.py + operators/layout.py + sources/sinks.py)
-    "orc_roundtrip_scan",
-    "compaction_roundtrip_scan",
-    "layout_zordered_scan",
-    "schema_evolution_scan",
-    "tlog_point_lookup",
-    "streaming_tlog_sink",
-    # attribution / causal stats tail (round-11 verdict ask #4)
-    "shapley_channel_attribution",
-    "markov_removal_attribution",
-    "isotonic_calibration",
-    "propensity_stratified_effect",
-    "difference_in_differences",
+    # round-11 families (r11 verdict asks #1/#8 — new machinery:
+    # operators/dsir.py, operators/packing.py, operators/graph.py
+    # k-truss + multi-source BFS, fts RM3, pretrain tfidf/doremi,
+    # similarity golden-record)
+    "dsir_importance_resampling",
+    "sequence_packing_stats",
+    "rm3_prf_expansion",
+    "ktruss_copurchase",
+    "tfidf_keyphrases",
+    "doremi_domain_weights",
+    "golden_record_election",
+    "landmark_distances_copurchase",
+    # composite end-to-end pipelines (r11 verdict ask #2 — the
+    # integration-drift catchers)
+    "events_analytics_capstone",
+    "pretrain_prep_pipeline",
+    "corpus_datacard",
+    "join_key_skew_profile",
+    # IVM / store + FTS-variant + ANN-stored clusters (r11 verdict
+    # ask #3 — the incremental-maintenance and stored-index machinery
+    # a deployment leans on between full recomputes)
+    "ivm_join_view_refresh",
+    "tlog_change_data_feed",
+    "histogram_incremental_store",
+    "cms_merge_estimate",
+    "fts_phrase_search",
+    "fts_dirichlet_ql_search",
+    "ann_pq_stored",
+    "ann_ivf_trained_topk",
     # statistics family (operators/ranks + driver_queries_stats)
     "kruskal_wallis_segments",
     "heaps_law_fit",
