@@ -1,0 +1,99 @@
+"""Physical-plan METRIC budgets for the heaviest queries — the r11
+verdict's replacement for wall-clock floor-chasing (this box carries
+±30% ambient wall-clock noise; see PERFORMANCE.md's 109.1 s vs
+143.0 s same-code experiment).  Shuffle record counts are
+deterministic at a fixed sf + fixed session config (records written
+to each exchange are plan-determined row counts; map-side partial-agg
+output depends only on the deterministic input partition boundaries),
+so a real plan regression — a lost broadcast, an unpushed filter, a
+join degrading to all-pairs — fails a TEST here instead of arguing
+with loadavg.
+
+Budgets were measured at sf0.01 under the exact test-fixture session
+(cpus=8, shuffle.partitions=8) walking the executed adaptive plan's
+SQL metrics (tools/profile_queries.walk_metrics — same extraction as
+PROFILE.md).  Records pin to [0.3x, 1.5x] of measured: the ceiling
+catches blowups (a degraded join multiplies shuffle rows), the floor
+catches a plan accidentally short-circuiting to empty.  Bytes pin to
+a 2x ceiling only (compression ratios may drift).  Spill must stay 0.
+
+Caveat (inherited from PROFILE.md): eager pre-stages
+(localCheckpoint materializations) execute OUTSIDE the final plan
+tree, so iterative operators (pagerank, k-truss, BFS) are not
+pinnable this way — the set below is the heaviest DECLARATIVE rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+SF = "/root/testdata/sf0.01"
+
+# measured at sf0.01, cpus=8, shuffle.partitions=8 (round 12)
+BUDGETS: dict[str, dict[str, int]] = {
+    "triangle_count_copurchase": {"records": 233458, "bytes": 2392269},
+    "session_peak_concurrency": {"records": 58300, "bytes": 614744},
+    "dedup_duplicate_spans": {"records": 26122, "bytes": 219194},
+    "curation_pipeline_v3": {"records": 14398, "bytes": 738032},
+    "boilerplate_segment_removal": {"records": 14518, "bytes": 566826},
+    "rm3_prf_expansion": {"records": 12138, "bytes": 179174},
+    "ewma_gap_decay_wallet": {"records": 10150, "bytes": 249809},
+    "clamped_wallet_balance": {"records": 10150, "bytes": 189851},
+    "naive_bayes_lang_confusion": {"records": 8975, "bytes": 133013},
+    "split_leakage_audit": {"records": 8148, "bytes": 817933},
+    "dedup_minhash_lsh": {"records": 8042, "bytes": 813520},
+    "dedup_prefix_jaccard": {"records": 2136, "bytes": 34914},
+}
+
+_SHUFFLE_REC = "shuffleRecordsWritten"
+_SHUFFLE_BYTES = "shuffleBytesWritten"
+_SPILL = "spillSize"
+
+
+def _walk(node, tot: dict) -> None:
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        name, val = kv._1(), kv._2().value()
+        tot[name] = tot.get(name, 0) + val
+    cls = node.getClass().getSimpleName()
+    if "QueryStage" in cls:
+        _walk(node.plan(), tot)
+    for i in range(node.children().size()):
+        _walk(node.children().apply(i), tot)
+
+
+def measure(spark, name: str) -> dict[str, int]:
+    df = registry()[name].spark(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in plan.getClass().getName():
+        plan = plan.executedPlan()
+    tot: dict = {}
+    _walk(plan, tot)
+    return {
+        "records": int(tot.get(_SHUFFLE_REC, 0)),
+        "bytes": int(tot.get(_SHUFFLE_BYTES, 0)),
+        "spill": int(tot.get(_SPILL, 0)),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    got = measure(spark, name)
+    budget = BUDGETS[name]
+    lo = int(budget["records"] * 0.3)
+    hi = int(budget["records"] * 1.5)
+    assert lo <= got["records"] <= hi, (
+        f"{name}: shuffle records {got['records']} outside "
+        f"[{lo}, {hi}] (measured budget {budget['records']}) — "
+        f"plan regression (lost broadcast / degraded join / unpushed "
+        f"filter) or a silently-empty plan"
+    )
+    assert got["bytes"] <= budget["bytes"] * 2, (
+        f"{name}: shuffle bytes {got['bytes']} > "
+        f"2x budget {budget['bytes']}"
+    )
+    assert got["spill"] == 0, f"{name}: spilled {got['spill']} bytes"
