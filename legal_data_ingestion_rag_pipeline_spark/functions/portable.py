@@ -311,3 +311,25 @@ def dot_double(a: str, b: str, dialect: str) -> str:
             dialect,
         )
     return reduce_(prods, "CAST(0.0 AS DOUBLE)", "(s, x) -> s + x", dialect)
+
+
+def sq_l2_q6(a: str, b: str, dialect: str) -> str:
+    """EXACT-BIGINT squared L2 distance between two float arrays after
+    micro-quantization: each element snaps to FLOOR(x*1e6 + 0.5), the
+    squared differences sum as BIGINTs — an order-independent,
+    engine-exact distance for ranking (ties then break on an id).
+    Bounded: |elem| < 1e3 and dim <= 2048 keep the sum far below 2^63.
+    """
+    q = "CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    qa, qb = q.format(v="x"), q.format(v="y")
+    if dialect == SPARK:
+        diffs = f"zip_with({a}, {b}, (x, y) -> ({qa}) - ({qb}))"
+    else:
+        qa = q.format(v="p[1]")
+        qb = q.format(v="p[2]")
+        diffs = transform(
+            f"list_zip({a}, {b})", f"p -> ({qa}) - ({qb})", dialect
+        )
+    return reduce_(
+        diffs, "CAST(0 AS BIGINT)", "(s, d) -> s + d * d", dialect
+    )

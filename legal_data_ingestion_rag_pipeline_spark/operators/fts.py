@@ -138,6 +138,109 @@ def bm25_topk(
     )
 
 
+def bm25f_topk(
+    docs: DataFrame,
+    id_col: str,
+    fields: list[tuple[str, str, float, float]],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+) -> DataFrame:
+    """Top-k docs under simple BM25F (Zaragoza et al. 2004, "Microsoft
+    Cambridge at TREC-13"): per-field term frequencies are
+    length-normalized and weight-combined BEFORE one shared
+    saturation, instead of summing independent per-field BM25 scores —
+    the fielded-document ranking a search deployment runs over
+    title/body/anchor zones.
+
+        wtf(t,d) = sum_f w_f * tf_f / (1 - b_f + b_f * dl_f/avgdl_f)
+        score(d) = sum_t idf(t) * wtf / (k1 + wtf)
+
+    ``fields`` rows are (name, sql_expr, weight, b_f); ``idf`` uses
+    document frequency over ANY field.  EXACTLY TWO FIELDS are
+    supported: the per-(doc,term) field combination is a sum of two
+    doubles, which IEEE addition makes order-independent (three or
+    more would need a deterministic fold).  Score quantizes to the
+    1e-6 grid per term before the per-doc BIGINT sum (the module's
+    hash-gate convention); ties break on doc_id.
+
+    Scale shape: per-field postings prune to the query terms BEFORE
+    any shuffle (the :func:`postings` inline), field stats are one
+    tiny broadcast agg each, the (doc,term,field) partials shuffle on
+    the uniform doc key once, and top-k plans as
+    TakeOrderedAndProject.  Built on :func:`postings`.
+    """
+    if len(fields) != 2:
+        raise ValueError("bm25f_topk supports exactly two fields")
+    per_field = []
+    stat_cols = []
+    for fname, expr, w, bf in fields:
+        fdocs = docs.select(
+            F.col(id_col).alias("doc_id"), F.expr(expr).alias("_ftext")
+        )
+        p = postings(fdocs, "doc_id", "_ftext").filter(
+            F.col("term").isin(*query_terms)
+        )
+        stat_cols.append(
+            F.avg(
+                F.size(F.expr(PT.tokens(expr, PT.SPARK)))
+            )
+            .cast("double")
+            .alias(f"avgdl_{fname}")
+        )
+        per_field.append(
+            p.select(
+                "doc_id",
+                "term",
+                F.lit(fname).alias("field"),
+                F.col("tf").cast("double").alias("tf"),
+                F.col("dl").cast("double").alias("dl"),
+                F.lit(float(w)).alias("w"),
+                F.lit(float(bf)).alias("bf"),
+            )
+        )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    # both field averages from ONE corpus scan (column-pruned to the
+    # shared source column), not one full pass per field
+    fstats = docs.agg(*stat_cols)
+    unioned = per_field[0].unionByName(per_field[1])
+    avgdl = F.when(
+        F.col("field") == fields[0][0], F.col(f"avgdl_{fields[0][0]}")
+    ).otherwise(F.col(f"avgdl_{fields[1][0]}"))
+    wtf_part = F.col("w") * F.col("tf") / (
+        F.lit(1.0) - F.col("bf") + F.col("bf") * F.col("dl") / avgdl
+    )
+    combined = (
+        unioned.join(F.broadcast(fstats))
+        .select("doc_id", "term", wtf_part.alias("_wtf_f"))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("_wtf_f").alias("wtf"))  # two doubles: order-free
+    )
+    df_per_term = combined.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n, dfc = F.col("n_docs"), F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    partial = idf * F.col("wtf") / (F.lit(float(k1)) + F.col("wtf"))
+    micro = F.floor(partial * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    return (
+        combined.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum(micro).alias("_m"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            (F.col("_m").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def conjunctive_search(
     docs: DataFrame,
     id_col: str,

@@ -1,0 +1,602 @@
+"""Driver queries, round 12 — five new families, each implemented and
+registered in this module:
+
+- knn_shapley_values — exact KNN-Shapley data valuation (Jia et al.
+  2019) of every training embedding against a held-out validation
+  pool (operators/valuation.py): the closed-form Shapley recursion
+  for the K-NN utility unrolled into one ranking window plus one
+  suffix-sum window per validation point, every term pico-snapped so
+  the totals are exact BIGINTs.  The data-attribution primitive a
+  curation pipeline uses to find helpful vs harmful examples.
+- harmonic_centrality_copurchase — landmark-restricted harmonic
+  centrality over the co-purchase graph: ONE multi-source BSP sweep
+  (operators/graph.multi_source_bfs, the round-11 machinery) labels
+  hop distances from k landmarks, then centrality(v) = sum of
+  FLOOR(1e6/dist + 0.5) — the Potamias et al. 2009 landmark-sketch
+  estimate of closeness/harmonic centrality as graph features.
+- t_closeness_audit — the third leg of the privacy triad
+  (k-anonymity and l-diversity are already registered): per
+  quasi-identifier class, the Earth Mover's Distance between the
+  class's ordered sensitive-attribute distribution and the global
+  one (Li et al. 2007), computed from exact integer cumulative
+  counts with ONE micro-snap at the end.
+- bm25f_fielded_search — simple BM25F (Zaragoza et al. 2004) over a
+  head/body field split of documents (operators/fts.bm25f_topk):
+  per-field length-normalized tfs weight-combine BEFORE one shared
+  saturation; per-field postings prune to the query terms before any
+  shuffle.
+- neyman_allocation_sample — optimal stratified sample allocation
+  (Neyman 1934): per-stratum sigma from EXACT integer moment sums
+  (n*sum(x^2) - sum(x)^2), allocation shares snapped to integer
+  sigma-units so the share division is one double op, then a
+  deterministic hash-ranked draw of each stratum's quota.
+
+Conventions as everywhere: exact BIGINT counts/fixed-point units,
+each division-to-double micro-snapped once from exact integers,
+total-order tie-breaks on every ranking.
+
+No reference-file citation applies: /root/reference stops at
+retrieval; these extend the curation / graph / privacy / search /
+sampling families (SURVEY.md beyond-reference operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import portable as PT
+from ..operators import fts, valuation
+from ..session import load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# knn_shapley_values
+# ---------------------------------------------------------------------------
+
+_KS_K = 5
+_KS_N_TEST = 10
+_KS_TOP = 20
+
+_KS_ORACLE = f"""
+    WITH test AS (
+      SELECT vec_id AS tid, embedding AS tv, CAST(label AS BIGINT) AS tl
+      FROM embeddings WHERE vec_id < {_KS_N_TEST}
+    ),
+    train AS (
+      SELECT vec_id AS rid, embedding AS rv, CAST(label AS BIGINT) AS rl
+      FROM embeddings WHERE vec_id >= {_KS_N_TEST}
+    ),
+    pairs AS (
+      SELECT tid, rid, rl,
+             CASE WHEN rl = tl THEN 1 ELSE 0 END AS u,
+             {PT.sq_l2_q6('rv', 'tv', D)} AS d2
+      FROM train, test
+    ),
+    ranked AS (
+      SELECT tid, rid, rl, u,
+             row_number() OVER (PARTITION BY tid ORDER BY d2, rid) AS j,
+             lead(u) OVER (PARTITION BY tid ORDER BY d2, rid) AS u_next,
+             count(*) OVER (PARTITION BY tid) AS n
+      FROM pairs
+    ),
+    terms AS (
+      SELECT tid, rid, rl, j,
+             CASE WHEN j < n THEN
+               CAST(FLOOR((u - u_next) * LEAST({_KS_K}, j)
+                    * 1000000000000.0 / ({_KS_K} * j) + 0.5) AS BIGINT)
+             ELSE
+               CAST(FLOOR(u * 1000000000000.0 / n + 0.5) AS BIGINT)
+             END AS term
+      FROM ranked
+    ),
+    sv AS (
+      SELECT tid, rid, rl,
+             SUM(term) OVER (PARTITION BY tid ORDER BY j DESC) AS s
+      FROM terms
+    )
+    SELECT rid AS train_id, rl AS label,
+           CAST(SUM(s) AS BIGINT) AS total_shapley_p12
+    FROM sv GROUP BY rid, rl
+    ORDER BY total_shapley_p12 DESC, train_id LIMIT {_KS_TOP}
+    """
+
+
+@register(
+    "knn_shapley_values",
+    oracle=_KS_ORACLE,
+    bench=True,
+    doc="exact KNN-Shapley data valuation (operators/valuation.py; "
+    "Jia et al. 2019): every training embedding's Shapley value for "
+    f"the {_KS_K}-NN utility on a {_KS_N_TEST}-point validation "
+    "pool, totals exact BIGINT pico-units, top-20 most valuable "
+    "points.  Validation pool broadcast, distances map-side via the "
+    "exact micro-quantized squared-L2 (portable.sq_l2_q6), ONE "
+    "shuffle on test_id serving the rank / lead / count / "
+    "suffix-sum windows, per-training-point total a uniform-key "
+    "groupBy, top-k TakeOrderedAndProject.  At corpus scale the "
+    "valued pool bounds via an ANN candidate prefilter or the "
+    "band-parallel two-phase rank (operators/ranks.py) — see the "
+    "operator docstring.",
+)
+def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sv = valuation.knn_shapley(
+        emb.filter(F.col("vec_id") >= _KS_N_TEST),
+        emb.filter(F.col("vec_id") < _KS_N_TEST),
+        k=_KS_K,
+    )
+    return (
+        sv.groupBy(
+            F.col("train_id"), F.col("train_label").alias("label")
+        )
+        .agg(F.sum("shapley_p12").cast("bigint").alias("total_shapley_p12"))
+        .orderBy(F.desc("total_shapley_p12"), F.asc("train_id"))
+        .limit(_KS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# harmonic_centrality_copurchase
+# ---------------------------------------------------------------------------
+
+_HC_SOURCES = (0, 1, 2, 3, 4)
+_HC_DEPTH = 3
+_HC_TOP = 20
+
+_HC_ORACLE = f"""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                      greatest(a.l_partkey, b.l_partkey) AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT lo AS s, hi AS d FROM e0 UNION ALL SELECT hi, lo FROM e0),
+    bfs AS (
+      SELECT CAST(lm AS BIGINT) AS landmark, CAST(lm AS BIGINT) AS v,
+             0 AS dist
+      FROM (VALUES {", ".join(f"({s})" for s in _HC_SOURCES)}) AS t(lm)
+      UNION
+      SELECT bfs.landmark, e.d AS v, bfs.dist + 1 AS dist
+      FROM bfs JOIN e ON e.s = bfs.v
+      WHERE bfs.dist < {_HC_DEPTH}
+    ),
+    lab AS (SELECT landmark, v, min(dist) AS dist FROM bfs
+            GROUP BY landmark, v)
+    SELECT v AS part_id,
+           CAST(count(*) AS BIGINT) AS n_landmarks,
+           CAST(SUM(CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT))
+                AS BIGINT) AS harmonic_micro
+    FROM lab WHERE dist > 0
+    GROUP BY v
+    ORDER BY harmonic_micro DESC, part_id LIMIT {_HC_TOP}
+    """
+
+
+@register(
+    "harmonic_centrality_copurchase",
+    oracle=_HC_ORACLE,
+    bench=True,
+    doc="landmark-restricted harmonic centrality over the co-purchase "
+    f"graph: hop distances from parts {_HC_SOURCES} in ONE "
+    "multi-source BSP sweep (graph.multi_source_bfs — the round-11 "
+    "landmark machinery reused as a centrality feature extractor, "
+    "Potamias et al. 2009), centrality(v) = sum over reached "
+    "landmarks of FLOOR(1e6/dist + 0.5) — exact BIGINT, no float "
+    "accumulation.  k landmarks cost one pass of k-wide frontiers "
+    "(uniform vertex-key shuffles, localCheckpoint per level); the "
+    "aggregation is one uniform-key groupBy and the top-k plans as "
+    "TakeOrderedAndProject.  Oracle: recursive CTE seeded with all "
+    "landmarks under the same hop cap, min(dist) per (landmark, v).",
+)
+def harmonic_centrality_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    lab = graph.multi_source_bfs(
+        edges, list(_HC_SOURCES), a="lo", b="hi", max_depth=_HC_DEPTH
+    )
+    return (
+        lab.filter(F.col("dist") > 0)
+        .groupBy(F.col("v").alias("part_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_landmarks"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("harmonic_micro"),
+        )
+        .orderBy(F.desc("harmonic_micro"), F.asc("part_id"))
+        .limit(_HC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit
+# ---------------------------------------------------------------------------
+
+_TC_BANDS = 5  # ordered acctbal bands; EMD normalizer is B-1
+
+_TC_BAND_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR((CAST(c_acctbal AS DOUBLE) + 1000.0)"
+    " / 2200.0) AS INT), 0), 4)"
+)
+
+_TC_ORACLE = f"""
+    WITH base AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             {_TC_BAND_SQL} AS band
+      FROM customer
+    ),
+    grp AS (SELECT seg, nat, band, count(*) AS cnt
+            FROM base GROUP BY seg, nat, band),
+    grps AS (SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n_g
+             FROM grp GROUP BY seg, nat),
+    gband AS (SELECT band, count(*) AS gcnt FROM base GROUP BY band),
+    gtot AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM base),
+    domain AS (SELECT band FROM (VALUES (0), (1), (2), (3), (4)) AS t(band)),
+    dense AS (
+      SELECT g.seg, g.nat, d.band,
+             COALESCE(x.cnt, 0) AS cnt, COALESCE(gl.gcnt, 0) AS gcnt
+      FROM grps g CROSS JOIN domain d
+      LEFT JOIN grp x ON x.seg = g.seg AND x.nat = g.nat AND x.band = d.band
+      LEFT JOIN gband gl ON gl.band = d.band
+    ),
+    cums AS (
+      SELECT seg, nat, band,
+             SUM(cnt) OVER (PARTITION BY seg, nat ORDER BY band) AS cum_g,
+             SUM(gcnt) OVER (PARTITION BY seg, nat ORDER BY band) AS cum_t
+      FROM dense
+    ),
+    diffs AS (
+      SELECT c.seg, c.nat,
+             SUM(ABS(c.cum_g * t.n_t - c.cum_t * g.n_g)) AS sum_abs,
+             ANY_VALUE(g.n_g) AS n_g, ANY_VALUE(t.n_t) AS n_t
+      FROM cums c
+      JOIN grps g ON g.seg = c.seg AND g.nat = c.nat
+      CROSS JOIN gtot t
+      GROUP BY c.seg, c.nat
+    )
+    SELECT seg AS c_mktsegment, CAST(nat AS BIGINT) AS c_nationkey,
+           CAST(n_g AS BIGINT) AS n_rows,
+           CAST(FLOOR(CAST(sum_abs AS DOUBLE) * 1000000.0
+                / (CAST(n_g AS DOUBLE) * CAST(n_t AS DOUBLE)
+                   * {_TC_BANDS - 1}) + 0.5) AS BIGINT) AS emd_micro
+    FROM diffs
+    ORDER BY c_mktsegment, c_nationkey
+    """
+
+
+@register(
+    "t_closeness_audit",
+    oracle=_TC_ORACLE,
+    doc="t-closeness audit (Li et al. 2007) — the third leg of the "
+    "privacy triad beside the registered k_anonymity_audit and "
+    "l_diversity_audit: per (mktsegment, nationkey) quasi-identifier "
+    "class, the ordered-attribute Earth Mover's Distance between the "
+    "class's acctbal-band distribution and the global one, from "
+    "EXACT integer cumulative counts — EMD = sum |cum_g*n_t - "
+    "cum_t*n_g| / (n_g*n_t*(B-1)), ONE micro-snap at the end.  Bands "
+    "are STATIC value ranges (map-side, no global sort); the band "
+    "domain is a 5-row literal cross join so empty bands still "
+    "contribute to the cumulative sums; group counts are one "
+    "uniform-key shuffle; windows span <= 5 rows per class.  At "
+    "lake scale the BIGINT cum products move to DECIMAL(38,0) — "
+    "same plan.",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(_TC_BAND_SQL).alias("band"),
+    )
+    grp = base.groupBy("seg", "nat", "band").agg(
+        F.count("*").alias("cnt")
+    )
+    grps = grp.groupBy("seg", "nat").agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    glob = base.groupBy("band").agg(F.count("*").alias("gcnt"))
+    n_t = base.agg(F.count("*").cast("bigint").alias("n_t"))
+    domain = spark.range(_TC_BANDS).select(
+        F.col("id").cast("int").alias("band")
+    )
+    dense = (
+        grps.crossJoin(F.broadcast(domain))
+        .join(grp, ["seg", "nat", "band"], "left")
+        .join(F.broadcast(glob), "band", "left")
+        .select(
+            "seg",
+            "nat",
+            "band",
+            "n_g",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("gcnt", F.lit(0)).alias("gcnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = dense.select(
+        "seg",
+        "nat",
+        "n_g",
+        F.sum("cnt").over(w).alias("cum_g"),
+        F.sum("gcnt").over(w).alias("cum_t"),
+    )
+    diffs = (
+        cums.crossJoin(F.broadcast(n_t))
+        .groupBy("seg", "nat")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n_t")
+                    - F.col("cum_t") * F.col("n_g")
+                )
+            ).alias("sum_abs"),
+            F.first("n_g").alias("n_g"),
+            F.first("n_t").alias("n_t"),
+        )
+    )
+    return diffs.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("nat").cast("bigint").alias("c_nationkey"),
+        F.col("n_g").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"CAST(FLOOR(CAST(sum_abs AS DOUBLE) * 1000000.0"
+            f" / (CAST(n_g AS DOUBLE) * CAST(n_t AS DOUBLE)"
+            f" * {_TC_BANDS - 1}) + 0.5) AS BIGINT)"
+        ).alias("emd_micro"),
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# bm25f_fielded_search
+# ---------------------------------------------------------------------------
+
+_BF_TERMS = ("vector", "merge", "window")
+_BF_K = 10
+_BF_HEAD_LEN = 100
+# (name, sql_expr, weight, b_f): head is boosted and length-normalizes
+# harder, the classic title/body asymmetry
+_BF_FIELDS = (
+    ("head", f"substring(text, 1, {_BF_HEAD_LEN})", 2.0, 0.75),
+    ("body", f"substring(text, {_BF_HEAD_LEN + 1})", 1.0, 0.50),
+)
+
+
+def _bm25f_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BF_TERMS)
+    field_sql = []
+    for fname, expr, w, bf in _BF_FIELDS:
+        toks = PT.tokens(expr, D)
+        field_sql.append(
+            f"""
+    {fname}_base AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    {fname}_stat AS (
+      SELECT CAST(avg(len(toks)) AS DOUBLE) AS avgdl_{fname}
+      FROM {fname}_base
+    ),
+    {fname}_hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        FROM {fname}_base
+      ) WHERE term IN ({terms_in})
+      GROUP BY doc_id, dl, term
+    ),
+    {fname}_wtf AS (
+      SELECT h.doc_id, h.term,
+             {w} * CAST(h.tf AS DOUBLE)
+             / (1.0 - {bf} + {bf} * CAST(h.dl AS DOUBLE) / s.avgdl_{fname})
+             AS wtf_f
+      FROM {fname}_hits h CROSS JOIN {fname}_stat s
+    )"""
+        )
+    return f"""
+    WITH {",".join(field_sql)},
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    combined AS (
+      SELECT doc_id, term, SUM(wtf_f) AS wtf FROM (
+        SELECT * FROM head_wtf UNION ALL SELECT * FROM body_wtf
+      ) GROUP BY doc_id, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+            FROM combined GROUP BY term),
+    scored AS (
+      SELECT c.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (n.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * c.wtf / (1.2 + c.wtf)
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM combined c JOIN dfs d ON c.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, count(*) AS n_terms_hit,
+           CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BF_K}
+    """
+
+
+@register(
+    "bm25f_fielded_search",
+    oracle=_bm25f_oracle(),
+    doc="simple BM25F fielded search (operators/fts.bm25f_topk; "
+    "Zaragoza et al. 2004) over a head/body zone split of documents: "
+    "per-field length-normalized tfs weight-combine (head boosted "
+    "2x) BEFORE one shared k1 saturation — NOT a sum of independent "
+    "per-field BM25 scores.  Per-field postings prune to the query "
+    "terms before any shuffle; field stats are tiny broadcast aggs; "
+    "the two-field combination is a 2-double sum (IEEE "
+    "order-independent); per-term partials micro-snap before the "
+    "exact per-doc BIGINT sum; top-k TakeOrderedAndProject.  Gives "
+    "operators/fts.postings its query coverage (the inverted-index "
+    "materializer the ad-hoc search paths inline).",
+)
+def bm25f_fielded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fts.bm25f_topk(
+        docs, "doc_id", list(_BF_FIELDS), list(_BF_TERMS), k=_BF_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation_sample
+# ---------------------------------------------------------------------------
+
+_NA_SAMPLE = 100
+
+_NA_ORACLE = f"""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5)
+                  AS BIGINT) AS x
+      FROM customer
+    ),
+    mom AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_h,
+             SUM(x) AS s1, SUM(x * x) AS s2
+      FROM cents GROUP BY seg
+    ),
+    sig AS (
+      SELECT seg, n_h,
+             CAST(FLOOR(sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)) + 0.5)
+                  AS BIGINT) AS sigma_units
+      FROM mom
+    ),
+    tot AS (SELECT SUM(sigma_units) AS tot_units FROM sig),
+    alloc AS (
+      SELECT s.seg, s.n_h, s.sigma_units,
+             CAST(FLOOR(CAST(s.sigma_units AS DOUBLE) * {_NA_SAMPLE}.0
+                  / CAST(t.tot_units AS DOUBLE) + 0.5) AS BIGINT) AS n_alloc
+      FROM sig s CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT seg, c_custkey,
+             row_number() OVER (
+               PARTITION BY seg
+               ORDER BY {PT.poly_hash("CAST(c_custkey AS VARCHAR)", D)},
+                        c_custkey) AS rk
+      FROM cents
+    ),
+    sel AS (
+      SELECT r.seg, SUM(r.c_custkey) AS sel_sum, count(*) AS n_sel
+      FROM ranked r JOIN alloc a ON a.seg = r.seg
+      WHERE r.rk <= a.n_alloc
+      GROUP BY r.seg
+    )
+    SELECT a.seg AS c_mktsegment, a.n_h AS n_rows,
+           a.sigma_units, a.n_alloc,
+           CAST(COALESCE(s.n_sel, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.sel_sum, 0) AS BIGINT) AS sel_custkey_sum
+    FROM alloc a LEFT JOIN sel s ON s.seg = a.seg
+    ORDER BY c_mktsegment
+    """
+
+
+@register(
+    "neyman_allocation_sample",
+    oracle=_NA_ORACLE,
+    doc="Neyman-optimal stratified sample allocation (Neyman 1934) "
+    "over customer strata: per-stratum sigma from EXACT integer "
+    "moment sums (n*sum(x^2) - sum(x)^2 over acctbal cents, BIGINT "
+    "at this scale, DECIMAL(38,0) at lake scale), each stratum's "
+    "N_h*sigma_h snapped once to integer sigma-units so the "
+    "allocation share is ONE double division of exact integers, "
+    "quota n_h = FLOOR(share * 100 + 0.5).  The draw is a "
+    "deterministic hash rank (portable poly-hash of the key) per "
+    "stratum — reproducible across engines and runs, no RNG state.  "
+    "Plan: one uniform-key moment shuffle, a 5-row broadcast "
+    "allocation, per-stratum bounded rank windows (band-parallel "
+    "two-phase rank at lake scale), checksum output.",
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cents = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+    )
+    mom = cents.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    sig = mom.select(
+        "seg",
+        "n_h",
+        F.expr(
+            "CAST(FLOOR(sqrt(CAST(n_h * s2 - s1 * s1 AS DOUBLE)) + 0.5)"
+            " AS BIGINT)"
+        ).alias("sigma_units"),
+    )
+    tot = sig.agg(F.sum("sigma_units").alias("tot_units"))
+    alloc = sig.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_h",
+        "sigma_units",
+        F.expr(
+            f"CAST(FLOOR(CAST(sigma_units AS DOUBLE) * {_NA_SAMPLE}.0"
+            f" / CAST(tot_units AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("seg").orderBy(
+            F.expr(PT.poly_hash("CAST(c_custkey AS STRING)", S)),
+            F.col("c_custkey"),
+        )
+    )
+    ranked = cents.select("seg", "c_custkey", rk.alias("rk"))
+    sel = (
+        ranked.join(F.broadcast(alloc.select("seg", "n_alloc")), "seg")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("seg")
+        .agg(
+            F.sum("c_custkey").alias("sel_sum"),
+            F.count("*").alias("n_sel"),
+        )
+    )
+    return (
+        alloc.join(sel, "seg", "left")
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n_h").alias("n_rows"),
+            "sigma_units",
+            "n_alloc",
+            F.coalesce("n_sel", F.lit(0)).cast("bigint").alias("n_selected"),
+            F.coalesce("sel_sum", F.lit(0))
+            .cast("bigint")
+            .alias("sel_custkey_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,154 @@
+"""Round-12 operator tests: KNN-Shapley valuation, BM25F fielded
+search, t-closeness, harmonic centrality, Neyman allocation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from legal_data_ingestion_rag_pipeline_spark.operators import fts, valuation
+from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# KNN-Shapley (operators/valuation.py)
+# ---------------------------------------------------------------------------
+
+def _toy_rows():
+    # 3 test (ids 0-2) + 7 train points in 2-D, two labels
+    return [
+        (0, [0.0, 0.0], 0),
+        (1, [1.0, 1.0], 1),
+        (2, [0.9, 0.1], 0),
+        (10, [0.1, 0.0], 0),
+        (11, [0.0, 0.2], 1),
+        (12, [1.1, 0.9], 1),
+        (13, [0.8, 1.0], 1),
+        (14, [0.9, 0.0], 0),
+        (15, [0.5, 0.5], 0),
+        (16, [2.0, 2.0], 1),
+    ]
+
+
+def test_knn_shapley_matches_python_twin(spark):
+    rows = _toy_rows()
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>, label: int"
+    )
+    got = {
+        (r.test_id, r.train_id): r.shapley_p12
+        for r in valuation.knn_shapley(
+            df.filter(F.col("vec_id") >= 10),
+            df.filter(F.col("vec_id") < 10),
+            k=3,
+        ).collect()
+    }
+    want = valuation.knn_shapley_py(rows, {0, 1, 2}, k=3)
+    assert got == want
+    assert len(got) == 3 * 7
+
+
+def test_knn_shapley_efficiency_axiom(spark):
+    """Shapley values per test point sum to the full-coalition utility:
+    sum_i s_i = u(all) = (#correct among K nearest) / K — the
+    efficiency axiom, in pico units (up to per-term floor rounding,
+    bounded by N terms * 0.5)."""
+    rows = _toy_rows()
+    k = 3
+    want = valuation.knn_shapley_py(rows, {0, 1, 2}, k=k)
+    train = [(i, v, l) for (i, v, l) in rows if i >= 10]
+    for tid, tv, tl in [(r[0], r[1], r[2]) for r in rows if r[0] < 3]:
+
+        def q6(x):
+            return math.floor(x * 1e6 + 0.5)
+
+        qt = [q6(x) for x in tv]
+        scored = sorted(
+            (sum((q6(x) - y) ** 2 for x, y in zip(rv, qt)), rid, rl)
+            for rid, rv, rl in train
+        )
+        topk_hits = sum(1 for _, _, rl in scored[:k] if rl == tl)
+        total = sum(v for (t, _), v in want.items() if t == tid)
+        assert abs(total - topk_hits * 10**12 // k) <= len(train)
+
+
+def test_knn_shapley_broadcasts_test_pool(spark):
+    df = registry()["knn_shapley_values"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# BM25F (operators/fts.bm25f_topk)
+# ---------------------------------------------------------------------------
+
+def test_bm25f_head_boost_outranks_body_hit(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta. " + "filler " * 20),      # alpha in head
+            (2, "gamma delta. " + "filler " * 18 + "alpha"),  # alpha in body
+            (3, "gamma delta. " + "filler " * 20),      # no hit
+        ],
+        "doc_id: bigint, text: string",
+    )
+    fields = [
+        ("head", "substring(text, 1, 12)", 2.0, 0.75),
+        ("body", "substring(text, 13)", 1.0, 0.50),
+    ]
+    out = fts.bm25f_topk(docs, "doc_id", fields, ["alpha"], k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # head hit beats body hit
+    assert out[0].score > out[1].score > 0
+
+
+def test_bm25f_rejects_non_two_fields(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError):
+        fts.bm25f_topk(docs, "doc_id", [("a", "text", 1.0, 0.5)], ["x"])
+
+
+# ---------------------------------------------------------------------------
+# t-closeness / Neyman / harmonic: registry-level invariants
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_bounds_and_coverage(spark):
+    rows = registry()["t_closeness_audit"].spark(spark, SF).collect()
+    assert rows, "no QI classes"
+    for r in rows:
+        # EMD over [0,1] in micro units; every class non-empty
+        assert 0 <= r.emd_micro <= 1_000_000
+        assert r.n_rows >= 1
+    # classes partition the table
+    total = sum(r.n_rows for r in rows)
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total == n_cust
+
+
+def test_neyman_allocation_respects_quota_and_strata(spark):
+    rows = registry()["neyman_allocation_sample"].spark(spark, SF).collect()
+    assert {r.c_mktsegment for r in rows} == {
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    }
+    for r in rows:
+        assert r.n_selected == min(r.n_alloc, r.n_rows)
+        assert r.sigma_units > 0
+    # rounding keeps the realized sample near the target of 100
+    assert abs(sum(r.n_alloc for r in rows) - 100) <= len(rows)
+
+
+def test_harmonic_centrality_total_order_and_bounds(spark):
+    rows = registry()["harmonic_centrality_copurchase"].spark(
+        spark, SF
+    ).collect()
+    assert rows
+    vals = [(r.harmonic_micro, -r.part_id) for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        # at most 5 landmarks, each contributing at most 1e6 (dist 1)
+        assert 1 <= r.n_landmarks <= 5
+        assert 0 < r.harmonic_micro <= 5_000_000
