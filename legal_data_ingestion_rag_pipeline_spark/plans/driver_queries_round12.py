@@ -600,3 +600,125 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# geometric_median_labels
+# ---------------------------------------------------------------------------
+
+def _gm_oracle() -> str:
+    from ..operators import robust
+
+    return robust.weiszfeld_oracle_sql(
+        "SELECT CAST(label AS BIGINT) AS g, embedding AS x FROM embeddings",
+        group_col="label",
+        iters=2,
+    )
+
+
+@register(
+    "geometric_median_labels",
+    oracle=_gm_oracle(),
+    doc="per-label geometric median of the embedding column "
+    "(operators/robust.py; Weiszfeld 1937): two snapped Weiszfeld "
+    "steps from the DECIMAL-exact component-mean init — the "
+    "0.5-breakdown-point robust class prototype (label-noise "
+    "auditing, Byzantine-tolerant aggregation; Blanchard et al. "
+    "2017), companion to embedding_label_centroids (mean) and "
+    "knn_shapley_values (per-point valuation).  Every per-row float "
+    "round6-snapped, every cross-row sum DECIMAL(27,10)-exact, the "
+    "L1 objective an exact BIGINT micro sum; medians serialized on "
+    "the %.6f grid.  Per iteration: one corpus scan, a broadcast "
+    "(groups x dim) median table, shuffles bounded by groups x dim "
+    "partial sums — iterations cost scans, not state.  Oracle: the "
+    "fully unrolled twin from the same SQL builders.",
+)
+def geometric_median_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import robust
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    return robust.geometric_median_report(
+        emb, "label", "embedding", iters=2
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# levenshtein_blocked_pairs
+# ---------------------------------------------------------------------------
+
+_LEV_CAP = 1000  # hot-block guard: blocks above this size are skipped
+
+_LEV_ORACLE = f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS w1, p_size
+      FROM part
+    ),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY w1, p_size) AS bsz FROM p
+    ),
+    capped AS (SELECT * FROM sized WHERE bsz <= {_LEV_CAP}),
+    pairs AS (
+      SELECT levenshtein(a.p_name, b.p_name) AS lev,
+             a.p_partkey AS ka, b.p_partkey AS kb
+      FROM capped a JOIN capped b
+        ON a.w1 = b.w1 AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT CAST(lev AS BIGINT) AS lev,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ka + kb) AS BIGINT) AS ids_checksum
+    FROM pairs GROUP BY lev ORDER BY lev
+    """
+
+
+@register(
+    "levenshtein_blocked_pairs",
+    oracle=_LEV_ORACLE,
+    doc="blocked edit-distance entity resolution over part names: "
+    "candidate pairs ONLY within (first-word, size) blocks — never "
+    "all-pairs — with the hot-block cap the dedup/linkage family "
+    "uses (operators/dedup.py convention; a block above "
+    f"{_LEV_CAP} members is skipped, keeping worst-case pair count "
+    "bounded), then exact Levenshtein on the full name (built-in "
+    "both engines, identical unit-cost semantics).  Complements "
+    "jaro_winkler_titles (scored similarity) and "
+    "sorted_neighborhood_pairs (windowed candidates) with the "
+    "classic edit-distance layer.  Output: per-distance pair "
+    "histogram with an id checksum — pins the full pair set without "
+    "shipping every row.  One composite-key shuffle for the "
+    "self-join; the window block-size guard shares the same "
+    "partitioning.",
+)
+def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
+        "p_size",
+    )
+    sized = part.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("w1", "p_size"))
+    )
+    capped = sized.filter(F.col("bsz") <= _LEV_CAP)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.w1") == F.col("b.w1"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("lev"),
+        (F.col("a.p_partkey") + F.col("b.p_partkey")).alias("ksum"),
+    )
+    return (
+        pairs.groupBy(F.col("lev").cast("bigint").alias("lev"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("ksum").cast("bigint").alias("ids_checksum"),
+        )
+        .orderBy("lev")
+    )

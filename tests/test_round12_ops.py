@@ -152,3 +152,83 @@ def test_harmonic_centrality_total_order_and_bounds(spark):
         # at most 5 landmarks, each contributing at most 1e6 (dist 1)
         assert 1 <= r.n_landmarks <= 5
         assert 0 < r.harmonic_micro <= 5_000_000
+
+
+# ---------------------------------------------------------------------------
+# Geometric median (operators/robust.py)
+# ---------------------------------------------------------------------------
+
+def test_geometric_median_resists_outlier(spark):
+    """One planted outlier drags the mean but barely moves the
+    Weiszfeld iterate — the robustness property the operator exists
+    for."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import robust
+
+    rows = [(0, [0.1 * i, 0.0]) for i in range(9)] + [(0, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, "label: bigint, embedding: array<double>")
+    med = robust.geometric_median(df, "label", "embedding", iters=8)
+    m = med.collect()[0].gm
+    # mean_y = 10.0 (dragged); median_y after 8 steps should be tiny
+    assert m[1] < 2.0
+    assert m[0] < 5.0
+
+
+def test_geometric_median_objective_not_worse_than_mean(spark):
+    """The Weiszfeld iterate's L1 objective must not exceed the
+    component-mean init's (each exact step is monotone non-increasing
+    up to the 1e-6 snaps)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import robust
+    from pyspark.sql import functions as FF
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(FF.col("label").cast("bigint").alias("label"), "embedding")
+    )
+
+    def objective(med_df):
+        d6 = robust.dist6_sql("embedding", "gm", __import__(
+            "legal_data_ingestion_rag_pipeline_spark.functions.portable",
+            fromlist=["SPARK"],
+        ).SPARK)
+        j = emb.join(FF.broadcast(med_df), "label")
+        return {
+            r.label: r.o
+            for r in j.groupBy("label")
+            .agg(
+                FF.sum(
+                    FF.expr(f"CAST(FLOOR(({d6}) * 1000000.0 + 0.5) AS BIGINT)")
+                ).alias("o")
+            )
+            .collect()
+        }
+
+    o_init = objective(robust._mean_init(emb, "label", "embedding"))
+    o_med = objective(robust.geometric_median(emb, "label", "embedding", 2))
+    slack = 10  # micro-floor rounding slack per group
+    for lbl, o in o_med.items():
+        assert o <= o_init[lbl] + slack, (lbl, o, o_init[lbl])
+
+
+def test_geometric_median_report_shape(spark):
+    rows = registry()["geometric_median_labels"].spark(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        vec = r.median_csv.split(",")
+        assert len(vec) == 64
+        float(vec[0])  # %.6f grid
+        assert r.obj_micro > 0 and r.n_points > 0
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein blocked pairs
+# ---------------------------------------------------------------------------
+
+def test_levenshtein_blocked_pairs_histogram(spark):
+    rows = registry()["levenshtein_blocked_pairs"].spark(spark, SF).collect()
+    assert rows
+    levs = [r.lev for r in rows]
+    assert levs == sorted(levs)
+    assert all(0 <= l <= 20 for l in levs)
+    # pairs only form within blocks: every pair shares first word+size,
+    # so identical names (lev 0) are possible and counted
+    assert all(r.n_pairs > 0 and r.ids_checksum > 0 for r in rows)
