@@ -45,6 +45,12 @@ TARGETS = [
     ("rm3_prf_expansion", "documents"),
     ("ktruss_copurchase", "lineitem"),
     ("tfidf_keyphrases", "documents"),
+    # round-12 additions
+    ("knn_shapley_values", "embeddings"),
+    ("harmonic_centrality_copurchase", "lineitem"),
+    ("geometric_median_labels", "embeddings"),
+    ("bm25f_fielded_search", "documents"),
+    ("levenshtein_blocked_pairs", "part"),
 ]
 
 
