@@ -1039,3 +1039,194 @@ def multi_source_bfs(
         settled = settled.unionByName(discovered).localCheckpoint(eager=True)
         frontier = discovered.select("landmark", F.col("v").alias("src"))
     return settled
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: list[int],
+    a: str = "a",
+    b: str = "b",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Landmark-sampled, hop-bounded betweenness centrality (Brandes
+    2001 dependency accumulation; Brandes & Pich 2007 pivot sampling):
+    (v, betweenness_micro) — the exact-integer dependency sum over the
+    sampled sources, restricted to shortest paths of length
+    <= ``max_depth``.
+
+    The two BSP phases of Brandes' algorithm, both level-synchronous:
+
+    - FORWARD: the multi-source BFS frontier additionally carries
+      sigma(v) — the NUMBER of shortest source->v paths — as an exact
+      BIGINT (sigma of a newly settled vertex = sum of its settled
+      predecessors' sigmas: one uniform (landmark, vertex)-keyed
+      aggregate per level).
+    - BACKWARD: levels unwind deepest-first; a vertex's dependency is
+
+          delta(v) = sum over successors w (dist_w = dist_v + 1):
+                     (sigma_v * (SCALE + delta_w)) // sigma_w
+
+      — Brandes' (sigma_v/sigma_w)*(1+delta_w) in micro fixed-point,
+      evaluated with a single BIGINT floor-division per edge so the
+      whole accumulation is exact-integer (the hash-gate convention:
+      no float sums; the snap-per-level is deterministic in any
+      execution order).  Per level: one join onto the successor
+      level's delta frame, one vertex-keyed sum, localCheckpoint.
+
+    Betweenness(v) = sum over sampled sources of delta(v) (the source
+    itself excluded, dist > 0 rows only).  At 100 TB the per-level
+    frontier rows shuffle on the same uniform (landmark, vertex) key
+    as multi_source_bfs — k pivots pay the per-level scheduling
+    overhead once — and the backward pass touches only the settled
+    BFS cone.  Hop bound = the semantic cap (Brandes-Pich estimates
+    converge with small pivot counts; bounded-depth dependencies are
+    the k-bounded betweenness variant).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    scale = 1_000_000
+    nbr = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    levels: list[DataFrame] = [
+        spark.createDataFrame(
+            [(int(s), int(s), 1) for s in sorted(set(sources))],
+            "landmark: bigint, v: bigint, sigma: bigint",
+        ).localCheckpoint(eager=True)
+    ]
+    settled = levels[0].select("landmark", "v")
+    frontier = levels[0]
+    for _depth in range(1, max_depth + 1):
+        discovered = (
+            nbr.join(frontier.withColumnRenamed("v", "src"), "src")
+            .select("landmark", F.col("dst").alias("v"), "sigma")
+            .join(settled, ["landmark", "v"], "left_anti")
+            .groupBy("landmark", "v")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if discovered.limit(1).count() == 0:
+            break
+        levels.append(discovered)
+        settled = settled.unionByName(
+            discovered.select("landmark", "v")
+        ).localCheckpoint(eager=True)
+        frontier = discovered
+    # backward dependency accumulation: the DEEPEST level has no
+    # successors inside the cone, so its delta is 0; every shallower
+    # level folds its successor level's deltas in
+    deltas: DataFrame = levels[-1].select(
+        "landmark", "v", F.lit(0).cast("bigint").alias("delta")
+    )
+    acc: DataFrame | None = None
+    if len(levels) - 1 > 0:
+        acc = deltas  # deepest level contributes its zeros (lvl > 0)
+    for lvl in range(len(levels) - 2, -1, -1):
+        cur = levels[lvl]
+        succ = deltas.join(
+            levels[lvl + 1].select("landmark", "v", "sigma"),
+            ["landmark", "v"],
+        ).select(
+            "landmark",
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        contrib = (
+            cur.join(
+                nbr.withColumnRenamed("src", "v")
+                .withColumnRenamed("dst", "w"),
+                "v",
+            )
+            .join(succ, ["landmark", "w"])
+            .select(
+                "landmark",
+                "v",
+                F.expr(
+                    f"(sigma * ({scale} + delta_w)) DIV sigma_w"
+                ).alias("t"),
+            )
+            .groupBy("landmark", "v")
+            .agg(F.sum("t").cast("bigint").alias("delta"))
+        )
+        delta_cur = (
+            cur.select("landmark", "v")
+            .join(contrib, ["landmark", "v"], "left")
+            .select(
+                "landmark",
+                "v",
+                F.coalesce("delta", F.lit(0))
+                .cast("bigint")
+                .alias("delta"),
+            )
+        ).localCheckpoint(eager=True)
+        if lvl > 0:  # sources (level 0) are excluded from betweenness
+            acc = (
+                delta_cur
+                if acc is None
+                else acc.unionByName(delta_cur)
+            )
+        deltas = delta_cur
+    if acc is None:
+        return spark.createDataFrame(
+            [], "v: bigint, betweenness_micro: bigint"
+        )
+    return acc.groupBy("v").agg(
+        F.sum("delta").cast("bigint").alias("betweenness_micro")
+    )
+
+
+def betweenness_sampled_py(
+    edge_set: set[tuple[int, int]],
+    sources: list[int],
+    max_depth: int = 3,
+) -> dict[int, int]:
+    """Sparkless twin of :func:`betweenness_sampled` — identical
+    integer arithmetic (BIGINT sigma sums, per-edge micro floor-div,
+    per-level accumulation)."""
+    import collections
+
+    scale = 1_000_000
+    adj: dict[int, set[int]] = collections.defaultdict(set)
+    for lo, hi in edge_set:
+        if lo != hi:
+            adj[lo].add(hi)
+            adj[hi].add(lo)
+    out: dict[int, int] = collections.defaultdict(int)
+    for s in sorted(set(sources)):
+        levels: list[dict[int, int]] = [{s: 1}]
+        seen = {s}
+        for _d in range(1, max_depth + 1):
+            nxt: dict[int, int] = collections.defaultdict(int)
+            for v, sig in levels[-1].items():
+                for w in adj[v]:
+                    if w not in seen:
+                        nxt[w] += sig
+            if not nxt:
+                break
+            seen |= set(nxt)
+            levels.append(dict(nxt))
+        delta: dict[int, int] = {v: 0 for v in levels[-1]}
+        for lvl in range(len(levels) - 2, -1, -1):
+            cur_delta: dict[int, int] = {}
+            for v, sig in levels[lvl].items():
+                t = 0
+                for w in adj[v]:
+                    if w in levels[lvl + 1]:
+                        t += (sig * (scale + delta[w])) // levels[
+                            lvl + 1
+                        ][w]
+                cur_delta[v] = t
+            if lvl > 0:
+                for v, d in cur_delta.items():
+                    out[v] += d
+            delta = cur_delta
+    return dict(out)

@@ -722,3 +722,100 @@ def levenshtein_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lev")
     )
+
+
+# ---------------------------------------------------------------------------
+# betweenness_sampled_copurchase
+# ---------------------------------------------------------------------------
+
+_BW_SOURCES = (0, 1, 2)
+_BW_DEPTH = 3
+_BW_TOP = 20
+
+_BW_EDGES_SQL = """
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                    greatest(a.l_partkey, b.l_partkey) AS hi
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _bw_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: Brandes forward/backward passes replayed
+    with the identical BIGINT sigma sums and per-edge micro
+    floor-divisions, emitted as VALUES (the iterative-fixpoint
+    convention)."""
+    import duckdb
+
+    from ..operators.graph import betweenness_sampled_py
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = {
+        (int(lo), int(hi))
+        for lo, hi in con.execute(_BW_EDGES_SQL).fetchall()
+    }
+    con.close()
+    bw = betweenness_sampled_py(edges, list(_BW_SOURCES), _BW_DEPTH)
+    top = sorted(bw.items(), key=lambda t: (-t[1], t[0]))[:_BW_TOP]
+    top = [(v, c) for v, c in top if c > 0] or []
+    if not top:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS part_id, "
+            "CAST(NULL AS BIGINT) AS betweenness_micro WHERE FALSE"
+        )
+    rows = ", ".join(f"({v}, {c})" for v, c in top)
+    return (
+        f"SELECT CAST(part_id AS BIGINT) AS part_id, "
+        f"CAST(betweenness_micro AS BIGINT) AS betweenness_micro "
+        f"FROM (VALUES {rows}) AS t(part_id, betweenness_micro) "
+        f"ORDER BY betweenness_micro DESC, part_id"
+    )
+
+
+@register(
+    "betweenness_sampled_copurchase",
+    oracle=_bw_oracle,
+    doc="landmark-sampled hop-bounded betweenness centrality over the "
+    "co-purchase graph (graph.betweenness_sampled; Brandes 2001 "
+    "dependency accumulation, Brandes & Pich 2007 pivot sampling): "
+    f"Brandes' forward sigma-counting BFS from pivots {_BW_SOURCES} "
+    "in ONE multi-landmark BSP sweep, then the backward dependency "
+    "pass unwinding levels deepest-first — delta(v) = sum over "
+    "successors of (sigma_v * (1e6 + delta_w)) DIV sigma_w, a single "
+    "BIGINT floor-division per cone edge, so the whole accumulation "
+    "is exact-integer and execution-order independent.  Completes "
+    "the centrality suite (pagerank / HITS / harmonic / "
+    "betweenness).  Per level both passes shuffle on the uniform "
+    "(landmark, vertex) key with localCheckpoint lineage; the "
+    "backward pass touches only the settled BFS cone.  Oracle: "
+    "bit-equal Python twin as VALUES.",
+)
+def betweenness_sampled_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    bw = graph.betweenness_sampled(
+        edges, list(_BW_SOURCES), a="lo", b="hi", max_depth=_BW_DEPTH
+    )
+    return (
+        bw.filter(F.col("betweenness_micro") > 0)
+        .select(F.col("v").alias("part_id"), "betweenness_micro")
+        .orderBy(F.desc("betweenness_micro"), F.asc("part_id"))
+        .limit(_BW_TOP)
+    )

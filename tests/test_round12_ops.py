@@ -232,3 +232,48 @@ def test_levenshtein_blocked_pairs_histogram(spark):
     # pairs only form within blocks: every pair shares first word+size,
     # so identical names (lev 0) are possible and counted
     assert all(r.n_pairs > 0 and r.ids_checksum > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Betweenness (operators/graph.betweenness_sampled)
+# ---------------------------------------------------------------------------
+
+def test_betweenness_matches_twin_and_bridge_dominates(spark):
+    """Two communities joined by one bridge vertex: the bridge must
+    carry the highest sampled betweenness, and Spark == twin exactly."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    # K3 {0,1,2} - bridge 9 - K3 {5,6,7}
+    edges = [(0, 1), (0, 2), (1, 2), (2, 9), (9, 5), (5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    got = {
+        r.v: r.betweenness_micro
+        for r in graph.betweenness_sampled(
+            df, [0, 1], a="a", b="b", max_depth=4
+        ).collect()
+    }
+    want = graph.betweenness_sampled_py(set(edges), [0, 1], max_depth=4)
+    got_pos = {v: c for v, c in got.items() if c > 0}
+    want_pos = {v: c for v, c in want.items() if c > 0}
+    assert got_pos == want_pos
+    # the bridge path 0/1 -> 2 -> 9 -> 5 -> {6,7} routes everything
+    assert max(got_pos, key=got_pos.get) in (2, 9)
+    assert got_pos[9] > got_pos.get(5, 0)
+
+
+def test_betweenness_sigma_counts_parallel_paths(spark):
+    """Diamond 0-{1,2}-3: two shortest paths 0->3, so each middle
+    vertex carries exactly half the dependency (sigma division)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    got = {
+        r.v: r.betweenness_micro
+        for r in graph.betweenness_sampled(
+            df, [0], a="a", b="b", max_depth=3
+        ).collect()
+    }
+    # delta(1) = delta(2) = (1 * (1e6 + 0)) // 2 = 500000
+    assert got[1] == 500_000 and got[2] == 500_000
+    assert got.get(3, 0) == 0
