@@ -45,6 +45,14 @@ BUDGETS: dict[str, dict[str, int]] = {
     "split_leakage_audit": {"records": 8148, "bytes": 817933},
     "dedup_minhash_lsh": {"records": 8042, "bytes": 813520},
     "dedup_prefix_jaccard": {"records": 2136, "bytes": 34914},
+    # round-12 additions (harmonic/geometric pins cover the FINAL
+    # plan only — their BFS/Weiszfeld levels localCheckpoint outside
+    # the executed tree, per the module caveat)
+    "knn_shapley_values": {"records": 5390, "bytes": 87663},
+    "bm25f_fielded_search": {"records": 6753, "bytes": 89247},
+    "harmonic_centrality_copurchase": {"records": 2546, "bytes": 20389},
+    "geometric_median_labels": {"records": 1990, "bytes": 80774},
+    "levenshtein_blocked_pairs": {"records": 2010, "bytes": 47362},
 }
 
 _SHUFFLE_REC = "shuffleRecordsWritten"
