@@ -553,3 +553,93 @@ def histogram_from_store(spark, path: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k "theta") sketch — the order-statistics
+# member of the sketch family (Bar-Yossef et al. 2002; Beyer et al. 2007).
+# Unlike HLL registers (union-only algebra; intersections via
+# inclusion-exclusion, see hll_intersection_estimate), a bottom-k sketch
+# is a UNIFORM SAMPLE of the hashed key space, so it estimates ANY set
+# expression — intersection, difference, Jaccard — by counting members
+# of the union sketch that satisfy the expression.  Mergeable: the union
+# of two sketches is the k smallest of their concatenation.
+# ---------------------------------------------------------------------------
+
+def kmv_hash_sql(key_expr: str, dialect: str) -> str:
+    """Uniformized key hash for order-statistics sketches: the
+    portable poly-hash post-mixed by a double Lehmer step
+    (x -> x*48271 mod P, twice).  The raw poly-hash of SHORT keys is
+    bounded by ~31^len — far from uniform on [0, P) — and KMV's
+    (k-1)*P/h_k estimator requires uniformity; two multiplicative
+    wraps around the prime modulus spread any short-key range across
+    the full space.  Same integer arithmetic in both dialects."""
+    from ..functions import portable as PT
+
+    h = PT.poly_hash(key_expr, dialect)
+    return f"((({h}) * 48271 % {PT.P}) * 48271 % {PT.P})"
+
+
+def kmv_sketch(
+    items: DataFrame, key_col: str, k: int = 128
+) -> DataFrame:
+    """(h): the k smallest DISTINCT uniformized-hash values of the
+    key column — the bottom-k sketch.  Plan: one distinct shuffle on
+    the uniform hash, then a global top-k (TakeOrderedAndProject —
+    never a full sort); the result is k rows, broadcastable
+    everywhere downstream."""
+    from ..functions import portable as PT
+
+    h = F.expr(
+        kmv_hash_sql(f"CAST({key_col} AS STRING)", PT.SPARK)
+    ).alias("h")
+    return items.select(h).distinct().orderBy("h").limit(k)
+
+
+def kmv_set_stats(
+    sa: DataFrame, sb: DataFrame, k: int = 128
+) -> DataFrame:
+    """One row of KMV set-expression estimates from two bottom-k
+    sketches: the union sketch's k-th minimum drives the distinct
+    estimate (k-1)*P/h_k, and membership counts inside the union
+    sketch drive Jaccard / intersection / difference — each final
+    number ONE snapped double division of exact integers."""
+    from ..functions import portable as PT
+
+    u = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    flags = (
+        u.join(sa.withColumn("_a", F.lit(1)), "h", "left")
+        .join(sb.withColumn("_b", F.lit(1)), "h", "left")
+        .select(
+            "h",
+            F.coalesce("_a", F.lit(0)).alias("in_a"),
+            F.coalesce("_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    return flags.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.max("h").cast("bigint").alias("h_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_a_only"),
+    ).select(
+        "k",
+        "h_k",
+        F.expr(
+            f"CAST(FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5) AS BIGINT)"
+        ).alias("est_union"),
+        F.expr(
+            f"CAST(FLOOR(n_both * 1000000.0 / {k} + 0.5) AS BIGINT)"
+        ).alias("jaccard_micro"),
+        F.expr(
+            f"CAST(FLOOR(CAST(FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5)"
+            f" AS DOUBLE) * n_a_only / {k} + 0.5) AS BIGINT)"
+        ).alias("est_a_only"),
+    )

@@ -819,3 +819,118 @@ def betweenness_sampled_copurchase(
         .orderBy(F.desc("betweenness_micro"), F.asc("part_id"))
         .limit(_BW_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_theta_set_difference
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_A = "1-URGENT"
+_KMV_B = "5-LOW"
+
+
+def _kmv_oracle_sql() -> str:
+    from ..operators.sketches import kmv_hash_sql
+
+    h = kmv_hash_sql("CAST(o_custkey AS VARCHAR)", D)
+    return f"""
+    WITH a_keys AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '{_KMV_A}'),
+    b_keys AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '{_KMV_B}'),
+    sa AS (SELECT DISTINCT {h} AS h FROM a_keys ORDER BY h LIMIT {_KMV_K}),
+    sb AS (SELECT DISTINCT {h} AS h FROM b_keys ORDER BY h LIMIT {_KMV_K}),
+    u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT {_KMV_K}),
+    flags AS (
+      SELECT u.h,
+             CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM u LEFT JOIN sa ON sa.h = u.h LEFT JOIN sb ON sb.h = u.h
+    ),
+    est AS (
+      SELECT CAST({_KMV_K} AS BIGINT) AS k,
+             CAST(max(h) AS BIGINT) AS h_k,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a_only
+      FROM flags
+    ),
+    exact AS (
+      SELECT CAST((SELECT count(*) FROM (SELECT o_custkey FROM a_keys
+                    UNION SELECT o_custkey FROM b_keys)) AS BIGINT)
+               AS exact_union,
+             CAST((SELECT count(*) FROM a_keys
+                   WHERE o_custkey NOT IN (SELECT o_custkey FROM b_keys))
+                  AS BIGINT) AS exact_a_only
+    )
+    SELECT k, h_k,
+           CAST(FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5) AS BIGINT)
+             AS est_union,
+           exact_union,
+           CAST(FLOOR(n_both * 1000000.0 / {_KMV_K} + 0.5) AS BIGINT)
+             AS jaccard_micro,
+           CAST(FLOOR(CAST(FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5)
+                AS DOUBLE) * n_a_only / {_KMV_K} + 0.5) AS BIGINT)
+             AS est_a_only,
+           exact_a_only
+    FROM est CROSS JOIN exact
+    """
+
+
+@register(
+    "kmv_theta_set_difference",
+    oracle=_kmv_oracle_sql(),
+    doc="KMV / bottom-k 'theta' sketch set algebra "
+    "(operators/sketches.kmv_sketch; Bar-Yossef et al. 2002, Beyer "
+    "et al. 2007): the order-statistics sketch member — unlike HLL "
+    "registers (union-only; hll_intersection_estimate derives "
+    "intersections by inclusion-exclusion), a bottom-k sketch is a "
+    "uniform sample of the hashed key space, so it estimates ANY set "
+    "expression directly, including the DIFFERENCE urgent-only "
+    "customers minus low-priority customers that HLL cannot express. "
+    "Exact portable poly-hashes, per-set distinct + global "
+    "TakeOrderedAndProject top-k (the sketch build never sorts the "
+    "corpus), 128-row broadcast joins for membership flags, each "
+    "estimate ONE snapped double division of exact integers; exact "
+    "counts ride along as the calibration columns (the cms_merge "
+    "convention).",
+)
+def kmv_theta_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    a_keys = orders.filter(
+        F.col("o_orderpriority") == _KMV_A
+    ).select("o_custkey")
+    b_keys = orders.filter(
+        F.col("o_orderpriority") == _KMV_B
+    ).select("o_custkey")
+    sa = sketches.kmv_sketch(a_keys, "o_custkey", _KMV_K)
+    sb = sketches.kmv_sketch(b_keys, "o_custkey", _KMV_K)
+    est = sketches.kmv_set_stats(sa, sb, _KMV_K)
+    exact_union = (
+        a_keys.unionByName(b_keys)
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("exact_union"))
+    )
+    exact_a_only = (
+        a_keys.distinct()
+        .join(b_keys.distinct(), "o_custkey", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("exact_a_only"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_a_only))
+        .select(
+            "k",
+            "h_k",
+            "est_union",
+            "exact_union",
+            "jaccard_micro",
+            "est_a_only",
+            "exact_a_only",
+        )
+    )

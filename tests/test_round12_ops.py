@@ -277,3 +277,42 @@ def test_betweenness_sigma_counts_parallel_paths(spark):
     # delta(1) = delta(2) = (1 * (1e6 + 0)) // 2 = 500000
     assert got[1] == 500_000 and got[2] == 500_000
     assert got.get(3, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (operators/sketches.kmv_sketch)
+# ---------------------------------------------------------------------------
+
+def test_kmv_sketch_is_mergeable_and_calibrated(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    a = spark.range(0, 2000).selectExpr("id AS key")
+    b = spark.range(1000, 3000).selectExpr("id AS key")
+    sa = sketches.kmv_sketch(a, "key", 128)
+    sb = sketches.kmv_sketch(b, "key", 128)
+    # mergeability: bottom-k of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B)
+    merged = sorted(
+        r.h
+        for r in sa.unionByName(sb).distinct().orderBy("h").limit(128).collect()
+    )
+    direct = sorted(
+        r.h for r in sketches.kmv_sketch(a.unionByName(b), "key", 128).collect()
+    )
+    assert merged == direct
+    # estimator calibration: |A ∪ B| = 3000; KMV k=128 has ~1/sqrt(k)
+    # relative error — accept 35%
+    est = sketches.kmv_set_stats(sa, sb, 128).collect()[0]
+    assert abs(est.est_union - 3000) / 3000 < 0.35
+    # exact Jaccard = 1000/3000; micro estimate within the same band
+    assert abs(est.jaccard_micro - 333_333) < 150_000
+
+
+def test_kmv_query_estimates_bracket_exact(spark):
+    r = registry()["kmv_theta_set_difference"].spark(spark, SF).collect()[0]
+    assert r.k == 128
+    assert r.est_union > 0 and r.exact_union > 0
+    assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5
+    assert 0 <= r.jaccard_micro <= 1_000_000
+    assert abs(r.est_a_only - r.exact_a_only) <= max(
+        60, r.exact_a_only
+    )  # k=128 band at small exact counts
