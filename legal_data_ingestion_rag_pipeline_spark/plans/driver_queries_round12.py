@@ -934,3 +934,146 @@ def kmv_theta_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a_only",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unimax_budget_allocation
+# ---------------------------------------------------------------------------
+
+_UM_BUDGET = 50_000
+_UM_EPOCHS = 2  # per-source epoch cap
+
+
+def _um_oracle_sql() -> str:
+    toks = PT.tokens("text", D)
+    return f"""
+    WITH m AS (
+      SELECT source, CAST(sum(len({toks})) AS BIGINT) AS mass
+      FROM documents GROUP BY 1
+    ),
+    capd AS (SELECT source, mass,
+                    CAST({_UM_EPOCHS} * mass AS BIGINT) AS cap FROM m),
+    ranked AS (
+      SELECT source, mass, cap,
+             row_number() OVER (ORDER BY cap, source) AS rk,
+             SUM(cap) OVER (ORDER BY cap, source
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER () AS n
+      FROM capd
+    ),
+    feas AS (
+      SELECT *, (cum + (n - rk) * cap <= {_UM_BUDGET}) AS feasible
+      FROM ranked
+    ),
+    js AS (
+      SELECT COALESCE(MAX(CASE WHEN feasible THEN rk END), 0) AS jstar,
+             COALESCE(MAX(CASE WHEN feasible THEN cum END), 0) AS cumj,
+             ANY_VALUE(n) AS n
+      FROM feas
+    ),
+    un AS (
+      SELECT f.source,
+             row_number() OVER (ORDER BY f.source) AS urnk
+      FROM feas f CROSS JOIN js WHERE f.rk > js.jstar
+    )
+    SELECT f.source, f.mass, f.cap AS cap_tokens,
+           CAST(CASE WHEN f.rk <= js.jstar THEN f.cap
+                ELSE ({_UM_BUDGET} - js.cumj) // (js.n - js.jstar)
+                     + CASE WHEN un.urnk <=
+                         ({_UM_BUDGET} - js.cumj) % (js.n - js.jstar)
+                       THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_tokens,
+           CAST((CASE WHEN f.rk <= js.jstar THEN f.cap
+                 ELSE ({_UM_BUDGET} - js.cumj) // (js.n - js.jstar)
+                      + CASE WHEN un.urnk <=
+                          ({_UM_BUDGET} - js.cumj) % (js.n - js.jstar)
+                        THEN 1 ELSE 0 END
+                 END * 1000) // f.mass AS BIGINT) AS epochs_milli
+    FROM feas f CROSS JOIN js
+    LEFT JOIN un ON un.source = f.source
+    ORDER BY f.source
+    """
+
+
+@register(
+    "unimax_budget_allocation",
+    oracle=_um_oracle_sql(),
+    doc="UniMax mixture allocation (Chung et al. 2023, 'UniMax: "
+    "Fairer and More Effective Language Sampling'): spread a "
+    f"{_UM_BUDGET}-token training budget as uniformly as possible "
+    f"across sources, capping each at {_UM_EPOCHS} epochs of its "
+    "available tokens — the repetition-bounding rule that replaces "
+    "temperature sampling for tail languages.  The sequential "
+    "redistribution is rewritten as an exact integer WATER-FILL: "
+    "sort caps ascending, the capped prefix is the maximal j with "
+    "cum_j + (N-j)*cap_j <= B (feasibility is monotone, so one "
+    "window + one max), everyone else gets the integer water level "
+    "(B - cum_j) DIV (N - j) with the remainder distributed by "
+    "source order — sum(alloc) == min(B, sum(cap)) EXACTLY.  "
+    "Completes the mixture suite (token budgets / temperature "
+    "largest-remainder / DSIR / DoReMi).  One corpus tokenize "
+    "rollup; every window runs over the bounded domain table, never "
+    "the corpus.  The three budget regimes (all-capped / mixed / "
+    "all-water) are each real at one of sf0.001/0.01/0.1.",
+)
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    m = docs.select(
+        "source",
+        F.size(F.expr(PT.tokens("text", S))).cast("bigint").alias("nt"),
+    ).groupBy("source").agg(F.sum("nt").cast("bigint").alias("mass"))
+    capd = m.withColumn(
+        "cap", (F.lit(_UM_EPOCHS) * F.col("mass")).cast("bigint")
+    )
+    w = Window.orderBy("cap", "source")
+    ranked = capd.select(
+        "source",
+        "mass",
+        "cap",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cap")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    feas = ranked.withColumn(
+        "feasible",
+        (F.col("cum") + (F.col("n") - F.col("rk")) * F.col("cap"))
+        <= F.lit(_UM_BUDGET),
+    )
+    js = feas.agg(
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("rk"))), F.lit(0)
+        ).alias("jstar"),
+        F.coalesce(
+            F.max(F.when(F.col("feasible"), F.col("cum"))), F.lit(0)
+        ).alias("cumj"),
+        F.max("n").alias("nn"),
+    )
+    with_js = feas.crossJoin(F.broadcast(js))
+    un = with_js.filter(F.col("rk") > F.col("jstar")).select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("urnk"),
+    )
+    water = (
+        f"({_UM_BUDGET} - cumj) DIV (nn - jstar)"
+        f" + CASE WHEN urnk <= ({_UM_BUDGET} - cumj) % (nn - jstar)"
+        f" THEN 1 ELSE 0 END"
+    )
+    alloc = F.expr(
+        f"CAST(CASE WHEN rk <= jstar THEN cap ELSE {water} END AS BIGINT)"
+    )
+    return (
+        with_js.join(un, "source", "left")
+        .withColumn("alloc_tokens", alloc)
+        .select(
+            "source",
+            "mass",
+            F.col("cap").alias("cap_tokens"),
+            "alloc_tokens",
+            F.expr("CAST((alloc_tokens * 1000) DIV mass AS BIGINT)").alias(
+                "epochs_milli"
+            ),
+        )
+        .orderBy("source")
+    )

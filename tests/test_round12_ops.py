@@ -316,3 +316,32 @@ def test_kmv_query_estimates_bracket_exact(spark):
     assert abs(r.est_a_only - r.exact_a_only) <= max(
         60, r.exact_a_only
     )  # k=128 band at small exact counts
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sfd", [
+    "/root/testdata/sf0.001",   # all-capped regime (budget > total caps)
+    "/root/testdata/sf0.01",    # mixed regime
+    "/root/testdata/sf0.1",     # all-water regime (nobody caps)
+])
+def test_unimax_invariants_across_regimes(spark, sfd):
+    rows = registry()["unimax_budget_allocation"].spark(spark, sfd).collect()
+    B = 50_000
+    total_cap = sum(r.cap_tokens for r in rows)
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    # exact budget conservation: spend min(B, total capacity), never more
+    assert total_alloc == min(B, total_cap)
+    uncapped = [r.alloc_tokens for r in rows if r.alloc_tokens < r.cap_tokens]
+    if uncapped:
+        # water level: uncapped allocations uniform up to the +1 remainder
+        assert max(uncapped) - min(uncapped) <= 1
+        # no capped source may exceed the water level (+1)
+        capped = [r.cap_tokens for r in rows if r.alloc_tokens == r.cap_tokens]
+        if capped:
+            assert max(capped) <= max(uncapped) + 1
+    for r in rows:
+        assert 0 <= r.alloc_tokens <= r.cap_tokens
+        assert r.epochs_milli <= 2000  # the epoch cap in milli
