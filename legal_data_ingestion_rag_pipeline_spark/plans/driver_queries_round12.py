@@ -1077,3 +1077,176 @@ def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter
+# ---------------------------------------------------------------------------
+
+_GQ_STOP = ("the", "and", "of", "to", "in", "is", "a", "that", "it", "on")
+_GQ_MIN_TOK = 50
+_GQ_MAX_TOK = 100_000
+_GQ_REP_MICRO = 180_000  # top-bigram token fraction cap (18%)
+
+
+def _gq_oracle_sql() -> str:
+    toks = PT.tokens("text", D)
+    quoted = ", ".join(f"'{w}'" for w in _GQ_STOP)
+    stop_cnt = PT.size_(
+        PT.filter_("toks", f"t -> t IN ({quoted})", D), D
+    )
+    alpha_cnt = PT.size_(
+        PT.filter_("toks", "t -> substr(t, 1, 1) BETWEEN 'a' AND 'z'", D),
+        D,
+    )
+    # total token chars = length of the joined tokens (list_reduce
+    # with a BIGINT init over a VARCHAR list fails DuckDB's binder)
+    chars = f"length({PT.array_join('toks', '', D)})"
+    bigrams = PT.word_ngrams("toks", 2, D)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+    sig AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST({chars} AS BIGINT) AS n_chars,
+             CAST({alpha_cnt} AS BIGINT) AS n_alpha,
+             CAST({stop_cnt} AS BIGINT) AS n_stop
+      FROM t
+    ),
+    btop AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_count FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest({bigrams}) AS g FROM t
+        ) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT s.source,
+        CASE WHEN s.n_tok BETWEEN {_GQ_MIN_TOK} AND {_GQ_MAX_TOK}
+             THEN 1 ELSE 0 END AS r_len,
+        CASE WHEN 3 * s.n_tok <= s.n_chars AND s.n_chars <= 10 * s.n_tok
+             THEN 1 ELSE 0 END AS r_wordlen,
+        CASE WHEN 5 * s.n_alpha >= 4 * s.n_tok THEN 1 ELSE 0 END AS r_alpha,
+        CASE WHEN s.n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+        CASE WHEN COALESCE(b.top_count, 0) * 2 * 1000000
+                  <= {_GQ_REP_MICRO} * GREATEST(s.n_tok, 1)
+             THEN 1 ELSE 0 END AS r_rep
+      FROM sig s LEFT JOIN btop b ON b.doc_id = s.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(1 - r_len) AS BIGINT) AS fail_len,
+           CAST(sum(1 - r_wordlen) AS BIGINT) AS fail_wordlen,
+           CAST(sum(1 - r_alpha) AS BIGINT) AS fail_alpha,
+           CAST(sum(1 - r_stop) AS BIGINT) AS fail_stop,
+           CAST(sum(1 - r_rep) AS BIGINT) AS fail_rep,
+           CAST(sum(r_len * r_wordlen * r_alpha * r_stop * r_rep)
+                AS BIGINT) AS n_pass,
+           CAST(FLOOR(sum(r_len * r_wordlen * r_alpha * r_stop * r_rep)
+                * 1000000.0 / count(*) + 0.5) AS BIGINT) AS pass_rate_micro
+    FROM rules GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=_gq_oracle_sql(),
+    doc="the Gopher rule-based quality filter (Rae et al. 2021, "
+    "adapted to the signals computable on this corpus): per document "
+    f"— token count in [{_GQ_MIN_TOK}, {_GQ_MAX_TOK}], mean word "
+    "length in [3, 10] (evaluated as INTEGER cross-multiplications, "
+    "no division), >= 80% alphabetic-initial words (5*alpha >= "
+    "4*n), >= 2 English stopwords, and top-bigram token fraction "
+    "<= 18% (the repetition leg, same machinery as "
+    "gopher_repetition_signals) — aggregated to a per-source "
+    "scorecard with per-rule failure counts and an exact micro pass "
+    "rate.  The standard pre-classifier curation stage, composing "
+    "the textstats token/length/stopword legs with the n-gram "
+    "repetition leg in one pass + one uniform doc-key bigram "
+    "shuffle.  Every rule is exact-integer; the only float is the "
+    "final snapped pass rate.",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import barrier
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = barrier(
+        docs.select(
+            "doc_id", "source", F.expr(PT.tokens("text", S)).alias("toks")
+        )
+    ).localCheckpoint(eager=True)
+    quoted = ", ".join(f"'{w}'" for w in _GQ_STOP)
+    sig = t.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.length(F.expr(PT.array_join("toks", "", S)))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.size(
+            F.expr(
+                "filter(toks, t -> substr(t, 1, 1) BETWEEN 'a' AND 'z')"
+            )
+        )
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.expr(f"filter(toks, t -> t IN ({quoted}))"))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    btop = (
+        t.select(
+            "doc_id",
+            F.explode(F.expr(PT.word_ngrams("toks", 2, S))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_count"))
+    )
+    rules = sig.join(btop, "doc_id", "left").select(
+        "source",
+        F.when(
+            F.col("n_tok").between(_GQ_MIN_TOK, _GQ_MAX_TOK), 1
+        ).otherwise(0).alias("r_len"),
+        F.when(
+            (3 * F.col("n_tok") <= F.col("n_chars"))
+            & (F.col("n_chars") <= 10 * F.col("n_tok")),
+            1,
+        ).otherwise(0).alias("r_wordlen"),
+        F.when(5 * F.col("n_alpha") >= 4 * F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("n_stop") >= 2, 1).otherwise(0).alias("r_stop"),
+        F.when(
+            F.coalesce("top_count", F.lit(0)) * 2 * 1_000_000
+            <= _GQ_REP_MICRO * F.greatest(F.col("n_tok"), F.lit(1)),
+            1,
+        ).otherwise(0).alias("r_rep"),
+    )
+    passed = (
+        F.col("r_len")
+        * F.col("r_wordlen")
+        * F.col("r_alpha")
+        * F.col("r_stop")
+        * F.col("r_rep")
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(1 - F.col("r_len")).cast("bigint").alias("fail_len"),
+            F.sum(1 - F.col("r_wordlen"))
+            .cast("bigint")
+            .alias("fail_wordlen"),
+            F.sum(1 - F.col("r_alpha")).cast("bigint").alias("fail_alpha"),
+            F.sum(1 - F.col("r_stop")).cast("bigint").alias("fail_stop"),
+            F.sum(1 - F.col("r_rep")).cast("bigint").alias("fail_rep"),
+            F.sum(passed).cast("bigint").alias("n_pass"),
+            F.expr(
+                "CAST(FLOOR(sum(r_len * r_wordlen * r_alpha * r_stop"
+                " * r_rep) * 1000000.0 / count(*) + 0.5) AS BIGINT)"
+            ).alias("pass_rate_micro"),
+        )
+        .orderBy("source")
+    )

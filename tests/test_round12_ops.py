@@ -345,3 +345,52 @@ def test_unimax_invariants_across_regimes(spark, sfd):
     for r in rows:
         assert 0 <= r.alloc_tokens <= r.cap_tokens
         assert r.epochs_milli <= 2000  # the epoch cap in milli
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filter
+# ---------------------------------------------------------------------------
+
+def test_gopher_filter_rule_accounting(spark):
+    rows = registry()["gopher_quality_filter"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # each rule's failures bounded by the doc count; pass count
+        # can never exceed docs minus the worst single rule
+        worst = max(r.fail_len, r.fail_wordlen, r.fail_alpha,
+                    r.fail_stop, r.fail_rep)
+        assert 0 <= r.n_pass <= r.n_docs - worst
+        assert 0 <= r.pass_rate_micro <= 1_000_000
+    # the synthetic corpus has real signal: some doc fails somewhere,
+    # some doc passes everywhere
+    assert any(r.n_pass < r.n_docs for r in rows)
+    assert any(r.n_pass > 0 for r in rows)
+
+
+def test_gopher_filter_planted_documents(spark):
+    """Hand-built docs hitting each rule: too short, stopword-free,
+    phrase-looped, and one that passes everything."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round12 import (
+        gopher_quality_filter,
+    )
+    import tempfile, os
+    good_body = ("the quick brown fox jumps over a lazy dog and then "
+                 "it runs to the river in the morning is nice " * 5)
+    docs = spark.createDataFrame(
+        [
+            (1, "s", good_body),                          # passes
+            (2, "s", "tiny doc the and"),                 # fails length
+            (3, "s", "alpha " + "beta gamma delta epsilon zeta " * 12),  # no stopwords
+            (4, "s", "the loop " * 60),                   # top bigram loop
+        ],
+        "doc_id: bigint, source: string, text: string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.source: r for r in gopher_quality_filter(spark, d).collect()}
+    r = out["s"]
+    assert r.n_docs == 4
+    assert r.fail_len >= 1       # doc 2
+    assert r.fail_stop >= 1      # doc 3
+    assert r.fail_rep >= 1       # doc 4
+    assert r.n_pass == 1         # only doc 1
