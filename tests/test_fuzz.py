@@ -815,3 +815,77 @@ def test_fuzz_scd2_vs_python_reference(spark):
             key=lambda t: (t[0], t[1]),
         )
         assert got == twin(rows), f"trial {trial}"
+
+
+def test_fuzz_sq_l2_q6_spark_vs_duckdb(spark):
+    """portable.sq_l2_q6 (round 12): identical exact-BIGINT quantized
+    squared-L2 on both engines over random float vectors, including
+    negatives, near-half boundaries, and zero vectors."""
+    import duckdb
+    import pandas as pd
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+
+    rng = random.Random(SEED + 12)
+    cases = []
+    for i in range(250):
+        d = rng.randint(1, 16)
+        a = [rng.uniform(-2, 2) for _ in range(d)]
+        b = [rng.uniform(-2, 2) for _ in range(d)]
+        if i % 17 == 0:
+            a = [x + 0.0000005 for x in a]  # near the 1e-6 snap boundary
+        if i % 23 == 0:
+            b = [0.0] * d
+        cases.append((i, a, b))
+    df = spark.createDataFrame(
+        cases, "id: bigint, a: array<double>, b: array<double>"
+    )
+    got = {
+        r.id: r.d2
+        for r in df.select(
+            "id", F.expr(PT.sq_l2_q6("a", "b", PT.SPARK)).alias("d2")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    duck.register("t", pd.DataFrame(cases, columns=["id", "a", "b"]))
+    want = dict(
+        duck.execute(
+            f"SELECT id, {PT.sq_l2_q6('a', 'b', PT.DUCKDB)} FROM t"
+        ).fetchall()
+    )
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_fuzz_kmv_hash_spark_vs_duckdb(spark):
+    """sketches.kmv_hash_sql: the Lehmer-mixed key hash is identical
+    across engines and actually spreads short keys over [0, P)."""
+    import duckdb
+    import pandas as pd
+
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        kmv_hash_sql,
+    )
+
+    rng = random.Random(SEED + 13)
+    keys = [str(rng.randint(0, 10**9)) for _ in range(400)] + ["", "0", "x"]
+    cases = list(enumerate(keys))
+    df = spark.createDataFrame(cases, "id: bigint, k: string")
+    got = {
+        r.id: r.h
+        for r in df.select(
+            "id", F.expr(kmv_hash_sql("k", PT.SPARK)).alias("h")
+        ).collect()
+    }
+    duck = duckdb.connect()
+    duck.register("t", pd.DataFrame(cases, columns=["id", "k"]))
+    want = dict(
+        duck.execute(
+            f"SELECT id, {kmv_hash_sql('k', PT.DUCKDB)} FROM t"
+        ).fetchall()
+    )
+    assert got == {k: int(v) for k, v in want.items()}
+    # uniformity smoke: hashes must span the space, not cluster low
+    hs = sorted(got.values())
+    assert hs[0] >= 0 and hs[-1] < PT.P
+    assert hs[len(hs) // 2] > PT.P // 10  # median far from zero
