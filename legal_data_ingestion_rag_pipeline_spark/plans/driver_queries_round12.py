@@ -1250,3 +1250,106 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# diameter_double_sweep
+# ---------------------------------------------------------------------------
+
+_DS_SEED = 0
+_DS_CAP = 12
+
+
+def _ds_bfs_py(adj, src, cap):
+    dist = {src: 0}
+    frontier = [src]
+    d = 0
+    while frontier and d < cap:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def _ds_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: the two BFS sweeps replayed exactly (same
+    seed, same (dist DESC, v ASC) endpoint rule)."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = con.execute(_BW_EDGES_SQL).fetchall()
+    con.close()
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[int(lo)].add(int(hi))
+        adj[int(hi)].add(int(lo))
+    d1 = _ds_bfs_py(adj, _DS_SEED, _DS_CAP)
+    u = min((v for v in d1), key=lambda v: (-d1[v], v))
+    d2 = _ds_bfs_py(adj, u, _DS_CAP)
+    w = min((v for v in d2), key=lambda v: (-d2[v], v))
+    return (
+        f"SELECT CAST({_DS_SEED} AS BIGINT) AS seed, "
+        f"CAST({u} AS BIGINT) AS far_vertex, "
+        f"CAST({w} AS BIGINT) AS opposite_vertex, "
+        f"CAST({d2[w]} AS BIGINT) AS diameter_lb, "
+        f"CAST({len(d2)} AS BIGINT) AS n_reached"
+    )
+
+
+@register(
+    "diameter_double_sweep",
+    oracle=_ds_oracle,
+    doc="graph diameter LOWER BOUND by the classic double sweep "
+    "(Magnien, Latapy & Habib 2009): BFS from a fixed seed, take the "
+    "farthest vertex (dist DESC, id ASC — a total rule), BFS again "
+    "from it; the second eccentricity lower-bounds the diameter and "
+    "is exact on trees / near-exact on real graphs — the O(2 BFS) "
+    "answer to a question whose exact form is all-pairs.  Reuses "
+    "graph.multi_source_bfs for both sweeps (checkpoint-per-level "
+    "BSP, uniform vertex keys); the only driver-side data is the "
+    "single endpoint scalar between sweeps (the threshold-guarded "
+    "scalar convention).  Oracle: Python twin of the two sweeps.",
+)
+def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s1 = graph.multi_source_bfs(
+        edges, [_DS_SEED], a="lo", b="hi", max_depth=_DS_CAP
+    )
+    far = s1.orderBy(F.desc("dist"), F.asc("v")).select("v").first()
+    u = int(far.v)
+    s2 = graph.multi_source_bfs(
+        edges, [u], a="lo", b="hi", max_depth=_DS_CAP
+    )
+    return s2.agg(
+        F.lit(_DS_SEED).cast("bigint").alias("seed"),
+        F.lit(u).cast("bigint").alias("far_vertex"),
+        F.expr(
+            "min_by(v, struct(-dist AS d, v AS tie))"
+        ).cast("bigint").alias("opposite_vertex"),
+        F.max("dist").cast("bigint").alias("diameter_lb"),
+        F.count("*").cast("bigint").alias("n_reached"),
+    )

@@ -394,3 +394,21 @@ def test_gopher_filter_planted_documents(spark):
     assert r.fail_stop >= 1      # doc 3
     assert r.fail_rep >= 1       # doc 4
     assert r.n_pass == 1         # only doc 1
+
+
+# ---------------------------------------------------------------------------
+# Diameter double sweep
+# ---------------------------------------------------------------------------
+
+def test_double_sweep_exact_on_path_graph(spark):
+    """On a path the double sweep finds the TRUE diameter from any
+    seed — the property that motivates the heuristic."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import graph
+
+    edges = [(i, i + 1) for i in range(9)]  # path 0-1-...-9
+    df = spark.createDataFrame(edges, "a: bigint, b: bigint")
+    s1 = graph.multi_source_bfs(df, [4], a="a", b="b", max_depth=12)
+    far = s1.orderBy(__import__("pyspark.sql.functions", fromlist=["desc"]).desc("dist"),
+                     "v").select("v").first()
+    s2 = graph.multi_source_bfs(df, [int(far.v)], a="a", b="b", max_depth=12)
+    assert s2.agg({"dist": "max"}).first()[0] == 9  # true diameter
