@@ -643,3 +643,94 @@ def kmv_set_stats(
             f" AS DOUBLE) * n_a_only / {k} + 0.5) AS BIGINT)"
         ).alias("est_a_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the DETERMINISTIC-guarantee frequency
+# summary (Misra & Gries 1982; mergeability per Agarwal et al. 2012,
+# "Mergeable Summaries").  CMS (above) gives probabilistic
+# overestimates; an MG summary with k counters guarantees every item
+# with frequency > n/(k+1) survives and undercounts by at most the
+# total decrement — a guarantee class a curation pipeline can act on
+# without a confidence parameter.
+# ---------------------------------------------------------------------------
+
+def misra_gries_py(
+    stream: list[str], k: int
+) -> dict[str, int]:
+    """Reference MG pass: k counters, decrement-all on overflow."""
+    c: dict[str, int] = {}
+    for x in stream:
+        if x in c:
+            c[x] += 1
+        elif len(c) < k:
+            c[x] = 1
+        else:
+            dead = []
+            for key in c:
+                c[key] -= 1
+                if c[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del c[key]
+    return c
+
+
+def misra_gries_shards(
+    items: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    k: int = 32,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, item, cnt): per-shard MG summaries.  Items shard BY KEY
+    (pmod of the portable poly-hash), so every occurrence of a word
+    lands in one shard and the shard summaries cover disjoint item
+    sets — the trivially-mergeable decomposition; within a shard the
+    stream replays in the deterministic ``order_cols`` order (MG
+    counters are order-sensitive, so determinism requires a total
+    order — the sequence-packing convention).  One grouped Arrow pass
+    (FlatMapGroupsInPandas), O(k) state per shard."""
+    from ..functions import portable as PT
+
+    sharded = items.select(
+        F.col(key_col).alias("item"),
+        *[F.col(c) for c in order_cols],
+        F.pmod(
+            F.expr(PT.poly_hash(key_col, PT.SPARK)), F.lit(n_shards)
+        ).cast("bigint").alias("shard"),
+    )
+
+    def _mg(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        c = misra_gries_py(list(pdf["item"]), k)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[0],
+                "item": list(c),
+                "cnt": [c[i] for i in c],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandas(
+        _mg, "shard bigint, item string, cnt bigint"
+    )
+
+
+def misra_gries_merge_py(
+    counters: list[tuple[str, int]], k: int
+) -> dict[str, int]:
+    """Prune a union of disjoint-item summaries back to k counters:
+    keep the k largest after subtracting the (k+1)-th value
+    (Agarwal et al. 2012), ties on item ASC."""
+    if len(counters) <= k:
+        return dict(counters)
+    ranked = sorted(counters, key=lambda t: (-t[1], t[0]))
+    cut = ranked[k][1]
+    out = {}
+    for item, cnt in ranked[:k]:
+        if cnt - cut > 0:
+            out[item] = cnt - cut
+    return out

@@ -1353,3 +1353,118 @@ def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dist").cast("bigint").alias("diameter_lb"),
         F.count("*").cast("bigint").alias("n_reached"),
     )
+
+
+# ---------------------------------------------------------------------------
+# misra_gries_heavy_hitters
+# ---------------------------------------------------------------------------
+
+_MG_K = 32
+_MG_SHARDS = 8
+
+
+def _py_tokens_mg(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(PT.PY_WS, (text or "").lower()) if t != ""]
+
+
+def _py_poly(s: str) -> int:
+    h = PT.POLY_INIT
+    for ch in s:
+        h = (h * PT.POLY_MULT + ord(ch)) % PT.P
+    return h
+
+
+def _mg_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: the word-sharded MG passes and the k-prune
+    merge replayed exactly, exact counts joined, emitted as VALUES."""
+    import duckdb
+
+    from ..operators.sketches import misra_gries_merge_py, misra_gries_py
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    shards: dict[int, list[str]] = {}
+    exact: dict[str, int] = {}
+    for doc_id, text in rows:
+        for tok in _py_tokens_mg(text):
+            shards.setdefault(_py_poly(tok) % _MG_SHARDS, []).append(tok)
+            exact[tok] = exact.get(tok, 0) + 1
+    counters: list[tuple[str, int]] = []
+    for sh in sorted(shards):
+        counters.extend(misra_gries_py(shards[sh], _MG_K).items())
+    merged = misra_gries_merge_py(counters, _MG_K)
+    out = sorted(
+        ((item, cnt, exact[item]) for item, cnt in merged.items()),
+        key=lambda t: (-t[2], t[0]),
+    )
+    if not out:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS item, "
+            "CAST(NULL AS BIGINT) AS mg_count, "
+            "CAST(NULL AS BIGINT) AS true_count WHERE FALSE"
+        )
+    vals = ", ".join(
+        f"('{i.replace(chr(39), chr(39) * 2)}', {c}, {t})"
+        for i, c, t in out
+    )
+    return (
+        f"SELECT item, CAST(mg_count AS BIGINT) AS mg_count, "
+        f"CAST(true_count AS BIGINT) AS true_count "
+        f"FROM (VALUES {vals}) AS t(item, mg_count, true_count) "
+        f"ORDER BY true_count DESC, item"
+    )
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    oracle=_mg_oracle,
+    doc="Misra-Gries heavy hitters over corpus words "
+    "(sketches.misra_gries_shards; Misra & Gries 1982, mergeability "
+    "Agarwal et al. 2012): the DETERMINISTIC-guarantee frequency "
+    "summary — every word with frequency > n_shard/(k+1) survives "
+    "its shard, no confidence parameter (the guarantee class CMS "
+    "cannot give).  Words shard by key hash so shard summaries cover "
+    "DISJOINT items (trivially mergeable); within a shard the stream "
+    "replays in (doc_id, pos) order because MG counters are "
+    "order-sensitive (the packing determinism convention); the "
+    f"{_MG_SHARDS}x{_MG_K}-counter union (KBs, bounded by "
+    "construction) merges driver-side with the (k+1)-th-value prune. "
+    "Exact counts ride along as calibration (the cms_heavy_hitters "
+    "convention).  One grouped Arrow pass, O(k) state per shard.",
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(PT.tokens("text", S))).alias("pos", "item"),
+    )
+    summaries = sketches.misra_gries_shards(
+        toks, "item", ["doc_id", "pos"], k=_MG_K, n_shards=_MG_SHARDS
+    )
+    counters = [
+        (r.item, int(r.cnt)) for r in summaries.collect()
+    ]  # bounded: <= shards * k rows
+    merged = sketches.misra_gries_merge_py(counters, _MG_K)
+    if not merged:
+        return spark.createDataFrame(
+            [], "item: string, mg_count: bigint, true_count: bigint"
+        )
+    lit = spark.createDataFrame(
+        sorted(merged.items()), "item: string, mg_count: bigint"
+    )
+    exact = toks.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    return (
+        lit.join(exact, "item")
+        .select("item", F.col("mg_count").cast("bigint"), "true_count")
+        .orderBy(F.desc("true_count"), F.asc("item"))
+    )

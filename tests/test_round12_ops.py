@@ -412,3 +412,62 @@ def test_double_sweep_exact_on_path_graph(spark):
                      "v").select("v").first()
     s2 = graph.multi_source_bfs(df, [int(far.v)], a="a", b="b", max_depth=12)
     assert s2.agg({"dist": "max"}).first()[0] == 9  # true diameter
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_misra_gries_guarantee_on_planted_stream(spark):
+    """Deterministic MG guarantee: any item with frequency >
+    n/(k+1) within its shard MUST survive, and counts never
+    overestimate."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    stream = (["hot"] * 400 + ["warm"] * 120
+              + [f"cold{i}" for i in range(300)])
+    c = sketches.misra_gries_py(stream, k=8)
+    n = len(stream)
+    import collections
+    true = collections.Counter(stream)
+    for item, t in true.items():
+        if t > n / 9:
+            assert item in c, item
+    for item, cnt in c.items():
+        assert cnt <= true[item]
+
+
+def test_misra_gries_shards_match_reference(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+
+    rows = [(i, 0, ["x", "y", "z", "x"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, pos: int, item: string")
+    got = {
+        (r.shard, r.item): r.cnt
+        for r in sketches.misra_gries_shards(
+            df, "item", ["doc_id", "pos"], k=2, n_shards=2
+        ).collect()
+    }
+
+    def py_poly(s):
+        h = PT.POLY_INIT
+        for ch in s:
+            h = (h * PT.POLY_MULT + ord(ch)) % PT.P
+        return h
+
+    shards = {}
+    for doc_id, pos, item in sorted(rows):
+        shards.setdefault(py_poly(item) % 2, []).append(item)
+    want = {}
+    for sh, stream in shards.items():
+        for item, cnt in sketches.misra_gries_py(stream, 2).items():
+            want[(sh, item)] = cnt
+    assert got == want
+
+
+def test_misra_gries_query_counts_never_overestimate(spark):
+    rows = registry()["misra_gries_heavy_hitters"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.mg_count <= r.true_count
