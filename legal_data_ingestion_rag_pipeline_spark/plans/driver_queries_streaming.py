@@ -663,3 +663,105 @@ def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_distinct (round 12): the KMV bottom-k sketch as a
+# custom stateful streaming operator.
+# ---------------------------------------------------------------------------
+
+_KMV_STREAM_K = 64
+_KMV_STREAM_SINK = "streaming_kmv_distinct_sink"
+
+
+def _skmv_oracle() -> str:
+    from ..operators.sketches import kmv_hash_sql
+
+    h = kmv_hash_sql("CAST(user_id AS VARCHAR)", "duckdb")
+    return f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type, {h} AS h FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hs
+    ),
+    bk AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_held,
+             CAST(max(h) AS BIGINT) AS h_k
+      FROM ranked WHERE rk <= {_KMV_STREAM_K}
+      GROUP BY event_type
+    )
+    SELECT event_type, n_held, h_k,
+           CAST(CASE WHEN n_held < {_KMV_STREAM_K} THEN n_held
+                ELSE FLOOR(({_KMV_STREAM_K} - 1) * 1000000007.0 / h_k + 0.5)
+                END AS BIGINT) AS est_distinct
+    FROM bk ORDER BY event_type
+    """
+
+
+@register(
+    "streaming_kmv_distinct",
+    oracle=_skmv_oracle(),
+    doc="the KMV bottom-k distinct sketch as a CUSTOM STATEFUL "
+    "STREAMING operator (streaming.pipeline.stateful_kmv_distinct + "
+    "sketches.kmv_hash_sql): per event_type, GroupState carries the "
+    "sorted bottom-64 distinct uniformized user hashes across "
+    "micro-batches; emits are batch-split invariant in the limit "
+    "(n_held non-decreasing, h_k non-increasing), so the final state "
+    "over a finite replay equals the batch bottom-k — the "
+    "sessionize finite-replay equivalence applied to a sketch.  The "
+    "estimator ((k-1)*P/h_k, exact count when n_held < k) applies "
+    "AFTER the final aggregation, so the stream carries only exact "
+    "integers and the oracle is the batch KMV SQL.  O(k) state per "
+    "key; events replayed as a file stream, availableNow, memory "
+    "sink.",
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_hash_sql
+    from ..streaming.pipeline import stateful_kmv_distinct
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    hashed = stream.select(
+        F.col("event_type").alias("key"),
+        F.expr(
+            kmv_hash_sql("CAST(user_id AS STRING)", "spark")
+        ).alias("h"),
+    )
+    out = stateful_kmv_distinct(hashed, k=_KMV_STREAM_K)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_KMV_STREAM_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(_KMV_STREAM_SINK)
+        .groupBy(F.col("key").alias("event_type"))
+        .agg(
+            F.max("n_held").cast("bigint").alias("n_held"),
+            F.min("h_k").cast("bigint").alias("h_k"),
+        )
+    )
+    return final.select(
+        "event_type",
+        "n_held",
+        "h_k",
+        F.expr(
+            f"CAST(CASE WHEN n_held < {_KMV_STREAM_K} THEN n_held"
+            f" ELSE FLOOR(({_KMV_STREAM_K} - 1) * 1000000007.0 / h_k + 0.5)"
+            f" END AS BIGINT)"
+        ).alias("est_distinct"),
+    ).orderBy("event_type")

@@ -455,3 +455,50 @@ def stream_to_tlog(
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.trigger(availableNow=True).start()
+
+
+def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
+    """Custom stateful streaming operator: per-key KMV (bottom-k)
+    distinct-count sketch maintained in GroupState across
+    micro-batches — the streaming composition of
+    operators/sketches.kmv_sketch.
+
+    State per key = the sorted bottom-k distinct uniformized hashes
+    seen so far (<= k BIGINTs); each micro-batch merges the batch's
+    hashes into the state and emits (key, n_held, h_k).  Both emitted
+    quantities are batch-split invariant in the limit: n_held is
+    non-decreasing and h_k non-increasing as data arrives, so the
+    final state (max n_held, min h_k per key) equals the batch
+    bottom-k over the same rows regardless of how the replay divided
+    into micro-batches — the finite-replay equivalence the
+    stateful_sessionize operator pins, applied to a sketch.
+
+    At scale: O(k) state per key; the estimator (k-1)*P/h_k (exact
+    n_held when n_held < k) is applied AFTER the final aggregation so
+    the stream only carries exact integers.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        batch = set()
+        for pdf in pdfs:
+            batch.update(int(x) for x in pdf["h"])
+        if not batch:
+            return
+        held = list(state.get[0]) if state.exists else []
+        merged = sorted(set(held) | batch)[:k]
+        state.update((merged,))
+        yield pd.DataFrame(
+            [(key[0], len(merged), merged[-1])],
+            columns=["key", "n_held", "h_k"],
+        )
+
+    return events.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, n_held bigint, h_k bigint",
+        stateStructType="hashes array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -582,3 +582,64 @@ def test_stream_to_tlog_retry_is_noop(spark, tmp_path):
         table, "append", epoch=v_after + 1000,
     )
     assert tlog.read_version(spark, table).count() == 31
+
+
+def test_stateful_kmv_state_survives_micro_batches(spark, tmp_path):
+    """Two micro-batches through the streaming KMV: the merged final
+    state must equal the batch bottom-k over all rows (state survives
+    and merges), and the intermediate emits must be monotone."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        kmv_hash_sql,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stateful_kmv_distinct,
+    )
+
+    rows_a = [("t", str(i)) for i in range(0, 300)]
+    rows_b = [("t", str(i)) for i in range(150, 500)]
+    import pandas as pd
+
+    src = tmp_path / "kmv_in"
+    src.mkdir()
+    pd.DataFrame(rows_a, columns=["key", "uid"]).to_parquet(
+        str(src / "a.parquet")
+    )
+    time.sleep(1.2)
+    pd.DataFrame(rows_b, columns=["key", "uid"]).to_parquet(
+        str(src / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema("key string, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    hashed = stream.select(
+        "key", F.expr(kmv_hash_sql("uid", "spark")).alias("h")
+    )
+    out = stateful_kmv_distinct(hashed, k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    emits = spark.table("kmv_test").orderBy("h_k").collect()
+    assert len(emits) == 2  # one emit per micro-batch
+    # monotone: second emit holds >= hashes at a <= k-th minimum
+    hks = [r.h_k for r in spark.table("kmv_test").collect()]
+    # batch reference over ALL rows
+    all_df = spark.createDataFrame(
+        rows_a + rows_b, "key: string, uid: string"
+    ).select("key", F.expr(kmv_hash_sql("uid", "spark")).alias("h"))
+    want = sorted(
+        r.h for r in all_df.select("h").distinct().orderBy("h").limit(64).collect()
+    )
+    final = min(hks)
+    assert final == want[-1]  # final k-th minimum equals batch bottom-k
