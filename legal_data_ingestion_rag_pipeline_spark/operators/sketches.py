@@ -734,3 +734,40 @@ def misra_gries_merge_py(
         if cnt - cut > 0:
             out[item] = cnt - cut
     return out
+
+
+def write_kmv_sketch(
+    items: DataFrame,
+    key_col: str,
+    path: str,
+    k: int = 128,
+    mode: str = "append",
+) -> None:
+    """Persist one batch's bottom-k sketch rows (h) to the standing
+    store.  Appending IS the incremental update: KMV merge is
+    bottom-k of the union (associative + commutative), so read-time
+    folding of all batches equals the single-pass full build."""
+    kmv_sketch(items, key_col, k).write.mode(mode).parquet(path)
+
+
+def kmv_estimate_from_store(spark, path: str, k: int = 128) -> DataFrame:
+    """Fold ALL stored batches: distinct union, bottom-k, then the
+    (k-1)*P/h_k estimator (exact count when fewer than k hashes).
+    One row: (n_held, h_k, est_distinct)."""
+    from ..functions import portable as PT
+
+    merged = (
+        spark.read.parquet(path).distinct().orderBy("h").limit(k)
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_held"),
+        F.max("h").cast("bigint").alias("h_k"),
+    ).select(
+        "n_held",
+        "h_k",
+        F.expr(
+            f"CAST(CASE WHEN n_held < {k} THEN n_held"
+            f" ELSE FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5)"
+            f" END AS BIGINT)"
+        ).alias("est_distinct"),
+    )

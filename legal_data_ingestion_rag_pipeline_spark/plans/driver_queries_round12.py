@@ -1468,3 +1468,84 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", F.col("mg_count").cast("bigint"), "true_count")
         .orderBy(F.desc("true_count"), F.asc("item"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_incremental_store
+# ---------------------------------------------------------------------------
+
+_KMV_STORE_K = 128
+_KMV_STORE_SEQ = iter(range(1_000_000))
+
+
+def _kmv_store_oracle() -> str:
+    from ..operators.sketches import kmv_hash_sql
+
+    h = kmv_hash_sql("CAST(l_partkey AS VARCHAR)", D)
+    return f"""
+    WITH hs AS (
+      SELECT DISTINCT {h} AS h FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    bk AS (
+      SELECT h FROM hs ORDER BY h LIMIT {_KMV_STORE_K}
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_held,
+             CAST(max(h) AS BIGINT) AS h_k
+      FROM bk
+    )
+    SELECT n_held, h_k,
+           CAST(CASE WHEN n_held < {_KMV_STORE_K} THEN n_held
+                ELSE FLOOR(({_KMV_STORE_K} - 1) * {PT.P}.0 / h_k + 0.5)
+                END AS BIGINT) AS est_distinct,
+           (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+            WHERE l_partkey IS NOT NULL) AS true_distinct
+    FROM agg
+    """
+
+
+@register(
+    "kmv_incremental_store",
+    oracle=_kmv_store_oracle(),
+    doc="incremental distinct counting through the STANDING KMV store "
+    "(sketches.write_kmv_sketch / kmv_estimate_from_store): the "
+    "historical corpus (l_shipdate < 1996-01-01) writes its bottom-k "
+    "batch once, the new batch appends its own, and the read-time "
+    "fold (distinct union -> bottom-k) equals the single-pass full "
+    "build because KMV merge is bottom-k of the union — associative "
+    "and commutative, the property that makes the sketch a STORE "
+    "primitive at 100 TB (per-batch state is <= k rows; appending IS "
+    "the update).  Gated against the full-recompute oracle, exactly "
+    "the hll_incremental_store convention extended to the "
+    "order-statistics sketch; exact truth rides along.",
+)
+def kmv_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_partkey").isNotNull()).select(
+        F.expr("CAST(l_partkey AS STRING)").alias("k"), "l_shipdate"
+    )
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_KMV_STORE_SEQ)}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_kmv_{tag}")
+    cut = "1996-01-01"
+    sketches.write_kmv_sketch(
+        keys.filter(F.col("l_shipdate") < cut), "k", store,
+        k=_KMV_STORE_K, mode="overwrite",
+    )
+    sketches.write_kmv_sketch(
+        keys.filter(F.col("l_shipdate") >= cut), "k", store,
+        k=_KMV_STORE_K, mode="append",
+    )
+    est = sketches.kmv_estimate_from_store(spark, store, k=_KMV_STORE_K)
+    truth = li.filter(F.col("l_partkey").isNotNull()).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
+    )
+    return est.crossJoin(F.broadcast(truth))

@@ -471,3 +471,29 @@ def test_misra_gries_query_counts_never_overestimate(spark):
     assert rows
     for r in rows:
         assert 0 < r.mg_count <= r.true_count
+
+
+def test_kmv_store_merge_equals_full_build(spark, tmp_path):
+    """Append-merge invariance: two half-batches through the store
+    fold to exactly the single-pass bottom-k of all keys."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    all_keys = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS k")
+    store = str(tmp_path / "kmv_store")
+    sketches.write_kmv_sketch(
+        all_keys.filter("CAST(k AS INT) < 400"), "k", store, k=64,
+        mode="overwrite",
+    )
+    sketches.write_kmv_sketch(
+        all_keys.filter("CAST(k AS INT) >= 400"), "k", store, k=64,
+        mode="append",
+    )
+    folded = sketches.kmv_estimate_from_store(spark, store, k=64).collect()[0]
+    direct = (
+        sketches.kmv_sketch(all_keys, "k", 64)
+        .agg({"h": "max"})
+        .collect()[0][0]
+    )
+    assert folded.h_k == direct
+    assert folded.n_held == 64
+    assert abs(folded.est_distinct - 1000) / 1000 < 0.4
