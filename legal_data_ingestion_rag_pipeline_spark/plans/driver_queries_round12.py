@@ -1549,3 +1549,110 @@ def kmv_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("bigint").alias("true_distinct")
     )
     return est.crossJoin(F.broadcast(truth))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_provenance_roots
+# ---------------------------------------------------------------------------
+
+def _prov_row_hash(dialect: str) -> str:
+    """Order-independent row fingerprint: SQUARE of the reduced
+    (poly(text)*31 + doc_id) mod P — summed per stage, the root pins
+    exact row membership without shipping rows.  The square is what
+    makes the sum detect CROSS-ROW swaps: a linear fingerprint's sum
+    separates into sum(text terms) + sum(id terms), so exchanging ids
+    between two rows preserves it; the quadratic's a*id cross term
+    does not."""
+    h = PT.poly_hash("text", dialect)
+    base = f"((({h}) * {PT.POLY_MULT} + doc_id) % {PT.P})"
+    return f"((({base}) * ({base})) % {PT.P})"
+
+
+def _prov_oracle() -> str:
+    toks = PT.tokens("text", D)
+    rh = _prov_row_hash(D)
+    return f"""
+    WITH s0 AS (SELECT doc_id, source, text FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE len({toks}) >= 50),
+    s2 AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+               AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rn
+        FROM s2
+      ) WHERE rn <= 5
+    )
+    SELECT 0 AS stage, 'raw' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({rh}) AS BIGINT) AS root FROM s0
+    UNION ALL
+    SELECT 1, 'length_filter', CAST(count(*) AS BIGINT),
+           CAST(sum({rh}) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum({rh}) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'per_source_top5', CAST(count(*) AS BIGINT),
+           CAST(sum({rh}) AS BIGINT) FROM s3
+    ORDER BY stage
+    """
+
+
+@register(
+    "pipeline_provenance_roots",
+    oracle=_prov_oracle(),
+    doc="stage-wise provenance roots for a curation pipeline — the "
+    "data-integrity primitive a 100 TB deployment audits with: after "
+    "each stage (raw -> length filter -> exact dedup keep-min-id -> "
+    "per-source top-5), the stage's root is the SUM of "
+    "order-independent row fingerprints (poly(text)*31 + doc_id "
+    "mod P), so any dropped / duplicated / mutated row flips the "
+    "root while commutativity makes the sum identical under any "
+    "partitioning — the merkle-style audit without a tree (at lake "
+    "scale the sum runs mod P in DECIMAL to bound width; here exact "
+    "BIGINT).  Recompute-and-compare of roots between runs detects "
+    "silent pipeline drift; n_rows alone cannot (a swap preserves "
+    "counts).  One pass per stage, map-side fingerprints, 1-row "
+    "aggregates.",
+)
+def pipeline_provenance_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rh = F.expr(_prov_row_hash(S))
+    s0 = docs
+    s1 = s0.filter(F.size(F.expr(PT.tokens("text", S))) >= 50)
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), F.asc("doc_id")
+    )
+    s3 = (
+        s2.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+    def stage_row(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(rh).cast("bigint").alias("root"),
+        )
+
+    return (
+        stage_row(s0, 0, "raw")
+        .unionByName(stage_row(s1, 1, "length_filter"))
+        .unionByName(stage_row(s2, 2, "exact_dedup"))
+        .unionByName(stage_row(s3, 3, "per_source_top5"))
+        .orderBy("stage")
+    )

@@ -497,3 +497,37 @@ def test_kmv_store_merge_equals_full_build(spark, tmp_path):
     assert folded.h_k == direct
     assert folded.n_held == 64
     assert abs(folded.est_distinct - 1000) / 1000 < 0.4
+
+
+# ---------------------------------------------------------------------------
+# Pipeline provenance roots
+# ---------------------------------------------------------------------------
+
+def test_provenance_root_detects_mutation_and_swap(spark):
+    """The root must flip on a single-row mutation AND on an id swap
+    that preserves the row count — the drift n_rows cannot see."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round12 import (
+        _prov_row_hash,
+    )
+
+    rh = F.expr(_prov_row_hash("spark"))
+
+    def root(rows):
+        df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        return df.agg(F.sum(rh).cast("bigint")).collect()[0][0]
+
+    base = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    mutated = [(1, "alpha"), (2, "betA"), (3, "gamma")]
+    swapped = [(2, "alpha"), (1, "beta"), (3, "gamma")]
+    reordered = [(3, "gamma"), (1, "alpha"), (2, "beta")]
+    assert root(base) != root(mutated)
+    assert root(base) != root(swapped)
+    assert root(base) == root(reordered)  # order-independent
+
+
+def test_provenance_stages_monotone_and_rooted(spark):
+    rows = registry()["pipeline_provenance_roots"].spark(spark, SF).collect()
+    assert [r.stage for r in rows] == [0, 1, 2, 3]
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)  # stages only shrink
+    assert all(r.root > 0 for r in rows)
