@@ -61,12 +61,19 @@ def knn_shapley(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    pool: int | None = None,
 ) -> DataFrame:
     """(test_id, train_id, train_label, shapley_p12): the exact
     KNN-Shapley value of every training point for every test point,
     in pico units.  Columns of ``test`` are consumed as the same
     (id, vec, label) triple; the test frame must be small (it is
-    broadcast)."""
+    broadcast).
+
+    ``pool``: value only each test point's ``pool`` nearest
+    candidates (pool-restricted Shapley — the recursion's N becomes
+    the pool size).  This is the corpus-scale form: with an IVF/LSH
+    prefilter supplying the pool, the per-test window frames are
+    bounded by construction instead of corpus-sized."""
     t = test.select(
         F.col(id_col).alias("test_id"),
         F.col(vec_col).alias("_tv"),
@@ -88,15 +95,30 @@ def knn_shapley(
         F.expr(PT.sq_l2_q6("_rv", "_tv", PT.SPARK)).alias("d2"),
     )
     w = Window.partitionBy("test_id").orderBy(F.asc("d2"), F.asc("train_id"))
-    ranked = pairs.select(
-        "test_id",
-        "train_id",
-        "train_label",
-        "u",
-        F.row_number().over(w).alias("j"),
-        F.lead("u").over(w).alias("u_next"),
-        F.count("*").over(Window.partitionBy("test_id")).alias("n"),
-    )
+    if pool is not None:
+        pairs = pairs.withColumn("j", F.row_number().over(w)).filter(
+            F.col("j") <= pool
+        )
+        wj = Window.partitionBy("test_id").orderBy(F.asc("j"))
+        ranked = pairs.select(
+            "test_id",
+            "train_id",
+            "train_label",
+            "u",
+            "j",
+            F.lead("u").over(wj).alias("u_next"),
+            F.count("*").over(Window.partitionBy("test_id")).alias("n"),
+        )
+    else:
+        ranked = pairs.select(
+            "test_id",
+            "train_id",
+            "train_label",
+            "u",
+            F.row_number().over(w).alias("j"),
+            F.lead("u").over(w).alias("u_next"),
+            F.count("*").over(Window.partitionBy("test_id")).alias("n"),
+        )
     term = F.when(
         F.col("j") < F.col("n"),
         F.expr(

@@ -531,3 +531,42 @@ def test_provenance_stages_monotone_and_rooted(spark):
     counts = [r.n_rows for r in rows]
     assert counts == sorted(counts, reverse=True)  # stages only shrink
     assert all(r.root > 0 for r in rows)
+
+
+def test_knn_shapley_pooled_agrees_on_head_ranks(spark):
+    """Pool-restricted Shapley: the per-rank TERMS inside the pool are
+    identical to the full computation for ranks < pool size (only the
+    tail base term moves), so for a pool >= N the values are exactly
+    the full values."""
+    rows = _toy_rows()
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>, label: int"
+    )
+    full = {
+        (r.test_id, r.train_id): r.shapley_p12
+        for r in valuation.knn_shapley(
+            df.filter(F.col("vec_id") >= 10),
+            df.filter(F.col("vec_id") < 10),
+            k=3,
+        ).collect()
+    }
+    pooled_all = {
+        (r.test_id, r.train_id): r.shapley_p12
+        for r in valuation.knn_shapley(
+            df.filter(F.col("vec_id") >= 10),
+            df.filter(F.col("vec_id") < 10),
+            k=3,
+            pool=7,  # == N -> identical to full
+        ).collect()
+    }
+    assert pooled_all == full
+    pooled_small = valuation.knn_shapley(
+        df.filter(F.col("vec_id") >= 10),
+        df.filter(F.col("vec_id") < 10),
+        k=3,
+        pool=4,
+    ).collect()
+    # exactly pool rows per test point
+    from collections import Counter
+    per_test = Counter(r.test_id for r in pooled_small)
+    assert set(per_test.values()) == {4}
