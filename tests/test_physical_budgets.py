@@ -53,6 +53,8 @@ BUDGETS: dict[str, dict[str, int]] = {
     "harmonic_centrality_copurchase": {"records": 2546, "bytes": 20389},
     "geometric_median_labels": {"records": 1990, "bytes": 80774},
     "levenshtein_blocked_pairs": {"records": 2010, "bytes": 47362},
+    "gopher_quality_filter": {"records": 26385, "bytes": 402597},
+    "knn_shapley_pooled": {"records": 1435, "bytes": 25259},
 }
 
 _SHUFFLE_REC = "shuffleRecordsWritten"
