@@ -130,6 +130,10 @@ def geometric_median(
 ) -> DataFrame:
     """(group, gm): the Weiszfeld iterate after ``iters`` snapped steps
     from the component-mean init — the robust group prototype."""
+    # NULL vectors would silently vanish from the mean init (posexplode
+    # emits nothing) yet still join each step — exclude them up front
+    # and let callers decide whether NULLs are an error
+    points = points.filter(F.col(vec_col).isNotNull())
     m = _mean_init(points, group_col, vec_col)
     for _ in range(iters):
         m = _weiszfeld_step(points, m, group_col, vec_col)

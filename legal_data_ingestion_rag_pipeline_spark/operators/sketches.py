@@ -593,7 +593,16 @@ def kmv_sketch(
     h = F.expr(
         kmv_hash_sql(f"CAST({key_col} AS STRING)", PT.SPARK)
     ).alias("h")
-    return items.select(h).distinct().orderBy("h").limit(k)
+    # NULL keys hash to NULL, and the engines DISAGREE on NULL sort
+    # placement (Spark NULLS FIRST asc, DuckDB NULLS LAST) — exclude
+    # them, matching COUNT(col)'s NULL-skipping semantics
+    return (
+        items.filter(F.col(key_col).isNotNull())
+        .select(h)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
 
 
 def kmv_set_stats(
@@ -693,7 +702,7 @@ def misra_gries_shards(
     (FlatMapGroupsInPandas), O(k) state per shard."""
     from ..functions import portable as PT
 
-    sharded = items.select(
+    sharded = items.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("item"),
         *[F.col(c) for c in order_cols],
         F.pmod(

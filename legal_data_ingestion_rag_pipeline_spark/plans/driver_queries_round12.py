@@ -1563,7 +1563,9 @@ def _prov_row_hash(dialect: str) -> str:
     separates into sum(text terms) + sum(id terms), so exchanging ids
     between two rows preserves it; the quadratic's a*id cross term
     does not."""
-    h = PT.poly_hash("text", dialect)
+    # coalesce: a NULL text must still fingerprint (an audit that
+    # silently drops NULL rows from the root defeats its purpose)
+    h = PT.poly_hash("coalesce(text, '')", dialect)
     base = f"((({h}) * {PT.POLY_MULT} + doc_id) % {PT.P})"
     return f"((({base}) * ({base})) % {PT.P})"
 
