@@ -807,6 +807,7 @@ def write_binary_tier(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     centroid_id: str | None = "centroid_id",
+    mode: str = "overwrite",
 ) -> None:
     """Persist the packed 1-bit sign tier as a standing table — the
     durable form of the quantized index the in-plan queries derive on
@@ -825,7 +826,11 @@ def write_binary_tier(
     tier = assigned_corpus.select(
         *cols, *[F.expr(w).alias(f"_cw{i}") for i, w in enumerate(c_words)]
     )
-    writer = tier.write.mode("overwrite")
+    # mode="append" is the incremental-ADD path: with the SAME frozen
+    # centroids, per-vector assignment is deterministic, so appending a
+    # new batch's tier rows yields byte-for-byte the tier a full
+    # rebuild over old+new would write (gated by ann_ivf_incremental_add)
+    writer = tier.write.mode(mode)
     if centroid_id is not None:
         writer = writer.partitionBy(centroid_id)
     writer.parquet(path)

@@ -1755,3 +1755,72 @@ def knn_shapley_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_shapley_p12"), F.asc("train_id"))
         .limit(_KS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_incremental_add — incremental index maintenance: append a new
+# batch to the stored IVF x binary tier without retraining or rebuild.
+# ---------------------------------------------------------------------------
+
+_IVF_ADD_SEQ = iter(range(1_000_000))
+
+
+def _ivf_add_oracle(sf_dir: str) -> str:
+    from .driver_queries_similarity import _IVFB_ORACLE
+
+    return _IVFB_ORACLE
+
+
+@register(
+    "ann_ivf_incremental_add",
+    oracle=_ivf_add_oracle,
+    doc="incremental ADD to the stored ANN index (ann.write_binary_tier "
+    "mode='append'): the historical corpus (vec_id < 400) writes its "
+    "cell-partitioned packed-sign tier once, the new batch (>= 400) "
+    "assigns against the SAME FROZEN centroids and appends its own "
+    "tier rows — no retrain, no rebuild, the operational path an "
+    "embedding store takes on every ingest.  Because assignment is "
+    "per-vector deterministic under fixed centroids, the appended "
+    "store is byte-faithful to a full rebuild, so searching it must "
+    "equal the from-scratch in-plan IVF x binary top-k — which is "
+    "exactly the oracle (the same SQL that gates "
+    "ann_ivf_binary_stored).  Completes the store family's write / "
+    "read / CDC / compact / incremental-add verbs for the ANN tier.",
+)
+def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ann
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    tag = (
+        f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}"
+        f"_{os.getpid()}_{next(_IVF_ADD_SEQ)}"
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_btier_add_{tag}", "emb_b64"
+    )
+    cut = 400
+    hist = ann.ivf_assign(e.filter(F.col("vec_id") < cut), centroids)
+    ann.write_binary_tier(hist, store, dim=64, mode="overwrite")
+    new = ann.ivf_assign(e.filter(F.col("vec_id") >= cut), centroids)
+    ann.write_binary_tier(new, store, dim=64, mode="append")
+    tier = ann.read_binary_tier(spark, store)
+    return ann.ivf_binary_topk_from_tier(
+        tier,
+        e.select("vec_id", "embedding"),
+        centroids,
+        queries,
+        dim=64,
+        k=10,
+        probes=2,
+        pool=30,
+    )

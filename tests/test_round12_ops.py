@@ -570,3 +570,33 @@ def test_knn_shapley_pooled_agrees_on_head_ranks(spark):
     from collections import Counter
     per_test = Counter(r.test_id for r in pooled_small)
     assert set(per_test.values()) == {4}
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF tier add
+# ---------------------------------------------------------------------------
+
+def test_ivf_tier_append_equals_full_rebuild(spark, tmp_path):
+    """Appending a batch under frozen centroids must produce a tier
+    row-identical to the full rebuild."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import ann
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).selectExpr(
+        "vec_id AS centroid_id", "embedding AS c_vec"
+    )
+    inc = str(tmp_path / "tier_inc")
+    full = str(tmp_path / "tier_full")
+    ann.write_binary_tier(
+        ann.ivf_assign(e.filter("vec_id < 300"), cents), inc, dim=64,
+        mode="overwrite",
+    )
+    ann.write_binary_tier(
+        ann.ivf_assign(e.filter("vec_id >= 300"), cents), inc, dim=64,
+        mode="append",
+    )
+    ann.write_binary_tier(ann.ivf_assign(e, cents), full, dim=64)
+    a = {tuple(r) for r in ann.read_binary_tier(spark, inc).collect()}
+    b = {tuple(r) for r in ann.read_binary_tier(spark, full).collect()}
+    assert a == b
