@@ -1824,3 +1824,104 @@ def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes=2,
         pool=30,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_scores — the actionable output of the robust
+# machinery: per-label top outliers by distance to the geometric median.
+# ---------------------------------------------------------------------------
+
+_OUT_TOP = 3
+
+
+def _outlier_oracle() -> str:
+    from ..operators import robust
+
+    gm = robust.weiszfeld_oracle_sql(
+        "SELECT CAST(label AS BIGINT) AS g, embedding AS x"
+        " FROM embeddings",
+        group_col="label",
+        iters=2,
+    )
+    d6 = robust.dist6_sql("p.x", "m.gm", D)
+    return f"""
+    WITH medians AS (
+      SELECT label AS g, median_csv FROM ({gm})
+    ),
+    pts AS (SELECT CAST(label AS BIGINT) AS g, vec_id, embedding AS x
+            FROM embeddings),
+    gmv AS (
+      SELECT g, {PT.transform(
+          "string_split(median_csv, ',')",
+          "s -> CAST(s AS DOUBLE)",
+          D,
+      )} AS gm
+      FROM medians
+    ),
+    scored AS (
+      SELECT p.g AS label, p.vec_id,
+             CAST(FLOOR(({d6}) * 1000000.0 + 0.5) AS BIGINT) AS dist_micro
+      FROM pts p JOIN gmv m ON p.g = m.g
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY dist_micro DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT label, CAST(vec_id AS BIGINT) AS vec_id, dist_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_OUT_TOP}
+    ORDER BY label, rk
+    """
+
+
+@register(
+    "embedding_outlier_scores",
+    oracle=_outlier_oracle(),
+    doc="per-label embedding outlier candidates — the ACTIONABLE "
+    "output the robust machinery exists for: each point's snapped "
+    "distance to its label's Weiszfeld geometric median "
+    "(operators/robust.py), top-3 farthest per label with a total "
+    "tie rule — the label-noise review queue (a mislabeled vector "
+    "is far from its class's 0.5-breakdown prototype even when it "
+    "drags the mean).  Complements knn_shapley_values (global "
+    "helpful/harmful valuation) with the per-class geometric view.  "
+    "Medians broadcast; distances map-side; the per-label rank "
+    "window runs over class-sized frames (two-phase banded rank at "
+    "lake scale).  Oracle: the unrolled Weiszfeld twin's medians "
+    "re-parsed from the %.6f grid (exactly what the Spark side "
+    "serializes, so both engines rank identical snapped distances).",
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import robust
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"), "vec_id", "embedding"
+    )
+    med = robust.geometric_median(emb, "label", "embedding", iters=2)
+    # re-snap through the %.6f serialization grid so the ranked
+    # distances are bit-identical to the oracle's re-parsed medians
+    med6 = med.select(
+        "label",
+        F.expr(
+            f"transform(split({PT.vec_csv6('gm', S)}, ','),"
+            f" s -> CAST(s AS DOUBLE))"
+        ).alias("gm"),
+    )
+    d6 = robust.dist6_sql("embedding", "gm", S)
+    scored = emb.join(F.broadcast(med6), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            f"CAST(FLOOR(({d6}) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("dist_micro"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist_micro"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _OUT_TOP)
+        .select("label", F.col("vec_id").cast("bigint"), "dist_micro", "rk")
+        .orderBy("label", "rk")
+    )

@@ -600,3 +600,29 @@ def test_ivf_tier_append_equals_full_rebuild(spark, tmp_path):
     a = {tuple(r) for r in ann.read_binary_tier(spark, inc).collect()}
     b = {tuple(r) for r in ann.read_binary_tier(spark, full).collect()}
     assert a == b
+
+
+def test_outlier_scores_planted_mislabel_surfaces(spark):
+    """A vector planted far from its label's cluster must rank as that
+    label's #1 outlier."""
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round12 import (
+        embedding_outlier_scores,
+    )
+    import os, tempfile
+
+    rows = (
+        [(i, 0, [0.1 * (i % 3), 0.1]) for i in range(10)]
+        + [(99, 0, [5.0, 5.0])]              # mislabel plant
+        + [(i, 1, [3.0 + 0.1 * (i % 3), 3.0]) for i in range(100, 110)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, label: int, embedding: array<double>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = embedding_outlier_scores(spark, d).collect()
+    top0 = [r for r in out if r.label == 0 and r.rk == 1][0]
+    assert top0.vec_id == 99
+    # and it is far: an order of magnitude beyond its peers
+    second = [r for r in out if r.label == 0 and r.rk == 2][0]
+    assert top0.dist_micro > 5 * second.dist_micro
