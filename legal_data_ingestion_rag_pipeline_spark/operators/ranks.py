@@ -176,3 +176,68 @@ def quintile_score(rank_col: str, n_col: str) -> Column:
         F.lit(1)
         + F.expr(f"(({rank_col} - 1) * 5) DIV {n_col}")
     ).cast("bigint")
+
+
+def rbo_weights_p12(k: int, p: float = 0.9) -> list[tuple[int, int]]:
+    """Truncated rank-biased-overlap depth weights (Webber, Moffat &
+    Zobel 2010): W_d = (1-p) * p^(d-1), pico-snapped ONCE in Python
+    and embedded as literals on BOTH engines — the transcendental
+    never runs in either plan."""
+    import math
+
+    return [
+        (d, math.floor((1.0 - p) * p ** (d - 1) * 1e12 + 0.5))
+        for d in range(1, k + 1)
+    ]
+
+
+def rbo_truncated(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "q_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query, n_common, rbo_p12): truncated RBO between two
+    per-query rankings — the top-WEIGHTED rank-similarity metric
+    (recall@k counts the sets; RBO also scores WHERE the common items
+    sit).  An item in both top-d lists contributes to every depth
+    >= max(rank_a, rank_b); per depth, term = FLOOR(W_d * overlap_d
+    / d + 0.5) with pico-snapped literal weights, so the score is an
+    exact BIGINT sum.  All frames are k-row bounded per query —
+    matched pairs x depths is <= k^2 tiny rows."""
+    aa = a.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("i"),
+        F.col(rank_col).cast("bigint").alias("ra"),
+    ).filter(F.col("ra") <= k)
+    bb = b.select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("i"),
+        F.col(rank_col).cast("bigint").alias("rb"),
+    ).filter(F.col("rb") <= k)
+    matched = aa.join(bb, ["q", "i"]).select(
+        "q", F.greatest("ra", "rb").alias("dmin")
+    )
+    spark = a.sparkSession
+    weights = spark.createDataFrame(
+        rbo_weights_p12(k, p), "d: bigint, w_p12: bigint"
+    )
+    contrib = (
+        matched.join(F.broadcast(weights), F.col("dmin") <= F.col("d"))
+        .groupBy("q", "d", "w_p12")
+        .agg(F.count("*").cast("bigint").alias("ov"))
+        .select(
+            "q",
+            F.expr("CAST(FLOOR(w_p12 * ov / d + 0.5) AS BIGINT)").alias(
+                "term"
+            ),
+            F.when(F.col("d") == k, F.col("ov")).alias("_common"),
+        )
+    )
+    return contrib.groupBy(F.col("q").alias(query_col)).agg(
+        F.max("_common").cast("bigint").alias("n_common"),
+        F.sum("term").cast("bigint").alias("rbo_p12"),
+    )

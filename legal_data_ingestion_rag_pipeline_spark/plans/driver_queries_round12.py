@@ -1925,3 +1925,84 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("vec_id").cast("bigint"), "dist_micro", "rk")
         .orderBy("label", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_rbo_eval — rank-biased overlap of the IVF ranking vs brute force.
+# ---------------------------------------------------------------------------
+
+_RBO_K = 10
+_RBO_P = 0.9
+
+
+def _rbo_oracle() -> str:
+    from .driver_queries_similarity import _IVF_TOPK_ORACLE
+    from ..operators.ranks import rbo_weights_p12
+
+    dots = PT.dot_double("e.embedding", "q.q_vec", D)
+    weights_vals = ", ".join(
+        f"({d}, {w})" for d, w in rbo_weights_p12(_RBO_K, _RBO_P)
+    )
+    return f"""
+    WITH a AS (
+      SELECT q_id, vec_id, rank FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {dots} DESC, e.vec_id) AS rank
+        FROM embeddings e,
+             (SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 5) q
+      ) WHERE rank <= {_RBO_K}
+    ),
+    b AS (SELECT q_id, vec_id, rank FROM ({_IVF_TOPK_ORACLE})),
+    matched AS (
+      SELECT a.q_id AS q, GREATEST(a.rank, b.rank) AS dmin
+      FROM a JOIN b ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+    ),
+    w AS (SELECT * FROM (VALUES {weights_vals}) AS t(d, w_p12)),
+    contrib AS (
+      SELECT q, d, w_p12, CAST(count(*) AS BIGINT) AS ov
+      FROM matched JOIN w ON dmin <= d
+      GROUP BY q, d, w_p12
+    )
+    SELECT q AS q_id,
+           CAST(MAX(CASE WHEN d = {_RBO_K} THEN ov END) AS BIGINT)
+             AS n_common,
+           CAST(SUM(CAST(FLOOR(w_p12 * ov / d + 0.5) AS BIGINT))
+                AS BIGINT) AS rbo_p12
+    FROM contrib GROUP BY q ORDER BY q_id
+    """
+
+
+@register(
+    "ann_rbo_eval",
+    oracle=_rbo_oracle(),
+    doc="rank-biased overlap of the probes=2 IVF ranking against the "
+    "exact brute-force ranking (operators/ranks.rbo_truncated; "
+    "Webber, Moffat & Zobel 2010): the top-WEIGHTED rank-similarity "
+    "metric — recall@k only counts set overlap, RBO also scores "
+    "WHERE the common items sit, which is what an ANN quality "
+    "dashboard actually tracks across index rebuilds.  Depth weights "
+    "(1-p)p^(d-1) pico-snap ONCE in Python and embed as literals on "
+    "both engines (no transcendental in either plan); overlap counts "
+    "are exact integers; per-depth terms FLOOR-snap so the score is "
+    "an exact BIGINT.  Both rankings are the already-gated machinery "
+    "(ann.brute_force_topk, ann.ivf_topk); the comparator's frames "
+    "are k-row bounded per query.",
+)
+def ann_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann
+    from ..operators.ranks import rbo_truncated
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = ann.brute_force_topk(e, queries, k=_RBO_K)
+    assigned = ann.ivf_assign(e, centroids)
+    b = ann.ivf_topk(assigned, centroids, queries, k=_RBO_K, probes=2)
+    return rbo_truncated(a, b, k=_RBO_K, p=_RBO_P).orderBy("q_id")

@@ -626,3 +626,35 @@ def test_outlier_scores_planted_mislabel_surfaces(spark):
     # and it is far: an order of magnitude beyond its peers
     second = [r for r in out if r.label == 0 and r.rk == 2][0]
     assert top0.dist_micro > 5 * second.dist_micro
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap
+# ---------------------------------------------------------------------------
+
+def test_rbo_identity_and_disjoint_and_topweight(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.ranks import (
+        rbo_truncated, rbo_weights_p12,
+    )
+
+    def ranks(rows):
+        return spark.createDataFrame(
+            rows, "q_id: bigint, vec_id: bigint, rank: bigint"
+        )
+
+    a = ranks([(1, i, i) for i in range(1, 11)])
+    # identical rankings -> RBO = sum of all weights (ov_d = d)
+    full = sum(w for _, w in rbo_weights_p12(10, 0.9))
+    r = rbo_truncated(a, a, k=10).collect()[0]
+    assert r.n_common == 10
+    assert abs(r.rbo_p12 - full) <= 10  # per-term floor slack
+    # disjoint rankings -> no output row for q (no matches)
+    b = ranks([(1, 100 + i, i) for i in range(1, 11)])
+    assert rbo_truncated(a, b, k=10).count() == 0
+    # top-weighted: agreeing at rank 1 beats agreeing only at rank 10
+    top1 = ranks([(1, 1, 1)] + [(1, 200 + i, i) for i in range(2, 11)])
+    bot1 = ranks([(1, 10, 10)] + [(1, 300 + i, i) for i in range(1, 10)])
+    a10 = ranks([(1, i, i) for i in range(1, 11)])
+    r_top = rbo_truncated(a10, top1, k=10).collect()[0].rbo_p12
+    r_bot = rbo_truncated(a10, bot1, k=10).collect()[0].rbo_p12
+    assert r_top > r_bot
