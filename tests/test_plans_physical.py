@@ -539,3 +539,63 @@ def test_mmr_select_runs_one_spark_job(spark):
     assert len(picked) == 8
     job_ids = sc.statusTracker().getJobIdsForGroup(group)
     assert len(job_ids) == 1, f"expected 1 Spark job, saw {len(job_ids)}"
+
+
+# ---------------------------------------------------------------------------
+# Round-12 plan properties
+# ---------------------------------------------------------------------------
+
+def test_kmv_sketch_build_is_take_ordered(spark):
+    """The bottom-k sketch build must plan as TakeOrderedAndProject —
+    a global Sort on the distinct-hash frame would be the scale bug."""
+    plan = plan_of(spark, "kmv_theta_set_difference")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25f_broadcasts_stats_and_df(spark):
+    """Field stats, df table, and n_docs are all tiny aggregates —
+    every join in the BM25F plan must broadcast, never sort-merge."""
+    plan = plan_of(spark, "bm25f_fielded_search")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t_closeness_no_global_sort_before_agg(spark):
+    """Bands are STATIC value ranges: the plan must contain no
+    unpartitioned corpus-wide Window (the cumsums run over 5-row
+    per-class frames)."""
+    df = registry()["t_closeness_audit"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan is partitioned (spec prints the
+    # partition columns before the order clause)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            spec = line.lower().split("windowspecdefinition(")[1]
+            # partition cols present: seg/nat appear before the sort col
+            assert "seg" in spec.split("ascending")[0]
+
+
+def test_geometric_median_broadcasts_median_table(spark):
+    """The (groups x dim) median table must broadcast onto the corpus
+    each iteration — a shuffle join on the group key would move the
+    corpus twice per step."""
+    plan = plan_of(spark, "geometric_median_labels")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_misra_gries_is_grouped_arrow_pass(spark):
+    """The registered query collects the bounded counter union during
+    construction, so the Arrow pass lives in the SHARDS operator's own
+    plan — assert it there."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators import sketches
+
+    toks = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b")], "doc_id: bigint, pos: int, item: string"
+    )
+    df = sketches.misra_gries_shards(toks, "item", ["doc_id", "pos"], k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
