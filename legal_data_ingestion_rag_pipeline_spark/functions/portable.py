@@ -313,14 +313,32 @@ def dot_double(a: str, b: str, dialect: str) -> str:
     return reduce_(prods, "CAST(0.0 AS DOUBLE)", "(s, x) -> s + x", dialect)
 
 
-def sq_l2_q6(a: str, b: str, dialect: str) -> str:
+def sq_l2_q6(a: str, b: str, dialect: str, guard: bool = True) -> str:
     """EXACT-BIGINT squared L2 distance between two float arrays after
     micro-quantization: each element snaps to FLOOR(x*1e6 + 0.5), the
     squared differences sum as BIGINTs — an order-independent,
     engine-exact distance for ranking (ties then break on an id).
-    Bounded: |elem| < 1e3 and dim <= 2048 keep the sum far below 2^63.
+
+    Overflow bound: a quantized element is about |x|*1e6, a squared
+    diff up to (2*|x|max*1e6)^2, and dim of them sum — safe iff
+    dim * (2e6*|x|max)^2 < 2^63, i.e. |x|max <= sqrt(2^63/dim)/2e6:
+    ~33.5 at dim 2048, ~190 at dim 64.  (The earlier claim that
+    |elem| < 1e3 was safe at dim 2048 was WRONG — that input wraps
+    silently in non-ANSI Spark.)  With ``guard`` (default), the
+    Spark-dialect expression raise_errors on any |elem| > 33 instead
+    of wrapping; the DuckDB twin stays unguarded — it is an oracle
+    replay over the same (already-guarded) in-bound data, and equal
+    RESULTS are the contract, not equal SQL.  Embedding callers
+    (operators/valuation.py KNN-Shapley, the round-12 distance
+    queries) feed unit-scale vectors, far inside the bound.
     """
     q = "CAST(FLOOR(CAST({v} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    if dialect == SPARK and guard:
+        q = (
+            "IF(abs(CAST({v} AS DOUBLE)) <= 33.0D, " + q + ", "
+            "CAST(raise_error('sq_l2_q6: |elem| > 33 would overflow "
+            "BIGINT at dim 2048') AS BIGINT))"
+        )
     qa, qb = q.format(v="x"), q.format(v="y")
     if dialect == SPARK:
         diffs = f"zip_with({a}, {b}, (x, y) -> ({qa}) - ({qb}))"

@@ -29,9 +29,10 @@ ln() terms separately and add the micro values — same plan shape.
 
 Scale shape (100 TB):
 - ONE corpus-scale tokenize/explode pass, immediately collapsed to a
-  persisted per-document bucket-count frame (<= NB rows per doc, far
-  smaller than the token stream); BOTH count models and the scoring
-  pass read that frame, so the regex tokenize executes exactly once
+  locally-checkpointed per-document bucket-count frame (<= NB rows
+  per doc, far smaller than the token stream; checkpoint blocks are
+  GC-cleaned, never CacheManager-pinned); BOTH count models and the
+  scoring pass read that frame, so the regex tokenize executes once
   (target membership is a column predicate, not a second scan);
 - the (doc, bucket) collapse is the one corpus-scale shuffle
   (map-side partial agg, uniform composite key); the bucket-count
@@ -98,13 +99,19 @@ def dsir_weights(
     )
     # ONE tokenize pass: collapse token occurrences to per-document
     # bucket counts (<= n_buckets rows per doc, far smaller than the
-    # exploded token frame) and persist THAT — both the bucket-count
-    # models and the scoring pass read it, so the expensive regex
-    # tokenize/explode runs exactly once
+    # exploded token frame) and localCheckpoint THAT — both the
+    # bucket-count models and the scoring pass read the materialized
+    # blocks, so the expensive regex tokenize/explode runs exactly
+    # once.  localCheckpoint (NOT persist): persist pins the frame in
+    # the session CacheManager until an explicit unpersist — which no
+    # caller of a lazily-returned frame can place — leaking executor
+    # storage across a long registry sweep; checkpoint blocks are
+    # owned by the RDD and the ContextCleaner drops them when the
+    # result frame is garbage collected (round-12 advice).
     doc_bucket = (
         toks.groupBy(id_col, "_t", "_b")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bstats = doc_bucket.groupBy("_b").agg(
         F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0))

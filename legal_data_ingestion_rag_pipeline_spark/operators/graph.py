@@ -1081,6 +1081,12 @@ def betweenness_sampled(
     BFS cone.  Hop bound = the semantic cap (Brandes-Pich estimates
     converge with small pivot counts; bounded-depth dependencies are
     the k-bounded betweenness variant).
+
+    Row-set contract: one row per vertex that appears at depth
+    1..len-2 of at least one landmark's cone (zero deltas included);
+    deepest-level-only vertices and the sources themselves are never
+    emitted — bit-equal, rows included, to
+    :func:`betweenness_sampled_py`.
     """
     if not sources:
         raise ValueError("sources must be non-empty")
@@ -1126,9 +1132,12 @@ def betweenness_sampled(
     deltas: DataFrame = levels[-1].select(
         "landmark", "v", F.lit(0).cast("bigint").alias("delta")
     )
+    # the deepest level's deltas are all zero AND have no successor
+    # fold, so they are NOT accumulated — exactly like the twin, whose
+    # backward loop only adds cur_delta for levels len-2 .. 1.  A
+    # vertex that is deepest under one landmark can still earn rows
+    # from another landmark's shallower cone.
     acc: DataFrame | None = None
-    if len(levels) - 1 > 0:
-        acc = deltas  # deepest level contributes its zeros (lvl > 0)
     for lvl in range(len(levels) - 2, -1, -1):
         cur = levels[lvl]
         succ = deltas.join(
@@ -1191,7 +1200,9 @@ def betweenness_sampled_py(
 ) -> dict[int, int]:
     """Sparkless twin of :func:`betweenness_sampled` — identical
     integer arithmetic (BIGINT sigma sums, per-edge micro floor-div,
-    per-level accumulation)."""
+    per-level accumulation) AND identical row set: only vertices at
+    depth 1..len-2 of some landmark's cone get an entry (zeros
+    included); deepest-level-only vertices never do."""
     import collections
 
     scale = 1_000_000

@@ -612,7 +612,16 @@ def kmv_set_stats(
     sketches: the union sketch's k-th minimum drives the distinct
     estimate (k-1)*P/h_k, and membership counts inside the union
     sketch drive Jaccard / intersection / difference — each final
-    number ONE snapped double division of exact integers."""
+    number ONE snapped double division of exact integers.
+
+    Underfull branch (round-12 advice): when the union sketch holds
+    n_held < k rows, BOTH input sketches were complete sets (a KMV
+    sketch with fewer than k entries IS its set), so the estimator
+    switches to exact counts — est_union = n_held, est_a_only =
+    n_a_only — and every ratio divides by n_held, not the nominal k
+    (which equals n_held exactly when the sketch is full, so the full
+    branch is unchanged).  Mirrors kmv_estimate_from_store's exact
+    branch."""
     from ..functions import portable as PT
 
     u = sa.unionByName(sb).distinct().orderBy("h").limit(k)
@@ -627,6 +636,7 @@ def kmv_set_stats(
     )
     return flags.agg(
         F.lit(k).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_held"),
         F.max("h").cast("bigint").alias("h_k"),
         F.sum(
             F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
@@ -642,14 +652,16 @@ def kmv_set_stats(
         "k",
         "h_k",
         F.expr(
-            f"CAST(FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5) AS BIGINT)"
+            f"CAST(CASE WHEN n_held < {k} THEN n_held"
+            f" ELSE FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5) END AS BIGINT)"
         ).alias("est_union"),
         F.expr(
-            f"CAST(FLOOR(n_both * 1000000.0 / {k} + 0.5) AS BIGINT)"
+            "CAST(FLOOR(n_both * 1000000.0 / n_held + 0.5) AS BIGINT)"
         ).alias("jaccard_micro"),
         F.expr(
-            f"CAST(FLOOR(CAST(FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5)"
-            f" AS DOUBLE) * n_a_only / {k} + 0.5) AS BIGINT)"
+            f"CAST(CASE WHEN n_held < {k} THEN n_a_only"
+            f" ELSE FLOOR(CAST(FLOOR(({k} - 1) * {PT.P}.0 / h_k + 0.5)"
+            f" AS DOUBLE) * n_a_only / {k} + 0.5) END AS BIGINT)"
         ).alias("est_a_only"),
     )
 

@@ -851,6 +851,7 @@ def _kmv_oracle_sql() -> str:
     ),
     est AS (
       SELECT CAST({_KMV_K} AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n_held,
              CAST(max(h) AS BIGINT) AS h_k,
              CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_both,
@@ -867,14 +868,16 @@ def _kmv_oracle_sql() -> str:
                   AS BIGINT) AS exact_a_only
     )
     SELECT k, h_k,
-           CAST(FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5) AS BIGINT)
-             AS est_union,
+           CAST(CASE WHEN n_held < {_KMV_K} THEN n_held
+                ELSE FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5)
+                END AS BIGINT) AS est_union,
            exact_union,
-           CAST(FLOOR(n_both * 1000000.0 / {_KMV_K} + 0.5) AS BIGINT)
+           CAST(FLOOR(n_both * 1000000.0 / n_held + 0.5) AS BIGINT)
              AS jaccard_micro,
-           CAST(FLOOR(CAST(FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5)
-                AS DOUBLE) * n_a_only / {_KMV_K} + 0.5) AS BIGINT)
-             AS est_a_only,
+           CAST(CASE WHEN n_held < {_KMV_K} THEN n_a_only
+                ELSE FLOOR(CAST(FLOOR(({_KMV_K} - 1) * {PT.P}.0 / h_k + 0.5)
+                     AS DOUBLE) * n_a_only / {_KMV_K} + 0.5)
+                END AS BIGINT) AS est_a_only,
            exact_a_only
     FROM est CROSS JOIN exact
     """

@@ -709,10 +709,12 @@ def _skmv_oracle() -> str:
     "STREAMING operator (streaming.pipeline.stateful_kmv_distinct + "
     "sketches.kmv_hash_sql): per event_type, GroupState carries the "
     "sorted bottom-64 distinct uniformized user hashes across "
-    "micro-batches; emits are batch-split invariant in the limit "
-    "(n_held non-decreasing, h_k non-increasing), so the final state "
-    "over a finite replay equals the batch bottom-k — the "
-    "sessionize finite-replay equivalence applied to a sketch.  The "
+    "micro-batches plus an emit sequence counter; the final state is "
+    "recovered as the max-seq emit per key (max_by), which equals "
+    "the batch bottom-k over a finite replay regardless of the "
+    "micro-batch split — the sessionize finite-replay equivalence "
+    "applied to a sketch (min(h_k) over emits would be wrong while "
+    "the sketch is underfull).  The "
     "estimator ((k-1)*P/h_k, exact count when n_held < k) applies "
     "AFTER the final aggregation, so the stream carries only exact "
     "integers and the oracle is the batch KMV SQL.  O(k) state per "
@@ -747,12 +749,16 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # final state per key = the LAST emit (largest seq).  min(h_k)
+    # over emits would be wrong while the sketch is underfull: h_k is
+    # the max of the held hashes until n_held reaches k, so an early
+    # partial batch could contribute a spuriously small h_k.
     final = (
         spark.table(_KMV_STREAM_SINK)
         .groupBy(F.col("key").alias("event_type"))
         .agg(
-            F.max("n_held").cast("bigint").alias("n_held"),
-            F.min("h_k").cast("bigint").alias("h_k"),
+            F.max_by("n_held", "seq").cast("bigint").alias("n_held"),
+            F.max_by("h_k", "seq").cast("bigint").alias("h_k"),
         )
     )
     return final.select(

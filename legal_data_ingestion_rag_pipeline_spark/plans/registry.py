@@ -39,79 +39,75 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: The per-round rotation history (which slots rotated when, and the
 #: gated machinery partner every OUT keeps) lives in ROTATIONS.md.
 #:
-#: Round-12 rotation (r11 verdict asks #1/#2/#3/#8): 20 IN, 20 OUT,
+#: Round-13 rotation (r12 verdict asks #1/#2/#7): 28 IN, 28 OUT,
 #: each OUT keeping a named gated machinery partner — full rationale
-#: in ROTATIONS.md.  IN: the eight never-gated round-11 families
-#: (DSIR importance resampling, NFD sequence packing, RM3
-#: pseudo-relevance feedback, k-truss edge peeling, TF-IDF
-#: keyphrases, DoReMi domain reweighting, golden-record election,
-#: multi-source landmark BFS), the four composite pipelines
-#: (events capstone, pretrain prep, corpus datacard, join-key skew
-#: profile), and the IVM/store + FTS-variant + ANN-stored clusters
-#: (incremental view refresh, tlog CDC, histogram/CMS stores, phrase
-#: + Dirichlet-QL search, PQ + trained-IVF stored indexes).
+#: in ROTATIONS.md.  IN: all 19 never-gated round-12 families
+#: (KNN-Shapley x2, harmonic/betweenness/diameter graph pack, BM25F,
+#: t-closeness, Neyman allocation, geometric medians + embedding
+#: outliers, blocked Levenshtein, KMV theta/store, Misra-Gries,
+#: UniMax, Gopher filter, provenance roots, IVF incremental add, RBO
+#: eval), the never-gated privacy pack (k-anonymity, l-diversity,
+#: DP noise calibration), the never-gated TPC-H tail (Q15/Q10/Q18/
+#: Q4/Q6 shapes), and the streaming KMV sketch-maintenance row.
 GATE_PRIORITY: tuple[str, ...] = (
-    # LLM family: dedup / ingest
-    "split_leakage_audit",
+    # LLM family: dedup / linkage / ingest / quality
     "dedup_prefix_jaccard",
+    "url_canonical_dedup",
     "boilerplate_segment_removal",
-    "cross_source_neardup_matrix",
-    "dedup_spans_incremental",
+    "levenshtein_blocked_pairs",
+    "record_linkage_fellegi_sunter",
+    "gopher_quality_filter",
     "ingest_timetravel_cases",
-    # LLM family: similarity search / clustering / sketches
-    "dbscan_ivf_clusters",
-    "kcenter_coreset_selection",
-    "hll_incremental_store",
-    # round-11 families (r11 verdict asks #1/#8 — new machinery:
-    # operators/dsir.py, operators/packing.py, operators/graph.py
-    # k-truss + multi-source BFS, fts RM3, pretrain tfidf/doremi,
-    # similarity golden-record)
+    # LLM family: ANN / embeddings / sketches
+    "ann_ivf_incremental_add",
+    "ann_rbo_eval",
+    "embedding_outlier_scores",
+    "geometric_median_labels",
+    "kmv_theta_set_difference",
+    "kmv_incremental_store",
+    "misra_gries_heavy_hitters",
+    # LLM family: valuation / mixture / pretrain
+    "knn_shapley_values",
+    "knn_shapley_pooled",
+    "unimax_budget_allocation",
     "dsir_importance_resampling",
     "sequence_packing_stats",
-    "rm3_prf_expansion",
-    "ktruss_copurchase",
-    "tfidf_keyphrases",
-    "doremi_domain_weights",
-    "golden_record_election",
-    "landmark_distances_copurchase",
-    # composite end-to-end pipelines (r11 verdict ask #2 — the
-    # integration-drift catchers)
+    "wordpiece_encode_corpus",
+    "mink_prob_contamination",
+    # graph pack (multi_source_bfs riders + Brandes)
+    "harmonic_centrality_copurchase",
+    "betweenness_sampled_copurchase",
+    "diameter_double_sweep",
+    # FTS / RAG
+    "bm25f_fielded_search",
+    "rag_semantic_search",
+    # privacy / profiling (r12 verdict ask #2)
+    "t_closeness_audit",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "dp_noise_calibration",
+    # statistics
+    "neyman_allocation_sample",
+    # TPC-H plan-shape tail (r12 verdict ask #2)
+    "top_revenue_suppliers",
+    "returned_items_report",
+    "large_volume_customers",
+    "order_priority_exists",
+    "forecast_revenue_filter",
+    # streaming (stateful + sketch maintenance, r12 verdict ask #7)
+    "streaming_kmv_distinct",
+    "streaming_stateful_sessionize",
+    # composite pipelines / IVM
+    "pipeline_provenance_roots",
     "events_analytics_capstone",
     "pretrain_prep_pipeline",
-    "corpus_datacard",
-    "join_key_skew_profile",
-    # IVM / store + FTS-variant + ANN-stored clusters (r11 verdict
-    # ask #3 — the incremental-maintenance and stored-index machinery
-    # a deployment leans on between full recomputes)
+    "curation_pipeline_v5",
     "ivm_join_view_refresh",
-    "tlog_change_data_feed",
-    "histogram_incremental_store",
-    "cms_merge_estimate",
-    "fts_phrase_search",
-    "fts_dirichlet_ql_search",
-    "ann_pq_stored",
-    "ann_ivf_trained_topk",
-    # statistics family (operators/ranks + driver_queries_stats)
-    "kruskal_wallis_segments",
-    "heaps_law_fit",
-    "pca_gram_projection",
-    "ewma_gap_decay_wallet",
-    # LLM family: text analysis + RAG + curation + multimodal
-    "textstats_repetition",
-    "logistic_gd_two_steps",
-    "mink_prob_contamination",
-    "wordpiece_encode_corpus",
-    "rag_semantic_search",
-    "rrf_hybrid_search",
-    "record_linkage_fellegi_sunter",
-    "url_canonical_dedup",
+    # multimodal
     "multimodal_bytes_simhash",
-    # events-table / streaming family
-    "streaming_stateful_sessionize",
     # flagship + reference-parity core (highest §2 coverage per slot)
     "list_topk_by_date",
     "quality_sanity_report",
-    "curation_pipeline_v5",
     "parties_grammar",
     "surrogate_dim_ids",
     "case_detail_joins",

@@ -464,18 +464,22 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
     operators/sketches.kmv_sketch.
 
     State per key = the sorted bottom-k distinct uniformized hashes
-    seen so far (<= k BIGINTs); each micro-batch merges the batch's
-    hashes into the state and emits (key, n_held, h_k).  Both emitted
-    quantities are batch-split invariant in the limit: n_held is
-    non-decreasing and h_k non-increasing as data arrives, so the
-    final state (max n_held, min h_k per key) equals the batch
+    seen so far (<= k BIGINTs) plus an emit sequence counter; each
+    micro-batch merges the batch's hashes into the state and emits
+    (key, seq, n_held, h_k).  The FINAL state per key is recovered as
+    the row with the LARGEST seq (``F.max_by(..., "seq")``) — NOT by
+    aggregating min/max over the emits: while the sketch is underfull
+    (n_held < k) h_k is the max of the held hashes and can move in
+    EITHER direction across batches, so min(h_k) over emits can pick
+    an early partial maximum and corrupt the estimate by orders of
+    magnitude.  The seq-recovered final state equals the batch
     bottom-k over the same rows regardless of how the replay divided
     into micro-batches — the finite-replay equivalence the
     stateful_sessionize operator pins, applied to a sketch.
 
     At scale: O(k) state per key; the estimator (k-1)*P/h_k (exact
-    n_held when n_held < k) is applied AFTER the final aggregation so
-    the stream only carries exact integers.
+    n_held when n_held < k) is applied AFTER the final per-key
+    recovery so the stream only carries exact integers.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -487,18 +491,23 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
             batch.update(int(x) for x in pdf["h"])
         if not batch:
             return
-        held = list(state.get[0]) if state.exists else []
+        held, seq = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
         merged = sorted(set(held) | batch)[:k]
-        state.update((merged,))
+        seq += 1
+        state.update((merged, seq))
         yield pd.DataFrame(
-            [(key[0], len(merged), merged[-1])],
-            columns=["key", "n_held", "h_k"],
+            [(key[0], seq, len(merged), merged[-1])],
+            columns=["key", "seq", "n_held", "h_k"],
         )
 
     return events.groupBy("key").applyInPandasWithState(
         fn,
-        outputStructType="key string, n_held bigint, h_k bigint",
-        stateStructType="hashes array<bigint>",
+        outputStructType="key string, seq bigint, n_held bigint, h_k bigint",
+        stateStructType="hashes array<bigint>, seq bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -253,9 +253,12 @@ def test_betweenness_matches_twin_and_bridge_dominates(spark):
         ).collect()
     }
     want = graph.betweenness_sampled_py(set(edges), [0, 1], max_depth=4)
+    # full row-set equality, ZERO rows included: the Spark operator
+    # and the twin must emit exactly the same (vertex -> micro) map
+    # (round-12 advice: the Spark side used to seed the accumulator
+    # with the deepest level's zero rows, which the twin never emits)
+    assert got == want
     got_pos = {v: c for v, c in got.items() if c > 0}
-    want_pos = {v: c for v, c in want.items() if c > 0}
-    assert got_pos == want_pos
     # the bridge path 0/1 -> 2 -> 9 -> 5 -> {6,7} routes everything
     assert max(got_pos, key=got_pos.get) in (2, 9)
     assert got_pos[9] > got_pos.get(5, 0)

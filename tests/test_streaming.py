@@ -630,10 +630,9 @@ def test_stateful_kmv_state_survives_micro_batches(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert q.exception() is None
-    emits = spark.table("kmv_test").orderBy("h_k").collect()
+    emits = spark.table("kmv_test").orderBy("seq").collect()
     assert len(emits) == 2  # one emit per micro-batch
-    # monotone: second emit holds >= hashes at a <= k-th minimum
-    hks = [r.h_k for r in spark.table("kmv_test").collect()]
+    assert [r.seq for r in emits] == [1, 2]
     # batch reference over ALL rows
     all_df = spark.createDataFrame(
         rows_a + rows_b, "key: string, uid: string"
@@ -641,5 +640,91 @@ def test_stateful_kmv_state_survives_micro_batches(spark, tmp_path):
     want = sorted(
         r.h for r in all_df.select("h").distinct().orderBy("h").limit(64).collect()
     )
-    final = min(hks)
-    assert final == want[-1]  # final k-th minimum equals batch bottom-k
+    # final state = the max-seq emit, which equals the batch bottom-k
+    final = emits[-1]
+    assert final.n_held == 64
+    assert final.h_k == want[-1]
+
+
+def test_stateful_kmv_underfull_first_batch_recovery(spark, tmp_path):
+    """Regression (round-12 advice): when the FIRST micro-batch holds
+    fewer than k distinct hashes, h_k (= max of held hashes) GROWS in
+    later batches, so recovering the final state as min(h_k) over
+    emits silently picks the early partial maximum.  The seq-based
+    max_by recovery must return the true final state == batch
+    bottom-k."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        kmv_hash_sql,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stateful_kmv_distinct,
+    )
+
+    k = 64
+    # adversarial split: batch 1 = the 10 uids with the globally
+    # SMALLEST hashes (so its partial max — emitted as h_k — is the
+    # 10th overall minimum, far below the final 64th minimum), batch 2
+    # = everything else.  10 < k keeps batch 1's sketch underfull.
+    uids = [str(i) for i in range(0, 500)]
+    order = (
+        spark.createDataFrame([(u,) for u in uids], "uid: string")
+        .select("uid", F.expr(kmv_hash_sql("uid", "spark")).alias("h"))
+        .orderBy("h")
+        .collect()
+    )
+    rows_a = [("t", r.uid) for r in order[:10]]
+    rows_b = [("t", r.uid) for r in order[10:]]
+    src = tmp_path / "kmv_uf"
+    src.mkdir()
+    pd.DataFrame(rows_a, columns=["key", "uid"]).to_parquet(
+        str(src / "a.parquet")
+    )
+    time.sleep(1.2)
+    pd.DataFrame(rows_b, columns=["key", "uid"]).to_parquet(
+        str(src / "b.parquet")
+    )
+    stream = (
+        spark.readStream.schema("key string, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    hashed = stream.select(
+        "key", F.expr(kmv_hash_sql("uid", "spark")).alias("h")
+    )
+    out = stateful_kmv_distinct(hashed, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_uf_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    emits = spark.table("kmv_uf_test")
+    all_df = spark.createDataFrame(
+        rows_a + rows_b, "key: string, uid: string"
+    ).select("key", F.expr(kmv_hash_sql("uid", "spark")).alias("h"))
+    want = sorted(
+        r.h
+        for r in all_df.select("h").distinct().orderBy("h").limit(k).collect()
+    )
+    rec = (
+        emits.groupBy("key")
+        .agg(
+            F.max_by("n_held", "seq").alias("n_held"),
+            F.max_by("h_k", "seq").alias("h_k"),
+        )
+        .collect()[0]
+    )
+    assert rec.n_held == k
+    assert rec.h_k == want[-1]
+    # and the OLD recovery (min over emits) really is wrong here — the
+    # first emit's partial max is smaller than the true k-th minimum
+    bad = emits.agg(F.min("h_k")).collect()[0][0]
+    assert bad != want[-1]

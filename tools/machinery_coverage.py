@@ -247,26 +247,25 @@ def pytest_pins(funcs: dict[str, str]) -> dict[str, list[str]]:
     return pins
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--json", default=None, help="also write a JSON report")
-    args = ap.parse_args()
-
+def compute_rows(
+    spark, sf_dir: str
+) -> tuple[list[dict], dict[str, str]]:
+    """The full coverage computation, importable so the zero-dark
+    invariant can run as a pytest (round-12 verdict ask #6): returns
+    (rows, trace_errors).  A row is dark iff it has no executing
+    query, no pytest pin, and no covered_via chain."""
     from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
-    from legal_data_ingestion_rag_pipeline_spark.session import build_session
 
     funcs = public_functions()
     gated = ever_gated_queries()
     pins = pytest_pins(funcs)
-    spark = build_session("machinery_coverage")
 
     func_to_queries: dict[str, set[str]] = defaultdict(set)
     reg = registry()
     errors: dict[str, str] = {}
     for name, spec in reg.items():
         try:
-            for qual in trace_query_calls(spark, spec, args.sf):
+            for qual in trace_query_calls(spark, spec, sf_dir):
                 if qual in funcs:
                     func_to_queries[qual].add(name)
         except Exception as e:  # broken query = its own alarm elsewhere
@@ -337,9 +336,24 @@ def main() -> int:
                 "covered_via": via,
             }
         )
+    return rows, errors
 
-    def direct(r) -> bool:
-        return bool(r["queries"] or r["pytest_pins"])
+
+def direct(r) -> bool:
+    return bool(r["queries"] or r["pytest_pins"])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--json", default=None, help="also write a JSON report")
+    args = ap.parse_args()
+
+    from legal_data_ingestion_rag_pipeline_spark.session import build_session
+
+    spark = build_session("machinery_coverage")
+    rows, errors = compute_rows(spark, args.sf)
+    gated = ever_gated_queries()
 
     n_gated = sum(1 for r in rows if r["ever_gated_queries"])
     n_local = sum(
