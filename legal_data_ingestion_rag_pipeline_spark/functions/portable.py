@@ -65,6 +65,16 @@ def array_min(arr: str, dialect: str) -> str:
     return f"{fn}({arr})"
 
 
+def array_max(arr: str, dialect: str) -> str:
+    fn = "array_max" if dialect == SPARK else "list_max"
+    return f"{fn}({arr})"
+
+
+def array_contains(arr: str, value: str, dialect: str) -> str:
+    fn = "array_contains" if dialect == SPARK else "list_contains"
+    return f"{fn}({arr}, {value})"
+
+
 def sequence(lo: str, hi_inclusive: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"sequence({lo}, {hi_inclusive})"
@@ -86,6 +96,17 @@ def slice_(arr: str, start_1based: str, length: int, dialect: str) -> str:
 def size_(arr: str, dialect: str) -> str:
     fn = "size" if dialect == SPARK else "len"
     return f"{fn}({arr})"
+
+
+def idiv(num: str, den: str, dialect: str) -> str:
+    """Exact BIGINT floor-division of non-negative integers — the
+    micro-snap for rationals whose numerator/denominator are both
+    exact: no double ever exists, so no libm and no ULP divergence.
+    (Spark DIV and DuckDB // both truncate; restrict to >= 0 operands
+    where truncation == floor.)"""
+    if dialect == SPARK:
+        return f"(({num}) DIV ({den}))"
+    return f"(({num}) // ({den}))"
 
 
 def shiftright(expr: str, bits: str, dialect: str) -> str:

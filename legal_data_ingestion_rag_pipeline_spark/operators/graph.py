@@ -1241,3 +1241,114 @@ def betweenness_sampled_py(
                     out[v] += d
             delta = cur_delta
     return dict(out)
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    a: str = "lo",
+    b: str = "hi",
+    w: str = "w",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Boruvka.
+
+    Returns the exact MSF edge set as (lo, hi, w) under the strict
+    total edge order (w, lo, hi) — the tie-break makes the forest
+    UNIQUE, so the result is hash-gateable against a sequential
+    Kruskal twin.
+
+    Round shape (O(log V) rounds — components at least halve):
+      1. every live edge carries its endpoints' component ids; edges
+         inside one component are dropped PERMANENTLY (they can never
+         re-cross),
+      2. each component selects its lightest incident edge (one
+         min_by aggregate over the doubled incidence list — map-side
+         combinable, keyed by component id),
+      3. the selected edges (all provably in the MSF, classic Boruvka
+         invariant under a strict total order) contract via
+         :func:`connected_components` on the COMPONENT-ID graph,
+         whose size is <= the component count and shrinks
+         geometrically — the star-contraction machinery is reused
+         rather than re-derived, and its hybrid local finish makes
+         late rounds one driver union-find over a bounded set,
+      4. live edges relabel through the (broadcastable) contraction
+         map; localCheckpoint pins each frontier so lineage stays
+         O(1) across rounds.
+
+    At 100 TB the cost is dominated by step 2's one shuffle of the
+    live edge set per round; the live set only shrinks (intra-
+    component drops are permanent), so total work is O(E log V) with
+    geometrically falling constants.  ``max_rounds`` raises rather
+    than returning a partial forest.
+    """
+    live = (
+        edges.select(
+            F.col(a).alias("lo"), F.col(b).alias("hi"), F.col(w).alias("w")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+        .select(
+            "lo", "hi", "w",
+            F.col("lo").alias("ca"), F.col("hi").alias("cb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if live.limit(1).count() == 0:
+            if not picked:
+                return live.select("lo", "hi", "w")
+            out = picked[0]
+            for p in picked[1:]:
+                out = out.unionAll(p)
+            return out
+        incident = live.select(F.col("ca").alias("c"), "lo", "hi", "w", "cb").unionAll(
+            live.select(F.col("cb").alias("c"), "lo", "hi", "w", "ca").select(
+                "c", "lo", "hi", "w", F.col("ca").alias("cb")
+            )
+        )
+        sel = (
+            incident.groupBy("c")
+            .agg(
+                F.min_by(
+                    F.struct("lo", "hi", "w"), F.struct("w", "lo", "hi")
+                ).alias("e")
+            )
+            .select("e.lo", "e.hi", "e.w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        picked.append(sel)
+        # contract on COMPONENT ids: selected edges keyed by the
+        # component labels their endpoints carried this round
+        sel_comp = (
+            incident.groupBy("c")
+            .agg(
+                F.min_by(F.col("cb"), F.struct("w", "lo", "hi")).alias("c2")
+            )
+            .select(F.col("c").alias("x"), F.col("c2").alias("y"))
+        )
+        merge = connected_components(sel_comp, src="x", dst="y").select(
+            F.col("vertex").alias("_c"), F.col("label").alias("_nc")
+        )
+        live = (
+            live.join(merge.withColumnRenamed("_c", "ca"), "ca", "left")
+            .withColumn("ca", F.coalesce("_nc", F.col("ca")))
+            .drop("_nc")
+            .join(
+                merge.select(
+                    F.col("_c").alias("cb"), F.col("_nc").alias("_ncb")
+                ),
+                "cb",
+                "left",
+            )
+            .withColumn("cb", F.coalesce("_ncb", F.col("cb")))
+            .drop("_ncb")
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)
+        )
+    raise ConvergenceError(
+        f"boruvka_msf: live edges remain after {max_rounds} rounds "
+        "(components at least halve per round; raise max_rounds)"
+    )

@@ -1,0 +1,823 @@
+"""Driver queries, round 13 — new families, each implemented and
+registered in this module:
+
+- corr_matrix_lineitem — full pairwise Pearson correlation matrix
+  over the four lineitem measures in ONE aggregation pass: all 14
+  sufficient moments (4 sums, 4 squares, 6 cross-products) aggregate
+  as exact DECIMAL(18,4) partial sums (order-independent, map-side
+  combinable), then each of the 6 unpivoted (col_a, col_b) rows is a
+  single snapped double formula.  The data-profiling primitive that
+  turns a 100 TB table into a d x d feature-dependence card without
+  ever shuffling more than one row of moments per partition.
+
+- ridge_regression_cramer — L2-regularized (ridge) regression of
+  extendedprice on (quantity, discount) with intercept, solved in
+  closed form: the 3x3 regularized normal equations are built from
+  the SAME exact decimal moment sums and solved by Cramer's rule —
+  four 3x3 determinants evaluated once on identical scalars on both
+  engines, each coefficient snapped once.  The scalable form of
+  in-engine linear-model fitting: sufficient statistics shuffle O(d^2)
+  values regardless of row count.
+
+- bh_fdr_price_cells — multiple-testing control: one z-statistic per
+  (brand, type) cell (cell mean retailprice vs the global mean, exact
+  integer-decimal moments), then the Benjamini-Hochberg step-up over
+  the DECLARED 150-cell family at q = 0.05.  The inverse-normal
+  critical values z(q*i/(2m)) are computed ONCE in Python (Acklam's
+  rational approximation) and folded into BOTH dialects as the same
+  micro-integer literal table — the _DECAY_MICRO convention that
+  keeps libm out of the hash gate entirely: the procedure compares
+  exact BIGINT micro-z against BIGINT micro-critical values.
+
+- c4_heuristic_line_filter — C4-style heuristic line filtering
+  (Raffel et al. 2020 §2.2) mapped onto the corpus's deterministic
+  4-token-window segmentation (operators/linededup.
+  segment_token_windows — the same segmenter the CCNet boilerplate
+  pass uses, so the two line-level recipes compose): a segment
+  survives if it is full-width, contains a function word, and has no
+  3x-repeated token; a document survives if >= 3 segments and >= half
+  its segments survive.  Per-doc accounting + the reassembled clean
+  text are both pinned by the hash.
+
+- simrank_copurchase — two SimRank iterations (Jeh & Widom 2002) on
+  the part <- order bipartite graph, every term micro-snapped so the
+  totals are exact BIGINTs: s1(o1,o2) for order pairs is one integer
+  division per pair, s2(a,b) for candidate part pairs (support >= 2)
+  sums those exact integers plus the |Ia n Ib| diagonal before ONE
+  final integer division.  "Similar parts buy similar orders buy
+  similar parts" — the recursive link-prediction complement to the
+  one-hop Adamic-Adar family.
+
+Conventions as everywhere: exact BIGINT / DECIMAL moments, each
+division-to-double micro-snapped once from exact integers, total-order
+tie-breaks on every ranking, literal tables instead of libm.
+
+No reference-file citation applies: /root/reference stops at
+retrieval; these extend the profiling / ML / stats / curation / graph
+families (SURVEY.md beyond-reference operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import portable as PT
+from ..operators import linededup
+from ..session import load_table
+from .registry import register
+
+D = PT.DUCKDB
+S = PT.SPARK
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _snap(expr: str, digits: float = 1e6) -> str:
+    """round6 convention: quantize the ONE double result of an exact-
+    moment formula so 1-ULP libm/cast differences can't flip the hash."""
+    return f"CAST(FLOOR((({expr}) * {digits:.1f}) + 0.5) AS DOUBLE) / {digits:.1f}"
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix_lineitem
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+#: per-row double products are exact (quantity <= 50, price < ~110k
+#: with <= 2 decimals, discount/tax < 1 with <= 2 decimals: every
+#: product is an integer in 1e-4 units far below 2^53), so the
+#: DECIMAL(18,4) cast is lossless and the widened decimal SUM
+#: (DECIMAL(28,4) on Spark, DECIMAL(38,4) on DuckDB) is
+#: order-independent with ~1e10 digits of headroom at petabyte row
+#: counts — the regression_price_vs_quantity recipe generalized to
+#: the full moment matrix.
+def _corr_sums_sql() -> str:
+    parts = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        parts.append(f"sum(CAST({c} AS DECIMAL(18,4))) AS s_{c}")
+        parts.append(
+            f"sum(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE) "
+            f"AS DECIMAL(18,4))) AS ss_{c}"
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            parts.append(
+                f"sum(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) "
+                f"AS DECIMAL(18,4))) AS sx_{a}_{b}"
+            )
+    return ", ".join(parts)
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """Pearson r for one pair from the shared moment row — identical
+    arithmetic in both dialects (casts, *, -, /, sqrt are all
+    IEEE-correctly-rounded), snapped once."""
+    n = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+    sab = f"CAST(sx_{a}_{b} AS DOUBLE)"
+    num = f"({n} * {sab} - {sa} * {sb})"
+    den = f"sqrt(({n} * {ssa} - {sa} * {sa}) * ({n} * {ssb} - {sb} * {sb}))"
+    return _snap(f"{num} / {den}")
+
+
+def _corr_projection_sql() -> str:
+    arms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            arms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CAST(n AS BIGINT) AS n, {_corr_pair_sql(a, b)} AS corr "
+                f"FROM sums"
+            )
+    return " UNION ALL ".join(arms)
+
+
+_CORR_ORACLE = f"""
+    WITH sums AS (SELECT {_corr_sums_sql()} FROM lineitem),
+    pairs AS ({_corr_projection_sql()})
+    SELECT * FROM pairs ORDER BY col_a, col_b
+"""
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=_CORR_ORACLE,
+    doc="pairwise Pearson correlation matrix over the four lineitem "
+    "measures from ONE moment-aggregation pass: 15 decimal-exact "
+    "sufficient statistics (map-side combinable, one shuffle of one "
+    "short row), unpivoted into 6 (col_a, col_b, corr) rows each "
+    "computed and snapped once from identical scalars. The built-in "
+    "float corr() aggregate is order-dependent and can never "
+    "hash-gate; the moment form is both reproducible and the only "
+    "shape that holds at 100 TB — the d^2 moments are O(1) bytes per "
+    "partition no matter the row count.",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_corr_lineitem")
+    # ONE aggregation over the fact table; the 6 output rows unpivot
+    # from the single moment row via stack() — the oracle's UNION ALL
+    # over a 1-row CTE is the same relation, but a UNION of view
+    # references would rescan the fact table 6x on the Spark side
+    arms = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            arms.append(f"'{a}', '{b}', {_corr_pair_sql(a, b)}")
+    return spark.sql(
+        f"WITH sums AS (SELECT {_corr_sums_sql()} FROM _corr_lineitem) "
+        f"SELECT col_a, col_b, CAST(n AS BIGINT) AS n, corr FROM sums "
+        f"LATERAL VIEW stack(6, {', '.join(arms)}) AS col_a, col_b, corr "
+        "ORDER BY col_a, col_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ridge_regression_cramer
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000  # L2 strength in squared-feature units
+
+
+def _ridge_sums_sql() -> str:
+    """Moments for y = extendedprice on x1 = quantity, x2 = discount
+    (+ intercept). Same lossless DECIMAL(18,4) per-row products."""
+    return """
+      count(*) AS n,
+      sum(CAST(l_quantity AS DECIMAL(18,4))) AS s1,
+      sum(CAST(l_discount AS DECIMAL(18,4))) AS s2,
+      sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+      sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+               AS DECIMAL(18,4))) AS s11,
+      sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)
+               AS DECIMAL(18,4))) AS s12,
+      sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)
+               AS DECIMAL(18,4))) AS s22,
+      sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+               AS DECIMAL(18,4))) AS s1y,
+      sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+               AS DECIMAL(18,4))) AS s2y
+    """
+
+
+def _ridge_projection_sql() -> str:
+    """Cramer's-rule solve of (X'X + lambda*diag(0,1,1)) beta = X'y.
+
+    The intercept row/col is unpenalized (standard ridge practice).
+    a..f name the symmetric matrix entries, r0..r2 the RHS; every
+    determinant is one arithmetic expression over the SAME doubles on
+    both engines, each coefficient snapped once.
+    """
+    lam = float(_RIDGE_LAMBDA)
+    n = "CAST(n AS DOUBLE)"
+    defs = {
+        "a": n,
+        "b": "CAST(s1 AS DOUBLE)",
+        "c": "CAST(s2 AS DOUBLE)",
+        "d": f"(CAST(s11 AS DOUBLE) + {lam:.1f})",
+        "e": "CAST(s12 AS DOUBLE)",
+        "f": f"(CAST(s22 AS DOUBLE) + {lam:.1f})",
+        "r0": "CAST(sy AS DOUBLE)",
+        "r1": "CAST(s1y AS DOUBLE)",
+        "r2": "CAST(s2y AS DOUBLE)",
+    }
+
+    def det(m00, m01, m02, m10, m11, m12, m20, m21, m22):
+        # 3x3 determinant, fully parenthesized, same evaluation order
+        # in both engines
+        return (
+            f"({m00} * ({m11} * {m22} - {m12} * {m21}) "
+            f"- {m01} * ({m10} * {m22} - {m12} * {m20}) "
+            f"+ {m02} * ({m10} * {m21} - {m11} * {m20}))"
+        )
+
+    a, b, c, d, e, f_, r0, r1, r2 = (
+        defs["a"], defs["b"], defs["c"], defs["d"], defs["e"], defs["f"],
+        defs["r0"], defs["r1"], defs["r2"],
+    )
+    det_a = det(a, b, c, b, d, e, c, e, f_)
+    det_0 = det(r0, b, c, r1, d, e, r2, e, f_)
+    det_1 = det(a, r0, c, b, r1, e, c, r2, f_)
+    det_2 = det(a, b, r0, b, d, r1, c, e, r2)
+    return (
+        f"SELECT CAST(n AS BIGINT) AS n, "
+        f"{_snap(f'{det_0} / {det_a}')} AS beta0, "
+        f"{_snap(f'{det_1} / {det_a}')} AS beta1, "
+        f"{_snap(f'{det_2} / {det_a}')} AS beta2 "
+        f"FROM sums"
+    )
+
+
+_RIDGE_ORACLE = f"""
+    WITH sums AS (SELECT {_ridge_sums_sql()} FROM lineitem)
+    {_ridge_projection_sql()}
+"""
+
+
+@register(
+    "ridge_regression_cramer",
+    oracle=_RIDGE_ORACLE,
+    doc=f"ridge regression (lambda = {_RIDGE_LAMBDA}, intercept "
+    "unpenalized) of extendedprice on quantity and discount, solved "
+    "in closed form by Cramer's rule over the 3x3 regularized normal "
+    "equations: nine decimal-exact moment sums (ONE map-side-combined "
+    "shuffle of one short row at any scale), four 3x3 determinants "
+    "evaluated once on identical scalars, each coefficient snapped "
+    "once. The sufficient-statistics formulation is what makes "
+    "in-engine model fitting scale: a 100 TB fit shuffles exactly as "
+    "many bytes as a 100 MB one.",
+)
+def ridge_regression_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_ridge_lineitem")
+    spark.sql(
+        f"SELECT {_ridge_sums_sql()} FROM _ridge_lineitem"
+    ).createOrReplaceTempView("_r13_ridge_sums")
+    return spark.sql(
+        "WITH sums AS (SELECT * FROM _r13_ridge_sums) "
+        + _ridge_projection_sql()
+    )
+
+
+# ---------------------------------------------------------------------------
+# bh_fdr_price_cells
+# ---------------------------------------------------------------------------
+
+_BH_M = 150  # declared family: 25 brands x 6 types
+_BH_Q = 0.05
+_BH_MIN_N = 5
+
+
+def _inv_norm_cdf(p: float) -> float:
+    """Acklam's rational approximation to the standard-normal
+    quantile (|rel err| < 1.15e-9) — pure Python, evaluated once at
+    module import to build the literal critical-value table."""
+    import math
+
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                 + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    q = p - 0.5
+    r = q * q
+    return ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+            + a[5]) * q /
+            (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1))
+
+
+#: micro-integer two-sided critical values |z| >= crit for
+#: p <= q*i/m, i = 1.._BH_M: crit_i = Phi^-1(1 - q*i/(2m)).  Computed
+#: ONCE here and folded into BOTH dialects as the same literal array —
+#: no inverse CDF (and no erf/exp libm path) ever runs inside either
+#: engine, so the BH comparison is pure BIGINT arithmetic.
+_BH_CRIT_MICRO = [
+    int(_inv_norm_cdf(1.0 - _BH_Q * i / (2.0 * _BH_M)) * 1_000_000 + 0.5)
+    for i in range(1, _BH_M + 1)
+]
+
+
+def _bh_crit_table(dialect: str) -> str:
+    lits = ", ".join(str(v) for v in _BH_CRIT_MICRO)
+    if dialect == D:
+        return (
+            f"SELECT CAST(g.i + 1 AS BIGINT) AS rk, "
+            f"CAST(([{lits}])[g.i + 1] AS BIGINT) AS crit_micro "
+            f"FROM unnest(range({_BH_M})) AS g(i)"
+        )
+    return (
+        f"SELECT CAST(pos + 1 AS BIGINT) AS rk, "
+        f"CAST(crit_micro AS BIGINT) AS crit_micro "
+        f"FROM (SELECT posexplode(array({lits})) AS (pos, crit_micro))"
+    )
+
+
+def _bh_body_sql(dialect: str) -> str:
+    """Shared query body: per-cell z from exact moments, rank by
+    (|z| desc, brand, type), BH step-up against the literal table."""
+    n = "CAST(n AS DOUBLE)"
+    sx, sxx = "CAST(sx AS DOUBLE)", "CAST(sxx AS DOUBLE)"
+    nc, sc = "CAST(n_c AS DOUBLE)", "CAST(s_c AS DOUBLE)"
+    # z = (mean_c - mean_g) * n * sqrt(n_c) / sqrt(n*Sxx - Sx^2)
+    z = (
+        f"(({sc} / {nc} - {sx} / {n}) * {n} * sqrt({nc})"
+        f" / sqrt({n} * {sxx} - {sx} * {sx}))"
+    )
+    z_micro = f"CAST(FLOOR(({z}) * 1000000.0 + 0.5) AS BIGINT)"
+    return f"""
+    cells AS (
+      SELECT p_brand, p_type, count(*) AS n_c,
+             sum(CAST(p_retailprice AS DECIMAL(18,4))) AS s_c
+      FROM part GROUP BY p_brand, p_type
+      HAVING count(*) >= {_BH_MIN_N}
+    ),
+    gmoms AS (
+      SELECT count(*) AS n,
+             sum(CAST(p_retailprice AS DECIMAL(18,4))) AS sx,
+             sum(CAST(CAST(p_retailprice AS DOUBLE) *
+                      CAST(p_retailprice AS DOUBLE)
+                      AS DECIMAL(18,4))) AS sxx
+      FROM part
+    ),
+    zed AS (
+      SELECT p_brand, p_type, CAST(n_c AS BIGINT) AS n_c,
+             {z_micro} AS z_micro
+      FROM cells CROSS JOIN gmoms
+    ),
+    ranked AS (
+      SELECT p_brand, p_type, n_c, z_micro,
+             row_number() OVER (
+               ORDER BY abs(z_micro) DESC, p_brand, p_type) AS rk
+      FROM zed
+    ),
+    flagged AS (
+      SELECT r.*, c.crit_micro,
+             CASE WHEN abs(r.z_micro) >= c.crit_micro
+                  THEN r.rk END AS hit_rk
+      FROM ranked r JOIN crit c ON c.rk = r.rk
+    ),
+    cut AS (SELECT max(hit_rk) AS i_max FROM flagged)
+    SELECT p_brand, p_type, n_c, z_micro, CAST(rk AS BIGINT) AS rk,
+           coalesce(rk <= i_max, FALSE) AS discovery
+    FROM flagged CROSS JOIN cut
+    ORDER BY rk
+    """
+
+
+_BH_ORACLE = f"WITH crit AS ({_bh_crit_table(D)}), {_bh_body_sql(D)}"
+
+
+@register(
+    "bh_fdr_price_cells",
+    oracle=_BH_ORACLE,
+    doc=f"Benjamini-Hochberg FDR control (q = {_BH_Q}) over the "
+    f"declared {_BH_M}-cell brand x type family: per-cell one-sample "
+    "z of mean retailprice vs the global mean from decimal-exact "
+    "moments (one short-row shuffle), |z| ranked with a total-order "
+    "tie-break, then the step-up cut i_max = max(i: |z|_(i) >= "
+    "z(q*i/2m)) rejects ranks 1..i_max. The inverse-normal critical "
+    "values are a Python-computed micro-integer literal table in BOTH "
+    "dialects (the _DECAY_MICRO convention), so the whole procedure "
+    "is exact BIGINT compares — no erf/exp/inverse-CDF libm anywhere. "
+    "Scale: the hypothesis table is |cells| rows regardless of fact "
+    "count; the single global window over ~150 rows is free.",
+)
+def bh_fdr_price_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("_r13_part")
+    return spark.sql(
+        f"WITH part AS (SELECT * FROM _r13_part), "
+        f"crit AS ({_bh_crit_table(S)}), {_bh_body_sql(S)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4_heuristic_line_filter
+# ---------------------------------------------------------------------------
+
+_C4_W = 4
+_C4_FUNC_WORDS = ("a", "the")
+_C4_MAX_REP = 3  # a token repeated this often kills the segment
+_C4_MIN_KEPT = 3  # doc survives with >= this many kept segments...
+# ...AND at least half its segments kept (2*n_kept >= n_segments)
+
+
+def _c4_seg_flags_sql(toks: str, dialect: str) -> str:
+    """Boolean keep-expression for one segment, shared by both
+    dialects: full-width AND has a function word AND no token repeated
+    >= _C4_MAX_REP times (the O(w^2) nested scan is constant work at
+    w = 4)."""
+    full = f"{PT.size_(toks, dialect)} = {_C4_W}"
+    func = " OR ".join(
+        PT.array_contains(toks, f"'{w}'", dialect) for w in _C4_FUNC_WORDS
+    )
+    counts = PT.transform(
+        toks, f"t -> {PT.size_(PT.filter_(toks, 'x -> x = t', dialect), dialect)}",
+        dialect,
+    )
+    norep = f"{PT.array_max(counts, dialect)} < {_C4_MAX_REP}"
+    return f"(({full}) AND ({func}) AND ({norep}))"
+
+
+_C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS seg_pos,
+         array_to_string(
+           list_slice(toks, CAST(g.i * {_C4_W} + 1 AS BIGINT),
+                      CAST(g.i * {_C4_W} + {_C4_W} AS BIGINT)), ' ') AS seg
+  FROM t, unnest(range(CAST(ceil(len(toks) / {_C4_W}.0) AS BIGINT))) AS g(i)
+),
+flags AS (
+  SELECT doc_id, seg_pos, seg,
+         {_c4_seg_flags_sql("string_split(seg, ' ')", 'duckdb')} AS kept
+  FROM segs
+),
+docs_ AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN kept THEN seg END,
+                             ' ' ORDER BY seg_pos), '') AS clean_text
+  FROM flags GROUP BY doc_id
+)
+SELECT doc_id, n_segments, n_kept,
+       (n_kept >= {_C4_MIN_KEPT} AND 2 * n_kept >= n_segments) AS keep_doc,
+       clean_text
+FROM docs_ ORDER BY doc_id
+"""
+
+
+@register(
+    "c4_heuristic_line_filter",
+    oracle=_C4_ORACLE,
+    doc="C4-style heuristic line filtering (Raffel et al. 2020 s2.2) "
+    "on the deterministic 4-token-window segmentation "
+    "(linededup.segment_token_windows — the same segmenter the CCNet "
+    "boilerplate pass uses, so the two line-level recipes compose in "
+    "one curation pipeline): a segment survives if full-width, "
+    "containing a function word, and free of 3x-repeated tokens; a "
+    f"document survives with >= {_C4_MIN_KEPT} kept segments and >= "
+    "half kept. Scale: map-side explode + per-segment O(w^2) "
+    "constant-width expression work, ONE doc_id reassembly shuffle, "
+    "no windows, no UDFs — the heuristic complement to the "
+    "cross-document frequency recipe (boilerplate_segment_removal).",
+)
+def c4_heuristic_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    segs = linededup.segment_token_windows(docs, w=_C4_W)
+    flagged = segs.withColumn(
+        "kept", F.expr(_c4_seg_flags_sql("split(seg, ' ')", S))
+    )
+    kept_sorted = F.filter(
+        F.array_sort(F.collect_list(F.struct("seg_pos", "seg", "kept"))),
+        lambda s: s["kept"],
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["seg"]), " "
+        ).alias("clean_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        (
+            (F.col("n_kept") >= _C4_MIN_KEPT)
+            & (2 * F.col("n_kept") >= F.col("n_segments"))
+        ).alias("keep_doc"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# simrank_copurchase
+# ---------------------------------------------------------------------------
+
+_SR_C8 = 8  # decay C = 0.8 as the exact rational 8/10
+_SR_TOP = 50
+_SR_SUPPORT = 2  # candidate part pairs must share >= this many orders
+
+#: s1 order-pair similarities carry 12 fixed-point digits; the s2
+#: part-pair totals stay exact BIGINTs: 8 * common * 1e11 <= 4e13 per
+#: term, summed over <= |Ia|*|Ib| order pairs (<= ~1e4 at any sane
+#: order fan-in) * 1e12 <= 1e16, times 8 <= 8e16 — three decimal
+#: orders below the BIGINT edge.
+_SR_UNIT = 10**12
+
+
+def _simrank_body_sql(dialect: str) -> str:
+    """Two SimRank iterations on the part <- order bipartite graph,
+    shared CTE body (dialect only affects integer division)."""
+    s1u = PT.idiv(
+        f"{_SR_C8} * oo.common * {_SR_UNIT // 10}", "os1.np * os2.np", dialect
+    )
+    s2u = PT.idiv(
+        f"{_SR_C8} * ssum", "10 * pa.no * pb.no", dialect
+    )
+    return f"""
+    po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    osize AS (SELECT o, CAST(count(*) AS BIGINT) AS np FROM po GROUP BY o),
+    psize AS (SELECT p, CAST(count(*) AS BIGINT) AS no FROM po GROUP BY p),
+    oo AS (
+      SELECT x.o AS o1, y.o AS o2, CAST(count(*) AS BIGINT) AS common
+      FROM po x JOIN po y ON x.p = y.p AND x.o < y.o
+      GROUP BY x.o, y.o
+    ),
+    cand AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS common_orders
+      FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p
+      HAVING count(*) >= {_SR_SUPPORT}
+    ),
+    expanded AS (
+      -- canonical (lo_o, hi_o) keys are PRE-projected plain columns:
+      -- the oo probe below must be a pure equi-join (expression keys
+      -- + a <> residual push DuckDB into a blockwise NL join and
+      -- defeat Spark's shuffle-hash pruning alike)
+      SELECT c.a, c.b, ia.o AS o1, ib.o AS o2,
+             least(ia.o, ib.o) AS lo_o, greatest(ia.o, ib.o) AS hi_o
+      FROM cand c
+      JOIN po ia ON ia.p = c.a
+      JOIN po ib ON ib.p = c.b
+    ),
+    terms AS (
+      -- the diagonal o1 = o2 has lo_o = hi_o, which never matches oo
+      -- (strictly o1 < o2), so the CASE needs no join-side predicate
+      SELECT e.a, e.b,
+             CASE WHEN e.o1 = e.o2 THEN CAST({_SR_UNIT} AS BIGINT)
+                  WHEN oo.common IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST({s1u} AS BIGINT) END AS s1u
+      FROM expanded e
+      LEFT JOIN oo ON oo.o1 = e.lo_o AND oo.o2 = e.hi_o
+      JOIN osize os1 ON os1.o = e.o1
+      JOIN osize os2 ON os2.o = e.o2
+    ),
+    sums2 AS (
+      SELECT a, b, sum(s1u) AS ssum FROM terms GROUP BY a, b
+    ),
+    scored AS (
+      SELECT s.a, s.b, pa.no AS n_orders_a, pb.no AS n_orders_b,
+             CAST({s2u} AS BIGINT) AS s2_p12
+      FROM sums2 s JOIN psize pa ON pa.p = s.a JOIN psize pb ON pb.p = s.b
+    )
+    SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           n_orders_a, n_orders_b, s2_p12
+    FROM scored
+    ORDER BY s2_p12 DESC, part_a, part_b
+    LIMIT {_SR_TOP}
+    """
+
+
+_SIMRANK_ORACLE = f"WITH {_simrank_body_sql(D)}"
+
+
+@register(
+    "simrank_copurchase",
+    oracle=_SIMRANK_ORACLE,
+    doc="two SimRank iterations (Jeh & Widom 2002, C = 0.8) on the "
+    "part <- order bipartite graph, exact to the last bit: iteration "
+    "1 gives order-order similarity s1 = C*|common parts|/(np1*np2) "
+    "as ONE integer floor-division per co-purchase order pair; "
+    "iteration 2 sums those exact picounits (plus the exact "
+    "|Ia n Ib| diagonal) over each candidate part pair's order "
+    "product set before ONE final integer division — no double "
+    "anywhere. Scale: candidates prune to support >= 2 BEFORE the "
+    "order-product expansion, so the blowup is sum(na*nb) over "
+    "already-similar pairs, not the catalog square; oo joins on "
+    "canonicalized (least, greatest) keys; every shuffle is keyed "
+    "and skew-bounded by order fan-in. The recursive link-prediction "
+    "complement to one-hop Adamic-Adar.",
+)
+def simrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_r13_lineitem")
+    return spark.sql(
+        f"WITH lineitem AS (SELECT * FROM _r13_lineitem), "
+        f"{_simrank_body_sql(S)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# mst_copurchase_backbone
+# ---------------------------------------------------------------------------
+
+_MST_SUPPORT2_SQL = """
+  SELECT least(x.p, y.p) AS lo, greatest(x.p, y.p) AS hi,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) x
+  JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) y
+    ON x.o = y.o AND x.p < y.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _mst_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: sequential Kruskal over the support-2
+    co-purchase edges under the SAME strict total order (w = -support,
+    lo, hi), emitted as VALUES — the kcore/bpe convention for
+    iterative fixpoints.  Kruskal and Boruvka are different algorithms
+    arriving at the same unique forest, which is exactly what the
+    hash gate proves."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = [
+        (int(lo), int(hi), int(c))
+        for lo, hi, c in con.execute(_MST_SUPPORT2_SQL).fetchall()
+    ]
+    con.close()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for lo, hi, c in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((lo, hi, c))
+    if not chosen:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS part_lo, "
+            "CAST(NULL AS BIGINT) AS part_hi, "
+            "CAST(NULL AS BIGINT) AS support WHERE FALSE"
+        )
+    vals = ", ".join(f"({lo}, {hi}, {c})" for lo, hi, c in sorted(chosen))
+    return (
+        "SELECT CAST(part_lo AS BIGINT) AS part_lo, "
+        "CAST(part_hi AS BIGINT) AS part_hi, "
+        "CAST(support AS BIGINT) AS support "
+        f"FROM (VALUES {vals}) AS t(part_lo, part_hi, support) "
+        "ORDER BY part_lo, part_hi"
+    )
+
+
+@register(
+    "mst_copurchase_backbone",
+    oracle=_mst_oracle,
+    doc="maximum-support spanning forest of the support-2 co-purchase "
+    "graph via distributed Boruvka (graph.boruvka_msf, w = -support "
+    "so min-forest = strongest backbone): per round every component "
+    "picks its strongest incident edge (one min_by shuffle keyed by "
+    "component id), the picked edges contract through the reused "
+    "star-contraction machinery, intra-component edges drop "
+    "PERMANENTLY, O(log V) rounds with localCheckpoint lineage "
+    "control. The strict (w, lo, hi) total order makes the forest "
+    "unique, so a sequential Kruskal twin (different algorithm, same "
+    "order) hash-gates it exactly. The MSF is the single-linkage "
+    "clustering dendrogram's edge set — cutting it at a support "
+    "threshold IS hierarchical dedup clustering at 100 TB.",
+)
+def mst_copurchase_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_r13_mst_lineitem")
+    edges = spark.sql(
+        _MST_SUPPORT2_SQL.replace("FROM lineitem", "FROM _r13_mst_lineitem")
+    ).select("lo", "hi", (-F.col("c")).alias("w"))
+    msf = graph.boruvka_msf(edges, a="lo", b="hi", w="w")
+    return (
+        msf.select(
+            F.col("lo").cast("bigint").alias("part_lo"),
+            F.col("hi").cast("bigint").alias("part_hi"),
+            (-F.col("w")).cast("bigint").alias("support"),
+        )
+        .orderBy("part_lo", "part_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mondrian_k_anonymize
+# ---------------------------------------------------------------------------
+
+_MON_K = 100
+_MON_DEPTH = 3
+_MON_DIMS = ("bal_c", "ck", "bal_c")  # strict-cycle dimension choice
+
+
+def _mondrian_median(col: str, dialect: str) -> str:
+    """Exact interpolated median — Spark percentile() and DuckDB
+    quantile_cont() share the lower+(upper-lower)*frac rule; on
+    integer cents the result is an exact integer-or-half double."""
+    fn = "percentile" if dialect == S else "quantile_cont"
+    return f"{fn}({col}, 0.5)"
+
+
+def _mondrian_sql(dialect: str) -> str:
+    lvls = []
+    prev = "base"
+    for i, dim in enumerate(_MON_DIMS):
+        med = _mondrian_median(f"{prev}.{dim}", dialect)
+        lvls.append(f"""
+    med{i} AS (SELECT node, {med} AS med
+               FROM {prev} GROUP BY node),
+    side{i} AS (
+      SELECT /*+ BROADCAST(m) */ p.node, p.bal_c, p.ck,
+             CASE WHEN p.{dim} <= m.med THEN 0 ELSE 1 END AS side
+      FROM {prev} p JOIN med{i} m ON m.node = p.node),
+    cnt{i} AS (
+      SELECT node,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nl,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nr
+      FROM side{i} GROUP BY node),
+    lvl{i} AS (
+      SELECT /*+ BROADCAST(c) */
+             CASE WHEN c.nl >= {_MON_K} AND c.nr >= {_MON_K}
+                  THEN s.node * 2 + s.side ELSE s.node END AS node,
+             s.bal_c, s.ck
+      FROM side{i} s JOIN cnt{i} c ON c.node = s.node)""")
+        prev = f"lvl{i}"
+    body = ",".join(lvls)
+    return f"""
+    WITH base AS (
+      SELECT CAST(1 AS BIGINT) AS node,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+             CAST(c_custkey AS BIGINT) AS ck
+      FROM customer),{body}
+    SELECT node, CAST(count(*) AS BIGINT) AS n,
+           min(bal_c) AS bal_min, max(bal_c) AS bal_max,
+           min(ck) AS ck_min, max(ck) AS ck_max
+    FROM {prev} GROUP BY node ORDER BY node
+    """
+
+
+@register(
+    "mondrian_k_anonymize",
+    oracle=_mondrian_sql(D),
+    doc=f"Mondrian multidimensional k-anonymization (LeFevre et al. "
+    f"2006, k = {_MON_K}, strict {_MON_DEPTH}-level dimension cycle "
+    "acctbal/custkey/acctbal): each node median-splits on the cycle "
+    "dimension ONLY when both halves keep >= k rows, producing the "
+    "generalized quasi-identifier boxes ([bal_min,bal_max] x "
+    "[ck_min,ck_max], n) that replace raw QI values in a released "
+    "table. The TRANSFORMATION leg of the privacy family — "
+    "k_anonymity_audit / l_diversity_audit / t_closeness_audit "
+    "measure a release, this produces one. All-integer output (exact "
+    "cents, exact keys); the interpolated median is the one shared-"
+    "semantics double and only steers partitioning. Scale: each "
+    "level is one tiny median aggregate (node count <= 2^level rows, "
+    "broadcast back) + one map-side side assignment — the fact table "
+    "shuffles ZERO times; depth, not data, bounds the work.",
+)
+def mondrian_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_r13_customer")
+    return spark.sql(
+        _mondrian_sql(S).replace("FROM customer", "FROM _r13_customer")
+    )

@@ -136,6 +136,7 @@ def registry() -> dict[str, QuerySpec]:
         driver_queries_pretrain,
         driver_queries_profiling,
         driver_queries_round12,
+        driver_queries_round13,
         driver_queries_scale,
         driver_queries_similarity,
         driver_queries_stats,

@@ -1,0 +1,248 @@
+"""Round-13 family pins: C4 line filter, SimRank, Boruvka MSF,
+Mondrian.  Each query is oracle-gated for bit-equality; these tests
+pin SEMANTICS through independent paths (constructed graphs with
+hand-computed answers, pure-Python twins over the same parquet,
+invariant checks the oracle replay could not fake).
+"""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# c4_heuristic_line_filter
+# ---------------------------------------------------------------------------
+
+def test_c4_flags_on_constructed_segments(spark):
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _c4_seg_flags_sql,
+    )
+
+    rows = [
+        ("the big red car", True),     # full width + function word
+        ("big red car", False),        # ragged (3 tokens)
+        ("big red fast car", False),   # no function word
+        ("the the the car", False),    # 3x-repeated token
+        ("a a b b", True),             # 2x repeats are fine, has 'a'
+        ("", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "seg: string")
+    got = df.select(
+        "seg", F.expr(_c4_seg_flags_sql("split(seg, ' ')", "spark")).alias("kept")
+    ).collect()
+    assert {r.seg: r.kept for r in got} == dict(rows)
+
+
+def test_c4_doc_accounting_invariants(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _C4_MIN_KEPT,
+        c4_heuristic_line_filter,
+    )
+
+    rows = c4_heuristic_line_filter(spark, SF).collect()
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    texts = dict(
+        con.execute(
+            "SELECT doc_id, coalesce(text, '') FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    assert len(rows) == n_docs, "filtering must never delete documents"
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_segments
+        assert r.keep_doc == (
+            r.n_kept >= _C4_MIN_KEPT and 2 * r.n_kept >= r.n_segments
+        )
+        # clean text is a sub-multiset of the original tokens
+        orig = collections.Counter(texts[r.doc_id].split(" "))
+        kept = collections.Counter(t for t in r.clean_text.split(" ") if t)
+        assert not kept - orig, r.doc_id
+
+
+# ---------------------------------------------------------------------------
+# simrank_copurchase
+# ---------------------------------------------------------------------------
+
+def _simrank_twin(sf_dir):
+    """Pure-Python exact-integer SimRank twin (same floor-division
+    fixed-point arithmetic, independently structured)."""
+    con = duckdb.connect()
+    po = con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    parts_of = collections.defaultdict(set)
+    orders_of = collections.defaultdict(set)
+    for o, p in po:
+        parts_of[o].add(p)
+        orders_of[p].add(o)
+
+    def s1u(o1, o2):
+        if o1 == o2:
+            return 10**12
+        common = len(parts_of[o1] & parts_of[o2])
+        return (8 * common * 10**11) // (len(parts_of[o1]) * len(parts_of[o2]))
+
+    out = {}
+    parts = sorted(orders_of)
+    for i, a in enumerate(parts):
+        for b in parts[i + 1:]:
+            if len(orders_of[a] & orders_of[b]) < 2:
+                continue
+            ssum = sum(
+                s1u(o1, o2) for o1 in orders_of[a] for o2 in orders_of[b]
+            )
+            out[(a, b)] = (8 * ssum) // (
+                10 * len(orders_of[a]) * len(orders_of[b])
+            )
+    return out
+
+
+def test_simrank_matches_python_twin(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        simrank_copurchase,
+    )
+
+    rows = simrank_copurchase(spark, SF).collect()
+    twin = _simrank_twin(SF)
+    assert rows
+    # the query returns the top-50 under (s2 desc, a, b); the twin's
+    # full map must agree on every returned pair AND on the ordering
+    ordered = sorted(twin.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [((r.part_a, r.part_b), r.s2_p12) for r in rows]
+    assert got == ordered
+
+
+def test_simrank_bounds(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        simrank_copurchase,
+    )
+
+    for r in simrank_copurchase(spark, SF).collect():
+        # C = 0.8: s2 can reach C only if the order sets coincide
+        assert 0 <= r.s2_p12 <= 8 * 10**11
+        assert r.part_a < r.part_b
+
+
+# ---------------------------------------------------------------------------
+# mst_copurchase_backbone / graph.boruvka_msf
+# ---------------------------------------------------------------------------
+
+def test_boruvka_known_graph(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import boruvka_msf
+
+    # two components; MST of the square 1-2-3-4 with diagonal drops
+    # the heaviest cycle edge (3-4 w=9); 10-11 is its own tree
+    edges = [
+        (1, 2, 1), (2, 3, 2), (1, 3, 5), (3, 4, 9), (1, 4, 4),
+        (10, 11, 7),
+    ]
+    df = spark.createDataFrame(edges, "lo: bigint, hi: bigint, w: bigint")
+    got = sorted(
+        (r.lo, r.hi, r.w) for r in boruvka_msf(df).collect()
+    )
+    assert got == [(1, 2, 1), (1, 4, 4), (2, 3, 2), (10, 11, 7)]
+
+
+def test_boruvka_tie_break_is_total_order(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import boruvka_msf
+
+    # all weights equal: the (w, lo, hi) order must pick the
+    # lexicographically smallest spanning tree of the triangle
+    df = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5)], "lo: bigint, hi: bigint, w: bigint"
+    )
+    got = sorted((r.lo, r.hi) for r in boruvka_msf(df).collect())
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_mst_is_spanning_forest(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _MST_SUPPORT2_SQL,
+        mst_copurchase_backbone,
+    )
+
+    rows = mst_copurchase_backbone(spark, SF).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF}/lineitem.parquet')"
+    )
+    full = con.execute(_MST_SUPPORT2_SQL).fetchall()
+    con.close()
+    verts = {v for lo, hi, _ in full for v in (lo, hi)}
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_comp = len(verts)
+    for lo, hi, _ in full:
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+            n_comp -= 1
+    # a spanning forest has exactly V - C edges and no cycles
+    assert len(rows) == len(verts) - n_comp
+    parent.clear()
+    for r in rows:
+        ra, rb = find(r.part_lo), find(r.part_hi)
+        assert ra != rb, "cycle in claimed forest"
+        parent[ra] = rb
+
+
+# ---------------------------------------------------------------------------
+# mondrian_k_anonymize
+# ---------------------------------------------------------------------------
+
+def test_mondrian_k_guarantee_and_partition(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _MON_K,
+        mondrian_k_anonymize,
+    )
+
+    rows = mondrian_k_anonymize(spark, SF01).collect()
+    con = duckdb.connect()
+    total = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF01}/customer.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert len(rows) > 1, "sf0.01 must actually split"
+    assert sum(r.n for r in rows) == total, "boxes must partition the table"
+    for r in rows:
+        # the k-anonymity guarantee: no released box below k
+        assert r.n >= _MON_K
+        assert r.bal_min <= r.bal_max and r.ck_min <= r.ck_max
+
+
+def test_mondrian_fact_table_never_shuffles(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        mondrian_k_anonymize,
+    )
+
+    plan = (
+        mondrian_k_anonymize(spark, SF01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # medians/counts reduce tiny node tables; the customer rows ride
+    # along via broadcast joins — a sort-merge join of the fact table
+    # at every level would be the wrong plan at scale
+    assert "SortMergeJoin" not in plan, plan
