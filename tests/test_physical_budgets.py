@@ -58,6 +58,10 @@ BUDGETS: dict[str, dict[str, int]] = {
     "bm25f_fielded_search": {"records": 6753, "bytes": 89247},
     "harmonic_centrality_copurchase": {"records": 2546, "bytes": 20389},
     "geometric_median_labels": {"records": 1990, "bytes": 80774},
+    # round-13: the order-product expansion is SimRank's honest cost
+    # class (sum of na*nb over support-2 candidate pairs); the pin
+    # catches the oo probe degrading off its equi-join keys
+    "simrank_copurchase": {"records": 4734994, "bytes": 58869152},
     "levenshtein_blocked_pairs": {"records": 2010, "bytes": 47362},
     "gopher_quality_filter": {"records": 26385, "bytes": 402597},
     "knn_shapley_pooled": {"records": 1435, "bytes": 25259},
@@ -106,6 +110,9 @@ ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     "betweenness_sampled_copurchase": {"records": 1818651, "bytes": 16115764},
     "diameter_double_sweep": {"records": 2217752, "bytes": 19553278},
     "harmonic_centrality_copurchase": {"records": 1085131, "bytes": 9589566},
+    # round-13: Boruvka rounds (min_by select + star contraction +
+    # relabel) all localCheckpoint outside the final tree
+    "mst_copurchase_backbone": {"records": 199080, "bytes": 2173961},
 }
 
 

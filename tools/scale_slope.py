@@ -51,6 +51,11 @@ TARGETS = [
     ("geometric_median_labels", "embeddings"),
     ("bm25f_fielded_search", "documents"),
     ("levenshtein_blocked_pairs", "part"),
+    # round-13 additions
+    ("simrank_copurchase", "lineitem"),
+    ("mst_copurchase_backbone", "lineitem"),
+    ("c4_heuristic_line_filter", "documents"),
+    ("corr_matrix_lineitem", "lineitem"),
 ]
 
 
