@@ -489,3 +489,140 @@ def rm3_topk(
         .orderBy(F.desc("rm3_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def maxscore_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """Top-k BM25 with MaxScore pruning (Turtle & Flood 1995) — the
+    SAME result as :func:`bm25_topk` (gate-proven), reached by
+    shuffling only the postings of documents that can still make the
+    top k.
+
+    Batch/distributed adaptation of the classic document-at-a-time
+    algorithm: what a posting-list engine saves in skipped postings,
+    a shuffle engine saves in rows entering the per-document
+    aggregation exchange —
+
+      1. scored postings are built map-side (prune to query terms at
+         the scan, per-posting micro score, NO shuffle yet);
+      2. per-term max contributions ms(t) reduce to T rows (exact,
+         from the actual postings — tighter than the (k1+1)*idf
+         asymptote) and come back to the driver with df/avgdl;
+      3. a SEED pass exact-scores only the documents containing the
+         highest-impact term t*; the k-th seed score is a LOWER
+         bound theta on the final k-th score;
+      4. terms split driver-side: the maximal ascending-ms prefix
+         with sum(ms) < theta is NON-ESSENTIAL — a document matching
+         only those terms scores strictly below theta and cannot
+         displace the k seeds — so only documents matching >= 1
+         ESSENTIAL term keep their postings (a semi-join against a
+         usually-tiny doc set) and enter the final aggregation.
+
+    theta = 0 (fewer than k seed docs) degrades gracefully to the
+    exhaustive plan.  All score arithmetic is the shared micro-unit
+    integer convention, so pruning cannot perturb a single bit of the
+    surviving scores, and the strict sum(ms) < theta inequality keeps
+    boundary ties on the safe (kept) side.
+
+    Returns (doc_id, n_terms_hit, score) exactly like bm25_topk.
+    """
+    toks = _tokens_expr(text_col, tokenizer)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("dl", F.size("_toks"))
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+    hits = (
+        base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_per_term = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n, df, tf, dl, avgdl = (
+        F.col("n_docs").cast("double"),
+        F.col("df").cast("double"),
+        F.col("tf").cast("double"),
+        F.col("dl").cast("double"),
+        F.col("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    partial = idf * tf * F.lit(k1 + 1.0) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    )
+    micro = F.floor(partial * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    sp = (
+        hits.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(stats))
+        .select("doc_id", "term", micro.alias("micro"))
+        .localCheckpoint(eager=True)  # both phases read it; postings-sized
+    )
+    # (2) per-term exact max contribution — T rows to the driver
+    ms = {
+        r.term: r.ms
+        for r in sp.groupBy("term").agg(F.max("micro").alias("ms")).collect()
+    }
+    if not ms:
+        return sp.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_terms_hit"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    t_star = max(ms, key=lambda t: (ms[t], t))
+    # (3) seed: exact scores of docs containing t*
+    seed_ids = sp.filter(F.col("term") == t_star).select("doc_id")
+    seed_scores = (
+        sp.join(F.broadcast(seed_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("micro").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    theta = seed_scores[-1].s if len(seed_scores) == k else 0
+    # (4) driver-side essential split: maximal ascending prefix with
+    # cumulative ms strictly below theta is non-essential
+    cum = 0
+    non_essential = set()
+    for t in sorted(ms, key=lambda t: (ms[t], t)):
+        if cum + ms[t] < theta:
+            cum += ms[t]
+            non_essential.add(t)
+        else:
+            break
+    essential = [t for t in ms if t not in non_essential]
+    keep = (
+        sp.filter(F.col("term").isin(essential))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        sp.join(F.broadcast(keep), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("micro").alias("_score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            (F.col("_score_micro").cast("double") / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

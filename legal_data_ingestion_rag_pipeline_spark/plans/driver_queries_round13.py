@@ -48,6 +48,28 @@ registered in this module:
   similar parts" — the recursive link-prediction complement to the
   one-hop Adamic-Adar family.
 
+- mst_copurchase_backbone — maximum-support spanning forest via the
+  NEW distributed Boruvka operator (operators/graph.boruvka_msf),
+  unique under the strict (w, lo, hi) total order and gated against
+  a sequential Kruskal twin; the single-linkage dendrogram edge set.
+
+- mondrian_k_anonymize — Mondrian multidimensional k-anonymization
+  (LeFevre et al. 2006): fixed-cycle median splits gated on both
+  halves keeping >= k rows, releasing generalized QI boxes.  The
+  TRANSFORMATION leg of the privacy family beside the three audits.
+
+- mlp_quality_inference — a 64x8x1 ReLU MLP quality scorer evaluated
+  as ONE generated columnar expression (weights are exact binary
+  fractions folded into both dialects as identical literals): neural
+  inference riding whole-stage codegen instead of a UDF — the
+  distilled-classifier-over-the-corpus pattern at engine speed.
+
+- fts_maxscore_pruned_search — BM25 top-k under MaxScore pruning
+  (operators/fts.maxscore_topk): seed-pass theta bound + driver-side
+  essential/non-essential term split, so only documents matching an
+  essential term enter the aggregation shuffle, while the oracle is
+  the EXHAUSTIVE BM25 — the gate proves safe-up-to-rank pruning.
+
 Conventions as everywhere: exact BIGINT / DECIMAL moments, each
 division-to-double micro-snapped once from exact integers, total-order
 tie-breaks on every ranking, literal tables instead of libm.
@@ -820,4 +842,158 @@ def mondrian_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust.createOrReplaceTempView("_r13_customer")
     return spark.sql(
         _mondrian_sql(S).replace("FROM customer", "FROM _r13_customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mlp_quality_inference
+# ---------------------------------------------------------------------------
+
+_MLP_IN = 64
+_MLP_HID = 8
+_MLP_TOP = 20
+
+
+def _mlp_weights() -> tuple[list[list[float]], list[float], list[float], float]:
+    """Deterministic literal weights: a seeded LCG draws integers in
+    [-9, 9] scaled by 1/16 — every weight is an EXACT binary fraction,
+    so the SQL literal parses to the identical double on both engines
+    (the _DECAY_MICRO convention applied to a whole model)."""
+    state = 0x5DEECE66D
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 33) % 19 - 9) / 16.0
+
+    w1 = [[nxt() for _ in range(_MLP_IN)] for _ in range(_MLP_HID)]
+    b1 = [nxt() for _ in range(_MLP_HID)]
+    v = [nxt() for _ in range(_MLP_HID)]
+    b2 = nxt()
+    return w1, b1, v, b2
+
+
+_MLP_W1, _MLP_B1, _MLP_V, _MLP_B2 = _mlp_weights()
+
+
+def _mlp_score_sql(dialect: str) -> str:
+    """score = b2 + sum_j v_j * relu(b1_j + sum_i w_ji * e_i), one
+    explicit left-associated expression tree — identical shape on
+    both engines, so every IEEE operation rounds identically and the
+    final micro-snap is belt-and-braces.  Element access is the only
+    dialect split (Spark 0-based [], DuckDB 1-based [])."""
+
+    def elem(i: int) -> str:
+        if dialect == S:
+            return f"CAST(embedding[{i}] AS DOUBLE)"
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    hid = []
+    for j in range(_MLP_HID):
+        dot = " + ".join(
+            f"{_MLP_W1[j][i]!r} * {elem(i)}" for i in range(_MLP_IN)
+        )
+        hid.append(f"greatest(0.0, {_MLP_B1[j]!r} + ({dot}))")
+    out = " + ".join(f"{_MLP_V[j]!r} * ({h})" for j, h in enumerate(hid))
+    return f"({_MLP_B2!r} + ({out}))"
+
+
+def _mlp_body_sql(dialect: str) -> str:
+    score = _mlp_score_sql(dialect)
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(label AS BIGINT) AS label,
+           CAST(FLOOR(({score}) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+    FROM embeddings
+    ORDER BY score_micro DESC, vec_id
+    LIMIT {_MLP_TOP}
+    """
+
+
+@register(
+    "mlp_quality_inference",
+    oracle=_mlp_body_sql(D),
+    doc=f"in-engine neural inference: a {_MLP_IN}x{_MLP_HID}x1 ReLU "
+    "MLP quality scorer evaluated as ONE generated columnar "
+    "expression per row — the distilled-classifier-over-the-corpus "
+    "pattern (FineWeb-Edu / quality-filtering rerankers) run where "
+    "the data lives instead of exporting 100 TB to a model server. "
+    "Weights are exact binary fractions folded into BOTH dialects as "
+    "identical literals; the expression tree is left-associated so "
+    "every IEEE double op rounds identically, and the score is "
+    "micro-snapped once. Scale: pure map-side expression work inside "
+    "whole-stage codegen + one TakeOrdered top-k — zero shuffles "
+    "before the k-row reduction; the model rides the query plan, not "
+    "a UDF (no Python, no Arrow round-trip).",
+)
+def mlp_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("_r13_embeddings")
+    return spark.sql(
+        _mlp_body_sql(S).replace("FROM embeddings", "FROM _r13_embeddings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fts_maxscore_pruned_search
+# ---------------------------------------------------------------------------
+
+_WAND_TERMS = ("dup", "key", "fast", "line")
+_WAND_K = 10
+
+_WAND_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, {PT.tokens('text', D)} AS toks FROM documents
+    ),
+    docs2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM docs2),
+    hits AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM docs2
+      ) WHERE term IN ('dup', 'key', 'fast', 'line')
+      GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * CAST(h.tf AS DOUBLE) * 2.2
+               / (CAST(h.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+      FROM hits h JOIN dfs d ON h.term = d.term CROSS JOIN stats s
+    )
+    SELECT doc_id, count(*) AS n_terms_hit,
+           CAST(sum(micro) AS DOUBLE) / 1000000.0 AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_WAND_K}
+    """
+
+
+@register(
+    "fts_maxscore_pruned_search",
+    oracle=_WAND_ORACLE,
+    doc="BM25 top-k under MaxScore pruning (fts.maxscore_topk; Turtle "
+    "& Flood 1995, batch adaptation): per-term exact max "
+    "contributions + a seed pass over the rare high-impact term give "
+    "a k-th-score lower bound theta; terms whose ascending cumulative "
+    "max-sum stays below theta are NON-ESSENTIAL, and only documents "
+    "matching an essential term enter the per-doc aggregation "
+    "shuffle. On this corpus the query's three common terms (df ~ "
+    "380/500) all fall non-essential behind the rare 'dup' (df 25), "
+    "so ~95% of matching documents never shuffle — while the oracle "
+    "is the EXHAUSTIVE disjunctive BM25: the hash gate proves the "
+    "pruned plan returns bit-identical top-k, the whole point of "
+    "safe-up-to-rank pruning. The postings-side win generalizes: at "
+    "100 TB the aggregation exchange is the cost, and MaxScore "
+    "bounds who may enter it.",
+)
+def fts_maxscore_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import fts as fts_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    return fts_mod.maxscore_topk(
+        docs, "doc_id", "text", list(_WAND_TERMS), k=_WAND_K
     )

@@ -201,3 +201,35 @@ def test_fuzz_personalized_pagerank_matches_python(spark):
     # proximity: total seed-side mass should dominate a uniform share
     seed_mass = sum(rank[s] for s in seeds)
     assert seed_mass * len(nodes) > sum(rank.values()) * ns
+
+
+def test_fuzz_boruvka_matches_python_kruskal(spark):
+    """Random weighted graphs (with DUPLICATE weights, multiple
+    components, and parallel-edge candidates) against a sequential
+    Kruskal under the same (w, lo, hi) total order — different
+    algorithm, same unique forest."""
+    rng = random.Random(SEED + 13)
+    for n, m in ((14, 20), (20, 26), (12, 33)):
+        edges = [
+            (a, b, rng.randrange(1, 6))  # heavy weight ties on purpose
+            for a, b in _rand_graph(rng, n=n, m=m)
+        ]
+        df = spark.createDataFrame(edges, "lo: bigint, hi: bigint, w: bigint")
+        got = sorted(
+            (r.lo, r.hi, r.w) for r in graph.boruvka_msf(df).collect()
+        )
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        want = []
+        for w, lo, hi in sorted((w, a, b) for a, b, w in edges):
+            ra, rb = find(lo), find(hi)
+            if ra != rb:
+                parent[ra] = rb
+                want.append((lo, hi, w))
+        assert got == sorted(want)

@@ -246,3 +246,129 @@ def test_mondrian_fact_table_never_shuffles(spark):
     # along via broadcast joins — a sort-merge join of the fact table
     # at every level would be the wrong plan at scale
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# mlp_quality_inference
+# ---------------------------------------------------------------------------
+
+def test_mlp_matches_numpy_forward_pass(spark):
+    import numpy as np
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _MLP_B1,
+        _MLP_B2,
+        _MLP_TOP,
+        _MLP_V,
+        _MLP_W1,
+        mlp_quality_inference,
+    )
+
+    rows = mlp_quality_inference(spark, SF01).collect()
+    assert len(rows) == _MLP_TOP
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF01}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    W1 = np.array(_MLP_W1)
+    b1 = np.array(_MLP_B1)
+    v = np.array(_MLP_V)
+    scores = {}
+    for vid, emb in data:
+        h = np.maximum(0.0, b1 + W1 @ np.array(emb, dtype=np.float64))
+        scores[vid] = _MLP_B2 + float(v @ h)
+    want = sorted(scores, key=lambda i: (-scores[i], i))[:_MLP_TOP]
+    assert [r.vec_id for r in rows] == want
+    for r in rows:
+        # BLAS reorders sums, so compare at micro tolerance
+        assert abs(r.score_micro / 1e6 - scores[r.vec_id]) < 2e-6
+
+
+def test_mlp_weights_are_exact_binary_fractions():
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _MLP_B1,
+        _MLP_V,
+        _MLP_W1,
+    )
+
+    for w in [x for row in _MLP_W1 for x in row] + _MLP_B1 + _MLP_V:
+        assert w * 16 == int(w * 16), w  # k/16 exactly representable
+        assert -1.0 < w < 1.0
+
+
+def test_mlp_plan_is_pure_map_plus_topk(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        mlp_quality_inference,
+    )
+
+    plan = (
+        mlp_quality_inference(spark, SF01)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the model must ride the expression pipeline: no Python, no
+    # per-doc shuffle — just scan, project, TakeOrdered
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fts_maxscore_pruned_search
+# ---------------------------------------------------------------------------
+
+def test_maxscore_equals_exhaustive_on_other_queries(spark):
+    """Pruned vs exhaustive on ad-hoc term sets (including one where
+    the seed is too small to prune) — result must always be
+    identical."""
+    from legal_data_ingestion_rag_pipeline_spark.operators import fts
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    docs = load_table(spark, SF01, "documents")
+    for terms, k in ((["dup", "the", "a"], 5), (["vector", "merge"], 7),
+                     (["dup"], 30)):
+        exact = [
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in fts.bm25_topk(docs, "doc_id", "text", terms, k=k).collect()
+        ]
+        pruned = [
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in fts.maxscore_topk(
+                docs, "doc_id", "text", terms, k=k
+            ).collect()
+        ]
+        assert pruned == exact, terms
+
+
+def test_maxscore_actually_prunes_on_gate_query(spark):
+    """On the gate query the three common terms must fall
+    non-essential: only docs containing 'dup' (df = 25 of 500) may
+    enter the final aggregation."""
+    from pyspark.sql import functions as F
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _WAND_TERMS,
+        fts_maxscore_pruned_search,
+    )
+    from legal_data_ingestion_rag_pipeline_spark.session import load_table
+
+    docs = load_table(spark, SF01, "documents")
+    n_match_any = (
+        docs.filter(
+            " OR ".join(f"text LIKE '%{t}%'" for t in _WAND_TERMS)
+        ).count()
+    )
+    n_dup = docs.filter(F.col("text").like("%dup%")).count()
+    assert n_dup < n_match_any * 0.2, "corpus drifted; pruning moot"
+    out = fts_maxscore_pruned_search(spark, SF01).collect()
+    # every returned doc must contain the essential term
+    dup_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("text").like("%dup%"))
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in out} <= dup_ids
