@@ -997,3 +997,122 @@ def fts_maxscore_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts_mod.maxscore_topk(
         docs, "doc_id", "text", list(_WAND_TERMS), k=_WAND_K
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_misra_gries_hitters
+# ---------------------------------------------------------------------------
+
+_SMG_K = 8
+_SMG_SINK = "streaming_mg_hitters_sink"
+
+
+def _smg_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: replay each event_type's user stream in
+    ascending event_id order through the identical MG automaton and
+    emit the final counters as VALUES — the iterative-fixpoint
+    convention, here for an ORDER-DEPENDENT automaton whose replay
+    order the streaming operator pins explicitly."""
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT event_type, event_id, CAST(user_id AS VARCHAR) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') ORDER BY event_id"
+    ).fetchall()
+    con.close()
+    streams: dict[str, list[str]] = collections.defaultdict(list)
+    for et, _eid, uid in rows:
+        streams[et].append(uid)
+    out = []
+    for et in sorted(streams):
+        ctr: dict[str, int] = {}
+        for it in streams[et]:
+            if it in ctr:
+                ctr[it] += 1
+            elif len(ctr) < _SMG_K:
+                ctr[it] = 1
+            else:
+                dead = [x for x in ctr if ctr[x] == 1]
+                for x in ctr:
+                    ctr[x] -= 1
+                for x in dead:
+                    del ctr[x]
+        for it in sorted(ctr):
+            out.append((et, it, ctr[it]))
+    if not out:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS event_type, "
+            "CAST(NULL AS VARCHAR) AS item, "
+            "CAST(NULL AS BIGINT) AS counter WHERE FALSE"
+        )
+    vals = ", ".join(f"('{et}', '{it}', {c})" for et, it, c in out)
+    return (
+        "SELECT event_type, item, CAST(counter AS BIGINT) AS counter "
+        f"FROM (VALUES {vals}) AS t(event_type, item, counter) "
+        "ORDER BY event_type, item"
+    )
+
+
+@register(
+    "streaming_misra_gries_hitters",
+    oracle=_smg_oracle,
+    doc="Misra-Gries heavy-hitter counters as a CUSTOM STATEFUL "
+    "STREAMING operator (streaming.pipeline.stateful_misra_gries): "
+    f"per event_type, GroupState carries <= {_SMG_K} (user, counter) "
+    "pairs across micro-batches. MG is ORDER-SENSITIVE — the "
+    "decrement automaton depends on arrival order — so the operator "
+    "replays each batch in ascending event_id order and the oracle "
+    "is a pure-Python twin of the same automaton over the same "
+    "global order: the finite-replay equivalence extended from "
+    "set-union sketches (KMV/CMS) to an order-dependent state "
+    "machine. Final state recovered as the max-seq emit (the "
+    "underfull-sketch lesson). O(k) state per key, counters carry "
+    "the classic n/(k+1) undercount guarantee.",
+)
+def streaming_misra_gries_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stateful_misra_gries
+
+    base = sf_dir.rstrip("/")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{base}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(base)
+    )
+    keyed = stream.select(
+        F.col("event_type").alias("key"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    out = stateful_misra_gries(keyed, k=_SMG_K)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SMG_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(_SMG_SINK)
+        .groupBy(F.col("key").alias("event_type"))
+        .agg(
+            F.max_by("items", "seq").alias("items"),
+            F.max_by("counts", "seq").alias("counts"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.arrays_zip("items", "counts")).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.items").alias("item"),
+            F.col("z.counts").cast("bigint").alias("counter"),
+        )
+    )
+    return final.orderBy("event_type", "item")

@@ -511,3 +511,81 @@ def stateful_kmv_distinct(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_misra_gries(events: DataFrame, k: int = 8) -> DataFrame:
+    """Custom stateful streaming operator: per-key Misra-Gries
+    heavy-hitter summary (<= ``k`` counters) maintained in GroupState
+    across micro-batches — the streaming composition of the batch MG
+    machinery (operators/sketches.misra_gries_shards).
+
+    Unlike the KMV/CMS sketches, MG state is ORDER-SENSITIVE (the
+    decrement step depends on arrival order), so determinism is
+    engineered explicitly: within each batch invocation the rows are
+    replayed in ascending ``event_id`` order (the unique arrival
+    proxy), and time-partitioned micro-batches therefore evolve the
+    state exactly as a single-pass replay in global event_id order —
+    the finite-replay equivalence, for an order-dependent automaton.
+    Final state per key = the max-``seq`` emit (the underfull-sketch
+    lesson from stateful_kmv_distinct applies verbatim).
+
+    Input columns: key string, event_id bigint, item string.
+    Emits (key, seq, items array, counts array); counters are the MG
+    lower bounds with the classic n/(k+1) guarantee.  O(k) state per
+    key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(e), str(i)) for e, i in zip(pdf["event_id"], pdf["item"])
+            )
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            items, counts, seq = (
+                list(state.get[0]),
+                [int(c) for c in state.get[1]],
+                int(state.get[2]),
+            )
+        else:
+            items, counts, seq = [], [], 0
+        ctr = dict(zip(items, counts))
+        for _eid, it in rows:
+            if it in ctr:
+                ctr[it] += 1
+            elif len(ctr) < k:
+                ctr[it] = 1
+            else:
+                dead = []
+                for existing in ctr:
+                    ctr[existing] -= 1
+                    if ctr[existing] == 0:
+                        dead.append(existing)
+                for d in dead:
+                    del ctr[d]
+        seq += 1
+        its = sorted(ctr)
+        state.update((its, [ctr[i] for i in its], seq))
+        yield pd.DataFrame(
+            [(key[0], seq, its, [ctr[i] for i in its])],
+            columns=["key", "seq", "items", "counts"],
+        )
+
+    return events.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key string, seq bigint, items array<string>, "
+            "counts array<bigint>"
+        ),
+        stateStructType=(
+            "items array<string>, counts array<bigint>, seq bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

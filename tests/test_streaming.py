@@ -728,3 +728,72 @@ def test_stateful_kmv_underfull_first_batch_recovery(spark, tmp_path):
     # first emit's partial max is smaller than the true k-th minimum
     bad = emits.agg(F.min("h_k")).collect()[0][0]
     assert bad != want[-1]
+
+
+def test_stateful_misra_gries_order_and_state_survival(spark, tmp_path):
+    """Two time-ordered micro-batches through the streaming MG: the
+    final counters must equal a single-pass Python MG replay over the
+    concatenated stream in event_id order — the finite-replay
+    equivalence for an ORDER-DEPENDENT automaton — and each batch
+    must emit exactly once with increasing seq."""
+    import time
+
+    import pandas as pd
+
+    from legal_data_ingestion_rag_pipeline_spark.streaming.pipeline import (
+        stateful_misra_gries,
+    )
+
+    k = 3
+    # heavy item 'h' + rotating light items force decrements in both
+    # batches; batch split at event_id 40
+    items_a = [(i, "h" if i % 2 == 0 else f"l{i % 5}") for i in range(40)]
+    items_b = [(i, "h" if i % 3 == 0 else f"m{i % 4}") for i in range(40, 90)]
+    src = tmp_path / "mg_in"
+    src.mkdir()
+    pd.DataFrame(
+        [("t", e, it) for e, it in items_a],
+        columns=["key", "event_id", "item"],
+    ).to_parquet(str(src / "a.parquet"))
+    time.sleep(1.2)
+    pd.DataFrame(
+        [("t", e, it) for e, it in items_b],
+        columns=["key", "event_id", "item"],
+    ).to_parquet(str(src / "b.parquet"))
+    stream = (
+        spark.readStream.schema("key string, event_id bigint, item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = stateful_misra_gries(stream, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    emits = spark.table("mg_test").orderBy("seq").collect()
+    assert [r.seq for r in emits] == [1, 2]
+    # single-pass reference in global event_id order
+    ctr: dict[str, int] = {}
+    for _e, it in sorted(items_a + items_b):
+        if it in ctr:
+            ctr[it] += 1
+        elif len(ctr) < k:
+            ctr[it] = 1
+        else:
+            for x in list(ctr):
+                ctr[x] -= 1
+                if ctr[x] == 0:
+                    del ctr[x]
+    final = emits[-1]
+    assert dict(zip(final.items, final.counts)) == ctr
+    # MG guarantee on the heavy item: counter is a lower bound within
+    # n/(k+1) of the true count
+    n = len(items_a) + len(items_b)
+    true_h = sum(1 for _e, it in items_a + items_b if it == "h")
+    assert "h" in ctr
+    assert true_h - n / (k + 1) <= ctr["h"] <= true_h
