@@ -372,3 +372,68 @@ def test_maxscore_actually_prunes_on_gate_query(spark):
         .collect()
     }
     assert {r.doc_id for r in out} <= dup_ids
+
+
+def test_mondrian_fuzz_matches_python_twin(spark):
+    """Random customer-shaped frames through the SAME fixed-cycle
+    Mondrian SQL vs an independently-written Python twin (explicit
+    recursion instead of chained CTEs)."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _MON_DIMS,
+        _MON_K,
+        _mondrian_sql,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = rng.choice([180, 450, 900])
+        rows = [
+            (i + 1, rng.randrange(-99999, 1000000) / 100.0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "c_custkey: bigint, c_acctbal: double")
+        df.createOrReplaceTempView("_r13_customer")
+        got = sorted(
+            tuple(r) for r in spark.sql(
+                _mondrian_sql("spark").replace(
+                    "FROM customer", "FROM _r13_customer"
+                )
+            ).collect()
+        )
+
+        def median(vals):
+            s = sorted(vals)
+            m = len(s)
+            if m % 2:
+                return float(s[m // 2])
+            return (s[m // 2 - 1] + s[m // 2]) / 2.0
+
+        nodes = {1: [(round(b * 100), k) for k, b in rows]}
+        # twin stores (bal_c, ck) and splits by the cycle dims
+        for dim_name in _MON_DIMS:
+            idx = 0 if dim_name == "bal_c" else 1
+            nxt = {}
+            for node, members in nodes.items():
+                med = median([m[idx] for m in members])
+                left = [m for m in members if m[idx] <= med]
+                right = [m for m in members if m[idx] > med]
+                if len(left) >= _MON_K and len(right) >= _MON_K:
+                    nxt[node * 2] = left
+                    nxt[node * 2 + 1] = right
+                else:
+                    nxt[node] = members
+            nodes = nxt
+        want = sorted(
+            (
+                node,
+                len(ms),
+                min(m[0] for m in ms),
+                max(m[0] for m in ms),
+                min(m[1] for m in ms),
+                max(m[1] for m in ms),
+            )
+            for node, ms in nodes.items()
+        )
+        assert got == want, f"trial {trial}"
