@@ -70,6 +70,24 @@ registered in this module:
   essential term enter the aggregation shuffle, while the oracle is
   the EXHAUSTIVE BM25 — the gate proves safe-up-to-rank pruning.
 
+- streaming_misra_gries_hitters — Misra-Gries heavy hitters as a
+  custom stateful streaming operator (streaming.pipeline.
+  stateful_misra_gries): the order-DEPENDENT automaton replayed in
+  ascending event_id order per batch, oracle = a pure-Python twin
+  over the same global order.
+
+- ldp_randomized_response — k-ary generalized randomized response
+  (eps = ln(3(k-1)) local DP) with exact rational design
+  probabilities and the matching unbiased frequency estimator; the
+  deterministic polynomial event hash plays the coin, so the
+  mechanism is replayable and hash-gateable.
+
+- plsa_topics_em — two full pLSA EM iterations (Hofmann 1999) in
+  exact micro-unit integer arithmetic (uniform theta0, hash-seeded
+  phi0, every responsibility and parameter an integer
+  floor-division) — latent topic factorization with a bit-exact
+  gate and a bit-exact Python twin.
+
 Conventions as everywhere: exact BIGINT / DECIMAL moments, each
 division-to-double micro-snapped once from exact integers, total-order
 tie-breaks on every ranking, literal tables instead of libm.
@@ -1116,3 +1134,229 @@ def streaming_misra_gries_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return final.orderBy("event_type", "item")
+
+
+# ---------------------------------------------------------------------------
+# ldp_randomized_response
+# ---------------------------------------------------------------------------
+
+#: generalized randomized response with EXACT rational design
+#: probabilities: keep the true value w.p. p = 3/4, else report one of
+#: the other k-1 values uniformly (q = (1-p)/(k-1) per decoy).  This
+#: is eps-LDP with eps = ln(p(k-1)/(1-p)) = ln(12) at k = 5.
+_LDP_KEEP_NUM = 3  # p = 3/4 as the exact rational 3/4
+_LDP_KEEP_DEN = 4
+
+
+def _ldp_body_sql(dialect: str) -> str:
+    stype = "STRING" if dialect == S else "VARCHAR"
+    h = PT.poly_hash(f"CAST(event_id AS {stype})", dialect)
+    hdiv = PT.idiv("h", str(_LDP_KEEP_DEN), dialect)
+    return f"""
+    types AS (
+      SELECT event_type AS v,
+             CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+    coins AS (
+      SELECT t.idx AS true_idx, {h} AS h, k.k
+      FROM events e JOIN types t ON t.v = e.event_type CROSS JOIN kk k
+    ),
+    reported AS (
+      -- keep when h mod 4 < 3; else decoy j = (h div 4) mod (k-1),
+      -- skipping the true index
+      SELECT CASE WHEN h % {_LDP_KEEP_DEN} < {_LDP_KEEP_NUM} THEN true_idx
+                  WHEN {hdiv} % (k - 1) < true_idx
+                       THEN {hdiv} % (k - 1)
+                  ELSE {hdiv} % (k - 1) + 1
+             END AS rep_idx
+      FROM (SELECT true_idx, CAST(h AS BIGINT) AS h, k,
+                   CAST(NULL AS BIGINT) AS _pad FROM coins)
+    ),
+    rep_counts AS (
+      SELECT rep_idx AS idx, CAST(count(*) AS BIGINT) AS c_rep
+      FROM reported GROUP BY rep_idx
+    ),
+    true_counts AS (
+      SELECT t.idx, CAST(count(*) AS BIGINT) AS c_true
+      FROM events e JOIN types t ON t.v = e.event_type GROUP BY t.idx
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT t.v AS event_type, tc.c_true,
+           coalesce(rc.c_rep, 0) AS c_reported,
+           {{EST}} AS est_count
+    FROM types t
+    JOIN true_counts tc ON tc.idx = t.idx
+    LEFT JOIN rep_counts rc ON rc.idx = t.idx
+    CROSS JOIN tot CROSS JOIN kk
+    ORDER BY event_type
+    """
+
+
+def _ldp_sql(dialect: str) -> str:
+    # unbiased estimator: (c_rep - n*q) / (p - q) with p = 3/4,
+    # q = 1/(4(k-1)) -> est = (4(k-1)*c_rep - n) / (3k - 4), all
+    # integers until ONE double division, snapped once
+    num = f"(CAST({_LDP_KEEP_DEN} AS DOUBLE) * (k - 1) * coalesce(rc.c_rep, 0) - n)"
+    den = f"(CAST({_LDP_KEEP_NUM} AS DOUBLE) * k - {_LDP_KEEP_DEN})"
+    est = _snap(f"{num} / {den}")
+    return "WITH " + _ldp_body_sql(dialect).replace("{EST}", est)
+
+
+@register(
+    "ldp_randomized_response",
+    oracle=_ldp_sql(D),
+    doc="local differential privacy in-engine: k-ary generalized "
+    "randomized response (Warner 1965 / Kairouz et al. 2016) with "
+    "EXACT rational design probabilities (p = 3/4 keep, uniform "
+    "decoy otherwise -> eps = ln(3(k-1)) LDP) and the matching "
+    "unbiased frequency estimator (4(k-1)c_rep - n)/(3k - 4), "
+    "snapped once from exact integer counts. The 'randomness' is the "
+    "deterministic polynomial event hash, so the mechanism is "
+    "replayable and hash-gateable while behaving statistically like "
+    "a fair coin; true/reported/estimated counts sit side by side so "
+    "the estimator's debiasing is visible in the gated output. "
+    "Scale: one map-side coin per event, two count aggregates, a "
+    "5-row dimension broadcast — the per-user report never carries "
+    "the true value past the mechanism boundary, which is the whole "
+    "privacy point at 100 TB.",
+)
+def ldp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_r13_events")
+    return spark.sql(
+        _ldp_sql(S).replace("FROM events", "FROM _r13_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# plsa_topics_em
+# ---------------------------------------------------------------------------
+
+_PLSA_K = 3
+_PLSA_U = 10**6
+
+
+def _plsa_body_sql(dialect: str) -> str:
+    """Two full pLSA EM iterations (Hofmann 1999) in exact micro-unit
+    integer arithmetic.  theta0 is uniform; phi0 breaks topic symmetry
+    with a per-(topic, word) polynomial-hash seed normalized per
+    topic.  Every responsibility and every re-estimated parameter is
+    an integer floor-division of exact integers — no double exists
+    anywhere in either engine."""
+    toks = PT.tokens("text", dialect)
+    ph = PT.poly_hash("w", dialect)
+    U = _PLSA_U
+
+    def div(num: str, den: str) -> str:
+        return PT.idiv(num, den, dialect)
+
+    theta0 = div(str(U), str(_PLSA_K))
+    return f"""
+    counts AS (
+      SELECT doc_id AS d, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, {{UNNEST}} AS w FROM documents)
+      WHERE w <> '' GROUP BY doc_id, w
+    ),
+    topics AS ({{TOPICS}}),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    phi0_raw AS (
+      SELECT t.z, v.w,
+             1000 + (({ph}) * (t.z + 1)) % 9973 AS raw
+      FROM vocab v CROSS JOIN topics t
+    ),
+    phi0 AS (
+      SELECT z, w, CAST({div(f'raw * {U}', 'sum(raw) OVER (PARTITION BY z)')}
+             AS BIGINT) AS phi_u
+      FROM phi0_raw
+    ),
+    e1 AS (
+      SELECT c.d, c.w, p.z, c.c,
+             CAST({theta0} AS BIGINT) * p.phi_u AS num
+      FROM counts c JOIN phi0 p ON p.w = c.w
+    ),
+    r1 AS (
+      SELECT d, w, z, c,
+             CAST({div(f'num * {U}', 'sum(num) OVER (PARTITION BY d, w)')}
+             AS BIGINT) AS r_u
+      FROM e1
+    ),
+    n1 AS (SELECT d, w, z, c * r_u AS n FROM r1),
+    phi1 AS (
+      SELECT z, w,
+             CAST({div(f'sum(n) * {U}', 'sum(sum(n)) OVER (PARTITION BY z)')}
+             AS BIGINT) AS phi_u
+      FROM n1 GROUP BY z, w
+    ),
+    theta1 AS (
+      SELECT d, z,
+             CAST({div(f'sum(n) * {U}', 'sum(sum(n)) OVER (PARTITION BY d)')}
+             AS BIGINT) AS theta_u
+      FROM n1 GROUP BY d, z
+    ),
+    e2 AS (
+      SELECT c.d, c.w, p.z, c.c, t.theta_u * p.phi_u AS num
+      FROM counts c
+      JOIN phi1 p ON p.w = c.w
+      JOIN theta1 t ON t.d = c.d AND t.z = p.z
+    ),
+    r2 AS (
+      SELECT d, w, z, c,
+             CAST({div(f'num * {U}', 'sum(num) OVER (PARTITION BY d, w)')}
+             AS BIGINT) AS r_u
+      FROM e2
+    ),
+    n2 AS (SELECT d, w, z, c * r_u AS n FROM r2),
+    phi2 AS (
+      SELECT z, w,
+             CAST({div(f'sum(n) * {U}', 'sum(sum(n)) OVER (PARTITION BY z)')}
+             AS BIGINT) AS phi_u
+      FROM n2 GROUP BY z, w
+    )
+    SELECT CAST(z AS BIGINT) AS topic, w AS word, phi_u AS phi_micro
+    FROM phi2 ORDER BY topic, word
+    """
+
+
+def _plsa_sql(dialect: str) -> str:
+    if dialect == D:
+        topics = (
+            f"SELECT CAST(g.i AS BIGINT) AS z "
+            f"FROM unnest(range({_PLSA_K})) AS g(i)"
+        )
+        unnest = f"unnest({PT.tokens('text', D)})"
+    else:
+        topics = (
+            f"SELECT CAST(z AS BIGINT) AS z "
+            f"FROM (SELECT explode(sequence(0, {_PLSA_K - 1})) AS z)"
+        )
+        unnest = f"explode({PT.tokens('text', S)})"
+    return "WITH " + _plsa_body_sql(dialect).replace(
+        "{TOPICS}", topics
+    ).replace("{UNNEST}", unnest)
+
+
+@register(
+    "plsa_topics_em",
+    oracle=_plsa_sql(D),
+    doc=f"probabilistic latent semantic analysis (Hofmann 1999): two "
+    f"full EM iterations of a {_PLSA_K}-topic model over the "
+    "document-term counts, ENTIRELY in exact micro-unit integer "
+    "arithmetic — uniform theta0, hash-seeded symmetry-broken phi0, "
+    "responsibilities and re-estimates all integer floor-divisions "
+    "(window-normalized), so the gate pins every parameter to the "
+    "last bit with zero libm. The topic-modeling primitive the "
+    "corpus-curation suite lacked (ctfidf/textrank/tfidf are term "
+    "scorers, not latent factorizations). Scale: EM on the (d, w, c) "
+    "sufficient-statistic table — E-steps are joins keyed by w and "
+    "(d, z), M-steps window sums over z / d partitions; the corpus "
+    "itself is touched once to build counts, exactly how EM "
+    "factorizations scale to 100 TB.",
+)
+def plsa_topics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_r13_documents")
+    return spark.sql(
+        _plsa_sql(S).replace("FROM documents", "FROM _r13_documents")
+    )

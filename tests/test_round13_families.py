@@ -437,3 +437,140 @@ def test_mondrian_fuzz_matches_python_twin(spark):
             for node, ms in nodes.items()
         )
         assert got == want, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# ldp_randomized_response / plsa_topics_em
+# ---------------------------------------------------------------------------
+
+def _poly_hash_py(s: str) -> int:
+    h = 7
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+def test_ldp_mechanism_matches_python_twin_and_debiases(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        ldp_randomized_response,
+    )
+
+    rows = ldp_randomized_response(spark, SF01).collect()
+    con = duckdb.connect()
+    events = con.execute(
+        "SELECT event_id, event_type FROM "
+        f"read_parquet('{SF01}/events.parquet')"
+    ).fetchall()
+    con.close()
+    types = sorted({t for _, t in events})
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    rep = collections.Counter()
+    for eid, et in events:
+        h = _poly_hash_py(str(eid))
+        if h % 4 < 3:
+            rep[idx[et]] += 1
+        else:
+            j = (h // 4) % (k - 1)
+            rep[j if j < idx[et] else j + 1] += 1
+    true = collections.Counter(idx[et] for _, et in events)
+    n = len(events)
+    assert len(rows) == k
+    for r in rows:
+        i = idx[r.event_type]
+        assert r.c_reported == rep[i], r.event_type
+        assert r.c_true == true[i]
+        est = (4 * (k - 1) * rep[i] - n) / (3 * k - 4)
+        assert abs(r.est_count - est) < 2e-6
+        # unbiasedness is in expectation, not per draw — pin a loose
+        # per-type accuracy envelope instead (counts ~2000, sd ~50)
+        assert abs(r.est_count - true[i]) <= 0.1 * true[i] + 50
+    # estimator is exactly unbiased in aggregate: sums telescope to n
+    assert abs(sum(r.est_count for r in rows) - n) < 1e-3
+
+
+def _plsa_twin(sf_dir, K=3, U=10**6):
+    """Exact-integer pLSA twin: same floor divisions, independently
+    structured (dict loops instead of window functions)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    counts = collections.Counter()
+    for d, text in rows:
+        for w in (text or "").split(" "):
+            if w:
+                counts[(d, w)] += 1
+    vocab = sorted({w for _, w in counts})
+    raw = {
+        (z, w): 1000 + (_poly_hash_py(w) * (z + 1)) % 9973
+        for z in range(K)
+        for w in vocab
+    }
+    phi = {}
+    for z in range(K):
+        tot = sum(raw[(z, w)] for w in vocab)
+        for w in vocab:
+            phi[(z, w)] = (raw[(z, w)] * U) // tot
+    theta0 = U // K
+    theta = collections.defaultdict(lambda: theta0)
+
+    for _it in range(2):
+        n = {}
+        for (d, w), c in counts.items():
+            nums = [theta[(d, z)] * phi[(z, w)] for z in range(K)]
+            den = sum(nums)
+            for z in range(K):
+                n[(d, w, z)] = c * ((nums[z] * U) // den)
+        phi_new, theta_new = {}, {}
+        for z in range(K):
+            tot_z = sum(v for (d, w, zz), v in n.items() if zz == z)
+            for w in vocab:
+                s = sum(
+                    v for (d, ww, zz), v in n.items() if ww == w and zz == z
+                )
+                phi_new[(z, w)] = (s * U) // tot_z
+        docs = {d for d, _ in counts}
+        for d in docs:
+            tot_d = sum(v for (dd, w, z), v in n.items() if dd == d)
+            for z in range(K):
+                s = sum(
+                    v for (dd, w, zz), v in n.items() if dd == d and zz == z
+                )
+                theta_new[(d, z)] = (s * U) // tot_d
+        phi, theta = phi_new, theta_new
+    return phi
+
+
+def test_plsa_matches_python_twin_bit_exact(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        plsa_topics_em,
+    )
+
+    rows = plsa_topics_em(spark, SF).collect()
+    twin = _plsa_twin(SF)
+    got = {(r.topic, r.word): r.phi_micro for r in rows}
+    assert got == twin
+
+
+def test_plsa_distributions_are_normalized_and_asymmetric(spark):
+    from legal_data_ingestion_rag_pipeline_spark.plans.driver_queries_round13 import (
+        _PLSA_K,
+        _PLSA_U,
+        plsa_topics_em,
+    )
+
+    rows = plsa_topics_em(spark, SF01).collect()
+    by_topic = collections.defaultdict(dict)
+    for r in rows:
+        by_topic[r.topic][r.word] = r.phi_micro
+        assert r.phi_micro > 0
+    assert len(by_topic) == _PLSA_K
+    for z, dist in by_topic.items():
+        # floor-division leaves at most |vocab| micro-units of slack
+        assert _PLSA_U - len(dist) <= sum(dist.values()) <= _PLSA_U
+    # the hash seeding must have broken symmetry: topics differ
+    t0, t1 = by_topic[0], by_topic[1]
+    assert any(t0[w] != t1[w] for w in t0)
