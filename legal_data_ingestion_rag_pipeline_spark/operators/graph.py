@@ -1352,3 +1352,83 @@ def boruvka_msf(
         f"boruvka_msf: live edges remain after {max_rounds} rounds "
         "(components at least halve per round; raise max_rounds)"
     )
+
+
+def hyperanf(
+    edges: DataFrame,
+    a: str = "lo",
+    b: str = "hi",
+    hops: int = 3,
+    hll_b: int = 6,
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna 2011): the approximate
+    neighborhood function via per-vertex HLL counters.
+
+    Every vertex carries an m = 2^``hll_b``-register HLL sketch of
+    its ball B(v, h); one BSP round replaces each sketch with the
+    register-wise MAX of its own and its neighbors' sketches, so
+    after h rounds the sketch summarizes exactly the h-hop ball —
+    max-merge is the HLL union, and union of neighbor balls IS the
+    next ball.  This is how distance distributions / effective
+    diameter are computed on graphs where exact BFS per vertex
+    (O(V*E)) is unthinkable: O(E * m/row-width) work per hop, all
+    shuffles keyed by vertex.
+
+    Returns (hop, v, s_scaled): for every hop 0..``hops`` and vertex,
+    the EXACT BIGINT estimator denominator
+    s_scaled = sum_buckets 2^(shift - M_j) (empty buckets contribute
+    2^shift), from which the caller derives the float estimate with
+    sketches.hll_coefficient — keeping this operator's output pure
+    integers makes the whole sweep hash-gateable.
+
+    Register semantics are shared with the scalar HLL
+    (sketches.hll_sql_parts: mid-square finalizer, window-bias
+    coefficient), so a HyperANF ball estimate at h -> infinity
+    converges to the plain HLL distinct-count of the component.
+    """
+    from . import sketches
+
+    m = 1 << hll_b
+    shift = (sketches.HLL_HASH_BITS - hll_b) + 1
+    parts = sketches.hll_sql_parts("CAST(v AS STRING)", hll_b, "spark")
+    und = edges.select(F.col(a).alias("s"), F.col(b).alias("d")).unionAll(
+        edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    )
+    verts = und.select(F.col("s").alias("v")).distinct()
+    state = verts.selectExpr(
+        "v",
+        f"CAST({parts['bucket']} AS BIGINT) AS bucket",
+        f"CAST({parts['rank']} AS BIGINT) AS mr",
+    ).localCheckpoint(eager=True)
+
+    def s_scaled(st: DataFrame, hop: int) -> DataFrame:
+        return st.groupBy("v").agg(
+            (
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({shift} - mr AS INT))"
+                    )
+                )
+                + (F.lit(m) - F.count("*"))
+                * F.lit(1 << shift)
+            )
+            .cast("bigint")
+            .alias("s_scaled")
+        ).select(F.lit(hop).cast("bigint").alias("hop"), "v", "s_scaled")
+
+    out = [s_scaled(state, 0)]
+    for h in range(1, hops + 1):
+        merged = (
+            und.join(state, und.d == state.v)
+            .select(F.col("s").alias("v"), "bucket", "mr")
+            .unionAll(state.select("v", "bucket", "mr"))
+            .groupBy("v", "bucket")
+            .agg(F.max("mr").alias("mr"))
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+        out.append(s_scaled(state, h))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res

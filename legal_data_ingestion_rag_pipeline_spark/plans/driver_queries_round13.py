@@ -1360,3 +1360,127 @@ def plsa_topics_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _plsa_sql(S).replace("FROM documents", "FROM _r13_documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# hyperanf_neighborhood
+# ---------------------------------------------------------------------------
+
+_ANF_B = 6  # m = 64 registers per vertex
+_ANF_HOPS = 3
+
+
+def _anf_oracle(sf_dir: str) -> str:
+    """Python-twin oracle: replay the SAME register algorithm (poly
+    hash + mid-square finalizer, bucket/rank split, per-hop
+    register-wise max over neighbors) with dict arithmetic and emit
+    VALUES — the iterative-fixpoint convention.  The twin replays the
+    SKETCH, not exact ball sizes: determinism is the contract, the
+    ANF accuracy guarantee is the algorithm's published property."""
+    import collections
+
+    import duckdb
+
+    from ..functions import portable as PTmod
+    from ..operators.sketches import HLL_HASH_BITS, hll_coefficient
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    edges = con.execute(_MST_SUPPORT2_SQL).fetchall()
+    con.close()
+    adj = collections.defaultdict(set)
+    for lo, hi, _c in edges:
+        adj[int(lo)].add(int(hi))
+        adj[int(hi)].add(int(lo))
+    m = 1 << _ANF_B
+    shift = (HLL_HASH_BITS - _ANF_B) + 1
+    aa, cc = PTmod._perm_constants(1)[0]
+    P = PTmod.P
+
+    def reg(v: int) -> tuple[int, int]:
+        h0 = 7
+        for ch in str(v):
+            h0 = (h0 * 31 + ord(ch)) % P
+        h = ((h0 * h0 % P) * aa + cc) % P
+        w = h // m
+        rank = shift if w == 0 else shift - w.bit_length()
+        return h % m, rank
+
+    state = {v: {reg(v)[0]: reg(v)[1]} for v in adj}
+    coeff = hll_coefficient(_ANF_B)
+    rows = []
+
+    def record(hop: int) -> None:
+        for v in sorted(state):
+            s = sum(1 << (shift - mr) for mr in state[v].values())
+            s += (m - len(state[v])) * (1 << shift)
+            est = coeff / float(s)
+            est = (
+                __import__("math").floor(est * 1000000.0 + 0.5) / 1000000.0
+            )
+            rows.append((hop, v, s, est))
+
+    record(0)
+    for hop in range(1, _ANF_HOPS + 1):
+        nxt = {}
+        for v in adj:
+            merged = dict(state[v])
+            for u in adj[v]:
+                for bkt, mr in state[u].items():
+                    if merged.get(bkt, -1) < mr:
+                        merged[bkt] = mr
+            nxt[v] = merged
+        state = nxt
+        record(hop)
+    vals = ", ".join(f"({h}, {v}, {s}, {e!r})" for h, v, s, e in rows)
+    return (
+        "SELECT CAST(hop AS BIGINT) AS hop, CAST(part AS BIGINT) AS part, "
+        "CAST(s_scaled AS BIGINT) AS s_scaled, CAST(est AS DOUBLE) AS est "
+        f"FROM (VALUES {vals}) AS t(hop, part, s_scaled, est) "
+        "ORDER BY hop, part"
+    )
+
+
+@register(
+    "hyperanf_neighborhood",
+    oracle=_anf_oracle,
+    doc="HyperANF (Boldi, Rosa & Vigna 2011) over the support-2 "
+    "co-purchase graph (graph.hyperanf): every vertex carries a "
+    f"64-register HLL of its h-hop ball, each BSP round is ONE "
+    "register-wise max-merge over the adjacency (HLL union == ball "
+    "union), 3 hops, localCheckpoint per round. THE way distance "
+    "distributions / effective diameter are computed when per-vertex "
+    "BFS (O(V*E)) is unthinkable: O(E*m) per hop, every shuffle "
+    "keyed by vertex. The operator emits the EXACT BIGINT estimator "
+    "denominator per (hop, vertex) — the float estimate is one "
+    "shared-literal division snapped once (sketches.hll_coefficient, "
+    "the scalar-HLL machinery reused verbatim), so the whole sweep "
+    "hash-gates against a dict-arithmetic Python twin of the same "
+    "register algebra.",
+)
+def hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import portable as PTmod
+    from ..operators import graph
+    from ..operators.sketches import hll_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_r13_anf_lineitem")
+    edges = spark.sql(
+        _MST_SUPPORT2_SQL.replace("FROM lineitem", "FROM _r13_anf_lineitem")
+    ).select("lo", "hi")
+    sweep = graph.hyperanf(edges, a="lo", b="hi", hops=_ANF_HOPS, hll_b=_ANF_B)
+    est = PTmod.round6(
+        f"{hll_coefficient(_ANF_B)!r} / CAST(s_scaled AS DOUBLE)", S
+    )
+    return (
+        sweep.select(
+            "hop",
+            F.col("v").cast("bigint").alias("part"),
+            "s_scaled",
+            F.expr(est).alias("est"),
+        )
+        .orderBy("hop", "part")
+    )

@@ -574,3 +574,139 @@ def test_plsa_distributions_are_normalized_and_asymmetric(spark):
     # the hash seeding must have broken symmetry: topics differ
     t0, t1 = by_topic[0], by_topic[1]
     assert any(t0[w] != t1[w] for w in t0)
+
+
+# ---------------------------------------------------------------------------
+# hyperanf_neighborhood / graph.hyperanf
+# ---------------------------------------------------------------------------
+
+_ANF_B = 6
+
+
+def _anf_reg(v):
+    """The shared register algebra: poly hash + mid-square finalizer,
+    bucket/rank split — must stay in lock-step with
+    sketches.hll_sql_parts."""
+    from legal_data_ingestion_rag_pipeline_spark.functions import portable as PT
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        HLL_HASH_BITS,
+    )
+
+    m = 1 << _ANF_B
+    shift = (HLL_HASH_BITS - _ANF_B) + 1
+    aa, cc = PT._perm_constants(1)[0]
+    h0 = 7
+    for ch in str(v):
+        h0 = (h0 * 31 + ord(ch)) % PT.P
+    h = ((h0 * h0 % PT.P) * aa + cc) % PT.P
+    w = h // m
+    rank = shift if w == 0 else shift - w.bit_length()
+    return h % m, rank
+
+
+def _anf_twin(adj, hops):
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        HLL_HASH_BITS,
+    )
+
+    m = 1 << _ANF_B
+    shift = (HLL_HASH_BITS - _ANF_B) + 1
+    state = {}
+    for v in adj:
+        b, r = _anf_reg(v)
+        state[v] = {b: r}
+    out = {}
+
+    def record(hop):
+        for v, regs in state.items():
+            s = sum(1 << (shift - mr) for mr in regs.values())
+            s += (m - len(regs)) * (1 << shift)
+            out[(hop, v)] = s
+
+    record(0)
+    for hop in range(1, hops + 1):
+        nxt = {}
+        for v in adj:
+            merged = dict(state[v])
+            for u in adj[v]:
+                for bkt, mr in state[u].items():
+                    if merged.get(bkt, -1) < mr:
+                        merged[bkt] = mr
+            nxt[v] = merged
+        state = nxt
+        record(hop)
+    return out
+
+
+_ANF_EDGES = [
+    # a 4-path glued to a triangle: diameter 5 (1 -> 6), one isolated pair
+    (1, 2), (2, 3), (3, 4), (4, 5),
+    (5, 6), (6, 7), (7, 5),
+    (100, 101),
+]
+
+
+def test_hyperanf_matches_python_twin_bit_exact(spark):
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import hyperanf
+
+    edges = spark.createDataFrame(_ANF_EDGES, "lo BIGINT, hi BIGINT")
+    got = {
+        (r.hop, r.v): r.s_scaled
+        for r in hyperanf(edges, hops=4, hll_b=_ANF_B).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in _ANF_EDGES:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert got == _anf_twin(adj, 4)
+
+
+def test_hyperanf_balls_grow_monotone(spark):
+    """Registers only ever max-merge upward, so the estimator
+    denominator s_scaled is non-increasing in hop for every vertex
+    (the ball estimate is non-decreasing)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import hyperanf
+
+    edges = spark.createDataFrame(_ANF_EDGES, "lo BIGINT, hi BIGINT")
+    rows = hyperanf(edges, hops=4, hll_b=_ANF_B).collect()
+    by_v = collections.defaultdict(dict)
+    for r in rows:
+        by_v[r.v][r.hop] = r.s_scaled
+    for v, hs in by_v.items():
+        seq = [hs[h] for h in sorted(hs)]
+        assert seq == sorted(seq, reverse=True), (v, seq)
+
+
+def test_hyperanf_converges_to_component_hll(spark):
+    """At hop >= diameter every vertex's sketch must equal the plain
+    HLL of its whole component's vertex set — HyperANF IS iterated
+    HLL union, so the fixpoint is the component sketch."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import hyperanf
+    from legal_data_ingestion_rag_pipeline_spark.operators.sketches import (
+        HLL_HASH_BITS,
+    )
+
+    m = 1 << _ANF_B
+    shift = (HLL_HASH_BITS - _ANF_B) + 1
+    comps = [{1, 2, 3, 4, 5, 6, 7}, {100, 101}]
+
+    def comp_s(members):
+        regs = {}
+        for v in members:
+            b, r = _anf_reg(v)
+            if regs.get(b, -1) < r:
+                regs[b] = r
+        s = sum(1 << (shift - mr) for mr in regs.values())
+        return s + (m - len(regs)) * (1 << shift)
+
+    edges = spark.createDataFrame(_ANF_EDGES, "lo BIGINT, hi BIGINT")
+    final = {
+        r.v: r.s_scaled
+        for r in hyperanf(edges, hops=5, hll_b=_ANF_B)
+        .where("hop = 5")
+        .collect()
+    }
+    for members in comps:
+        want = comp_s(members)
+        for v in members:
+            assert final[v] == want, (v, final[v], want)
