@@ -121,6 +121,11 @@ ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     # inside this ceiling; the SEMANTIC prune assertion lives in
     # test_round13_families.test_maxscore_actually_prunes_on_gate_query.)
     "fts_maxscore_pruned_search": {"records": 2388, "bytes": 32833},
+    # round-13: each of the 3 HyperANF hops localCheckpoints the
+    # merged register frame; the per-hop max-merge shuffle
+    # (edges x registers, keyed by vertex) dominates — a lost
+    # register dedup or an extra hop lands well outside 1.5x
+    "hyperanf_neighborhood": {"records": 1271919, "bytes": 13187985},
 }
 
 

@@ -56,6 +56,13 @@ TARGETS = [
     ("mst_copurchase_backbone", "lineitem"),
     ("c4_heuristic_line_filter", "documents"),
     ("corr_matrix_lineitem", "lineitem"),
+    # round-13 second batch
+    ("hyperanf_neighborhood", "lineitem"),
+    ("plsa_topics_em", "documents"),
+    ("mlp_quality_inference", "embeddings"),
+    ("fts_maxscore_pruned_search", "documents"),
+    ("ldp_randomized_response", "events"),
+    ("mondrian_k_anonymize", "customer"),
 ]
 
 
