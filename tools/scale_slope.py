@@ -86,6 +86,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", default="/root/testdata/sf0.01")
     ap.add_argument("--hi", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
 
     spark = build_session("scale_slope")
@@ -101,8 +102,12 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     reg = registry()
+    targets = TARGETS
+    if args.only:
+        keep = set(args.only.split(","))
+        targets = [(n, t) for n, t in TARGETS if n in keep]
     out = []
-    for name, table in TARGETS:
+    for name, table in targets:
         spec = reg[name]
         r_lo, r_hi = rows(args.lo, table), rows(args.hi, table)
         if r_hi <= r_lo:
