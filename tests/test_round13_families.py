@@ -710,3 +710,32 @@ def test_hyperanf_converges_to_component_hll(spark):
         want = comp_s(members)
         for v in members:
             assert final[v] == want, (v, final[v], want)
+
+
+def test_hyperanf_fuzz_matches_python_twin(spark):
+    """Seeded-random graphs (Erdos-Renyi-ish with isolated tails)
+    through graph.hyperanf vs the dict-arithmetic twin — every
+    (hop, vertex) register sum must agree bit-exactly."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import hyperanf
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n = rng.choice([20, 40, 60])
+        pairs = set()
+        for _ in range(n * 2):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        edges_list = sorted(pairs)
+        adj = collections.defaultdict(set)
+        for a, b in edges_list:
+            adj[a].add(b)
+            adj[b].add(a)
+        df = spark.createDataFrame(edges_list, "lo BIGINT, hi BIGINT")
+        got = {
+            (r.hop, r.v): r.s_scaled
+            for r in hyperanf(df, hops=3, hll_b=_ANF_B).collect()
+        }
+        assert got == _anf_twin(adj, 3), f"trial {trial} (n={n})"
