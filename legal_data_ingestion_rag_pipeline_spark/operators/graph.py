@@ -1432,3 +1432,286 @@ def hyperanf(
     for o in out[1:]:
         res = res.unionAll(o)
     return res
+
+
+def _local_kosaraju(live: DataFrame) -> DataFrame:
+    """Driver-side finish: iterative Kosaraju over a BOUNDED
+    collected edge set (the caller guarantees the count), labels =
+    max member id — the same (v, scc_id) contract."""
+    import collections
+
+    adj: dict = collections.defaultdict(set)
+    radj: dict = collections.defaultdict(set)
+    verts: set = set()
+    for r in live.collect():
+        u, v = int(r.u), int(r.v)
+        adj[u].add(v)
+        radj[v].add(u)
+        verts.update((u, v))
+    order: list = []
+    seen: set = set()
+    for s in sorted(verts):
+        if s in seen:
+            continue
+        stack = [(s, iter(sorted(adj[s])))]
+        seen.add(s)
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for nxt in it:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append((nxt, iter(sorted(adj[nxt]))))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    comp: dict = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        comp[s] = s
+        st = [s]
+        while st:
+            x = st.pop()
+            for y in radj[x]:
+                if y not in comp:
+                    comp[y] = s
+                    st.append(y)
+    groups: dict = collections.defaultdict(list)
+    for v, root in comp.items():
+        groups[root].append(v)
+    rows = [
+        (v, max(vs)) for vs in groups.values() for v in vs
+    ]
+    return live.sparkSession.createDataFrame(
+        rows, "v: bigint, scc_id: bigint"
+    )
+
+
+def scc_coloring(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_outer: int = 30,
+    max_prop: int = 60,
+    local_finish_edges: int = 100_000,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph via
+    trim + forward-max coloring + color-restricted backward BFS
+    (Orzan 2004; Slota, Rajamanickam & Madduri 2014) — the standard
+    shared-nothing SCC recipe, since Tarjan's stack is inherently
+    sequential.  Returns (v, scc_id) with scc_id = MAX vertex id in
+    the SCC (the coloring's natural representative: a root c has
+    color[c] = c iff no larger id reaches it, and every SCC member
+    reaches c, so c IS the max member).
+
+    Per outer round, on the still-unassigned subgraph:
+
+    - TRIM fixpoint: peel vertices missing an in- or out-edge — each
+      is a singleton SCC (assign scc_id = v).  Trim alone dissolves
+      the DAG portion entirely, which is what bounds the outer loop
+      on real graphs (a directed path would otherwise cost one
+      coloring round per vertex).
+    - COLOR: flood the max vertex id FORWARD along edges to a
+      measured fixpoint — color[v] = max id with a path to v.  Each
+      level is one uniform vertex-key shuffle (join colors to edge
+      sources, max-merge into targets), localCheckpoint per level.
+    - CARVE: roots are vertices with color[v] == v; one multi-root
+      BACKWARD BFS restricted to each root's color class marks
+      exactly the root's SCC (any v->..->c path through a c-colored
+      endpoint stays c-colored: every vertex on it is reached by c
+      and cannot be reached by anything larger without contradicting
+      color[c] = c).  Assign, drop every edge touching an assigned
+      vertex, repeat.
+
+    HYBRID finish (the :func:`connected_components` shape): the
+    coloring flood costs one level per hop of the deepest SCC's
+    max-id eccentricity — a giant sparse SCC pays tens of fixed-cost
+    BSP levels to label a subgraph that fits in one task.  So after
+    each trim fixpoint, if the surviving edge count is
+    <= ``local_finish_edges`` the remainder is finished driver-side
+    by a bounded-collect Kosaraju (:func:`_local_kosaraju`).  At
+    100 TB the support filter upstream bounds the cyclic core long
+    before the raw data does — DAG periphery trims distributedly,
+    and only an adversarially giant cyclic core pays the flood.
+    Pass ``local_finish_edges=0`` to force the pure-distributed path
+    (the fuzz tests do).
+
+    Scale notes: all joins key on vertex ids (uniform after the
+    support filter upstream); frontier/settled frames localCheckpoint
+    per level so lineage stays O(1); every level exits early on an
+    empty delta.  ``max_outer`` bounds root generations (each round
+    retires at least every current root's SCC), ``max_prop`` bounds
+    flood/BFS depth; both raise :class:`ConvergenceError` rather than
+    return a partial labeling.
+    """
+    spark = edges.sparkSession
+    live = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = spark.createDataFrame([], "v: bigint, scc_id: bigint")
+    n_live = live.count()
+    for _ in range(max_outer):
+        # --- TRIM: peel vertices without both an in- and an out-edge
+        for _t in range(max_prop):
+            if n_live == 0:
+                break
+            verts = (
+                live.select("u").unionByName(
+                    live.select(F.col("v").alias("u"))
+                ).distinct()
+            )
+            keep = (
+                live.select("u").distinct()
+                .join(live.select(F.col("v").alias("u")).distinct(), "u")
+                .localCheckpoint(eager=True)
+            )
+            dropped = verts.join(keep, "u", "left_anti")
+            if dropped.limit(1).count() == 0:
+                break
+            assigned = assigned.unionByName(
+                dropped.select(
+                    F.col("u").cast("bigint").alias("v"),
+                    F.col("u").cast("bigint").alias("scc_id"),
+                )
+            ).localCheckpoint(eager=True)
+            live = (
+                live.join(keep, "u")
+                .join(keep.select(F.col("u").alias("v")), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            n_live = live.count()
+            # a keep vertex whose every in-edge came FROM a dropped
+            # vertex and every out-edge went TO one loses all its
+            # edges in the filter and would otherwise vanish
+            # unlabeled; any such orphan is in no surviving cycle
+            # (an intact cycle keeps all its edges), so it is a
+            # singleton SCC
+            survivors = (
+                live.select("u")
+                .unionByName(live.select(F.col("v").alias("u")))
+                .distinct()
+            )
+            orphans = keep.join(survivors, "u", "left_anti")
+            if orphans.limit(1).count() > 0:
+                assigned = assigned.unionByName(
+                    orphans.select(
+                        F.col("u").cast("bigint").alias("v"),
+                        F.col("u").cast("bigint").alias("scc_id"),
+                    )
+                ).localCheckpoint(eager=True)
+        if n_live == 0:
+            return assigned
+        if n_live <= local_finish_edges:
+            return assigned.unionByName(_local_kosaraju(live))
+        # --- COLOR: forward max-id flood to fixpoint
+        colors = (
+            live.select("u").unionByName(live.select(F.col("v").alias("u")))
+            .distinct()
+            .select(F.col("u").alias("cv"), F.col("u").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        for _p in range(max_prop + 1):
+            if _p == max_prop:
+                raise ConvergenceError(
+                    f"scc_coloring: color flood still moving after "
+                    f"{max_prop} levels"
+                )
+            flooded = (
+                live.join(colors, live.u == colors.cv)
+                .select(F.col("v").alias("cv"), "color")
+                .unionByName(colors)
+                .groupBy("cv")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                flooded.join(
+                    colors.withColumnRenamed("color", "old"), "cv"
+                )
+                .filter(F.col("color") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            colors = flooded
+            if moved == 0:
+                break
+        # --- CARVE: backward BFS from each root within its color class
+        settled = (
+            colors.filter(F.col("cv") == F.col("color"))
+            .select(F.col("color").alias("c"), F.col("cv").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = settled
+        for _b in range(max_prop + 1):
+            if _b == max_prop:
+                raise ConvergenceError(
+                    f"scc_coloring: backward sweep still moving after "
+                    f"{max_prop} levels"
+                )
+            disc = (
+                live.join(
+                    frontier.select("c", F.col("v").alias("dst")),
+                    live.v == F.col("dst"),
+                )
+                .select("c", F.col("u").alias("v"))
+                .distinct()
+                .join(
+                    colors.select(
+                        F.col("cv").alias("v"), F.col("color").alias("c")
+                    ),
+                    ["v", "c"],
+                )
+                .join(settled, ["c", "v"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if disc.limit(1).count() == 0:
+                break
+            settled = settled.unionByName(disc).localCheckpoint(eager=True)
+            frontier = disc
+        assigned = assigned.unionByName(
+            settled.select(
+                F.col("v").cast("bigint").alias("v"),
+                F.col("c").cast("bigint").alias("scc_id"),
+            )
+        ).localCheckpoint(eager=True)
+        done = settled.select("v").distinct()
+        live = (
+            live.join(done.select(F.col("v").alias("u")), "u", "left_anti")
+            .join(done, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_live = live.count()
+        # same orphan rule as the trim filter: an uncarved vertex
+        # whose every edge touched a carved SCC has no surviving
+        # cycle (a cycle through it would live entirely inside one
+        # SCC, which was carved whole) — label it a singleton rather
+        # than letting it vanish from the edge set unlabeled
+        survivors = (
+            live.select(F.col("u").alias("cv"))
+            .unionByName(live.select(F.col("v").alias("cv")))
+            .distinct()
+        )
+        orphans = (
+            colors.select("cv")
+            .join(done.select(F.col("v").alias("cv")), "cv", "left_anti")
+            .join(survivors, "cv", "left_anti")
+        )
+        if orphans.limit(1).count() > 0:
+            assigned = assigned.unionByName(
+                orphans.select(
+                    F.col("cv").cast("bigint").alias("v"),
+                    F.col("cv").cast("bigint").alias("scc_id"),
+                )
+            ).localCheckpoint(eager=True)
+        if n_live == 0:
+            return assigned
+    raise ConvergenceError(
+        f"scc_coloring: live edges remain after {max_outer} outer rounds"
+    )

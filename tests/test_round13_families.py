@@ -739,3 +739,115 @@ def test_hyperanf_fuzz_matches_python_twin(spark):
             for r in hyperanf(df, hops=3, hll_b=_ANF_B).collect()
         }
         assert got == _anf_twin(adj, 3), f"trial {trial} (n={n})"
+
+
+# ---------------------------------------------------------------------------
+# scc_subsequent_parts / graph.scc_coloring
+# ---------------------------------------------------------------------------
+
+def _kosaraju(edges):
+    adj = collections.defaultdict(set)
+    radj = collections.defaultdict(set)
+    verts = set()
+    for u, v in edges:
+        adj[u].add(v)
+        radj[v].add(u)
+        verts.update((u, v))
+    order, seen = [], set()
+    for s in sorted(verts):
+        if s in seen:
+            continue
+        stack = [(s, iter(sorted(adj[s])))]
+        seen.add(s)
+        while stack:
+            node, it = stack[-1]
+            adv = False
+            for nxt in it:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append((nxt, iter(sorted(adj[nxt]))))
+                    adv = True
+                    break
+            if not adv:
+                order.append(node)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        comp[s] = s
+        st = [s]
+        while st:
+            x = st.pop()
+            for y in radj[x]:
+                if y not in comp:
+                    comp[y] = s
+                    st.append(y)
+    groups = collections.defaultdict(list)
+    for v, r in comp.items():
+        groups[r].append(v)
+    out = {}
+    for vs in groups.values():
+        sid = max(vs)
+        for v in vs:
+            out[v] = sid
+    return out
+
+
+def test_scc_known_graph(spark):
+    """Two cycles joined by a DAG chain, a tail, and a trim-only
+    branch: every structural case (nontrivial SCC, chain vertex,
+    source, sink) hand-checked."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import scc_coloring
+
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10),
+             (3, 5), (5, 10), (20, 1), (30, 2)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    want = [(1, 3), (2, 3), (3, 3), (5, 5), (10, 11),
+            (11, 11), (20, 20), (30, 30)]
+    for lfe in (0, 100_000):  # distributed coloring AND local finish
+        got = sorted(
+            (r.v, r.scc_id)
+            for r in scc_coloring(df, local_finish_edges=lfe).collect()
+        )
+        assert got == want, f"local_finish_edges={lfe}"
+
+
+def test_scc_fuzz_matches_kosaraju(spark):
+    """Seeded random digraphs (dense enough to force nontrivial SCCs)
+    through the coloring operator vs sequential Kosaraju — the
+    different-algorithm-same-answer contract."""
+    import random
+
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import scc_coloring
+
+    rng = random.Random(20260817)
+    # density 3n forces nontrivial SCCs; density 1.5n forces deep
+    # trim cascades with orphaned chain vertices (the u -> x -> v
+    # shape where both neighbors trim away in the same round)
+    for trial, mult in ((0, 3), (1, 3), (2, 3), (3, 1.5), (4, 1.5)):
+        n = rng.choice([15, 25, 40])
+        pairs = set()
+        for _ in range(int(n * mult)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                pairs.add((a, b))
+        edges_list = sorted(pairs)
+        df = spark.createDataFrame(edges_list, "u BIGINT, v BIGINT")
+        got = {
+            r.v: r.scc_id
+            for r in scc_coloring(df, local_finish_edges=0).collect()
+        }
+        assert got == _kosaraju(edges_list), f"trial {trial} (n={n})"
+
+
+def test_scc_pure_dag_is_all_trim(spark):
+    """A DAG has only singleton SCCs and must dissolve entirely in
+    the trim phase — the coloring flood should never run (asserted
+    indirectly: a 2-level DAG labels every vertex as itself)."""
+    from legal_data_ingestion_rag_pipeline_spark.operators.graph import scc_coloring
+
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "u BIGINT, v BIGINT")
+    got = sorted((r.v, r.scc_id) for r in scc_coloring(df).collect())
+    assert got == [(v, v) for v in (1, 2, 3, 4, 5)]
