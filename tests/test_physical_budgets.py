@@ -126,6 +126,10 @@ ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     # (edges x registers, keyed by vertex) dominates — a lost
     # register dedup or an extra hop lands well outside 1.5x
     "hyperanf_neighborhood": {"records": 1271919, "bytes": 13187985},
+    # round-13: SCC trim rounds + the bounded local-Kosaraju finish;
+    # records are the edge-SQL + trim-cascade shuffles (an unpushed
+    # support filter or a lost trim would multiply them)
+    "scc_subsequent_parts": {"records": 415514, "bytes": 3937398},
 }
 
 

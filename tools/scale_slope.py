@@ -63,6 +63,7 @@ TARGETS = [
     ("fts_maxscore_pruned_search", "documents"),
     ("ldp_randomized_response", "events"),
     ("mondrian_k_anonymize", "customer"),
+    ("scc_subsequent_parts", "lineitem"),
 ]
 
 
