@@ -94,6 +94,7 @@ def train_merges(
         "syms", F.expr("split(word, '')")
     )
     words = words.persist()
+    parent: DataFrame | None = None
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -108,6 +109,15 @@ def train_merges(
                 .limit(1)
                 .collect()
             )
+            # the argmax scanned every partition of `words`, so its
+            # cache is now fully materialized; the previous round's
+            # cache (this frame's parent) can be dropped.  Deferring
+            # the unpersist one round replaces the old explicit
+            # materialize-count job — ONE job per round instead of two
+            # (at most two generations cached at once, same as before).
+            if parent is not None:
+                parent.unpersist()
+                parent = None
             if not top:
                 break
             p1, p2 = top[0].pair.split(SEP, 1)
@@ -115,10 +125,10 @@ def train_merges(
             nxt = words.select(
                 "word", "cnt", F.expr(_merge_fold("syms", p1, p2)).alias("syms")
             ).persist()
-            nxt.count()  # materialize before dropping the parent
-            words.unpersist()
-            words = nxt
+            parent, words = words, nxt
     finally:
+        if parent is not None:
+            parent.unpersist()
         words.unpersist()
     return merges
 

@@ -116,7 +116,7 @@ def connected_components(
             F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     # singleton-edge-set graphs converge in round 1; the loop always
     # runs at least once so the star property is established.
@@ -152,10 +152,12 @@ def connected_components(
             .filter(F.col("x") != F.col("m"))
             .select(F.greatest("x", "m").alias("hi"), F.least("x", "m").alias("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # fixpoint: the canonical edge set is unchanged (both sides
-        # are distinct, so equal cardinality + subset <=> equal sets)
+        # are distinct, so equal cardinality + subset <=> equal sets).
+        # count() both materializes the lazy checkpoint and yields the
+        # cardinality — one job instead of two per round.
         n_new = after_small.count()
         unchanged = (
             n_new == n_canon
@@ -201,13 +203,20 @@ def connected_components_minlabel(
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
         )
         .distinct()
+        # eager: round 1's probe job reads nbr through TWO legs (the
+        # labels derivation and the nbr_min join scan) and each later
+        # round adds another independent scan leg — a lazy mark
+        # recomputes the symmetric-adjacency distinct per leg
         .localCheckpoint(eager=True)
     )
     labels = (
         nbr.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: round 1's two legs may
+        # each run the vertex distinct once, but over the MATERIALIZED
+        # nbr that duplicate is one cheap shuffle — not worth an eager
+        # round-trip; from round 2 on the frame is persisted
     )
     for _ in range(max_rounds):
         nbr_min = (
@@ -224,9 +233,11 @@ def connected_components_minlabel(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)  # one materialization serves both
+            .localCheckpoint(eager=False)  # one materialization serves both
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # the count below materializes the checkpoint (full compute of
+        # the lazily-marked RDD) AND probes the fixpoint in one job
+        changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
@@ -306,12 +317,19 @@ def pagerank(
         # here, since everything after moves only vertex-scale rows
         # plus one contribution row per edge)
         e = e.distinct()
+    # e MUST be eager: a lazily-marked frame read by several concurrent
+    # stage legs of its first job is recomputed per leg (the two union
+    # scans of `nodes` below, plus every iteration's contribution-join
+    # map stage — all independent, all schedulable at job start).
+    # Measured: lazy-e pagerank paid the edge distinct multiple times.
+    # nodes stays lazy: its single consumer is the count below, which
+    # materializes it in one fused job (was a second eager round-trip).
     e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -358,7 +376,10 @@ def pagerank(
                 .cast("bigint")
                 .alias("rank_units"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the next iteration's dangling-broadcast job (or the
+            # caller's action on the last round) materializes this rank
+            # frame — one fewer driver round-trip per iteration
+            .localCheckpoint(eager=False)
         )
     return rank
 
@@ -396,13 +417,18 @@ def k_core(
             .filter(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazily marked: the first action over a descendant computes
+        # (once — shared RDD) and persists it; an eager checkpoint here
+        # was a whole extra driver round-trip per call
+        .localCheckpoint(eager=False)
     )
     n_live = nbr.select("src").distinct().count()
     for _ in range(max_rounds):
         deg = nbr.groupBy("src").agg(F.count("*").alias("d"))
+        # fused: count() materializes the lazily-marked checkpoint and
+        # answers the fixpoint probe in ONE job (was two round-trips)
         keep = deg.filter(F.col("d") >= k).select("src").localCheckpoint(
-            eager=True
+            eager=False
         )
         n_keep = keep.count()
         if n_keep == n_live:
@@ -414,7 +440,7 @@ def k_core(
         nbr = (
             nbr.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # next round's probe computes it
         )
         n_live = n_keep
         if n_live == 0:
@@ -454,25 +480,36 @@ def bfs_distances(
             .filter(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazily marked: the first action over a descendant computes
+        # (once — shared RDD) and persists it; an eager checkpoint here
+        # was a whole extra driver round-trip per call
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     settled = spark.createDataFrame(
         [(source, 0)], "v: bigint, dist: int"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = settled.select(F.col("v").alias("src"))
     for depth in range(1, max_depth + 1):
+        # ONE job per level: eager=False + count() materializes the
+        # checkpoint AND answers the emptiness probe in the same job
+        # (eager=True ran an internal count, then limit(1).count() was
+        # a SECOND driver round-trip — guide §1.2: per-level job count
+        # is the scheduling overhead that dominates BSP loops).  The
+        # settled set stays a union of the already-materialized level
+        # RDDs — re-checkpointing the union copied every settled row
+        # once per level for no lineage benefit (each leaf is O(1)).
         discovered = (
             nbr.join(frontier, "src")
             .select(F.col("dst").alias("v"))
             .distinct()
             .join(settled.select("v"), "v", "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if discovered.limit(1).count() == 0:
+        if discovered.count() == 0:
             break
-        settled = settled.unionByName(discovered).localCheckpoint(eager=True)
+        settled = settled.unionByName(discovered)
         frontier = discovered.select(F.col("v").alias("src"))
     return settled
 
@@ -530,7 +567,13 @@ def triangle_counts(
         F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
         F.least("klo", "khi").alias("ku"),
         F.greatest("klo", "khi").alias("kv"),
-    ).localCheckpoint(eager=True)  # feeds the wedge join twice + closure
+    ).localCheckpoint(eager=True)  # feeds the wedge join twice +
+    # closure — THREE concurrent stage legs of the same first job.  A
+    # lazy mark here is NOT computed once: un-materialized RDD legs
+    # race and each recomputes the orientation (degree agg + two
+    # joins).  Measured at sf0.1: lazy cost +48% task time on
+    # triangle_count_copurchase; the one eager round-trip is cheap
+    # insurance.
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
     wedges = (
@@ -581,12 +624,16 @@ def bellman_ford(
             F.col(w).cast("bigint").alias("w"),
         )
         .filter(F.col("src") != F.col("dst"))
+        # eager: with fixed rounds and no probes the whole relaxation
+        # is ONE job, and every round's frontier-edge-join map stage
+        # scans e independently (all schedulable at job start) — a
+        # lazy mark would recompute e once per round
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(source, 0)], schema=e.select("src").schema.add("dist", "long")
-    ).withColumnsRenamed({"src": "v"}).localCheckpoint(eager=True)
+    ).withColumnsRenamed({"src": "v"}).localCheckpoint(eager=False)
     for _ in range(rounds):
         cand = (
             dist.join(e, dist.v == e.src)
@@ -599,7 +646,11 @@ def bellman_ford(
             dist.unionByName(cand)
             .groupBy("v")
             .agg(F.min("dist").cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy: rounds are FIXED (no per-round probe), so the whole
+            # relaxation executes as ONE multi-stage job at the
+            # caller's action; each round's frame still persists (and
+            # truncates lineage) as that job computes it
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -638,13 +689,18 @@ def label_propagation(
             .filter(F.col("src") != F.col("dst"))
         )
         .distinct()
+        # eager: fixed rounds, no probes — the caller's ONE job holds
+        # every round's nbr-scan map stage plus the labels derivation,
+        # all independent legs; a lazy mark recomputes the symmetric
+        # adjacency per leg instead of once
         .localCheckpoint(eager=True)
     )
     labels = (
         nbr.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # single consumer (round 1's
+        # join) over the materialized nbr
     )
     for _ in range(rounds):
         counted = (
@@ -661,7 +717,9 @@ def label_propagation(
                 .alias("_top")
             )
             .select("v", (-F.col("_top.nl")).alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: fixed rounds, no probe — the caller's one action
+            # runs the whole propagation as one multi-stage job
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -708,6 +766,11 @@ def hits(
     )
     if not assume_distinct:
         e = e.distinct()
+    # BOTH eager: `nodes`' two union scans read e concurrently, and
+    # round 1's a_max job reads nodes through two legs (the hub seed
+    # and the left-join spine) while every round's e-scan map stage is
+    # schedulable at job start — lazy marks here recompute the
+    # distincts per leg instead of once (see pagerank's e note).
     e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -734,7 +797,9 @@ def hits(
         auth = (
             a_all.crossJoin(F.broadcast(a_max))
             .select("node", F.expr(norm_expr).cast("bigint").alias("auth_units"))
-            .localCheckpoint(eager=True)
+            # lazy: the h_max broadcast job (which scans auth) or the
+            # final join materializes it — no eager round-trip
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             e.join(auth.select(F.col("node").alias("dst"), "auth_units"), "dst")
@@ -748,7 +813,7 @@ def hits(
         hub = (
             h_all.crossJoin(F.broadcast(h_max))
             .select("node", F.expr(norm_expr).cast("bigint").alias("hub_units"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return hub.join(auth, "node")
 
@@ -782,7 +847,10 @@ def personalized_pagerank(
         raise ValueError("iterations must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=True)  # eager: seeds.count()'s
+    # job reaches e through `nodes`' two union scans (concurrent legs
+    # — a lazy mark recomputes the edge distinct per leg), and every
+    # fixed round's contribution-join leg scans e independently
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -790,15 +858,15 @@ def personalized_pagerank(
     )
     seeds = nodes.join(
         seed_nodes.select(F.col("node")).distinct(), "node"
-    ).localCheckpoint(eager=True)
-    n_s = seeds.count()
+    ).localCheckpoint(eager=False)
+    n_s = seeds.count()  # one job: materializes e + seeds, returns |S|
     if n_s == 0:
         raise ValueError("no seed node present in the graph")
     nodes = nodes.join(
         seeds.select("node", F.lit(1).alias("_is_seed")), "node", "left"
     ).select(
         "node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("is_seed")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # round 1's broadcast job computes it
     unit = PAGERANK_SCALE // n_s
     base = (100 - damping_pct) * unit // 100
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
@@ -844,7 +912,7 @@ def personalized_pagerank(
                 .cast("bigint")
                 .alias("rank_units"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # pagerank's lazy-rank shape
         )
     return rank.select("node", "rank_units")
 
@@ -964,7 +1032,7 @@ def k_truss(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     n_cur = cur.count()
     for _ in range(max_rounds):
@@ -972,12 +1040,17 @@ def k_truss(
             return cur.select(
                 "lo", "hi", F.lit(0).cast("bigint").alias("support")
             )
-        sup = _edge_supports_canon(cur).localCheckpoint(eager=True)
+        # fused per round: the filtered count materializes the support
+        # frame's lazy checkpoint AND probes the fixpoint (one job was
+        # three: sup checkpoint, keep count, cur re-checkpoint).  cur
+        # needs no checkpoint of its own — it is a filter+project over
+        # the already-materialized sup RDD, so its lineage is O(1).
+        sup = _edge_supports_canon(cur).localCheckpoint(eager=False)
         keep = sup.filter(F.col("support") >= thresh)
         n_keep = keep.count()
         if n_keep == n_cur:
             return keep
-        cur = keep.select("lo", "hi").localCheckpoint(eager=True)
+        cur = keep.select("lo", "hi")
         n_cur = n_keep
     raise ConvergenceError(
         f"k_truss: no fixpoint after {max_rounds} peel rounds"
@@ -1017,26 +1090,31 @@ def multi_source_bfs(
             .filter(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazily marked: the first action over a descendant computes
+        # (once — shared RDD) and persists it; an eager checkpoint here
+        # was a whole extra driver round-trip per call
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     settled = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sorted(set(sources))],
         "landmark: bigint, v: bigint, dist: int",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = settled.select("landmark", F.col("v").alias("src"))
     for depth in range(1, max_depth + 1):
+        # one fused job per level (checkpoint + emptiness probe) and a
+        # never-recopied settled union — see bfs_distances
         discovered = (
             nbr.join(frontier, "src")
             .select("landmark", F.col("dst").alias("v"))
             .distinct()
             .join(settled.select("landmark", "v"), ["landmark", "v"], "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if discovered.limit(1).count() == 0:
+        if discovered.count() == 0:
             break
-        settled = settled.unionByName(discovered).localCheckpoint(eager=True)
+        settled = settled.unionByName(discovered)
         frontier = discovered.select("landmark", F.col("v").alias("src"))
     return settled
 
@@ -1099,32 +1177,35 @@ def betweenness_sampled(
             .filter(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazily marked: the first action over a descendant computes
+        # (once — shared RDD) and persists it; an eager checkpoint here
+        # was a whole extra driver round-trip per call
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     levels: list[DataFrame] = [
         spark.createDataFrame(
             [(int(s), int(s), 1) for s in sorted(set(sources))],
             "landmark: bigint, v: bigint, sigma: bigint",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     ]
     settled = levels[0].select("landmark", "v")
     frontier = levels[0]
     for _depth in range(1, max_depth + 1):
+        # one fused job per level (checkpoint + emptiness probe) and a
+        # never-recopied settled union — see bfs_distances
         discovered = (
             nbr.join(frontier.withColumnRenamed("v", "src"), "src")
             .select("landmark", F.col("dst").alias("v"), "sigma")
             .join(settled, ["landmark", "v"], "left_anti")
             .groupBy("landmark", "v")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if discovered.limit(1).count() == 0:
+        if discovered.count() == 0:
             break
         levels.append(discovered)
-        settled = settled.unionByName(
-            discovered.select("landmark", "v")
-        ).localCheckpoint(eager=True)
+        settled = settled.unionByName(discovered.select("landmark", "v"))
         frontier = discovered
     # backward dependency accumulation: the DEEPEST level has no
     # successors inside the cone, so its delta is 0; every shallower
@@ -1292,11 +1373,15 @@ def boruvka_msf(
             "lo", "hi", "w",
             F.col("lo").alias("ca"), F.col("hi").alias("cb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # the count fuses the checkpoint materialization with the
+    # emptiness probe (one job per round instead of two); n_live is
+    # carried so the loop head never recounts a materialized frontier
+    n_live = live.count()
     picked: list[DataFrame] = []
     for _ in range(max_rounds):
-        if live.limit(1).count() == 0:
+        if n_live == 0:
             if not picked:
                 return live.select("lo", "hi", "w")
             out = picked[0]
@@ -1317,7 +1402,10 @@ def boruvka_msf(
             )
             .select("e.lo", "e.hi", "e.w")
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: nothing in the loop reads sel — only the final
+            # union does, and every parent (the round's live RDD) is
+            # already materialized, so deferring costs no recompute
+            .localCheckpoint(eager=False)
         )
         picked.append(sel)
         # contract on COMPONENT ids: selected edges keyed by the
@@ -1346,8 +1434,9 @@ def boruvka_msf(
             .withColumn("cb", F.coalesce("_ncb", F.col("cb")))
             .drop("_ncb")
             .filter(F.col("ca") != F.col("cb"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_live = live.count()
     raise ConvergenceError(
         f"boruvka_msf: live edges remain after {max_rounds} rounds "
         "(components at least halve per round; raise max_rounds)"
@@ -1399,7 +1488,7 @@ def hyperanf(
         "v",
         f"CAST({parts['bucket']} AS BIGINT) AS bucket",
         f"CAST({parts['rank']} AS BIGINT) AS mr",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def s_scaled(st: DataFrame, hop: int) -> DataFrame:
         return st.groupBy("v").agg(
@@ -1424,7 +1513,11 @@ def hyperanf(
             .unionAll(state.select("v", "bucket", "mr"))
             .groupBy("v", "bucket")
             .agg(F.max("mr").alias("mr"))
-            .localCheckpoint(eager=True)
+            # lazy: hops are FIXED — the caller's one action runs the
+            # whole sweep as one multi-stage job; each hop's register
+            # frame persists (shared by its s_scaled leg and the next
+            # hop) as that job computes it
+            .localCheckpoint(eager=False)
         )
         state = merged
         out.append(s_scaled(state, h))
@@ -1552,10 +1645,10 @@ def scc_coloring(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigned = spark.createDataFrame([], "v: bigint, scc_id: bigint")
-    n_live = live.count()
+    n_live = live.count()  # one job: materializes live + counts it
     for _ in range(max_outer):
         # --- TRIM: peel vertices without both an in- and an out-edge
         for _t in range(max_prop):
@@ -1569,24 +1662,29 @@ def scc_coloring(
             keep = (
                 live.select("u").distinct()
                 .join(live.select(F.col("v").alias("u")).distinct(), "u")
-                .localCheckpoint(eager=True)
+                # lazy: the dropped-probe's anti-join (next action)
+                # computes and persists it
+                .localCheckpoint(eager=False)
             )
             dropped = verts.join(keep, "u", "left_anti")
             if dropped.limit(1).count() == 0:
                 break
+            # plain union: every leaf is a projection over already-
+            # checkpointed RDDs, so re-checkpointing `assigned` each
+            # round only recopied the accumulated labels
             assigned = assigned.unionByName(
                 dropped.select(
                     F.col("u").cast("bigint").alias("v"),
                     F.col("u").cast("bigint").alias("scc_id"),
                 )
-            ).localCheckpoint(eager=True)
+            )
             live = (
                 live.join(keep, "u")
                 .join(keep.select(F.col("u").alias("v")), "v")
                 .select("u", "v")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            n_live = live.count()
+            n_live = live.count()  # fused materialize + count
             # a keep vertex whose every in-edge came FROM a dropped
             # vertex and every out-edge went TO one loses all its
             # edges in the filter and would otherwise vanish
@@ -1605,7 +1703,7 @@ def scc_coloring(
                         F.col("u").cast("bigint").alias("v"),
                         F.col("u").cast("bigint").alias("scc_id"),
                     )
-                ).localCheckpoint(eager=True)
+                )
         if n_live == 0:
             return assigned
         if n_live <= local_finish_edges:
@@ -1615,6 +1713,10 @@ def scc_coloring(
             live.select("u").unionByName(live.select(F.col("v").alias("u")))
             .distinct()
             .select(F.col("u").alias("cv"), F.col("u").alias("color"))
+            # eager: flood round 1 reads colors through THREE
+            # concurrent legs (the flood join, the unionByName seed,
+            # and the moved-probe's old-color join) — a lazy mark
+            # recomputes the vertex distinct per leg
             .localCheckpoint(eager=True)
         )
         for _p in range(max_prop + 1):
@@ -1629,7 +1731,10 @@ def scc_coloring(
                 .unionByName(colors)
                 .groupBy("cv")
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                # lazy: the moved-probe below scans flooded through a
+                # join, so its map stages compute and persist every
+                # partition — one job where eager + probe was two
+                .localCheckpoint(eager=False)
             )
             moved = (
                 flooded.join(
@@ -1646,7 +1751,7 @@ def scc_coloring(
         settled = (
             colors.filter(F.col("cv") == F.col("color"))
             .select(F.col("color").alias("c"), F.col("cv").alias("v"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = settled
         for _b in range(max_prop + 1):
@@ -1669,25 +1774,27 @@ def scc_coloring(
                     ["v", "c"],
                 )
                 .join(settled, ["c", "v"], "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if disc.limit(1).count() == 0:
+            # fused materialize + emptiness probe (see bfs_distances);
+            # settled stays a union of materialized level RDDs
+            if disc.count() == 0:
                 break
-            settled = settled.unionByName(disc).localCheckpoint(eager=True)
+            settled = settled.unionByName(disc)
             frontier = disc
         assigned = assigned.unionByName(
             settled.select(
                 F.col("v").cast("bigint").alias("v"),
                 F.col("c").cast("bigint").alias("scc_id"),
             )
-        ).localCheckpoint(eager=True)
+        )
         done = settled.select("v").distinct()
         live = (
             live.join(done.select(F.col("v").alias("u")), "u", "left_anti")
             .join(done, "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_live = live.count()
+        n_live = live.count()  # fused materialize + count
         # same orphan rule as the trim filter: an uncarved vertex
         # whose every edge touched a carved SCC has no surviving
         # cycle (a cycle through it would live entirely inside one
@@ -1709,7 +1816,7 @@ def scc_coloring(
                     F.col("cv").cast("bigint").alias("v"),
                     F.col("cv").cast("bigint").alias("scc_id"),
                 )
-            ).localCheckpoint(eager=True)
+            )
         if n_live == 0:
             return assigned
     raise ConvergenceError(

@@ -42,6 +42,7 @@ def assign_ids_ranged(
     id_col: str = "id",
     start_at: int = 1,
     bucket_width: int = 1 << 20,
+    bucket_counts: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Dense deterministic ids in `order_col` order WITHOUT a
     single-partition window — the fact-scale recipe.
@@ -56,11 +57,20 @@ def assign_ids_ranged(
     widest window any task evaluates is `bucket_width` rows: 10^10 new
     keys at the default width is ~10^4 buckets, each an independent
     task, instead of one task sorting everything.
+
+    ``bucket_counts``: optional precomputed (bucket, count) rows —
+    callers that batch several scalar statistics into one driver
+    round-trip (plans/ingest's fused stats job) pass the counts in and
+    skip this function's own collect; the rows must be exactly
+    ``new_rows.groupBy(order_col DIV bucket_width).count()``.
     """
     bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
     bucketed = new_rows.withColumn("_id_bucket", bucket)
     counts = sorted(
-        bucketed.groupBy("_id_bucket").count().collect(), key=lambda r: r[0]
+        bucketed.groupBy("_id_bucket").count().collect()
+        if bucket_counts is None
+        else bucket_counts,
+        key=lambda r: r[0],
     )
     offsets, acc = [], 0
     for r in counts:

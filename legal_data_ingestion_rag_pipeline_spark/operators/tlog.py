@@ -116,6 +116,16 @@ def commit(
         if f.endswith(".parquet")
     )
     record: dict = {"version": version, "action": action, "files": files}
+    # Schema travels in the manifest (Delta's metaData action): readers
+    # apply it via spark.read.schema(...) and never pay the
+    # footer-sampling inference job a bare spark.read.parquet runs —
+    # at 100 TB that job is a per-read driver round-trip plus an
+    # object-store GET per sampled footer; locally it was measured as
+    # one extra Spark job per read_version call (ingest_timetravel
+    # alone pays ~15 of them).  Parity note: inference marks every
+    # field nullable, so the stored schema is nullablized on READ
+    # (see read_version) — plans and results stay bit-identical.
+    record["schema"] = df.schema.json()
     if epoch is not None:
         record["epoch"] = epoch
     if stats_col is not None:
@@ -216,7 +226,62 @@ def read_version(
             f"tlog table at {path} has no files"
             + (" in the pruned range" if prune is not None else "")
         )
+    schema = _live_schema(path, version)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
     return spark.read.parquet(*files)
+
+
+def _live_schema(path: str, version: int | None):
+    """The manifest-recorded schema in effect at ``version`` —
+    nullablized to match what parquet footer inference would return
+    (inference marks every field nullable), so reads through the
+    manifest schema are plan- and result-identical to inferred reads,
+    minus the inference job.  None when any live-set entry predates
+    schema recording (pre-upgrade manifests fall back to inference)."""
+    from pyspark.sql.types import StructType
+
+    entries = _read_manifest(path)
+    if version is None and entries:
+        version = entries[-1]["version"]
+    live_schemas: list | None = []
+    for e in entries:
+        if e["version"] > version:
+            break
+        if e["action"] not in ("append", "overwrite"):
+            continue
+        if e["action"] == "overwrite":
+            live_schemas = []  # overwrite replaces the live set entirely
+        if live_schemas is None:
+            continue
+        if "schema" in e:
+            live_schemas.append(e["schema"])
+        else:
+            live_schemas = None  # pre-upgrade entry in the live set
+    # every live entry must carry the SAME schema — mixed-schema
+    # appends (mergeSchema territory) keep the inference path
+    if not live_schemas or len(set(live_schemas)) != 1:
+        return None
+    return _nullablize(StructType.fromJson(json.loads(live_schemas[0])))
+
+
+def _nullablize(dt):
+    """Recursively mark every field/element nullable (parquet
+    inference's convention)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullablize(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullablize(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nullablize(dt.keyType), _nullablize(dt.valueType), True)
+    return dt
 
 
 def vacuum(path: str, keep_from_version: int) -> list[str]:
@@ -267,6 +332,17 @@ def vacuum(path: str, keep_from_version: int) -> list[str]:
                     rec["stats_col"] = sc
             if "epoch" in e:
                 rec["epoch"] = e["epoch"]
+            # carry the schema into the compacted base so post-vacuum
+            # reads keep the inference-free path; same rule as reads
+            # (every live entry present and agreeing), via _live_schema
+            # on the PRE-compaction manifest
+            base_schema = _live_schema(path, keep_from_version)
+            if base_schema is not None:
+                rec["schema"] = next(
+                    x["schema"]
+                    for x in reversed(entries)
+                    if x["version"] <= keep_from_version and "schema" in x
+                )
             rewritten.append(rec)
         else:
             rewritten.append(e)

@@ -115,9 +115,14 @@ def _upsert_dim(
     batch: DataFrame,
     spark: SparkSession,
     name_expr: str = "name",
+    max_id: int | None = None,
 ) -> DataFrame:
     """Get-or-create: new normalized names get ids in first-seen order
-    (min _seq), appended after the existing max id (SURVEY S4/§4#1)."""
+    (min _seq), appended after the existing max id (SURVEY S4/§4#1).
+
+    ``max_id``: the existing dim's max id when the caller already knows
+    it (ingest_batch's fused stats job computes every dim's max in one
+    driver round-trip); None falls back to a per-dim collect."""
     firsts = (
         batch.groupBy("normalized_name")
         .agg(F.min("_seq").alias("_first_seq"), F.min_by(name_expr, "_seq").alias("name"))
@@ -133,7 +138,8 @@ def _upsert_dim(
         new = firsts.join(
             existing.select("normalized_name"), "normalized_name", "left_anti"
         )
-        max_id = (existing.agg(F.max("id")).collect()[0][0]) or 0
+        if max_id is None:
+            max_id = (existing.agg(F.max("id")).collect()[0][0]) or 0
     assigned = assign_ids(new, "_first_seq", start_at=max_id + 1).select(
         "id", "name", "normalized_name"
     )
@@ -168,14 +174,6 @@ def ingest_batch(
     now = F.current_timestamp()
     validated = validate(raw).cache()
 
-    # one multi-aggregate job instead of three separate counts
-    # (total / good / failed): failed = read - good by definition
-    # (reference run-summary invariant), so two numbers pin all three
-    _c = validated.agg(
-        F.count("*").alias("t"),
-        F.count(F.when(F.col("error_code").isNull(), 1)).alias("g"),
-    ).collect()[0]
-    total_read, n_good = int(_c.t), int(_c.g)
     bad = validated.filter(F.col("error_code").isNotNull())
     good = validated.filter(F.col("error_code").isNull())
 
@@ -190,24 +188,123 @@ def ingest_batch(
         & (F.col("court") != "")
     )
     dim_src = validated.filter(passes_1_4).cache()
+    judges_src = dim_src.filter(
+        F.col("judge").isNotNull() & (F.col("judge") != "") & (F.col("norm_judge") != "")
+    )
+
+    # --- cases: last-writer-wins per case_number by file order ---------
+    w = Window.partitionBy("case_number").orderBy(F.desc("_seq"))
+    final_rows = (
+        good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    existing_cases = existing.get("cases")
+    if existing_cases is not None:
+        keyed_existing = existing_cases.select("id", "case_number")
+        new_keys = final_rows.join(
+            existing_cases.select("case_number"), "case_number", "left_anti"
+        )
+    else:
+        new_keys = final_rows
+    first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
+    ranged_input = (
+        first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti")
+        if existing_cases is not None
+        else first_seen
+    )
+    exploded = explode_parties(good.select("case_number", "parties", "_seq"))
+    exploded = exploded.withColumn("norm_party", normalize_party("party_name"))
+
+    # --- TWO stats jobs: cache-fill count, then ONE fused job ----------
+    # Every scalar the batch needs (read/good counts, per-dim max ids,
+    # n_inserted, n_no_parties, the ranged assigner's per-bucket counts)
+    # is an independent tiny aggregate; issuing them sequentially cost
+    # up to 9 driver round-trips per batch (each its own Spark job).
+    # Union the tagged aggregates and collect ONCE (guide §1.2 "remove
+    # passes", §2.6 "overlap independent work" — here via one action
+    # rather than threads).  Results are bit-identical: each leg is the
+    # same aggregate the sequential code ran.
+    #
+    # total_read is counted FIRST, alone, because that count is what
+    # populates the `validated` cache: the fused job's legs all read
+    # `validated` through independent concurrent stages, and an
+    # unpopulated cache makes each leg recompute the JSON validation
+    # base (cache writes race, last wins — measured +33% task time on
+    # ingest_timetravel_cases when everything was one job).  One extra
+    # ~50 ms round-trip buys single-computation of the expensive base;
+    # 2 jobs total where the sequential code paid up to 9.
+    total_read = validated.count()
+    _BW = 1 << 20  # keep in sync with assign_ids_ranged's bucket_width
+
+    def _scalar(df: DataFrame, tag: str, agg: F.Column) -> DataFrame:
+        return df.agg(agg.cast("long").alias("v")).select(
+            F.lit(tag).alias("tag"), F.lit(0).cast("long").alias("k"), "v"
+        )
+
+    stat_parts = [
+        _scalar(
+            validated,
+            "good",
+            F.count(F.when(F.col("error_code").isNull(), 1)),
+        ),
+        _scalar(new_keys, "n_inserted", F.count("*")),
+        _scalar(
+            final_rows.join(
+                exploded.select("case_number").distinct(), "case_number", "left_anti"
+            ),
+            "n_no_parties",
+            F.count("*"),
+        ),
+        ranged_input.groupBy(
+            F.expr(f"CAST(_first_seq AS BIGINT) DIV {_BW}").alias("k")
+        )
+        .count()
+        .select(
+            F.lit("bucket").alias("tag"),
+            F.col("k").cast("long").alias("k"),
+            F.col("count").cast("long").alias("v"),
+        ),
+    ]
+    for tag, tbl in (
+        ("max_courts", "courts"),
+        ("max_judges", "judges"),
+        ("max_case_types", "case_types"),
+        ("max_parties", "parties"),
+        ("max_cases", "cases"),
+    ):
+        prior = existing.get(tbl)
+        if prior is not None:
+            stat_parts.append(_scalar(prior, tag, F.max("id")))
+    fused = stat_parts[0]
+    for part in stat_parts[1:]:
+        fused = fused.unionByName(part)
+    stats: dict[str, int] = {}
+    bucket_counts: list[tuple[int, int]] = []
+    for r in fused.collect():
+        if r.tag == "bucket":
+            bucket_counts.append((int(r.k), int(r.v)))
+        else:
+            stats[r.tag] = int(r.v) if r.v is not None else 0
+    n_good = stats["good"]
+    n_inserted = stats["n_inserted"]
+    n_updated = n_good - n_inserted
 
     courts = _upsert_dim(
         existing.get("courts"),
         dim_src.select(F.col("court").alias("name"), F.col("norm_court").alias("normalized_name"), "_seq"),
         spark,
-    )
-    judges_src = dim_src.filter(
-        F.col("judge").isNotNull() & (F.col("judge") != "") & (F.col("norm_judge") != "")
+        max_id=stats.get("max_courts"),
     )
     judges = _upsert_dim(
         existing.get("judges"),
         judges_src.select(F.col("judge").alias("name"), F.col("norm_judge").alias("normalized_name"), "_seq"),
         spark,
+        max_id=stats.get("max_judges"),
     )
     case_types = _upsert_dim(
         existing.get("case_types"),
         dim_src.select(F.col("case_type").alias("name"), F.col("norm_type").alias("normalized_name"), "_seq"),
         spark,
+        max_id=stats.get("max_case_types"),
     )
 
     court_vars = _variations(
@@ -219,36 +316,23 @@ def ingest_batch(
         judges, "judge", F.col("_ts"),
     )
 
-    # --- cases: last-writer-wins per case_number by file order ---------
-    w = Window.partitionBy("case_number").orderBy(F.desc("_seq"))
-    final_rows = (
-        good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
-
-    existing_cases = existing.get("cases")
-    if existing_cases is not None:
-        existing_keys = existing_cases.select("case_number")
-        new_keys = final_rows.join(existing_keys, "case_number", "left_anti")
-    else:
-        new_keys = final_rows
-    n_inserted = new_keys.count()
-    n_updated = n_good - n_inserted
-
     # deterministic case ids: existing keep theirs; new ids by first-seen.
     # Cases are FACT-scale, so the ranged assigner (per-bucket windows +
     # cumulative offsets) replaces the global single-partition window —
     # same ids, no one-task sort at 100x data (surrogate.py recipe).
-    first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
+    # The per-bucket counts come from the fused stats job above.
     if existing_cases is not None:
-        max_case_id = (existing_cases.agg(F.max("id")).collect()[0][0]) or 0
-        keyed_existing = existing_cases.select("id", "case_number")
         new_ids = assign_ids_ranged(
-            first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti"),
-            "_first_seq", start_at=max_case_id + 1,
+            ranged_input,
+            "_first_seq",
+            start_at=stats.get("max_cases", 0) + 1,
+            bucket_counts=bucket_counts,
         ).select("id", "case_number")
         case_ids = keyed_existing.unionByName(new_ids)
     else:
-        case_ids = assign_ids_ranged(first_seen, "_first_seq").select("id", "case_number")
+        case_ids = assign_ids_ranged(
+            first_seen, "_first_seq", bucket_counts=bucket_counts
+        ).select("id", "case_number")
 
     cases = (
         final_rows.join(case_ids, "case_number")
@@ -275,12 +359,12 @@ def ingest_batch(
 
     # --- parties: from EVERY good row (reference inserts per processed
     # row with ON CONFLICT DO NOTHING), dedup (case_id, party_id, role).
-    exploded = explode_parties(good.select("case_number", "parties", "_seq"))
-    exploded = exploded.withColumn("norm_party", normalize_party("party_name"))
+    # `exploded` built above (fused stats job consumes it too).
     parties_dim = _upsert_dim(
         existing.get("parties"),
         exploded.select(F.col("party_name").alias("name"), F.col("norm_party").alias("normalized_name"), "_seq"),
         spark,
+        max_id=stats.get("max_parties"),
     )
     party_vars = _variations(
         exploded.select(F.col("norm_party").alias("normalized_name"), F.col("party_name").alias("party")).withColumn("_ts", now),
@@ -299,9 +383,7 @@ def ingest_batch(
         ).dropDuplicates(["case_id", "party_id", "role"])
 
     n_failed = total_read - n_good
-    n_no_parties = final_rows.join(
-        exploded.select("case_number").distinct(), "case_number", "left_anti"
-    ).count()
+    n_no_parties = stats["n_no_parties"]
 
     # --- errors table: keyed (run_id, record_hash); retry_count =
     # occurrences - 1 (SURVEY S6).
