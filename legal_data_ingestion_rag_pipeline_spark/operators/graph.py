@@ -490,6 +490,16 @@ def bfs_distances(
         [(source, 0)], "v: bigint, dist: int"
     ).localCheckpoint(eager=False)
     frontier = settled.select(F.col("v").alias("src"))
+    # the dedup target per level: in an UNDIRECTED graph (nbr is
+    # symmetric by construction above) any neighbor of a distance-
+    # (d-1) vertex has distance in {d-2, d-1, d}, so a candidate can
+    # only collide with the last TWO levels — the anti-join runs
+    # against those O(frontier)-sized frames instead of the whole
+    # settled union, turning O(depth x |settled|) total anti-join
+    # build input into O(|V|) across the run (§2.3: shuffle fewer
+    # bytes).  `settled` still accumulates every level for the return.
+    recent = settled.select("v")
+    prev: DataFrame | None = None
     for depth in range(1, max_depth + 1):
         # ONE job per level: eager=False + count() materializes the
         # checkpoint AND answers the emptiness probe in the same job
@@ -499,11 +509,12 @@ def bfs_distances(
         # settled set stays a union of the already-materialized level
         # RDDs — re-checkpointing the union copied every settled row
         # once per level for no lineage benefit (each leaf is O(1)).
+        anti = recent if prev is None else prev.unionByName(recent)
         discovered = (
             nbr.join(frontier, "src")
             .select(F.col("dst").alias("v"))
             .distinct()
-            .join(settled.select("v"), "v", "left_anti")
+            .join(anti, "v", "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
             .localCheckpoint(eager=False)
         )
@@ -511,6 +522,7 @@ def bfs_distances(
             break
         settled = settled.unionByName(discovered)
         frontier = discovered.select(F.col("v").alias("src"))
+        prev, recent = recent, discovered.select("v")
     return settled
 
 
@@ -540,6 +552,16 @@ def triangle_counts(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        # eager: the orientation job reads und through THREE stage
+        # legs (deg's two union scans + keyed's join spine), and the
+        # caller's `edges` is often an expensive un-persisted subtree
+        # (the co-purchase queries pass a lineitem self-join).  Within
+        # one job ReusedExchange already dedups the shuffle WRITE, but
+        # each consuming stage re-runs the reduce-side distinct, and a
+        # non-exchange parent subtree would be recomputed whole.
+        # Measured at sf0.1 (steal-bracketed min-of-3):
+        # triangle_count_copurchase task time 109 s -> 96 s.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("lo").alias("v"))
@@ -938,6 +960,10 @@ def edge_supports(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        # eager for the same three-leg reason as triangle_counts' und;
+        # k_truss skips this path on purpose (its `cur` is a cheap
+        # projection over the already-materialized support frame)
+        .localCheckpoint(eager=True)
     )
     return _edge_supports_canon(und)
 
@@ -1101,14 +1127,20 @@ def multi_source_bfs(
         "landmark: bigint, v: bigint, dist: int",
     ).localCheckpoint(eager=False)
     frontier = settled.select("landmark", F.col("v").alias("src"))
+    # undirected two-level collision bound per landmark cone (see
+    # bfs_distances): the anti-join needs only the last two levels,
+    # not the whole settled union
+    recent = settled.select("landmark", "v")
+    prev: DataFrame | None = None
     for depth in range(1, max_depth + 1):
         # one fused job per level (checkpoint + emptiness probe) and a
         # never-recopied settled union — see bfs_distances
+        anti = recent if prev is None else prev.unionByName(recent)
         discovered = (
             nbr.join(frontier, "src")
             .select("landmark", F.col("dst").alias("v"))
             .distinct()
-            .join(settled.select("landmark", "v"), ["landmark", "v"], "left_anti")
+            .join(anti, ["landmark", "v"], "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
             .localCheckpoint(eager=False)
         )
@@ -1116,6 +1148,7 @@ def multi_source_bfs(
             break
         settled = settled.unionByName(discovered)
         frontier = discovered.select("landmark", F.col("v").alias("src"))
+        prev, recent = recent, discovered.select("landmark", "v")
     return settled
 
 
@@ -1189,15 +1222,20 @@ def betweenness_sampled(
             "landmark: bigint, v: bigint, sigma: bigint",
         ).localCheckpoint(eager=False)
     ]
-    settled = levels[0].select("landmark", "v")
+    # undirected two-level collision bound per landmark cone (see
+    # bfs_distances): a candidate at depth d can only collide with
+    # levels d-1 / d-2, so the anti-join needs only those frames
+    recent = levels[0].select("landmark", "v")
+    prev: DataFrame | None = None
     frontier = levels[0]
     for _depth in range(1, max_depth + 1):
         # one fused job per level (checkpoint + emptiness probe) and a
         # never-recopied settled union — see bfs_distances
+        anti = recent if prev is None else prev.unionByName(recent)
         discovered = (
             nbr.join(frontier.withColumnRenamed("v", "src"), "src")
             .select("landmark", F.col("dst").alias("v"), "sigma")
-            .join(settled, ["landmark", "v"], "left_anti")
+            .join(anti, ["landmark", "v"], "left_anti")
             .groupBy("landmark", "v")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             .localCheckpoint(eager=False)
@@ -1205,8 +1243,8 @@ def betweenness_sampled(
         if discovered.count() == 0:
             break
         levels.append(discovered)
-        settled = settled.unionByName(discovered.select("landmark", "v"))
         frontier = discovered
+        prev, recent = recent, discovered.select("landmark", "v")
     # backward dependency accumulation: the DEEPEST level has no
     # successors inside the cone, so its delta is 0; every shallower
     # level folds its successor level's deltas in

@@ -193,10 +193,13 @@ def ingest_batch(
     )
 
     # --- cases: last-writer-wins per case_number by file order ---------
+    # cached: the fused stats job's n_inserted / n_no_parties legs
+    # compute this window anyway, which fills the cache; the cases
+    # table's write then reuses it instead of re-running the window
     w = Window.partitionBy("case_number").orderBy(F.desc("_seq"))
     final_rows = (
         good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
+    ).cache()
     existing_cases = existing.get("cases")
     if existing_cases is not None:
         keyed_existing = existing_cases.select("id", "case_number")
@@ -212,7 +215,11 @@ def ingest_batch(
         else first_seen
     )
     exploded = explode_parties(good.select("case_number", "parties", "_seq"))
-    exploded = exploded.withColumn("norm_party", normalize_party("party_name"))
+    # cached for the same reason as final_rows: the stats job's
+    # n_no_parties leg fills it; the parties/case_parties writes reuse
+    exploded = exploded.withColumn(
+        "norm_party", normalize_party("party_name")
+    ).cache()
 
     # --- TWO stats jobs: cache-fill count, then ONE fused job ----------
     # Every scalar the batch needs (read/good counts, per-dim max ids,
@@ -476,5 +483,5 @@ def ingest_batch(
     }
     return IngestResult(
         run_id=run_id, counts=counts, tables=tables, quarantine=quarantine,
-        errors=errors, cached=[validated, dim_src],
+        errors=errors, cached=[validated, dim_src, final_rows, exploded],
     )
