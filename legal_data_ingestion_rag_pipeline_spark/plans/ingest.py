@@ -300,19 +300,19 @@ def ingest_batch(
         dim_src.select(F.col("court").alias("name"), F.col("norm_court").alias("normalized_name"), "_seq"),
         spark,
         max_id=stats.get("max_courts"),
-    )
+    ).cache()
     judges = _upsert_dim(
         existing.get("judges"),
         judges_src.select(F.col("judge").alias("name"), F.col("norm_judge").alias("normalized_name"), "_seq"),
         spark,
         max_id=stats.get("max_judges"),
-    )
+    ).cache()
     case_types = _upsert_dim(
         existing.get("case_types"),
         dim_src.select(F.col("case_type").alias("name"), F.col("norm_type").alias("normalized_name"), "_seq"),
         spark,
         max_id=stats.get("max_case_types"),
-    )
+    ).cache()
 
     court_vars = _variations(
         dim_src.select(F.col("norm_court").alias("normalized_name"), F.col("court")).withColumn("_ts", now),
@@ -340,6 +340,11 @@ def ingest_batch(
         case_ids = assign_ids_ranged(
             first_seen, "_first_seq", bucket_counts=bucket_counts
         ).select("id", "case_number")
+    # dims and case_ids are read by 2-3 of the concurrently-committed
+    # tables each (dim table + variations + cases/case_parties);
+    # caching them turns those repeats into one computation apiece
+    # (dictionary-sized frames — negligible storage)
+    case_ids = case_ids.cache()
 
     cases = (
         final_rows.join(case_ids, "case_number")
@@ -372,7 +377,7 @@ def ingest_batch(
         exploded.select(F.col("party_name").alias("name"), F.col("norm_party").alias("normalized_name"), "_seq"),
         spark,
         max_id=stats.get("max_parties"),
-    )
+    ).cache()
     party_vars = _variations(
         exploded.select(F.col("norm_party").alias("normalized_name"), F.col("party_name").alias("party")).withColumn("_ts", now),
         parties_dim, "party", F.col("_ts"),
@@ -483,5 +488,7 @@ def ingest_batch(
     }
     return IngestResult(
         run_id=run_id, counts=counts, tables=tables, quarantine=quarantine,
-        errors=errors, cached=[validated, dim_src, final_rows, exploded],
+        errors=errors,
+        cached=[validated, dim_src, final_rows, exploded,
+                courts, judges, case_types, parties_dim, case_ids],
     )
