@@ -63,6 +63,60 @@ def test_bfs_unreachable_absent(spark):
     assert d == {1: 0, 2: 1}
 
 
+def test_bfs_two_level_antijoin_collision_classes(spark):
+    """Pin the undirected two-level anti-join rework (round 13): a
+    depth-d candidate can only collide with levels d-1 and d-2, so
+    the duplicate filter keeps just the last two frontiers.  Each
+    collision class gets a witness:
+
+    - EVEN cycle 0-1-2-3-0: from 0, vertex 0 is re-proposed at depth
+      2 by both depth-1 frontiers (a d-2 collision);
+    - ODD cycle 10-11-12-10: 11 and 12 propose each other at depth 2
+      (a d-1 collision);
+    - diamond 20-{21,22}-23: 23 is proposed twice within one level
+      (same-level dedup via the distinct, not the anti-join).
+
+    If the anti-join dropped a needed level, a settled vertex would
+    re-emit with a larger dist and the dicts below would double-key.
+    """
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 0),          # even cycle
+        (10, 11), (11, 12), (12, 10),            # odd cycle
+        (20, 21), (20, 22), (21, 23), (22, 23),  # diamond
+    ]
+    rows = graph.bfs_distances(
+        _edges(spark, edges), source=0, max_depth=8
+    ).collect()
+    assert len(rows) == len({r.v for r in rows})  # no re-emission
+    assert {r.v: r.dist for r in rows} == {0: 0, 1: 1, 3: 1, 2: 2}
+    rows = graph.bfs_distances(
+        _edges(spark, edges), source=10, max_depth=8
+    ).collect()
+    assert {r.v: r.dist for r in rows} == {10: 0, 11: 1, 12: 1}
+    rows = graph.bfs_distances(
+        _edges(spark, edges), source=20, max_depth=8
+    ).collect()
+    assert {r.v: r.dist for r in rows} == {20: 0, 21: 1, 22: 1, 23: 2}
+
+
+def test_multi_source_bfs_two_level_antijoin_overlapping_cones(spark):
+    """Same pin for the landmark form: cones are independent, so a
+    vertex settled in one landmark's cone must still be discovered by
+    another's, while within each cone the two-level filter holds (the
+    shared even cycle gives every landmark a d-2 collision)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {
+        (r.landmark, r.v): r.dist
+        for r in graph.multi_source_bfs(
+            _edges(spark, edges), sources=[0, 2], max_depth=8
+        ).collect()
+    }
+    assert got == {
+        (0, 0): 0, (0, 1): 1, (0, 3): 1, (0, 2): 2,
+        (2, 2): 0, (2, 1): 1, (2, 3): 1, (2, 0): 2,
+    }
+
+
 def test_concurrency_two_phase_matches_global_sweep(spark):
     # intervals engineered to cross day boundaries so the day-carry
     # path is actually exercised: the global single-sort sweep is the
