@@ -569,26 +569,28 @@ def triangle_counts(
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
-    # orientation key: (degree, id) compared as a STRUCT — Spark
-    # orders structs field-wise lexicographically, so the total order
-    # is exact at ANY id range (packing into d*1e9+id would collide or
-    # misorder once vertex ids reach 1e9, exactly the scale this
-    # module targets)
+    # orientation key: (degree, id) compared lexicographically — exact
+    # at ANY id range (packing into d*1e9+id would collide or misorder
+    # once vertex ids reach 1e9, exactly the scale this module
+    # targets).  The comparison is written out field-wise over plain
+    # BIGINT columns instead of materializing (d, i) STRUCTs: the id
+    # field would duplicate the vertex column already carried, so the
+    # struct form stored 6 longs + struct headers per checkpointed row
+    # and shipped a 2-long struct per wedge-join side where one
+    # degree column suffices (§2.3 shuffle fewer bytes / narrower
+    # types).  (dlo, lo) < (dhi, hi) field-wise IS the struct order —
+    # bit-identical orientation, wedge set unchanged.
     keyed = (
         und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
         .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
-        .select(
-            "lo",
-            "hi",
-            F.struct(F.col("dlo").alias("d"), F.col("lo").alias("i")).alias("klo"),
-            F.struct(F.col("dhi").alias("d"), F.col("hi").alias("i")).alias("khi"),
-        )
+    )
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
     )
     oriented = keyed.select(
-        F.when(F.col("klo") < F.col("khi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
-        F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
-        F.least("klo", "khi").alias("ku"),
-        F.greatest("klo", "khi").alias("kv"),
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
     ).localCheckpoint(eager=True)  # feeds the wedge join twice +
     # closure — THREE concurrent stage legs of the same first job.  A
     # lazy mark here is NOT computed once: un-materialized RDD legs
@@ -596,11 +598,16 @@ def triangle_counts(
     # joins).  Measured at sf0.1: lazy cost +48% task time on
     # triangle_count_copurchase; the one eager round-trip is cheap
     # insurance.
-    e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
-    e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = (
         e1.join(e2, "u")
-        .filter(F.col("kx") < F.col("ky"))
+        # (dx, x) < (dy, y): same lexicographic wedge-ordering test the
+        # struct comparison ran, on the narrow columns
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
         .select("u", "x", "y")
     )
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
@@ -978,26 +985,31 @@ def _edge_supports_canon(und: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+    # field-wise (degree, id) orientation — same narrowing as
+    # triangle_counts: no (d, i) structs checkpointed or shuffled, one
+    # degree column per wedge side instead (§2.3); bit-identical
+    # wedge set (see the proof comment there)
     keyed = (
         und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "dlo"), "lo")
         .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "dhi"), "hi")
-        .select(
-            "lo",
-            "hi",
-            F.struct(F.col("dlo").alias("d"), F.col("lo").alias("i")).alias("klo"),
-            F.struct(F.col("dhi").alias("d"), F.col("hi").alias("i")).alias("khi"),
-        )
+    )
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
     )
     oriented = keyed.select(
-        F.when(F.col("klo") < F.col("khi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
-        F.when(F.col("klo") < F.col("khi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
-        F.least("klo", "khi").alias("ku"),
-        F.greatest("klo", "khi").alias("kv"),
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
     ).localCheckpoint(eager=True)
-    e1 = oriented.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
-    e2 = oriented.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedges = (
-        e1.join(e2, "u").filter(F.col("kx") < F.col("ky")).select("u", "x", "y")
+        e1.join(e2, "u")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("u", "x", "y")
     )
     closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"])

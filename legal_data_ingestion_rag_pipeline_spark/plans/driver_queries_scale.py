@@ -2807,14 +2807,18 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wh = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogwh_{tag}")
     store = TlogStore(spark, wh)
+    # dim tables commit in a first wave so their cached frames are
+    # populated once (by their own commit) before the fact/variation
+    # wave's 2-3 concurrent consumers touch them — see write_all
+    _DIM_WAVE = ("courts", "judges", "case_types", "parties")
     r1 = ingest_batch(spark, b1, existing=None, run_id=1)
-    store.write_all(r1.tables)
+    store.write_all(r1.tables, first=_DIM_WAVE)
     r1.release()  # committed — drop the batch caches (shared session)
     existing = {
         t: store.read(t) for t in r1.tables if store.exists(t)
     }
     r2 = ingest_batch(spark, b2, existing=existing, run_id=2)
-    store.write_all(r2.tables)
+    store.write_all(r2.tables, first=_DIM_WAVE)
     r2.release()
 
     def snap(version: int | None, label: int) -> DataFrame:

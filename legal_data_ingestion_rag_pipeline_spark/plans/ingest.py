@@ -203,11 +203,6 @@ def ingest_batch(
     existing_cases = existing.get("cases")
     if existing_cases is not None:
         keyed_existing = existing_cases.select("id", "case_number")
-        new_keys = final_rows.join(
-            existing_cases.select("case_number"), "case_number", "left_anti"
-        )
-    else:
-        new_keys = final_rows
     first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
     ranged_input = (
         first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti")
@@ -231,15 +226,23 @@ def ingest_batch(
     # rather than threads).  Results are bit-identical: each leg is the
     # same aggregate the sequential code ran.
     #
-    # total_read is counted FIRST, alone, because that count is what
+    # The input-side scalars run FIRST, alone, because that job is what
     # populates the `validated` cache: the fused job's legs all read
     # `validated` through independent concurrent stages, and an
     # unpopulated cache makes each leg recompute the JSON validation
     # base (cache writes race, last wins — measured +33% task time on
     # ingest_timetravel_cases when everything was one job).  One extra
     # ~50 ms round-trip buys single-computation of the expensive base;
-    # 2 jobs total where the sequential code paid up to 9.
-    total_read = validated.count()
+    # 2 jobs total where the sequential code paid up to 9.  count(*)
+    # and the good-row count are partial aggregates of the SAME scan,
+    # so the cache-fill job returns both — the separate "good" leg the
+    # fused job used to carry was a second full pass over the cache.
+    _first = validated.agg(
+        F.count("*").cast("long").alias("_total"),
+        F.count(F.when(F.col("error_code").isNull(), 1)).cast("long").alias("_good"),
+    ).collect()[0]
+    total_read = int(_first["_total"])
+    n_good = int(_first["_good"])
     _BW = 1 << 20  # keep in sync with assign_ids_ranged's bucket_width
 
     def _scalar(df: DataFrame, tag: str, agg: F.Column) -> DataFrame:
@@ -247,20 +250,43 @@ def ingest_batch(
             F.lit(tag).alias("tag"), F.lit(0).cast("long").alias("k"), "v"
         )
 
+    # n_inserted and n_no_parties are per-row predicates over the SAME
+    # final_rows frame (case_number new to the target? no parties?);
+    # the two anti-join+count legs each re-scanned final_rows through
+    # concurrent stages (racing its unpopulated cache) and paid their
+    # own aggregate exchange.  One left-join pipeline + one aggregate
+    # computes both: the right sides are unique on case_number
+    # (existing cases keyed, exploded distinct-ed), so no row fans out
+    # and count(mark IS NULL) is bit-identical to the anti-join count.
+    _marks = final_rows.select("case_number")
+    if existing_cases is not None:
+        _marks = _marks.join(
+            keyed_existing.select("case_number").withColumn("_e", F.lit(1)),
+            "case_number",
+            "left",
+        )
+    else:
+        _marks = _marks.withColumn("_e", F.lit(None).cast("int"))
+    _marks = _marks.join(
+        exploded.select("case_number").distinct().withColumn("_p", F.lit(1)),
+        "case_number",
+        "left",
+    )
+    ins_np = (
+        _marks.agg(
+            F.count(F.when(F.col("_e").isNull(), 1)).cast("long").alias("_ins"),
+            F.count(F.when(F.col("_p").isNull(), 1)).cast("long").alias("_np"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'n_inserted', _ins, 'n_no_parties', _np) AS (tag, v)"
+            )
+        )
+        .select("tag", F.lit(0).cast("long").alias("k"), "v")
+    )
+
     stat_parts = [
-        _scalar(
-            validated,
-            "good",
-            F.count(F.when(F.col("error_code").isNull(), 1)),
-        ),
-        _scalar(new_keys, "n_inserted", F.count("*")),
-        _scalar(
-            final_rows.join(
-                exploded.select("case_number").distinct(), "case_number", "left_anti"
-            ),
-            "n_no_parties",
-            F.count("*"),
-        ),
+        ins_np,
         ranged_input.groupBy(
             F.expr(f"CAST(_first_seq AS BIGINT) DIV {_BW}").alias("k")
         )
@@ -291,7 +317,6 @@ def ingest_batch(
             bucket_counts.append((int(r.k), int(r.v)))
         else:
             stats[r.tag] = int(r.v) if r.v is not None else 0
-    n_good = stats["good"]
     n_inserted = stats["n_inserted"]
     n_updated = n_good - n_inserted
 

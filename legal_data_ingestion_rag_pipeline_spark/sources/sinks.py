@@ -215,7 +215,11 @@ class TlogStore:
 
         return tlog.commit(df, str(self.path(table)), "append")
 
-    def write_all(self, tables: dict[str, DataFrame]) -> dict[str, int]:
+    def write_all(
+        self,
+        tables: dict[str, DataFrame],
+        first: tuple[str, ...] = (),
+    ) -> dict[str, int]:
         """Commit every table; returns table -> version.
 
         Commits run CONCURRENTLY across tables (a thread pool
@@ -225,15 +229,35 @@ class TlogStore:
         touching ~10 tables this turns the wall cost from the sum of
         ten small write jobs into the max of them — the same reason
         real lakehouse writers commit independent tables in parallel.
-        No staging needed — see the class docstring."""
+        No staging needed — see the class docstring.
+
+        ``first``: table names to commit (concurrently among
+        themselves) BEFORE the remaining tables.  The ingest caller
+        passes its dim tables: each dim's cached frame is read by 2-3
+        downstream table plans (dim table + variations + fact joins),
+        and in a single all-concurrent wave every first toucher races
+        the unpopulated cache and recomputes the upsert plan.  Wave 1
+        makes each dim's own commit the sole (single-computation)
+        cache filler; wave 2's consumers then read warm caches.  Names
+        not present in ``tables`` are ignored; default () keeps the
+        one-wave behavior."""
         from concurrent.futures import ThreadPoolExecutor
 
         if not tables:
             return {}
-        with ThreadPoolExecutor(max_workers=min(8, len(tables))) as ex:
-            futs = {name: ex.submit(self.write, name, df)
-                    for name, df in tables.items()}
-            return {name: fut.result() for name, fut in futs.items()}
+        wave1 = {n: tables[n] for n in first if n in tables}
+        wave2 = {n: df for n, df in tables.items() if n not in wave1}
+        out: dict[str, int] = {}
+        for wave in (wave1, wave2):
+            if not wave:
+                continue
+            with ThreadPoolExecutor(max_workers=min(8, len(wave))) as ex:
+                futs = {name: ex.submit(self.write, name, df)
+                        for name, df in wave.items()}
+                out.update(
+                    {name: fut.result() for name, fut in futs.items()}
+                )
+        return out
 
     def vacuum(self, table: str, keep_from_version: int) -> list[str]:
         from ..operators import tlog
