@@ -526,6 +526,53 @@ def bfs_distances(
     return settled
 
 
+def copurchase_pairs(
+    items: DataFrame,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Co-occurrence pairs (lo < hi) of ``part_col`` values sharing an
+    ``order_col`` group — one row per (group, pair), duplicates within
+    a group removed.  The co-purchase edge generator behind the graph
+    queries.
+
+    Replaces the orderkey self-join formulation (two aliased scans,
+    exchange + two sorts + merge join): groupBy collects each group's
+    DISTINCT sorted part set in ONE exchange of the input projection
+    (no sort — hash aggregate), and the pair expansion runs map-side
+    as array ops, quadratic only within a group (the same fan-out the
+    join produced).  Measured at sf0.1 (A/B, min-of-3 warm, identical
+    count + position-weighted checksum): 2.55 s -> 1.85 s for the
+    isolated subtree.  At scale the saving is the self-join's
+    O(E log E) per-side sort and its second scan; the remaining
+    shuffles (one group exchange here, whatever dedup/count the
+    caller adds) match the algorithm's floor.
+
+    Callers needing the distinct edge SET add .distinct() (unchanged
+    from the self-join form); support-counting callers group the
+    per-order rows directly — collect_set already provides the
+    per-group dedup the old form got from an up-front
+    ``items.distinct()``.  Groups with one part yield no rows
+    (explode of an empty array), matching the self-join.
+    """
+    return (
+        items.groupBy(order_col)
+        .agg(F.sort_array(F.collect_set(part_col)).alias("_ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps)), "
+                    f"y -> struct(x AS {lo}, y AS {hi}))))"
+                )
+            ).alias("_e")
+        )
+        .select(f"_e.{lo}", f"_e.{hi}")
+    )
+
+
 def triangle_counts(
     edges: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:

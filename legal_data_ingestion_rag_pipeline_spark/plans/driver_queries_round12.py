@@ -203,16 +203,7 @@ def harmonic_centrality_copurchase(
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
-        .distinct()
-    )
+    edges = graph.copurchase_pairs(li).distinct()
     lab = graph.multi_source_bfs(
         edges, list(_HC_SOURCES), a="lo", b="hi", max_depth=_HC_DEPTH
     )
@@ -800,16 +791,7 @@ def betweenness_sampled_copurchase(
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
-        .distinct()
-    )
+    edges = graph.copurchase_pairs(li).distinct()
     bw = graph.betweenness_sampled(
         edges, list(_BW_SOURCES), a="lo", b="hi", max_depth=_BW_DEPTH
     )
@@ -1328,17 +1310,7 @@ def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = graph.copurchase_pairs(li).distinct().localCheckpoint(eager=True)
     s1 = graph.multi_source_bfs(
         edges, [_DS_SEED], a="lo", b="hi", max_depth=_DS_CAP
     )

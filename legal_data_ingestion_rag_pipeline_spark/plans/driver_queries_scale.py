@@ -1644,15 +1644,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-    )
+    # per-order pair expansion (graph.copurchase_pairs) replaces the
+    # orderkey self-join; triangle_counts dedups to the edge set
+    # internally, so no .distinct() here (same as the join form)
+    edges = graph.copurchase_pairs(li, lo="pa", hi="pb")
     pv = graph.triangle_counts(edges, a="pa", b="pb")
     return (
         pv.select(F.col("v").cast("bigint").alias("v"), "n_triangles")
@@ -1743,15 +1738,15 @@ def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase graph at support >= 2: parts sharing >= 2 orders.
     The support filter is what keeps the graph sparse — the raw
     co-purchase graph is near-complete on dense catalogs."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    from ..operators import graph
+
+    # copurchase_pairs' per-order collect_set subsumes the old
+    # up-front li.distinct() (within-order dedup), so the pair count
+    # per (lo, hi) is still the number of DISTINCT orders sharing it
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
+        graph.copurchase_pairs(li)
+        .groupBy("lo", "hi")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("lo", "hi")
@@ -1864,16 +1859,7 @@ def bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
-        .distinct()
-    )
+    edges = graph.copurchase_pairs(li).distinct()
     d = graph.bfs_distances(edges, source=0, a="lo", b="hi", max_depth=3)
     return d.select(
         F.col("v").cast("bigint").alias("part"),
@@ -2679,16 +2665,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    edges = graph.copurchase_pairs(li, lo="pa", hi="pb").distinct()
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
@@ -3537,16 +3514,7 @@ def landmark_distances_copurchase(
     from ..operators import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
-        )
-        .distinct()
-    )
+    edges = graph.copurchase_pairs(li).distinct()
     lab = graph.multi_source_bfs(
         edges, list(_LM_SOURCES), a="lo", b="hi", max_depth=_LM_DEPTH
     )

@@ -39,7 +39,12 @@ SF = "/root/testdata/sf0.01"
 
 # measured at sf0.01, cpus=8, shuffle.partitions=8 (round 12)
 BUDGETS: dict[str, dict[str, int]] = {
-    "triangle_count_copurchase": {"records": 233458, "bytes": 2392269},
+    # re-measured after the r13 copurchase_pairs rewrite: the
+    # checkpointed orientation frame now carries sane size stats, so
+    # the planner BROADCASTS the wedge and closing joins at this sf
+    # (no wedge exchange at all); the pin asserts that plan — a
+    # degrade back to shuffled joins lands >1.5x and fails here
+    "triangle_count_copurchase": {"records": 2000, "bytes": 19847},
     "session_peak_concurrency": {"records": 58300, "bytes": 614744},
     "dedup_duplicate_spans": {"records": 26122, "bytes": 219194},
     "curation_pipeline_v3": {"records": 14398, "bytes": 738032},
@@ -105,11 +110,16 @@ def measure(spark, name: str) -> dict[str, int]:
 # included), twice each, bit-identical across runs
 ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     "pagerank_trade_network": {"records": 256993, "bytes": 2959439},
-    "ktruss_copurchase": {"records": 197176, "bytes": 2027883},
-    "landmark_distances_copurchase": {"records": 1066088, "bytes": 9428082},
-    "betweenness_sampled_copurchase": {"records": 1818651, "bytes": 16115764},
-    "diameter_double_sweep": {"records": 2217752, "bytes": 19553278},
-    "harmonic_centrality_copurchase": {"records": 1085131, "bytes": 9589566},
+    # the five entries below re-measured after the r13
+    # copurchase_pairs rewrite (per-order pair expansion replaces the
+    # lineitem self-join, and the BFS adjacency/frontier joins
+    # broadcast their small sides instead of re-shuffling the
+    # adjacency every level): records dropped 28-76%
+    "ktruss_copurchase": {"records": 141639, "bytes": 1767510},
+    "landmark_distances_copurchase": {"records": 380487, "bytes": 3769709},
+    "betweenness_sampled_copurchase": {"records": 432709, "bytes": 4263215},
+    "diameter_double_sweep": {"records": 608189, "bytes": 5896469},
+    "harmonic_centrality_copurchase": {"records": 395533, "bytes": 3872405},
     # round-13: Boruvka rounds (min_by select + star contraction +
     # relabel) all localCheckpoint outside the final tree
     "mst_copurchase_backbone": {"records": 199080, "bytes": 2173961},
