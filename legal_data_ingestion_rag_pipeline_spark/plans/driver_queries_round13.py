@@ -766,11 +766,19 @@ def _mst_oracle(sf_dir: str) -> str:
 def mst_copurchase_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_r13_mst_lineitem")
-    edges = spark.sql(
-        _MST_SUPPORT2_SQL.replace("FROM lineitem", "FROM _r13_mst_lineitem")
-    ).select("lo", "hi", (-F.col("c")).alias("w"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Spark side builds the same support-2 weighted edges as the
+    # oracle's _MST_SUPPORT2_SQL via per-order pair expansion
+    # (graph.copurchase_pairs — no lineitem self-join; collect_set
+    # subsumes the SQL's per-order DISTINCT): identical (lo, hi, c)
+    # rows, hash-gate-proven
+    edges = (
+        graph.copurchase_pairs(li)
+        .groupBy("lo", "hi")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("lo", "hi", (-F.col("c")).alias("w"))
+    )
     msf = graph.boruvka_msf(edges, a="lo", b="hi", w="w")
     return (
         msf.select(

@@ -122,7 +122,9 @@ ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     "harmonic_centrality_copurchase": {"records": 395533, "bytes": 3872405},
     # round-13: Boruvka rounds (min_by select + star contraction +
     # relabel) all localCheckpoint outside the final tree
-    "mst_copurchase_backbone": {"records": 199080, "bytes": 2173961},
+    # re-measured after the r13 copurchase_pairs rewrite of its
+    # Spark-side edge build (the oracle keeps the SQL twin)
+    "mst_copurchase_backbone": {"records": 153879, "bytes": 2041307},
     # round-13: multi-job by design (ms/theta collects between
     # phases), so cross-job is the right meter.  2,388 total vs 2,791
     # for exhaustive BM25 over the same 4 terms — the tf-count
