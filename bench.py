@@ -21,6 +21,58 @@ from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry  # n
 from legal_data_ingestion_rag_pipeline_spark.session import build_session  # noqa: E402
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks from /proc/stat (column 9 of
+    the aggregate cpu line).  Round-13 finding (OPTIMIZATION_r13.md
+    "Host steal"): this box sheds 20%+ of CPU to the hypervisor the
+    moment all 32 vCPUs are demanded, invisibly to loadavg — BENCH_r13
+    recorded untouched queries 1.7-2.4x slow with load_suspect false.
+    Steal ticks are the direct meter of that mechanism."""
+    try:
+        with open("/proc/stat", "r", encoding="ascii") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError):
+        return 0
+
+
+_CLK_TCK = float(os.sysconf("SC_CLK_TCK")) if hasattr(os, "sysconf") else 100.0
+
+
+def wait_for_steal_quiet(
+    spark, max_wait_sec: float = 180.0
+) -> tuple[float, float]:
+    """Steal analog of wait_for_quiet_box (round-13 verdict ask #1):
+    loadavg cannot see hypervisor steal, and steal only manifests
+    under load, so PROBE it — run a short all-cores spin job and
+    measure the steal-tick delta across it.  Wait (bounded) until a
+    probe comes back quiet.  Returns (seconds waited, last probe's
+    stolen cpu-seconds).  Disable with SPARK_GRAFT_NO_LOAD_WAIT=1."""
+    if os.environ.get("SPARK_GRAFT_NO_LOAD_WAIT"):
+        return 0.0, 0.0
+    par = spark.sparkContext.defaultParallelism
+    t0 = time.monotonic()
+    stolen = 0.0
+    while True:
+        s0 = _steal_ticks()
+        p0 = time.perf_counter()
+        # ~0.5 s of pure spin on every core: enough demand to trigger
+        # load-induced steal, cheap enough to repeat
+        spark.sparkContext.parallelize(range(par), par).map(
+            lambda _i: sum(range(2_000_000)) and None
+        ).count()
+        probe_wall = time.perf_counter() - p0
+        stolen = (_steal_ticks() - s0) / _CLK_TCK
+        # quiet = the hypervisor stole under 5% of the cpu-seconds the
+        # probe demanded (par cores x probe wall)
+        if stolen <= 0.05 * par * probe_wall:
+            break
+        if time.monotonic() - t0 >= max_wait_sec:
+            break
+        time.sleep(10.0)
+    return round(time.monotonic() - t0, 1), round(stolen, 2)
+
+
 def wait_for_quiet_box(max_wait_sec: float = 300.0) -> float:
     """Round-10 verdict ask #2: the r10 driver record ran at loadavg
     9.6 and had to be discounted (`load_suspect: true`).  Before
@@ -71,6 +123,12 @@ def main() -> None:
     spark.range(par * 4).repartition(par).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # steal-quiet gate AFTER the warmups (steal is load-induced — it
+    # only shows while cores are demanded, so it must be probed with a
+    # running session, not read at idle like loadavg)
+    steal_waited, steal_probe = wait_for_steal_quiet(spark)
+    steal_t0 = _steal_ticks()
+    run_t0 = time.perf_counter()
 
     # Cold + median-of-3 warm per query (methodology change, round 4 —
     # see PERFORMANCE.md): run 1 pays one-off codegen/broadcast-build
@@ -102,9 +160,11 @@ def main() -> None:
         "hits_trade_authorities",
         "kcore_copurchase",
     }
+    steal_q: dict[str, float] = {}
     for spec in specs:
         n_runs = 6 if spec.name in iterative_extra else 4
         runs = []
+        _q_s0 = _steal_ticks()
         for _ in range(n_runs):
             # Build INSIDE the timer: for lazy queries plan construction
             # is milliseconds, but eager-construction queries (BPE
@@ -120,9 +180,17 @@ def main() -> None:
         cold[spec.name] = runs[0]
         warm = sorted(runs[1:])
         timings[spec.name] = warm[len(warm) // 2]  # median of 3 (or 5) warm
+        steal_q[spec.name] = round((_steal_ticks() - _q_s0) / _CLK_TCK, 2)
 
     load_after = os.getloadavg()
     ncpu = os.cpu_count() or 1
+    run_wall = time.perf_counter() - run_t0
+    steal_sec = round((_steal_ticks() - steal_t0) / _CLK_TCK, 2)
+    # steal sentinel (round-13 verdict ask #1): the run is suspect when
+    # the hypervisor stole more than 2% of its wall — the r13 bad phase
+    # read ~70% of wall stolen while loadavg stayed quiet; clean runs
+    # read ~0.1%
+    steal_suspect = steal_sec > 0.02 * run_wall
     base = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -130,8 +198,14 @@ def main() -> None:
         "sf": sf,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
-        "load_suspect": load_before[0] > ncpu / 4 or load_before[1] > ncpu / 4,
+        "load_suspect": (
+            load_before[0] > ncpu / 4
+            or load_before[1] > ncpu / 4
+            or steal_suspect
+        ),
         "load_waited_sec": load_waited,
+        "steal_sec": steal_sec,
+        "steal_suspect": steal_suspect,
         "n_queries": len(timings),
     }
     # Full detail first (humans / full-stdout logs), compact summary
@@ -141,14 +215,28 @@ def main() -> None:
     # window and the round recorded "parsed": null — so the final line
     # is now size-guarded to always fit (see VERDICT r8 "What's wrong"
     # item 4).
-    print(json.dumps({**base, "queries": timings, "cold": cold}))
+    print(
+        json.dumps(
+            {
+                **base,
+                "steal_waited_sec": steal_waited,
+                "steal_probe_sec": steal_probe,
+                "queries": timings,
+                "cold": cold,
+                "steal": steal_q,
+            }
+        )
+    )
     sys.stdout.flush()
     # measure candidate payloads with the SAME 2-decimal rounding that
     # is printed — full-precision floats serialize longer, so measuring
     # them made the trim loop drop more queries than the budget needed
     rounded = {k: round(v, 2) for k, v in timings.items()}
     final = {**base, "queries": rounded}
-    budget = 1900  # driver tail window is 2000 bytes; leave margin
+    # driver tail window is 2000 bytes; the final line + newline must
+    # fit whole (r14: raised 1900 -> 1950 so the two added steal
+    # fields never evict a query row from the compact record)
+    budget = 1950
     if len(json.dumps(final)) > budget:
         # drop the cheapest rows first — the expensive rows are the
         # ones the judge compares round-over-round

@@ -948,8 +948,15 @@ def prefix_filtered_jaccard_pairs(
         )
         .localCheckpoint(eager=True)  # feeds prefix explode AND both verify legs
     )
+    # n_grams rides along on every prefix row (one extra BIGINT per
+    # row) so the candidate aggregation below yields the sizes
+    # directly — the two post-groupBy size joins (sza/szb) this
+    # operator used to run are gone, two stages shorter on the
+    # sequential cascade (r14; guide §2.4 — the sizes are functionally
+    # dependent on the group key, so min() recovers them exactly)
     prefix = per_doc.select(
         "doc",
+        "n_grams",
         F.posexplode(
             F.expr(
                 f"slice(glist, 1, CAST(floor((1.0 - {t}) * n_grams) + 1 AS INT))"
@@ -978,16 +985,16 @@ def prefix_filtered_jaccard_pairs(
             F.col("b.doc").alias("id_b"),
             F.col("a.pos").alias("_pa"),
             F.col("b.pos").alias("_pb"),
+            F.col("a.n_grams").alias("_na"),
+            F.col("b.n_grams").alias("_nb"),
         )
     )
     cands = pairs.groupBy("id_a", "id_b").agg(
-        F.min("_pa").alias("_i0"), F.min("_pb").alias("_j0")
-    )
-    sza = per_doc.select(
-        F.col("doc").alias("id_a"), F.col("n_grams").alias("na")
-    )
-    szb = per_doc.select(
-        F.col("doc").alias("id_b"), F.col("n_grams").alias("nb")
+        F.min("_pa").alias("_i0"),
+        F.min("_pb").alias("_j0"),
+        # constant within the group (size is a function of the doc id)
+        F.min("_na").alias("na"),
+        F.min("_nb").alias("nb"),
     )
     # PPJoin length filter: J(a,b) >= t forces t*|a| <= |b| <= |a|/t,
     # then the positional bound above.  Exact integer micro-units
@@ -997,8 +1004,7 @@ def prefix_filtered_jaccard_pairs(
     # pure candidate reduction, zero recall loss.
     t_micro = int(math.floor(t * 1_000_000 + 0.5))
     kept = (
-        cands.join(sza, "id_a")
-        .join(szb, "id_b")
+        cands
         .filter(
             (F.col("nb") * 1_000_000 >= F.col("na") * (t_micro - 1))
             & (F.col("na") * 1_000_000 >= F.col("nb") * (t_micro - 1))

@@ -556,7 +556,21 @@ def copurchase_pairs(
     per-group dedup the old form got from an up-front
     ``items.distinct()``.  Groups with one part yield no rows
     (explode of an empty array), matching the self-join.
+
+    Group-size bound assumption: "same fan-out as the join" covers
+    ROW COUNT, not peak per-row memory — the flatten materializes one
+    group's full O(k^2) pair array in a single row before the explode,
+    where the merge join streamed its output.  Fine for the bounded
+    group sizes of this data model (orders hold tens of parts); a hub
+    group with k in the tens of thousands would build a k^2-struct
+    array in one task row and should fall back to the self-join (or a
+    posexplode + per-row slice expansion) for that key class.
     """
+    for name in (order_col, part_col, lo, hi):
+        if not name.isidentifier():
+            # the names are interpolated into an F.expr SQL string
+            # below; a space/keyword/hyphen would parse wrong there
+            raise ValueError(f"column name {name!r} is not a plain identifier")
     return (
         items.groupBy(order_col)
         .agg(F.sort_array(F.collect_set(part_col)).alias("_ps"))
@@ -565,7 +579,7 @@ def copurchase_pairs(
                 F.expr(
                     "flatten(transform(_ps, (x, i) -> "
                     "transform(slice(_ps, i + 2, size(_ps)), "
-                    f"y -> struct(x AS {lo}, y AS {hi}))))"
+                    f"y -> struct(x AS `{lo}`, y AS `{hi}`))))"
                 )
             ).alias("_e")
         )

@@ -590,9 +590,12 @@ _SR_SUPPORT = 2  # candidate part pairs must share >= this many orders
 _SR_UNIT = 10**12
 
 
-def _simrank_body_sql(dialect: str) -> str:
-    """Two SimRank iterations on the part <- order bipartite graph,
-    shared CTE body (dialect only affects integer division)."""
+def _simrank_tail_sql(dialect: str) -> str:
+    """The SimRank CTE chain DOWNSTREAM of po/oo/cand — shared between
+    the oracle (where po/oo/cand are the self-join CTEs of
+    _simrank_body_sql) and the Spark side (where they are DataFrame-
+    built temp views; see simrank_copurchase).  Dialect only affects
+    integer division."""
     s1u = PT.idiv(
         f"{_SR_C8} * oo.common * {_SR_UNIT // 10}", "os1.np * os2.np", dialect
     )
@@ -600,22 +603,8 @@ def _simrank_body_sql(dialect: str) -> str:
         f"{_SR_C8} * ssum", "10 * pa.no * pb.no", dialect
     )
     return f"""
-    po AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ),
     osize AS (SELECT o, CAST(count(*) AS BIGINT) AS np FROM po GROUP BY o),
     psize AS (SELECT p, CAST(count(*) AS BIGINT) AS no FROM po GROUP BY p),
-    oo AS (
-      SELECT x.o AS o1, y.o AS o2, CAST(count(*) AS BIGINT) AS common
-      FROM po x JOIN po y ON x.p = y.p AND x.o < y.o
-      GROUP BY x.o, y.o
-    ),
-    cand AS (
-      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS common_orders
-      FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
-      GROUP BY x.p, y.p
-      HAVING count(*) >= {_SR_SUPPORT}
-    ),
     expanded AS (
       -- canonical (lo_o, hi_o) keys are PRE-projected plain columns:
       -- the oo probe below must be a pure equi-join (expression keys
@@ -655,6 +644,30 @@ def _simrank_body_sql(dialect: str) -> str:
     """
 
 
+def _simrank_body_sql(dialect: str) -> str:
+    """Two SimRank iterations on the part <- order bipartite graph —
+    the full CTE body (po + the two self-join CTEs + the shared tail).
+    The ORACLE runs this verbatim; the Spark side builds po/oo/cand as
+    DataFrames (per-order pair expansion instead of the self-joins)
+    and runs only the tail (r14; same rows, hash-gate-proven)."""
+    return f"""
+    po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    oo AS (
+      SELECT x.o AS o1, y.o AS o2, CAST(count(*) AS BIGINT) AS common
+      FROM po x JOIN po y ON x.p = y.p AND x.o < y.o
+      GROUP BY x.o, y.o
+    ),
+    cand AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS common_orders
+      FROM po x JOIN po y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p
+      HAVING count(*) >= {_SR_SUPPORT}
+    ),
+    {_simrank_tail_sql(dialect)}"""
+
+
 _SIMRANK_ORACLE = f"WITH {_simrank_body_sql(D)}"
 
 
@@ -676,11 +689,47 @@ _SIMRANK_ORACLE = f"WITH {_simrank_body_sql(D)}"
     "complement to one-hop Adamic-Adar.",
 )
 def simrank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_r13_lineitem")
+    from ..operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14: po is consumed by FIVE plan legs (osize, psize, the two
+    # expanded probes, and both pair expansions) — the CTE form
+    # recomputed the projection+distinct per reference; one eager
+    # checkpoint computes it once and gives every consumer honest
+    # size estimates (the r13 change-10 cascade)
+    po = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    po.createOrReplaceTempView("_r14_sr_po")
+    # oo (order pairs sharing a part, count = |common parts|) and cand
+    # (part pairs sharing >= 2 orders) are the two self-join CTEs of
+    # the oracle body rewritten as per-group pair expansion
+    # (graph.copurchase_pairs): collect_set per group + map-side pair
+    # explode — one hash-agg exchange instead of exchange + two sorts
+    # + merge join per CTE (guide §2.4/§3.1; the r13 change-10 shape
+    # applied to the last SQL-string sites).  Row-identical: the
+    # expansion enumerates exactly the lo < hi pairs the self-join
+    # produced, and count(*) per pair is the same multiplicity.
+    oo = (
+        graph.copurchase_pairs(po, order_col="p", part_col="o", lo="o1", hi="o2")
+        .groupBy("o1", "o2")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    oo.createOrReplaceTempView("_r14_sr_oo")
+    cand = (
+        graph.copurchase_pairs(po, order_col="o", part_col="p", lo="a", hi="b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("common_orders"))
+        .filter(F.col("common_orders") >= _SR_SUPPORT)
+    )
+    cand.createOrReplaceTempView("_r14_sr_cand")
     return spark.sql(
-        f"WITH lineitem AS (SELECT * FROM _r13_lineitem), "
-        f"{_simrank_body_sql(S)}"
+        f"WITH po AS (SELECT * FROM _r14_sr_po), "
+        f"oo AS (SELECT * FROM _r14_sr_oo), "
+        f"cand AS (SELECT * FROM _r14_sr_cand), "
+        f"{_simrank_tail_sql(S)}"
     )
 
 
@@ -1474,11 +1523,21 @@ def hyperanf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
     from ..operators.sketches import hll_coefficient
 
-    li = _t(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("_r13_anf_lineitem")
-    edges = spark.sql(
-        _MST_SUPPORT2_SQL.replace("FROM lineitem", "FROM _r13_anf_lineitem")
-    ).select("lo", "hi")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14: same support-2 weighted edges as the oracle's
+    # _MST_SUPPORT2_SQL, built via per-order pair expansion
+    # (graph.copurchase_pairs) instead of the SQL lineitem self-join —
+    # the identical (lo, hi, c>=2) rows the mst rewrite hash-proved;
+    # one hash-agg exchange replaces exchange + two sorts + merge join
+    # (guide §2.4/§3.1, r13 change 10 applied to the last Spark-side
+    # SQL edge site)
+    edges = (
+        graph.copurchase_pairs(li)
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("lo", "hi")
+    )
     sweep = graph.hyperanf(edges, a="lo", b="hi", hops=_ANF_HOPS, hll_b=_ANF_B)
     est = PTmod.round6(
         f"{hll_coefficient(_ANF_B)!r} / CAST(s_scaled AS DOUBLE)", S
@@ -1634,13 +1693,45 @@ def _scc_oracle(sf_dir: str) -> str:
 def scc_subsequent_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("_r13_scc_orders")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "_r13_scc_lineitem"
+    # r14: the Spark side builds the SAME edge rows as _SCC_EDGES_SQL
+    # (the oracle keeps the SQL twin) without the orders self-join:
+    # "b.rn = a.rn + 1 over (PARTITION BY custkey ORDER BY orderdate,
+    # orderkey)" is by definition lead(orderkey) over that window —
+    # orderkey is unique so the order is total and the pair multiset
+    # is identical.  One window pass replaces exchange + two sorts +
+    # merge join (guide §2.4: two operations keyed the same way share
+    # one exchange — here the rn window and the consecutive-pair join
+    # collapse into one window).
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pairs = (
+        o.select(
+            F.col("o_orderkey").alias("k1"),
+            F.lead("o_orderkey").over(w).alias("k2"),
+        )
+        .filter(F.col("k2").isNotNull())
     )
-    edges = spark.sql(
-        _SCC_EDGES_SQL.replace("FROM orders", "FROM _r13_scc_orders")
-        .replace("FROM lineitem", "FROM _r13_scc_lineitem")
+    # items feeds two concurrent join legs of the same first job —
+    # eager per the r13 multi-leg rule
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # self-loop rows (u = v) deliberately KEPT, exactly like the SQL
+    # (see _SCC_EDGES_SQL's comment); scc_coloring drops them itself
+    edges = (
+        pairs.join(
+            items.select(F.col("k").alias("k1"), F.col("p").alias("u")), "k1"
+        )
+        .join(
+            items.select(F.col("k").alias("k2"), F.col("p").alias("v")), "k2"
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
     )
     labeled = graph.scc_coloring(edges, src="u", dst="v")
     sizes = labeled.groupBy("scc_id").agg(

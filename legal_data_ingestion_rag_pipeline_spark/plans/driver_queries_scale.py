@@ -2783,7 +2783,13 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{os.getpid()}_{next(_TLOG_SEQ)}"
     )
     wh = os.path.join(tempfile.gettempdir(), f"spark_graft_tlogwh_{tag}")
-    store = TlogStore(spark, wh)
+    # id-keyed tables commit with per-file [min, max] id stats in the
+    # manifest, so batch 2's max-id scalars replay from ONE manifest
+    # read (TlogStore.stat_max — zero Spark jobs) instead of five
+    # aggregate legs in the fused stats job (r14; guide §6 manifest
+    # metadata over data reads)
+    _ID_TABLES = ("courts", "judges", "case_types", "parties", "cases")
+    store = TlogStore(spark, wh, stats_cols={t: "id" for t in _ID_TABLES})
     # dim tables commit in a first wave so their cached frames are
     # populated once (by their own commit) before the fact/variation
     # wave's 2-3 concurrent consumers touch them — see write_all
@@ -2794,7 +2800,13 @@ def ingest_timetravel_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = {
         t: store.read(t) for t in r1.tables if store.exists(t)
     }
-    r2 = ingest_batch(spark, b2, existing=existing, run_id=2)
+    r2 = ingest_batch(
+        spark,
+        b2,
+        existing=existing,
+        run_id=2,
+        known_max_ids={t: store.stat_max(t) for t in _ID_TABLES},
+    )
     store.write_all(r2.tables, first=_DIM_WAVE)
     r2.release()
 

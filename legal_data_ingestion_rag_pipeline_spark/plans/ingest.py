@@ -37,7 +37,7 @@ from ..functions.normalize import (
     normalize_judge,
     normalize_party,
 )
-from ..functions.parties import explode_parties
+from ..functions.parties import explode_parties, parties_struct
 from ..operators.surrogate import assign_ids, assign_ids_ranged
 from ..sources.readers import RAW_FIELDS
 
@@ -164,13 +164,22 @@ def ingest_batch(
     raw: DataFrame,
     existing: dict[str, DataFrame] | None = None,
     run_id: int = 1,
+    known_max_ids: dict[str, int] | None = None,
 ) -> IngestResult:
     """One batch through the full pipeline; returns new table versions
     plus reference-parity counters.  `existing` carries prior versions
     of cases/courts/judges/case_types/parties (re-runs are idempotent:
     ids never churn, second ingest of the same file counts all-updated).
+
+    ``known_max_ids``: table -> max existing id, when the caller
+    already holds it (a tlog warehouse replays per-file [min, max]
+    stats from ONE manifest read — TlogStore.stat_max — so the max-id
+    aggregate legs of the fused stats job disappear entirely; parquet
+    int64 footer stats are exact).  Tables absent from the dict fall
+    back to the in-job aggregate.
     """
     existing = existing or {}
+    known_max_ids = known_max_ids or {}
     now = F.current_timestamp()
     validated = validate(raw).cache()
 
@@ -197,13 +206,37 @@ def ingest_batch(
     # compute this window anyway, which fills the cache; the cases
     # table's write then reuses it instead of re-running the window
     w = Window.partitionBy("case_number").orderBy(F.desc("_seq"))
+    # r14: min(_seq) rides the SAME case_number exchange as the
+    # last-writer window (unordered frame = whole partition), so
+    # first_seen — previously its own groupBy re-scan of `good`,
+    # recomputed by every consumer (the bucket stats leg, the ranged
+    # anti-join, assign_ids_ranged) — becomes a projection of the
+    # CACHED final_rows (guide §2.4: operations keyed the same way
+    # share one exchange).  One row per case_number either way;
+    # min(_seq) over the partition is exactly the old aggregate.
+    # _has_p also rides that exchange: a row yields parties iff
+    # parties_struct (the same grammar explode_parties runs, as one
+    # Column — golden-pinned in tests/test_parties.py) is non-empty,
+    # so max over the partition == "some good row of this case has
+    # parties" == "case_number present in exploded" — the
+    # n_no_parties anti-join leg becomes a predicate on the cache
+    w_all = Window.partitionBy("case_number")
     final_rows = (
-        good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        good.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first_seq", F.min("_seq").over(w_all))
+        .withColumn(
+            "_has_p",
+            F.max(
+                F.when(F.size(parties_struct("parties")) > 0, 1).otherwise(0)
+            ).over(w_all),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     ).cache()
     existing_cases = existing.get("cases")
     if existing_cases is not None:
         keyed_existing = existing_cases.select("id", "case_number")
-    first_seen = good.groupBy("case_number").agg(F.min("_seq").alias("_first_seq"))
+    first_seen = final_rows.select("case_number", "_first_seq")
     ranged_input = (
         first_seen.join(keyed_existing.select("case_number"), "case_number", "left_anti")
         if existing_cases is not None
@@ -250,15 +283,20 @@ def ingest_batch(
             F.lit(tag).alias("tag"), F.lit(0).cast("long").alias("k"), "v"
         )
 
-    # n_inserted and n_no_parties are per-row predicates over the SAME
-    # final_rows frame (case_number new to the target? no parties?);
-    # the two anti-join+count legs each re-scanned final_rows through
-    # concurrent stages (racing its unpopulated cache) and paid their
-    # own aggregate exchange.  One left-join pipeline + one aggregate
-    # computes both: the right sides are unique on case_number
-    # (existing cases keyed, exploded distinct-ed), so no row fans out
-    # and count(mark IS NULL) is bit-identical to the anti-join count.
-    _marks = final_rows.select("case_number")
+    # ONE aggregation leg answers n_inserted, n_no_parties AND the
+    # ranged assigner's bucket counts (r14): every one is a per-row
+    # predicate/bucket over the SAME final_rows frame — a new
+    # case_number is exactly a ranged-input row, so n_inserted IS the
+    # sum of the per-bucket new-key counts, and n_no_parties reads the
+    # window-borne _has_p column.  The old three legs (anti-join count
+    # + exploded-distinct join + bucket groupBy) raced final_rows'
+    # unpopulated cache through concurrent stages; a single leg fills
+    # it once (the r13 multi-leg rule satisfied by construction).  The
+    # _e left join is against keys unique on case_number, so no row
+    # fans out and count(_e IS NULL) is bit-identical to the anti-join
+    # count; zero-new buckets are dropped driver-side to match
+    # ranged_input.groupBy().count() exactly.
+    _marks = final_rows.select("case_number", "_first_seq", "_has_p")
     if existing_cases is not None:
         _marks = _marks.join(
             keyed_existing.select("case_number").withColumn("_e", F.lit(1)),
@@ -267,36 +305,22 @@ def ingest_batch(
         )
     else:
         _marks = _marks.withColumn("_e", F.lit(None).cast("int"))
-    _marks = _marks.join(
-        exploded.select("case_number").distinct().withColumn("_p", F.lit(1)),
-        "case_number",
-        "left",
-    )
-    ins_np = (
-        _marks.agg(
-            F.count(F.when(F.col("_e").isNull(), 1)).cast("long").alias("_ins"),
-            F.count(F.when(F.col("_p").isNull(), 1)).cast("long").alias("_np"),
-        )
-        .select(
-            F.expr(
-                "stack(2, 'n_inserted', _ins, 'n_no_parties', _np) AS (tag, v)"
-            )
-        )
-        .select("tag", F.lit(0).cast("long").alias("k"), "v")
-    )
-
-    stat_parts = [
-        ins_np,
-        ranged_input.groupBy(
+    bucket_np = (
+        _marks.groupBy(
             F.expr(f"CAST(_first_seq AS BIGINT) DIV {_BW}").alias("k")
         )
-        .count()
+        .agg(
+            F.count(F.when(F.col("_e").isNull(), 1)).cast("long").alias("_new"),
+            F.count(F.when(F.col("_has_p") == 0, 1)).cast("long").alias("_np"),
+        )
         .select(
-            F.lit("bucket").alias("tag"),
-            F.col("k").cast("long").alias("k"),
-            F.col("count").cast("long").alias("v"),
-        ),
-    ]
+            F.expr("stack(2, 'bucket', k, _new, 'np', k, _np) AS (tag, k, v)")
+        )
+        .select("tag", F.col("k").cast("long").alias("k"), F.col("v").cast("long").alias("v"))
+    )
+
+    stat_parts = [bucket_np]
+    stats_known: dict[str, int] = {}
     for tag, tbl in (
         ("max_courts", "courts"),
         ("max_judges", "judges"),
@@ -305,19 +329,28 @@ def ingest_batch(
         ("max_cases", "cases"),
     ):
         prior = existing.get(tbl)
-        if prior is not None:
+        if prior is None:
+            continue
+        if known_max_ids.get(tbl) is not None:
+            stats_known[tag] = int(known_max_ids[tbl])
+        else:
             stat_parts.append(_scalar(prior, tag, F.max("id")))
     fused = stat_parts[0]
     for part in stat_parts[1:]:
         fused = fused.unionByName(part)
-    stats: dict[str, int] = {}
+    stats: dict[str, int] = dict(stats_known)
     bucket_counts: list[tuple[int, int]] = []
+    n_inserted = 0
+    n_no_parties = 0
     for r in fused.collect():
         if r.tag == "bucket":
-            bucket_counts.append((int(r.k), int(r.v)))
+            n_inserted += int(r.v)
+            if r.v:  # zero-new buckets never appear in ranged_input
+                bucket_counts.append((int(r.k), int(r.v)))
+        elif r.tag == "np":
+            n_no_parties += int(r.v)
         else:
             stats[r.tag] = int(r.v) if r.v is not None else 0
-    n_inserted = stats["n_inserted"]
     n_updated = n_good - n_inserted
 
     courts = _upsert_dim(
@@ -420,7 +453,6 @@ def ingest_batch(
         ).dropDuplicates(["case_id", "party_id", "role"])
 
     n_failed = total_read - n_good
-    n_no_parties = stats["n_no_parties"]
 
     # --- errors table: keyed (run_id, record_hash); retry_count =
     # occurrences - 1 (SURVEY S6).

@@ -178,9 +178,22 @@ class TlogStore:
     not a reconstruction.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_cols: dict[str, str] | None = None,
+    ):
+        """``stats_cols``: table -> column whose per-file [min, max]
+        every commit records in the manifest (the Iceberg manifest-
+        stats half of the tlog format).  Beyond read-side file
+        skipping, :meth:`stat_max` answers max(col) from ONE manifest
+        read — zero Spark jobs — which the ingest pipeline uses for
+        its dim/case max-id scalars (r14; parquet int64 footer stats
+        are exact)."""
         self.spark = spark
         self.root = Path(root)
+        self.stats_cols = dict(stats_cols or {})
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
@@ -206,7 +219,30 @@ class TlogStore:
         version (the post-merge state IS the table)."""
         from ..operators import tlog
 
-        return tlog.commit(df, str(self.path(table)), "overwrite")
+        return tlog.commit(
+            df,
+            str(self.path(table)),
+            "overwrite",
+            stats_col=self.stats_cols.get(table),
+        )
+
+    def stat_max(self, table: str, version: int | None = None):
+        """max(stats_col) over the live set at ``version``, replayed
+        from the manifest's per-file [min, max] — no Spark job, no
+        data read.  None when the table has no stats column configured
+        or any live file lacks recorded stats (callers fall back to an
+        in-job aggregate; the answer is exact or absent, never
+        approximate)."""
+        from ..operators import tlog
+
+        if table not in self.stats_cols:
+            return None
+        pairs = tlog.live_files(
+            str(self.path(table)), version, with_stats=True
+        )
+        if not pairs or any(st is None for _, st in pairs):
+            return None
+        return max(st[1] for _, st in pairs)
 
     def append(self, table: str, df: DataFrame) -> int:
         """Log-shaped tables (errors, runs, quarantine mirrors):

@@ -18,15 +18,22 @@ def test_minhash_arrow_matches_sql(spark):
     docs = load_table(spark, SF, "documents")
     fast = dedup.with_minhash(docs, "text", "doc_id", engine="arrow")
     slow = dedup.with_minhash(docs, "text", "doc_id", engine="sql")
-    assert fast.exceptAll(slow).count() == 0
-    assert slow.exceptAll(fast).count() == 0
+    # one execution per engine (the two exceptAll counts ran each
+    # pipeline TWICE — the sql path's 32-slot expression codegen is
+    # the expensive part; r14 test-wall fix).  Multiset equality via
+    # sorted rows == the two exceptAll==0 assertions.
+    fast_rows = sorted((r[0], tuple(r[1])) for r in fast.collect())
+    slow_rows = sorted((r[0], tuple(r[1])) for r in slow.collect())
+    assert fast_rows == slow_rows and len(fast_rows) > 0
 
 
 def test_quality_arrow_matches_sql(spark):
     fast = registry()["textstats_quality"].spark(spark, SF)
     slow = DQ.textstats_quality_sql_path(spark, SF)
-    assert fast.exceptAll(slow).count() == 0
-    assert slow.exceptAll(fast).count() == 0
+    # same one-execution-per-engine rewrite as the minhash parity test
+    fast_rows = sorted(tuple(r) for r in fast.collect())
+    slow_rows = sorted(tuple(r) for r in slow.collect())
+    assert fast_rows == slow_rows and len(fast_rows) > 0
 
 
 def test_rag_arrow_matches_sql(spark):

@@ -27,10 +27,11 @@ sys.path.insert(0, str(ROOT / "tools"))
 SF = "/root/testdata/sf0.001"
 
 
-def test_every_public_function_is_covered(spark):
+def test_every_public_function_is_covered(spark, built_queries):
     import machinery_coverage as MC
 
-    rows, errors = MC.compute_rows(spark, SF)
+    _dfs, calls, build_errors = built_queries
+    rows, errors = MC.compute_rows(spark, SF, traced=(calls, build_errors))
     assert not errors, f"queries errored during trace: {errors}"
     dark = [
         r["function"]

@@ -55,7 +55,10 @@ BUDGETS: dict[str, dict[str, int]] = {
     "naive_bayes_lang_confusion": {"records": 8975, "bytes": 133013},
     "split_leakage_audit": {"records": 8148, "bytes": 817933},
     "dedup_minhash_lsh": {"records": 8042, "bytes": 813520},
-    "dedup_prefix_jaccard": {"records": 2136, "bytes": 34914},
+    # r14 re-measure: na/nb now ride the candidate aggregation (the
+    # post-groupBy size joins are gone — 14 -> 10 Exchanges), so the
+    # records are unchanged and the bytes carry two extra BIGINTs
+    "dedup_prefix_jaccard": {"records": 2136, "bytes": 47562},
     # round-12 additions (harmonic/geometric pins cover the FINAL
     # plan only — their BFS/Weiszfeld levels localCheckpoint outside
     # the executed tree, per the module caveat)
@@ -63,10 +66,6 @@ BUDGETS: dict[str, dict[str, int]] = {
     "bm25f_fielded_search": {"records": 6753, "bytes": 89247},
     "harmonic_centrality_copurchase": {"records": 2546, "bytes": 20389},
     "geometric_median_labels": {"records": 1990, "bytes": 80774},
-    # round-13: the order-product expansion is SimRank's honest cost
-    # class (sum of na*nb over support-2 candidate pairs); the pin
-    # catches the oo probe degrading off its equi-join keys
-    "simrank_copurchase": {"records": 4734994, "bytes": 58869152},
     "levenshtein_blocked_pairs": {"records": 2010, "bytes": 47362},
     "gopher_quality_filter": {"records": 26385, "bytes": 402597},
     "knn_shapley_pooled": {"records": 1435, "bytes": 25259},
@@ -137,11 +136,30 @@ ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
     # merged register frame; the per-hop max-merge shuffle
     # (edges x registers, keyed by vertex) dominates — a lost
     # register dedup or an extra hop lands well outside 1.5x
-    "hyperanf_neighborhood": {"records": 1271919, "bytes": 13187985},
+    # (r14 re-measure: the Spark-side edge build switched from the
+    # _MST_SUPPORT2_SQL self-join to graph.copurchase_pairs — records
+    # down 46%)
+    "hyperanf_neighborhood": {"records": 687566, "bytes": 8505409},
     # round-13: SCC trim rounds + the bounded local-Kosaraju finish;
     # records are the edge-SQL + trim-cascade shuffles (an unpushed
     # support filter or a lost trim would multiply them)
-    "scc_subsequent_parts": {"records": 415514, "bytes": 3937398},
+    # (r14 re-measure: the consecutive-order pair build switched from
+    # the orders rn self-join to lead() over the same window)
+    "scc_subsequent_parts": {"records": 410547, "bytes": 3825472},
+    # r14: moved here from the plan-walk table — the Spark side now
+    # builds po/oo/cand as DataFrames (po eagerly checkpointed, the
+    # two self-join CTEs replaced by per-order pair expansion), so the
+    # cross-job sum is the complete meter (the final plan alone would
+    # miss po).  4,734,994 -> 1,103,014 records, 2 SortMergeJoins ->
+    # 0 (every join broadcasts off honest post-checkpoint estimates),
+    # 52 -> 32 Exchanges; the order-product expansion (sum na*nb over
+    # support-2 candidate pairs) remains the honest dominant term
+    "simrank_copurchase": {"records": 1103014, "bytes": 9708175},
+    # r14 (round-13 verdict ask #9): pin the two remaining touched
+    # iterative rows so the r13 copurchase_pairs/probe-fusion claims
+    # (-42% / -65% records) stay test-asserted like their siblings
+    "kcore_copurchase": {"records": 153003, "bytes": 1867724},
+    "bfs_copurchase_distances": {"records": 370179, "bytes": 3707468},
 }
 
 

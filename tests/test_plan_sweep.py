@@ -22,16 +22,13 @@ from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
 SF = "/root/testdata/sf0.001"
 
 
-def test_no_cartesian_or_rowwise_python_anywhere(spark):
-    specs = registry()
-    assert len(specs) >= 110
-    failures = []
-    for name, spec in specs.items():
-        try:
-            df = spec.spark(spark, SF)
-        except Exception as e:  # noqa: BLE001 - collect, don't abort sweep
-            failures.append(f"{name}: build error {e}")
-            continue
+def test_no_cartesian_or_rowwise_python_anywhere(spark, built_queries):
+    # plans come from the shared one-pass registry build (conftest
+    # built_queries — r14); the checks below are unchanged
+    dfs, _calls, errors = built_queries
+    assert len(registry()) >= 110
+    failures = [f"{n}: build error {e}" for n, e in errors.items()]
+    for name, df in dfs.items():
         if df.isStreaming:
             plan = df._jdf.queryExecution().analyzed().toString()
             if "BatchEvalPython" in plan or "PythonUDF" in plan:

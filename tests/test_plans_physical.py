@@ -119,12 +119,14 @@ def test_ivf_assign_never_shuffles_corpus(spark):
         assert "hashpartitioning(vec_id" not in plan, name
 
 
-def test_streaming_source_not_in_batch_queries(spark):
+def test_streaming_source_not_in_batch_queries(spark, built_queries):
     # every registered non-streaming query must build a pure batch plan
-    for name, spec in registry().items():
+    # (plans from the shared one-pass registry build — r14)
+    dfs, _calls, errors = built_queries
+    assert not errors, errors
+    for name, df in dfs.items():
         if name.startswith("streaming_"):
             continue
-        df = spec.spark(spark, SF)
         assert not df.isStreaming, name
 
 

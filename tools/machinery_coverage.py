@@ -69,6 +69,14 @@ def trace_query_calls(spark, spec, sf_dir: str) -> set[str]:
     """Run spec.spark(spark, sf_dir) under sys.setprofile, recording
     qualified names of repo operators/functions calls (plan
     construction — where DataFrame composition happens)."""
+    return trace_query_calls_df(spark, spec, sf_dir)[0]
+
+
+def trace_query_calls_df(spark, spec, sf_dir: str):
+    """(hits, built DataFrame) — the traced build, with the DataFrame
+    returned so one registry build pass can serve BOTH the coverage
+    trace and the plan-invariant sweeps (tests/conftest.built_queries
+    — three full registry builds collapsed into one, r14)."""
     hits: set[str] = set()
     prefix = str(ROOT / PKG) + "/"
 
@@ -88,7 +96,7 @@ def trace_query_calls(spark, spec, sf_dir: str) -> set[str]:
         df.schema  # force analysis without executing
     finally:
         sys.setprofile(None)
-    return hits
+    return hits, df
 
 
 def _resolve_from_import(
@@ -248,12 +256,17 @@ def pytest_pins(funcs: dict[str, str]) -> dict[str, list[str]]:
 
 
 def compute_rows(
-    spark, sf_dir: str
+    spark, sf_dir: str, traced: tuple[dict, dict] | None = None
 ) -> tuple[list[dict], dict[str, str]]:
     """The full coverage computation, importable so the zero-dark
     invariant can run as a pytest (round-12 verdict ask #6): returns
     (rows, trace_errors).  A row is dark iff it has no executing
-    query, no pytest pin, and no covered_via chain."""
+    query, no pytest pin, and no covered_via chain.
+
+    ``traced``: optional precomputed (query -> traced call set,
+    query -> build error) pair — the pytest path passes the shared
+    built_queries fixture's trace so the registry is built once per
+    test session instead of once per sweep (r14)."""
     from legal_data_ingestion_rag_pipeline_spark.plans.registry import registry
 
     funcs = public_functions()
@@ -263,13 +276,21 @@ def compute_rows(
     func_to_queries: dict[str, set[str]] = defaultdict(set)
     reg = registry()
     errors: dict[str, str] = {}
-    for name, spec in reg.items():
-        try:
-            for qual in trace_query_calls(spark, spec, sf_dir):
+    if traced is not None:
+        calls, errors_in = traced
+        errors = dict(errors_in)
+        for name, quals in calls.items():
+            for qual in quals:
                 if qual in funcs:
                     func_to_queries[qual].add(name)
-        except Exception as e:  # broken query = its own alarm elsewhere
-            errors[name] = str(e)[:200]
+    else:
+        for name, spec in reg.items():
+            try:
+                for qual in trace_query_calls(spark, spec, sf_dir):
+                    if qual in funcs:
+                        func_to_queries[qual].add(name)
+            except Exception as e:  # broken query = its own alarm elsewhere
+                errors[name] = str(e)[:200]
 
     # one-level static call graph: a helper invoked INSIDE a covered
     # operator / query builder / oracle builder is covered_via it
