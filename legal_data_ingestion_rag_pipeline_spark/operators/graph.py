@@ -293,14 +293,16 @@ def pagerank(
         contrib(u->v) = rank[u] DIV out_deg[u]
         rank'[v] = (100-d)% * (SCALE DIV N) DIV 100
                  + d% * (sum_in(v) + dangling DIV N) DIV 100
-    where dangling = total rank of vertices with no out-edges
-    (a 1-row aggregate broadcast back, the standard mass patch).
+    where dangling = total rank of vertices with no out-edges (a
+    1-row aggregate probe, the standard mass patch — collected to the
+    driver and folded back as a literal).
 
     Scale: each iteration is one join on src (uniform vertex key), one
-    shuffle-agg on dst, and one scalar broadcast — O(E) rows moved per
-    round, never materializing anything wider than (vertex, BIGINT).
-    The rank frontier localCheckpoints per round so lineage stays
-    O(1) across iterations (the connected_components discipline).
+    shuffle-agg on dst, and one 1-row scalar probe — O(E) rows moved
+    per round, never materializing anything wider than (vertex,
+    BIGINT).  The (rank, out_deg) frontier localCheckpoints per round
+    so lineage stays O(1) across iterations (the connected_components
+    discipline), and the probe job doubles as its materializer.
     ``iterations`` is fixed, not converged: PageRank-as-a-feature
     (quality weighting for domain graphs) wants a deterministic cost,
     and the oracle unrolls the same fixed count.
@@ -335,21 +337,40 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("bigint"))
     base = (100 - damping_pct) * (PAGERANK_SCALE // n) // 100
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # lazy: first (and only) computed leg is iteration 1's dangling
+    # probe job below, which materializes it for every later round
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=False
+    )
     rank = nodes.withColumn(
         "rank_units", F.lit(PAGERANK_SCALE // n).cast("bigint")
     )
     for _ in range(iterations):
-        ranked = rank.join(deg, rank.node == deg.src, "left").select(
-            "node", "rank_units", "out_deg"
+        # The (rank, out_deg) frame feeds BOTH the dangling scalar and
+        # the contribution join.  Checkpoint it lazily and read the
+        # dangling mass with a driver collect: the probe job is the
+        # single first toucher, so it materializes the cache AND
+        # answers the scalar in one job (the r13 probe-fusion rule) —
+        # the r13 form broadcast the scalar instead, and the broadcast
+        # job raced the main action's contribution leg over the
+        # unmaterialized rank frontier, recomputing a leg per
+        # iteration (measured +7% task time; r14 fix).
+        ranked = (
+            rank.join(deg, rank.node == deg.src, "left")
+            .select("node", "rank_units", "out_deg")
+            .localCheckpoint(eager=False)
         )
-        dangling = ranked.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg").isNull(), F.col("rank_units"))),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("_dang")
+        dang = int(
+            ranked.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("out_deg").isNull(), F.col("rank_units"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("_dang")
+            ).collect()[0][0]
         )
         per_src = ranked.filter(F.col("out_deg").isNotNull()).select(
             F.col("node").alias("src"),
@@ -361,26 +382,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        rank = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(_in, 0) "
-                        f"+ (_dang DIV {n}))) DIV 100"
-                    )
+        # dang DIV n in exact Python integer arithmetic (both
+        # non-negative), folded into the expression as a literal —
+        # bit-identical to the former broadcast column
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * (coalesce(_in, 0) "
+                    f"+ {dang // n})) DIV 100"
                 )
-                .cast("bigint")
-                .alias("rank_units"),
             )
-            # lazy: the next iteration's dangling-broadcast job (or the
-            # caller's action on the last round) materializes this rank
-            # frame — one fewer driver round-trip per iteration
-            .localCheckpoint(eager=False)
+            .cast("bigint")
+            .alias("rank_units"),
         )
+        # rank needs no checkpoint of its own: its single consumer is
+        # the next round's probe job (or the caller's one action),
+        # and its lineage is already O(1) — two cached inputs deep
     return rank
 
 
@@ -874,6 +893,14 @@ def hits(
     )
     hub = nodes.withColumn("hub_units", F.lit(HITS_SCALE).cast("bigint"))
     auth = None
+    # NOTE (r14 ask #8 A/B): the pagerank-style probe-fused collect
+    # was trialled here and REVERTED — in hits the Gauss-Seidel chain
+    # makes every max broadcast a sequential dependency of the next
+    # half-step, so the single final action computes each score frame
+    # once with ReusedExchange (measured: 43 jobs / 115 TASKS under
+    # both forms — no duplicate work to remove, unlike pagerank's
+    # racing dangling leg), and the collect form only added 4 driver
+    # sync points (task_sec median 14.6 vs 13.9 here).
     for _ in range(iterations):
         a_raw = (
             e.join(hub.select(F.col("node").alias("src"), "hub_units"), "src")
@@ -956,25 +983,37 @@ def personalized_pagerank(
         seeds.select("node", F.lit(1).alias("_is_seed")), "node", "left"
     ).select(
         "node", F.coalesce(F.col("_is_seed"), F.lit(0)).alias("is_seed")
-    ).localCheckpoint(eager=False)  # round 1's broadcast job computes it
+    ).localCheckpoint(eager=False)  # round 1's dangling probe computes it
     unit = PAGERANK_SCALE // n_s
     base = (100 - damping_pct) * unit // 100
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).localCheckpoint(
+        eager=False  # materialized by round 1's dangling probe job
+    )
     rank = nodes.withColumn(
         "rank_units",
         (F.col("is_seed") * F.lit(unit)).cast("bigint"),
     )
     for _ in range(iterations):
-        ranked = rank.join(deg, rank.node == deg.src, "left").select(
-            "node", "is_seed", "rank_units", "out_deg"
+        # pagerank's probe-fused shape (see there): the lazily
+        # checkpointed (rank, out_deg) frame is materialized by the
+        # dangling collect — one job, one toucher, no broadcast-leg
+        # race — and the scalar folds into the update as a literal
+        ranked = (
+            rank.join(deg, rank.node == deg.src, "left")
+            .select("node", "is_seed", "rank_units", "out_deg")
+            .localCheckpoint(eager=False)
         )
-        dangling = ranked.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("out_deg").isNull(), F.col("rank_units"))),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("_dang")
+        dang = int(
+            ranked.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("out_deg").isNull(), F.col("rank_units"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("_dang")
+            ).collect()[0][0]
         )
         per_src = ranked.filter(F.col("out_deg").isNotNull()).select(
             F.col("node").alias("src"),
@@ -986,23 +1025,18 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        rank = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "is_seed",
-                (
-                    F.col("is_seed") * F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(_in, 0) "
-                        f"+ is_seed * (_dang DIV {n_s}))) DIV 100"
-                    )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            "is_seed",
+            (
+                F.col("is_seed") * F.lit(base)
+                + F.expr(
+                    f"({damping_pct} * (coalesce(_in, 0) "
+                    f"+ is_seed * {dang // n_s})) DIV 100"
                 )
-                .cast("bigint")
-                .alias("rank_units"),
             )
-            .localCheckpoint(eager=False)  # pagerank's lazy-rank shape
+            .cast("bigint")
+            .alias("rank_units"),
         )
     return rank.select("node", "rank_units")
 

@@ -1163,7 +1163,8 @@ _PR_SCALE = 1_000_000_000_000
     "is bit-identical across engines and partitionings (PageRank as a "
     "deterministic quality feature, the CommonCrawl harmonic-rank "
     "role). Each iteration: one src join + one dst shuffle-agg + a "
-    "1-row dangling broadcast; the rank frontier localCheckpoints so "
+    "1-row dangling probe (collected, folded back as a literal); "
+    "the rank frontier localCheckpoints so "
     "lineage stays O(1) per round. Oracle unrolls the identical two "
     "iterations in SQL.",
 )

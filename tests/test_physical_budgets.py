@@ -108,7 +108,17 @@ def measure(spark, name: str) -> dict[str, int]:
 # cross-JOB totals via AppStatusStore (all localCheckpoint levels
 # included), twice each, bit-identical across runs
 ITERATIVE_BUDGETS: dict[str, dict[str, int]] = {
-    "pagerank_trade_network": {"records": 256993, "bytes": 2959439},
+    # r14 re-measure (ask #8): pagerank's dangling scalar is now a
+    # probe-fused COLLECT — the lazily checkpointed (rank, out_deg)
+    # frame is materialized by the same job that reads the scalar, so
+    # the r13 broadcast-leg-vs-contribution-leg race (tasks 167 vs
+    # 148, task_sec 46 -> ~20 at sf0.1/32c) is gone; the probe job's
+    # own small agg exchange costs ~2% more records.  hits keeps the
+    # r13 broadcast form (A/B showed ReusedExchange already made it
+    # race-free: 115 tasks under both forms) and is pinned here so
+    # the shape stays asserted.
+    "pagerank_trade_network": {"records": 261793, "bytes": 3010973},
+    "hits_trade_authorities": {"records": 263394, "bytes": 2936343},
     # the five entries below re-measured after the r13
     # copurchase_pairs rewrite (per-order pair expansion replaces the
     # lineitem self-join, and the BFS adjacency/frontier joins
