@@ -180,3 +180,16 @@ def make_dirty_dockets(n: int = 500, seed: int = 20260813) -> list[dict]:
             }
         )
     return out
+
+
+def fuzz_trials(full: int, fast: int) -> int:
+    """Trial count for seeded fuzz loops (r14 test-wall fix, round-13
+    verdict ask #2's sanctioned shape: "fuzz suites behind a ... fast
+    default path").  The default run — what the driver's verify window
+    executes — runs `fast` trials, chosen per test so every distinct
+    regime (density class, shape family) keeps at least one trial;
+    set SPARK_GRAFT_FULL_FUZZ=1 to restore the full sweep (used for
+    operator-touching rounds / local deep checks)."""
+    import os
+
+    return full if os.environ.get("SPARK_GRAFT_FULL_FUZZ") else fast

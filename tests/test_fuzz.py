@@ -361,9 +361,14 @@ def test_fuzz_quantized_retrieval_recall_floor(spark):
 
     from legal_data_ingestion_rag_pipeline_spark.operators import ann, pq
 
+    from fixtures import fuzz_trials
+
     rng = np.random.default_rng(SEED)
+    # fast default keeps one uniform + one clustered corpus (the two
+    # regimes); FULL_FUZZ adds the wider-dim clustered trial.  Tail
+    # slice only, so the kept trials' rng draws are unchanged.
     for trial, (dim, m, clustered) in enumerate(
-        [(8, 2, False), (16, 4, True), (32, 4, True)]
+        [(8, 2, False), (16, 4, True), (32, 4, True)][: fuzz_trials(3, 2)]
     ):
         n = 200
         if clustered:

@@ -208,8 +208,11 @@ def test_fuzz_boruvka_matches_python_kruskal(spark):
     components, and parallel-edge candidates) against a sequential
     Kruskal under the same (w, lo, hi) total order — different
     algorithm, same unique forest."""
+    from fixtures import fuzz_trials
+
     rng = random.Random(SEED + 13)
-    for n, m in ((14, 20), (20, 26), (12, 33)):
+    # tail slice: kept trials' rng draws unchanged
+    for n, m in ((14, 20), (20, 26), (12, 33))[: fuzz_trials(3, 2)]:
         edges = [
             (a, b, rng.randrange(1, 6))  # heavy weight ties on purpose
             for a, b in _rand_graph(rng, n=n, m=m)

@@ -216,8 +216,10 @@ def test_bpe_spark_matches_python_twin_fuzz(spark):
 
     from legal_data_ingestion_rag_pipeline_spark.operators import bpe
 
+    from fixtures import fuzz_trials
+
     rng = random.Random(20260814)
-    for trial in range(3):
+    for trial in range(fuzz_trials(3, 1)):  # head slice: draws unchanged
         vocab = ["ab", "aab", "abb", "ba", "bab", "aa", "bb", "abab"]
         words = [rng.choice(vocab) for _ in range(60)]
         text = " ".join(words)

@@ -166,11 +166,16 @@ def test_geometric_median_resists_outlier(spark):
 
     rows = [(0, [0.1 * i, 0.0]) for i in range(9)] + [(0, [100.0, 100.0])]
     df = spark.createDataFrame(rows, "label: bigint, embedding: array<double>")
-    med = robust.geometric_median(df, "label", "embedding", iters=8)
+    # 4 iters, not 8: each unrolled step embeds the prior median
+    # subtree TWICE (den + num), so planning grows ~2^iters (8 iters
+    # = 42 s of pure catalyst work on 10 rows; r14 test-wall fix) —
+    # and convergence here is fast enough that 4 steps supports
+    # STRICTER bounds than 8 did (measured m = [0.485, 0.0076])
+    med = robust.geometric_median(df, "label", "embedding", iters=4)
     m = med.collect()[0].gm
-    # mean_y = 10.0 (dragged); median_y after 8 steps should be tiny
-    assert m[1] < 2.0
-    assert m[0] < 5.0
+    # mean_y = 10.0 (dragged); median_y after 4 steps should be tiny
+    assert m[1] < 0.1
+    assert m[0] < 1.0
 
 
 def test_geometric_median_objective_not_worse_than_mean(spark):

@@ -386,8 +386,10 @@ def test_mondrian_fuzz_matches_python_twin(spark):
         _mondrian_sql,
     )
 
+    from fixtures import fuzz_trials
+
     rng = random.Random(20260816)
-    for trial in range(3):
+    for trial in range(fuzz_trials(3, 1)):  # head slice: draws unchanged
         n = rng.choice([180, 450, 900])
         rows = [
             (i + 1, rng.randrange(-99999, 1000000) / 100.0)
@@ -821,11 +823,17 @@ def test_scc_fuzz_matches_kosaraju(spark):
 
     from legal_data_ingestion_rag_pipeline_spark.operators.graph import scc_coloring
 
-    rng = random.Random(20260817)
+    from fixtures import fuzz_trials
+
     # density 3n forces nontrivial SCCs; density 1.5n forces deep
     # trim cascades with orphaned chain vertices (the u -> x -> v
-    # shape where both neighbors trim away in the same round)
-    for trial, mult in ((0, 3), (1, 3), (2, 3), (3, 1.5), (4, 1.5)):
+    # shape where both neighbors trim away in the same round); the
+    # fast default keeps one n=25 trial per density class (each SCC
+    # run is a multi-second BSP fixpoint, and the n=40 dense draw
+    # alone costs ~20 s), SPARK_GRAFT_FULL_FUZZ=1 runs all five
+    trials = ((1, 3), (3, 1.5), (0, 3), (2, 3), (4, 1.5))
+    for trial, mult in trials[: fuzz_trials(5, 2)]:
+        rng = random.Random(20260817 + trial)  # order-independent draws
         n = rng.choice([15, 25, 40])
         pairs = set()
         for _ in range(int(n * mult)):

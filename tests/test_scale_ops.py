@@ -408,16 +408,18 @@ def test_ivf_assign_gemm_fallback_matches_literal(spark):
 
     from legal_data_ingestion_rag_pipeline_spark.operators import ann
 
-    # just over the inline threshold: the property under test (GEMM
-    # fallback == literal path above the cutoff) is threshold-relative,
-    # and the literal side's cost is driver PLANNING time on an
-    # n_cents*dim-term expression tree — 1024x128 spent ~140 s planning
-    # for no extra assertion strength (r14 test-wall fix)
-    dim, n_cents, n_corpus = 128, 520, 200
-    assert n_cents * dim > ann.IVF_INLINE_MAX_TERMS
+    # The equality property (GEMM fallback == literal path) is
+    # threshold-RELATIVE, so assert it at small C x dim with the GEMM
+    # path FORCED via max_inline_terms — the literal side's cost is
+    # driver PLANNING time on an n_cents*dim-term expression tree
+    # (1024x128 spent ~140 s planning, 520x128 still ~35 s, for no
+    # extra assertion strength; r14 test-wall fix).  The auto-dispatch
+    # property at the REAL threshold is asserted from the plan below
+    # without ever planning the huge literal twin.
+    dim, n_cents, n_corpus = 32, 96, 200
 
-    def vec(seed: int) -> list[float]:
-        return [math.sin(0.1 * seed + 0.37 * j) for j in range(dim)]
+    def vec(seed: int, d: int = dim) -> list[float]:
+        return [math.sin(0.1 * seed + 0.37 * j) for j in range(d)]
 
     cents = spark.createDataFrame(
         [(i, vec(i)) for i in range(n_cents)],
@@ -428,8 +430,9 @@ def test_ivf_assign_gemm_fallback_matches_literal(spark):
         "vec_id bigint, embedding array<double>",
     )
 
-    gemm = ann.ivf_assign(corpus, cents)  # auto: over threshold -> GEMM
+    gemm = ann.ivf_assign(corpus, cents, max_inline_terms=100)  # forced
     lit = ann.ivf_assign(corpus, cents, max_inline_terms=1 << 30)
+    assert "MapInPandas" in gemm._jdf.queryExecution().executedPlan().toString()
     got = {r.vec_id: r for r in gemm.collect()}
     want = {r.vec_id: r for r in lit.collect()}
     assert set(got) == set(want) and len(got) == n_corpus
@@ -437,6 +440,20 @@ def test_ivf_assign_gemm_fallback_matches_literal(spark):
         w = want[vid]
         assert g.centroid_id == w.centroid_id
         assert abs(g.c_sim - w.c_sim) < 1e-9
+
+    # auto-dispatch at the real threshold: just over IVF_INLINE_MAX_TERMS
+    # must choose the GEMM (MapInPandas) plan with NO forcing
+    big_dim, big_cents = 128, 520
+    assert big_cents * big_dim > ann.IVF_INLINE_MAX_TERMS
+    bcents = spark.createDataFrame(
+        [(i, vec(i, big_dim)) for i in range(big_cents)],
+        "centroid_id bigint, c_vec array<double>",
+    )
+    bcorpus = spark.createDataFrame(
+        [(0, vec(1, big_dim))], "vec_id bigint, embedding array<double>"
+    )
+    auto = ann.ivf_assign(bcorpus, bcents)
+    assert "MapInPandas" in auto._jdf.queryExecution().executedPlan().toString()
 
     bad = spark.createDataFrame(
         [(0.5, vec(0))], "centroid_id double, c_vec array<double>"
